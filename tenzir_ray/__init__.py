@@ -1,0 +1,31 @@
+"""tenzir_ray — a Ray-Data-native data-processing / CDC-ingest engine.
+
+A from-scratch engine with the query and data-processing capabilities of
+the Tenzir reference (C++ pipeline engine over Arrow record batches; see
+SURVEY.md), re-expressed Ray-Data-first:
+
+- ``ray.data.Dataset`` pipelines of zero-copy Arrow ``map_batches`` stages
+  (the analog of the reference's ``table_slice`` generator coroutines,
+  libtenzir/include/tenzir/pipeline.hpp:242).
+- Stateful stages are actor pools (``map_batches(Cls, concurrency=N)``).
+- Wide steps use ``groupby`` / ``sort`` / ``repartition`` — real shuffles,
+  minimized via per-batch partial reduction (combiners).
+- The CDC core (``tenzir_ray.cdc``) applies binlog/WAL-style change events
+  as exactly-once upserts into partitioned Parquet lake tables with a
+  two-phase manifest commit (the reference's write-then-rename + catalog
+  merge discipline, libtenzir/src/posix_filesystem.cpp:29,
+  libtenzir/include/tenzir/catalog.hpp:83, generalized).
+"""
+
+__version__ = "0.1.0"
+
+# Ray worker processes unpickle our stage classes by module reference; make
+# the package importable in workers regardless of the driver's cwd by
+# exporting its parent dir on PYTHONPATH before ray.init() spawns workers.
+import os as _os
+
+_pkg_parent = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+_pp = _os.environ.get("PYTHONPATH", "")
+if _pkg_parent not in _pp.split(_os.pathsep):
+    _os.environ["PYTHONPATH"] = _pkg_parent + (_os.pathsep + _pp if _pp else "")
+del _os, _pkg_parent, _pp

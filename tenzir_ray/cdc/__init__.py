@@ -1,0 +1,7 @@
+"""CDC / incremental-ingest core: binlog tail → exactly-once lake upsert."""
+
+from tenzir_ray.cdc.generate import gen_changes, gen_transcripts
+from tenzir_ray.cdc.oracle import naive_apply
+from tenzir_ray.cdc.lake import LakeTable
+
+__all__ = ["gen_changes", "gen_transcripts", "naive_apply", "LakeTable"]

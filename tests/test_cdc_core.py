@@ -1,0 +1,153 @@
+"""M0/M1: CDC core — generator determinism, oracle equivalence,
+exactly-once idempotence, crash recovery, multi-epoch resume, salting,
+schema evolution (SURVEY.md §7.2-§7.4)."""
+
+import glob
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tenzir_ray.cdc.generate import gen_changes, gen_transcripts
+from tenzir_ray.cdc.lake import LakeTable
+from tenzir_ray.cdc.oracle import naive_apply
+
+PAYLOAD = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def _assert_tables_equal(got: pa.Table, want: pa.Table, cols=None):
+    cols = cols or want.column_names
+    assert got.num_rows == want.num_rows, (got.num_rows, want.num_rows)
+    g = got.select(cols).to_pandas().reset_index(drop=True)
+    w = want.select(cols).to_pandas().reset_index(drop=True)
+    for c in cols:
+        assert g[c].equals(w[c]), f"column {c} differs"
+
+
+def test_generate_deterministic():
+    a = gen_changes(2000, seed=7)
+    b = gen_changes(2000, seed=7)
+    assert a.equals(b)
+    c = gen_changes(2000, seed=8)
+    assert not a.equals(c)
+    # op mix roughly 70/20/10
+    ops = a.column("op").to_pylist()
+    assert 0.6 < ops.count("insert") / len(ops) < 0.8
+    assert ops.count("delete") > 0
+    t = gen_transcripts(50, seed=3)
+    assert t.equals(gen_transcripts(50, seed=3))
+    assert t.column_names == PAYLOAD
+
+
+def test_apply_matches_oracle(ray_session, tmp_path):
+    changes = gen_changes(10_000, seed=42)
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=8)
+    res = lake.apply_changes(changes, epoch_id="e1")
+    assert res["lsn_max"] == 9_999
+    want = naive_apply(changes)
+    got = lake.final_table()
+    _assert_tables_equal(got, want, cols=PAYLOAD)
+
+
+def test_apply_idempotent_epoch_replay(ray_session, tmp_path):
+    changes = gen_changes(3_000, seed=5)
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=4)
+    lake.apply_changes(changes, epoch_id="e1")
+    first = lake.final_table()
+    res2 = lake.apply_changes(changes, epoch_id="e1")  # replay same epoch
+    assert res2.get("skipped") is True
+    _assert_tables_equal(lake.final_table(), first)
+
+
+def test_overlapping_replay_converges(ray_session, tmp_path):
+    """Even a re-application of overlapping lsn ranges under a NEW epoch id
+    converges (LWW by lsn is idempotent)."""
+    changes = gen_changes(3_000, seed=5)
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=4)
+    lake.apply_changes(changes, epoch_id="e1")
+    lake.apply_changes(changes, epoch_id="e2-dup")
+    _assert_tables_equal(lake.final_table(), naive_apply(changes), cols=PAYLOAD)
+
+
+def test_multi_epoch_and_resume(ray_session, tmp_path):
+    changes = gen_changes(6_000, seed=11)
+    lsn = changes.column("lsn")
+    e1 = changes.filter(pa.compute.less(lsn, 3000))
+    e2 = changes.filter(pa.compute.greater_equal(lsn, 3000))
+    root = str(tmp_path / "lake")
+    lake = LakeTable(root, num_partitions=4)
+    lake.apply_changes(e1, epoch_id="e1")
+    assert lake.resume_lsn() == 3000
+    # reopen (fresh process analog) and resume from checkpoint
+    lake2 = LakeTable(root)
+    assert lake2.resume_lsn() == 3000
+    lake2.apply_changes(e2, epoch_id="e2")
+    _assert_tables_equal(lake2.final_table(), naive_apply(changes), cols=PAYLOAD)
+    # lineage records present for both epochs
+    assert [e["epoch_id"] for e in lake2.manifest.epochs] == ["e1", "e2"]
+    for e in lake2.manifest.epochs:
+        for k, p in e["partitions"].items():
+            assert p["rows"] >= 0 and "checksum" in p
+
+
+def test_crash_partial_files_ignored(ray_session, tmp_path):
+    """Simulated crash: data files written without a manifest commit must
+    be invisible; a clean re-apply converges to the oracle state."""
+    changes = gen_changes(2_000, seed=9)
+    root = str(tmp_path / "lake")
+    lake = LakeTable(root, num_partitions=4)
+    lake.apply_changes(changes, epoch_id="e1")
+    # orphan files: pretend a crashed epoch wrote files but never committed
+    orphan = os.path.join(root, "part=0", "epoch-crashed-deadbeef.parquet")
+    pq.write_table(lake.final_table().slice(0, 1).append_column(
+        "_lsn", pa.array([999999], pa.int64())), orphan)
+    lake2 = LakeTable(root)
+    _assert_tables_equal(lake2.final_table(), naive_apply(changes), cols=PAYLOAD)
+    assert orphan not in lake2.manifest.live_files()
+
+
+def test_salted_subpartitioning(ray_session, tmp_path):
+    """Skew path: salted pre-reduce must not change the result."""
+    changes = gen_changes(8_000, seed=13, n_convs=20)  # few convs → hot keys
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=4)
+    lake.apply_changes(changes, epoch_id="e1", num_salts=4)
+    _assert_tables_equal(lake.final_table(), naive_apply(changes), cols=PAYLOAD)
+
+
+def test_schema_evolution(ray_session, tmp_path):
+    """v2 events add `lang` and widen turn_idx int32→int64 mid-log; split
+    into two epochs so the lake itself must evolve between commits."""
+    changes = gen_changes(4_000, seed=21, schema_evolution=True, evolution_frac=0.5)
+    lsn = changes.column("lsn")
+    e1 = changes.filter(pa.compute.less(lsn, 2000)).drop_columns(["lang"])
+    e1 = e1.set_column(
+        e1.schema.get_field_index("turn_idx"),
+        "turn_idx",
+        e1.column("turn_idx").cast(pa.int32()),
+    )
+    e2 = changes.filter(pa.compute.greater_equal(lsn, 2000))
+    root = str(tmp_path / "lake")
+    lake = LakeTable(root, num_partitions=4)
+    lake.apply_changes(e1, epoch_id="e1")
+    assert lake.registry.schema.field("turn_idx").type == pa.int32()
+    assert "lang" not in lake.registry.schema.names
+    lake.apply_changes(e2, epoch_id="e2")
+    assert lake.registry.schema.field("turn_idx").type == pa.int64()
+    assert "lang" in lake.registry.schema.names
+    want = naive_apply(changes)  # oracle over the full widened log
+    got = lake.final_table()
+    _assert_tables_equal(got, want, cols=PAYLOAD + ["lang"])
+
+
+def test_manifest_atomic_and_lineage(ray_session, tmp_path):
+    changes = gen_changes(1_000, seed=1)
+    root = str(tmp_path / "lake")
+    lake = LakeTable(root, num_partitions=2)
+    lake.apply_changes(changes, epoch_id="e1")
+    with open(os.path.join(root, "_manifest.json")) as f:
+        m = json.load(f)
+    assert m["epochs"][0]["lsn_min"] == 0
+    assert m["epochs"][0]["lsn_max"] == 999
+    assert not glob.glob(os.path.join(root, "_manifest.json.tmp*"))
