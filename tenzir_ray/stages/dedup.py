@@ -1,0 +1,232 @@
+"""Deduplication family for training-data pipelines.
+
+- exact_dedup: content-hash → hash-partitioned per-group first. The
+  scalable exact path: a vectorized hash column inside ``map_batches``
+  (combiner pre-dedup per batch), then one shuffle on the hash.
+- minhash_lsh_dedup: shingle → minhash → band → bucket groupby →
+  candidate groups; near-duplicates share any band bucket (the classic
+  MinHash-LSH pipeline; Broder 1997 / Leskovec et al. MMDS, public).
+- simhash: 64-bit Charikar simhash over token features.
+- ngram_jaccard: verify candidate pairs by true n-gram Jaccard.
+- embedding near-dup: see similarity.embedding_near_dup.
+
+The reference only has streaming `deduplicate` (per-key copy limits,
+builtins/operators/deduplicate.cpp:102) — content-based near-dup is part
+of this engine's training-data extension surface.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from tenzir_ray._ship import ship_by_value
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_texts(texts: pd.Series) -> np.ndarray:
+    """Stable vectorized 64-bit content hash (pandas siphash, fixed key)."""
+    return pd.util.hash_array(texts.fillna("").to_numpy(dtype=object)).astype(np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+def exact_dedup(ds, column: str = "text", keep_order_by: str | None = None):
+    """Drop exact duplicate contents, keeping one row per distinct value
+    (deterministic winner = min(keep_order_by), default min of itself)."""
+
+    def _pre(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_h"] = _hash_texts(df[column])
+        order = keep_order_by or column
+        df = df.sort_values(order, kind="mergesort")
+        return df.drop_duplicates(subset=["_h"], keep="first")
+
+    pre = ds.map_batches(_pre, batch_format="pandas")
+    order = keep_order_by or column
+
+    def _first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(order, kind="mergesort").head(1)
+
+    return (
+        pre.groupby("_h")
+        .map_groups(_first, batch_format="pandas")
+        .drop_columns(["_h"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH
+
+
+class MinHasher:
+    """Per-actor minhash signatures: k character-shingle hash functions via
+    the (a*x + b) mod p universal family; parameters fixed by seed."""
+
+    def __init__(self, column: str, num_hashes: int = 64, shingle: int = 5,
+                 seed: int = 1234):
+        self.column = column
+        self.shingle = shingle
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.uint64)
+
+    def shingle_hashes(self, text: str) -> np.ndarray:
+        n = self.shingle
+        if len(text) < n:
+            text = text.ljust(n, "\0")
+        codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        win = np.lib.stride_tricks.sliding_window_view(codes, n)
+        powers = np.power(np.uint64(1_000_003), np.arange(n, dtype=np.uint64), dtype=np.uint64)
+        return np.unique((win * powers[::-1]).sum(axis=1) & np.uint64(_MERSENNE))
+
+    def signature(self, text: str) -> np.ndarray:
+        x = self.shingle_hashes(text)
+        # (k, m): a[:,None]*x + b, min over shingles
+        vals = (self.a[:, None] * x[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sigs = [self.signature(t or "") for t in batch[self.column].fillna("")]
+        batch["minhash"] = [s.astype(np.uint64) for s in sigs]
+        return batch
+
+
+def minhash(ds, column: str = "text", num_hashes: int = 64, shingle: int = 5,
+            concurrency=(1, 4), batch_size: int = 1024):
+    """Attach a `minhash` list<uint64> signature column (actor pool)."""
+    return ds.map_batches(
+        MinHasher, fn_constructor_args=(column, num_hashes, shingle),
+        batch_format="pandas", batch_size=batch_size, concurrency=concurrency,
+    )
+
+
+def minhash_lsh_dedup(ds, id_column: str, column: str = "text",
+                      num_hashes: int = 64, bands: int = 16, shingle: int = 5,
+                      concurrency=(1, 4)):
+    """Near-duplicate clusters via MinHash-LSH banding.
+
+    Returns a Dataset of ``(id_column, dup_group)`` where rows sharing a
+    ``dup_group`` are near-duplicate candidates (same signature in ≥1
+    band). dup_group = min id in the candidate cluster (per-band local
+    union; full transitive closure would iterate min-label propagation —
+    one round is the standard first-pass filter).
+
+    Scale shape: explode to (band, band_hash, id) rows → one groupby on
+    the (band, band_hash) bucket — skew-safe because bucket sizes are
+    bounded by collision rate, not corpus size.
+    """
+    rows_per_band = num_hashes // bands
+    with_sig = minhash(ds, column, num_hashes, shingle, concurrency=concurrency)
+
+    band_pows = np.power(
+        np.uint64(1_000_003), np.arange(rows_per_band, dtype=np.uint64), dtype=np.uint64
+    )
+
+    def _bands(df: pd.DataFrame) -> pd.DataFrame:
+        out_id, out_band, out_hash = [], [], []
+        for rid, sig in zip(df[id_column], df["minhash"]):
+            sig = np.asarray(sig, dtype=np.uint64)
+            for b in range(bands):
+                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                # deterministic polynomial hash of the band slice (never
+                # builtin hash(): PYTHONHASHSEED varies across workers)
+                h = int((chunk * band_pows[: len(chunk)]).sum() % np.uint64(_MERSENNE))
+                out_id.append(rid)
+                out_band.append(b)
+                out_hash.append(h)
+        return pd.DataFrame({id_column: out_id, "band": out_band, "band_hash": out_hash})
+
+    exploded = with_sig.map_batches(_bands, batch_format="pandas")
+
+    def _cluster(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({id_column: [], "dup_group": []})
+        m = g[id_column].min()
+        return pd.DataFrame({id_column: g[id_column], "dup_group": m})
+
+    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
+        _cluster, batch_format="pandas"
+    )
+    # one id may appear in many bands: keep the smallest group label
+    def _min_label(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {id_column: [g[id_column].iloc[0]], "dup_group": [g["dup_group"].min()]}
+        )
+
+    return pairs.groupby(id_column).map_groups(_min_label, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# simhash
+
+
+class SimHasher:
+    """64-bit Charikar simhash over word tokens."""
+
+    def __init__(self, column: str, out: str = "simhash"):
+        self.column = column
+        self.out = out
+
+    def _sim(self, text: str) -> int:
+        words = text.lower().split()
+        if not words:
+            return 0
+        hashes = pd.util.hash_array(np.asarray(words, dtype=object)).astype(np.uint64)
+        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+        v = (2 * bits - 1).sum(axis=0)
+        return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch[self.out] = [self._sim(t or "") for t in batch[self.column].fillna("")]
+        batch[self.out] = batch[self.out].astype(np.uint64)
+        return batch
+
+
+def simhash(ds, column: str = "text", concurrency=(1, 4), batch_size: int = 2048):
+    return ds.map_batches(
+        SimHasher, fn_constructor_args=(column,), batch_format="pandas",
+        batch_size=batch_size, concurrency=concurrency,
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verification
+
+
+def ngram_jaccard_pairs(ds, pairs: list[tuple], id_column: str,
+                        column: str = "text", ngram: int = 3):
+    """Verify candidate duplicate pairs by true word-n-gram Jaccard.
+
+    ``pairs`` is a small candidate list (from LSH); the texts are fetched
+    via a broadcast filter and compared on the driver-side small result.
+    Returns a pyarrow Table (id_a, id_b, jaccard).
+    """
+    import ray
+
+    wanted = sorted({i for p in pairs for i in p})
+    small = ds.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t[id_column], pa.array(wanted))),
+        batch_format="pyarrow",
+    ).to_pandas()
+    texts = dict(zip(small[id_column], small[column]))
+
+    def grams(s):
+        toks = (s or "").lower().split()
+        return {tuple(toks[i : i + ngram]) for i in range(max(0, len(toks) - ngram + 1))}
+
+    rows = []
+    for a, b in pairs:
+        ga, gb = grams(texts.get(a, "")), grams(texts.get(b, ""))
+        j = len(ga & gb) / max(1, len(ga | gb))
+        rows.append({"id_a": a, "id_b": b, "jaccard": j})
+    return pa.Table.from_pylist(rows)
+
+
+ship_by_value(sys.modules[__name__])

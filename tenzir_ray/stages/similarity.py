@@ -1,0 +1,184 @@
+"""Similarity search over embedding columns (`embeddings` table,
+``embedding: list<float>``).
+
+- brute_force_topk: exact cosine top-k — numpy matmul per batch against a
+  broadcast query matrix (``ray.put`` once, read per actor, never
+  re-shipped per batch). The scale baseline: each batch does one
+  (B×D)·(D×Q) GEMM; merge of per-batch top-k heaps is a tiny reduce.
+- lsh_topk: random-hyperplane (SimHash) bucketed ANN — the scale path:
+  probe only buckets matching the query signature.
+- embedding_near_dup: pairs of rows whose cosine ≥ threshold, via the
+  same LSH bucketing.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from tenzir_ray._ship import ship_by_value
+
+
+def _to_matrix(col) -> np.ndarray:
+    """list<float> column → (n, d) float32 matrix (zero-copy when possible)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float32, copy=False)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class _BatchTopK:
+    """Per-batch exact cosine top-k against a broadcast query matrix."""
+
+    def __init__(self, queries_ref, id_column: str, column: str, k: int):
+        import ray
+
+        q = ray.get(queries_ref)  # broadcast: fetched once per actor
+        self.q = _normalize(np.asarray(q, dtype=np.float32))
+        self.id_column = id_column
+        self.column = column
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_to_matrix(batch.column(self.column)))
+        sims = m @ self.q.T  # (B, Q)
+        ids = batch.column(self.id_column).to_numpy(zero_copy_only=False)
+        k = min(self.k, len(ids))
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(sims.shape[1]):
+            top = np.argpartition(-sims[:, qi], k - 1)[:k]
+            out_q.extend([qi] * k)
+            out_id.extend(ids[top])
+            out_sim.extend(sims[top, qi].astype(np.float64))
+        return pa.table(
+            {
+                "query_idx": pa.array(out_q, pa.int32()),
+                self.id_column: pa.array(out_id),
+                "similarity": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+
+def brute_force_topk(ds, queries: np.ndarray, id_column: str = "vec_id",
+                     column: str = "embedding", k: int = 10,
+                     concurrency=(1, 4), batch_size: int = 4096) -> pa.Table:
+    """Exact cosine top-k of each query row against the dataset.
+
+    Two-stage: per-batch GEMM top-k (actor pool; queries broadcast via
+    ray.put), then a tiny driver-side merge of ≤ k·num_batches rows.
+    Returns (query_idx, id, similarity) sorted desc, k rows per query.
+    """
+    import ray
+
+    qref = ray.put(np.asarray(queries, dtype=np.float32))
+    partial = ds.map_batches(
+        _BatchTopK,
+        fn_constructor_args=(qref, id_column, column, k),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    merged = partial.to_pandas()  # ≤ k rows per (batch, query) — small
+    out = (
+        merged.sort_values(["query_idx", "similarity", id_column],
+                           ascending=[True, False, True], kind="mergesort")
+        .groupby("query_idx", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+class _HyperplaneSigner:
+    """Random-hyperplane signature (LSH for cosine); planes are derived
+    from a fixed seed so every actor agrees."""
+
+    def __init__(self, column: str, n_planes: int, dim: int, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
+        self.column = column
+        self.n_planes = n_planes
+
+    def sign(self, m: np.ndarray) -> np.ndarray:
+        bits = (m @ self.planes) > 0
+        weights = (1 << np.arange(self.n_planes, dtype=np.uint64))
+        return (bits.astype(np.uint64) * weights).sum(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch.column(self.column))
+        return batch.append_column("lsh_bucket", pa.array(self.sign(m), pa.uint64()))
+
+
+def lsh_bucket(ds, column: str = "embedding", n_planes: int = 8, dim: int | None = None,
+               concurrency=(1, 4), batch_size: int = 4096):
+    """Attach a random-hyperplane `lsh_bucket` column (2^n_planes buckets)."""
+    if dim is None:
+        first = ds.take(1)[0][column]
+        dim = len(first)
+    return ds.map_batches(
+        _HyperplaneSigner,
+        fn_constructor_args=(column, n_planes, dim),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def lsh_topk(ds, queries: np.ndarray, id_column: str = "vec_id",
+             column: str = "embedding", k: int = 10, n_planes: int = 6,
+             concurrency=(1, 4)) -> pa.Table:
+    """ANN top-k: probe only rows whose hyperplane signature matches the
+    query's (scale path; recall < 1 by construction — the candidate set
+    shrinks ~2^n_planes-fold)."""
+    q = np.asarray(queries, dtype=np.float32)
+    signer = _HyperplaneSigner(column, n_planes, q.shape[1])
+    q_sigs = set(signer.sign(_normalize(q)).tolist())
+    bucketed = lsh_bucket(ds, column, n_planes, q.shape[1], concurrency=concurrency)
+    candidates = bucketed.map_batches(
+        lambda t: t.filter(
+            pa.compute.is_in(t["lsh_bucket"], pa.array(sorted(q_sigs), pa.uint64()))
+        ),
+        batch_format="pyarrow",
+    )
+    return brute_force_topk(candidates, q, id_column, column, k,
+                            concurrency=concurrency)
+
+
+def embedding_near_dup(ds, id_column: str = "vec_id", column: str = "embedding",
+                       threshold: float = 0.95, n_planes: int = 10,
+                       concurrency=(1, 4)):
+    """Near-duplicate pairs by cosine ≥ threshold within LSH buckets.
+
+    Returns (id_a, id_b, cosine) with id_a < id_b. Pairwise compare runs
+    per bucket (bounded groups), not across the whole corpus.
+    """
+    dim = len(ds.take(1)[0][column])
+    bucketed = lsh_bucket(ds, column, n_planes, dim, concurrency=concurrency)
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        m = _normalize(np.stack(g[column].map(np.asarray)).astype(np.float32))
+        sims = m @ m.T
+        ids = g[id_column].to_numpy()
+        ia, ib = np.triu_indices(len(g), k=1)
+        keep = sims[ia, ib] >= threshold
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "cosine": sims[ia[keep], ib[keep]].astype(np.float64)}
+        )
+
+    return bucketed.groupby("lsh_bucket").map_groups(_pairs, batch_format="pandas")
+
+
+ship_by_value(sys.modules[__name__])

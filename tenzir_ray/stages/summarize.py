@@ -1,0 +1,245 @@
+"""`summarize` — grouped aggregation (reference builtins/operators/summarize.cpp,
+aggregation functions in builtins/aggregation-functions/*.cpp, interface
+libtenzir/include/tenzir/aggregation_function.hpp:23-58: incremental
+add(array) per block + merge + finish — exactly Ray's AggregateFn contract,
+which performs partial aggregation per block before the shuffle).
+
+Supported functions (reference file in aggregation-functions/):
+min, max, sum, mean, count, count_distinct (count_distinct.cpp — exact),
+distinct (distinct.cpp — sorted unique list), collect (collect.cpp),
+sample (sample.cpp — first non-null), any/all (any.cpp/all.cpp),
+stddev/variance (stddev_variance.cpp — merged via (n, Σx, Σx²) partials),
+median/approximate_median (approximate_median.cpp — t-digest in the
+reference; exact-at-small / quantile here).
+
+`resolution` time-bucketing (summarize.cpp:41-99 — Arrow temporal floor)
+is exposed via :func:`time_bucket`.
+
+Output column naming: every aggregate is ``<alias>`` given by the caller
+(``sum_qty="sum(l_quantity)"`` style specs) so Ray results and oracle SQL
+agree on names.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data.aggregate import (
+    AggregateFn,
+    Count,
+    Max,
+    Mean,
+    Min,
+    Quantile,
+    Std,
+    Sum,
+)
+
+from tenzir_ray._ship import ship_by_value
+
+_SPEC_RE = re.compile(r"^\s*(\w+)\s*\(\s*([\w.*]*)\s*\)\s*$")
+
+
+# NOTE: accumulators round-trip through Arrow blocks between the partial
+# (per-block) and merge stages, so they must be Arrow-representable values
+# (lists/tuples/scalars) — not Python sets.
+
+
+def _count_distinct(col: str, alias: str) -> AggregateFn:
+    return AggregateFn(
+        init=lambda k: [],
+        accumulate_block=lambda s, block: sorted(
+            set(s) | set(pc.drop_null(block.column(col)).unique().to_pylist())
+        ),
+        merge=lambda a, b: sorted(set(a) | set(b)),
+        finalize=lambda s: len(s),
+        name=alias,
+    )
+
+
+def _distinct(col: str, alias: str) -> AggregateFn:
+    return AggregateFn(
+        init=lambda k: [],
+        accumulate_block=lambda s, block: sorted(
+            set(s) | set(pc.drop_null(block.column(col)).unique().to_pylist())
+        ),
+        merge=lambda a, b: sorted(set(a) | set(b)),
+        finalize=lambda s: list(s),
+        name=alias,
+    )
+
+
+def _collect(col: str, alias: str) -> AggregateFn:
+    return AggregateFn(
+        init=lambda k: [],
+        accumulate_block=lambda acc, block: acc
+        + pc.drop_null(block.column(col)).to_pylist(),
+        merge=lambda a, b: a + b,
+        finalize=lambda acc: acc,
+        name=alias,
+    )
+
+
+def _sample(col: str, alias: str) -> AggregateFn:
+    """First non-null value per group (sample.cpp:77)."""
+
+    def _acc(acc, block):
+        if acc is not None:
+            return acc
+        valid = pc.drop_null(block.column(col))
+        return valid[0].as_py() if len(valid) else None
+
+    return AggregateFn(
+        init=lambda k: None,
+        accumulate_block=_acc,
+        merge=lambda a, b: a if a is not None else b,
+        finalize=lambda a: a,
+        name=alias,
+    )
+
+
+def _any(col: str, alias: str) -> AggregateFn:
+    return AggregateFn(
+        init=lambda k: False,
+        accumulate_block=lambda acc, block: acc
+        or bool(pc.any(block.column(col)).as_py()),
+        merge=lambda a, b: a or b,
+        finalize=bool,
+        name=alias,
+    )
+
+
+def _all(col: str, alias: str) -> AggregateFn:
+    return AggregateFn(
+        init=lambda k: True,
+        accumulate_block=lambda acc, block: acc
+        and bool(pc.all(block.column(col)).as_py()),
+        merge=lambda a, b: a and b,
+        finalize=bool,
+        name=alias,
+    )
+
+
+def _variance(col: str, alias: str, ddof: int = 0) -> AggregateFn:
+    """Merged via (n, Σx, Σx²) partials — the classic combiner form."""
+
+    def _acc(acc, block):
+        arr = pc.drop_null(block.column(col)).to_numpy(zero_copy_only=False)
+        return (acc[0] + len(arr), acc[1] + float(arr.sum()), acc[2] + float((arr * arr).sum()))
+
+    def _fin(acc):
+        n, s, ss = acc
+        if n - ddof <= 0:
+            return None
+        return (ss - s * s / n) / (n - ddof)
+
+    return AggregateFn(
+        init=lambda k: (0, 0.0, 0.0),
+        accumulate_block=_acc,
+        merge=lambda a, b: (a[0] + b[0], a[1] + b[1], a[2] + b[2]),
+        finalize=_fin,
+        name=alias,
+    )
+
+
+def _stddev(col: str, alias: str, ddof: int = 0) -> AggregateFn:
+    v = _variance(col, alias, ddof)
+    fin = v.finalize
+
+    def _sqrt(acc):
+        var = fin(acc)
+        return None if var is None else float(np.sqrt(var))
+
+    return AggregateFn(
+        init=v.init,
+        accumulate_block=v.accumulate_block,
+        merge=v.merge,
+        finalize=_sqrt,
+        name=alias,
+    )
+
+
+def make_agg(func: str, col: str, alias: str):
+    """Build one aggregate from (function-name, column, output alias)."""
+    func = func.lower()
+    if func == "min":
+        return Min(col, alias_name=alias)
+    if func == "max":
+        return Max(col, alias_name=alias)
+    if func == "sum":
+        return Sum(col, alias_name=alias)
+    if func == "mean" or func == "avg":
+        return Mean(col, alias_name=alias)
+    if func == "count":
+        return Count(alias_name=alias) if col in ("", "*", ".") else Count(col, alias_name=alias)
+    if func == "count_distinct":
+        return _count_distinct(col, alias)
+    if func == "distinct":
+        return _distinct(col, alias)
+    if func == "collect":
+        return _collect(col, alias)
+    if func == "sample":
+        return _sample(col, alias)
+    if func == "any":
+        return _any(col, alias)
+    if func == "all":
+        return _all(col, alias)
+    if func in ("variance", "var_pop"):
+        return _variance(col, alias, ddof=0)
+    if func in ("stddev", "stddev_pop"):
+        return _stddev(col, alias, ddof=0)
+    if func in ("stddev_samp",):
+        return _stddev(col, alias, ddof=1)
+    if func in ("median", "approximate_median"):
+        return Quantile(col, q=0.5, alias_name=alias)
+    if func == "quantile":
+        return Quantile(col, alias_name=alias)
+    raise ValueError(f"unknown aggregation function: {func}")
+
+
+def summarize(ds, by: str | list[str] | None = None, **aggs: str):
+    """``summarize(ds, by=["k"], total="sum(x)", n="count(*)")``.
+
+    Each kwarg is ``alias="func(column)"``; output columns are the group
+    keys + aliases (names chosen by the caller → SQL-comparable).
+    """
+    specs = []
+    for alias, spec in aggs.items():
+        m = _SPEC_RE.match(spec)
+        if not m:
+            raise ValueError(f"bad aggregate spec {spec!r} (want 'func(col)')")
+        specs.append(make_agg(m.group(1), m.group(2), alias))
+    if by is None:
+        result = ds.aggregate(*specs)  # global aggregate → dict
+        return pa.table({k: [v] for k, v in result.items()})
+    keys = [by] if isinstance(by, str) else by
+    return ds.groupby(keys).aggregate(*specs)
+
+
+def time_bucket(ds, column: str, resolution: str, out: str | None = None):
+    """Add a floored time-bucket column (reference summarize.cpp:41-99
+    `resolution`): resolution like '1h', '15m', '1d'."""
+    m = re.match(r"^(\d+)\s*(s|m|min|h|d)$", resolution)
+    if not m:
+        raise ValueError(f"bad resolution {resolution!r}")
+    mult = {"s": 1, "m": 60, "min": 60, "h": 3600, "d": 86400}[m.group(2)]
+    width_s = int(m.group(1)) * mult
+    out = out or f"{column}_bucket"
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        col = batch.column(column)
+        unit = col.type.unit if pa.types.is_timestamp(col.type) else "ns"
+        per_s = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
+        ints = col.cast(pa.int64())
+        width = width_s * per_s
+        floored = pc.multiply(pc.floor(pc.divide(pc.cast(ints, pa.float64()), width)).cast(pa.int64()), width)
+        return batch.append_column(out, floored.cast(col.type))
+
+    return ds.map_batches(_bucket, batch_format="pyarrow")
+
+
+ship_by_value(sys.modules[__name__])

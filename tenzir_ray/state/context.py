@@ -1,0 +1,158 @@
+"""Enrichment contexts — the reference's lookup/enrich subsystem
+(libtenzir/include/tenzir/plugin.hpp:660-760 context framework;
+builtins/contexts/lookup_table.cpp:39 robin-map lookup table;
+builtins/contexts/bloom_filter.cpp + libtenzir/src/dcso_bloom_filter.cpp;
+operator behavior per web/docs/operators/enrich.md).
+
+Ray mapping: a context is a small immutable snapshot broadcast via
+``ray.put`` once; ``enrich`` captures the ref and every actor fetches it
+once in ``__init__`` (never re-shipped per batch). Mutable updates create
+a NEW snapshot (contexts are versioned values, not shared mutable
+actors — update() returns a fresh context, the functional analog of the
+reference's context-update events).
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from tenzir_ray._ship import ship_by_value
+
+
+class LookupTable:
+    """key → record lookup table (lookup_table.cpp analog)."""
+
+    def __init__(self, table: pa.Table, key: str):
+        self.key = key
+        self.table = table
+        self.value_cols = [c for c in table.column_names if c != key]
+
+    @classmethod
+    def from_dataset(cls, ds, key: str) -> "LookupTable":
+        """Materialize a SMALL dimension dataset into a context."""
+        tbl = pa.concat_tables(
+            list(ds.iter_batches(batch_format="pyarrow")),
+            promote_options="permissive",
+        )
+        return cls(tbl, key)
+
+    def update(self, more: pa.Table) -> "LookupTable":
+        """Functional update: later rows win per key."""
+        merged = pa.concat_tables([self.table, more], promote_options="permissive")
+        df = merged.to_pandas().drop_duplicates(subset=[self.key], keep="last")
+        return LookupTable(pa.Table.from_pandas(df, preserve_index=False), self.key)
+
+
+class _Enricher:
+    """Actor-pool enrich stage: hash-join each batch against the broadcast
+    lookup table (pandas merge — a C hash join per batch)."""
+
+    def __init__(self, ctx_ref, field: str, prefix: str, replace: bool):
+        import ray
+
+        ctx: LookupTable = ray.get(ctx_ref)  # once per actor
+        self.df = ctx.table.to_pandas().drop_duplicates(subset=[ctx.key], keep="last")
+        self.key = ctx.key
+        self.field = field
+        self.prefix = prefix
+        self.replace = replace
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        right = self.df.rename(
+            columns={
+                c: (self.prefix + c) for c in self.df.columns if c != self.key
+            }
+        ).rename(columns={self.key: self.field})
+        out = batch.merge(right, on=self.field, how="inner" if self.replace else "left")
+        return out
+
+
+def enrich(ds, context: LookupTable, field: str, prefix: str = "",
+           filter_unmatched: bool = False, concurrency=(1, 4),
+           batch_size: int = 8192):
+    """Append context values per event (enrich.md: --field/--replace/--filter).
+
+    ``filter_unmatched=True`` keeps only events with a context hit (the
+    `--filter` flag)."""
+    import ray
+
+    ctx_ref = ray.put(context)
+    return ds.map_batches(
+        _Enricher,
+        fn_constructor_args=(ctx_ref, field, prefix, filter_unmatched),
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class BloomFilter:
+    """Simple Bloom filter context (bloom_filter.cpp analog): double
+    hashing h1 + i*h2 over m bits (Kirsch-Mitzenmacher, public)."""
+
+    def __init__(self, capacity: int, fp_rate: float = 0.01):
+        m = max(64, int(-capacity * math.log(fp_rate) / (math.log(2) ** 2)))
+        self.m = m
+        self.k = max(1, int(round(m / max(1, capacity) * math.log(2))))
+        self.bits = np.zeros((m + 63) // 64, dtype=np.uint64)
+
+    def _hashes(self, values) -> tuple[np.ndarray, np.ndarray]:
+        arr = np.asarray([str(v) for v in values], dtype=object)
+        h1 = pd.util.hash_array(arr).astype(np.uint64)
+        h2 = pd.util.hash_array(np.char.add(arr.astype(str), "#2").astype(object)).astype(np.uint64)
+        return h1, h2 | np.uint64(1)
+
+    def add(self, values) -> None:
+        h1, h2 = self._hashes(values)
+        for i in range(self.k):
+            idx = (h1 + np.uint64(i) * h2) % np.uint64(self.m)
+            # unbuffered |= — plain fancy-index |= silently drops writes
+            # when two values hash into the same 64-bit word
+            np.bitwise_or.at(
+                self.bits, idx >> np.uint64(6), np.uint64(1) << (idx & np.uint64(63))
+            )
+
+    def contains(self, values) -> np.ndarray:
+        h1, h2 = self._hashes(values)
+        out = np.ones(len(h1), dtype=bool)
+        for i in range(self.k):
+            idx = (h1 + np.uint64(i) * h2) % np.uint64(self.m)
+            out &= (self.bits[idx >> np.uint64(6)] >> (idx & np.uint64(63))) & np.uint64(1) > 0
+        return out
+
+
+class _BloomFilterStage:
+    def __init__(self, bloom_ref, field: str, keep_members: bool):
+        import ray
+
+        self.bloom: BloomFilter = ray.get(bloom_ref)
+        self.field = field
+        self.keep = keep_members
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        member = self.bloom.contains(batch.column(self.field).to_pylist())
+        mask = member if self.keep else ~member
+        return batch.filter(pa.array(mask))
+
+
+def bloom_filter_semi_join(ds, bloom: BloomFilter, field: str,
+                           anti: bool = False, concurrency=(1, 4)):
+    """Semi/anti join against a broadcast Bloom filter of the key set
+    (false positives possible on the semi side — standard sketch caveat)."""
+    import ray
+
+    ref = ray.put(bloom)
+    return ds.map_batches(
+        _BloomFilterStage,
+        fn_constructor_args=(ref, field, not anti),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+ship_by_value(sys.modules[__name__])

@@ -1,0 +1,202 @@
+"""Training-data ops: text analysis, dedup family, similarity search,
+enrich contexts, multimodal plumbing."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from tenzir_ray.stages import dedup as D
+from tenzir_ray.stages import multimodal as M
+from tenzir_ray.stages import similarity as SIM
+from tenzir_ray.stages import text as TX
+from tenzir_ray.state.context import BloomFilter, LookupTable, bloom_filter_semi_join, enrich
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def documents(ray_session):
+    import ray.data
+
+    return ray.data.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture()
+def embeddings(ray_session):
+    import ray.data
+
+    return ray.data.read_parquet(f"{SF}/embeddings.parquet")
+
+
+def test_token_count_vs_duckdb(documents):
+    got = TX.token_count(documents).to_pandas().sort_values("doc_id", ignore_index=True)
+    want = duckdb.sql(
+        f"SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS ws "
+        f"FROM read_parquet('{SF}/documents.parquet') ORDER BY doc_id"
+    ).df()
+    assert (got["ws_tokens"].to_numpy() == want["ws"].to_numpy()).all()
+    assert (got["bpe_tokens"] >= got["ws_tokens"]).all()
+
+
+def test_langid_and_quality(documents):
+    out = TX.quality_score(TX.lang_id(documents)).to_pandas()
+    assert {"lang_pred", "lang_score", "quality", "stop_ratio"} <= set(out.columns)
+    assert out["quality"].between(0, 1).all()
+    assert (out["lang_score"] >= 0).all()
+    # language prediction must be deterministic across runs
+    out2 = TX.lang_id(documents).to_pandas().sort_values("doc_id")
+    assert out.sort_values("doc_id")["lang_pred"].tolist() == out2["lang_pred"].tolist()
+
+
+def test_fingerprint_deterministic(documents):
+    a = TX.fingerprint(documents).to_pandas().sort_values("doc_id")["fingerprint"]
+    b = TX.fingerprint(documents).to_pandas().sort_values("doc_id")["fingerprint"]
+    assert a.tolist() == b.tolist()
+
+
+def test_exact_dedup(ray_session):
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "text": ["aa", "bb", "aa", "cc", "bb", "aa"],
+        }
+    )
+    out = D.exact_dedup(ray.data.from_arrow(tbl), "text", keep_order_by="doc_id")
+    got = out.to_pandas().sort_values("text", ignore_index=True)
+    assert got["doc_id"].tolist() == [1, 2, 4]  # min doc_id per distinct text
+
+
+def test_minhash_lsh_finds_near_dups(ray_session):
+    import ray.data
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far away "
+        "into the deep green forest while the sun slowly sets over the hills"
+    )
+    texts = [base, base.replace("slowly", "quickly"), "completely different words here entirely unrelated content", base]
+    ds = ray.data.from_arrow(pa.table({"doc_id": [0, 1, 2, 3], "text": texts}))
+    groups = D.minhash_lsh_dedup(ds, "doc_id", "text", num_hashes=64, bands=16).to_pandas()
+    g = dict(zip(groups["doc_id"], groups["dup_group"]))
+    assert g[0] == g[3] == 0  # identical docs cluster
+    assert g.get(1, 1) == 0  # near-identical joins the cluster
+    assert g.get(2, 2) != 0 or 2 not in g  # unrelated doc stays out
+
+
+def test_simhash_similar_docs_close(ray_session):
+    import ray.data
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": [0, 1, 2], "text": [a, a + " lambda", "x y z w v u t s"]})
+    )
+    out = D.simhash(ds).to_pandas().sort_values("doc_id")
+    h = out["simhash"].tolist()
+    ham01 = bin(h[0] ^ h[1]).count("1")
+    ham02 = bin(h[0] ^ h[2]).count("1")
+    assert ham01 < ham02
+
+
+def test_brute_force_topk_vs_duckdb(embeddings):
+    tbl = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{SF}/embeddings.parquet') ORDER BY vec_id LIMIT 3"
+    ).df()
+    queries = np.stack(tbl["embedding"].map(np.asarray))
+    got = SIM.brute_force_topk(embeddings, queries, k=5)
+    gdf = got.to_pandas()
+    # each query's best match should be itself with cosine ≈ 1
+    for qi, vid in enumerate(tbl["vec_id"]):
+        sub = gdf[gdf["query_idx"] == qi].sort_values("similarity", ascending=False)
+        assert len(sub) == 5
+        assert sub.iloc[0]["vec_id"] == vid
+        assert sub.iloc[0]["similarity"] > 0.999
+    # cross-check ranking vs duckdb list_cosine_similarity for query 0
+    want = duckdb.sql(
+        f"""SELECT vec_id FROM read_parquet('{SF}/embeddings.parquet'),
+            (SELECT embedding AS q FROM read_parquet('{SF}/embeddings.parquet') WHERE vec_id={int(tbl['vec_id'][0])})
+            ORDER BY list_cosine_similarity(embedding, q) DESC, vec_id LIMIT 5"""
+    ).df()["vec_id"].tolist()
+    got0 = gdf[gdf["query_idx"] == 0].sort_values(
+        ["similarity", "vec_id"], ascending=[False, True]
+    )["vec_id"].tolist()
+    assert set(got0) == set(want)
+
+
+def test_lsh_topk_recovers_self(embeddings):
+    tbl = embeddings.take(2)
+    queries = np.stack([np.asarray(r["embedding"]) for r in tbl])
+    got = SIM.lsh_topk(embeddings, queries, k=3, n_planes=4).to_pandas()
+    for qi, row in enumerate(tbl):
+        sub = got[got["query_idx"] == qi].sort_values("similarity", ascending=False)
+        assert len(sub) >= 1 and sub.iloc[0]["vec_id"] == row["vec_id"]
+
+
+def test_embedding_near_dup_self_join(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((20, 16)).astype(np.float32)
+    # make rows 0 and 1 nearly identical
+    base[1] = base[0] + 0.001
+    ds = ray.data.from_arrow(
+        pa.table({"vec_id": list(range(20)), "embedding": [r.tolist() for r in base]})
+    )
+    pairs = SIM.embedding_near_dup(ds, threshold=0.99, n_planes=4).to_pandas()
+    assert ((pairs["id_a"] == 0) & (pairs["id_b"] == 1)).any()
+
+
+def test_enrich_lookup(ray_session):
+    import ray.data
+
+    orders = ray.data.read_parquet(f"{SF}/orders.parquet")
+    cust = pa.table(
+        duckdb.sql(
+            f"SELECT c_custkey, c_mktsegment FROM read_parquet('{SF}/customer.parquet')"
+        ).arrow()
+    )
+    ctx = LookupTable(cust, key="c_custkey")
+    out = enrich(orders, ctx, field="o_custkey").to_pandas()
+    want = duckdb.sql(
+        f"""SELECT o.*, c.c_mktsegment FROM read_parquet('{SF}/orders.parquet') o
+            LEFT JOIN read_parquet('{SF}/customer.parquet') c ON o.o_custkey = c.c_custkey"""
+    ).df()
+    got = out.sort_values("o_orderkey", ignore_index=True)
+    want = want.sort_values("o_orderkey", ignore_index=True)
+    assert got["c_mktsegment"].tolist() == want["c_mktsegment"].tolist()
+
+
+def test_bloom_semi_join(ray_session):
+    import ray.data
+
+    events = ray.data.read_parquet(f"{SF}/events.parquet")
+    bloom = BloomFilter(capacity=100, fp_rate=0.001)
+    keep = list(range(0, 50))
+    bloom.add(keep)
+    out = bloom_filter_semi_join(events, bloom, "user_id").to_pandas()
+    assert set(out["user_id"]) == set(events.to_pandas()["user_id"])  # all members
+    # anti join drops all members (here: every event) → empty result
+    anti = bloom_filter_semi_join(events, bloom, "user_id", anti=True)
+    assert anti.count() == 0
+    # a filter that keeps only half: members 0..7 of the 0..14 user space
+    half = BloomFilter(capacity=16, fp_rate=0.0001)
+    half.add(list(range(8)))
+    semi = bloom_filter_semi_join(events, half, "user_id").to_pandas()
+    assert set(semi["user_id"]) == set(range(8))
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data
+
+    media = ray.data.from_arrow(M.synth_media(48, seed=5))
+    out = M.decode_images(media.filter(lambda r: r["kind"] == "image"), fake=True).to_pandas()
+    assert {"height", "width", "channels", "features"} <= set(out.columns)
+    assert (out["channels"] == 3).all()
+    assert out["features"].map(len).eq(8).all()
+    # real decode path raises cleanly
+    with pytest.raises(Exception):
+        M.decode_images(media.limit(1), fake=False).to_pandas()
+    frames = M.sample_frames(media.filter(lambda r: r["kind"] == "video")).to_pandas()
+    assert (frames["frame_idx"] % 10 == 0).all()
