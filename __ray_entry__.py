@@ -1,44 +1,374 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship CDC replay at sf0.001.
+``queries()`` — one callable per implemented operator/pipeline
+(SURVEY.md §2 + training-data extensions); each takes ``sf_dir``.
+``oracle_sql()`` — DuckDB-equivalent SQL per query (omitted for
+non-SQL-expressible ops → driver does a rows-only check).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Callable
 from typing import Any
+
+import numpy as np
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# CDC flagship
+
+
+def _cdc_events_for(sf_dir: str) -> int:
+    # deterministic scale per sf tier
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    return {"sf0.001": 5_000, "sf0.01": 50_000, "sf0.1": 500_000}.get(sf, 5_000)
+
+
+def _cdc_replay(sf_dir: str):
+    """Generate a deterministic change log (seed 42), replay it through the
+    exactly-once lake apply in two epochs, return the final table."""
+    import pyarrow.compute as pc
+
+    from tenzir_ray.cdc import LakeTable, gen_changes
+
+    n = _cdc_events_for(sf_dir)
+    changes = gen_changes(n, seed=42)
+    root = f"/tmp/tenzir_ray_cdc/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(root, ignore_errors=True)
+    lake = LakeTable(root, num_partitions=16)
+    lsn = changes.column("lsn")
+    lake.apply_changes(changes.filter(pc.less(lsn, n // 2)), epoch_id="e1")
+    lake.apply_changes(changes.filter(pc.greater_equal(lsn, n // 2)), epoch_id="e2")
+    return lake.final_table()
 
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    return _cdc_replay("/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# queries
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from tenzir_ray.stages import dedup as D
+    from tenzir_ray.stages import similarity as SIM
+    from tenzir_ray.stages import summarize as S
+    from tenzir_ray.stages import text as TX
+    from tenzir_ray.stages import transforms as T
+    from tenzir_ray.state.context import LookupTable, enrich
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q1_pricing_summary(sf):
+        ds = _read(sf, "lineitem")
+        ds = T.where(ds, "l_shipdate <= '1998-09-01'")
+        ds = T.set_(ds, disc_price="l_extendedprice * (1 - l_discount)")
+        return S.summarize(
+            ds,
+            by=["l_returnflag", "l_linestatus"],
+            sum_qty="sum(l_quantity)",
+            sum_base_price="sum(l_extendedprice)",
+            sum_disc_price="sum(disc_price)",
+            avg_qty="mean(l_quantity)",
+            avg_price="mean(l_extendedprice)",
+            avg_disc="mean(l_discount)",
+            count_order="count(*)",
+        )
+
+    def where_project(sf):
+        ds = T.where(
+            _read(sf, "lineitem"), "l_quantity > 45 and l_returnflag == 'A'"
+        )
+        return T.select(ds, ["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def revenue_put(sf):
+        return T.put(
+            _read(sf, "lineitem"),
+            l_orderkey="l_orderkey",
+            l_linenumber="l_linenumber",
+            revenue="l_extendedprice * (1 - l_discount) * (1 + l_tax)",
+        )
+
+    def top_event_types(sf):
+        return T.top(_read(sf, "events"), "event_type", 3)
+
+    def rare_event_types(sf):
+        return T.rare(_read(sf, "events"), "event_type", 2)
+
+    def events_daily(sf):
+        ds = S.time_bucket(_read(sf, "events"), "ts", "1d", out="day")
+        return S.summarize(ds, by="day", n="count(*)", total_value="sum(value)")
+
+    def stats_by_type(sf):
+        return S.summarize(
+            _read(sf, "events"),
+            by="event_type",
+            sd="stddev(value)",
+            var="variance(value)",
+            users="count_distinct(user_id)",
+            vmin="min(value)",
+            vmax="max(value)",
+        )
+
+    def global_stats(sf):
+        return S.summarize(
+            _read(sf, "lineitem"),
+            total_qty="sum(l_quantity)",
+            n="count(*)",
+            distinct_parts="count_distinct(l_partkey)",
+        )
+
+    def sort_topk_orders(sf):
+        ds = T.sort(_read(sf, "orders"), ["o_totalprice", "o_orderkey"],
+                    descending=[True, False])
+        return T.select(T.head(ds, 10), ["o_orderkey", "o_totalprice"])
+
+    def enrich_orders_segment(sf):
+        import pyarrow as pa
+
+        orders = _read(sf, "orders", columns=["o_orderkey", "o_custkey"])
+        cust = pa.concat_tables(
+            list(
+                _read(sf, "customer", columns=["c_custkey", "c_mktsegment"]).iter_batches(
+                    batch_format="pyarrow"
+                )
+            )
+        )
+        ctx = LookupTable(cust, key="c_custkey")
+        return enrich(orders, ctx, field="o_custkey")
+
+    def semi_join_events_users(sf):
+        import pyarrow as pa
+
+        events = _read(sf, "events", columns=["event_id", "user_id"])
+        cust = pa.concat_tables(
+            list(
+                _read(sf, "customer", columns=["c_custkey", "c_name"]).iter_batches(
+                    batch_format="pyarrow"
+                )
+            )
+        )
+        ctx = LookupTable(cust, key="c_custkey")
+        return enrich(events, ctx, field="user_id", filter_unmatched=True)
+
+    def unroll_embeddings(sf):
+        ds = T.where(_read(sf, "embeddings"), "vec_id < 20")
+        ds = T.unroll(T.select(ds, ["vec_id", "embedding"]), "embedding")
+        return ds
+
+    def hash_documents(sf):
+        ds = T.hash_(_read(sf, "documents"), "text", out="text_sha256")
+        return T.select(ds, ["doc_id", "text_sha256"])
+
+    def parse_json_props(sf):
+        ds = T.parse_json(_read(sf, "events"), "props", prefix="p_")
+        return T.select(ds, ["event_id", "p_k"])
+
+    def dedup_documents_exact(sf):
+        ds = D.exact_dedup(
+            T.select(_read(sf, "documents"), ["doc_id", "text"]),
+            "text",
+            keep_order_by="doc_id",
+        )
+        return ds
+
+    def taste_per_type(sf):
+        ds = T.taste(
+            _read(sf, "events", columns=["event_id", "event_type"]),
+            3,
+            by="event_type",
+            order_by="event_id",
+        )
+        return ds
+
+    def dedup_limit2_per_type(sf):
+        return T.deduplicate(
+            _read(sf, "events", columns=["event_id", "event_type"]),
+            by=["event_type"],
+            limit=2,
+            order_by="event_id",
+        )
+
+    def token_count_docs(sf):
+        ds = TX.token_count(_read(sf, "documents", columns=["doc_id", "text"]))
+        return T.select(ds, ["doc_id", "ws_tokens"])
+
+    def doc_quality(sf):
+        ds = TX.quality_score(_read(sf, "documents", columns=["doc_id", "text"]))
+        return T.select(ds, ["doc_id", "n_tokens", "alpha_ratio", "quality"])
+
+    def doc_langid(sf):
+        ds = TX.lang_id(_read(sf, "documents", columns=["doc_id", "text", "lang"]))
+        return T.select(ds, ["doc_id", "lang", "lang_pred", "lang_score"])
+
+    def doc_fingerprint(sf):
+        ds = TX.fingerprint(_read(sf, "documents", columns=["doc_id", "text"]))
+        return T.select(ds, ["doc_id", "fingerprint"])
+
+    def minhash_dedup_groups(sf):
+        return D.minhash_lsh_dedup(
+            _read(sf, "documents", columns=["doc_id", "text"]), "doc_id", "text"
+        )
+
+    def simhash_docs(sf):
+        ds = D.simhash(_read(sf, "documents", columns=["doc_id", "text"]))
+        return T.select(ds, ["doc_id", "simhash"])
+
+    def ann_cosine_topk(sf):
+        import pyarrow.parquet as pq
+
+        q_tbl = pq.read_table(
+            f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).slice(0, 2)
+        queries_m = np.stack([np.asarray(v) for v in q_tbl.column("embedding").to_pylist()])
+        return SIM.brute_force_topk(_read(sf, "embeddings"), queries_m, k=5)
+
+    def embedding_near_dups(sf):
+        # plant exact duplicates (union with an id-shifted copy) so the
+        # near-dup path always has work: every vector pairs with its clone
+        ds = _read(sf, "embeddings", columns=["vec_id", "embedding"])
+        shifted = T.set_(ds, vec_id="vec_id + 1000000")
+        return SIM.embedding_near_dup(
+            ds.union(shifted), threshold=0.999, n_planes=6
+        )
+
+    def cdc_replay(sf):
+        return _cdc_replay(sf)
+
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "where_project": where_project,
+        "revenue_put": revenue_put,
+        "top_event_types": top_event_types,
+        "rare_event_types": rare_event_types,
+        "events_daily": events_daily,
+        "stats_by_type": stats_by_type,
+        "global_stats": global_stats,
+        "sort_topk_orders": sort_topk_orders,
+        "enrich_orders_segment": enrich_orders_segment,
+        "semi_join_events_users": semi_join_events_users,
+        "unroll_embeddings": unroll_embeddings,
+        "hash_documents": hash_documents,
+        "parse_json_props": parse_json_props,
+        "dedup_documents_exact": dedup_documents_exact,
+        "taste_per_type": taste_per_type,
+        "dedup_limit2_per_type": dedup_limit2_per_type,
+        "token_count_docs": token_count_docs,
+        "doc_quality": doc_quality,
+        "doc_langid": doc_langid,
+        "doc_fingerprint": doc_fingerprint,
+        "minhash_dedup_groups": minhash_dedup_groups,
+        "simhash_docs": simhash_docs,
+        "ann_cosine_topk": ann_cosine_topk,
+        "embedding_near_dups": embedding_near_dups,
+        "cdc_replay": cdc_replay,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   sum(l_extendedprice) AS sum_base_price,
+                   sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+                   avg(l_quantity) AS avg_qty,
+                   avg(l_extendedprice) AS avg_price,
+                   avg(l_discount) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "where_project": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            WHERE l_quantity > 45 AND l_returnflag = 'A'
+        """,
+        "revenue_put": """
+            SELECT l_orderkey, l_linenumber,
+                   l_extendedprice * (1 - l_discount) * (1 + l_tax) AS revenue
+            FROM lineitem
+        """,
+        "top_event_types": """
+            SELECT event_type, count(*) AS count FROM events
+            GROUP BY event_type ORDER BY count DESC, event_type LIMIT 3
+        """,
+        "rare_event_types": """
+            SELECT event_type, count(*) AS count FROM events
+            GROUP BY event_type ORDER BY count ASC, event_type LIMIT 2
+        """,
+        "events_daily": """
+            SELECT time_bucket(INTERVAL '1 day', ts) AS day,
+                   count(*) AS n, sum(value) AS total_value
+            FROM events GROUP BY 1
+        """,
+        "stats_by_type": """
+            SELECT event_type, stddev_pop(value) AS sd, var_pop(value) AS var,
+                   count(DISTINCT user_id) AS users,
+                   min(value) AS vmin, max(value) AS vmax
+            FROM events GROUP BY event_type
+        """,
+        "global_stats": """
+            SELECT sum(l_quantity) AS total_qty, count(*) AS n,
+                   count(DISTINCT l_partkey) AS distinct_parts
+            FROM lineitem
+        """,
+        "sort_topk_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "enrich_orders_segment": """
+            SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment
+            FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "semi_join_events_users": """
+            SELECT e.event_id, e.user_id, c.c_name
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        """,
+        "unroll_embeddings": """
+            SELECT vec_id, unnest(embedding) AS embedding
+            FROM embeddings WHERE vec_id < 20
+        """,
+        "hash_documents": """
+            SELECT doc_id, sha256(text) AS text_sha256 FROM documents
+        """,
+        "parse_json_props": """
+            SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS p_k
+            FROM events
+        """,
+        "dedup_documents_exact": """
+            SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+        """,
+        "taste_per_type": """
+            SELECT event_id, event_type FROM (
+                SELECT event_id, event_type,
+                       row_number() OVER (PARTITION BY event_type ORDER BY event_id) rn
+                FROM events) WHERE rn <= 3
+        """,
+        "dedup_limit2_per_type": """
+            SELECT event_id, event_type FROM (
+                SELECT event_id, event_type,
+                       row_number() OVER (PARTITION BY event_type ORDER BY event_id) rn
+                FROM events) WHERE rn <= 2
+        """,
+        "token_count_docs": """
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS ws_tokens
+            FROM documents
+        """,
+        # doc_quality / doc_langid / doc_fingerprint / minhash / simhash /
+        # ann / near-dup / cdc_replay: non-SQL-expressible (heuristic
+        # scoring, sketches, replay engine) → rows-only checks.
+    }

@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Headline: CDC replay — apply a deterministic change log (pre-generated,
+cached, untimed) through the exactly-once lake engine; value = wall
+seconds, plus events/s. Also times every SQL-checked queries() entry over
+$GRAFT_SF_DIR.
+
+    python bench.py              # one JSON line
+    python bench.py --scaling    # same job at num_cpus=8 and 32 in fresh
+                                 # processes → scaling efficiency JSON line
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32), BENCH_CDC_EVENTS (default 1_000_000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "1000000"))
+CACHE_DIR = "/tmp/tenzir_ray_bench"
+
+
+def _cached_changes(n: int, seed: int = 42) -> str:
+    """Generate-once parquet cache of the bench change log (untimed)."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(CACHE_DIR, f"changes_n{n}_seed{seed}.parquet")
+    if not os.path.exists(path):
+        from tenzir_ray.cdc.generate import gen_changes
+
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        tbl = gen_changes(n, seed=seed)
+        pq.write_table(tbl, path + ".tmp", compression="zstd")
+        os.replace(path + ".tmp", path)
+    return path
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data
+
+    import __ray_entry__ as entrymod
+    from tenzir_ray.cdc import LakeTable
+
+    changes_path = _cached_changes(CDC_EVENTS)
+
+    # warm the OS page cache (untimed) so we measure compute+shuffle
+    ray.data.read_parquet(changes_path).count()
+
+    lake_root = os.path.join(CACHE_DIR, f"lake_cpus{NUM_CPUS}")
+    shutil.rmtree(lake_root, ignore_errors=True)
+    t0 = time.perf_counter()
+    lake = LakeTable(lake_root, num_partitions=max(16, NUM_CPUS * 2))
+    lake.apply_changes(
+        ray.data.read_parquet(changes_path), epoch_id="bench-e1"
+    )
+    headline_sec = time.perf_counter() - t0
+    events_per_sec = CDC_EVENTS / headline_sec
+
+    queries = entrymod.queries()
+    oracles = set(entrymod.oracle_sql())
+    q_times: dict[str, float] = {}
+    for name, fn in queries.items():
+        if name == "cdc_replay":
+            continue  # headline covers it
+        t0 = time.perf_counter()
+        res = fn(SF_DIR)
+        # consume: aggregates return tables; datasets need a count to execute
+        if hasattr(res, "count") and not hasattr(res, "to_pylist"):
+            res.count()
+        q_times[name] = round(time.perf_counter() - t0, 4)
+
+    result = {
+        "metric": "cdc_replay_apply_sec",
+        "value": round(headline_sec, 3),
+        "unit": "sec",
+        "events": CDC_EVENTS,
+        "events_per_sec": round(events_per_sec),
+        "queries": q_times,
+        "sql_checked": sorted(oracles),
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__), "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_cpus, hi_cpus = 8, 32
+    lo = one(lo_cpus)
+    hi = one(hi_cpus)
+    # efficiency: achieved speedup / ideal speedup on the headline
+    speedup = lo["value"] / hi["value"]
+    eff = speedup / (hi_cpus / lo_cpus)
+    return {
+        "metric": "cdc_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "events_per_sec_8": lo["events_per_sec"],
+        "events_per_sec_32": hi["events_per_sec"],
+        "events": lo["events"],
+        "speedup": round(speedup, 3),
+        "ideal_speedup": hi_cpus / lo_cpus,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

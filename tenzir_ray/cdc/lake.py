@@ -71,11 +71,23 @@ def stable_part(conv: np.ndarray, num_partitions: int) -> np.ndarray:
 
 def _lww_mask(lsn: np.ndarray, conv: np.ndarray, turn: np.ndarray) -> np.ndarray:
     """Boolean mask selecting, per (conv, turn) key, the single row with the
-    greatest lsn (ties → first occurrence; lsns are unique in a log)."""
-    order = np.argsort(-lsn, kind="stable")
-    dup = pd.DataFrame({"c": conv[order], "t": turn[order]}).duplicated().to_numpy()
-    mask = np.zeros(len(lsn), dtype=bool)
-    mask[order[~dup]] = True
+    greatest lsn (ties → first occurrence; lsns are unique in a log).
+
+    Vectorized on integer codes (strings are factorized once) — object
+    comparisons never touch the hot path."""
+    n = len(lsn)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    codes = conv if np.issubdtype(conv.dtype, np.integer) else np.unique(conv, return_inverse=True)[1]
+    turn = np.asarray(turn, dtype=np.int64)
+    # lexsort: primary conv code, then turn, then lsn desc
+    order = np.lexsort((-lsn, turn, codes))
+    sc, st = codes[order], turn[order]
+    first = np.empty(n, dtype=bool)
+    first[0] = True
+    first[1:] = (sc[1:] != sc[:-1]) | (st[1:] != st[:-1])
+    mask = np.zeros(n, dtype=bool)
+    mask[order[first]] = True
     return mask
 
 
@@ -186,12 +198,16 @@ class _PartitionReducer:
             ).sum()
             & 0xFFFFFFFFFFFFFFFF
         )
-        lsn_high = int(lsn.max()) if len(lsn) else -1
+        change_lsn = changes.column("lsn").to_numpy(zero_copy_only=False)
         return pd.DataFrame(
             {
                 "part": [part],
                 "rows": [out.num_rows],
-                "lsn_high": [lsn_high],
+                # applied-LSN watermark incl. base (resume checkpoint)
+                "lsn_high": [int(lsn.max()) if len(lsn) else -1],
+                # this epoch's change-lsn range (lineage)
+                "lsn_lo": [int(change_lsn.min()) if len(change_lsn) else -1],
+                "lsn_hi": [int(change_lsn.max()) if len(change_lsn) else -1],
                 "checksum": [checksum],
                 "file": [rel],
             }
@@ -260,23 +276,13 @@ class LakeTable:
                 _partial_reduce_group, batch_format="pandas"
             )
 
-        # -- lsn range + touched partitions (cheap driver-side aggregate;
-        #    materialize pins the already-reduced epoch, not the raw log,
-        #    so the base-file plan below doesn't re-read the source) --
-        norm = norm.materialize()
-        agg = (
-            norm.groupby("_part")
-            .aggregate(ray.data.aggregate.Min("lsn"), ray.data.aggregate.Max("lsn"))
-            .to_pandas()
-        )
-        touched = sorted(int(p) for p in agg["_part"])
-        lsn_min = int(agg["min(lsn)"].min())
-        lsn_max = int(agg["max(lsn)"].max())
-
+        # Every partition's live files go into the (small) reducer plan;
+        # a reducer group only exists for partitions the epoch touches, so
+        # untouched partitions are never read or rewritten, and the epoch
+        # lsn range comes back in the lineage rows — one single pass over
+        # the change stream, no extra materialize/aggregate.
         base_files = {
-            int(k): info["files"]
-            for k, info in self.manifest.partitions.items()
-            if int(k) in touched
+            int(k): info["files"] for k, info in self.manifest.partitions.items()
         }
 
         # -- the shuffle: per-partition merge-apply + file write ---------
@@ -299,6 +305,8 @@ class LakeTable:
             }
             for r in lineage.itertuples()
         }
+        lsn_min = int(lineage["lsn_lo"].min())
+        lsn_max = int(lineage["lsn_hi"].max())
         self.manifest.commit_epoch(epoch_id, lsn_min, lsn_max, part_results)
         return {
             "epoch_id": epoch_id,

@@ -164,18 +164,32 @@ def embedding_near_dup(ds, id_column: str = "vec_id", column: str = "embedding",
     dim = len(ds.take(1)[0][column])
     bucketed = lsh_bucket(ds, column, n_planes, dim, concurrency=concurrency)
 
+    empty = pd.DataFrame(
+        {
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+            "cosine": pd.Series(dtype="float64"),
+        }
+    )
+
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            return empty.copy()
         m = _normalize(np.stack(g[column].map(np.asarray)).astype(np.float32))
         sims = m @ m.T
         ids = g[id_column].to_numpy()
         ia, ib = np.triu_indices(len(g), k=1)
         keep = sims[ia, ib] >= threshold
+        if not keep.any():
+            return empty.copy()
         a, b = ids[ia[keep]], ids[ib[keep]]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pd.DataFrame(
-            {"id_a": lo, "id_b": hi, "cosine": sims[ia[keep], ib[keep]].astype(np.float64)}
+            {
+                "id_a": lo.astype(np.int64),
+                "id_b": hi.astype(np.int64),
+                "cosine": sims[ia[keep], ib[keep]].astype(np.float64),
+            }
         )
 
     return bucketed.groupby("lsh_bucket").map_groups(_pairs, batch_format="pandas")
