@@ -545,6 +545,61 @@ class LakeTable:
         """Next lsn to tail from (checkpoint/resume-from-offset)."""
         return self.manifest.lsn_high() + 1
 
+    # -- maintenance (reference: rebuild.cpp compaction + disk_monitor) --
+    def gc(self) -> dict:
+        """Remove orphan data files (crashed attempts, superseded epochs)
+        and leftover staging dirs. Safe anytime: live data is exactly the
+        manifest's file set (catalog-gated reads, catalog.hpp:83)."""
+        import glob as globmod
+        import shutil
+
+        live = set(self.manifest.live_files())
+        removed_files = 0
+        for f in globmod.glob(os.path.join(self.root, "part=*", "*.parquet")):
+            if f not in live:
+                os.remove(f)
+                removed_files += 1
+        removed_staging = 0
+        for d in globmod.glob(os.path.join(self.root, "_staging", "*")):
+            shutil.rmtree(d, ignore_errors=True)
+            removed_staging += 1
+        return {"files_removed": removed_files, "staging_removed": removed_staging}
+
+    def optimize(self, compression_level: int = 10) -> int:
+        """Rewrite live partition files at a higher zstd level (the
+        background-maintenance analog of the reference's partition rebuild,
+        builtins/commands/rebuild.cpp:26): write-then-rename per file, then
+        atomically swap the manifest's file lists."""
+        import ray.data
+
+        new_parts = {}
+        for k, info in self.manifest.partitions.items():
+            new_files = []
+            for rel in info["files"]:
+                src_path = os.path.join(self.root, rel)
+                tbl = pq.read_table(src_path)
+                new_rel = rel.replace(".parquet", f"-opt{compression_level}.parquet")
+                dst = os.path.join(self.root, new_rel)
+                pq.write_table(tbl, dst + ".tmp", compression="zstd",
+                               compression_level=compression_level)
+                os.replace(dst + ".tmp", dst)
+                new_files.append(new_rel)
+            new_parts[k] = {**info, "files": new_files}
+        self.manifest.partitions = new_parts
+        self.manifest._atomic_write()
+        self.gc()  # old files are now orphans
+        return len(new_parts)
+
+    def truncate_lineage(self, keep_epochs: int = 100) -> int:
+        """Retention for the lineage log (disk-monitor analog,
+        libtenzir/src/disk_monitor.cpp:68 — bounded history): keep the
+        most recent ``keep_epochs`` records; live state is unaffected."""
+        dropped = max(0, len(self.manifest.epochs) - keep_epochs)
+        if dropped:
+            self.manifest.epochs = self.manifest.epochs[-keep_epochs:]
+            self.manifest._atomic_write()
+        return dropped
+
     def _persist_registry(self) -> None:
         p = os.path.join(self.root, REGISTRY_NAME)
         tmp = p + ".tmp"

@@ -1,0 +1,148 @@
+"""Declarative pipeline spec — the TQL analog.
+
+The reference parses `op | op | op` TQL text into a vector of operator
+ASTs (libtenzir/src/exec_pipeline.cpp:195, tql::parse) and supports
+user-defined named pipelines in config plus textual `apply` includes
+(builtins/operators/apply.cpp:106). Here a pipeline is a JSON/YAML-able
+list of steps::
+
+    Pipeline([
+        {"op": "read_parquet", "paths": ".../lineitem.parquet"},
+        {"op": "where", "expr": "l_quantity > 45"},
+        {"op": "select", "columns": ["l_orderkey", "l_quantity"]},
+        {"op": "summarize", "by": "l_orderkey", "aggs": {"q": "sum(l_quantity)"}},
+    ]).run()
+
+Each step maps to a registered operator (OPERATORS); user-defined
+operators register via :func:`register` (the plugin-registry analog,
+libtenzir/include/tenzir/plugin.hpp). ``Pipeline.from_yaml`` /
+``from_json`` load specs from text; named sub-pipelines compose with
+{"op": "apply", "pipeline": [...]}.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable
+from typing import Any
+
+OPERATORS: dict[str, Callable] = {}
+
+
+def register(name: str, fn: Callable | None = None):
+    """Register an operator: ``register("name", fn)`` or decorator."""
+
+    def deco(f):
+        OPERATORS[name] = f
+        return f
+
+    return deco(fn) if fn is not None else deco
+
+
+def _register_builtins() -> None:
+    from tenzir_ray.sources import readers
+    from tenzir_ray.stages import dedup, similarity, summarize, text, transforms
+    from tenzir_ray.sources import parsers
+
+    # sources (take no dataset input)
+    for n in ("read_parquet", "read_csv", "read_json", "read_lines", "read_feather"):
+        OPERATORS[n] = getattr(readers, n)
+    # transforms
+    OPERATORS.update(
+        where=transforms.where,
+        select=transforms.select,
+        drop=transforms.drop,
+        rename=transforms.rename,
+        set=transforms.set_,
+        put=transforms.put,
+        extend=transforms.extend,
+        flatten=transforms.flatten,
+        unflatten=transforms.unflatten,
+        unroll=transforms.unroll,
+        hash=transforms.hash_,
+        timeshift=transforms.timeshift,
+        parse_json=transforms.parse_json,
+        head=transforms.head,
+        tail=transforms.tail,
+        taste=transforms.taste,
+        deduplicate=transforms.deduplicate,
+        unique=transforms.unique,
+        sort=transforms.sort,
+        top=transforms.top,
+        rare=transforms.rare,
+        summarize=lambda ds, by=None, aggs=None: summarize.summarize(
+            ds, by=by, **(aggs or {})
+        ),
+        time_bucket=summarize.time_bucket,
+        lang_id=text.lang_id,
+        quality_score=text.quality_score,
+        token_count=text.token_count,
+        fingerprint=text.fingerprint,
+        exact_dedup=dedup.exact_dedup,
+        minhash=dedup.minhash,
+        minhash_lsh_dedup=dedup.minhash_lsh_dedup,
+        simhash=dedup.simhash,
+        lsh_bucket=similarity.lsh_bucket,
+        parse_ndjson=parsers.parse_ndjson,
+        parse_kv=parsers.parse_kv,
+        parse_syslog=parsers.parse_syslog,
+        parse_cef=parsers.parse_cef,
+        parse_leef=parsers.parse_leef,
+        parse_grok=parsers.parse_grok,
+    )
+    from tenzir_ray.stages import streaming
+    OPERATORS.update(
+        slice=transforms.slice_,
+        reverse=transforms.reverse,
+        repeat=transforms.repeat_,
+        enumerate=transforms.enumerate_per_group,
+        pseudonymize=transforms.pseudonymize,
+        streaming_deduplicate=streaming.streaming_deduplicate,
+        adjacent_unique=streaming.adjacent_unique,
+        measure=streaming.measure,
+    )
+    # trivial ops (pass/discard, reference pass.cpp/discard.cpp)
+    OPERATORS["pass"] = lambda ds: ds
+    OPERATORS["limit"] = lambda ds, n: ds.limit(n)
+    OPERATORS["repartition"] = lambda ds, n, shuffle=False: ds.repartition(
+        n, shuffle=shuffle
+    )
+    OPERATORS["write_parquet"] = lambda ds, path, **kw: ds.write_parquet(path, **kw)
+
+
+class Pipeline:
+    """An ordered list of operator steps over a ray.data.Dataset."""
+
+    def __init__(self, steps: list[dict[str, Any]]):
+        if not OPERATORS:
+            _register_builtins()
+        self.steps = steps
+
+    @classmethod
+    def from_json(cls, text: str) -> "Pipeline":
+        return cls(json.loads(text))
+
+    @classmethod
+    def from_yaml(cls, text: str) -> "Pipeline":
+        import yaml
+
+        return cls(yaml.safe_load(text))
+
+    def run(self, ds=None):
+        """Execute the steps; source steps ignore ``ds``, every other step
+        threads the Dataset through (the generator-chain analog,
+        pipeline.hpp:242)."""
+        for step in self.steps:
+            step = dict(step)
+            name = step.pop("op")
+            if name == "apply":
+                ds = Pipeline(step["pipeline"]).run(ds)
+                continue
+            fn = OPERATORS.get(name)
+            if fn is None:
+                raise ValueError(f"unknown operator {name!r}")
+            if name.startswith("read_"):
+                ds = fn(**step)
+            else:
+                ds = fn(ds, **step)
+        return ds

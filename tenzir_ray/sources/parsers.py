@@ -1,0 +1,337 @@
+"""Line parsers: string-column Datasets → typed event Datasets.
+
+Vectorized/compiled-per-actor ``map_batches`` stages mirroring the
+reference's format parsers:
+
+- parse_ndjson → builtins/formats/json.cpp (schema inference, --selector,
+  --schema; the adaptive series_builder upgrade path is approximated by
+  pyarrow's per-batch inference + the engine's SchemaRegistry widening)
+- parse_kv     → builtins/formats/kv.cpp:190 (regex field/value split)
+- parse_syslog → builtins/formats/syslog.cpp (RFC5424 + RFC3164)
+- parse_cef    → builtins/formats/cef.cpp:235
+- parse_leef   → builtins/formats/leef.cpp:297
+- parse_grok   → builtins/formats/grok.cpp:543 (named-capture patterns,
+  %{NAME:field} expansion over a small built-in pattern library)
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+import pandas as pd
+import pyarrow as pa
+
+from tenzir_ray._ship import ship_by_value
+
+
+def _from_pylist_uniform(rows: list[dict]) -> pa.Table:
+    """Build a table from heterogeneous dicts: union of keys, nulls for
+    missing (the series_builder additive-field behavior)."""
+    keys: list[str] = []
+    seen = set()
+    for r in rows:
+        for k in r:
+            if k not in seen:
+                seen.add(k)
+                keys.append(k)
+    return pa.Table.from_pylist([{k: r.get(k) for k in keys} for r in rows])
+
+
+class _NdjsonParser:
+    def __init__(self, column: str, selector: str | None, schema: pa.Schema | None):
+        self.column = column
+        self.selector = selector
+        self.schema = schema
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for line in batch.column(self.column).to_pylist():
+            if not line or not line.strip():
+                continue
+            try:
+                obj = json.loads(line)
+            except json.JSONDecodeError:
+                obj = {"_raw": line, "_parse_error": True}
+            if self.selector:
+                # schema-per-event selector (json.cpp --selector): record
+                # the selector value as #schema analog
+                obj["_schema"] = str(obj.get(self.selector, ""))
+            rows.append(obj)
+        tbl = _from_pylist_uniform(rows)
+        if self.schema is not None:
+            from tenzir_ray.cdc.registry import SchemaRegistry
+
+            reg = SchemaRegistry(schema=self.schema)
+            tbl = reg.conform(tbl)
+        return tbl
+
+
+def parse_ndjson(ds, column: str = "text", selector: str | None = None,
+                 schema: pa.Schema | None = None, batch_size: int = 8192):
+    """Parse an NDJSON string column into events.
+
+    ``selector``: a field whose value names the per-event schema
+    (emitted as ``_schema``); ``schema``: conform output to a fixed
+    schema (``--no-infer`` analog)."""
+    return ds.map_batches(
+        _NdjsonParser, fn_constructor_args=(column, selector, schema),
+        batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 4),
+    )
+
+
+class _KvParser:
+    def __init__(self, column: str, field_split: str, value_split: str, prefix: str):
+        self.column = column
+        self.field_re = re.compile(field_split)
+        self.value_re = re.compile(value_split)
+        self.prefix = prefix
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for line in batch.column(self.column).to_pylist():
+            row = {}
+            for pair in self.field_re.split(line or ""):
+                if not pair:
+                    continue
+                parts = self.value_re.split(pair, maxsplit=1)
+                if len(parts) == 2:
+                    row[self.prefix + parts[0].strip()] = parts[1].strip()
+            rows.append(row)
+        parsed = _from_pylist_uniform(rows)
+        for name in parsed.column_names:
+            batch = batch.append_column(name, parsed.column(name))
+        return batch
+
+
+def parse_kv(ds, column: str = "text", field_split: str = r"\s+",
+             value_split: str = "=", prefix: str = ""):
+    """Split key-value pairs (reference kv.cpp: regex field/value split)."""
+    return ds.map_batches(
+        _KvParser, fn_constructor_args=(column, field_split, value_split, prefix),
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+
+
+_RFC5424 = re.compile(
+    r"^<(?P<pri>\d+)>(?P<version>\d+)\s+(?P<ts>\S+)\s+(?P<hostname>\S+)\s+"
+    r"(?P<app>\S+)\s+(?P<procid>\S+)\s+(?P<msgid>\S+)\s+"
+    r"(?P<sd>-|\[.*?\])\s*(?P<message>.*)$"
+)
+_RFC3164 = re.compile(
+    r"^<(?P<pri>\d+)>(?P<ts>\w{3}\s+\d+\s+\d{2}:\d{2}:\d{2})\s+"
+    r"(?P<hostname>\S+)\s+(?P<tag>[\w\-./]+)(?:\[(?P<pid>\d+)\])?:?\s*"
+    r"(?P<message>.*)$"
+)
+
+
+class _SyslogParser:
+    def __init__(self, column: str):
+        self.column = column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for line in batch.column(self.column).to_pylist():
+            line = line or ""
+            m = _RFC5424.match(line)
+            if m:
+                d = m.groupdict()
+                pri = int(d.pop("pri"))
+                rows.append(
+                    {
+                        "facility": pri // 8,
+                        "severity": pri % 8,
+                        "rfc": 5424,
+                        **{k: (None if v in ("-", None) else v) for k, v in d.items()},
+                    }
+                )
+                continue
+            m = _RFC3164.match(line)
+            if m:
+                d = m.groupdict()
+                pri = int(d.pop("pri"))
+                rows.append(
+                    {"facility": pri // 8, "severity": pri % 8, "rfc": 3164, **d}
+                )
+                continue
+            rows.append({"message": line, "rfc": None})
+        return _from_pylist_uniform(rows)
+
+
+def parse_syslog(ds, column: str = "text"):
+    """RFC5424/RFC3164 syslog (reference syslog.cpp)."""
+    return ds.map_batches(
+        _SyslogParser, fn_constructor_args=(column,),
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+
+
+def _split_unescaped(s: str, sep: str) -> list[str]:
+    out, cur, i = [], [], 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            cur.append(s[i + 1])
+            i += 2
+            continue
+        if c == sep:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    out.append("".join(cur))
+    return out
+
+
+_CEF_KV = re.compile(r"(\w+)=((?:[^=\\]|\\.)*?)(?=\s+\w+=|$)")
+
+
+class _CefParser:
+    """CEF:version|vendor|product|device_version|event_class|name|severity|ext"""
+
+    def __init__(self, column: str):
+        self.column = column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for line in batch.column(self.column).to_pylist():
+            line = (line or "").strip()
+            idx = line.find("CEF:")
+            if idx < 0:
+                rows.append({"_raw": line, "_parse_error": True})
+                continue
+            head = _split_unescaped(line[idx + 4 :], "|")
+            row = dict(
+                zip(
+                    ["cef_version", "device_vendor", "device_product",
+                     "device_version", "signature_id", "name", "severity"],
+                    head[:7],
+                )
+            )
+            ext = "|".join(head[7:])
+            for m in _CEF_KV.finditer(ext):
+                row[m.group(1)] = m.group(2).replace("\\=", "=").replace("\\\\", "\\")
+            rows.append(row)
+        return _from_pylist_uniform(rows)
+
+
+def parse_cef(ds, column: str = "text"):
+    """ArcSight CEF (reference cef.cpp)."""
+    return ds.map_batches(
+        _CefParser, fn_constructor_args=(column,),
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+
+
+class _LeefParser:
+    """LEEF:version|vendor|product|product_version|event_id|attrs (tab- or
+    configurable-delimited key=value attributes)."""
+
+    def __init__(self, column: str):
+        self.column = column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for line in batch.column(self.column).to_pylist():
+            line = (line or "").strip()
+            idx = line.find("LEEF:")
+            if idx < 0:
+                rows.append({"_raw": line, "_parse_error": True})
+                continue
+            head = _split_unescaped(line[idx + 5 :], "|")
+            row = dict(
+                zip(
+                    ["leef_version", "device_vendor", "device_product",
+                     "device_version", "event_id"],
+                    head[:5],
+                )
+            )
+            if len(head) > 5:
+                attrs = "|".join(head[5:])
+                delim = "\t"
+                # LEEF 2.0: optional delim char field before attrs
+                if len(head) > 6 and len(head[5]) <= 4:
+                    delim = head[5] or "\t"
+                    if delim.startswith("0x") or delim.startswith("x"):
+                        delim = chr(int(delim.lstrip("x0") or "9", 16))
+                    attrs = "|".join(head[6:])
+                for pair in attrs.split(delim):
+                    if "=" in pair:
+                        k, v = pair.split("=", 1)
+                        row[k.strip()] = v
+            rows.append(row)
+        return _from_pylist_uniform(rows)
+
+
+def parse_leef(ds, column: str = "text"):
+    """IBM LEEF 1.0/2.0 (reference leef.cpp)."""
+    return ds.map_batches(
+        _LeefParser, fn_constructor_args=(column,),
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+
+
+# small built-in grok pattern library (grok-patterns are public / Logstash
+# heritage; the reference ships a dir of them, formats/grok.cpp)
+GROK_PATTERNS = {
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "IP": r"\d{1,3}(?:\.\d{1,3}){3}",
+    "IPORHOST": r"\S+",
+    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
+    "HTTPDATE": r"\d{2}/\w{3}/\d{4}:\d{2}:\d{2}:\d{2} [+-]\d{4}",
+    "LOGLEVEL": r"(?:TRACE|DEBUG|INFO|WARN(?:ING)?|ERROR|FATAL|CRITICAL)",
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "PATH": r"(?:/[\w.-]+)+",
+}
+
+_GROK_REF = re.compile(r"%\{(\w+)(?::(\w+))?\}")
+
+
+def grok_to_regex(pattern: str, library: dict[str, str] | None = None) -> str:
+    lib = {**GROK_PATTERNS, **(library or {})}
+
+    def _sub(m: re.Match) -> str:
+        name, field = m.group(1), m.group(2)
+        base = lib[name]
+        # nested pattern refs
+        base = _GROK_REF.sub(lambda mm: _sub(mm), base)
+        return f"(?P<{field}>{base})" if field else f"(?:{base})"
+
+    return _GROK_REF.sub(_sub, pattern)
+
+
+class _GrokParser:
+    def __init__(self, column: str, pattern: str, library: dict[str, str] | None):
+        self.column = column
+        self.regex = re.compile(grok_to_regex(pattern, library))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for line in batch.column(self.column).to_pylist():
+            m = self.regex.search(line or "")
+            rows.append(m.groupdict() if m else {"_raw": line, "_parse_error": True})
+        parsed = _from_pylist_uniform(rows)
+        for name in parsed.column_names:
+            batch = batch.append_column(name, parsed.column(name))
+        return batch
+
+
+def parse_grok(ds, pattern: str, column: str = "text",
+               library: dict[str, str] | None = None):
+    """Grok named-capture parsing, e.g.
+    ``%{IP:client} - %{WORD:method} %{PATH:path}`` (reference grok.cpp;
+    regex compiled once per actor)."""
+    return ds.map_batches(
+        _GrokParser, fn_constructor_args=(column, pattern, library),
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+
+
+ship_by_value(sys.modules[__name__])

@@ -1,0 +1,91 @@
+"""File readers — thin, option-mapped wrappers over ``ray.data.read_*``
+(reference connectors file/directory + formats parquet/feather/xsv/json/
+lines; plugins/parquet/parquet.cpp:26, builtins/formats/feather.cpp,
+xsv.cpp, json.cpp, lines.cpp).
+
+Always prefer passing ``columns=`` / ``filter=`` so projection and
+row-group pruning happen at the read (the reference's catalog/sketch
+pushdown analog, builtins/operators/export.cpp:139).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+
+def read_parquet(paths, columns: list[str] | None = None, filter_expr: str | None = None,
+                 **kwargs: Any):
+    """Parquet read with projection + predicate pushdown.
+
+    ``filter_expr`` is our expression-language string; it compiles to a
+    pyarrow dataset expression evaluated at the row-group level."""
+    import ray.data
+
+    if filter_expr is not None:
+        from tenzir_ray.expr import compile_expr
+
+        kwargs["filter"] = compile_expr(filter_expr)
+    return ray.data.read_parquet(paths, columns=columns, **kwargs)
+
+
+def read_csv(paths, delimiter: str = ",", columns: list[str] | None = None,
+             header: bool = True, column_names: list[str] | None = None,
+             **kwargs: Any):
+    """CSV/TSV/SSV (reference `xsv`, builtins/formats/xsv.cpp): delimiter,
+    header control, projection."""
+    import ray.data
+    from pyarrow import csv as pacsv
+
+    parse_options = pacsv.ParseOptions(delimiter=delimiter)
+    read_options = None
+    if not header:
+        read_options = pacsv.ReadOptions(column_names=column_names)
+    convert_options = None
+    if columns:
+        convert_options = pacsv.ConvertOptions(include_columns=columns)
+    return ray.data.read_csv(
+        paths,
+        parse_options=parse_options,
+        **({"read_options": read_options} if read_options else {}),
+        **({"convert_options": convert_options} if convert_options else {}),
+        **kwargs,
+    )
+
+
+def read_json(paths, **kwargs: Any):
+    """NDJSON via Ray's native reader (schema inference per block; for
+    selector/strict-schema semantics use parsers.parse_ndjson over
+    read_lines)."""
+    import ray.data
+
+    return ray.data.read_json(paths, **kwargs)
+
+
+def read_lines(paths, **kwargs: Any):
+    """One string event per line (reference `lines`, formats/lines.cpp);
+    column name: ``text``."""
+    import ray.data
+
+    return ray.data.read_text(paths, **kwargs)
+
+
+def read_feather(paths, columns: list[str] | None = None):
+    """Arrow IPC / Feather files (reference formats/feather.cpp). Ray has
+    no native feather reader; read via pyarrow inside read_binary_files —
+    each file becomes one block (feather files are already partition-
+    sized in our layouts)."""
+    import pyarrow as pa
+    import pyarrow.feather as feather
+    import ray.data
+
+    def _load(batch):
+        out = []
+        for data in batch["bytes"]:
+            tbl = feather.read_table(pa.BufferReader(data))
+            if columns:
+                tbl = tbl.select(columns)
+            out.append(tbl)
+        return pa.concat_tables(out, promote_options="permissive")
+
+    ds = ray.data.read_binary_files(paths)
+    return ds.map_batches(_load, batch_format="pandas", batch_size=1)

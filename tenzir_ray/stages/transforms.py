@@ -340,4 +340,109 @@ def rare(ds, column: str, k: int = 10):
     )
 
 
+def slice_(ds, start: int = 0, stop: int | None = None, order_by: str | list[str] | None = None):
+    """Python-style row slice over an explicit global order (reference
+    slice.cpp:30 — stream order; a distributed engine needs a sort key).
+    Implemented with sort + split_at_indices (ordered, no driver loop).
+    Negative indices are resolved against ds.count()."""
+    if order_by is not None:
+        keys = [order_by] if isinstance(order_by, str) else order_by
+        ds = ds.sort(keys)
+    if (start is not None and start < 0) or (stop is not None and stop < 0):
+        n = ds.count()
+        if start is not None and start < 0:
+            start = max(0, n + start)
+        if stop is not None and stop < 0:
+            stop = max(0, n + stop)
+    if stop is None:
+        return ds.split_at_indices([start])[1]
+    lo, mid, hi = ds.split_at_indices([start, stop])[0:3]
+    return mid
+
+
+def reverse(ds, order_by: str | list[str]):
+    """Reverse event order (reference reverse.cpp buffers the stream; here
+    = descending sort on the explicit order key)."""
+    keys = [order_by] if isinstance(order_by, str) else order_by
+    return ds.sort(keys, descending=[True] * len(keys))
+
+
+def repeat_(ds, n: int):
+    """Replay the input n times (reference repeat.cpp:102; union of n
+    lazy references re-executes the plan per copy)."""
+    out = ds
+    for _ in range(n - 1):
+        out = out.union(ds)
+    return out
+
+
+def enumerate_per_group(ds, by: str | list[str], out: str = "index",
+                        order_by: str | None = None):
+    """Per-group row number (reference enumerate.cpp numbers per schema;
+    generalized to any key; global enumerate needs a total order — use
+    slice_/sort + downstream consumption instead)."""
+    keys = [by] if isinstance(by, str) else by
+
+    def _enum(g: pd.DataFrame) -> pd.DataFrame:
+        if order_by:
+            g = g.sort_values(order_by, kind="mergesort")
+        g[out] = np.arange(len(g), dtype=np.int64)
+        return g
+
+    return ds.groupby(keys).map_groups(_enum, batch_format="pandas")
+
+
+class _Pseudonymizer:
+    """Prefix-preserving IPv4 pseudonymization in the Crypto-PAn
+    construction (Xu et al. 2002) with an HMAC-SHA256 bit oracle instead
+    of AES (no crypto libs in this environment; same prefix-preserving
+    property, keyed by `salt`). Reference: operators/pseudonymize.cpp
+    (-m crypto-pan)."""
+
+    def __init__(self, column: str, salt: str):
+        import hmac as hmac_mod
+
+        self.column = column
+        self.key = salt.encode()
+        self._hmac = hmac_mod
+        self.cache: dict[str, str] = {}
+
+    def _bit(self, prefix_bits: str) -> int:
+        import hashlib
+
+        d = self._hmac.new(self.key, prefix_bits.encode(), hashlib.sha256).digest()
+        return d[0] & 1
+
+    def _anon_one(self, ip: str) -> str:
+        if ip in self.cache:
+            return self.cache[ip]
+        try:
+            parts = [int(x) for x in ip.split(".")]
+            assert len(parts) == 4
+        except Exception:
+            return ip
+        bits = "".join(f"{p:08b}" for p in parts)
+        out_bits = "".join(
+            str(int(bits[i]) ^ self._bit(bits[:i])) for i in range(32)
+        )
+        octets = [int(out_bits[i : i + 8], 2) for i in range(0, 32, 8)]
+        res = ".".join(map(str, octets))
+        self.cache[ip] = res
+        return res
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch[self.column] = batch[self.column].map(
+            lambda v: self._anon_one(v) if isinstance(v, str) else v
+        )
+        return batch
+
+
+def pseudonymize(ds, column: str, salt: str = "seed", concurrency=(1, 4)):
+    """Prefix-preserving IP pseudonymization (keyed; per-actor memo cache)."""
+    return ds.map_batches(
+        _Pseudonymizer, fn_constructor_args=(column, salt),
+        batch_format="pandas", concurrency=concurrency,
+    )
+
+
 ship_by_value(sys.modules[__name__])

@@ -1,0 +1,126 @@
+"""Streaming operators, extra order-dependent transforms, lake maintenance."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from tenzir_ray.cdc import LakeTable, gen_changes, naive_apply
+from tenzir_ray.stages import transforms as T
+from tenzir_ray.stages.streaming import (
+    adjacent_unique,
+    measure,
+    streaming_deduplicate,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_streaming_deduplicate_limit(ray_session):
+    import ray.data
+
+    tbl = pa.table({"k": ["a", "a", "b", "a", "b", "a"], "v": list(range(6))})
+    out = streaming_deduplicate(
+        ray.data.from_arrow(tbl), by=["k"], limit=2
+    ).to_pandas()
+    assert sorted(out["k"].tolist()) == ["a", "a", "b", "b"]
+
+
+def test_streaming_deduplicate_distance(ray_session):
+    import ray.data
+
+    tbl = pa.table({"k": ["a", "x1", "x2", "x3", "a"], "v": list(range(5))})
+    # distance 2: by the second 'a', 3 events intervened → forgotten → kept
+    out = streaming_deduplicate(
+        ray.data.from_arrow(tbl), by=["k"], limit=1, distance=2
+    ).to_pandas()
+    assert out["k"].tolist().count("a") == 2
+
+
+def test_adjacent_unique(ray_session):
+    import ray.data
+
+    tbl = pa.table({"k": ["a", "a", "b", "b", "a", "c", "c"]})
+    out = adjacent_unique(ray.data.from_arrow(tbl), by=["k"]).to_pandas()
+    assert out["k"].tolist() == ["a", "b", "a", "c"]
+
+
+def test_measure(ray_session):
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{SF}/events.parquet")
+    stats = measure(ds).to_pandas()
+    assert stats["events"].sum() == 1000
+    assert (stats["bytes"] > 0).all()
+
+
+def test_slice_and_reverse(ray_session):
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{SF}/orders.parquet")
+    sl = T.slice_(ds, 10, 15, order_by="o_orderkey").to_pandas()
+    assert len(sl) == 5
+    full = ds.sort("o_orderkey").to_pandas()
+    assert sl["o_orderkey"].tolist() == full["o_orderkey"][10:15].tolist()
+    neg = T.slice_(ds, -5, None, order_by="o_orderkey").to_pandas()
+    assert neg["o_orderkey"].tolist() == full["o_orderkey"][-5:].tolist()
+    rev = T.reverse(ds.limit(50), order_by="o_orderkey").to_pandas()
+    assert rev["o_orderkey"].is_monotonic_decreasing
+
+
+def test_repeat_and_enumerate(ray_session):
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{SF}/region.parquet")
+    assert T.repeat_(ds, 3).count() == 15
+    ev = ray.data.read_parquet(f"{SF}/events.parquet")
+    en = T.enumerate_per_group(
+        ev, by="event_type", out="idx", order_by="event_id"
+    ).to_pandas()
+    g = en[en["event_type"] == "click"].sort_values("event_id")
+    assert g["idx"].tolist() == list(range(len(g)))
+
+
+def test_pseudonymize_prefix_preserving(ray_session):
+    import ray.data
+
+    ips = ["10.0.0.1", "10.0.0.2", "10.0.99.7", "192.168.1.1", "not-an-ip"]
+    ds = ray.data.from_arrow(pa.table({"ip": ips}))
+    out = T.pseudonymize(ds, "ip", salt="k1").to_pandas()
+    anon = dict(zip(ips, out.sort_index()["ip"]))
+    # deterministic
+    out2 = T.pseudonymize(ray.data.from_arrow(pa.table({"ip": ips})), "ip", salt="k1").to_pandas()
+    assert sorted(out["ip"]) == sorted(out2["ip"])
+    # different key → different mapping
+    out3 = T.pseudonymize(ray.data.from_arrow(pa.table({"ip": ips})), "ip", salt="k2").to_pandas()
+    assert sorted(out["ip"]) != sorted(out3["ip"])
+    # prefix-preserving: shared /24 stays shared, distinct /16 differs
+    a, b, c = anon["10.0.0.1"], anon["10.0.0.2"], anon["10.0.99.7"]
+    assert a.split(".")[:3] == b.split(".")[:3]
+    assert a.split(".")[:2] == c.split(".")[:2]
+    assert a.split(".")[2] != c.split(".")[2]
+    assert anon["not-an-ip"] == "not-an-ip"
+
+
+def test_lake_gc_optimize_truncate(ray_session, tmp_path):
+    changes = gen_changes(3000, seed=3)
+    root = str(tmp_path / "lake")
+    lake = LakeTable(root, num_partitions=4)
+    lsn = changes.column("lsn")
+    lake.apply_changes(changes.filter(pc.less(lsn, 1500)), epoch_id="e1")
+    lake.apply_changes(changes.filter(pc.greater_equal(lsn, 1500)), epoch_id="e2")
+    # e1's files are superseded orphans now
+    res = lake.gc()
+    assert res["files_removed"] >= 1
+    before = lake.final_table()
+    n = lake.optimize(compression_level=9)
+    assert n == 4
+    lake2 = LakeTable(root)
+    assert lake2.final_table().equals(before)
+    assert lake2.truncate_lineage(keep_epochs=1) == 1
+    assert len(LakeTable(root).manifest.epochs) == 1
+    # correctness preserved end-to-end
+    want = naive_apply(changes)
+    got = lake2.final_table()
+    assert got.select(want.column_names).equals(want)
