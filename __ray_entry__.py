@@ -247,7 +247,125 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def cdc_replay(sf):
         return _cdc_replay(sf)
 
+    def median_by_type(sf):
+        return S.summarize(
+            _read(sf, "events"), by="event_type", med="median(value)"
+        )
+
+    def any_all_by_type(sf):
+        ds = T.set_(_read(sf, "events"), big="value > 50")
+        return S.summarize(ds, by="event_type", anyv="any(big)", allv="all(big)")
+
+    def slice_orders(sf):
+        ds = T.slice_(
+            _read(sf, "orders", columns=["o_orderkey", "o_totalprice"]),
+            20, 30, order_by="o_orderkey",
+        )
+        return ds
+
+    def enumerate_per_type(sf):
+        return T.enumerate_per_group(
+            _read(sf, "events", columns=["event_id", "event_type"]),
+            by="event_type", out="idx", order_by="event_id",
+        )
+
+    def unique_type_user(sf):
+        return T.unique(
+            _read(sf, "events", columns=["event_type", "user_id"]),
+            by=["event_type", "user_id"],
+        )
+
+    def timeshift_events(sf):
+        from datetime import datetime
+
+        ds = T.timeshift(
+            _read(sf, "events", columns=["event_id", "ts"]),
+            "ts", start=datetime(2020, 1, 1),
+        )
+        return ds
+
+    def sigma_match(sf):
+        from tenzir_ray.stages.sigma import sigma
+
+        rule = {
+            "detection": {
+                "selection": {"event_type": ["click", "view"], "value|gt": 90},
+                "condition": "selection",
+            }
+        }
+        return T.select(
+            sigma(_read(sf, "events"), rule), ["event_id", "event_type", "value"]
+        )
+
+    def pipeline_revenue(sf):
+        from tenzir_ray.pipelines import Pipeline
+
+        return Pipeline(
+            [
+                {"op": "read_parquet", "paths": f"{sf}/lineitem.parquet"},
+                {"op": "set", "rev": "l_extendedprice * (1 - l_discount)"},
+                {
+                    "op": "summarize",
+                    "by": "l_returnflag",
+                    "aggs": {"total_rev": "sum(rev)", "n": "count(*)"},
+                },
+            ]
+        ).run()
+
+    def syslog_parse(sf):
+        import ray.data
+
+        import pyarrow as pa
+
+        # deterministic synthetic syslog lines derived from event ids
+        import pyarrow.parquet as pq
+
+        ev = pq.read_table(f"{sf}/events.parquet", columns=["event_id", "user_id"])
+        lines = [
+            f"<{13 + (i % 8)}>1 2024-01-01T00:00:{i % 60:02d}Z host{u} app {i} ID{i} - msg {i}"
+            for i, u in zip(
+                ev.column("event_id").to_pylist()[:500],
+                ev.column("user_id").to_pylist()[:500],
+            )
+        ]
+        from tenzir_ray.sources import parse_syslog
+
+        return parse_syslog(ray.data.from_arrow(pa.table({"text": lines})))
+
+    def streaming_dedup_types(sf):
+        from tenzir_ray.stages.streaming import streaming_deduplicate
+
+        return streaming_deduplicate(
+            _read(sf, "events", columns=["event_id", "event_type"]),
+            by=["event_type"], limit=3,
+        )
+
+    def pseudonymize_ips(sf):
+        import pandas as pd
+
+        def _mk(df: pd.DataFrame) -> pd.DataFrame:
+            df["ip"] = "10.0." + (df["user_id"] % 256).astype(str) + "." + (
+                df["event_id"] % 256
+            ).astype(str)
+            return df
+
+        ds = _read(sf, "events", columns=["event_id", "user_id"]).map_batches(
+            _mk, batch_format="pandas"
+        )
+        return T.pseudonymize(ds, "ip", salt="bench")
+
     return {
+        "median_by_type": median_by_type,
+        "any_all_by_type": any_all_by_type,
+        "slice_orders": slice_orders,
+        "enumerate_per_type": enumerate_per_type,
+        "unique_type_user": unique_type_user,
+        "timeshift_events": timeshift_events,
+        "sigma_match": sigma_match,
+        "pipeline_revenue": pipeline_revenue,
+        "syslog_parse": syslog_parse,
+        "streaming_dedup_types": streaming_dedup_types,
+        "pseudonymize_ips": pseudonymize_ips,
         "q1_pricing_summary": q1_pricing_summary,
         "where_project": where_project,
         "revenue_put": revenue_put,
@@ -368,7 +486,43 @@ def oracle_sql() -> dict[str, str]:
                    len(string_split_regex(trim(text), '\\s+')) AS ws_tokens
             FROM documents
         """,
+        "median_by_type": """
+            SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+        """,
+        "any_all_by_type": """
+            SELECT event_type, bool_or(value > 50) AS anyv,
+                   bool_and(value > 50) AS allv
+            FROM events GROUP BY event_type
+        """,
+        "slice_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_orderkey LIMIT 10 OFFSET 20
+        """,
+        "enumerate_per_type": """
+            SELECT event_id, event_type,
+                   row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1 AS idx
+            FROM events
+        """,
+        "unique_type_user": """
+            SELECT DISTINCT event_type, user_id FROM events
+        """,
+        "timeshift_events": """
+            SELECT event_id,
+                   TIMESTAMP '2020-01-01' + (ts - (SELECT min(ts) FROM events)) AS ts
+            FROM events
+        """,
+        "sigma_match": """
+            SELECT event_id, event_type, value FROM events
+            WHERE event_type IN ('click', 'view') AND value > 90
+        """,
+        "pipeline_revenue": """
+            SELECT l_returnflag,
+                   sum(l_extendedprice * (1 - l_discount)) AS total_rev,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag
+        """,
         # doc_quality / doc_langid / doc_fingerprint / minhash / simhash /
-        # ann / near-dup / cdc_replay: non-SQL-expressible (heuristic
-        # scoring, sketches, replay engine) → rows-only checks.
+        # ann / near-dup / cdc_replay / syslog_parse / streaming_dedup /
+        # pseudonymize: non-SQL-expressible (heuristic scoring, sketches,
+        # replay engine, stream state, keyed crypto) → rows-only checks.
     }

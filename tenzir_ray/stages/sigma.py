@@ -1,0 +1,128 @@
+"""Sigma-style detection rules → compiled dataset filters.
+
+The reference compiles Sigma YAML rules into its expression AST and
+matches them against event streams (plugins/sigma/src/parse.cpp:522,
+plugin.cpp:214). Here a rule's ``detection`` block compiles to a
+``pyarrow.dataset`` expression evaluated per batch (and usable for
+parquet row-group pruning).
+
+Supported subset of the public Sigma spec:
+- selections: ``{field: value}``, ``{field: [v1, v2]}`` (OR),
+  modifiers ``field|contains``, ``field|startswith``, ``field|endswith``,
+  ``field|re``, ``field|gt/gte/lt/lte``;
+- condition: boolean expression over selection names with
+  ``and / or / not`` and the ``1 of them`` / ``all of them`` forms.
+"""
+
+from __future__ import annotations
+
+import ast
+import sys
+
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+from tenzir_ray._ship import ship_by_value
+
+_MODIFIERS = {
+    "contains": lambda f, v: pc.match_substring(f, v),
+    "startswith": lambda f, v: pc.starts_with(f, v),
+    "endswith": lambda f, v: pc.ends_with(f, v),
+    "re": lambda f, v: pc.match_substring_regex(f, v),
+    "gt": lambda f, v: f > v,
+    "gte": lambda f, v: f >= v,
+    "lt": lambda f, v: f < v,
+    "lte": lambda f, v: f <= v,
+}
+
+
+def _field_term(key: str, value) -> pads.Expression:
+    if "|" in key:
+        name, mod = key.split("|", 1)
+        fn = _MODIFIERS.get(mod)
+        if fn is None:
+            raise ValueError(f"unsupported sigma modifier {mod!r}")
+        field = pc.field(name)
+        if isinstance(value, list):
+            out = None
+            for v in value:
+                t = fn(field, v)
+                out = t if out is None else (out | t)
+            return out
+        return fn(field, value)
+    field = pc.field(key)
+    if isinstance(value, list):
+        return field.isin(value)
+    if value is None:
+        return field.is_null()
+    return field == value
+
+
+def _selection_expr(sel) -> pads.Expression:
+    """A selection maps field→matcher (AND across fields); a LIST of such
+    maps is OR across them (Sigma list-of-maps semantics)."""
+    if isinstance(sel, list):
+        out = None
+        for m in sel:
+            e = _selection_expr(m)
+            out = e if out is None else (out | e)
+        return out
+    out = None
+    for k, v in sel.items():
+        e = _field_term(k, v)
+        out = e if out is None else (out & e)
+    return out
+
+
+def compile_rule(rule: dict) -> pads.Expression:
+    """Compile a Sigma-style rule dict (its ``detection`` block) into one
+    dataset expression."""
+    detection = rule.get("detection", rule)
+    condition = detection.get("condition", None)
+    selections = {
+        k: _selection_expr(v) for k, v in detection.items() if k != "condition"
+    }
+    if condition is None:
+        condition = " and ".join(selections) if len(selections) > 1 else next(iter(selections))
+    cond = condition.strip()
+    if cond in ("1 of them", "any of them"):
+        out = None
+        for e in selections.values():
+            out = e if out is None else (out | e)
+        return out
+    if cond == "all of them":
+        out = None
+        for e in selections.values():
+            out = e if out is None else (out & e)
+        return out
+
+    tree = ast.parse(cond, mode="eval")
+
+    def _walk(node):
+        if isinstance(node, ast.BoolOp):
+            parts = [_walk(v) for v in node.values]
+            out = parts[0]
+            for p in parts[1:]:
+                out = (out & p) if isinstance(node.op, ast.And) else (out | p)
+            return out
+        if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.Not):
+            return ~_walk(node.operand)
+        if isinstance(node, ast.Name):
+            return selections[node.id]
+        raise ValueError(f"unsupported sigma condition node: {ast.dump(node)}")
+
+    return _walk(tree.body)
+
+
+def sigma(ds, rule: dict):
+    """Filter a Dataset to events matching the rule (the reference's
+    `sigma` operator)."""
+    expr = compile_rule(rule)
+
+    def _filter(batch):
+        return pads.dataset(batch).to_table(filter=expr)
+
+    return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+ship_by_value(sys.modules[__name__])
