@@ -354,7 +354,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return T.pseudonymize(ds, "ip", salt="bench")
 
+    def revenue_per_order(sf):
+        from tenzir_ray.stages.summarize import summarize_hash
+
+        ds = T.set_(
+            _read(sf, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]),
+            rev="l_extendedprice * (1 - l_discount)",
+        )
+        # high-cardinality groupby (one group per order) via the
+        # hash-bucketed aggregation path
+        return summarize_hash(ds, by="l_orderkey", revenue="sum(rev)", n="count(*)")
+
     return {
+        "revenue_per_order": revenue_per_order,
         "median_by_type": median_by_type,
         "any_all_by_type": any_all_by_type,
         "slice_orders": slice_orders,
@@ -485,6 +497,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    len(string_split_regex(trim(text), '\\s+')) AS ws_tokens
             FROM documents
+        """,
+        "revenue_per_order": """
+            SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS revenue,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_orderkey
         """,
         "median_by_type": """
             SELECT event_type, median(value) AS med FROM events GROUP BY event_type

@@ -74,6 +74,9 @@ def _register_builtins() -> None:
             ds, by=by, **(aggs or {})
         ),
         time_bucket=summarize.time_bucket,
+        summarize_hash=lambda ds, by, buckets=64, aggs=None: summarize.summarize_hash(
+            ds, by=by, buckets=buckets, **(aggs or {})
+        ),
         lang_id=text.lang_id,
         quality_score=text.quality_score,
         token_count=text.token_count,

