@@ -75,7 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _read(sf, "lineitem")
         ds = T.where(ds, "l_shipdate <= '1998-09-01'")
         ds = T.set_(ds, disc_price="l_extendedprice * (1 - l_discount)")
-        return S.summarize(
+        ds = S.summarize(
             ds,
             by=["l_returnflag", "l_linestatus"],
             sum_qty="sum(l_quantity)",
@@ -85,6 +85,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             avg_price="mean(l_extendedprice)",
             avg_disc="mean(l_discount)",
             count_order="count(*)",
+        )
+        # round float aggregates: parallel partial sums differ from serial
+        # DuckDB in the last ulp — both sides round to 6 digits
+        return T.round_cols(
+            ds, ["sum_base_price", "sum_disc_price", "avg_qty", "avg_price", "avg_disc"]
         )
 
     def where_project(sf):
@@ -109,10 +114,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def events_daily(sf):
         ds = S.time_bucket(_read(sf, "events"), "ts", "1d", out="day")
-        return S.summarize(ds, by="day", n="count(*)", total_value="sum(value)")
+        ds = S.summarize(ds, by="day", n="count(*)", total_value="sum(value)")
+        return T.round_cols(ds, ["total_value"])
 
     def stats_by_type(sf):
-        return S.summarize(
+        ds = S.summarize(
             _read(sf, "events"),
             by="event_type",
             sd="stddev(value)",
@@ -121,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             vmin="min(value)",
             vmax="max(value)",
         )
+        return T.round_cols(ds, ["sd", "var"])
 
     def global_stats(sf):
         return S.summarize(
@@ -248,8 +255,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _cdc_replay(sf)
 
     def median_by_type(sf):
-        return S.summarize(
-            _read(sf, "events"), by="event_type", med="median(value)"
+        return T.round_cols(
+            S.summarize(_read(sf, "events"), by="event_type", med="median(value)"),
+            ["med"],
         )
 
     def any_all_by_type(sf):
@@ -300,7 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def pipeline_revenue(sf):
         from tenzir_ray.pipelines import Pipeline
 
-        return Pipeline(
+        out = Pipeline(
             [
                 {"op": "read_parquet", "paths": f"{sf}/lineitem.parquet"},
                 {"op": "set", "rev": "l_extendedprice * (1 - l_discount)"},
@@ -311,6 +319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 },
             ]
         ).run()
+        return T.round_cols(out, ["total_rev"])
 
     def syslog_parse(sf):
         import ray.data
@@ -363,7 +372,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         # high-cardinality groupby (one group per order) via the
         # hash-bucketed aggregation path
-        return summarize_hash(ds, by="l_orderkey", revenue="sum(rev)", n="count(*)")
+        out = summarize_hash(ds, by="l_orderkey", revenue="sum(rev)", n="count(*)")
+        return T.round_cols(out, ["revenue"])
 
     return {
         "revenue_per_order": revenue_per_order,
@@ -412,11 +422,11 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,
-                   sum(l_extendedprice) AS sum_base_price,
-                   sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-                   avg(l_quantity) AS avg_qty,
-                   avg(l_extendedprice) AS avg_price,
-                   avg(l_discount) AS avg_disc,
+                   round(sum(l_extendedprice), 6) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_extendedprice), 6) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -441,11 +451,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_daily": """
             SELECT time_bucket(INTERVAL '1 day', ts) AS day,
-                   count(*) AS n, sum(value) AS total_value
+                   count(*) AS n, round(sum(value), 6) AS total_value
             FROM events GROUP BY 1
         """,
         "stats_by_type": """
-            SELECT event_type, stddev_pop(value) AS sd, var_pop(value) AS var,
+            SELECT event_type, round(stddev_pop(value), 6) AS sd, round(var_pop(value), 6) AS var,
                    count(DISTINCT user_id) AS users,
                    min(value) AS vmin, max(value) AS vmax
             FROM events GROUP BY event_type
@@ -499,12 +509,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "revenue_per_order": """
-            SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS revenue,
+            SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
                    count(*) AS n
             FROM lineitem GROUP BY l_orderkey
         """,
         "median_by_type": """
-            SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+            SELECT event_type, round(median(value), 6) AS med FROM events GROUP BY event_type
         """,
         "any_all_by_type": """
             SELECT event_type, bool_or(value > 50) AS anyv,
@@ -534,7 +544,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pipeline_revenue": """
             SELECT l_returnflag,
-                   sum(l_extendedprice * (1 - l_discount)) AS total_rev,
+                   round(sum(l_extendedprice * (1 - l_discount)), 6) AS total_rev,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag
         """,

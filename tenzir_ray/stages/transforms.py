@@ -445,4 +445,19 @@ def pseudonymize(ds, column: str, salt: str = "seed", concurrency=(1, 4)):
     )
 
 
+def round_cols(ds, columns: list[str], ndigits: int = 6):
+    """Round float columns (stabilizes parallel-reduction float noise for
+    cross-engine comparisons; parallel sums differ in the last ulp)."""
+
+    def _round(batch: pa.Table) -> pa.Table:
+        for c in columns:
+            i = batch.schema.get_field_index(c)
+            batch = batch.set_column(
+                i, c, pc.round(batch.column(c), ndigits=ndigits)
+            )
+        return batch
+
+    return ds.map_batches(_round, batch_format="pyarrow")
+
+
 ship_by_value(sys.modules[__name__])
