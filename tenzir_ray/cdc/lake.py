@@ -545,6 +545,28 @@ class LakeTable:
         """Next lsn to tail from (checkpoint/resume-from-offset)."""
         return self.manifest.lsn_high() + 1
 
+    def tail_directory(self, log_dir: str, pattern: str = "*.parquet",
+                       num_salts: int = 0) -> list[dict]:
+        """Tail a directory of binlog segment files (the Kafka/WAL consumer
+        analog, reference plugins/kafka): each file, in sorted name order,
+        is one epoch keyed by its filename — already-committed segments are
+        skipped (resume-from-offset), so re-running after new segments
+        arrive applies exactly the new ones."""
+        import glob as globmod
+
+        import ray.data
+
+        results = []
+        for path in sorted(globmod.glob(os.path.join(log_dir, pattern))):
+            epoch_id = os.path.basename(path)
+            results.append(
+                self.apply_changes(
+                    ray.data.read_parquet(path), epoch_id=epoch_id,
+                    num_salts=num_salts,
+                )
+            )
+        return results
+
     # -- maintenance (reference: rebuild.cpp compaction + disk_monitor) --
     def gc(self) -> dict:
         """Remove orphan data files (crashed attempts, superseded epochs)

@@ -334,4 +334,123 @@ def parse_grok(ds, pattern: str, column: str = "text",
     )
 
 
+_ZEEK_TYPE_MAP = {
+    "count": pa.uint64(),
+    "int": pa.int64(),
+    "double": pa.float64(),
+    "bool": pa.bool_(),
+    "port": pa.uint16(),
+    "time": pa.float64(),      # epoch seconds (zeek writes decimals)
+    "interval": pa.float64(),
+    "string": pa.string(),
+    "addr": pa.string(),
+    "subnet": pa.string(),
+    "enum": pa.string(),
+}
+
+
+def _zeek_convert(values: list, ztype: str, unset: str, empty: str):
+    if ztype.startswith("set[") or ztype.startswith("vector["):
+        inner = ztype[ztype.index("[") + 1 : -1]
+        out = []
+        for v in values:
+            if v == unset:
+                out.append(None)
+            elif v == empty:
+                out.append([])
+            else:
+                out.append(_zeek_convert(v.split(","), inner, unset, empty))
+        return out
+    typ = _ZEEK_TYPE_MAP.get(ztype, pa.string())
+    out = []
+    for v in values:
+        if v == unset:
+            out.append(None)
+        elif typ == pa.bool_():
+            out.append(v == "T")
+        elif pa.types.is_integer(typ):
+            out.append(int(v))
+        elif pa.types.is_floating(typ):
+            out.append(float(v))
+        else:
+            out.append(v)
+    return out
+
+
+def parse_zeek_tsv_text(text: str) -> pa.Table:
+    """Parse one Zeek typed-TSV log document (reference
+    builtins/formats/zeek_tsv.cpp: #separator/#fields/#types headers,
+    #unset_field/#empty_field markers, set[]/vector[] containers)."""
+    sep, unset, empty = "\t", "-", "(empty)"
+    fields: list[str] = []
+    types: list[str] = []
+    rows: list[list[str]] = []
+    for line in text.splitlines():
+        if not line:
+            continue
+        if line.startswith("#"):
+            parts = line[1:].split(sep if fields else "\t")
+            key = parts[0].split(" ")[0]
+            if key == "separator":
+                raw = line[len("#separator "):]
+                sep = raw.encode().decode("unicode_escape") if raw.startswith("\\x") else raw
+            elif key == "unset_field":
+                unset = parts[1]
+            elif key == "empty_field":
+                empty = parts[1]
+            elif key == "fields":
+                fields = parts[1:]
+            elif key == "types":
+                types = parts[1:]
+            continue
+        rows.append(line.split(sep))
+    assert fields and types, "zeek tsv document lacks #fields/#types headers"
+    cols = {}
+    for i, (name, ztype) in enumerate(zip(fields, types)):
+        vals = [r[i] if i < len(r) else unset for r in rows]
+        converted = _zeek_convert(vals, ztype, unset, empty)
+        if ztype.startswith("set[") or ztype.startswith("vector["):
+            inner = ztype[ztype.index("[") + 1 : -1]
+            cols[name] = pa.array(converted, pa.list_(_ZEEK_TYPE_MAP.get(inner, pa.string())))
+        else:
+            cols[name] = pa.array(converted, _ZEEK_TYPE_MAP.get(ztype, pa.string()))
+    return pa.table(cols)
+
+
+def read_zeek_tsv(paths):
+    """Zeek typed-TSV files → events; header travels with each file, so
+    parse per file (read_binary_files: one block per file)."""
+    import ray.data
+
+    def _load(batch: pa.Table) -> pa.Table:
+        tables = [
+            parse_zeek_tsv_text(data.decode("utf-8", "replace"))
+            for data in batch.column("bytes").to_pylist()
+        ]
+        return pa.concat_tables(tables, promote_options="permissive")
+
+    return ray.data.read_binary_files(paths).map_batches(
+        _load, batch_format="pyarrow", batch_size=1
+    )
+
+
+def parse_yaml_docs(ds, column: str = "text"):
+    """YAML documents → events (reference formats/yaml.cpp); each row's
+    string may hold one document (use read_binary_files + split for
+    multi-doc files)."""
+    import yaml
+
+    def _parse(batch: pa.Table) -> pa.Table:
+        rows = []
+        for doc in batch.column(column).to_pylist():
+            try:
+                obj = yaml.safe_load(doc) or {}
+                rows.append(obj if isinstance(obj, dict) else {"value": obj})
+            except yaml.YAMLError:
+                rows.append({"_raw": doc, "_parse_error": True})
+        return _from_pylist_uniform(rows)
+
+    return ds.map_batches(_parse, batch_format="pyarrow")
+
+
 ship_by_value(sys.modules[__name__])

@@ -217,8 +217,28 @@ class SimHasher:
         return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch[self.out] = [self._sim(t or "") for t in batch[self.column].fillna("")]
-        batch[self.out] = batch[self.out].astype(np.uint64)
+        # vectorized across the batch: hash all words once, then per bit a
+        # segment-sum of ±1 votes (bit-loop, like MinHasher — no per-row
+        # broadcasting matrices)
+        toks = batch[self.column].fillna("").str.lower().str.split()
+        counts = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+        if counts.sum() == 0:
+            batch[self.out] = np.zeros(len(batch), dtype=np.uint64)
+            return batch
+        flat_words = np.concatenate(
+            [np.asarray(w, dtype=object) if len(w) else np.empty(0, object) for w in toks]
+        )
+        hashes = pd.util.hash_array(flat_words).astype(np.uint64)
+        starts = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        empty = counts == 0
+        sig = np.zeros(len(counts), dtype=np.uint64)
+        for b in range(64):
+            votes = (((hashes >> np.uint64(b)) & np.uint64(1)).astype(np.int64) * 2 - 1)
+            seg = np.add.reduceat(votes, np.minimum(starts, len(hashes) - 1))
+            sig |= np.where(~empty & (seg > 0), np.uint64(1) << np.uint64(b), np.uint64(0))
+        sig[empty] = 0
+        batch[self.out] = sig
         return batch
 
 

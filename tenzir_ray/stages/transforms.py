@@ -460,4 +460,24 @@ def round_cols(ds, columns: list[str], ndigits: int = 6):
     return ds.map_batches(_round, batch_format="pyarrow")
 
 
+def scale_int_cols(ds, columns: list[str], factor: int = 1_000_000):
+    """Convert float columns to scaled int64 (micro-units by default).
+
+    Cross-engine float comparison is fragile even after rounding: pc.round
+    and DuckDB's round can return doubles differing in the last ulp for
+    the same decimal. Integers have one representation — emit
+    round(x * factor) as int64 on BOTH sides of an oracle comparison."""
+
+    def _scale(batch: pa.Table) -> pa.Table:
+        for c in columns:
+            i = batch.schema.get_field_index(c)
+            batch = batch.set_column(
+                i, c,
+                pc.cast(pc.round(pc.multiply(batch.column(c), factor)), pa.int64()),
+            )
+        return batch
+
+    return ds.map_batches(_scale, batch_format="pyarrow")
+
+
 ship_by_value(sys.modules[__name__])

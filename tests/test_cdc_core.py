@@ -151,3 +151,25 @@ def test_manifest_atomic_and_lineage(ray_session, tmp_path):
     assert m["epochs"][0]["lsn_min"] == 0
     assert m["epochs"][0]["lsn_max"] == 999
     assert not glob.glob(os.path.join(root, "_manifest.json.tmp*"))
+
+
+def test_tail_directory_resume(ray_session, tmp_path):
+    """Binlog-segment tailing: new segments apply, committed ones skip."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    changes = gen_changes(4_000, seed=17)
+    lsn = changes.column("lsn")
+    logdir = tmp_path / "binlog"
+    logdir.mkdir()
+    pq.write_table(changes.filter(pc.less(lsn, 2000)), str(logdir / "seg-000.parquet"))
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=4)
+    r1 = lake.tail_directory(str(logdir))
+    assert len(r1) == 1 and not r1[0].get("skipped")
+    # a new segment arrives; re-tail applies only it
+    pq.write_table(
+        changes.filter(pc.greater_equal(lsn, 2000)), str(logdir / "seg-001.parquet")
+    )
+    r2 = lake.tail_directory(str(logdir))
+    assert r2[0].get("skipped") is True and not r2[1].get("skipped")
+    _assert_tables_equal(lake.final_table(), naive_apply(changes), cols=PAYLOAD)

@@ -3,6 +3,8 @@
 import json
 import os
 
+import pandas as pd
+
 import pyarrow as pa
 import pyarrow.feather as feather
 import pytest
@@ -153,3 +155,41 @@ def test_pipeline_from_json_and_apply(ray_session):
     )
     df = Pipeline.from_json(spec).run().to_pandas()
     assert (df["event_type"] == "click").all()
+
+
+def test_zeek_tsv(ray_session, tmp_path):
+    from tenzir_ray.sources.parsers import read_zeek_tsv
+
+    log = (
+        "#separator \\x09\n"
+        "#set_separator\t,\n"
+        "#empty_field\t(empty)\n"
+        "#unset_field\t-\n"
+        "#path\tconn\n"
+        "#fields\tts\tuid\tid.orig_h\tid.orig_p\tproto\tduration\ttags\n"
+        "#types\ttime\tstring\taddr\tport\tenum\tinterval\tset[string]\n"
+        "1633737600.1\tCab1\t10.0.0.1\t51532\ttcp\t0.25\ta,b\n"
+        "1633737601.5\tCab2\t10.0.0.2\t80\tudp\t-\t(empty)\n"
+        "#close\t2021-10-09-00-00-05\n"
+    )
+    p = tmp_path / "conn.log"
+    p.write_text(log)
+    df = read_zeek_tsv(str(p)).to_pandas()
+    assert len(df) == 2
+    assert df["uid"].tolist() == ["Cab1", "Cab2"]
+    assert df["id.orig_p"].tolist() == [51532, 80]
+    assert df["duration"][0] == 0.25 and pd.isna(df["duration"][1])
+    assert list(df["tags"][0]) == ["a", "b"] and list(df["tags"][1]) == []
+
+
+def test_parse_yaml(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from tenzir_ray.sources.parsers import parse_yaml_docs
+
+    docs = ["a: 1\nb: text", "a: 2\nc: [1, 2]", "justa string"]
+    ds = parse_yaml_docs(ray.data.from_arrow(pa.table({"text": docs})))
+    df = ds.to_pandas()
+    assert df["a"].tolist()[:2] == [1, 2]
+    assert "value" in df.columns or "_raw" in df.columns
