@@ -119,11 +119,13 @@ class MinHasher:
 
 
 def minhash(ds, column: str = "text", num_hashes: int = 64, shingle: int = 5,
-            concurrency=(1, 4), batch_size: int = 1024):
-    """Attach a `minhash` list<uint64> signature column (actor pool)."""
+            concurrency=None, batch_size: int = 1024):
+    """Attach a `minhash` list<uint64> signature column. Hash parameters
+    are small seeded arrays — built once on the driver and shipped to
+    stateless tasks (no actor-pool spin-up)."""
     return ds.map_batches(
-        MinHasher, fn_constructor_args=(column, num_hashes, shingle),
-        batch_format="pandas", batch_size=batch_size, concurrency=concurrency,
+        MinHasher(column, num_hashes, shingle),
+        batch_format="pandas", batch_size=batch_size,
     )
 
 
@@ -242,10 +244,9 @@ class SimHasher:
         return batch
 
 
-def simhash(ds, column: str = "text", concurrency=(1, 4), batch_size: int = 2048):
+def simhash(ds, column: str = "text", batch_size: int = 2048):
     return ds.map_batches(
-        SimHasher, fn_constructor_args=(column,), batch_format="pandas",
-        batch_size=batch_size, concurrency=concurrency,
+        SimHasher(column), batch_format="pandas", batch_size=batch_size
     )
 
 
