@@ -161,8 +161,100 @@ def run_scaling() -> dict:
     }
 
 
+def run_skew() -> dict:
+    """Hot-key stress: a Zipf log concentrated on few conversations,
+    applied without and with salted sub-partitioning."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from tenzir_ray.cdc import LakeTable
+    from tenzir_ray.cdc.generate import gen_changes
+
+    n = min(CDC_EVENTS, 4_000_000)
+    path = os.path.join(CACHE_DIR, f"hot_n{n}")
+    if not os.path.exists(path + ".done"):
+        os.makedirs(path, exist_ok=True)
+        tbl = gen_changes(n, seed=7, n_convs=200, zipf_a=1.6)  # extreme skew
+        step = (tbl.num_rows + 63) // 64
+        for i in range(64):
+            part = tbl.slice(i * step, step)
+            if part.num_rows:
+                pq.write_table(part, os.path.join(path, f"part-{i:03d}.parquet"),
+                               compression="zstd", row_group_size=65536)
+        open(path + ".done", "w").close()
+    ray.data.read_parquet(path).count()
+    out = {"metric": "cdc_skew_apply", "events": n, "num_cpus": NUM_CPUS}
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else CACHE_DIR
+    for salts, key in ((0, "sec_unsalted"), (8, "sec_salted")):
+        root = os.path.join(shm, "tenzir_ray_bench", f"skewlake{salts}")
+        shutil.rmtree(root, ignore_errors=True)
+        lake = LakeTable(root, num_partitions=max(64, NUM_CPUS * 8))
+        t0 = time.perf_counter()
+        lake.apply_changes(ray.data.read_parquet(path), epoch_id="e1",
+                           num_salts=salts)
+        out[key] = round(time.perf_counter() - t0, 3)
+        shutil.rmtree(root, ignore_errors=True)
+    ray.shutdown()
+    return out
+
+
+def run_incremental() -> dict:
+    """Steady-state incremental ingest: the log applied as 8 sequential
+    epochs onto a growing base (the realistic CDC mode — each epoch pays
+    the merge with live partitions)."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import pyarrow.compute as pc
+    import ray.data
+
+    from tenzir_ray.cdc import LakeTable
+
+    changes_path = _cached_changes(CDC_EVENTS)
+    ds_all = ray.data.read_parquet(changes_path)
+    ds_all.count()  # warm
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else CACHE_DIR
+    root = os.path.join(shm, "tenzir_ray_bench", "inc_lake")
+    shutil.rmtree(root, ignore_errors=True)
+    lake = LakeTable(root, num_partitions=max(64, NUM_CPUS * 8))
+    epochs = 8
+    span = CDC_EVENTS // epochs
+    times = []
+    for e in range(epochs):
+        lo, hi = e * span, (e + 1) * span
+        seg = ds_all.filter(expr=f"lsn >= {lo} and lsn < {hi}")
+        t0 = time.perf_counter()
+        lake.apply_changes(seg, epoch_id=f"e{e}")
+        times.append(round(time.perf_counter() - t0, 3))
+    shutil.rmtree(root, ignore_errors=True)
+    ray.shutdown()
+    return {
+        "metric": "cdc_incremental_ingest",
+        "events": CDC_EVENTS,
+        "epochs": epochs,
+        "epoch_secs": times,
+        "steady_state_eps": round(span / (sum(times[2:]) / len(times[2:]))),
+        "num_cpus": NUM_CPUS,
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--skew" in sys.argv:
+        print(json.dumps(run_skew()))
+    elif "--incremental" in sys.argv:
+        print(json.dumps(run_incremental()))
     else:
         print(json.dumps(run_bench()))

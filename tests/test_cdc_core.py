@@ -173,3 +173,29 @@ def test_tail_directory_resume(ray_session, tmp_path):
     r2 = lake.tail_directory(str(logdir))
     assert r2[0].get("skipped") is True and not r2[1].get("skipped")
     _assert_tables_equal(lake.final_table(), naive_apply(changes), cols=PAYLOAD)
+
+
+def test_task_retry_convergence(ray_session, tmp_path, monkeypatch):
+    """At-least-once execution: a fragment-writer task that CRASHES once
+    (first attempt) must not corrupt the lake — Ray retries the task (worker death is a
+    system failure), the duplicated fragments collapse under LWW, and
+    the final state equals the oracle."""
+    import tenzir_ray.cdc.lake as lake_mod
+
+    changes = gen_changes(4_000, seed=31)
+    marker = str(tmp_path / "fail-once-marker")
+
+    orig_call = lake_mod._FragmentWriter.__call__
+
+    def flaky_call(self, batch):
+        out = orig_call(self, batch)  # fragments hit disk BEFORE the crash
+        if not os.path.exists(marker):
+            open(marker, "w").close()
+            os._exit(1)  # hard worker death → Ray retries the task
+        return out
+
+    monkeypatch.setattr(lake_mod._FragmentWriter, "__call__", flaky_call)
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=4)
+    lake.apply_changes(changes, epoch_id="e1")
+    monkeypatch.setattr(lake_mod._FragmentWriter, "__call__", orig_call)
+    _assert_tables_equal(lake.final_table(), naive_apply(changes), cols=PAYLOAD)
