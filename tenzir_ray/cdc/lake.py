@@ -13,7 +13,10 @@ catalog, libtenzir/src/active_partition.cpp:103-187)::
     root/
       _manifest.json          # two-phase commit + lineage (manifest.py)
       _registry.json          # schema registry state
-      part=<k>/epoch-<id>-<uuid>.parquet   # live iff listed in manifest
+      part=<k>/epoch-<id>-<uuid>.parquet     # base file (live iff in manifest)
+      part=<k>/delta-<id>-<uuid>.parquet     # delta file: LWW-reduced changes
+                                             #   incl. delete tombstones (_op);
+                                             #   readers merge, optimize() compacts
 
 Dataflow per epoch (one bounded chunk of the binlog)::
 
@@ -38,8 +41,11 @@ Dataflow per epoch (one bounded chunk of the binlog)::
 Scale notes: P (num_partitions) is chosen so one partition's live rows
 fit a worker's heap (e.g. 64Ki partitions at 100 TB); an epoch is a
 bounded micro-batch of the log sized to the cluster's object store. Only
-partitions actually touched by the epoch are read back (merge-on-write,
-like the reference's partition rebuild, builtins/commands/rebuild.cpp:26).
+partitions actually touched by the epoch are read back, and a small
+epoch against a large base appends DELTA files instead of rewriting
+(merge-on-read) — epoch cost tracks change volume, not base size;
+``optimize()`` compacts deltas back into single base files (the
+reference's partition rebuild, builtins/commands/rebuild.cpp:26).
 """
 
 from __future__ import annotations
@@ -61,6 +67,7 @@ from tenzir_ray.cdc.registry import SchemaRegistry
 META_COLS = ("lsn", "op")
 KEY_COLS = ("conv_id", "turn_idx")
 LSN_COL = "_lsn"  # lsn column name as stored in lake files
+OP_COL = "_op"    # op column as stored in DELTA files (delete tombstones)
 
 
 def _factorize(col) -> tuple[np.ndarray, list[str]]:
@@ -158,6 +165,55 @@ def _lww_reduce_table(tbl: pa.Table) -> pa.Table:
     if mask.all():
         return tbl
     return tbl.filter(pa.array(mask))
+
+
+def _sorted_by_key(tbl: pa.Table) -> pa.Table:
+    """Stable (conv_id, turn_idx) order via integer dictionary ranks — the
+    dictionary (unique convs) is tiny relative to rows, so no string sort."""
+    if tbl.num_rows == 0:
+        return tbl
+    codes, uniq = _factorize(tbl.column("conv_id"))
+    uniq_order = np.argsort(np.asarray(uniq, dtype=object))
+    rank_of = np.empty(len(uniq), dtype=np.int64)
+    rank_of[uniq_order] = np.arange(len(uniq))
+    turn = tbl.column("turn_idx").to_numpy(zero_copy_only=False)
+    return tbl.take(pa.array(np.lexsort((turn, rank_of[codes]))))
+
+
+def _load_stored(root: str, rel: str, registry: SchemaRegistry) -> pa.Table:
+    """Load a lake file (base or delta) → conformed payload + lsn + op.
+    Base files carry implicit op=insert; delta files persist OP_COL."""
+    stored = pq.read_table(os.path.join(root, rel))
+    lsn_col = stored.column(LSN_COL).cast(pa.int64())
+    if OP_COL in stored.column_names:
+        op_col = stored.column(OP_COL).cast(pa.string())
+    else:
+        op_col = pa.array(np.repeat("insert", stored.num_rows), pa.string())
+    payload = registry.conform(
+        stored.select(
+            [c for c in stored.column_names if c not in (LSN_COL, OP_COL)]
+        )
+    )
+    payload = payload.append_column("lsn", lsn_col)
+    return payload.append_column("op", op_col)
+
+
+def _merge_live(tables: list[pa.Table]) -> pa.Table:
+    """Merge-on-read: concat (payload+lsn+op) tables, LWW by lsn per key,
+    drop deletes, stable key order. Output keeps lsn+op dropped."""
+    merged = pa.concat_tables(
+        [t.select(tables[0].column_names) for t in tables],
+        promote_options="permissive",
+    )
+    mask = _lww_mask(
+        merged.column("lsn").to_numpy(zero_copy_only=False),
+        _factorize(merged.column("conv_id"))[0],
+        merged.column("turn_idx").to_numpy(zero_copy_only=False),
+    )
+    alive = mask & pc.not_equal(merged.column("op"), "delete").to_numpy(
+        zero_copy_only=False
+    )
+    return _sorted_by_key(merged.filter(pa.array(alive)))
 
 
 def _write_fragment(tbl: pa.Table, dest: str) -> None:
@@ -286,13 +342,15 @@ class _PartitionReducer:
     __name__ = "partition_reduce"
 
     def __init__(self, root: str, staging: str, registry_json: str, epoch_id: str,
-                 base_files: dict[int, list[str]], payload_cols: list[str]):
+                 base_files: dict[int, list[str]], payload_cols: list[str],
+                 modes: dict[int, str] | None = None):
         self.root = root
         self.staging = staging
         self.registry = SchemaRegistry.from_json(registry_json)
         self.epoch_id = epoch_id
         self.base_files = base_files  # part -> list of live file relpaths
         self.payload_cols = payload_cols
+        self.modes = modes or {}     # part -> "full" | "delta"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import glob as globmod
@@ -314,50 +372,52 @@ class _PartitionReducer:
         )
         changes = changes.append_column("lsn", raw.column("lsn").cast(pa.int64()))
         changes = changes.append_column("op", raw.column("op").cast(pa.string()))
-        tables = [changes]
-        for rel in self.base_files.get(part, ()):
-            stored = pq.read_table(os.path.join(self.root, rel))
-            lsn_col = stored.column(LSN_COL).cast(pa.int64())
-            base = self.registry.conform(
-                stored.select([c for c in stored.column_names if c != LSN_COL])
-            )
-            base = base.append_column("lsn", lsn_col)
-            base = base.append_column(
-                "op", pa.array(np.repeat("insert", base.num_rows), pa.string())
-            )
-            tables.append(base.select(changes.column_names))
-        merged = pa.concat_tables(tables, promote_options="permissive")
+        change_lsn = changes.column("lsn").to_numpy(zero_copy_only=False)
+        mode = self.modes.get(part, "full")
 
-        lsn = merged.column("lsn").to_numpy(zero_copy_only=False)
-        codes, _ = _factorize(merged.column("conv_id"))
-        turn = merged.column("turn_idx").to_numpy(zero_copy_only=False)
-        mask = _lww_mask(lsn, codes, turn)
-        alive = mask & pc.not_equal(merged.column("op"), "delete").to_numpy(
-            zero_copy_only=False
-        )
-        final = merged.filter(pa.array(alive))
-        # stable output order (the verification ordering key): sort via
-        # integer dictionary ranks, not string comparisons — the dictionary
-        # (unique convs) is tiny relative to rows
-        fcodes, funiq = _factorize(final.column("conv_id"))
-        uniq_order = np.argsort(np.asarray(funiq, dtype=object))
-        rank_of = np.empty(len(funiq), dtype=np.int64)
-        rank_of[uniq_order] = np.arange(len(funiq))
-        fturn = final.column("turn_idx").to_numpy(zero_copy_only=False)
-        order = np.lexsort((fturn, rank_of[fcodes]))
-        final = final.take(pa.array(order))
-        out = final.select(self.payload_cols).append_column(
-            LSN_COL, final.column("lsn")
-        )
+        if mode == "delta":
+            # merge-on-read path: never touch the base — LWW-reduce only the
+            # epoch's changes and write them (incl. delete tombstones) as a
+            # DELTA file; readers merge base+deltas, optimize() compacts
+            final = _lww_reduce_table(changes)
+            final = _sorted_by_key(final)
+            out = final.select(self.payload_cols)
+            out = out.append_column(LSN_COL, final.column("lsn"))
+            out = out.append_column(OP_COL, final.column("op"))
+            rel = f"part={part}/delta-{self.epoch_id}-{uuid.uuid4().hex[:8]}.parquet"
+            lsn_high = int(change_lsn.max()) if len(change_lsn) else -1
+        else:
+            tables = [changes]
+            for rel_stored in self.base_files.get(part, ()):
+                tables.append(
+                    _load_stored(self.root, rel_stored, self.registry).select(
+                        changes.column_names
+                    )
+                )
+            merged = pa.concat_tables(tables, promote_options="permissive")
+            mask = _lww_mask(
+                merged.column("lsn").to_numpy(zero_copy_only=False),
+                _factorize(merged.column("conv_id"))[0],
+                merged.column("turn_idx").to_numpy(zero_copy_only=False),
+            )
+            alive = mask & pc.not_equal(merged.column("op"), "delete").to_numpy(
+                zero_copy_only=False
+            )
+            final = _sorted_by_key(merged.filter(pa.array(alive)))
+            out = final.select(self.payload_cols).append_column(
+                LSN_COL, final.column("lsn")
+            )
+            rel = f"part={part}/epoch-{self.epoch_id}-{uuid.uuid4().hex[:8]}.parquet"
+            mlsn = merged.column("lsn").to_numpy(zero_copy_only=False)
+            lsn_high = int(mlsn.max()) if len(mlsn) else -1
 
-        rel = f"part={part}/epoch-{self.epoch_id}-{uuid.uuid4().hex[:8]}.parquet"
         path = os.path.join(self.root, rel)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + ".tmp"
         pq.write_table(out, tmp, compression="zstd", compression_level=1)
         os.replace(tmp, path)  # write-then-rename (posix_filesystem.cpp:29)
 
-        # deterministic content checksum: sha256 over the sorted payload's
+        # deterministic content checksum: sha256 over the sorted output's
         # Arrow IPC bytes (single C pass, no pandas round-trip)
         import hashlib
 
@@ -367,18 +427,45 @@ class _PartitionReducer:
         checksum = int.from_bytes(
             hashlib.sha256(sink.getvalue()).digest()[:8], "big"
         ) & ((1 << 63) - 1)
-        change_lsn = changes.column("lsn").to_numpy(zero_copy_only=False)
         return {
             "part": part,
             "rows": out.num_rows,
-            # applied-LSN watermark incl. base (resume checkpoint)
-            "lsn_high": int(lsn.max()) if len(lsn) else -1,
+            "mode": mode,
+            # applied-LSN watermark (resume checkpoint)
+            "lsn_high": lsn_high,
             # this epoch's change-lsn range (lineage)
             "lsn_lo": int(change_lsn.min()) if len(change_lsn) else -1,
             "lsn_hi": int(change_lsn.max()) if len(change_lsn) else -1,
             "checksum": checksum,
             "file": rel,
         }
+
+
+class _PartitionLoader:
+    """Merge-on-read loader: one task per partition, merges base + delta
+    files (LWW, tombstones dropped) and emits payload rows."""
+
+    __name__ = "partition_load"
+
+    def __init__(self, root: str, files_by_part: dict, registry_json: str,
+                 columns: list[str] | None):
+        self.root = root
+        self.files_by_part = {int(k): v for k, v in files_by_part.items()}
+        self.registry = SchemaRegistry.from_json(registry_json)
+        self.columns = columns
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs = []
+        for row in batch.to_pylist():
+            rels = self.files_by_part[int(row["part"])]
+            merged = _merge_live(
+                [_load_stored(self.root, rel, self.registry) for rel in rels]
+            )
+            tbl = merged.drop_columns(["lsn", "op"])
+            if self.columns:
+                tbl = tbl.select(self.columns)
+            outs.append(tbl)
+        return pa.concat_tables(outs, promote_options="permissive")
 
 
 class LakeTable:
@@ -406,6 +493,7 @@ class LakeTable:
         epoch_id: str,
         num_salts: int = 0,
         batch_size: int = 65536,
+        delta_ratio: float = 0.2,
     ) -> dict[str, Any]:
         """Apply one epoch (a bounded chunk of the binlog) exactly once.
 
@@ -440,11 +528,14 @@ class LakeTable:
 
         staging = os.path.join(self.root, "_staging", epoch_id)
         shutil.rmtree(staging, ignore_errors=True)  # stale crashed attempt
-        changes.map_batches(
+        stage1 = changes.map_batches(
             _FragmentWriter(staging, reg_json, self.num_partitions, num_salts),
             batch_format="pyarrow",
             batch_size=batch_size,
-        ).count()  # barrier: all fragments on disk before reducing
+        ).to_pandas()  # barrier: all fragments on disk before reducing
+        frag_rows = (
+            stage1.groupby("part")["rows"].sum().to_dict() if len(stage1) else {}
+        )
 
         # -- optional stage 1.5: salted sub-partition pre-reduce ----------
         frag_dir = staging
@@ -476,8 +567,28 @@ class LakeTable:
         base_files = {
             int(k): info["files"] for k, info in self.manifest.partitions.items()
         }
+
+        # delta vs full rewrite per partition (merge-on-read, the fix for
+        # merge-on-write amplification in incremental ingest): small change
+        # volume against a large base → append a delta file instead of
+        # rewriting; accumulated deltas force compaction at the threshold
+        modes: dict[int, str] = {}
+        if delta_ratio > 0:
+            for k in touched:
+                info = self.manifest.partitions.get(str(k))
+                if info is None:
+                    continue  # no base yet → full
+                base_rows = info.get("rows", 0) or 0
+                pend = info.get("delta_rows", 0) or 0
+                ch = frag_rows.get(k, 0)
+                if base_rows > 0 and ch < delta_ratio * base_rows and (
+                    pend + ch
+                ) < 2 * delta_ratio * base_rows:
+                    modes[k] = "delta"
+
         reducer = _PartitionReducer(
-            self.root, frag_dir, reg_json, epoch_id, base_files, payload_cols
+            self.root, frag_dir, reg_json, epoch_id, base_files, payload_cols,
+            modes=modes,
         )
         lineage = (
             ray.data.from_items([{"part": k} for k in touched])
@@ -486,15 +597,26 @@ class LakeTable:
         )
 
         # -- two-phase commit -------------------------------------------
-        part_results = {
-            str(int(r.part)): {
-                "files": [r.file],
-                "rows": int(r.rows),
-                "lsn_high": int(r.lsn_high),
-                "checksum": int(r.checksum),
-            }
-            for r in lineage.itertuples()
-        }
+        part_results = {}
+        for r in lineage.itertuples():
+            k = str(int(r.part))
+            prev = self.manifest.partitions.get(k, {})
+            if r.mode == "delta":
+                part_results[k] = {
+                    "files": list(prev.get("files", [])) + [r.file],
+                    "rows": prev.get("rows", 0),
+                    "delta_rows": (prev.get("delta_rows", 0) or 0) + int(r.rows),
+                    "lsn_high": max(int(r.lsn_high), prev.get("lsn_high", -1)),
+                    "checksum": int(r.checksum),
+                }
+            else:
+                part_results[k] = {
+                    "files": [r.file],
+                    "rows": int(r.rows),
+                    "delta_rows": 0,
+                    "lsn_high": int(r.lsn_high),
+                    "checksum": int(r.checksum),
+                }
         lsn_min = int(lineage["lsn_lo"].min())
         lsn_max = int(lineage["lsn_hi"].max())
         self.manifest.commit_epoch(epoch_id, lsn_min, lsn_max, part_results)
@@ -511,8 +633,17 @@ class LakeTable:
         }
 
     # ------------------------------------------------------------------
+    def _has_deltas(self) -> bool:
+        return any(
+            len(info.get("files", [])) > 1 for info in self.manifest.partitions.values()
+        )
+
     def read(self, columns: list[str] | None = None) -> "ray.data.Dataset":
-        """Streaming Dataset over the live table (payload columns only)."""
+        """Streaming Dataset over the live table (payload columns only).
+
+        Compacted partitions stream straight from parquet (fast path);
+        partitions carrying delta files merge-on-read, one task per
+        partition (run ``optimize()`` to compact back to the fast path)."""
         import ray.data
 
         files = self.manifest.live_files()
@@ -520,21 +651,35 @@ class LakeTable:
             return ray.data.from_arrow(
                 pa.table({c: [] for c in (columns or ["conv_id"])})
             )
-        ds = ray.data.read_parquet(files, columns=columns)
-        if columns is None:
-            ds = ds.drop_columns([LSN_COL])
-        return ds
+        if not self._has_deltas():
+            ds = ray.data.read_parquet(files, columns=columns)
+            if columns is None:
+                ds = ds.drop_columns([LSN_COL])
+            return ds
+        loader = _PartitionLoader(
+            self.root,
+            {k: info["files"] for k, info in self.manifest.partitions.items()},
+            self.registry.to_json(),
+            columns,
+        )
+        parts = sorted(self.manifest.partitions, key=int)
+        return ray.data.from_items([{"part": int(k)} for k in parts]).map_batches(
+            loader, batch_format="pyarrow", batch_size=1
+        )
 
     def final_table(self) -> pa.Table:
         """Driver-side full read, sorted by (conv_id, turn_idx) — for
         verification at test scale only (materializes)."""
-        files = self.manifest.live_files()
-        if not files:
+        tables = []
+        for k in sorted(self.manifest.partitions, key=int):
+            info = self.manifest.partitions[k]
+            merged = _merge_live(
+                [_load_stored(self.root, rel, self.registry) for rel in info["files"]]
+            )
+            tables.append(merged.drop_columns(["lsn", "op"]))
+        if not tables:
             return pa.table({})
-        tbl = pa.concat_tables(
-            [pq.read_table(f) for f in files], promote_options="permissive"
-        )
-        tbl = tbl.drop_columns([LSN_COL])
+        tbl = pa.concat_tables(tables, promote_options="permissive")
         return tbl.take(
             pc.sort_indices(
                 tbl, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
@@ -588,25 +733,32 @@ class LakeTable:
         return {"files_removed": removed_files, "staging_removed": removed_staging}
 
     def optimize(self, compression_level: int = 10) -> int:
-        """Rewrite live partition files at a higher zstd level (the
-        background-maintenance analog of the reference's partition rebuild,
-        builtins/commands/rebuild.cpp:26): write-then-rename per file, then
-        atomically swap the manifest's file lists."""
-        import ray.data
-
+        """Compact every partition: merge base + delta files (LWW, drop
+        tombstones) into ONE file at a higher zstd level — the reference's
+        partition rebuild (builtins/commands/rebuild.cpp:26). Write-then-
+        rename per file, then one atomic manifest swap; superseded files
+        become orphans for gc()."""
         new_parts = {}
         for k, info in self.manifest.partitions.items():
-            new_files = []
-            for rel in info["files"]:
-                src_path = os.path.join(self.root, rel)
-                tbl = pq.read_table(src_path)
-                new_rel = rel.replace(".parquet", f"-opt{compression_level}.parquet")
-                dst = os.path.join(self.root, new_rel)
-                pq.write_table(tbl, dst + ".tmp", compression="zstd",
-                               compression_level=compression_level)
-                os.replace(dst + ".tmp", dst)
-                new_files.append(new_rel)
-            new_parts[k] = {**info, "files": new_files}
+            merged = _merge_live(
+                [_load_stored(self.root, rel, self.registry) for rel in info["files"]]
+            )
+            payload_cols = [c for c in merged.column_names if c not in ("lsn", "op")]
+            out = merged.select(payload_cols).append_column(
+                LSN_COL, merged.column("lsn")
+            )
+            new_rel = f"part={k}/compact-{uuid.uuid4().hex[:8]}.parquet"
+            dst = os.path.join(self.root, new_rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            pq.write_table(out, dst + ".tmp", compression="zstd",
+                           compression_level=compression_level)
+            os.replace(dst + ".tmp", dst)
+            new_parts[k] = {
+                **info,
+                "files": [new_rel],
+                "rows": out.num_rows,
+                "delta_rows": 0,
+            }
         self.manifest.partitions = new_parts
         self.manifest._atomic_write()
         self.gc()  # old files are now orphans

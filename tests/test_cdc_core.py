@@ -199,3 +199,68 @@ def test_task_retry_convergence(ray_session, tmp_path, monkeypatch):
     lake.apply_changes(changes, epoch_id="e1")
     monkeypatch.setattr(lake_mod._FragmentWriter, "__call__", orig_call)
     _assert_tables_equal(lake.final_table(), naive_apply(changes), cols=PAYLOAD)
+
+
+def test_delta_merge_on_read(ray_session, tmp_path):
+    """Small epochs against a large base append DELTA files (no base
+    rewrite); reads merge-on-read; optimize() compacts back to one file."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    base_log = gen_changes(10_000, seed=61)
+    root = str(tmp_path / "lake")
+    lake = LakeTable(root, num_partitions=4)
+    lake.apply_changes(base_log, epoch_id="e0")
+    assert all(len(i["files"]) == 1 for i in lake.manifest.partitions.values())
+
+    # a tiny follow-up epoch: updates+deletes against existing keys
+    upd = base_log.filter(pc.less(base_log.column("lsn"), 120))
+    n = upd.num_rows
+    upd = upd.set_column(
+        upd.schema.get_field_index("lsn"), "lsn",
+        pc.add(upd.column("lsn"), 100_000),
+    )
+    ops = ["delete" if i % 5 == 0 else "update" for i in range(n)]
+    upd = upd.set_column(upd.schema.get_field_index("op"), "op",
+                         pa.array(ops, pa.string()))
+    res = lake.apply_changes(upd, epoch_id="e1")
+    # delta files appended, base untouched
+    assert any(len(i["files"]) == 2 for i in lake.manifest.partitions.values())
+    assert any("delta-" in f for i in lake.manifest.partitions.values()
+               for f in i["files"])
+
+    oracle = naive_apply(
+        pa.concat_tables([base_log, upd], promote_options="permissive")
+    )
+    _assert_tables_equal(lake.final_table(), oracle, cols=PAYLOAD)
+    # Dataset read path merges too
+    got_ds = lake.read().to_pandas().sort_values(
+        ["conv_id", "turn_idx"], ignore_index=True
+    )
+    assert len(got_ds) == oracle.num_rows
+    assert got_ds["text"].tolist() == oracle.column("text").to_pylist()
+
+    # compaction: back to one file per partition, state unchanged
+    before = lake.final_table()
+    lake.optimize()
+    assert all(len(i["files"]) == 1 for i in lake.manifest.partitions.values())
+    assert LakeTable(root).final_table().equals(before)
+    # reopened lake resumes from the delta epoch's watermark
+    assert LakeTable(root).resume_lsn() == 100_000 + int(
+        pc.max(upd.column("lsn")).as_py() - 100_000
+    ) + 1 - 0  # == max lsn + 1
+
+
+def test_delta_disabled_forces_full(ray_session, tmp_path):
+    import pyarrow.compute as pc
+
+    base_log = gen_changes(8_000, seed=62)
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=4)
+    lake.apply_changes(base_log, epoch_id="e0")
+    upd = base_log.filter(pc.less(base_log.column("lsn"), 100))
+    upd = upd.set_column(upd.schema.get_field_index("lsn"), "lsn",
+                         pc.add(upd.column("lsn"), 50_000))
+    lake.apply_changes(upd, epoch_id="e1", delta_ratio=0.0)  # disable deltas
+    assert all(len(i["files"]) == 1 for i in lake.manifest.partitions.values())
+    oracle = naive_apply(pa.concat_tables([base_log, upd], promote_options="permissive"))
+    _assert_tables_equal(lake.final_table(), oracle, cols=PAYLOAD)
