@@ -400,13 +400,16 @@ class _PartitionReducer:
                 _factorize(merged.column("conv_id"))[0],
                 merged.column("turn_idx").to_numpy(zero_copy_only=False),
             )
-            alive = mask & pc.not_equal(merged.column("op"), "delete").to_numpy(
-                zero_copy_only=False
-            )
-            final = _sorted_by_key(merged.filter(pa.array(alive)))
+            # keep the per-key LWW WINNERS including delete tombstones: a
+            # tombstone must survive the rewrite so a late-arriving earlier
+            # segment (out-of-order backfill) cannot resurrect the key.
+            # Tombstones die at compaction (optimize()), which the operator
+            # runs once the log is known applied in order up to a watermark.
+            final = _sorted_by_key(merged.filter(pa.array(mask)))
             out = final.select(self.payload_cols).append_column(
                 LSN_COL, final.column("lsn")
             )
+            out = out.append_column(OP_COL, final.column("op"))
             rel = f"part={part}/epoch-{self.epoch_id}-{uuid.uuid4().hex[:8]}.parquet"
             mlsn = merged.column("lsn").to_numpy(zero_copy_only=False)
             lsn_high = int(mlsn.max()) if len(mlsn) else -1
@@ -427,9 +430,16 @@ class _PartitionReducer:
         checksum = int.from_bytes(
             hashlib.sha256(sink.getvalue()).digest()[:8], "big"
         ) & ((1 << 63) - 1)
+        n_tomb = int(
+            pc.sum(
+                pc.cast(pc.equal(final.column("op"), "delete"), pa.int64())
+            ).as_py()
+            or 0
+        )
         return {
             "part": part,
-            "rows": out.num_rows,
+            "rows": out.num_rows - (n_tomb if mode != "delta" else 0),
+            "tombstones": n_tomb,
             "mode": mode,
             # applied-LSN watermark (resume checkpoint)
             "lsn_high": lsn_high,
@@ -606,6 +616,7 @@ class LakeTable:
                     "files": list(prev.get("files", [])) + [r.file],
                     "rows": prev.get("rows", 0),
                     "delta_rows": (prev.get("delta_rows", 0) or 0) + int(r.rows),
+                    "tombstones": (prev.get("tombstones", 0) or 0) + int(r.tombstones),
                     "lsn_high": max(int(r.lsn_high), prev.get("lsn_high", -1)),
                     "checksum": int(r.checksum),
                 }
@@ -614,6 +625,7 @@ class LakeTable:
                     "files": [r.file],
                     "rows": int(r.rows),
                     "delta_rows": 0,
+                    "tombstones": int(r.tombstones),
                     "lsn_high": int(r.lsn_high),
                     "checksum": int(r.checksum),
                 }
@@ -635,7 +647,8 @@ class LakeTable:
     # ------------------------------------------------------------------
     def _has_deltas(self) -> bool:
         return any(
-            len(info.get("files", [])) > 1 for info in self.manifest.partitions.values()
+            len(info.get("files", [])) > 1 or (info.get("tombstones", 0) or 0) > 0
+            for info in self.manifest.partitions.values()
         )
 
     def read(self, columns: list[str] | None = None) -> "ray.data.Dataset":
@@ -758,6 +771,7 @@ class LakeTable:
                 "files": [new_rel],
                 "rows": out.num_rows,
                 "delta_rows": 0,
+                "tombstones": 0,
             }
         self.manifest.partitions = new_parts
         self.manifest._atomic_write()

@@ -83,12 +83,9 @@ class Manifest:
         """Atomically publish an epoch: replace the touched partitions'
         live file sets and append the lineage record."""
         for k, res in part_results.items():
-            self.partitions[k] = {
-                "files": res["files"],
-                "rows": res["rows"],
-                "lsn_high": res["lsn_high"],
-                "checksum": res["checksum"],
-            }
+            # store the full result record — callers own the field set
+            # (files/rows/delta_rows/tombstones/lsn_high/checksum)
+            self.partitions[k] = dict(res)
         self.epochs.append(
             {
                 "epoch_id": epoch_id,

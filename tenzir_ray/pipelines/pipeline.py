@@ -92,6 +92,10 @@ def _register_builtins() -> None:
         parse_cef=parsers.parse_cef,
         parse_leef=parsers.parse_leef,
         parse_grok=parsers.parse_grok,
+        parse_suricata=parsers.parse_suricata,
+        parse_zeek_json=parsers.parse_zeek_json,
+        parse_yaml=parsers.parse_yaml_docs,
+        read_zeek_tsv=parsers.read_zeek_tsv,
     )
     from tenzir_ray.stages import streaming
     OPERATORS.update(
@@ -100,10 +104,13 @@ def _register_builtins() -> None:
         repeat=transforms.repeat_,
         enumerate=transforms.enumerate_per_group,
         pseudonymize=transforms.pseudonymize,
+        parse_time=transforms.parse_time,
+
         streaming_deduplicate=streaming.streaming_deduplicate,
         adjacent_unique=streaming.adjacent_unique,
         measure=streaming.measure,
     )
+    OPERATORS["yield"] = transforms.yield_
     # trivial ops (pass/discard, reference pass.cpp/discard.cpp)
     OPERATORS["pass"] = lambda ds: ds
     OPERATORS["limit"] = lambda ds, n: ds.limit(n)

@@ -453,4 +453,38 @@ def parse_yaml_docs(ds, column: str = "text"):
     return ds.map_batches(_parse, batch_format="pyarrow")
 
 
+def parse_suricata(ds, column: str = "text"):
+    """Suricata eve.json preset (reference json.cpp alias `suricata`):
+    NDJSON with the schema selected per event by `event_type`."""
+    return parse_ndjson(ds, column=column, selector="event_type")
+
+
+def parse_zeek_json(ds, column: str = "text"):
+    """Zeek JSON-streaming preset (reference alias `zeek-json`): NDJSON
+    with the schema named by `_path`."""
+    return parse_ndjson(ds, column=column, selector="_path")
+
+
+def split_by_schema(ds, column: str = "_schema") -> dict:
+    """Heterogeneous stream → one Dataset per schema value (the
+    reference's multi-schema dataflow, pipeline.hpp:30: a stream may
+    interleave slices of many schemas; Ray Datasets are single-schema, so
+    the split materializes the distinct schema names (small) and filters
+    lazily per name)."""
+    names = sorted(
+        x if isinstance(x, str) else x[column] for x in ds.unique(column)
+    )
+    out = {}
+    for name in names:
+        expr_name = name
+
+        def _f(t, _n=expr_name):
+            import pyarrow.compute as _pc
+
+            return t.filter(_pc.equal(t[column], _n))
+
+        out[name] = ds.map_batches(_f, batch_format="pyarrow")
+    return out
+
+
 ship_by_value(sys.modules[__name__])

@@ -406,12 +406,17 @@ class _Pseudonymizer:
         self.key = salt.encode()
         self._hmac = hmac_mod
         self.cache: dict[str, str] = {}
+        self.bit_cache: dict[str, int] = {}  # prefixes shared across IPs
 
     def _bit(self, prefix_bits: str) -> int:
-        import hashlib
+        b = self.bit_cache.get(prefix_bits)
+        if b is None:
+            import hashlib
 
-        d = self._hmac.new(self.key, prefix_bits.encode(), hashlib.sha256).digest()
-        return d[0] & 1
+            d = self._hmac.new(self.key, prefix_bits.encode(), hashlib.sha256).digest()
+            b = d[0] & 1
+            self.bit_cache[prefix_bits] = b
+        return b
 
     def _anon_one(self, ip: str) -> str:
         if ip in self.cache:
@@ -478,6 +483,51 @@ def scale_int_cols(ds, columns: list[str], factor: int = 1_000_000):
         return batch
 
     return ds.map_batches(_scale, batch_format="pyarrow")
+
+
+def yield_(ds, path: str):
+    """Hoist a nested record to the top level (reference yield.cpp:217):
+    ``yield_(ds, "a.b")`` makes the fields of struct column a.b the new
+    event; a list along the path is unrolled (one event per element)."""
+
+    def _hoist(batch: pa.Table) -> pa.Table:
+        col = batch
+        parts = path.split(".")
+        arr = batch.column(parts[0])
+        for p in parts[1:]:
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if pa.types.is_struct(arr.type):
+                arr = arr.field(p)
+            else:
+                raise ValueError(f"cannot descend into {p!r} of {arr.type}")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if pa.types.is_list(arr.type):
+            arr = pc.list_flatten(arr)
+        if not pa.types.is_struct(arr.type):
+            return pa.table({parts[-1]: arr})
+        flat = arr.flatten()
+        return pa.table(
+            {f.name: a for f, a in zip(arr.type, flat)}
+        )
+
+    return ds.map_batches(_hoist, batch_format="pyarrow")
+
+
+def parse_time(ds, column: str, fmt: str, out: str | None = None,
+               unit: str = "us"):
+    """strptime a string column into a timestamp (the reference `time`
+    sub-parser inside `parse`, builtins/operators/time.cpp)."""
+    out = out or column
+
+    def _parse(batch: pa.Table) -> pa.Table:
+        parsed = pc.strptime(batch.column(column), format=fmt, unit=unit)
+        if out in batch.column_names:
+            return batch.set_column(batch.schema.get_field_index(out), out, parsed)
+        return batch.append_column(out, parsed)
+
+    return ds.map_batches(_parse, batch_format="pyarrow")
 
 
 ship_by_value(sys.modules[__name__])

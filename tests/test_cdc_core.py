@@ -264,3 +264,18 @@ def test_delta_disabled_forces_full(ray_session, tmp_path):
     assert all(len(i["files"]) == 1 for i in lake.manifest.partitions.values())
     oracle = naive_apply(pa.concat_tables([base_log, upd], promote_options="permissive"))
     _assert_tables_equal(lake.final_table(), oracle, cols=PAYLOAD)
+
+
+def test_out_of_order_epochs(ray_session, tmp_path):
+    """Segments applied out of lsn order (late segment first) still
+    converge — apply order is decided by lsn, never arrival (FIXTURES §2)."""
+    import pyarrow.compute as pc
+
+    changes = gen_changes(4_000, seed=77)
+    lsn = changes.column("lsn")
+    late = changes.filter(pc.greater_equal(lsn, 2000))
+    early = changes.filter(pc.less(lsn, 2000))
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=4)
+    lake.apply_changes(late, epoch_id="seg-B")   # later lsns arrive first
+    lake.apply_changes(early, epoch_id="seg-A")
+    _assert_tables_equal(lake.final_table(), naive_apply(changes), cols=PAYLOAD)

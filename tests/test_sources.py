@@ -193,3 +193,45 @@ def test_parse_yaml(ray_session):
     df = ds.to_pandas()
     assert df["a"].tolist()[:2] == [1, 2]
     assert "value" in df.columns or "_raw" in df.columns
+
+
+def test_presets_and_schema_split(ray_session):
+    import ray.data
+
+    from tenzir_ray.sources.parsers import parse_suricata, split_by_schema
+
+    lines = [
+        json.dumps({"event_type": "alert", "severity": 2}),
+        json.dumps({"event_type": "flow", "bytes": 10}),
+        json.dumps({"event_type": "alert", "severity": 5}),
+    ]
+    ds = parse_suricata(
+        ray.data.from_arrow(pa.table({"text": lines}))
+    )
+    per_schema = split_by_schema(ds)
+    assert sorted(per_schema) == ["alert", "flow"]
+    assert per_schema["alert"].count() == 2
+    assert per_schema["flow"].to_pandas()["bytes"].tolist() == [10]
+
+
+def test_yield_and_parse_time(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages.transforms import parse_time, yield_
+
+    tbl = pa.table(
+        {
+            "id": [1, 2],
+            "nested": pa.array(
+                [{"inner": {"x": 10, "y": "a"}}, {"inner": {"x": 20, "y": "b"}}],
+                pa.struct([("inner", pa.struct([("x", pa.int64()), ("y", pa.string())]))]),
+            ),
+            "when": ["2024-01-02 03:04:05", "2024-06-07 08:09:10"],
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    out = yield_(ds, "nested.inner").to_pandas()
+    assert sorted(out.columns) == ["x", "y"]
+    assert sorted(out["x"]) == [10, 20]
+    ts = parse_time(ds, "when", "%Y-%m-%d %H:%M:%S", out="ts").to_pandas()
+    assert str(ts["ts"][0]).startswith("2024-01-02 03:04:05")
