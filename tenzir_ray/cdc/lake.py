@@ -409,7 +409,13 @@ class _PartitionReducer:
             out = final.select(self.payload_cols).append_column(
                 LSN_COL, final.column("lsn")
             )
-            out = out.append_column(OP_COL, final.column("op"))
+            # the _op column only exists when tombstones are present — the
+            # all-insert common case stays a pure payload+_lsn file
+            has_tomb = bool(
+                pc.any(pc.equal(final.column("op"), "delete")).as_py()
+            )
+            if has_tomb:
+                out = out.append_column(OP_COL, final.column("op"))
             rel = f"part={part}/epoch-{self.epoch_id}-{uuid.uuid4().hex[:8]}.parquet"
             mlsn = merged.column("lsn").to_numpy(zero_copy_only=False)
             lsn_high = int(mlsn.max()) if len(mlsn) else -1
