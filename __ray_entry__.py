@@ -427,7 +427,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = summarize_hash(ds, by="l_orderkey", revenue="sum(rev)", n="count(*)")
         return T.scale_int_cols(out, ["revenue"])
 
+    def session_windows(sf):
+        from tenzir_ray.stages.window import session_window
+
+        return session_window(
+            _read(sf, "events", columns=["user_id", "ts"]), "ts", gap="1h",
+            by="user_id",
+        )
+
+    def sliding_windows(sf):
+        from tenzir_ray.stages.window import sliding_window
+
+        return sliding_window(
+            _read(sf, "events", columns=["ts", "value"]), "ts",
+            size="1d", slide="6h",
+        )
+
+    def subnet_enrich(sf):
+        import pyarrow as pa
+
+        from tenzir_ray.state.context import SubnetTable, enrich_subnet
+
+        cidrs = pa.table(
+            {
+                "net": ["10.0.0.0/8", "10.0.0.0/16", "10.0.0.0/24"],
+                "zone": ["wide", "mid", "narrow"],
+            }
+        )
+        import pandas as pd
+
+        def _mk(df: pd.DataFrame) -> pd.DataFrame:
+            df["ip"] = "10." + (df["user_id"] % 2 * 99).astype(str) + ".0." + (
+                df["event_id"] % 200
+            ).astype(str)
+            return df
+
+        ds = _read(sf, "events", columns=["event_id", "user_id"]).map_batches(
+            _mk, batch_format="pandas"
+        )
+        return enrich_subnet(ds, SubnetTable(cidrs, "net"), field="ip")
+
     return {
+        "session_windows": session_windows,
+        "sliding_windows": sliding_windows,
+        "subnet_enrich": subnet_enrich,
         "revenue_per_order": revenue_per_order,
         "median_by_type": median_by_type,
         "any_all_by_type": any_all_by_type,
@@ -567,6 +610,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    len(string_split_regex(trim(text), '\\s+')) AS ws_tokens
             FROM documents
+        """,
+        "session_windows": """
+            WITH marked AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            > INTERVAL '1 hour' OR
+                            lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       THEN 1 ELSE 0 END AS brk
+                FROM events),
+            sess AS (
+                SELECT user_id, ts,
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+                FROM marked)
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n
+            FROM sess GROUP BY user_id, sid
         """,
         "revenue_per_order": """
             SELECT l_orderkey,

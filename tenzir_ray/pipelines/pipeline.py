@@ -110,6 +110,11 @@ def _register_builtins() -> None:
         adjacent_unique=streaming.adjacent_unique,
         measure=streaming.measure,
     )
+    from tenzir_ray.stages import window as window_mod
+    OPERATORS.update(
+        sliding_window=window_mod.sliding_window,
+        session_window=window_mod.session_window,
+    )
     OPERATORS["yield"] = transforms.yield_
     # trivial ops (pass/discard, reference pass.cpp/discard.cpp)
     OPERATORS["pass"] = lambda ds: ds

@@ -1,0 +1,112 @@
+"""Windowed aggregation over event-time (stream-shaped workloads).
+
+Ray Data has no event-time windows/watermarks; per the engine's ordering
+philosophy (explicit keys, not assumed stream order), windows are
+computed per key with ``groupby(key).map_groups`` over the sorted group:
+
+- tumbling: fixed buckets — use ``summarize.time_bucket`` + ``summarize``
+  (the reference's `resolution`, summarize.cpp:41).
+- sliding_window: overlapping fixed windows (each event lands in
+  ``size/slide`` windows; implemented by exploding events to their
+  window starts — stays vectorized).
+- session_window: gap-based sessions per key (a new session starts when
+  the gap to the previous event exceeds ``gap``) — beyond the
+  reference's wall-clock timeouts, expressed in event time.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pandas as pd
+
+from tenzir_ray._ship import ship_by_value
+
+
+def _to_ns(s: str) -> int:
+    import re
+
+    m = re.match(r"^(\d+)\s*(s|m|min|h|d)$", s)
+    if not m:
+        raise ValueError(f"bad duration {s!r}")
+    mult = {"s": 1, "m": 60, "min": 60, "h": 3600, "d": 86400}[m.group(2)]
+    return int(m.group(1)) * mult * 1_000_000_000
+
+
+def sliding_window(ds, ts_column: str, size: str, slide: str,
+                   by: str | list[str] | None = None,
+                   agg_column: str | None = None):
+    """Overlapping windows: emit (window_start[, keys], n[, sum_v]).
+
+    Each event belongs to every window whose start is in
+    ``(ts - size, ts]`` stepped by ``slide`` — the explode is vectorized
+    per batch (size/slide copies per row), then one groupby.
+    """
+    size_ns, slide_ns = _to_ns(size), _to_ns(slide)
+    copies = (size_ns + slide_ns - 1) // slide_ns
+    keys = ([by] if isinstance(by, str) else list(by)) if by else []
+
+    def _explode(df: pd.DataFrame) -> pd.DataFrame:
+        ts = pd.to_datetime(df[ts_column]).astype("datetime64[ns]").astype("int64").to_numpy()
+        # last window start covering the event
+        last_start = (ts // slide_ns) * slide_ns
+        offsets = np.arange(copies) * slide_ns
+        starts = last_start[:, None] - offsets[None, :]
+        valid = starts > (ts[:, None] - size_ns)
+        idx, win = np.nonzero(valid)
+        out = df.iloc[idx].copy()
+        out["window_start"] = pd.to_datetime(starts[idx, win])
+        return out
+
+    exploded = ds.map_batches(_explode, batch_format="pandas")
+    gcols = ["window_start"] + keys
+
+    def _agg(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby(gcols, as_index=False, sort=False)
+        if agg_column:
+            out = gb.agg(n=(ts_column, "size"), total=(agg_column, "sum"))
+        else:
+            out = gb.agg(n=(ts_column, "size"))
+        return out
+
+    # bucket by window_start hash → vectorized pandas agg per bucket
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["_b"] = pd.util.hash_array(df["window_start"].to_numpy()) % 32
+        return df
+
+    return (
+        exploded.map_batches(_bucket, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(lambda g: _agg(g.drop(columns=["_b"])), batch_format="pandas")
+    )
+
+
+def session_window(ds, ts_column: str, gap: str, by: str | list[str],
+                   agg_column: str | None = None):
+    """Gap-based sessions per key: a session breaks when consecutive
+    events are more than ``gap`` apart. Emits
+    (keys, session_start, session_end, n[, total])."""
+    gap_ns = _to_ns(gap)
+    keys = [by] if isinstance(by, str) else list(by)
+
+    def _sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_column, kind="mergesort")
+        # normalize to ns regardless of the column's stored resolution
+        ts = pd.to_datetime(g[ts_column]).astype("datetime64[ns]").astype("int64").to_numpy()
+        new_session = np.r_[True, (ts[1:] - ts[:-1]) > gap_ns]
+        sid = np.cumsum(new_session)
+        g = g.assign(_sid=sid)
+        gb = g.groupby(keys + ["_sid"], as_index=False, sort=False)
+        aggs = {"session_start": (ts_column, "min"),
+                "session_end": (ts_column, "max"),
+                "n": (ts_column, "size")}
+        if agg_column:
+            aggs["total"] = (agg_column, "sum")
+        out = gb.agg(**aggs).drop(columns=["_sid"])
+        return out
+
+    return ds.groupby(keys).map_groups(_sessions, batch_format="pandas")
+
+
+ship_by_value(sys.modules[__name__])
