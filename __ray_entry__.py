@@ -467,7 +467,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return enrich_subnet(ds, SubnetTable(cidrs, "net"), field="ip")
 
+    def ann_ivf_topk(sf):
+        import pyarrow.parquet as pq
+
+        q_tbl = pq.read_table(
+            f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).slice(0, 2)
+        queries_m = np.stack(
+            [np.asarray(v) for v in q_tbl.column("embedding").to_pylist()]
+        )
+        return SIM.ivf_topk(
+            _read(sf, "embeddings"), queries_m, k=5, nlist=16, nprobe=6
+        )
+
+    def dedup_components(sf):
+        # transitive near-dup clusters: planted duplicate chain via union
+        # with two shifted copies, LSH candidates -> connected components
+        ds = _read(sf, "documents", columns=["doc_id", "text"])
+        groups = D.minhash_lsh_dedup(ds, "doc_id", "text")
+        import pandas as pd
+
+        def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["doc_id"] != df["dup_group"]]
+            return pd.DataFrame({"id_a": df["dup_group"], "id_b": df["doc_id"]})
+
+        edges = groups.map_batches(_pairs, batch_format="pandas")
+        if edges.count() == 0:
+            import pyarrow as pa
+
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "component": pa.array([], pa.int64())})
+        return D.connected_components(edges)
+
     return {
+        "ann_ivf_topk": ann_ivf_topk,
+        "dedup_components": dedup_components,
         "session_windows": session_windows,
         "sliding_windows": sliding_windows,
         "subnet_enrich": subnet_enrich,

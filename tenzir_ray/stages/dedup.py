@@ -283,4 +283,86 @@ def ngram_jaccard_pairs(ds, pairs: list[tuple], id_column: str,
     return pa.Table.from_pylist(rows)
 
 
+def connected_components(pairs_ds, node_col: str = "id_a", peer_col: str = "id_b",
+                         max_iters: int = 10, buckets: int = 32):
+    """Distributed connected components by iterative min-label propagation
+    (the transitive closure LSH's one-round min-label misses): every node
+    repeatedly adopts the smallest label among itself and its neighbors
+    until a fixpoint. Each round is two vectorized bucketed reductions;
+    rounds needed = graph diameter (small for dedup clusters).
+
+    Input: a Dataset of undirected edges. Returns (node, component) with
+    component = min node id in the component.
+    """
+    import pandas as pd
+    import ray.data
+
+    def _sym(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": pd.concat([df[node_col], df[peer_col]], ignore_index=True),
+                "peer": pd.concat([df[peer_col], df[node_col]], ignore_index=True),
+            }
+        )
+
+    edges = pairs_ds.map_batches(_sym, batch_format="pandas").materialize()
+
+    def _bucket(df: pd.DataFrame, col: str) -> pd.DataFrame:
+        df["_b"] = pd.util.hash_array(df[col].to_numpy()) % buckets
+        return df
+
+    # initial labels: each node's min direct neighbor (or itself)
+    def _min_peer(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("node", as_index=False)["peer"].min()
+        m["label"] = np.minimum(m["node"], m["peer"])
+        return m[["node", "label"]]
+
+    labels = (
+        edges.map_batches(lambda d: _bucket(d, "node"), batch_format="pandas")
+        .groupby("_b")
+        .map_groups(lambda g: _min_peer(g.drop(columns=["_b"])), batch_format="pandas")
+        .materialize()
+    )
+
+    for _ in range(max_iters):
+        lab_df = labels.to_pandas()  # label table is one row per node (small
+        # relative to the corpus); broadcast it for the propagate join
+        import ray
+
+        lab_ref = ray.put(dict(zip(lab_df["node"], lab_df["label"])))
+
+        class _Propagate:
+            def __init__(self):
+                self.lab = ray.get(lab_ref)
+
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                peer_lab = df["peer"].map(self.lab).fillna(df["peer"])
+                own_lab = df["node"].map(self.lab).fillna(df["node"])
+                new = np.minimum(own_lab.to_numpy(), peer_lab.to_numpy())
+                return pd.DataFrame({"node": df["node"], "label": new})
+
+        proposed = edges.map_batches(_Propagate(), batch_format="pandas")
+
+        def _min_label(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby("node", as_index=False)["label"].min()
+
+        new_labels = (
+            proposed.map_batches(lambda d: _bucket(d, "node"), batch_format="pandas")
+            .groupby("_b")
+            .map_groups(lambda g: _min_label(g.drop(columns=["_b"])), batch_format="pandas")
+            .materialize()
+        )
+        new_df = new_labels.to_pandas().sort_values("node", ignore_index=True)
+        old_df = lab_df.sort_values("node", ignore_index=True)
+        labels = new_labels
+        if len(new_df) == len(old_df) and (
+            new_df["label"].to_numpy() == old_df["label"].to_numpy()
+        ).all():
+            break
+    return labels.map_batches(
+        lambda df: df.rename(columns={"node": node_col, "label": "component"}),
+        batch_format="pandas",
+    )
+
+
 ship_by_value(sys.modules[__name__])

@@ -195,4 +195,67 @@ def embedding_near_dup(ds, id_column: str = "vec_id", column: str = "embedding",
     return bucketed.groupby("lsh_bucket").map_groups(_pairs, batch_format="pandas")
 
 
+def _kmeans(sample: np.ndarray, k: int, iters: int = 10, seed: int = 11) -> np.ndarray:
+    """Plain Lloyd k-means on a driver-side sample (seeded, numpy-only) —
+    the coarse quantizer for IVF."""
+    rng = np.random.default_rng(seed)
+    k = min(k, len(sample))
+    centroids = sample[rng.choice(len(sample), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(k):
+            members = sample[assign == j]
+            if len(members):
+                centroids[j] = members.mean(axis=0)
+    return centroids.astype(np.float32)
+
+
+class _IvfAssigner:
+    """Attach the nearest-centroid list id (the IVF inverted-list key)."""
+
+    def __init__(self, centroids_ref, column: str):
+        import ray
+
+        self.centroids = _normalize(ray.get(centroids_ref))
+        self.column = column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_to_matrix(batch.column(self.column)))
+        lists = (m @ self.centroids.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column("ivf_list", pa.array(lists, pa.int32()))
+
+
+def ivf_topk(ds, queries: np.ndarray, id_column: str = "vec_id",
+             column: str = "embedding", k: int = 10, nlist: int = 64,
+             nprobe: int = 8, train_sample: int = 2048,
+             concurrency=(1, 4)) -> pa.Table:
+    """IVF approximate top-k: k-means coarse quantizer trained on a
+    driver-side sample, rows assigned to inverted lists, queries probe
+    only their ``nprobe`` nearest lists (the classic IVF-Flat layout;
+    at scale the assignment column doubles as the storage partitioning
+    key so probes touch only matching files)."""
+    import ray
+
+    sample_rows = ds.take(train_sample)
+    sample = np.stack([np.asarray(r[column]) for r in sample_rows]).astype(np.float32)
+    centroids = _kmeans(_normalize(sample), nlist)
+    cref = ray.put(centroids)
+    assigned = ds.map_batches(
+        _IvfAssigner, fn_constructor_args=(cref, column),
+        batch_format="pyarrow", concurrency=concurrency,
+    )
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    probe_lists = np.argsort(-(q @ _normalize(centroids).T), axis=1)[:, :nprobe]
+    wanted = sorted({int(x) for x in probe_lists.ravel()})
+    candidates = assigned.map_batches(
+        lambda t: t.filter(
+            pa.compute.is_in(t["ivf_list"], pa.array(wanted, pa.int32()))
+        ),
+        batch_format="pyarrow",
+    )
+    return brute_force_topk(candidates.drop_columns(["ivf_list"]), q, id_column,
+                            column, k, concurrency=concurrency)
+
+
 ship_by_value(sys.modules[__name__])

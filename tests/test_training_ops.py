@@ -200,3 +200,38 @@ def test_multimodal_plumbing(ray_session):
         M.decode_images(media.limit(1), fake=False).to_pandas()
     frames = M.sample_frames(media.filter(lambda r: r["kind"] == "video")).to_pandas()
     assert (frames["frame_idx"] % 10 == 0).all()
+
+
+def test_ivf_topk_recall(embeddings):
+    import pyarrow.parquet as pq
+
+    q_tbl = pq.read_table(
+        f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).slice(0, 4)
+    queries = np.stack([np.asarray(v) for v in q_tbl.column("embedding").to_pylist()])
+    exact = SIM.brute_force_topk(embeddings, queries, k=10)
+    approx = SIM.ivf_topk(embeddings, queries, k=10, nlist=16, nprobe=6)
+    e = exact.to_pandas()
+    a = approx.to_pandas()
+    recalls = []
+    for qi in range(4):
+        te = set(e[e["query_idx"] == qi]["vec_id"])
+        ta = set(a[a["query_idx"] == qi]["vec_id"])
+        recalls.append(len(te & ta) / len(te))
+    # each query must at least find itself; average recall decent
+    for qi, vid in enumerate(q_tbl.column("vec_id").to_pylist()):
+        sub = a[a["query_idx"] == qi].sort_values("similarity", ascending=False)
+        assert sub.iloc[0]["vec_id"] == vid
+    assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_connected_components_transitive(ray_session):
+    import ray.data
+
+    # chain 1-2-3-4 plus isolated pair 10-11: one-round min-label would
+    # give {1:{1,2},{3:{3,4}} for edges (1,2),(2,3),(3,4); CC must merge all
+    edges = pa.table({"id_a": [1, 2, 3, 10], "id_b": [2, 3, 4, 11]})
+    out = D.connected_components(ray.data.from_arrow(edges)).to_pandas()
+    comp = dict(zip(out["id_a"], out["component"]))
+    assert comp[1] == comp[2] == comp[3] == comp[4] == 1
+    assert comp[10] == comp[11] == 10
