@@ -163,6 +163,65 @@ def _stddev(col: str, alias: str, ddof: int = 0) -> AggregateFn:
     )
 
 
+
+
+def _hll(col: str, alias: str, p: int = 12) -> AggregateFn:
+    """HyperLogLog approximate count-distinct (Flajolet et al. 2007) —
+    the mergeable-sketch path for distinct counts at 10^10 scale where
+    the exact set-union accumulator would not fit. Registers travel as a
+    bytes accumulator (Arrow-representable); merge = elementwise max.
+    Standard error ≈ 1.04/sqrt(2^p) (~1.6% at p=12)."""
+    m = 1 << p
+
+    def _acc(acc: bytes, block) -> bytes:
+        import pandas as pd_mod
+
+        regs = np.frombuffer(acc, dtype=np.uint8).copy()
+        vals = pc.drop_null(block.column(col)).unique()
+        if len(vals) == 0:
+            return regs.tobytes()
+        h = pd_mod.util.hash_array(
+            np.asarray(vals.to_pylist(), dtype=object)
+        ).astype(np.uint64)
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = h << np.uint64(p)
+        # rank = leading zeros of the remaining bits + 1 (capped)
+        rank = np.ones(len(h), dtype=np.uint8)
+        mask_bit = np.uint64(1) << np.uint64(63)
+        rest_work = rest.copy()
+        for _ in range(64 - p):
+            zero = (rest_work & mask_bit) == 0
+            if not zero.any():
+                break
+            rank[zero] += 1
+            rest_work = rest_work << np.uint64(1)
+            rest_work[~zero] = mask_bit  # freeze finished rows
+        np.maximum.at(regs, idx, rank)
+        return regs.tobytes()
+
+    def _merge(a: bytes, b: bytes) -> bytes:
+        return np.maximum(
+            np.frombuffer(a, dtype=np.uint8), np.frombuffer(b, dtype=np.uint8)
+        ).tobytes()
+
+    def _fin(acc: bytes) -> int:
+        regs = np.frombuffer(acc, dtype=np.uint8).astype(np.float64)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(np.power(2.0, -regs))
+        zeros = int((regs == 0).sum())
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)  # linear counting, small range
+        return int(round(est))
+
+    return AggregateFn(
+        init=lambda k: bytes(m),
+        accumulate_block=_acc,
+        merge=_merge,
+        finalize=_fin,
+        name=alias,
+    )
+
+
 def make_agg(func: str, col: str, alias: str):
     """Build one aggregate from (function-name, column, output alias)."""
     func = func.lower()
@@ -178,6 +237,8 @@ def make_agg(func: str, col: str, alias: str):
         return Count(alias_name=alias) if col in ("", "*", ".") else Count(col, alias_name=alias)
     if func == "count_distinct":
         return _count_distinct(col, alias)
+    if func in ("approx_count_distinct", "hll"):
+        return _hll(col, alias)
     if func == "distinct":
         return _distinct(col, alias)
     if func == "collect":

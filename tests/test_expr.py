@@ -1,0 +1,68 @@
+"""Expression compiler edge cases (expr.py — where/set/pushdown surface)."""
+
+import pyarrow as pa
+import pytest
+
+from tenzir_ray.stages import transforms as T
+
+
+@pytest.fixture()
+def tbl_ds(ray_session):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "a": [1, 5, 10, 15, 20],
+                "b": [2.0, 4.0, 6.0, 8.0, 10.0],
+                "s": ["foo", "bar", "foobar", None, "baz"],
+                "t": pa.array(
+                    [1000, 2000, 3000, 4000, 5000], pa.timestamp("s")
+                ),
+            }
+        )
+    )
+
+
+def test_chained_comparison(tbl_ds):
+    out = T.where(tbl_ds, "1 < a < 15").to_pandas()
+    assert sorted(out["a"]) == [5, 10]
+
+
+def test_arithmetic_precedence(tbl_ds):
+    out = T.set_(tbl_ds, c="a + b * 2").to_pandas().sort_values("a")
+    assert out["c"].tolist() == [5.0, 13.0, 22.0, 31.0, 40.0]
+    out = T.set_(tbl_ds, d="(a + b) * 2").to_pandas().sort_values("a")
+    assert out["d"].tolist() == [6.0, 18.0, 32.0, 46.0, 60.0]
+
+
+def test_scalar_on_left(tbl_ds):
+    out = T.set_(tbl_ds, e="100 - a").to_pandas().sort_values("a")
+    assert out["e"].tolist() == [99, 95, 90, 85, 80]
+    out = T.where(tbl_ds, "10 <= a").to_pandas()
+    assert sorted(out["a"]) == [10, 15, 20]
+
+
+def test_string_methods_and_null(tbl_ds):
+    out = T.where(tbl_ds, "s.startswith('foo')").to_pandas()
+    assert sorted(out["s"]) == ["foo", "foobar"]
+    out = T.where(tbl_ds, "s.contains('ba') and a > 1").to_pandas()
+    assert sorted(out["s"]) == ["bar", "baz", "foobar"]
+    out = T.where(tbl_ds, "s is None").to_pandas()
+    assert len(out) == 1 and out["a"].iloc[0] == 15
+    out = T.where(tbl_ds, "not (a in [1, 5])").to_pandas()
+    assert sorted(out["a"]) == [10, 15, 20]
+
+
+def test_bool_connectives(tbl_ds):
+    out = T.where(tbl_ds, "a < 5 or a > 15 or (b == 6.0 and s == 'foobar')").to_pandas()
+    assert sorted(out["a"]) == [1, 10, 20]
+
+
+def test_unsupported_raises():
+    from tenzir_ray.expr import compile_expr
+
+    with pytest.raises(ValueError):
+        compile_expr("__import__('os').system('x')")
+    with pytest.raises(ValueError):
+        compile_expr("a ** 2")

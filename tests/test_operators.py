@@ -255,3 +255,23 @@ def test_summarize_hash_high_cardinality(lineitem):
         "FROM lineitem GROUP BY l_orderkey",
         sort_cols=["l_orderkey"],
     )
+
+
+def test_hll_approx_count_distinct(lineitem):
+    from tenzir_ray.stages.summarize import summarize
+
+    got = summarize(
+        lineitem, approx="approx_count_distinct(l_partkey)", exact="count_distinct(l_partkey)"
+    ).to_pandas()
+    approx, exact = int(got["approx"][0]), int(got["exact"][0])
+    assert abs(approx - exact) / exact < 0.06  # ~1.6% stderr at p=12
+
+    by = summarize(
+        lineitem, by="l_returnflag", approx="approx_count_distinct(l_orderkey)"
+    ).to_pandas()
+    want = _duck(
+        "SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact FROM lineitem GROUP BY 1"
+    )
+    merged = by.merge(want, on="l_returnflag")
+    rel_err = (merged["approx"] - merged["exact"]).abs() / merged["exact"]
+    assert (rel_err < 0.08).all()
