@@ -499,7 +499,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              "component": pa.array([], pa.int64())})
         return D.connected_components(edges)
 
+    def join_revenue_by_priority(sf):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from tenzir_ray.stages.join import hash_join
+
+        li = _read(sf, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+        def _cents(t: pa.Table) -> pa.Table:
+            rev = pc.multiply(
+                pc.multiply(t.column("l_extendedprice"),
+                            pc.subtract(1.0, t.column("l_discount"))), 10000)
+            return t.select(["l_orderkey"]).append_column(
+                "rev_dm", pc.cast(pc.round(rev), pa.int64())
+            )
+
+        li = li.map_batches(_cents, batch_format="pyarrow")
+        orders = _read(sf, "orders", columns=["o_orderkey", "o_orderpriority"])
+        joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+        agg = S.summarize(
+            joined, by="o_orderpriority", rev_dm="sum(rev_dm)", n="count(*)"
+        )
+
+        def _money(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "revenue",
+                pc.divide(pc.cast(t.column("rev_dm"), pa.float64()), 10000.0),
+            ).drop_columns(["rev_dm"])
+
+        return agg.map_batches(_money, batch_format="pyarrow")
+
     return {
+        "join_revenue_by_priority": join_revenue_by_priority,
         "ann_ivf_topk": ann_ivf_topk,
         "dedup_components": dedup_components,
         "session_windows": session_windows,
@@ -644,6 +676,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    len(string_split_regex(trim(text), '\\s+')) AS ws_tokens
             FROM documents
+        """,
+        "join_revenue_by_priority": """
+            WITH j AS (
+                SELECT o.o_orderpriority,
+                       CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT) AS rev_dm
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+            SELECT o_orderpriority,
+                   CAST(sum(rev_dm) AS DOUBLE) / 10000.0 AS revenue,
+                   count(*) AS n
+            FROM j GROUP BY o_orderpriority
         """,
         "session_windows": """
             WITH marked AS (

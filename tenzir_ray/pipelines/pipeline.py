@@ -115,6 +115,7 @@ def _register_builtins() -> None:
         sliding_window=window_mod.sliding_window,
         session_window=window_mod.session_window,
     )
+    from tenzir_ray.stages import join as join_mod
     OPERATORS["yield"] = transforms.yield_
     # trivial ops (pass/discard, reference pass.cpp/discard.cpp)
     OPERATORS["pass"] = lambda ds: ds

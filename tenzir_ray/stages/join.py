@@ -1,0 +1,100 @@
+"""Large-large joins.
+
+The reference has NO stream-stream join (SURVEY §2.5 notes the absence;
+enrichment contexts are its only join-like construct) — this is an
+engine extension. Two paths:
+
+- :func:`hash_join` — the portable explicit co-partitioned hash join:
+  both sides get a deterministic ``bucket = hash(key) % B`` column and a
+  side tag, are unioned under a combined schema, and each bucket joins
+  its two sides with one vectorized pandas merge (B Python calls total).
+  Use for both-sides-large; broadcast `state.context.enrich` remains the
+  right tool for small dimension sides.
+- ``Dataset.join`` (Ray native, hash-partitioned) exists in this Ray
+  version but rides the hash-shuffle backend that measured pathological
+  in local mode; prefer :func:`hash_join` until that backend matures.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from tenzir_ray._ship import ship_by_value
+
+
+def _key_hash(df: pd.DataFrame, keys: list[str], buckets: int) -> np.ndarray:
+    """Deterministic bucket per key tuple; keys stringified so the two
+    sides agree even when physical dtypes differ (int32 vs int64)."""
+    h = pd.util.hash_array(df[keys[0]].astype(str).to_numpy(dtype=object))
+    for k in keys[1:]:
+        h = h ^ pd.util.hash_array(df[k].astype(str).to_numpy(dtype=object))
+    return (h % buckets).astype(np.int64)
+
+
+def hash_join(left, right, on: str | list[str], right_on: str | list[str] | None = None,
+              how: str = "inner", buckets: int = 32, right_suffix: str = "_r"):
+    """Co-partitioned hash join of two Datasets.
+
+    ``on``/``right_on`` name the key columns; overlapping non-key columns
+    from the right get ``right_suffix``. Supported ``how``: inner, left.
+    """
+    lkeys = [on] if isinstance(on, str) else list(on)
+    rkeys = lkeys if right_on is None else (
+        [right_on] if isinstance(right_on, str) else list(right_on)
+    )
+
+    lcols = left.schema().names
+    rcols = right.schema().names
+    rename_r = {
+        c: (c + right_suffix if c in lcols and c not in rkeys else c) for c in rcols
+    }
+
+    def _tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_jb"] = _key_hash(df, lkeys, buckets)
+        df["_side"] = 0
+        return df
+
+    def _tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns=rename_r).copy()
+        df["_jb"] = _key_hash(df, [rename_r.get(k, k) for k in rkeys], buckets)
+        df["_side"] = 1
+        return df
+
+    lt = left.map_batches(_tag_left, batch_format="pandas")
+    rt = right.map_batches(_tag_right, batch_format="pandas")
+
+    # union needs identical schemas: pad each side with the other's
+    # columns as nulls (they are reconstructed per bucket)
+    l_out = [c for c in lcols]
+    r_out = [rename_r[c] for c in rcols]
+    all_cols = l_out + [c for c in r_out if c not in l_out] + ["_jb", "_side"]
+
+    def _pad(df: pd.DataFrame) -> pd.DataFrame:
+        for c in all_cols:
+            if c not in df.columns:
+                df[c] = None
+        return df[all_cols]
+
+    unioned = lt.map_batches(_pad, batch_format="pandas").union(
+        rt.map_batches(_pad, batch_format="pandas")
+    )
+
+    r_key_names = [rename_r.get(k, k) for k in rkeys]
+
+    def _join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lhs = g[g["_side"] == 0][l_out]
+        rhs = g[g["_side"] == 1][[c for c in r_out]]
+        merged = lhs.merge(
+            rhs, how=how, left_on=lkeys, right_on=r_key_names
+        )
+        return merged
+
+    return unioned.groupby("_jb").map_groups(_join_bucket, batch_format="pandas")
+
+
+ship_by_value(sys.modules[__name__])

@@ -275,3 +275,31 @@ def test_hll_approx_count_distinct(lineitem):
     merged = by.merge(want, on="l_returnflag")
     rel_err = (merged["approx"] - merged["exact"]).abs() / merged["exact"]
     assert (rel_err < 0.08).all()
+
+
+def test_hash_join_vs_duckdb(lineitem, ray_session):
+    import ray.data
+
+    from tenzir_ray.stages.join import hash_join
+
+    orders = ray.data.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    li = lineitem.select_columns(["l_orderkey", "l_quantity"])
+    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+    got = joined.to_pandas()
+    want = _duck(
+        "SELECT l.l_orderkey, l.l_quantity, o.o_orderkey, o.o_orderpriority "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+    )
+    assert len(got) == len(want)
+    g = got.groupby("o_orderpriority")["l_quantity"].sum().sort_index()
+    w = want.groupby("o_orderpriority")["l_quantity"].sum().sort_index()
+    assert (g == w).all()
+    # left join keeps unmatched left rows (none here; synthesize one)
+    extra = ray.data.from_arrow(
+        pa.table({"l_orderkey": [999999999], "l_quantity": [1.0]})
+    )
+    lj = hash_join(li.union(extra), orders, on="l_orderkey",
+                   right_on="o_orderkey", how="left")
+    assert lj.count() == len(want) + 1
