@@ -530,7 +530,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return agg.map_batches(_money, batch_format="pyarrow")
 
+    def asof_status(sf):
+        import pandas as pd
+
+        from tenzir_ray.stages.join import asof_join
+
+        left = _read(sf, "events", columns=["event_id", "user_id", "ts"])
+
+        def _status_side(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["event_id"] % 7 == 0]
+            return pd.DataFrame(
+                {"user_id": df["user_id"], "ts": df["ts"], "status_id": df["event_id"]}
+            )
+
+        right = _read(sf, "events", columns=["event_id", "user_id", "ts"]).map_batches(
+            _status_side, batch_format="pandas"
+        )
+        out = asof_join(left, right, by="user_id", on="ts")
+
+        def _typed(df: pd.DataFrame) -> pd.DataFrame:
+            # the padded-union join leaves pass-through columns as object
+            # dtype; pin types so values hash identically to the SQL oracle
+            # (nullable status_id as float64, like DuckDB's pandas export)
+            return df.astype(
+                {"event_id": "int64", "user_id": "int64", "status_id": "float64"}
+            )
+
+        return out.map_batches(_typed, batch_format="pandas")
+
     return {
+        "asof_status": asof_status,
         "join_revenue_by_priority": join_revenue_by_priority,
         "ann_ivf_topk": ann_ivf_topk,
         "dedup_components": dedup_components,
@@ -676,6 +705,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    len(string_split_regex(trim(text), '\\s+')) AS ws_tokens
             FROM documents
+        """,
+        "asof_status": """
+            SELECT l.event_id, l.user_id, l.ts, r.status_id
+            FROM events l
+            ASOF LEFT JOIN (SELECT user_id, ts, event_id AS status_id FROM events
+                            WHERE event_id % 7 = 0) r
+            ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "join_revenue_by_priority": """
             WITH j AS (

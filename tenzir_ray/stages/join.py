@@ -97,4 +97,68 @@ def hash_join(left, right, on: str | list[str], right_on: str | list[str] | None
     return unioned.groupby("_jb").map_groups(_join_bucket, batch_format="pandas")
 
 
+def asof_join(left, right, by: str | list[str], on: str,
+              direction: str = "backward", right_suffix: str = "_r",
+              buckets: int = 32):
+    """As-of join: for each left row, the latest right row with
+    ``right.on <= left.on`` (direction="backward") within the same
+    ``by`` key — the time-series enrichment join (pd.merge_asof per
+    co-partitioned bucket; both sides bucketed by the BY key so every
+    key's full history lands in one bucket)."""
+    keys = [by] if isinstance(by, str) else list(by)
+    lcols = left.schema().names
+    rcols = right.schema().names
+    rename_r = {
+        c: (c + right_suffix if c in lcols and c not in keys and c != on else c)
+        for c in rcols
+    }
+
+    def _tag(side: int, ren: dict | None):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            if ren:
+                df = df.rename(columns=ren)
+            df = df.copy()
+            df["_jb"] = _key_hash(df, keys, buckets)
+            df["_side"] = side
+            return df
+
+        return f
+
+    l_out = list(lcols)
+    r_out = [rename_r[c] for c in rcols]
+    all_cols = l_out + [c for c in r_out if c not in l_out] + ["_jb", "_side"]
+
+    def _pad(df: pd.DataFrame) -> pd.DataFrame:
+        for c in all_cols:
+            if c not in df.columns:
+                df[c] = None
+        return df[all_cols]
+
+    lt = left.map_batches(_tag(0, None), batch_format="pandas").map_batches(
+        _pad, batch_format="pandas"
+    )
+    rt = right.map_batches(_tag(1, rename_r), batch_format="pandas").map_batches(
+        _pad, batch_format="pandas"
+    )
+
+    def _asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lhs = g[g["_side"] == 0][l_out].sort_values(on, kind="mergesort")
+        rhs = g[g["_side"] == 1][r_out].sort_values(on, kind="mergesort")
+        for df in (lhs, rhs):
+            df[on] = pd.to_datetime(df[on]) if df[on].dtype == object else df[on]
+        if not len(rhs):
+            out = lhs.copy()
+            for c in r_out:
+                if c not in out.columns:
+                    out[c] = None
+            return out
+        return pd.merge_asof(
+            lhs, rhs, on=on, by=keys, direction=direction
+        )
+
+    return lt.union(rt).groupby("_jb").map_groups(
+        _asof_bucket, batch_format="pandas"
+    )
+
+
 ship_by_value(sys.modules[__name__])

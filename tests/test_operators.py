@@ -303,3 +303,37 @@ def test_hash_join_vs_duckdb(lineitem, ray_session):
     lj = hash_join(li.union(extra), orders, on="l_orderkey",
                    right_on="o_orderkey", how="left")
     assert lj.count() == len(want) + 1
+
+
+def test_asof_join_vs_duckdb(events, ray_session):
+    import ray.data
+
+    from tenzir_ray.stages.join import asof_join
+
+    # right side: each user's "status" changes at sampled times; as-of
+    # enrich each event with the latest status at or before its ts
+    import duckdb as dd
+
+    right = _duck(
+        "SELECT user_id, ts AS ts, event_id AS status_id FROM events "
+        "WHERE event_id % 7 = 0"
+    )
+    rds = ray.data.from_pandas(right)
+    left = events.select_columns(["event_id", "user_id", "ts"])
+    got = asof_join(left, rds, by="user_id", on="ts").to_pandas()
+    want = _duck(
+        """
+        SELECT l.event_id, l.user_id, l.ts, r.status_id
+        FROM events l
+        ASOF LEFT JOIN (SELECT user_id, ts, event_id AS status_id FROM events
+                        WHERE event_id % 7 = 0) r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+        """
+    )
+    g = got.sort_values("event_id", ignore_index=True)
+    w = want.sort_values("event_id", ignore_index=True)
+    assert len(g) == len(w)
+    assert (
+        g["status_id"].fillna(-1).astype("int64").tolist()
+        == w["status_id"].fillna(-1).astype("int64").tolist()
+    )
