@@ -397,21 +397,24 @@ class _PartitionReducer:
             return None
         return pa.Table.from_batches(batches)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _load_raw(self, part: int) -> pa.Table:
         import glob as globmod
 
+        if self.frag_index is not None:
+            raw = self._read_packed(part)
+        else:
+            paths = sorted(
+                globmod.glob(os.path.join(self.staging, f"part={part}", "*.arrow"))
+            )
+            raw = _read_fragments(paths)
+        assert raw is not None, f"no fragments for partition {part}"
+        return raw
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         out_rows = []
         for row in batch.to_pylist():
             part = int(row["part"])
-            if self.frag_index is not None:
-                raw = self._read_packed(part)
-            else:
-                paths = sorted(
-                    globmod.glob(os.path.join(self.staging, f"part={part}", "*.arrow"))
-                )
-                raw = _read_fragments(paths)
-            assert raw is not None, f"no fragments for partition {part}"
-            out_rows.append(self._reduce_one(part, raw))
+            out_rows.append(self._reduce_one(part, self._load_raw(part)))
         return pa.Table.from_pylist(out_rows)
 
     def _reduce_one(self, part: int, raw: pa.Table) -> dict:
@@ -665,10 +668,23 @@ class LakeTable:
             modes=modes,
             frag_index=frag_index if frag_dir == staging else None,
         )
-        lineage = (
-            ray.data.from_items([{"part": k} for k in touched])
-            .map_batches(reducer, batch_format="pyarrow", batch_size=1)
-            .to_pandas()
+        # stage 2 runs as plain Ray tasks, not a Dataset pipeline: the
+        # reduce is a FIXED fan-out of independent per-partition tasks
+        # with tiny dict outputs — the one place the Dataset API adds
+        # only launch overhead (~0.5-1s per epoch). Task retries on
+        # worker death are preserved (ray.remote default max_retries).
+        import ray as ray_core
+
+        reducer_ref = ray_core.put(reducer)
+
+        @ray_core.remote
+        def _reduce_task(r, part: int) -> dict:
+            # the reducer arrives auto-dereferenced from reducer_ref —
+            # stored once in plasma, not re-pickled per task
+            return r._reduce_one(part, r._load_raw(part))
+
+        lineage = pd.DataFrame(
+            ray_core.get([_reduce_task.remote(reducer_ref, k) for k in touched])
         )
 
         # -- two-phase commit -------------------------------------------
