@@ -147,12 +147,25 @@ class Pipeline:
     def run(self, ds=None):
         """Execute the steps; source steps ignore ``ds``, every other step
         threads the Dataset through (the generator-chain analog,
-        pipeline.hpp:242)."""
+        pipeline.hpp:242). Two-input operators (hash_join/asof_join) take
+        their right side as a nested ``right: [steps...]`` sub-pipeline."""
         for step in self.steps:
             step = dict(step)
             name = step.pop("op")
             if name == "apply":
                 ds = Pipeline(step["pipeline"]).run(ds)
+                continue
+            if name in ("hash_join", "asof_join"):
+                from tenzir_ray.stages import join as join_mod
+
+                right = Pipeline(step.pop("right")).run()
+                if right is None:
+                    raise ValueError(
+                        f"{name}: `right` sub-pipeline produced no dataset "
+                        "(it must start with a read_* source step)"
+                    )
+                fn2 = getattr(join_mod, name)
+                ds = fn2(ds, right, **step)
                 continue
             fn = OPERATORS.get(name)
             if fn is None:

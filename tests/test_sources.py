@@ -235,3 +235,28 @@ def test_yield_and_parse_time(ray_session):
     assert sorted(out["x"]) == [10, 20]
     ts = parse_time(ds, "when", "%Y-%m-%d %H:%M:%S", out="ts").to_pandas()
     assert str(ts["ts"][0]).startswith("2024-01-02 03:04:05")
+
+
+def test_pipeline_join_subpipeline(ray_session):
+    out = Pipeline(
+        [
+            {"op": "read_parquet", "paths": f"{SF}/lineitem.parquet"},
+            {"op": "select", "columns": ["l_orderkey", "l_quantity"]},
+            {
+                "op": "hash_join",
+                "on": "l_orderkey",
+                "right_on": "o_orderkey",
+                "right": [
+                    {"op": "read_parquet", "paths": f"{SF}/orders.parquet"},
+                    {"op": "select", "columns": ["o_orderkey", "o_orderpriority"]},
+                ],
+            },
+            {
+                "op": "summarize",
+                "by": "o_orderpriority",
+                "aggs": {"qty": "sum(l_quantity)", "n": "count(*)"},
+            },
+        ]
+    ).run()
+    df = out.to_pandas()
+    assert df["n"].sum() == 6000 and len(df) == 5
