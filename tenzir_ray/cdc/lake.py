@@ -299,7 +299,10 @@ class _FragmentWriter(_NormalizeCombine):
             os.makedirs(self.staging, exist_ok=True)
             tmp = path + ".tmp"
             body = sorted_tbl.drop_columns(["_part"]).combine_chunks()
-            opts = pa.ipc.IpcWriteOptions(compression="lz4")
+            # uncompressed on purpose: fragments are transient and live on
+            # tmpfs/page-cache (shared storage on a cluster) — lz4 costs
+            # encode+decode CPU on both exchange sides for no lasting win
+            opts = pa.ipc.IpcWriteOptions()
             with pa.OSFile(tmp, "wb") as sink:
                 with pa.ipc.new_file(sink, body.schema, options=opts) as w:
                     for bidx in range(len(bounds) - 1):
