@@ -60,6 +60,20 @@ def _cached_changes(n: int, seed: int = 42) -> str:
 
 
 def run_bench() -> dict:
+    # spill to tmpfs, not the 420 MB/s local disk: past ~16M events the
+    # object store starts spilling and disk bandwidth serializes the
+    # 16-CPU run (measured 22.8s -> 14.8s at 24M events); a real cluster
+    # spills to node-local NVMe
+    shm_spill = "/dev/shm/rayspill"
+    if os.path.isdir("/dev/shm"):
+        os.makedirs(shm_spill, exist_ok=True)
+        os.environ.setdefault(
+            "RAY_object_spilling_config",
+            json.dumps(
+                {"type": "filesystem", "params": {"directory_path": shm_spill}}
+            ),
+        )
+
     import ray
 
     ray.init(
