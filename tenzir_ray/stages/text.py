@@ -161,11 +161,9 @@ def token_count(ds, column: str = "text", concurrency=(1, 4), batch_size: int = 
     )
 
 
-def fingerprint(ds, column: str = "text", ngram: int = 8, concurrency=(1, 4),
-                batch_size: int = 4096):
+def fingerprint(ds, column: str = "text", ngram: int = 8, batch_size: int = 4096):
     return ds.map_batches(
-        Fingerprint, fn_constructor_args=(column, ngram), batch_format="pandas",
-        batch_size=batch_size, concurrency=concurrency,
+        Fingerprint(column, ngram), batch_format="pandas", batch_size=batch_size
     )
 
 
