@@ -585,7 +585,14 @@ class LakeTable:
             for n, t in zip(incoming.names, incoming.types)
             if n not in META_COLS
         ]
-        self.registry.evolve(pa.schema(payload_fields))
+        if payload_fields:
+            self.registry.evolve(pa.schema(payload_fields))
+        if self.registry.schema is None:
+            # nothing to apply and no schema yet: commit an empty epoch so
+            # the segment is marked applied (tail_directory resume gate)
+            self.manifest.commit_epoch(epoch_id, -1, -1, {})
+            return {"epoch_id": epoch_id, "lsn_min": -1, "lsn_max": -1,
+                    "partitions_touched": 0, "rows_live": 0}
         self._persist_registry()
         reg_json = self.registry.to_json()
         payload_cols = list(self.registry.schema.names)
@@ -609,10 +616,11 @@ class LakeTable:
         frag_index: dict[int, list] | None = None
         if num_salts <= 1:
             frag_index = {}
-            for part_v, file_v, bidx_v in zip(
-                stage1["part"], stage1["file"], stage1["batch_idx"]
-            ):
-                frag_index.setdefault(int(part_v), []).append((file_v, int(bidx_v)))
+            if len(stage1):
+                for part_v, file_v, bidx_v in zip(
+                    stage1["part"], stage1["file"], stage1["batch_idx"]
+                ):
+                    frag_index.setdefault(int(part_v), []).append((file_v, int(bidx_v)))
 
         # -- optional stage 1.5: salted sub-partition pre-reduce ----------
         frag_dir = staging
@@ -644,6 +652,13 @@ class LakeTable:
                 int(os.path.basename(d).split("=")[1])
                 for d in globmod.glob(os.path.join(frag_dir, "part=*"))
             )
+        if not touched:
+            # zero-row epoch (e.g. an empty binlog segment): commit an
+            # empty lineage record so resume never re-crashes on it
+            self.manifest.commit_epoch(epoch_id, -1, -1, {})
+            shutil.rmtree(staging, ignore_errors=True)
+            return {"epoch_id": epoch_id, "lsn_min": -1, "lsn_max": -1,
+                    "partitions_touched": 0, "rows_live": 0}
         base_files = {
             int(k): info["files"] for k, info in self.manifest.partitions.items()
         }

@@ -51,9 +51,18 @@ def widen(a: pa.DataType, b: pa.DataType) -> pa.DataType:
             return pa.float64()
         return pa.int64() if {fa[0], fb[0]} == {"int", "uint"} else pa.float64()
     if pa.types.is_timestamp(a) and pa.types.is_timestamp(b):
-        # finer unit wins (ns > us > ms > s)
+        # finer unit wins (ns > us > ms > s); tz must agree — silently
+        # reconciling tz-aware with tz-naive (or dropping the tz when
+        # widening across units) would shift semantics, violating the
+        # "nothing may narrow" contract
+        if a.tz != b.tz:
+            raise TypeError(
+                f"schema evolution cannot reconcile timestamp tz {a.tz!r} "
+                f"with {b.tz!r}"
+            )
         units = ["s", "ms", "us", "ns"]
-        return pa.timestamp(units[max(units.index(a.unit), units.index(b.unit))])
+        unit = units[max(units.index(a.unit), units.index(b.unit))]
+        return pa.timestamp(unit, tz=a.tz)
     if pa.types.is_string(a) and pa.types.is_large_string(b):
         return b
     if pa.types.is_large_string(a) and pa.types.is_string(b):

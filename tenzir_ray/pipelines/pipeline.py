@@ -103,12 +103,25 @@ def _register_builtins() -> None:
         reverse=transforms.reverse,
         repeat=transforms.repeat_,
         enumerate=transforms.enumerate_per_group,
+        enumerate_global=transforms.enumerate_global,
         pseudonymize=transforms.pseudonymize,
         parse_time=transforms.parse_time,
+        compress=transforms.compress,
+        decompress=transforms.decompress,
 
         streaming_deduplicate=streaming.streaming_deduplicate,
         adjacent_unique=streaming.adjacent_unique,
         measure=streaming.measure,
+        streaming_summarize=lambda ds, by, aggs=None, **kw: streaming.streaming_summarize(
+            ds, by, **(aggs or {}), **kw
+        ),
+        parse_gelf=parsers.parse_gelf,
+    )
+    from tenzir_ray.sources import writers
+    OPERATORS.update(
+        write_csv=writers.write_csv,
+        write_json=writers.write_json,
+        write_feather=writers.write_feather,
     )
     from tenzir_ray.stages import window as window_mod
     OPERATORS.update(

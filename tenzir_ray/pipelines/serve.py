@@ -16,6 +16,10 @@ from typing import Any
 import pyarrow as pa
 
 
+class TokenExpiredError(LookupError):
+    """The requested page was evicted from the bounded replay cache."""
+
+
 class Server:
     """Paged access to a Dataset's rows.
 
@@ -36,7 +40,12 @@ class Server:
 
     def get(self, token: int | None) -> tuple[pa.Table | None, int | None]:
         """Return (page, next_token); next_token None ⇒ stream exhausted.
-        Passing a previously returned token re-serves that page."""
+        Passing a previously returned token re-serves that page.
+
+        Raises :class:`TokenExpiredError` when the token's page was
+        already evicted from the bounded replay cache — silently
+        advancing past lost data would be invisible data loss for an
+        at-least-once client that fell behind."""
         token = 0 if token is None else int(token)
         while token >= self._next and not self._done:
             try:
@@ -50,8 +59,14 @@ class Server:
             if len(self._pages) > self._max_cached:
                 self._pages.pop(min(self._pages), None)
         page = self._pages.get(token)
-        if page is None and token >= self._next:
-            return None, None
+        if page is None:
+            if token >= self._next:
+                return None, None  # past the end of the stream
+            raise TokenExpiredError(
+                f"page {token} was evicted from the replay cache "
+                f"(oldest cached: {min(self._pages, default=self._next)}); "
+                "increase max_cached_pages or consume pages in order"
+            )
         next_token: int | None = token + 1
         if token + 1 >= self._next and self._done:
             next_token = None

@@ -465,6 +465,31 @@ def parse_zeek_json(ds, column: str = "text"):
     return parse_ndjson(ds, column=column, selector="_path")
 
 
+def parse_gelf(ds, column: str = "text"):
+    """GELF preset (reference json.cpp alias `gelf`;
+    web/docs/formats/gelf.md): NDJSON of Graylog Extended Log Format
+    records — version, host, short_message, level, `_`-prefixed
+    additional fields, and an epoch-seconds `timestamp` converted to a
+    real timestamp column."""
+    import pyarrow.compute as _pc
+
+    parsed = parse_ndjson(ds, column=column)
+
+    def _ts(t: pa.Table) -> pa.Table:
+        if "timestamp" in t.column_names:
+            i = t.schema.get_field_index("timestamp")
+            micros = _pc.cast(
+                _pc.round(
+                    _pc.multiply(_pc.cast(t.column("timestamp"), pa.float64()), 1e6)
+                ),
+                pa.int64(),
+            )
+            t = t.set_column(i, "timestamp", micros.cast(pa.timestamp("us")))
+        return t
+
+    return parsed.map_batches(_ts, batch_format="pyarrow")
+
+
 def split_by_schema(ds, column: str = "_schema") -> dict:
     """Heterogeneous stream → one Dataset per schema value (the
     reference's multi-schema dataflow, pipeline.hpp:30: a stream may

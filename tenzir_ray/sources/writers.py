@@ -1,0 +1,68 @@
+"""Write sinks (the reference's printers: json.cpp printer ~NDJSON,
+xsv.cpp:~400 csv printer, feather.cpp IPC writer, parquet store).
+
+All sinks write a DIRECTORY of part files (one per block/task) — the
+resumable-output layout: a failed run can re-write only missing parts,
+and no sink ever produces one giant file. csv/json ride Ray's native
+distributed writers; feather adds the missing IPC sink as a map_batches
+stage (uuid part names + write-then-rename, the lake's discipline).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import uuid
+
+import pyarrow as pa
+
+from tenzir_ray._ship import ship_by_value
+
+
+def write_parquet(ds, path: str, **kw):
+    return ds.write_parquet(path, **kw)
+
+
+def write_csv(ds, path: str, **kw):
+    """CSV printer (reference xsv.cpp printer)."""
+    return ds.write_csv(path, **kw)
+
+
+def write_json(ds, path: str, **kw):
+    """NDJSON printer (reference json.cpp printer — one JSON object per
+    line)."""
+    return ds.write_json(path, **kw)
+
+
+class _FeatherWriter:
+    def __init__(self, path: str, compression: str):
+        self.path = path
+        self.compression = compression
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.feather as feather
+
+        rel = f"part-{uuid.uuid4().hex[:12]}.feather"
+        dest = os.path.join(self.path, rel)
+        tmp = dest + ".tmp"
+        feather.write_feather(batch, tmp, compression=self.compression)
+        os.replace(tmp, dest)
+        return pa.table(
+            {"path": pa.array([rel]), "rows": pa.array([batch.num_rows], pa.int64())}
+        )
+
+
+def write_feather(ds, path: str, compression: str = "lz4",
+                  batch_size: int | None = None):
+    """Arrow IPC / Feather sink (reference feather.cpp printer + store).
+    Executes eagerly (like Ray's write_*); returns per-file stats."""
+    os.makedirs(path, exist_ok=True)
+    stats = ds.map_batches(
+        _FeatherWriter(path, compression),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    ).to_pandas()
+    return stats
+
+
+ship_by_value(sys.modules[__name__])

@@ -37,27 +37,37 @@ def _hash_texts(texts: pd.Series) -> np.ndarray:
 # exact dedup
 
 
-def exact_dedup(ds, column: str = "text", keep_order_by: str | None = None):
+def exact_dedup(ds, column: str = "text", keep_order_by: str | None = None,
+                buckets: int = 64):
     """Drop exact duplicate contents, keeping one row per distinct value
-    (deterministic winner = min(keep_order_by), default min of itself)."""
+    (deterministic winner = min(keep_order_by), default min of itself).
 
-    def _pre(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["_h"] = _hash_texts(df[column])
-        order = keep_order_by or column
-        df = df.sort_values(order, kind="mergesort")
-        return df.drop_duplicates(subset=["_h"], keep="first")
-
-    pre = ds.map_batches(_pre, batch_format="pandas")
+    The 64-bit content hash is only the SHUFFLE key (bucketed, so one
+    vectorized pandas dedup per bucket — never a Python call per group);
+    equality within a bucket is decided on the text itself, so a hash
+    collision (expected ~3 at 10^10 docs for 64 bits) can never silently
+    merge two distinct contents."""
     order = keep_order_by or column
 
+    def _pre(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order, kind="mergesort")
+        return df.drop_duplicates(subset=[column], keep="first")
+
+    pre = ds.map_batches(_pre, batch_format="pandas")
+
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_b"] = (_hash_texts(df[column]) % buckets).astype(np.int64)
+        return df
+
     def _first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(order, kind="mergesort").head(1)
+        g = g.drop(columns=["_b"]).sort_values(order, kind="mergesort")
+        return g.drop_duplicates(subset=[column], keep="first")
 
     return (
-        pre.groupby("_h")
+        pre.map_batches(_bucket, batch_format="pandas")
+        .groupby("_b")
         .map_groups(_first, batch_format="pandas")
-        .drop_columns(["_h"])
     )
 
 
@@ -288,77 +298,111 @@ def connected_components(pairs_ds, node_col: str = "id_a", peer_col: str = "id_b
     """Distributed connected components by iterative min-label propagation
     (the transitive closure LSH's one-round min-label misses): every node
     repeatedly adopts the smallest label among itself and its neighbors
-    until a fixpoint. Each round is two vectorized bucketed reductions;
-    rounds needed = graph diameter (small for dedup clusters).
+    until a fixpoint. Rounds needed = graph diameter (small for dedup
+    clusters).
+
+    Fully distributed: the label table stays a ``ray.data.Dataset``
+    end-to-end — propagation is a co-bucketed hash merge of edges with
+    labels (typed int padding through the union, vectorized pandas merge
+    per bucket), and the ONLY driver-side state is one scalar per round:
+    labels are non-increasing integers, so ``sum(label)`` is strictly
+    monotone and unchanged ⟺ fixpoint. Node ids must be integers.
 
     Input: a Dataset of undirected edges. Returns (node, component) with
     component = min node id in the component.
     """
     import pandas as pd
     import ray.data
+    from ray.data.aggregate import Sum as _Sum
 
     def _sym(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
-                "node": pd.concat([df[node_col], df[peer_col]], ignore_index=True),
-                "peer": pd.concat([df[peer_col], df[node_col]], ignore_index=True),
+                "node": pd.concat([df[node_col], df[peer_col]], ignore_index=True).astype(np.int64),
+                "peer": pd.concat([df[peer_col], df[node_col]], ignore_index=True).astype(np.int64),
             }
         )
 
     edges = pairs_ds.map_batches(_sym, batch_format="pandas").materialize()
 
-    def _bucket(df: pd.DataFrame, col: str) -> pd.DataFrame:
-        df["_b"] = pd.util.hash_array(df[col].to_numpy()) % buckets
-        return df
+    def _bucket_by(col: str):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["_b"] = (pd.util.hash_array(df[col].to_numpy()) % buckets).astype(np.int64)
+            return df
+
+        return f
 
     # initial labels: each node's min direct neighbor (or itself)
     def _min_peer(g: pd.DataFrame) -> pd.DataFrame:
-        m = g.groupby("node", as_index=False)["peer"].min()
-        m["label"] = np.minimum(m["node"], m["peer"])
-        return m[["node", "label"]]
+        m = g.drop(columns=["_b"]).groupby("node", as_index=False)["peer"].min()
+        return pd.DataFrame(
+            {"node": m["node"], "label": np.minimum(m["node"], m["peer"])}
+        )
 
     labels = (
-        edges.map_batches(lambda d: _bucket(d, "node"), batch_format="pandas")
+        edges.map_batches(_bucket_by("node"), batch_format="pandas")
         .groupby("_b")
-        .map_groups(lambda g: _min_peer(g.drop(columns=["_b"])), batch_format="pandas")
+        .map_groups(_min_peer, batch_format="pandas")
         .materialize()
     )
+    prev_sum = labels.aggregate(_Sum("label"))["sum(label)"]
+
+    # padded-union schemas (typed int sentinels — object-dtype padding
+    # would force pickled blocks through the shuffle)
+    def _pad_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": df["node"], "peer": df["peer"],
+                "_plab": np.full(len(df), -1, np.int64),
+                "_is_lab": np.zeros(len(df), np.int8),
+            }
+        )
+
+    def _pad_labels(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": np.full(len(df), -1, np.int64),
+                "peer": df["node"], "_plab": df["label"],
+                "_is_lab": np.ones(len(df), np.int8),
+            }
+        )
+
+    def _prop_join(g: pd.DataFrame) -> pd.DataFrame:
+        is_lab = g["_is_lab"].to_numpy() == 1
+        e = g.loc[~is_lab, ["node", "peer"]]
+        l = g.loc[is_lab, ["peer", "_plab"]]
+        m = e.merge(l, on="peer", how="inner")
+        return pd.DataFrame({"node": m["node"], "label": m["_plab"]})
+
+    def _min_label(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop(columns=["_b"]).groupby("node", as_index=False)["label"].min()
 
     for _ in range(max_iters):
-        lab_df = labels.to_pandas()  # label table is one row per node (small
-        # relative to the corpus); broadcast it for the propagate join
-        import ray
-
-        lab_ref = ray.put(dict(zip(lab_df["node"], lab_df["label"])))
-
-        class _Propagate:
-            def __init__(self):
-                self.lab = ray.get(lab_ref)
-
-            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-                peer_lab = df["peer"].map(self.lab).fillna(df["peer"])
-                own_lab = df["node"].map(self.lab).fillna(df["node"])
-                new = np.minimum(own_lab.to_numpy(), peer_lab.to_numpy())
-                return pd.DataFrame({"node": df["node"], "label": new})
-
-        proposed = edges.map_batches(_Propagate(), batch_format="pandas")
-
-        def _min_label(g: pd.DataFrame) -> pd.DataFrame:
-            return g.groupby("node", as_index=False)["label"].min()
-
-        new_labels = (
-            proposed.map_batches(lambda d: _bucket(d, "node"), batch_format="pandas")
+        # propagate each node's label to its neighbors: co-bucket edges
+        # (by peer) with labels (by node) and hash-merge per bucket
+        unioned = edges.map_batches(_pad_edges, batch_format="pandas").union(
+            labels.map_batches(_pad_labels, batch_format="pandas")
+        )
+        proposed = (
+            unioned.map_batches(_bucket_by("peer"), batch_format="pandas")
             .groupby("_b")
-            .map_groups(lambda g: _min_label(g.drop(columns=["_b"])), batch_format="pandas")
+            .map_groups(
+                lambda g: _prop_join(g.drop(columns=["_b"])),
+                batch_format="pandas",
+            )
+        )
+        labels = (
+            proposed.union(labels)
+            .map_batches(_bucket_by("node"), batch_format="pandas")
+            .groupby("_b")
+            .map_groups(_min_label, batch_format="pandas")
             .materialize()
         )
-        new_df = new_labels.to_pandas().sort_values("node", ignore_index=True)
-        old_df = lab_df.sort_values("node", ignore_index=True)
-        labels = new_labels
-        if len(new_df) == len(old_df) and (
-            new_df["label"].to_numpy() == old_df["label"].to_numpy()
-        ).all():
+        cur_sum = labels.aggregate(_Sum("label"))["sum(label)"]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.map_batches(
         lambda df: df.rename(columns={"node": node_col, "label": "component"}),
         batch_format="pandas",

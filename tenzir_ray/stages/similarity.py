@@ -22,10 +22,13 @@ import pyarrow as pa
 from tenzir_ray._ship import ship_by_value
 
 
-def _to_matrix(col) -> np.ndarray:
-    """list<float> column → (n, d) float32 matrix (zero-copy when possible)."""
+def _to_matrix(col, dtype=np.float32) -> np.ndarray:
+    """list<float> column → (n, d) matrix (zero-copy when possible).
+    ``dtype=np.float64`` gives bit-exact agreement with double-precision
+    oracles at 2x the memory — the gate queries use it; production scans
+    stay float32."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float32, copy=False)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(dtype, copy=False)
     n = len(arr)
     return flat.reshape(n, -1)
 
@@ -39,17 +42,19 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 class _BatchTopK:
     """Per-batch exact cosine top-k against a broadcast query matrix."""
 
-    def __init__(self, queries_ref, id_column: str, column: str, k: int):
+    def __init__(self, queries_ref, id_column: str, column: str, k: int,
+                 dtype=np.float32):
         import ray
 
         q = ray.get(queries_ref)  # broadcast: fetched once per actor
-        self.q = _normalize(np.asarray(q, dtype=np.float32))
+        self.dtype = dtype
+        self.q = _normalize(np.asarray(q, dtype=dtype))
         self.id_column = id_column
         self.column = column
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _normalize(_to_matrix(batch.column(self.column)))
+        m = _normalize(_to_matrix(batch.column(self.column), self.dtype))
         sims = m @ self.q.T  # (B, Q)
         ids = batch.column(self.id_column).to_numpy(zero_copy_only=False)
         k = min(self.k, len(ids))
@@ -70,7 +75,8 @@ class _BatchTopK:
 
 def brute_force_topk(ds, queries: np.ndarray, id_column: str = "vec_id",
                      column: str = "embedding", k: int = 10,
-                     concurrency=(1, 4), batch_size: int = 4096) -> pa.Table:
+                     concurrency=(1, 4), batch_size: int = 4096,
+                     dtype=np.float32) -> pa.Table:
     """Exact cosine top-k of each query row against the dataset.
 
     Two-stage: per-batch GEMM top-k (actor pool; queries broadcast via
@@ -79,10 +85,10 @@ def brute_force_topk(ds, queries: np.ndarray, id_column: str = "vec_id",
     """
     import ray
 
-    qref = ray.put(np.asarray(queries, dtype=np.float32))
+    qref = ray.put(np.asarray(queries, dtype=dtype))
     partial = ds.map_batches(
         _BatchTopK,
-        fn_constructor_args=(qref, id_column, column, k),
+        fn_constructor_args=(qref, id_column, column, k, dtype),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -229,7 +235,7 @@ class _IvfAssigner:
 def ivf_topk(ds, queries: np.ndarray, id_column: str = "vec_id",
              column: str = "embedding", k: int = 10, nlist: int = 64,
              nprobe: int = 8, train_sample: int = 2048,
-             concurrency=(1, 4)) -> pa.Table:
+             concurrency=(1, 4), dtype=np.float32) -> pa.Table:
     """IVF approximate top-k: k-means coarse quantizer trained on a
     driver-side sample, rows assigned to inverted lists, queries probe
     only their ``nprobe`` nearest lists (the classic IVF-Flat layout;
@@ -255,7 +261,7 @@ def ivf_topk(ds, queries: np.ndarray, id_column: str = "vec_id",
         batch_format="pyarrow",
     )
     return brute_force_topk(candidates.drop_columns(["ivf_list"]), q, id_column,
-                            column, k, concurrency=concurrency)
+                            column, k, concurrency=concurrency, dtype=dtype)
 
 
 ship_by_value(sys.modules[__name__])

@@ -124,16 +124,181 @@ class AdjacentUnique:
 
 
 def adjacent_unique(ds, by: list[str] | None = None, batch_size: int = 8192):
-    """Adjacent-duplicate suppression (single ordered actor)."""
+    """Adjacent-duplicate suppression (single ordered actor).
+
+    Stream-order semantics need ordered execution, so this op executes
+    EAGERLY under a scoped ``preserve_order`` (set → materialize →
+    restore) — a global flag left set would silently reorder every
+    subsequent Dataset in the session. The op is inherently serial
+    (one actor sees the whole stream), so eagerness costs nothing extra.
+    """
     from ray.data import DataContext
 
-    DataContext.get_current().execution_options.preserve_order = True
-    return ds.map_batches(
-        AdjacentUnique,
-        fn_constructor_args=(by,),
-        batch_format="pandas",
-        batch_size=batch_size,
-        concurrency=1,
+    opts = DataContext.get_current().execution_options
+    prev = opts.preserve_order
+    opts.preserve_order = True
+    try:
+        return ds.map_batches(
+            AdjacentUnique,
+            fn_constructor_args=(by,),
+            batch_format="pandas",
+            batch_size=batch_size,
+            concurrency=1,
+        ).materialize()
+    finally:
+        opts.preserve_order = prev
+
+
+class StreamingSummarize:
+    """Streaming grouped aggregation with created/update-timeout bucket
+    flush (reference summarize.cpp:548-580,823-830: buckets emit when
+    older than the created timeout or idle past the update timeout;
+    everything else emits at end of input).
+
+    Stream-shaped: feed batches in order via :meth:`feed` (returns any
+    flushed buckets), then :meth:`flush` at end of input. Aggregates are
+    the combiner family (sum/count/min/max/mean/any/all) — each batch is
+    pre-reduced with ONE vectorized pandas groupby, then merged into the
+    per-key state dict (Python work ∝ distinct keys per batch, not
+    rows). ``clock`` is injectable for tests.
+    """
+
+    _MERGE = {
+        "sum": lambda a, b: a + b,
+        "count": lambda a, b: a + b,
+        "min": min,
+        "max": max,
+        "any": lambda a, b: bool(a or b),
+        "all": lambda a, b: bool(a and b),
+    }
+
+    def __init__(self, by: str | list[str], aggs: dict[str, str],
+                 created_timeout_s: float | None = None,
+                 update_timeout_s: float | None = None,
+                 clock=None):
+        import re as _re
+
+        self.keys = [by] if isinstance(by, str) else list(by)
+        self.created_timeout_s = created_timeout_s
+        self.update_timeout_s = update_timeout_s
+        self.clock = clock or time.monotonic
+        self.parsed: list[tuple[str, str, str]] = []  # (alias, fn, col)
+        spec_re = _re.compile(r"^\s*(\w+)\s*\(\s*([\w.*]*)\s*\)\s*$")
+        for alias, spec in aggs.items():
+            m = spec_re.match(spec)
+            if not m:
+                raise ValueError(f"bad aggregate spec {spec!r}")
+            fn, col = m.group(1).lower(), m.group(2)
+            if fn in ("mean", "avg"):
+                fn = "mean"
+            elif fn == "count":
+                pass
+            elif fn not in self._MERGE:
+                raise ValueError(
+                    f"{fn} not supported by StreamingSummarize "
+                    "(combiner family only)"
+                )
+            self.parsed.append((alias, fn, col))
+        # key tuple -> {"vals": {alias or alias partials: value},
+        #               "created": t, "updated": t}
+        self.state: dict[tuple, dict] = {}
+
+    def _partial_frame(self, df: pd.DataFrame) -> pd.DataFrame:
+        named = {}
+        for alias, fn, col in self.parsed:
+            if fn == "count":
+                named[f"{alias}"] = pd.NamedAgg(
+                    column=self.keys[0] if col in ("", "*", ".") else col,
+                    aggfunc="size" if col in ("", "*", ".") else "count",
+                )
+            elif fn == "mean":
+                named[f"{alias}__s"] = pd.NamedAgg(column=col, aggfunc="sum")
+                named[f"{alias}__c"] = pd.NamedAgg(column=col, aggfunc="count")
+            elif fn == "any":
+                named[alias] = pd.NamedAgg(column=col, aggfunc="max")
+            elif fn == "all":
+                named[alias] = pd.NamedAgg(column=col, aggfunc="min")
+            else:
+                named[alias] = pd.NamedAgg(column=col, aggfunc=fn)
+        return df.groupby(self.keys, as_index=False, sort=False).agg(**named)
+
+    def feed(self, batch: pd.DataFrame) -> pd.DataFrame:
+        now = self.clock()
+        if len(batch):
+            partials = self._partial_frame(batch)
+            val_cols = [c for c in partials.columns if c not in self.keys]
+            keys_arr = list(zip(*(partials[k] for k in self.keys)))
+            for i, key in enumerate(keys_arr):
+                row = {c: partials[c].iloc[i] for c in val_cols}
+                ent = self.state.get(key)
+                if ent is None:
+                    self.state[key] = {"vals": row, "created": now, "updated": now}
+                else:
+                    vals = ent["vals"]
+                    for alias, fn, _col in self.parsed:
+                        if fn == "count":
+                            vals[alias] += row[alias]
+                        elif fn == "mean":
+                            vals[f"{alias}__s"] += row[f"{alias}__s"]
+                            vals[f"{alias}__c"] += row[f"{alias}__c"]
+                        else:
+                            vals[alias] = self._MERGE[fn](vals[alias], row[alias])
+                    ent["updated"] = now
+        return self._expire(now)
+
+    def _emit(self, keys: list[tuple]) -> pd.DataFrame:
+        rows = []
+        for key in keys:
+            ent = self.state.pop(key)
+            row = dict(zip(self.keys, key))
+            for alias, fn, _col in self.parsed:
+                if fn == "mean":
+                    c = ent["vals"][f"{alias}__c"]
+                    row[alias] = ent["vals"][f"{alias}__s"] / c if c else None
+                else:
+                    row[alias] = ent["vals"][alias]
+            rows.append(row)
+        cols = self.keys + [a for a, _f, _c in self.parsed]
+        return pd.DataFrame(rows, columns=cols)
+
+    def _expire(self, now: float) -> pd.DataFrame:
+        due = [
+            k
+            for k, ent in self.state.items()
+            if (
+                self.created_timeout_s is not None
+                and now - ent["created"] >= self.created_timeout_s
+            )
+            or (
+                self.update_timeout_s is not None
+                and now - ent["updated"] >= self.update_timeout_s
+            )
+        ]
+        return self._emit(due)
+
+    def flush(self) -> pd.DataFrame:
+        """End-of-input: emit every remaining bucket."""
+        return self._emit(list(self.state))
+
+
+def streaming_summarize(ds, by: str | list[str],
+                        created_timeout_s: float | None = None,
+                        update_timeout_s: float | None = None,
+                        batch_size: int = 8192, clock=None, **aggs: str):
+    """Ordered driver-side consumer for :class:`StreamingSummarize`
+    (stream semantics are inherently serial, like the reference's
+    one-actor summarize; for parallel batch aggregation use
+    ``summarize``). The batch-equivalent result — feed everything, then
+    flush — equals a plain groupby, which is the oracle gate."""
+    agg = StreamingSummarize(by, aggs, created_timeout_s, update_timeout_s, clock)
+    outs = []
+    for df in ds.iter_batches(batch_size=batch_size, batch_format="pandas"):
+        out = agg.feed(df)
+        if len(out):
+            outs.append(out)
+    outs.append(agg.flush())
+    return pa.Table.from_pandas(
+        pd.concat(outs, ignore_index=True), preserve_index=False
     )
 
 

@@ -262,18 +262,122 @@ def make_agg(func: str, col: str, alias: str):
     raise ValueError(f"unknown aggregation function: {func}")
 
 
+# aggregates decomposable into fixed-width per-batch partials (the
+# combiner set): partial spec = (partial kind, finalizer)
+_PARTIAL_FNS = {
+    "sum", "count", "min", "max", "mean", "avg", "any", "all",
+    "variance", "var_pop", "stddev", "stddev_pop",
+}
+
+
+def _partial_summarize(ds, keys: list[str], parsed: list[tuple[str, str, str]]):
+    """Shuffle-free grouped aggregation for decomposable functions:
+    every batch pre-aggregates to ≤|groups| partial rows inside
+    ``map_batches`` (C pandas groupby), the tiny partials stream to the
+    driver, and one final vectorized merge finishes. No groupby shuffle
+    at all — the right shape for low-cardinality keys (the driver holds
+    blocks × |groups| partial rows; use :func:`summarize_hash` for
+    millions of groups)."""
+    import pandas as pd
+    import ray.data
+
+    # build the per-batch partial aggregation plan
+    partial_aggs: dict[str, tuple[str, str]] = {}  # pcol -> (src col, fn)
+    for alias, fn, col in parsed:
+        if fn in ("sum",):
+            partial_aggs[f"{alias}__s"] = (col, "sum")
+        elif fn == "count":
+            if col in ("", "*", "."):
+                partial_aggs[f"{alias}__n"] = (keys[0], "size")
+            else:
+                partial_aggs[f"{alias}__n"] = (col, "count")
+        elif fn in ("min",):
+            partial_aggs[f"{alias}__mn"] = (col, "min")
+        elif fn in ("max",):
+            partial_aggs[f"{alias}__mx"] = (col, "max")
+        elif fn in ("mean", "avg"):
+            partial_aggs[f"{alias}__s"] = (col, "sum")
+            partial_aggs[f"{alias}__c"] = (col, "count")
+        elif fn == "any":
+            partial_aggs[f"{alias}__mx"] = (col, "max")
+        elif fn == "all":
+            partial_aggs[f"{alias}__mn"] = (col, "min")
+        elif fn in ("variance", "var_pop", "stddev", "stddev_pop"):
+            partial_aggs[f"{alias}__c"] = (col, "count")
+            partial_aggs[f"{alias}__s"] = (col, "sum")
+            partial_aggs[f"{alias}__q"] = (f"_sq_{col}", "sum")
+    sq_cols = sorted(
+        {c[4:] for c, _f in partial_aggs.values() if c.startswith("_sq_")}
+    )
+
+    named = {p: pd.NamedAgg(column=c, aggfunc=f) for p, (c, f) in partial_aggs.items()}
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        for c in sq_cols:
+            df = df.assign(**{f"_sq_{c}": df[c].astype(np.float64) ** 2})
+        return df.groupby(keys, as_index=False, sort=False, dropna=False).agg(**named)
+
+    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    if not len(parts):
+        cols = {k: [] for k in keys}
+        cols.update({alias: [] for alias, _, _ in parsed})
+        return ray.data.from_arrow(pa.table(cols))
+    merge_fn = {}
+    for p, (c, f) in partial_aggs.items():
+        merge_fn[p] = {
+            "sum": "sum", "count": "sum", "size": "sum",
+            "min": "min", "max": "max",
+        }[f]
+    merged = parts.groupby(keys, as_index=False, sort=False, dropna=False).agg(
+        **{p: pd.NamedAgg(column=p, aggfunc=m) for p, m in merge_fn.items()}
+    )
+    out = merged[keys].copy()
+    for alias, fn, col in parsed:
+        if fn == "sum":
+            out[alias] = merged[f"{alias}__s"]
+        elif fn == "count":
+            out[alias] = merged[f"{alias}__n"].astype(np.int64)
+        elif fn == "min":
+            out[alias] = merged[f"{alias}__mn"]
+        elif fn == "max":
+            out[alias] = merged[f"{alias}__mx"]
+        elif fn in ("mean", "avg"):
+            out[alias] = merged[f"{alias}__s"] / merged[f"{alias}__c"]
+        elif fn == "any":
+            out[alias] = merged[f"{alias}__mx"].astype(bool)
+        elif fn == "all":
+            out[alias] = merged[f"{alias}__mn"].astype(bool)
+        elif fn in ("variance", "var_pop", "stddev", "stddev_pop"):
+            n = merged[f"{alias}__c"].astype(np.float64)
+            s = merged[f"{alias}__s"].astype(np.float64)
+            q = merged[f"{alias}__q"].astype(np.float64)
+            var = (q - s * s / n) / n
+            out[alias] = np.sqrt(var) if fn.startswith("stddev") else var
+    return ray.data.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+
+
 def summarize(ds, by: str | list[str] | None = None, **aggs: str):
     """``summarize(ds, by=["k"], total="sum(x)", n="count(*)")``.
 
     Each kwarg is ``alias="func(column)"``; output columns are the group
     keys + aliases (names chosen by the caller → SQL-comparable).
+
+    When every aggregate is combiner-decomposable (sum/count/min/max/
+    mean/any/all/variance/stddev) and ``by`` is given, the shuffle-free
+    partial-aggregation path runs (pre-aggregate per batch → tiny final
+    merge); otherwise Ray's native groupby().aggregate() handles the
+    holistic functions (median, distinct, collect, count_distinct, …).
     """
-    specs = []
+    parsed: list[tuple[str, str, str]] = []
     for alias, spec in aggs.items():
         m = _SPEC_RE.match(spec)
         if not m:
             raise ValueError(f"bad aggregate spec {spec!r} (want 'func(col)')")
-        specs.append(make_agg(m.group(1), m.group(2), alias))
+        parsed.append((alias, m.group(1).lower(), m.group(2)))
+    if by is not None and all(fn in _PARTIAL_FNS for _, fn, _ in parsed):
+        keys = [by] if isinstance(by, str) else list(by)
+        return _partial_summarize(ds, keys, parsed)
+    specs = [make_agg(fn, col, alias) for alias, fn, col in parsed]
     if by is None:
         result = ds.aggregate(*specs)  # global aggregate → dict
         return pa.table({k: [v] for k, v in result.items()})

@@ -196,12 +196,41 @@ def hash_(ds, column: str, out: str | None = None, salt: str = ""):
     salt_b = salt.encode()
 
     def _hash(batch: pa.Table) -> pa.Table:
-        vals = batch.column(column).to_pylist()
+        # SHA-256 has no Arrow kernel, so the digest loop is per-row by
+        # nature — but the bytes are sliced straight out of the Arrow
+        # value buffer (no Python string materialization / re-encode)
+        col = batch.column(column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if not (
+            pa.types.is_string(col.type)
+            or pa.types.is_large_string(col.type)
+            or pa.types.is_binary(col.type)
+            or pa.types.is_large_binary(col.type)
+        ):
+            col = col.cast(pa.string())
+        large = pa.types.is_large_string(col.type) or pa.types.is_large_binary(col.type)
+        bufs = col.buffers()
+        off = np.frombuffer(bufs[1], dtype=np.int64 if large else np.int32)
+        off = off[col.offset : col.offset + len(col) + 1]
+        data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+        nulls = (
+            pc.is_null(col).to_numpy(zero_copy_only=False)
+            if col.null_count
+            else np.zeros(len(col), dtype=bool)
+        )
+        sha = hashlib.sha256
+        if salt_b:
+            def _dig(mv):
+                h = sha(salt_b)
+                h.update(mv)
+                return h.hexdigest()
+        else:
+            def _dig(mv):
+                return sha(mv).hexdigest()
         digests = [
-            None
-            if v is None
-            else hashlib.sha256(salt_b + str(v).encode()).hexdigest()
-            for v in vals
+            None if nulls[i] else _dig(data[off[i] : off[i + 1]])
+            for i in range(len(col))
         ]
         return batch.append_column(out, pa.array(digests, pa.string()))
 
@@ -264,17 +293,53 @@ def tail(ds, n: int, by: str | list[str]):
     return ds.sort(keys, descending=[True] * len(keys)).limit(n)
 
 
-def taste(ds, n: int, by: str | list[str], order_by: str | None = None):
+def _bucketed_groups(ds, by: list[str] | None, fn, buckets: int = 64):
+    """Hash-bucket rows by key tuple, then run ONE vectorized pandas
+    function per bucket (groups never split across buckets, so per-group
+    results are exact). ``by=None`` buckets on ALL columns (full-row key).
+
+    This is the high-cardinality replacement for per-group
+    ``groupby().map_groups`` — Ray invokes that UDF once per group
+    (~4 ms/group measured); here the Python-call count is ``buckets``,
+    with C pandas groupby kernels inside.
+    """
+
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        cols = by if by is not None else list(df.columns)
+        h = pd.util.hash_array(df[cols[0]].to_numpy())
+        for k in cols[1:]:
+            h = h ^ pd.util.hash_array(df[k].to_numpy())
+        df = df.copy()
+        df["_b"] = (h % buckets).astype(np.int64)
+        return df
+
+    return (
+        ds.map_batches(_bucket, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(
+            lambda g: fn(g.drop(columns=["_b"])), batch_format="pandas"
+        )
+    )
+
+
+def taste(ds, n: int, by: str | list[str], order_by: str | None = None,
+          buckets: int = 64):
     """First n events per group (reference taste.cpp:25 — per schema;
-    generalized to any key)."""
-    keys = [by] if isinstance(by, str) else by
+    generalized to any key, ordered by ``order_by`` when given).
 
-    def _head(g: pd.DataFrame) -> pd.DataFrame:
+    Scale shape: per-batch combiner keeps ≤n candidate rows per key
+    (any global first-n row is in its batch's first-n), then one
+    hash-bucketed shuffle with a vectorized ``groupby().head`` per
+    bucket — no per-group Python calls even at millions of keys."""
+    keys = [by] if isinstance(by, str) else list(by)
+
+    def _local_head(df: pd.DataFrame) -> pd.DataFrame:
         if order_by:
-            g = g.sort_values(order_by, kind="mergesort")
-        return g.head(n)
+            df = df.sort_values(order_by, kind="mergesort")
+        return df.groupby(keys, sort=False).head(n)
 
-    return ds.groupby(keys).map_groups(_head, batch_format="pandas")
+    pre = ds.map_batches(_local_head, batch_format="pandas")
+    return _bucketed_groups(pre, keys, _local_head, buckets=buckets)
 
 
 def deduplicate(ds, by: list[str], limit: int = 1, order_by: str | None = None):
@@ -283,29 +348,51 @@ def deduplicate(ds, by: list[str], limit: int = 1, order_by: str | None = None):
     return taste(ds, limit, by, order_by=order_by)
 
 
-def unique(ds, by: list[str] | None = None):
+def unique(ds, by: list[str] | None = None, buckets: int = 64):
     """Suppress duplicate rows (reference unique.cpp suppresses adjacent
     duplicates of a sorted stream; distributed batch semantics = global
-    dedup on the key columns, keeping one arbitrary-but-deterministic row)."""
-
-    def _key_cols(batch):
-        return by or list(batch.columns)
+    dedup on the key columns — or the FULL ROW when ``by`` is None —
+    keeping one arbitrary-but-deterministic row)."""
 
     def _local(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(subset=by, keep="first")
 
-    # local pre-dedup (combiner) then global per-key first
+    # local pre-dedup (combiner) then bucketed vectorized global dedup;
+    # by=None buckets/dedups on all columns (full-row distinct)
     pre = ds.map_batches(_local, batch_format="pandas")
-    return pre.groupby(by).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return _bucketed_groups(pre, by, _local, buckets=buckets)
 
 
-def sort(ds, keys: str | list[str], descending: bool | list[bool] = False):
-    keys = [keys] if isinstance(keys, str) else keys
+def sort(ds, keys: str | list[str], descending: bool | list[bool] = False,
+         nulls_first: bool | None = None):
+    """Distributed sort (reference sort.cpp buffers + SortIndices; here
+    Ray's range-partitioned sort). ``nulls_first`` forces null placement
+    (reference `nulls-first/nulls-last` flags) by interleaving an
+    is-null indicator key before each sort column."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
     if isinstance(descending, bool):
         descending = [descending] * len(keys)
-    return ds.sort(keys, descending=descending)
+    if nulls_first is None:
+        return ds.sort(keys, descending=descending)
+
+    ind_cols = [f"_null_{i}" for i in range(len(keys))]
+
+    def _ind(batch: pa.Table) -> pa.Table:
+        for i, k in enumerate(keys):
+            batch = batch.append_column(
+                ind_cols[i], pc.cast(pc.is_null(batch.column(k)), pa.int8())
+            )
+        return batch
+
+    sort_keys, sort_desc = [], []
+    for i, (k, d) in enumerate(zip(keys, descending)):
+        sort_keys += [ind_cols[i], k]
+        # indicator descending ⇒ nulls (1) first
+        sort_desc += [bool(nulls_first), d]
+    out = ds.map_batches(_ind, batch_format="pyarrow").sort(
+        sort_keys, descending=sort_desc
+    )
+    return out.drop_columns(ind_cols)
 
 
 def top(ds, column: str, k: int = 10):
@@ -377,19 +464,95 @@ def repeat_(ds, n: int):
 
 
 def enumerate_per_group(ds, by: str | list[str], out: str = "index",
-                        order_by: str | None = None):
+                        order_by: str | None = None, buckets: int = 64):
     """Per-group row number (reference enumerate.cpp numbers per schema;
-    generalized to any key; global enumerate needs a total order — use
-    slice_/sort + downstream consumption instead)."""
-    keys = [by] if isinstance(by, str) else by
+    generalized to any key). Bucketed: one vectorized ``cumcount`` per
+    hash bucket, never a Python call per group."""
+    keys = [by] if isinstance(by, str) else list(by)
 
     def _enum(g: pd.DataFrame) -> pd.DataFrame:
         if order_by:
             g = g.sort_values(order_by, kind="mergesort")
-        g[out] = np.arange(len(g), dtype=np.int64)
+        g = g.copy()
+        g[out] = g.groupby(keys, sort=False).cumcount().astype(np.int64)
         return g
 
-    return ds.groupby(keys).map_groups(_enum, batch_format="pandas")
+    return _bucketed_groups(ds, keys, _enum, buckets=buckets)
+
+
+def enumerate_global(ds, order_by: str | list[str], out: str = "row_number",
+                     buckets: int = 64):
+    """GLOBAL row number over an explicit total order (reference
+    enumerate.cpp:152 numbers the stream; a distributed engine needs an
+    order key). Exact two-pass range-bucket algorithm, no global sort:
+
+    1. rows map to ORDERED range buckets of the first order key
+       (numeric/timestamp: even min→max splits; other types: sampled
+       quantile edges) — bucket id is monotone in the key, so bucket
+       offsets + within-bucket ranks compose to exact global ranks;
+    2. a tiny per-bucket count pass gives cumulative offsets (driver
+       holds `buckets` integers, broadcast to stage 2);
+    3. each bucket sorts its own rows (vectorized) and adds its offset.
+
+    Ties in ``order_by`` get an arbitrary-but-deterministic-per-run
+    order within the tie (same caveat as SQL row_number)."""
+    keys = [order_by] if isinstance(order_by, str) else list(order_by)
+    k0 = keys[0]
+    import ray.data
+    from ray.data.aggregate import Max as _Max, Min as _Min
+
+    agg = ds.aggregate(_Min(k0), _Max(k0))
+    lo, hi = agg[f"min({k0})"], agg[f"max({k0})"]
+
+    is_num = isinstance(lo, (int, float, np.integer, np.floating))
+    if is_num and lo != hi:
+        edges = np.linspace(float(lo), float(hi), buckets + 1)[1:-1]
+    else:
+        # non-numeric (or constant) key: quantile edges from a bounded
+        # deterministic sample; degenerate samples collapse to 1 bucket
+        sample = ds.limit(50_000).to_pandas()[k0].to_numpy()
+        sample = np.sort(sample)
+        qs = np.linspace(0, len(sample) - 1, buckets + 1)[1:-1].astype(int)
+        edges = np.unique(sample[qs]) if len(sample) else np.array([])
+
+    def _bucket_ids(vals: np.ndarray) -> np.ndarray:
+        if len(edges) == 0:
+            return np.zeros(len(vals), dtype=np.int64)
+        return np.searchsorted(edges, vals, side="right").astype(np.int64)
+
+    # pass 1: per-bucket counts (each batch emits ≤buckets tiny rows)
+    def _count(df: pd.DataFrame) -> pd.DataFrame:
+        b = _bucket_ids(df[k0].to_numpy())
+        ub, cnt = np.unique(b, return_counts=True)
+        return pd.DataFrame({"_b": ub, "n": cnt})
+
+    counts = ds.map_batches(_count, batch_format="pandas").to_pandas()
+    per_bucket = counts.groupby("_b")["n"].sum()
+    nb = len(edges) + 1
+    full = np.zeros(nb, dtype=np.int64)
+    full[per_bucket.index.to_numpy()] = per_bucket.to_numpy()
+    offsets = np.roll(np.cumsum(full), 1)
+    offsets[0] = 0
+
+    def _tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_b"] = _bucket_ids(df[k0].to_numpy())
+        return df
+
+    def _rank(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["_b"].iloc[0])
+        g = g.sort_values(keys, kind="mergesort").drop(columns=["_b"])
+        g[out] = offsets[b] + np.arange(len(g), dtype=np.int64)
+        return g
+
+    # every group here is ONE range bucket (≤buckets groups total), so
+    # map_groups' per-group Python overhead is bounded and the inside is
+    # one vectorized sort per bucket
+    return (
+        ds.map_batches(_tag, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(_rank, batch_format="pandas")
+    )
 
 
 class _Pseudonymizer:
@@ -513,6 +676,114 @@ def yield_(ds, path: str):
         )
 
     return ds.map_batches(_hoist, batch_format="pyarrow")
+
+
+_CODECS = ("gzip", "bz2", "lzma", "zstd", "lz4")
+
+
+_PA_CODECS: dict = {}  # per-process codec cache (Codec is unpicklable)
+
+
+def _pa_codec(name: str):
+    c = _PA_CODECS.get(name)
+    if c is None:
+        c = _PA_CODECS[name] = pa.Codec(name)
+    return c
+
+
+def _codec_fns(codec: str):
+    """(compress, decompress) byte-level functions. gzip/bz2/lzma ride
+    the self-describing stdlib formats; zstd/lz4 ride pyarrow.Codec
+    (zstd frames embed the content size; lz4 uses the framed variant)."""
+    if codec == "gzip":
+        import zlib
+
+        return zlib.compress, zlib.decompress
+    if codec == "bz2":
+        import bz2
+
+        return bz2.compress, bz2.decompress
+    if codec == "lzma":
+        import lzma
+
+        return lzma.compress, lzma.decompress
+    if codec in ("zstd", "lz4"):
+        # pyarrow's one-shot Codec API needs the decompressed size up
+        # front; frame each value with a 4-byte little-endian length.
+        # The Codec object itself is not picklable — resolve it lazily
+        # per worker via the cached getter.
+
+        def _comp(b: bytes, _n=codec) -> bytes:
+            return len(b).to_bytes(4, "little") + _pa_codec(_n).compress(
+                b, asbytes=True
+            )
+
+        def _dec(b: bytes, _n=codec) -> bytes:
+            n = int.from_bytes(b[:4], "little")
+            return _pa_codec(_n).decompress(b[4:], decompressed_size=n, asbytes=True)
+
+        return _comp, _dec
+    raise ValueError(f"unknown codec {codec!r} (supported: {_CODECS})")
+
+
+def _map_binary(ds, column: str, out: str, fn, in_cast=None, out_type=None):
+    """Apply a bytes→bytes function per value, slicing inputs straight
+    out of the Arrow value buffer (no Python object per input value)."""
+    out_type = out_type or pa.binary()
+
+    def _apply(batch: pa.Table) -> pa.Table:
+        col = batch.column(column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if in_cast is not None:
+            col = col.cast(in_cast)
+        if not (
+            pa.types.is_string(col.type)
+            or pa.types.is_large_string(col.type)
+            or pa.types.is_binary(col.type)
+            or pa.types.is_large_binary(col.type)
+        ):
+            col = col.cast(pa.string())
+        large = pa.types.is_large_string(col.type) or pa.types.is_large_binary(col.type)
+        bufs = col.buffers()
+        off = np.frombuffer(bufs[1], dtype=np.int64 if large else np.int32)
+        off = off[col.offset : col.offset + len(col) + 1]
+        data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+        nulls = (
+            pc.is_null(col).to_numpy(zero_copy_only=False)
+            if col.null_count
+            else np.zeros(len(col), dtype=bool)
+        )
+        vals = [
+            None if nulls[i] else fn(bytes(data[off[i] : off[i + 1]]))
+            for i in range(len(col))
+        ]
+        arr = pa.array(vals, out_type)
+        if out in batch.column_names:
+            return batch.set_column(batch.schema.get_field_index(out), out, arr)
+        return batch.append_column(out, arr)
+
+    return ds.map_batches(_apply, batch_format="pyarrow")
+
+
+def compress(ds, column: str, codec: str = "zstd", out: str | None = None):
+    """Byte-level compression (reference
+    operators/compress_decompress.cpp:136 compresses the pipeline's byte
+    stream; the columnar analog compresses each value of a binary/string
+    column into a `binary` column). Compression is per-value by nature —
+    the loop slices the Arrow buffer directly."""
+    comp, _ = _codec_fns(codec)
+    return _map_binary(ds, column, out or column, comp, in_cast=None)
+
+
+def decompress(ds, column: str, codec: str = "zstd", out: str | None = None,
+               as_string: bool = False):
+    """Inverse of :func:`compress`; ``as_string=True`` casts the
+    decompressed bytes back to utf-8 strings."""
+    _, dec = _codec_fns(codec)
+    out_t = pa.string() if as_string else pa.binary()
+    fn = (lambda b: dec(b).decode()) if as_string else dec
+    return _map_binary(ds, column, out or column, fn, out_type=out_t)
 
 
 def parse_time(ds, column: str, fmt: str, out: str | None = None,

@@ -188,28 +188,41 @@ class SubnetTable:
         return 0 if plen == 0 else (0xFFFFFFFF << (32 - plen)) & 0xFFFFFFFF
 
     def match_rows(self, ips: list) -> np.ndarray:
-        """Longest-prefix row index per ip (-1 = no match)."""
-        parts = pd.Series(ips, dtype="object").fillna("0.0.0.0").str.split(".")
-        ok = parts.str.len() == 4
-        u32 = np.zeros(len(ips), dtype=np.uint64)
-        if ok.any():
-            arr = np.array(
-                [
-                    (int(p[0]) << 24) | (int(p[1]) << 16) | (int(p[2]) << 8) | int(p[3])
-                    if k else 0
-                    for p, k in zip(parts, ok)
-                ],
-                dtype=np.uint64,
-            )
-            u32 = arr
-        out = np.full(len(ips), -1, dtype=np.int64)
+        """Longest-prefix row index per ip (-1 = no match).
+
+        Malformed IPs (non-numeric parts, octets > 255, wrong part count —
+        common in security log data) are treated as no-match, never an
+        error. All probes are vectorized: octet parse via one split-expand,
+        then at most 32 ``Series.map`` dict probes (one per prefix length
+        present), each over the still-unmatched rows at C speed."""
+        s = pd.Series(ips, dtype="object")
+        out = np.full(len(s), -1, dtype=np.int64)
+        valid = s.str.fullmatch(r"\d{1,3}(\.\d{1,3}){3}", na=False)
+        if not valid.any():
+            return out
+        parts = s[valid].str.split(".", expand=True).astype(np.int64)
+        octets_ok = (parts <= 255).all(axis=1).to_numpy()
+        rows_idx = np.flatnonzero(valid.to_numpy())[octets_ok]
+        p = parts.to_numpy()[octets_ok]
+        if not len(p):
+            return out
+        u32 = (
+            (p[:, 0] << 24) | (p[:, 1] << 16) | (p[:, 2] << 8) | p[:, 3]
+        ).astype(np.uint64)
+        res = np.full(len(u32), -1, dtype=np.int64)
         for plen in sorted(self.nets_by_len, reverse=True):  # longest first
-            table = self.nets_by_len[plen]
-            masked = (u32 & np.uint64(self._mask(plen))).astype(np.int64)
-            for i in np.flatnonzero(out == -1):
-                row = table.get(int(masked[i]))
-                if row is not None:
-                    out[i] = row
+            pend = res == -1
+            if not pend.any():
+                break
+            masked = (u32[pend] & np.uint64(self._mask(plen))).astype(np.int64)
+            hit = (
+                pd.Series(masked)
+                .map(self.nets_by_len[plen])
+                .fillna(-1)
+                .to_numpy(dtype=np.int64)
+            )
+            res[np.flatnonzero(pend)] = hit
+        out[rows_idx] = res
         return out
 
 
@@ -221,17 +234,19 @@ class _SubnetEnricher:
         self.field = field
         self.prefix = prefix
         self.filter_unmatched = filter_unmatched
+        self.vals = self.ctx.table.to_pandas()  # once per actor
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         rows = self.ctx.match_rows(batch[self.field].tolist())
-        vals = self.ctx.table.to_pandas()
+        matched = rows >= 0
+        safe = np.where(matched, rows, 0)
         for c in self.ctx.value_cols:
-            col = vals[c].to_numpy()
-            batch[self.prefix + c] = [
-                col[r] if r >= 0 else None for r in rows
-            ]
+            col = self.vals[c].to_numpy()
+            taken = col[safe].astype(object)
+            taken[~matched] = None
+            batch[self.prefix + c] = taken
         if self.filter_unmatched:
-            batch = batch.loc[rows >= 0]
+            batch = batch.loc[matched]
         return batch
 
 

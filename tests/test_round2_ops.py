@@ -1,0 +1,405 @@
+"""Round-2 operator tests: write sinks, compress/decompress, gelf,
+every/cron, streaming summarize timeouts, global enumerate, sort nulls
+placement, unique(by=None), subnet robustness, serve token expiry,
+registry tz widening, empty CDC epochs, dedup collision guard, exchange
+joins."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ds(tbl: pa.Table):
+    import ray.data
+
+    return ray.data.from_arrow(tbl)
+
+
+# ---------------------------------------------------------------------------
+# write sinks
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json", "feather"])
+def test_write_sinks_roundtrip(ray_session, tmp_path, fmt):
+    import ray.data
+
+    from tenzir_ray.sources import readers, writers
+
+    tbl = pa.table(
+        {"a": pa.array([3, 1, 2], pa.int64()), "b": pa.array(["x", "y", "z"])}
+    )
+    out = str(tmp_path / f"out_{fmt}")
+    ds = _ds(tbl)
+    if fmt == "csv":
+        writers.write_csv(ds, out)
+        back = readers.read_csv(f"{out}/")
+    elif fmt == "json":
+        writers.write_json(ds, out)
+        back = ray.data.read_json(out)
+    else:
+        writers.write_feather(ds, out)
+        import glob
+
+        back = readers.read_feather(sorted(glob.glob(f"{out}/*.feather")))
+    got = back.to_pandas().sort_values("a", ignore_index=True)
+    exp = tbl.to_pandas().sort_values("a", ignore_index=True)
+    pd.testing.assert_frame_equal(got[["a", "b"]], exp)
+
+
+# ---------------------------------------------------------------------------
+# compress / decompress
+
+
+@pytest.mark.parametrize("codec", ["gzip", "bz2", "lzma", "zstd", "lz4"])
+def test_compress_roundtrip(ray_session, codec):
+    from tenzir_ray.stages import transforms as T
+
+    texts = ["hello world " * 20, "", "unicode ø π", None]
+    ds = _ds(pa.table({"doc_id": [1, 2, 3, 4], "text": texts}))
+    comp = T.compress(ds, "text", codec=codec, out="z")
+    rt = T.decompress(comp, "z", codec=codec, out="text2", as_string=True)
+    df = rt.to_pandas().sort_values("doc_id", ignore_index=True)
+    assert df["text2"].tolist() == ["hello world " * 20, "", "unicode ø π", None]
+    # compression actually shrank the repetitive value
+    assert len(df["z"].iloc[0]) < len(texts[0])
+
+
+# ---------------------------------------------------------------------------
+# gelf
+
+
+def test_parse_gelf(ray_session):
+    from tenzir_ray.sources.parsers import parse_gelf
+
+    lines = [
+        '{"version":"1.1","host":"h1","short_message":"boot","timestamp":1700000000.25,"level":6,"_facility":"sys"}',
+        '{"version":"1.1","host":"h2","short_message":"oops","timestamp":1700000001.5,"level":3}',
+    ]
+    out = parse_gelf(_ds(pa.table({"text": lines}))).to_pandas()
+    out = out.sort_values("host", ignore_index=True)
+    assert out["short_message"].tolist() == ["boot", "oops"]
+    assert str(out["timestamp"].dtype).startswith("datetime64")
+    assert out["_facility"].tolist()[0] == "sys"
+    assert out["level"].tolist() == [6, 3]
+
+
+# ---------------------------------------------------------------------------
+# every / cron
+
+
+def test_every_simulated_clock():
+    from tenzir_ray.pipelines.schedule import every
+
+    t = {"now": 0.0}
+    sleeps = []
+
+    def clock():
+        return t["now"]
+
+    def sleep(s):
+        sleeps.append(s)
+        t["now"] += s
+
+    calls = []
+
+    def job():
+        calls.append(t["now"])
+        t["now"] += 1.0  # the job itself takes 1s
+
+    every(5.0, job, runs=3, clock=clock, sleep=sleep)
+    assert len(calls) == 3
+    # fixed-rate: fires at 0, 5, 10 despite 1s job runtime
+    assert calls == [0.0, 5.0, 10.0]
+
+
+def test_cron_next():
+    from datetime import datetime
+
+    from tenzir_ray.pipelines.schedule import cron_next
+
+    # every 15 minutes
+    n = cron_next("*/15 * * * *", datetime(2024, 1, 1, 10, 7))
+    assert (n.hour, n.minute) == (10, 15)
+    # daily at 03:30
+    n = cron_next("30 3 * * *", datetime(2024, 1, 1, 10, 0))
+    assert (n.day, n.hour, n.minute) == (2, 3, 30)
+    # monday only (python weekday 0)
+    n = cron_next("0 12 * * 0", datetime(2024, 1, 3, 0, 0))  # wed
+    assert n.weekday() == 0 and (n.hour, n.minute) == (12, 0)
+
+
+# ---------------------------------------------------------------------------
+# streaming summarize timeouts
+
+
+def test_streaming_summarize_timeouts():
+    from tenzir_ray.stages.streaming import StreamingSummarize
+
+    t = {"now": 0.0}
+    agg = StreamingSummarize(
+        "k", {"total": "sum(v)", "n": "count(*)"},
+        update_timeout_s=10.0, clock=lambda: t["now"],
+    )
+    out0 = agg.feed(pd.DataFrame({"k": ["a", "a", "b"], "v": [1, 2, 10]}))
+    assert len(out0) == 0
+    t["now"] = 5.0
+    out1 = agg.feed(pd.DataFrame({"k": ["a"], "v": [3]}))  # refreshes a
+    assert len(out1) == 0
+    t["now"] = 16.0  # b idle 16s > 10 → flushed; a idle 11s > 10 → flushed too
+    out2 = agg.feed(pd.DataFrame({"k": ["c"], "v": [7]}))
+    flushed = out2.set_index("k")
+    assert flushed.loc["a", "total"] == 6 and flushed.loc["a", "n"] == 3
+    assert flushed.loc["b", "total"] == 10
+    rest = agg.flush()
+    assert rest["k"].tolist() == ["c"] and rest["total"].tolist() == [7]
+
+
+def test_streaming_summarize_batch_equivalent(ray_session):
+    from tenzir_ray.stages.streaming import streaming_summarize
+
+    rng = np.random.default_rng(3)
+    tbl = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 5, 1000).astype("int64")),
+            "v": pa.array(rng.random(1000)),
+        }
+    )
+    out = streaming_summarize(
+        _ds(tbl), "k", total="sum(v)", n="count(*)", vmax="max(v)", m="mean(v)"
+    ).to_pandas().sort_values("k", ignore_index=True)
+    exp = (
+        tbl.to_pandas()
+        .groupby("k", as_index=False)
+        .agg(total=("v", "sum"), n=("v", "size"), vmax=("v", "max"), m=("v", "mean"))
+    )
+    pd.testing.assert_frame_equal(
+        out, exp.astype({"n": "int64"}), check_exact=False, rtol=1e-12
+    )
+
+
+# ---------------------------------------------------------------------------
+# enumerate_global / sort nulls
+
+
+def test_enumerate_global(ray_session):
+    from tenzir_ray.stages import transforms as T
+
+    rng = np.random.default_rng(7)
+    vals = rng.permutation(500).astype("int64")
+    ds = _ds(pa.table({"x": vals}))
+    out = T.enumerate_global(ds, "x", out="rn", buckets=8).to_pandas()
+    out = out.sort_values("x", ignore_index=True)
+    assert out["rn"].tolist() == list(range(500))
+    assert out["x"].tolist() == sorted(vals)
+
+
+def test_enumerate_global_string_key(ray_session):
+    from tenzir_ray.stages import transforms as T
+
+    words = [f"w{i:04d}" for i in range(200)]
+    shuffled = list(np.random.default_rng(1).permutation(words))
+    out = T.enumerate_global(
+        _ds(pa.table({"w": shuffled})), "w", out="rn", buckets=4
+    ).to_pandas().sort_values("w", ignore_index=True)
+    assert out["rn"].tolist() == list(range(200))
+
+
+def test_sort_nulls_placement(ray_session):
+    from tenzir_ray.stages import transforms as T
+
+    tbl = pa.table({"x": pa.array([3, None, 1, None, 2], pa.int64())})
+    last = T.sort(_ds(tbl), "x", nulls_first=False).to_pandas()["x"]
+    assert last.tolist()[:3] == [1, 2, 3] and last.isna().tolist()[3:] == [True, True]
+    first = T.sort(_ds(tbl), "x", nulls_first=True).to_pandas()["x"]
+    assert first.isna().tolist()[:2] == [True, True] and first.tolist()[2:] == [1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# unique(by=None) — the ADVICE bug
+
+
+def test_unique_full_row(ray_session):
+    from tenzir_ray.stages import transforms as T
+
+    tbl = pa.table({"a": [1, 1, 2, 1], "b": ["x", "x", "y", "z"]})
+    out = T.unique(_ds(tbl)).to_pandas().sort_values(["a", "b"], ignore_index=True)
+    assert len(out) == 3
+    assert out.to_dict("list") == {"a": [1, 1, 2], "b": ["x", "z", "y"]}
+
+
+# ---------------------------------------------------------------------------
+# subnet robustness — the ADVICE bug
+
+
+def test_subnet_malformed_ips(ray_session):
+    from tenzir_ray.state.context import SubnetTable
+
+    cidrs = pa.table({"net": ["10.0.0.0/8"], "zone": ["wide"]})
+    ctx = SubnetTable(cidrs, "net")
+    rows = ctx.match_rows(
+        ["10.1.2.3", "not.an.ip.addr", "1e1.0.0.1", "300.1.1.1", None, "10.0.0"]
+    )
+    assert rows.tolist() == [0, -1, -1, -1, -1, -1]
+
+
+# ---------------------------------------------------------------------------
+# serve token expiry — the ADVICE bug
+
+
+def test_serve_token_expired(ray_session):
+    from tenzir_ray.pipelines.serve import Server, TokenExpiredError
+
+    ds = _ds(pa.table({"x": list(range(100))}))
+    srv = Server(ds, page_size=10, max_cached_pages=2)
+    token = None
+    for _ in range(6):  # advance well past the cache window
+        _page, token = srv.get(token)
+    with pytest.raises(TokenExpiredError):
+        srv.get(0)
+
+
+# ---------------------------------------------------------------------------
+# registry tz widening — the ADVICE bug
+
+
+def test_widen_timestamp_tz():
+    from tenzir_ray.cdc.registry import widen
+
+    t = widen(pa.timestamp("us", tz="UTC"), pa.timestamp("ns", tz="UTC"))
+    assert t == pa.timestamp("ns", tz="UTC")
+    with pytest.raises(TypeError):
+        widen(pa.timestamp("us", tz="UTC"), pa.timestamp("us"))
+
+
+# ---------------------------------------------------------------------------
+# empty CDC epoch — the ADVICE bug
+
+
+def test_lake_empty_epoch(ray_session, tmp_path):
+    import pyarrow.compute as pc
+
+    from tenzir_ray.cdc import LakeTable, gen_changes
+
+    changes = gen_changes(500, seed=5)
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=4)
+    empty = changes.filter(pc.less(changes.column("lsn"), -1))
+    res = lake.apply_changes(empty, epoch_id="e-empty")
+    assert res["partitions_touched"] == 0
+    # committed: re-apply is a no-op skip
+    res2 = lake.apply_changes(empty, epoch_id="e-empty")
+    assert res2.get("skipped") is True
+    # a real epoch still applies cleanly afterwards
+    res3 = lake.apply_changes(changes, epoch_id="e1")
+    assert res3["rows_live"] > 0
+
+
+def test_tail_directory_with_empty_segment(ray_session, tmp_path):
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.cdc import LakeTable, gen_changes
+    from tenzir_ray.cdc.oracle import naive_apply
+
+    changes = gen_changes(400, seed=9)
+    logdir = tmp_path / "log"
+    logdir.mkdir()
+    lsn = changes.column("lsn")
+    pq.write_table(changes.filter(pc.less(lsn, 200)), logdir / "seg-000.parquet")
+    pq.write_table(changes.slice(0, 0), logdir / "seg-001.parquet")  # empty
+    pq.write_table(
+        changes.filter(pc.greater_equal(lsn, 200)), logdir / "seg-002.parquet"
+    )
+    lake = LakeTable(str(tmp_path / "lake2"), num_partitions=4)
+    results = lake.tail_directory(str(logdir))
+    assert len(results) == 3
+    expected = naive_apply(changes)
+    got = lake.final_table()
+    assert got.num_rows == expected.num_rows
+    assert got.column("text").to_pylist() == expected.column("text").to_pylist()
+
+
+# ---------------------------------------------------------------------------
+# exact_dedup collision guard
+
+
+def test_exact_dedup_hash_collision(ray_session, monkeypatch):
+    from tenzir_ray.stages import dedup as D
+
+    # force every text into ONE hash bucket: distinct texts must survive
+    monkeypatch.setattr(
+        D, "_hash_texts", lambda s: np.zeros(len(s), dtype=np.uint64)
+    )
+    tbl = pa.table(
+        {"doc_id": [1, 2, 3, 4], "text": ["aaa", "bbb", "aaa", "ccc"]}
+    )
+    out = D.exact_dedup(_ds(tbl), "text", keep_order_by="doc_id").to_pandas()
+    out = out.sort_values("doc_id", ignore_index=True)
+    assert out["text"].tolist() == ["aaa", "bbb", "ccc"]
+    assert out["doc_id"].tolist() == [1, 2, 4]
+
+
+# ---------------------------------------------------------------------------
+# exchange joins
+
+
+def test_hash_join_left_typed_padding(ray_session):
+    from tenzir_ray.stages.join import hash_join
+
+    left = _ds(pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                         "lv": pa.array([10, 20, 30], pa.int64())}))
+    right = _ds(pa.table({"k": pa.array([1, 3], pa.int32()),
+                          "rv": pa.array([100, 300], pa.int64())}))
+    out = hash_join(left, right, on="k", how="left")
+    tbl = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    # typed null padding: rv stays int64 (never object/float)
+    assert tbl.schema.field("rv").type == pa.int64()
+    df = tbl.to_pandas().sort_values("k", ignore_index=True)
+    assert df["rv"].fillna(-1).tolist() == [100, -1, 300]
+
+
+def test_asof_join_typed_schema(ray_session):
+    from tenzir_ray.stages.join import asof_join
+
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    left = _ds(pa.table({
+        "u": pa.array([1, 1, 2], pa.int64()),
+        "ts": pa.array([ts(5), ts(20), ts(5)], pa.timestamp("us")),
+        "ev": pa.array([100, 101, 102], pa.int64()),
+    }))
+    right = _ds(pa.table({
+        "u": pa.array([1, 1], pa.int64()),
+        "ts": pa.array([ts(0), ts(10)], pa.timestamp("us")),
+        "state": pa.array([7, 8], pa.int64()),
+    }))
+    out = asof_join(left, right, by="u", on="ts")
+    tbl = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    assert tbl.schema.field("state").type == pa.int64()
+    df = tbl.to_pandas().sort_values("ev", ignore_index=True)
+    # u=1@5 → state 7; u=1@20 → state 8; u=2 → null (typed)
+    assert df["state"].tolist()[:2] == [7, 8] and pd.isna(df["state"].iloc[2])
+
+
+def test_connected_components_chain(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages.dedup import connected_components
+
+    # two chains: 1-2-3-4 and 10-11; plus isolated pair 20-21
+    edges = pa.table({
+        "id_a": pa.array([1, 2, 3, 10, 20], pa.int64()),
+        "id_b": pa.array([2, 3, 4, 11, 21], pa.int64()),
+    })
+    out = connected_components(ray.data.from_arrow(edges)).to_pandas()
+    comp = dict(zip(out["id_a"], out["component"]))
+    assert comp[1] == comp[2] == comp[3] == comp[4] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == comp[21] == 20
