@@ -266,43 +266,113 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return T.select(ds, ["doc_id", "ws_tokens"])
 
     def doc_quality(sf):
+        # every component of the heuristic is SQL-expressible; float
+        # ratios compare as scaled micro-ints (cross-engine ulp guard)
         ds = TX.quality_score(_read(sf, "documents", columns=["doc_id", "text"]))
-        return T.select(ds, ["doc_id", "n_tokens", "alpha_ratio", "quality"])
+        ds = T.select(ds, ["doc_id", "n_tokens", "alpha_ratio", "quality"])
+        return T.scale_int_cols(ds, ["alpha_ratio", "quality"])
 
     def doc_langid(sf):
-        ds = TX.lang_id(_read(sf, "documents", columns=["doc_id", "text", "lang"]))
-        return T.select(ds, ["doc_id", "lang", "lang_pred", "lang_score"])
+        # planted truth: deterministic stopword sentences per target
+        # language — the heuristic must recover lang exactly (and with a
+        # perfect score, since every token is in the target profile)
+        import pandas as pd
+
+        from tenzir_ray.stages.text import _LANG_PROFILES
+
+        langs = sorted(_LANG_PROFILES)
+        sentences = {l: " ".join(sorted(_LANG_PROFILES[l])) for l in langs}
+
+        def _plant(df: pd.DataFrame) -> pd.DataFrame:
+            idx = (df["doc_id"] % len(langs)).to_numpy()
+            df = df.copy()
+            df["lang"] = [langs[i] for i in idx]
+            df["text"] = [sentences[langs[i]] for i in idx]
+            return df
+
+        ds = _read(sf, "documents", columns=["doc_id"]).map_batches(
+            _plant, batch_format="pandas"
+        )
+        ds = TX.lang_id(ds)
+        ds = T.select(ds, ["doc_id", "lang", "lang_pred", "lang_score"])
+        return T.scale_int_cols(ds, ["lang_score"])
 
     def doc_fingerprint(sf):
-        ds = TX.fingerprint(_read(sf, "documents", columns=["doc_id", "text"]))
-        return T.select(ds, ["doc_id", "fingerprint"])
+        # planted truth: an id-shifted clone of every doc carries the
+        # identical text, so its rolling-hash fingerprint must match
+        from tenzir_ray.stages.join import hash_join
+
+        ds = _read(sf, "documents", columns=["doc_id", "text"])
+        fp = TX.fingerprint(ds.union(T.set_(ds, doc_id="doc_id + 10000")))
+        fp = T.select(fp, ["doc_id", "fingerprint"])
+        orig = T.where(fp, "doc_id < 10000")
+        clone = T.set_(T.where(fp, "doc_id >= 10000"), doc_id="doc_id - 10000")
+        j = hash_join(orig, clone, on="doc_id")
+        return T.put(j, doc_id="doc_id", fp_match="fingerprint == fingerprint_r")
 
     def minhash_dedup_groups(sf):
-        return D.minhash_lsh_dedup(
-            _read(sf, "documents", columns=["doc_id", "text"]), "doc_id", "text"
-        )
+        # planted truth: exact clones share every band bucket, so LSH
+        # must place clone and original in the same dup_group
+        from tenzir_ray.stages.join import hash_join
+
+        ds = _read(sf, "documents", columns=["doc_id", "text"])
+        both = ds.union(T.set_(ds, doc_id="doc_id + 10000"))
+        groups = D.minhash_lsh_dedup(both, "doc_id", "text")
+        orig = T.where(groups, "doc_id < 10000")
+        clone = T.set_(T.where(groups, "doc_id >= 10000"), doc_id="doc_id - 10000")
+        j = hash_join(orig, clone, on="doc_id")
+        return T.put(j, doc_id="doc_id", same_group="dup_group == dup_group_r")
 
     def simhash_docs(sf):
-        ds = D.simhash(_read(sf, "documents", columns=["doc_id", "text"]))
-        return T.select(ds, ["doc_id", "simhash"])
+        from tenzir_ray.stages.join import hash_join
+
+        ds = _read(sf, "documents", columns=["doc_id", "text"])
+        sh = D.simhash(ds.union(T.set_(ds, doc_id="doc_id + 10000")))
+        sh = T.select(sh, ["doc_id", "simhash"])
+        orig = T.where(sh, "doc_id < 10000")
+        clone = T.set_(T.where(sh, "doc_id >= 10000"), doc_id="doc_id - 10000")
+        j = hash_join(orig, clone, on="doc_id")
+        return T.put(j, doc_id="doc_id", sim_match="simhash == simhash_r")
 
     def ann_cosine_topk(sf):
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         q_tbl = pq.read_table(
             f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
         ).slice(0, 2)
         queries_m = np.stack([np.asarray(v) for v in q_tbl.column("embedding").to_pylist()])
-        return SIM.brute_force_topk(_read(sf, "embeddings"), queries_m, k=5)
+        out = SIM.brute_force_topk(
+            _read(sf, "embeddings"), queries_m, k=5, dtype=np.float64
+        )
+        # ids only: double cosine RANKS agree with the SQL oracle; raw
+        # float scores differ in the last ulp (summation order)
+        return pa.table(
+            {
+                "query_idx": out.column("query_idx").cast(pa.int64()),
+                "vec_id": out.column("vec_id"),
+            }
+        )
 
     def embedding_near_dups(sf):
-        # plant exact duplicates (union with an id-shifted copy) so the
-        # near-dup path always has work: every vector pairs with its clone
+        # plant exact duplicates (union with an id-shifted copy): every
+        # vector MUST pair with its clone (identical vector → identical
+        # LSH bucket → cosine 1 ≥ threshold)
+        import pandas as pd
+
         ds = _read(sf, "embeddings", columns=["vec_id", "embedding"])
         shifted = T.set_(ds, vec_id="vec_id + 1000000")
-        return SIM.embedding_near_dup(
+        pairs = SIM.embedding_near_dup(
             ds.union(shifted), threshold=0.999, n_planes=6
         )
+
+        def _clones(df: pd.DataFrame) -> pd.DataFrame:
+            hit = df[(df["id_b"] - df["id_a"] == 1000000) & (df["id_a"] < 1000000)]
+            return pd.DataFrame(
+                {"vec_id": hit["id_a"].astype("int64"), "clone_found": True}
+            ).drop_duplicates()
+
+        return pairs.map_batches(_clones, batch_format="pandas")
 
     def cdc_replay(sf):
         return _cdc_replay(sf)
@@ -374,46 +444,79 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out
 
     def syslog_parse(sf):
-        import ray.data
+        import pandas as pd
 
-        import pyarrow as pa
-
-        # deterministic synthetic syslog lines derived from event ids
-        import pyarrow.parquet as pq
-
-        ev = pq.read_table(f"{sf}/events.parquet", columns=["event_id", "user_id"])
-        lines = [
-            f"<{13 + (i % 8)}>1 2024-01-01T00:00:{i % 60:02d}Z host{u} app {i} ID{i} - msg {i}"
-            for i, u in zip(
-                ev.column("event_id").to_pylist()[:500],
-                ev.column("user_id").to_pylist()[:500],
+        # deterministic synthetic syslog lines derived from event ids —
+        # the oracle SQL reconstructs every parsed field from `events`
+        def _mk(df: pd.DataFrame) -> pd.DataFrame:
+            i = df["event_id"].astype(str)
+            sec = (df["event_id"] % 60).astype(str).str.zfill(2)
+            return pd.DataFrame(
+                {
+                    "text": "<" + (13 + df["event_id"] % 8).astype(str) + ">1 "
+                    + "2024-01-01T00:00:" + sec + "Z host"
+                    + df["user_id"].astype(str) + " app " + i + " ID" + i
+                    + " - msg " + i
+                }
             )
-        ]
+
+        lines = T.where(
+            _read(sf, "events", columns=["event_id", "user_id"]),
+            "event_id < 500",
+        ).map_batches(_mk, batch_format="pandas")
         from tenzir_ray.sources import parse_syslog
 
-        return parse_syslog(ray.data.from_arrow(pa.table({"text": lines})))
+        out = parse_syslog(lines)
+        return T.select(
+            out,
+            ["facility", "severity", "version", "ts", "hostname", "app",
+             "procid", "msgid", "message"],
+        )
 
     def streaming_dedup_types(sf):
         from tenzir_ray.stages.streaming import streaming_deduplicate
 
-        return streaming_deduplicate(
-            _read(sf, "events", columns=["event_id", "event_type"]),
-            by=["event_type"], limit=3,
+        # deterministic stream: sort by event_id, then ordered execution
+        # → first 3 events per type by event_id (SQL row_number oracle)
+        ds = _read(sf, "events", columns=["event_id", "event_type"]).sort(
+            "event_id"
         )
+        return streaming_deduplicate(ds, by=["event_type"], limit=3, ordered=True)
 
     def pseudonymize_ips(sf):
         import pandas as pd
 
+        # the prefix-preservation property asserted in SQL-comparable
+        # form: two IPs sharing a /24 must pseudonymize to IPs sharing
+        # exactly their first 3 octets and differing in the 4th
         def _mk(df: pd.DataFrame) -> pd.DataFrame:
-            df["ip"] = "10.0." + (df["user_id"] % 256).astype(str) + "." + (
-                df["event_id"] % 256
-            ).astype(str)
+            base = "10.0." + (df["user_id"] % 256).astype(str) + "."
+            df = df.copy()
+            df["ip"] = base + (df["event_id"] % 200).astype(str)
+            df["ip_sib"] = base + (df["event_id"] % 200 + 1).astype(str)
+            df["ip_orig"] = df["ip"]
             return df
 
         ds = _read(sf, "events", columns=["event_id", "user_id"]).map_batches(
             _mk, batch_format="pandas"
         )
-        return T.pseudonymize(ds, "ip", salt="bench")
+        ds = T.pseudonymize(ds, "ip", salt="bench")
+        ds = T.pseudonymize(ds, "ip_sib", salt="bench")
+
+        def _props(df: pd.DataFrame) -> pd.DataFrame:
+            p1 = df["ip"].str.rsplit(".", n=1)
+            p2 = df["ip_sib"].str.rsplit(".", n=1)
+            return pd.DataFrame(
+                {
+                    "event_id": df["event_id"],
+                    "prefix_preserved": (
+                        p1.str[0].eq(p2.str[0]) & ~p1.str[1].eq(p2.str[1])
+                    ),
+                    "changed": df["ip"].ne(df["ip_orig"]),
+                }
+            )
+
+        return ds.map_batches(_props, batch_format="pandas")
 
     def revenue_per_order(sf):
         from tenzir_ray.stages.summarize import summarize_hash
@@ -438,10 +541,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def sliding_windows(sf):
         from tenzir_ray.stages.window import sliding_window
 
-        return sliding_window(
+        ds = sliding_window(
             _read(sf, "events", columns=["ts", "value"]), "ts",
             size="1d", slide="6h",
         )
+
+        def _us(t):
+            import pyarrow as pa
+
+            i = t.schema.get_field_index("window_start")
+            return t.set_column(
+                i, "window_start", t.column("window_start").cast(pa.timestamp("us"))
+            )
+
+        return ds.map_batches(_us, batch_format="pyarrow")
 
     def subnet_enrich(sf):
         import pyarrow as pa
@@ -468,6 +581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return enrich_subnet(ds, SubnetTable(cidrs, "net"), field="ip")
 
     def ann_ivf_topk(sf):
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         q_tbl = pq.read_table(
@@ -476,28 +590,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
         queries_m = np.stack(
             [np.asarray(v) for v in q_tbl.column("embedding").to_pylist()]
         )
-        return SIM.ivf_topk(
-            _read(sf, "embeddings"), queries_m, k=5, nlist=16, nprobe=6
+        # nprobe=nlist → exhaustive probe: exercises the full IVF path
+        # (train/assign/probe) while staying exactly brute-force-equal,
+        # so the SQL cosine oracle gates it; recall at nprobe<nlist is
+        # covered by pytest
+        out = SIM.ivf_topk(
+            _read(sf, "embeddings"), queries_m, k=5, nlist=16, nprobe=16,
+            dtype=np.float64,
+        )
+        return pa.table(
+            {
+                "query_idx": out.column("query_idx").cast(pa.int64()),
+                "vec_id": out.column("vec_id"),
+            }
         )
 
     def dedup_components(sf):
-        # transitive near-dup clusters: planted duplicate chain via union
-        # with two shifted copies, LSH candidates -> connected components
-        ds = _read(sf, "documents", columns=["doc_id", "text"])
-        groups = D.minhash_lsh_dedup(ds, "doc_id", "text")
+        # planted transitive chain: TWO clone generations of every doc
+        # (orig—c1—c2) must land in ONE connected component — the
+        # transitive closure LSH's one-round min-label misses
         import pandas as pd
+
+        ds = _read(sf, "documents", columns=["doc_id", "text"])
+        everyone = ds.union(
+            T.set_(ds, doc_id="doc_id + 10000"),
+            T.set_(ds, doc_id="doc_id + 20000"),
+        )
+        groups = D.minhash_lsh_dedup(everyone, "doc_id", "text")
 
         def _pairs(df: pd.DataFrame) -> pd.DataFrame:
             df = df[df["doc_id"] != df["dup_group"]]
             return pd.DataFrame({"id_a": df["dup_group"], "id_b": df["doc_id"]})
 
         edges = groups.map_batches(_pairs, batch_format="pandas")
-        if edges.count() == 0:
-            import pyarrow as pa
+        comp = D.connected_components(edges)
 
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "component": pa.array([], pa.int64())})
-        return D.connected_components(edges)
+        def _base(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["doc_id"] = df["id_a"] % 10000
+            return df[["doc_id", "component"]]
+
+        from tenzir_ray.stages import summarize as S2
+
+        per_base = S2.summarize(
+            comp.map_batches(_base, batch_format="pandas"),
+            by="doc_id", n="count(*)", nc="count_distinct(component)",
+        )
+        return T.put(per_base, doc_id="doc_id", chain_connected="nc == 1 and n == 3")
 
     def join_revenue_by_priority(sf):
         import pyarrow as pa
@@ -558,6 +697,472 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(_typed, batch_format="pandas")
 
+    # -- round-2 gate queries: previously implemented-but-ungated ops ----
+
+    def struct_roundtrip(sf):
+        # unflatten builds struct m from dotted names; flatten restores
+        ds = _read(sf, "events", columns=["event_id", "user_id", "value"])
+        ds = T.rename(ds, {"user_id": "m.user_id", "value": "m.value"})
+        nested = T.unflatten(ds)  # → event_id, m{user_id, value}
+        return T.flatten(nested)  # → event_id, m.user_id, m.value
+
+    def yield_nested(sf):
+        ds = _read(sf, "events", columns=["user_id", "value"])
+        ds = T.rename(ds, {"user_id": "m.user_id", "value": "m.value"})
+        nested = T.unflatten(ds)
+        return T.yield_(nested, "m")  # hoist struct m → user_id, value
+
+    def rename_cols(sf):
+        ds = _read(sf, "orders", columns=["o_orderkey", "o_totalprice"])
+        return T.rename(ds, {"o_orderkey": "key", "o_totalprice": "price"})
+
+    def tail_orders(sf):
+        ds = T.tail(_read(sf, "orders", columns=["o_orderkey", "o_totalprice"]),
+                    10, by="o_orderkey")
+        return ds
+
+    def reverse_head(sf):
+        # reverse by event_id then head 5 ⇒ the LAST 5 event ids
+        ds = T.reverse(
+            _read(sf, "events", columns=["event_id", "event_type"]), "event_id"
+        )
+        return T.head(ds, 5)
+
+    def kv_parse(sf):
+        import pandas as pd
+
+        def _mk(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "text": "user=" + df["user_id"].astype(str)
+                    + " event=" + df["event_id"].astype(str)
+                }
+            )
+
+        from tenzir_ray.sources import parse_kv
+
+        lines = _read(sf, "events", columns=["event_id", "user_id"]).map_batches(
+            _mk, batch_format="pandas"
+        )
+        return T.select(parse_kv(lines), ["user", "event"])
+
+    def cef_parse(sf):
+        import pandas as pd
+
+        def _mk(df: pd.DataFrame) -> pd.DataFrame:
+            i = df["event_id"].astype(str)
+            return pd.DataFrame(
+                {
+                    "text": "CEF:0|tenzir|ray|1.0|" + i + "|evt|"
+                    + (df["event_id"] % 10).astype(str)
+                    + "|src=10.0.0." + (df["event_id"] % 256).astype(str)
+                    + " suser=u" + df["user_id"].astype(str)
+                }
+            )
+
+        from tenzir_ray.sources import parse_cef
+
+        lines = _read(sf, "events", columns=["event_id", "user_id"]).map_batches(
+            _mk, batch_format="pandas"
+        )
+        return T.select(
+            parse_cef(lines),
+            ["device_vendor", "device_product", "signature_id", "severity",
+             "src", "suser"],
+        )
+
+    def leef_parse(sf):
+        import pandas as pd
+
+        def _mk(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "text": "LEEF:2.0|tenzir|ray|1.0|"
+                    + df["event_id"].astype(str) + "|^|src=10.0.0."
+                    + (df["event_id"] % 256).astype(str)
+                    + "^usr=u" + df["user_id"].astype(str)
+                }
+            )
+
+        from tenzir_ray.sources import parse_leef
+
+        lines = _read(sf, "events", columns=["event_id", "user_id"]).map_batches(
+            _mk, batch_format="pandas"
+        )
+        out = parse_leef(lines)
+        out = T.rename(out, {"event_id": "leef_event_id"})
+        return T.select(out, ["device_vendor", "leef_event_id", "src", "usr"])
+
+    def grok_parse(sf):
+        import pandas as pd
+
+        def _mk(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "text": "10.0." + (df["user_id"] % 256).astype(str) + "."
+                    + (df["event_id"] % 256).astype(str)
+                    + " GET /api/v" + (df["event_id"] % 3).astype(str)
+                    + " " + (200 + df["event_id"] % 3).astype(str)
+                }
+            )
+
+        from tenzir_ray.sources import parse_grok
+
+        lines = _read(sf, "events", columns=["event_id", "user_id"]).map_batches(
+            _mk, batch_format="pandas"
+        )
+        out = parse_grok(lines, "%{IP:client} %{WORD:method} %{PATH:path} %{INT:code}")
+        return T.select(out, ["client", "method", "path", "code"])
+
+    def zeek_tsv_parse(sf):
+        import pyarrow.parquet as pq
+
+        from tenzir_ray.sources.parsers import parse_zeek_tsv_text
+
+        ev = pq.read_table(f"{sf}/events.parquet", columns=["event_id", "user_id"])
+        ids = ev.column("event_id").to_pylist()[:200]
+        users = ev.column("user_id").to_pylist()[:200]
+        hdr = (
+            "#separator \\x09\n#set_separator\t,\n#empty_field\t(empty)\n"
+            "#unset_field\t-\n#path\tsynth\n#open\t2024-01-01-00-00-00\n"
+            "#fields\teid\tuname\tscore\n#types\tint\tstring\tdouble\n"
+        )
+        body = "".join(
+            f"{i}\tu{u}\t{i}.5\n" for i, u in zip(ids, users)
+        )
+        return parse_zeek_tsv_text(hdr + body + "#close\t2024-01-01-00-00-01\n")
+
+    def yaml_parse(sf):
+        import pandas as pd
+
+        def _mk(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "text": "a: " + df["event_id"].astype(str)
+                    + "\nb: u" + df["user_id"].astype(str)
+                }
+            )
+
+        from tenzir_ray.sources.parsers import parse_yaml_docs
+
+        lines = T.where(
+            _read(sf, "events", columns=["event_id", "user_id"]), "event_id < 500"
+        ).map_batches(_mk, batch_format="pandas")
+        return parse_yaml_docs(lines)
+
+    def gelf_parse(sf):
+        import pandas as pd
+
+        def _mk(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "text": '{"version":"1.1","host":"h'
+                    + df["user_id"].astype(str)
+                    + '","short_message":"m' + df["event_id"].astype(str)
+                    + '","timestamp":' + (1700000000 + df["event_id"]).astype(str)
+                    + ',"level":' + (df["event_id"] % 8).astype(str) + "}"
+                }
+            )
+
+        from tenzir_ray.sources.parsers import parse_gelf
+
+        lines = _read(sf, "events", columns=["event_id", "user_id"]).map_batches(
+            _mk, batch_format="pandas"
+        )
+        return T.select(
+            parse_gelf(lines), ["host", "short_message", "timestamp", "level"]
+        )
+
+    def bloom_semi_join(sf):
+        import pyarrow.parquet as pq
+
+        from tenzir_ray.state.context import BloomFilter, bloom_filter_semi_join
+
+        keys = [
+            k
+            for k in pq.read_table(
+                f"{sf}/customer.parquet", columns=["c_custkey"]
+            ).column("c_custkey").to_pylist()
+            if k % 3 == 0
+        ]
+        bloom = BloomFilter(capacity=max(1024, len(keys)), fp_rate=1e-9)
+        bloom.add(keys)
+        ds = _read(sf, "events", columns=["event_id", "user_id"])
+        return bloom_filter_semi_join(ds, bloom, "user_id")
+
+    def measure_total(sf):
+        from tenzir_ray.stages.streaming import measure
+
+        m = measure(_read(sf, "events", columns=["event_id"]))
+        return S.summarize(m, total_events="sum(events)")
+
+    def serve_pages(sf):
+        import pyarrow as pa
+
+        from tenzir_ray.pipelines.serve import serve
+
+        ds = _read(sf, "orders", columns=["o_orderkey", "o_orderpriority"])
+        srv = serve(ds, page_size=1000)
+        pages, token = [], None
+        while True:
+            page, token = srv.get(token)
+            if page is not None:
+                pages.append(page)
+            if token is None:
+                break
+        return pa.concat_tables(pages)
+
+    def enumerate_global_orders(sf):
+        return T.enumerate_global(
+            _read(sf, "orders", columns=["o_orderkey", "o_totalprice"]),
+            "o_orderkey", out="rn",
+        )
+
+    def sort_nulls_first(sf):
+        import pandas as pd
+
+        def _null_big(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df.loc[df["value"] > 90, "value"] = None
+            return df
+
+        ds = _read(sf, "events", columns=["event_id", "value"]).map_batches(
+            _null_big, batch_format="pandas"
+        )
+        return T.head(T.sort(ds, ["value", "event_id"], nulls_first=True), 10)
+
+    def distinct_users_by_type(sf):
+        import pandas as pd
+
+        ds = S.summarize(
+            _read(sf, "events", columns=["event_type", "user_id"]),
+            by="event_type", users="distinct(user_id)",
+        )
+
+        # list-valued column → comma string: compares robustly across
+        # engines (list cells don't sort/hash uniformly)
+        def _joined(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["users"] = df["users"].map(
+                lambda v: ",".join(str(int(x)) for x in v)
+            )
+            return df
+
+        return ds.map_batches(_joined, batch_format="pandas")
+
+    def hll_accuracy(sf):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        est = S.summarize(
+            _read(sf, "events", columns=["event_type", "user_id"]),
+            by="event_type",
+            approx="approx_count_distinct(user_id)",
+            exact="count_distinct(user_id)",
+        )
+
+        def _ok(t: pa.Table) -> pa.Table:
+            a = pc.cast(t.column("approx"), pa.float64())
+            e = pc.cast(t.column("exact"), pa.float64())
+            rel = pc.abs(pc.divide(pc.subtract(a, e), e))
+            return pa.table(
+                {
+                    "event_type": t.column("event_type"),
+                    "hll_ok": pc.less(rel, 0.05),
+                }
+            )
+
+        return est.map_batches(_ok, batch_format="pyarrow")
+
+    def streaming_summarize_types(sf):
+        from tenzir_ray.stages.streaming import streaming_summarize
+
+        out = streaming_summarize(
+            _read(sf, "events", columns=["event_type", "value"]),
+            "event_type", total="sum(value)", n="count(*)", vmax="max(value)",
+        )
+        import ray.data
+
+        return T.scale_int_cols(
+            ray.data.from_arrow(out), ["total", "vmax"]
+        )
+
+    def compress_roundtrip_docs(sf):
+        ds = _read(sf, "documents", columns=["doc_id", "text"])
+        z = T.compress(ds, "text", codec="zstd", out="z")
+        out = T.decompress(z, "z", codec="zstd", out="text", as_string=True)
+        return T.select(out, ["doc_id", "text"])
+
+    def csv_roundtrip(sf):
+        import uuid as _uuid
+
+        from tenzir_ray.sources import readers, writers
+
+        out = f"/tmp/tenzir_ray_sink/csv-{_uuid.uuid4().hex[:8]}"
+        ds = _read(sf, "orders", columns=["o_orderkey", "o_totalprice", "o_orderpriority"])
+        writers.write_csv(ds, out)
+        return readers.read_csv(f"{out}/")
+
+    def json_roundtrip(sf):
+        import uuid as _uuid
+
+        import ray.data
+
+        from tenzir_ray.sources import writers
+
+        out = f"/tmp/tenzir_ray_sink/json-{_uuid.uuid4().hex[:8]}"
+        ds = _read(sf, "events", columns=["event_id", "event_type", "value"])
+        writers.write_json(ds, out)
+        return ray.data.read_json(out)
+
+    def feather_roundtrip(sf):
+        import glob as _glob
+        import uuid as _uuid
+
+        from tenzir_ray.sources import readers, writers
+
+        out = f"/tmp/tenzir_ray_sink/feather-{_uuid.uuid4().hex[:8]}"
+        ds = _read(sf, "events", columns=["event_id", "ts", "value"])
+        writers.write_feather(ds, out)
+        return readers.read_feather(sorted(_glob.glob(f"{out}/*.feather")))
+
+    def taste_lineitem_high_card(sf):
+        # high-cardinality gate for the bucketed taste path: one group
+        # per order (~15k at sf0.1)
+        return T.taste(
+            _read(sf, "lineitem", columns=["l_orderkey", "l_linenumber"]),
+            2, by="l_orderkey", order_by="l_linenumber",
+        )
+
+    def asof_forward(sf):
+        import pandas as pd
+
+        from tenzir_ray.stages.join import asof_join
+
+        left = _read(sf, "events", columns=["event_id", "user_id", "ts"])
+
+        def _status_side(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["event_id"] % 11 == 0]
+            return pd.DataFrame(
+                {"user_id": df["user_id"], "ts": df["ts"], "status_id": df["event_id"]}
+            )
+
+        right = _read(sf, "events", columns=["event_id", "user_id", "ts"]).map_batches(
+            _status_side, batch_format="pandas"
+        )
+        out = asof_join(left, right, by="user_id", on="ts", direction="forward")
+
+        def _f64(t):
+            import pyarrow as pa
+
+            i = t.schema.get_field_index("status_id")
+            return t.set_column(
+                i, "status_id", t.column("status_id").cast(pa.float64())
+            )
+
+        return out.map_batches(_f64, batch_format="pyarrow")
+
+    def hash_join_left_outer(sf):
+        from tenzir_ray.stages.join import hash_join
+
+        orders = _read(sf, "orders", columns=["o_orderkey", "o_custkey"])
+        cust = T.where(
+            _read(sf, "customer", columns=["c_custkey", "c_mktsegment"]),
+            "c_custkey < 500",
+        )
+        out = hash_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                        how="left")
+        return out
+
+    def extractor_filter(sf):
+        # reference suffix/type extractor semantics (expressions.md:100):
+        # `value` as a SUFFIX extractor binds m.value; `:double > 90`
+        # binds every float column — both must select the same rows
+        from tenzir_ray.expr import where_extractor
+
+        ds = _read(sf, "events", columns=["event_id", "user_id", "value"])
+        ds = T.rename(ds, {"value": "m.value"})
+        by_suffix = where_extractor(ds, "value", ">", 90.0)
+        return where_extractor(by_suffix, ":double", ">", 90.0)
+
+    def geo_enrich(sf):
+        import pandas as pd
+
+        from tenzir_ray.state.context import GeoTable, enrich_geo
+
+        geo = GeoTable.from_ranges(
+            [
+                {"start_ip": "10.0.0.0", "end_ip": "10.0.127.255",
+                 "country": "AA", "city": "alpha"},
+                {"start_ip": "10.0.128.0", "end_ip": "10.0.255.255",
+                 "country": "BB", "city": "beta"},
+            ]
+        )
+
+        def _mk(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["ip"] = "10.0." + (df["user_id"] % 256).astype(str) + "." + (
+                df["event_id"] % 200
+            ).astype(str)
+            return df
+
+        ds = _read(sf, "events", columns=["event_id", "user_id"]).map_batches(
+            _mk, batch_format="pandas"
+        )
+        return enrich_geo(ds, geo, field="ip")
+
+    def cdc_replay_sql(sf):
+        # FULL oracle for the flagship CDC engine: the change log is
+        # derived from `events` by SQL-expressible rules, applied through
+        # the exactly-once lake in two out-of-order epochs (odd lsns
+        # first — tombstone persistence!), and the final table must equal
+        # DuckDB's last-writer-wins over the same derivation
+        import pandas as pd
+        import ray.data
+
+        from tenzir_ray.cdc import LakeTable
+
+        def _mk(df: pd.DataFrame) -> pd.DataFrame:
+            i = df["event_id"].to_numpy()
+            u = df["user_id"].to_numpy()
+            op = np.where(
+                i % 10 == 9, "delete", np.where(i % 10 >= 6, "update", "insert")
+            )
+            return pd.DataFrame(
+                {
+                    "lsn": i.astype(np.int64),
+                    "op": op,
+                    "conv_id": "c" + pd.Series(u % 50).astype(str),
+                    "turn_idx": ((i // 7) % 20).astype(np.int32),
+                    "text": df["event_type"] + "-" + pd.Series(i).astype(str),
+                }
+            )
+
+        changes = _read(
+            sf, "events", columns=["event_id", "user_id", "event_type"]
+        ).map_batches(_mk, batch_format="pandas")
+        root = f"/tmp/tenzir_ray_cdc_sql/{os.path.basename(os.path.normpath(sf))}"
+        shutil.rmtree(root, ignore_errors=True)
+        lake = LakeTable(root, num_partitions=16)
+
+        def _parity(want: int):
+            def f(t):
+                import pyarrow.compute as pc
+
+                return t.filter(
+                    pc.equal(pc.bit_wise_and(t.column("lsn"), 1), want)
+                )
+
+            return f
+
+        lake.apply_changes(
+            changes.map_batches(_parity(1), batch_format="pyarrow"), epoch_id="odd"
+        )
+        lake.apply_changes(
+            changes.map_batches(_parity(0), batch_format="pyarrow"), epoch_id="even"
+        )
+        return lake.final_table()
+
     return {
         "asof_status": asof_status,
         "join_revenue_by_priority": join_revenue_by_priority,
@@ -604,6 +1209,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": ann_cosine_topk,
         "embedding_near_dups": embedding_near_dups,
         "cdc_replay": cdc_replay,
+        "cdc_replay_sql": cdc_replay_sql,
+        "struct_roundtrip": struct_roundtrip,
+        "yield_nested": yield_nested,
+        "rename_cols": rename_cols,
+        "tail_orders": tail_orders,
+        "reverse_head": reverse_head,
+        "kv_parse": kv_parse,
+        "cef_parse": cef_parse,
+        "leef_parse": leef_parse,
+        "grok_parse": grok_parse,
+        "zeek_tsv_parse": zeek_tsv_parse,
+        "yaml_parse": yaml_parse,
+        "gelf_parse": gelf_parse,
+        "bloom_semi_join": bloom_semi_join,
+        "measure_total": measure_total,
+        "serve_pages": serve_pages,
+        "enumerate_global_orders": enumerate_global_orders,
+        "sort_nulls_first": sort_nulls_first,
+        "distinct_users_by_type": distinct_users_by_type,
+        "hll_accuracy": hll_accuracy,
+        "streaming_summarize_types": streaming_summarize_types,
+        "compress_roundtrip_docs": compress_roundtrip_docs,
+        "csv_roundtrip": csv_roundtrip,
+        "json_roundtrip": json_roundtrip,
+        "feather_roundtrip": feather_roundtrip,
+        "taste_lineitem_high_card": taste_lineitem_high_card,
+        "geo_enrich": geo_enrich,
+        "extractor_filter": extractor_filter,
+        "asof_forward": asof_forward,
+        "hash_join_left_outer": hash_join_left_outer,
     }
 
 
@@ -778,8 +1413,271 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, sum(l_quantity) AS total_qty, count(*) AS n
             FROM lineitem GROUP BY l_returnflag
         """,
-        # doc_quality / doc_langid / doc_fingerprint / minhash / simhash /
-        # ann / near-dup / cdc_replay / syslog_parse / streaming_dedup /
-        # pseudonymize: non-SQL-expressible (heuristic scoring, sketches,
-        # replay engine, stream state, keyed crypto) → rows-only checks.
+        "doc_quality": """
+            WITH t AS (
+                SELECT doc_id,
+                       greatest(length(text), 1) AS n_chars,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                       regexp_extract_all(lower(text), '[a-zA-Z0-9_'']+') AS toks
+                FROM documents),
+            r AS (
+                SELECT doc_id,
+                       len(toks) AS n_tokens,
+                       CAST(n_alpha AS DOUBLE) / n_chars AS alpha_ratio,
+                       CAST(len(list_filter(toks, x -> x IN
+                           ('the','and','of','to','a','in','is','that','it','for')))
+                            AS DOUBLE) / greatest(len(toks), 1) AS stop_ratio
+                FROM t)
+            SELECT doc_id, n_tokens,
+                   CAST(round(alpha_ratio * 1000000) AS BIGINT) AS alpha_ratio,
+                   CAST(round((0.4 * least(n_tokens / 100.0, 1.0)
+                               + 0.3 * alpha_ratio
+                               + 0.3 * least(stop_ratio * 3.0, 1.0)) * 1000000)
+                        AS BIGINT) AS quality
+            FROM r
+        """,
+        "doc_langid": """
+            WITH l AS (SELECT unnest(['de','en','es','fr','nl','pt']) AS lang,
+                              generate_subscripts(['de','en','es','fr','nl','pt'], 1) - 1 AS k)
+            SELECT d.doc_id, l.lang, l.lang AS lang_pred,
+                   1000000 AS lang_score
+            FROM documents d JOIN l ON d.doc_id % 6 = l.k
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, TRUE AS fp_match FROM documents
+        """,
+        "minhash_dedup_groups": """
+            SELECT doc_id, TRUE AS same_group FROM documents
+        """,
+        "simhash_docs": """
+            SELECT doc_id, TRUE AS sim_match FROM documents
+        """,
+        "dedup_components": """
+            SELECT doc_id, TRUE AS chain_connected FROM documents
+        """,
+        "embedding_near_dups": """
+            SELECT vec_id, TRUE AS clone_found FROM embeddings
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_idx,
+                              CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 2),
+                 s AS (SELECT q.query_idx, e.vec_id,
+                              list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS score
+                       FROM embeddings e CROSS JOIN q)
+            SELECT query_idx, vec_id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_idx ORDER BY score DESC, vec_id) rn
+                FROM s) WHERE rn <= 5
+        """,
+        "ann_ivf_topk": """
+            WITH q AS (SELECT vec_id AS query_idx,
+                              CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 2),
+                 s AS (SELECT q.query_idx, e.vec_id,
+                              list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS score
+                       FROM embeddings e CROSS JOIN q)
+            SELECT query_idx, vec_id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_idx ORDER BY score DESC, vec_id) rn
+                FROM s) WHERE rn <= 5
+        """,
+        "subnet_enrich": """
+            SELECT event_id, user_id,
+                   '10.' || CAST(user_id % 2 * 99 AS VARCHAR) || '.0.'
+                        || CAST(event_id % 200 AS VARCHAR) AS ip,
+                   CASE WHEN user_id % 2 = 0 THEN 'narrow' ELSE 'wide' END AS zone
+            FROM events
+        """,
+        "pseudonymize_ips": """
+            SELECT event_id, TRUE AS prefix_preserved, TRUE AS changed
+            FROM events
+        """,
+        "syslog_parse": """
+            SELECT CAST((13 + event_id % 8) // 8 AS BIGINT) AS facility,
+                   CAST((13 + event_id % 8) % 8 AS BIGINT) AS severity,
+                   '1' AS version,
+                   '2024-01-01T00:00:'
+                       || lpad(CAST(event_id % 60 AS VARCHAR), 2, '0') || 'Z' AS ts,
+                   'host' || CAST(user_id AS VARCHAR) AS hostname,
+                   'app' AS app,
+                   CAST(event_id AS VARCHAR) AS procid,
+                   'ID' || CAST(event_id AS VARCHAR) AS msgid,
+                   'msg ' || CAST(event_id AS VARCHAR) AS message
+            FROM events WHERE event_id < 500
+        """,
+        "streaming_dedup_types": """
+            SELECT event_id, event_type FROM (
+                SELECT event_id, event_type,
+                       row_number() OVER (PARTITION BY event_type ORDER BY event_id) rn
+                FROM events) WHERE rn <= 3
+        """,
+        "sliding_windows": """
+            SELECT time_bucket(INTERVAL '6 hours', ts) - k * INTERVAL '6 hours'
+                       AS window_start,
+                   count(*) AS n
+            FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) t(k)
+            GROUP BY 1
+        """,
+        "cdc_replay_sql": """
+            WITH ch AS (
+                SELECT event_id AS lsn,
+                       CASE WHEN event_id % 10 = 9 THEN 'delete'
+                            WHEN event_id % 10 >= 6 THEN 'update'
+                            ELSE 'insert' END AS op,
+                       'c' || CAST(user_id % 50 AS VARCHAR) AS conv_id,
+                       CAST((event_id // 7) % 20 AS INTEGER) AS turn_idx,
+                       event_type || '-' || CAST(event_id AS VARCHAR) AS text
+                FROM events),
+            w AS (SELECT *, row_number() OVER (
+                      PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) rn
+                  FROM ch)
+            SELECT conv_id, turn_idx, text FROM w WHERE rn = 1 AND op != 'delete'
+        """,
+        "struct_roundtrip": """
+            SELECT event_id, user_id AS "m.user_id", value AS "m.value"
+            FROM events
+        """,
+        "yield_nested": """
+            SELECT user_id, value FROM events
+        """,
+        "rename_cols": """
+            SELECT o_orderkey AS key, o_totalprice AS price FROM orders
+        """,
+        "tail_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_orderkey DESC LIMIT 10
+        """,
+        "reverse_head": """
+            SELECT event_id, event_type FROM events
+            ORDER BY event_id DESC LIMIT 5
+        """,
+        "kv_parse": """
+            SELECT CAST(user_id AS VARCHAR) AS user,
+                   CAST(event_id AS VARCHAR) AS event
+            FROM events
+        """,
+        "cef_parse": """
+            SELECT 'tenzir' AS device_vendor, 'ray' AS device_product,
+                   CAST(event_id AS VARCHAR) AS signature_id,
+                   CAST(event_id % 10 AS VARCHAR) AS severity,
+                   '10.0.0.' || CAST(event_id % 256 AS VARCHAR) AS src,
+                   'u' || CAST(user_id AS VARCHAR) AS suser
+            FROM events
+        """,
+        "leef_parse": """
+            SELECT 'tenzir' AS device_vendor,
+                   CAST(event_id AS VARCHAR) AS leef_event_id,
+                   '10.0.0.' || CAST(event_id % 256 AS VARCHAR) AS src,
+                   'u' || CAST(user_id AS VARCHAR) AS usr
+            FROM events
+        """,
+        "grok_parse": """
+            SELECT '10.0.' || CAST(user_id % 256 AS VARCHAR) || '.'
+                       || CAST(event_id % 256 AS VARCHAR) AS client,
+                   'GET' AS method,
+                   '/api/v' || CAST(event_id % 3 AS VARCHAR) AS path,
+                   CAST(200 + event_id % 3 AS VARCHAR) AS code
+            FROM events
+        """,
+        "zeek_tsv_parse": """
+            SELECT event_id AS eid, 'u' || CAST(user_id AS VARCHAR) AS uname,
+                   event_id + 0.5 AS score
+            FROM events WHERE event_id < 200
+        """,
+        "yaml_parse": """
+            SELECT event_id AS a, 'u' || CAST(user_id AS VARCHAR) AS b
+            FROM events WHERE event_id < 500
+        """,
+        "gelf_parse": """
+            SELECT 'h' || CAST(user_id AS VARCHAR) AS host,
+                   'm' || CAST(event_id AS VARCHAR) AS short_message,
+                   make_timestamp((1700000000 + event_id) * 1000000) AS timestamp,
+                   event_id % 8 AS level
+            FROM events
+        """,
+        "bloom_semi_join": """
+            SELECT event_id, user_id FROM events WHERE user_id % 3 = 0
+        """,
+        "measure_total": """
+            SELECT count(*) AS total_events FROM events
+        """,
+        "serve_pages": """
+            SELECT o_orderkey, o_orderpriority FROM orders
+        """,
+        "enumerate_global_orders": """
+            SELECT o_orderkey, o_totalprice,
+                   row_number() OVER (ORDER BY o_orderkey) - 1 AS rn
+            FROM orders
+        """,
+        "sort_nulls_first": """
+            SELECT event_id,
+                   CASE WHEN value > 90 THEN NULL ELSE value END AS value
+            FROM events
+            ORDER BY 2 ASC NULLS FIRST, event_id LIMIT 10
+        """,
+        "distinct_users_by_type": """
+            SELECT event_type,
+                   array_to_string(list_sort(list(DISTINCT user_id)), ',') AS users
+            FROM events GROUP BY event_type
+        """,
+        "hll_accuracy": """
+            SELECT event_type, TRUE AS hll_ok FROM events GROUP BY event_type
+        """,
+        "streaming_summarize_types": """
+            SELECT event_type,
+                   CAST(round(sum(value) * 1000000) AS BIGINT) AS total,
+                   count(*) AS n,
+                   CAST(round(max(value) * 1000000) AS BIGINT) AS vmax
+            FROM events GROUP BY event_type
+        """,
+        "compress_roundtrip_docs": """
+            SELECT doc_id, text FROM documents
+        """,
+        "csv_roundtrip": """
+            SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        """,
+        "json_roundtrip": """
+            SELECT event_id, event_type, value FROM events
+        """,
+        "feather_roundtrip": """
+            SELECT event_id, ts, value FROM events
+        """,
+        "taste_lineitem_high_card": """
+            SELECT l_orderkey, l_linenumber FROM (
+                SELECT l_orderkey, l_linenumber,
+                       row_number() OVER (
+                           PARTITION BY l_orderkey ORDER BY l_linenumber) rn
+                FROM lineitem) WHERE rn <= 2
+        """,
+        "extractor_filter": """
+            SELECT event_id, user_id, value AS "m.value" FROM events
+            WHERE value > 90
+        """,
+        "geo_enrich": """
+            SELECT event_id, user_id,
+                   '10.0.' || CAST(user_id % 256 AS VARCHAR) || '.'
+                       || CAST(event_id % 200 AS VARCHAR) AS ip,
+                   CASE WHEN user_id % 256 < 128 THEN 'AA' ELSE 'BB' END
+                       AS geo_country,
+                   CASE WHEN user_id % 256 < 128 THEN 'alpha' ELSE 'beta' END
+                       AS geo_city
+            FROM events
+        """,
+        "asof_forward": """
+            SELECT l.event_id, l.user_id, l.ts,
+                   CAST(r.status_id AS DOUBLE) AS status_id
+            FROM events l
+            ASOF LEFT JOIN (SELECT user_id, ts, event_id AS status_id FROM events
+                            WHERE event_id % 11 = 0) r
+            ON l.user_id = r.user_id AND l.ts <= r.ts
+        """,
+        "hash_join_left_outer": """
+            SELECT o.o_orderkey, o.o_custkey, c.c_custkey, c.c_mktsegment
+            FROM orders o LEFT JOIN (SELECT * FROM customer WHERE c_custkey < 500) c
+            ON o.o_custkey = c.c_custkey
+        """,
+        # cdc_replay (generator-seeded log): rows-only — its hash-gated
+        # twin is cdc_replay_sql, which derives the log from `events` so
+        # DuckDB can replay it independently.
     }

@@ -155,3 +155,91 @@ def _compile(node: ast.expr):
     if isinstance(node, (ast.List, ast.Tuple)):
         return [_compile(e) for e in node.elts]
     raise ValueError(f"unsupported expression node: {ast.dump(node)}")
+
+
+# ---------------------------------------------------------------------------
+# extractors — the reference's suffix / type / meta extractor semantics
+# (web/docs/language/expressions.md:100-167): a *suffix* extractor `z`
+# matches any field whose dotted path ends in `.z`; a *type* extractor
+# `:ip` / `:timestamp` matches every field of that type; meta extractors
+# (`#schema`) read stream metadata — here the `_schema` column our JSON
+# selector parsers emit. Binding expands to a DISJUNCTION over matching
+# fields, evaluated per batch schema.
+
+
+def resolve_extractor(schema, extractor: str) -> list[str]:
+    """Column names a reference-style extractor binds to in ``schema``
+    (a ``pa.Schema``). Supports ``:typename`` type extractors
+    (int/uint/float/string/timestamp/bool/duration and exact Arrow type
+    strings), ``#schema``-style meta extractors, plain names, and suffix
+    semantics (``z`` ≡ ``*.z`` over dotted flattened names)."""
+    import pyarrow as pa
+
+    names = schema.names
+    if extractor.startswith("#"):
+        meta = "_" + extractor[1:]
+        return [meta] if meta in names else []
+    if extractor.startswith(":"):
+        want = extractor[1:]
+        checks = {
+            "int": pa.types.is_signed_integer,
+            "uint": pa.types.is_unsigned_integer,
+            "integer": pa.types.is_integer,
+            "float": pa.types.is_floating,
+            "double": pa.types.is_floating,
+            "string": pa.types.is_string,
+            "bool": pa.types.is_boolean,
+            "timestamp": pa.types.is_timestamp,
+            "time": pa.types.is_timestamp,
+            "duration": pa.types.is_duration,
+            "blob": pa.types.is_binary,
+        }
+        pred = checks.get(want)
+        if pred is not None:
+            return [f.name for f in schema if pred(f.type)]
+        return [f.name for f in schema if str(f.type) == want]
+    if extractor in names:
+        return [extractor]
+    suffix = "." + extractor
+    return [n for n in names if n.endswith(suffix)]
+
+
+def extractor_predicate(schema, extractor: str, op: str, value):
+    """Compile ``<extractor> <op> <value>`` into ONE pads expression: the
+    disjunction over every field the extractor binds to (the reference's
+    binding rule). Returns None when nothing matches (⇒ no rows)."""
+    ops = {
+        "==": lambda c, v: c == v,
+        "!=": lambda c, v: c != v,
+        "<": lambda c, v: c < v,
+        "<=": lambda c, v: c <= v,
+        ">": lambda c, v: c > v,
+        ">=": lambda c, v: c >= v,
+        "in": lambda c, v: c.isin(v),
+    }
+    cols = resolve_extractor(schema, extractor)
+    if not cols:
+        return None
+    out = None
+    for name in cols:
+        term = ops[op](pc.field(name), value)
+        out = term if out is None else out | term
+    return out
+
+
+def where_extractor(ds, extractor: str, op: str, value):
+    """Filter by a reference-style extractor predicate (suffix / type /
+    meta semantics), bound against each batch's schema at runtime."""
+
+    def _f(batch):
+        expr = extractor_predicate(batch.schema, extractor, op, value)
+        if expr is None:
+            return batch.slice(0, 0)
+        return pads.dataset(batch).to_table(filter=expr)
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+import sys as _sys
+from tenzir_ray._ship import ship_by_value as _ship
+_ship(_sys.modules[__name__])

@@ -88,16 +88,35 @@ class StreamingDeduplicate:
 def streaming_deduplicate(ds, by: list[str], limit: int = 1,
                           distance: int | None = None,
                           timeout_s: float | None = None,
-                          concurrency: int = 1, batch_size: int = 8192):
+                          concurrency: int = 1, batch_size: int = 8192,
+                          ordered: bool = False):
     """Apply streaming dedup. concurrency=1 → exact stream semantics
-    (single actor sees every event); >1 relaxes to per-actor state."""
-    return ds.map_batches(
-        StreamingDeduplicate,
-        fn_constructor_args=(by, limit, distance, timeout_s),
-        batch_format="pandas",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+    (single actor sees every event); >1 relaxes to per-actor state.
+
+    ``ordered=True`` executes eagerly under a scoped ``preserve_order``
+    so the single actor consumes blocks in dataset order (sort upstream
+    for a deterministic stream) — the same discipline as
+    :func:`adjacent_unique`."""
+    def _build(d):
+        return d.map_batches(
+            StreamingDeduplicate,
+            fn_constructor_args=(by, limit, distance, timeout_s),
+            batch_format="pandas",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+
+    if not ordered:
+        return _build(ds)
+    from ray.data import DataContext
+
+    opts = DataContext.get_current().execution_options
+    prev = opts.preserve_order
+    opts.preserve_order = True
+    try:
+        return _build(ds).materialize()
+    finally:
+        opts.preserve_order = prev
 
 
 class AdjacentUnique:

@@ -48,12 +48,21 @@ _SPEC_RE = re.compile(r"^\s*(\w+)\s*\(\s*([\w.*]*)\s*\)\s*$")
 # (per-block) and merge stages, so they must be Arrow-representable values
 # (lists/tuples/scalars) — not Python sets.
 
+def _col(block, col: str):
+    """Column accessor that works for both Arrow and pandas blocks (Ray
+    hands AggregateFn whatever block format the upstream produced)."""
+    if isinstance(block, pa.Table):
+        return block.column(col)
+    return pa.Array.from_pandas(block[col])
+
+
+
 
 def _count_distinct(col: str, alias: str) -> AggregateFn:
     return AggregateFn(
         init=lambda k: [],
         accumulate_block=lambda s, block: sorted(
-            set(s) | set(pc.drop_null(block.column(col)).unique().to_pylist())
+            set(s) | set(pc.drop_null(_col(block, col)).unique().to_pylist())
         ),
         merge=lambda a, b: sorted(set(a) | set(b)),
         finalize=lambda s: len(s),
@@ -65,7 +74,7 @@ def _distinct(col: str, alias: str) -> AggregateFn:
     return AggregateFn(
         init=lambda k: [],
         accumulate_block=lambda s, block: sorted(
-            set(s) | set(pc.drop_null(block.column(col)).unique().to_pylist())
+            set(s) | set(pc.drop_null(_col(block, col)).unique().to_pylist())
         ),
         merge=lambda a, b: sorted(set(a) | set(b)),
         finalize=lambda s: list(s),
@@ -77,7 +86,7 @@ def _collect(col: str, alias: str) -> AggregateFn:
     return AggregateFn(
         init=lambda k: [],
         accumulate_block=lambda acc, block: acc
-        + pc.drop_null(block.column(col)).to_pylist(),
+        + pc.drop_null(_col(block, col)).to_pylist(),
         merge=lambda a, b: a + b,
         finalize=lambda acc: acc,
         name=alias,
@@ -90,7 +99,7 @@ def _sample(col: str, alias: str) -> AggregateFn:
     def _acc(acc, block):
         if acc is not None:
             return acc
-        valid = pc.drop_null(block.column(col))
+        valid = pc.drop_null(_col(block, col))
         return valid[0].as_py() if len(valid) else None
 
     return AggregateFn(
@@ -106,7 +115,7 @@ def _any(col: str, alias: str) -> AggregateFn:
     return AggregateFn(
         init=lambda k: False,
         accumulate_block=lambda acc, block: acc
-        or bool(pc.any(block.column(col)).as_py()),
+        or bool(pc.any(_col(block, col)).as_py()),
         merge=lambda a, b: a or b,
         finalize=bool,
         name=alias,
@@ -117,7 +126,7 @@ def _all(col: str, alias: str) -> AggregateFn:
     return AggregateFn(
         init=lambda k: True,
         accumulate_block=lambda acc, block: acc
-        and bool(pc.all(block.column(col)).as_py()),
+        and bool(pc.all(_col(block, col)).as_py()),
         merge=lambda a, b: a and b,
         finalize=bool,
         name=alias,
@@ -128,7 +137,7 @@ def _variance(col: str, alias: str, ddof: int = 0) -> AggregateFn:
     """Merged via (n, Σx, Σx²) partials — the classic combiner form."""
 
     def _acc(acc, block):
-        arr = pc.drop_null(block.column(col)).to_numpy(zero_copy_only=False)
+        arr = pc.drop_null(_col(block, col)).to_numpy(zero_copy_only=False)
         return (acc[0] + len(arr), acc[1] + float(arr.sum()), acc[2] + float((arr * arr).sum()))
 
     def _fin(acc):
@@ -177,7 +186,7 @@ def _hll(col: str, alias: str, p: int = 12) -> AggregateFn:
         import pandas as pd_mod
 
         regs = np.frombuffer(acc, dtype=np.uint8).copy()
-        vals = pc.drop_null(block.column(col)).unique()
+        vals = pc.drop_null(_col(block, col)).unique()
         if len(vals) == 0:
             return regs.tobytes()
         h = pd_mod.util.hash_array(

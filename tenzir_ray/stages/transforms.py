@@ -641,7 +641,16 @@ def scale_int_cols(ds, columns: list[str], factor: int = 1_000_000):
             i = batch.schema.get_field_index(c)
             batch = batch.set_column(
                 i, c,
-                pc.cast(pc.round(pc.multiply(batch.column(c), factor)), pa.int64()),
+                pc.cast(
+                    # half_towards_infinity = SQL round()'s half-away-
+                    # from-zero; Arrow's default half-to-even differs at
+                    # exact .5 boundaries
+                    pc.round(
+                        pc.multiply(pc.cast(batch.column(c), pa.float64()), factor),
+                        round_mode="half_towards_infinity",
+                    ),
+                    pa.int64(),
+                ),
             )
         return batch
 

@@ -226,6 +226,51 @@ class SubnetTable:
         return out
 
 
+class GeoTable:
+    """GeoIP-style context (reference builtins/contexts/geoip.cpp reads
+    MaxMind MMDB; no mmdb library or data ships in this environment, so
+    the context is expressed over the equivalent PUBLIC csv form:
+    ip-range rows ``(net_cidr, ...attrs)`` — exactly what MaxMind's GeoLite
+    CSV exports contain). Lookup = longest-prefix CIDR match, vectorized
+    via :class:`SubnetTable`; ``from_ranges`` also accepts explicit
+    ``(start_ip, end_ip)`` ranges and converts them to covering CIDRs."""
+
+    def __init__(self, table: pa.Table, key: str = "network"):
+        self._subnets = SubnetTable(table, key)
+        self.table = table
+        self.key = key
+        self.value_cols = self._subnets.value_cols
+
+    @classmethod
+    def from_ranges(cls, rows: list[dict], start: str = "start_ip",
+                    end: str = "end_ip") -> "GeoTable":
+        """Build from (start_ip, end_ip, attrs…) range rows by splitting
+        each range into minimal covering CIDR blocks."""
+        import ipaddress
+
+        out_rows = []
+        for r in rows:
+            a = ipaddress.IPv4Address(r[start])
+            b = ipaddress.IPv4Address(r[end])
+            for net in ipaddress.summarize_address_range(a, b):
+                row = {k: v for k, v in r.items() if k not in (start, end)}
+                row["network"] = str(net)
+                out_rows.append(row)
+        return cls(pa.Table.from_pylist(out_rows), "network")
+
+    def match_rows(self, ips: list) -> np.ndarray:
+        return self._subnets.match_rows(ips)
+
+
+def enrich_geo(ds, context: GeoTable, field: str, prefix: str = "geo_",
+               filter_unmatched: bool = False, concurrency=(1, 4),
+               batch_size: int = 8192):
+    """Append geo attributes per event by longest-prefix IP match."""
+    return enrich_subnet(ds, context._subnets, field, prefix=prefix,
+                         filter_unmatched=filter_unmatched,
+                         concurrency=concurrency, batch_size=batch_size)
+
+
 class _SubnetEnricher:
     def __init__(self, ctx_ref, field: str, prefix: str, filter_unmatched: bool):
         import ray

@@ -403,3 +403,45 @@ def test_connected_components_chain(ray_session):
     assert comp[1] == comp[2] == comp[3] == comp[4] == 1
     assert comp[10] == comp[11] == 10
     assert comp[20] == comp[21] == 20
+
+
+# ---------------------------------------------------------------------------
+# geo context + extractor semantics
+
+
+def test_geo_table_from_ranges(ray_session):
+    from tenzir_ray.state.context import GeoTable
+
+    geo = GeoTable.from_ranges(
+        [
+            {"start_ip": "10.0.0.0", "end_ip": "10.0.0.255", "country": "AA"},
+            # a non-CIDR-aligned range → multiple covering blocks
+            {"start_ip": "10.1.0.3", "end_ip": "10.1.0.9", "country": "BB"},
+        ]
+    )
+    rows = geo.match_rows(["10.0.0.7", "10.1.0.5", "10.1.0.10", "garbage"])
+    countries = [
+        geo.table.column("country")[r].as_py() if r >= 0 else None for r in rows
+    ]
+    assert countries == ["AA", "BB", None, None]
+
+
+def test_resolve_extractor():
+    import pyarrow as pa
+
+    from tenzir_ray.expr import resolve_extractor
+
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("m.value", pa.float64()),
+            ("n.value", pa.float64()),
+            ("_schema", pa.string()),
+            ("ts", pa.timestamp("us")),
+        ]
+    )
+    assert resolve_extractor(schema, "value") == ["m.value", "n.value"]
+    assert resolve_extractor(schema, ":double") == ["m.value", "n.value"]
+    assert resolve_extractor(schema, ":timestamp") == ["ts"]
+    assert resolve_extractor(schema, "#schema") == ["_schema"]
+    assert resolve_extractor(schema, "event_id") == ["event_id"]
