@@ -687,15 +687,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         out = asof_join(left, right, by="user_id", on="ts")
 
-        def _typed(df: pd.DataFrame) -> pd.DataFrame:
-            # the padded-union join leaves pass-through columns as object
-            # dtype; pin types so values hash identically to the SQL oracle
-            # (nullable status_id as float64, like DuckDB's pandas export)
-            return df.astype(
-                {"event_id": "int64", "user_id": "int64", "status_id": "float64"}
+        # the exchange join emits typed int64-with-nulls; cast to float64
+        # only because DuckDB exports a nullable BIGINT as float64
+        def _f64(t):
+            import pyarrow as pa
+
+            i = t.schema.get_field_index("status_id")
+            return t.set_column(
+                i, "status_id", t.column("status_id").cast(pa.float64())
             )
 
-        return out.map_batches(_typed, batch_format="pandas")
+        return out.map_batches(_f64, batch_format="pyarrow")
 
     # -- round-2 gate queries: previously implemented-but-ungated ops ----
 

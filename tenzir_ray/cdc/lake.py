@@ -392,7 +392,9 @@ class _PartitionReducer:
             by_file.setdefault(rel, []).append(bidx)
         batches = []
         for rel, idxs in by_file.items():
-            with pa.OSFile(os.path.join(self.staging, rel), "rb") as f:
+            # memory-map: batches reference page-cache bytes zero-copy
+            # instead of read()-copying each tiny slice
+            with pa.memory_map(os.path.join(self.staging, rel), "rb") as f:
                 reader = pa.ipc.open_file(f)
                 for i in idxs:
                     batches.append(reader.get_batch(i))
@@ -562,7 +564,7 @@ class LakeTable:
         changes: "ray.data.Dataset | pa.Table",
         epoch_id: str,
         num_salts: int = 0,
-        batch_size: int = 65536,
+        batch_size: int = 262144,
         delta_ratio: float = 0.2,
     ) -> dict[str, Any]:
         """Apply one epoch (a bounded chunk of the binlog) exactly once.
@@ -605,6 +607,9 @@ class LakeTable:
 
         staging = os.path.join(self.root, "_staging", epoch_id)
         shutil.rmtree(staging, ignore_errors=True)  # stale crashed attempt
+        import time as _time
+
+        _t0 = _time.perf_counter()
         stage1 = changes.map_batches(
             _FragmentWriter(staging, reg_json, self.num_partitions, num_salts),
             batch_format="pyarrow",
@@ -701,9 +706,11 @@ class LakeTable:
             # stored once in plasma, not re-pickled per task
             return r._reduce_one(part, r._load_raw(part))
 
+        _t1 = _time.perf_counter()
         lineage = pd.DataFrame(
             ray_core.get([_reduce_task.remote(reducer_ref, k) for k in touched])
         )
+        _t2 = _time.perf_counter()
 
         # -- two-phase commit -------------------------------------------
         part_results = {}
@@ -741,6 +748,13 @@ class LakeTable:
             "lsn_max": lsn_max,
             "partitions_touched": len(part_results),
             "rows_live": int(lineage["rows"].sum()),
+            # per-stage wall metrics (engine diagnostics; the reference's
+            # per-operator metric stream analog, pipeline.hpp:180)
+            "timings": {
+                "stage1_exchange_s": round(_t1 - _t0, 3),
+                "stage2_reduce_s": round(_t2 - _t1, 3),
+                "commit_s": round(_time.perf_counter() - _t2, 3),
+            },
         }
 
     # ------------------------------------------------------------------

@@ -123,6 +123,8 @@ def _register_builtins() -> None:
         write_json=writers.write_json,
         write_feather=writers.write_feather,
     )
+    from tenzir_ray import expr as expr_mod
+    OPERATORS["where_extractor"] = expr_mod.where_extractor
     from tenzir_ray.stages import window as window_mod
     OPERATORS.update(
         sliding_window=window_mod.sliding_window,

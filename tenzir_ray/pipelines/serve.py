@@ -75,3 +75,74 @@ class Server:
 
 def serve(ds, page_size: int = 1000) -> Server:
     return Server(ds, page_size=page_size)
+
+
+class HttpServer:
+    """REST surface over :class:`Server` (reference
+    builtins/operators/serve.cpp:39-230 — `POST /serve` long-polling with
+    continuation tokens, here over Python's stdlib http.server):
+
+    ``GET /serve/<id>?token=N`` →
+    ``{"rows": [...], "next_token": N+1 | null}``; 404 unknown id, 410
+    (gone) for an evicted token. Runs on a daemon thread; localhost only.
+
+    >>> hs = HttpServer({"q1": server}); port = hs.start()
+    >>> requests.get(f"http://127.0.0.1:{port}/serve/q1")
+    """
+
+    def __init__(self, servers: dict[str, Server]):
+        self.servers = servers
+        self._httpd = None
+
+    def start(self, port: int = 0) -> int:
+        import http.server
+        import json
+        import threading
+        from urllib.parse import parse_qs, urlparse
+
+        servers = self.servers
+
+        class _Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def do_GET(self):
+                u = urlparse(self.path)
+                parts = [p for p in u.path.split("/") if p]
+                if len(parts) != 2 or parts[0] != "serve":
+                    self.send_error(404)
+                    return
+                srv = servers.get(parts[1])
+                if srv is None:
+                    self.send_error(404)
+                    return
+                q = parse_qs(u.query)
+                token = int(q["token"][0]) if "token" in q else None
+                try:
+                    page, nxt = srv.get(token)
+                except TokenExpiredError:
+                    self.send_error(410, "token expired")
+                    return
+                body = json.dumps(
+                    {
+                        "rows": page.to_pylist() if page is not None else [],
+                        "next_token": nxt,
+                    },
+                    default=str,
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        self._httpd = http.server.ThreadingHTTPServer(("127.0.0.1", port), _Handler)
+        t = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        t.start()
+        return self._httpd.server_address[1]
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None

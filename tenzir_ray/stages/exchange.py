@@ -205,7 +205,9 @@ def read_bucket(staging: str, index: dict[int, list], buckets: list[int],
             by_file.setdefault(rel, []).append(bidx)
     batches = []
     for rel, idxs in by_file.items():
-        with pa.OSFile(os.path.join(staging, rel), "rb") as f:
+        # memory-map: zero-copy from the page cache (the reduce side of
+        # the exchange otherwise read()-copies every tiny batch slice)
+        with pa.memory_map(os.path.join(staging, rel), "rb") as f:
             reader = pa.ipc.open_file(f)
             for i in sorted(set(idxs)):
                 batches.append(reader.get_batch(i))

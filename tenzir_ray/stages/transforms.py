@@ -266,10 +266,37 @@ def parse_json(ds, column: str, prefix: str | None = None, drop_source: bool = F
     prefix = prefix if prefix is not None else f"{column}."
 
     def _parse(batch: pa.Table) -> pa.Table:
-        rows = [
-            {} if v is None else json.loads(v) for v in batch.column(column).to_pylist()
-        ]
-        parsed = pa.Table.from_pylist(rows)
+        # fast path: hand the whole column to Arrow's C++ NDJSON reader
+        # (one parse per batch, not one json.loads per row); null/empty
+        # cells become {} (all-null row). Falls back to per-row Python on
+        # malformed input.
+        col = batch.column(column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        cleaned = pc.fill_null(col.cast(pa.string()), "{}")
+        cleaned = pc.if_else(
+            pc.equal(pc.utf8_trim_whitespace(cleaned), ""), "{}", cleaned
+        )
+        parsed = None
+        try:
+            import io
+
+            import pyarrow.json as pa_json
+
+            lst = pa.ListArray.from_arrays(
+                pa.array([0, len(cleaned)], pa.int32()), cleaned
+            )
+            blob = pc.binary_join(lst, "\n")[0].as_py().encode()
+            parsed = pa_json.read_json(io.BytesIO(blob))
+            if parsed.num_rows != batch.num_rows:
+                parsed = None  # embedded newline edge — fall back
+        except Exception:
+            parsed = None
+        if parsed is None:
+            rows = [
+                {} if v is None else json.loads(v) for v in cleaned.to_pylist()
+            ]
+            parsed = pa.Table.from_pylist(rows)
         for f in parsed.schema:
             batch = batch.append_column(f"{prefix}{f.name}", parsed.column(f.name))
         if drop_source:

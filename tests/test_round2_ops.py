@@ -445,3 +445,81 @@ def test_resolve_extractor():
     assert resolve_extractor(schema, ":timestamp") == ["ts"]
     assert resolve_extractor(schema, "#schema") == ["_schema"]
     assert resolve_extractor(schema, "event_id") == ["event_id"]
+
+
+def test_serve_http(ray_session):
+    import json
+    import urllib.request
+
+    from tenzir_ray.pipelines.serve import HttpServer, Server
+
+    ds = _ds(pa.table({"x": list(range(25))}))
+    hs = HttpServer({"q1": Server(ds, page_size=10)})
+    port = hs.start()
+    try:
+        rows, token, url = [], None, f"http://127.0.0.1:{port}/serve/q1"
+        while True:
+            q = url if token is None else f"{url}?token={token}"
+            with urllib.request.urlopen(q) as r:
+                body = json.loads(r.read())
+            rows.extend(body["rows"])
+            token = body["next_token"]
+            if token is None:
+                break
+        assert [r["x"] for r in rows] == list(range(25))
+        # unknown id → 404
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/serve/nope")
+            assert False
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        hs.stop()
+
+
+# ---------------------------------------------------------------------------
+# multimodal real decode
+
+
+def test_bmp_roundtrip():
+    from tenzir_ray.stages.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, size=(13, 7, 3), dtype=np.uint8)  # odd width → padding
+    assert (decode_bmp(encode_bmp(img)) == img).all()
+
+
+def test_ppm_decode():
+    from tenzir_ray.stages.multimodal import decode_ppm
+
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    data = b"P6\n# comment\n3 2\n255\n" + img.tobytes()
+    assert (decode_ppm(data) == img).all()
+
+
+def test_wav_roundtrip_and_audio_stage(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages import multimodal as M
+
+    samples = (np.sin(np.arange(2000) / 10.0) * 10000).astype(np.int16)
+    data = M.encode_wav(samples, rate=8000)
+    rate, ch, back = M.decode_wav(data)
+    assert rate == 8000 and ch == 1 and (back[:, 0] == samples).all()
+
+    media = ray.data.from_arrow(M.synth_media(30, seed=3))
+    out = M.decode_audio(media.filter(lambda r: r["kind"] == "audio")).to_pandas()
+    assert (out["sample_rate"] == 16000).all()
+    assert (out["rms"] > 0).all() and (out["duration_s"] > 0).all()
+
+
+def test_resize_images(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages import multimodal as M
+
+    media = ray.data.from_arrow(M.synth_media(20, seed=4))
+    imgs = media.filter(lambda r: r["kind"] == "image")
+    resized = M.resize_images(imgs, 16, 16)
+    decoded = M.decode_images(resized).to_pandas()
+    assert (decoded["height"] == 16).all() and (decoded["width"] == 16).all()

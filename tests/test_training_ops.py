@@ -191,13 +191,16 @@ def test_multimodal_plumbing(ray_session):
     import ray.data
 
     media = ray.data.from_arrow(M.synth_media(48, seed=5))
-    out = M.decode_images(media.filter(lambda r: r["kind"] == "image"), fake=True).to_pandas()
+    # image payloads are REAL BMPs now: decode without fake
+    out = M.decode_images(media.filter(lambda r: r["kind"] == "image")).to_pandas()
     assert {"height", "width", "channels", "features"} <= set(out.columns)
     assert (out["channels"] == 3).all()
     assert out["features"].map(len).eq(8).all()
-    # real decode path raises cleanly
+    # compressed formats (raw 'video' blobs) still raise cleanly
     with pytest.raises(Exception):
-        M.decode_images(media.limit(1), fake=False).to_pandas()
+        M.decode_images(
+            media.filter(lambda r: r["kind"] == "video").limit(1), fake=False
+        ).to_pandas()
     frames = M.sample_frames(media.filter(lambda r: r["kind"] == "video")).to_pandas()
     assert (frames["frame_idx"] % 10 == 0).all()
 
