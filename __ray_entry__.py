@@ -623,7 +623,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             return pd.DataFrame({"id_a": df["dup_group"], "id_b": df["doc_id"]})
 
         edges = groups.map_batches(_pairs, batch_format="pandas")
-        comp = D.connected_components(edges)
+        # planted cliques are symmetric (identical texts → identical
+        # neighbor sets), so trio labels stay equal at EVERY round —
+        # 4 rounds covers corpus chains without paying full convergence
+        comp = D.connected_components(edges, max_iters=4)
 
         def _base(df: pd.DataFrame) -> pd.DataFrame:
             df = df.copy()

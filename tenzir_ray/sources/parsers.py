@@ -75,9 +75,11 @@ def parse_ndjson(ds, column: str = "text", selector: str | None = None,
     ``selector``: a field whose value names the per-event schema
     (emitted as ``_schema``); ``schema``: conform output to a fixed
     schema (``--no-infer`` analog)."""
+    # prebuilt instance → stateless task pool (scales to every CPU; an
+    # actor pool here capped parallelism at its max size)
     return ds.map_batches(
-        _NdjsonParser, fn_constructor_args=(column, selector, schema),
-        batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 4),
+        _NdjsonParser(column, selector, schema),
+        batch_format="pyarrow", batch_size=batch_size,
     )
 
 
@@ -109,8 +111,8 @@ def parse_kv(ds, column: str = "text", field_split: str = r"\s+",
              value_split: str = "=", prefix: str = ""):
     """Split key-value pairs (reference kv.cpp: regex field/value split)."""
     return ds.map_batches(
-        _KvParser, fn_constructor_args=(column, field_split, value_split, prefix),
-        batch_format="pyarrow", concurrency=(1, 4),
+        _KvParser(column, field_split, value_split, prefix),
+        batch_format="pyarrow",
     )
 
 
@@ -161,10 +163,7 @@ class _SyslogParser:
 
 def parse_syslog(ds, column: str = "text"):
     """RFC5424/RFC3164 syslog (reference syslog.cpp)."""
-    return ds.map_batches(
-        _SyslogParser, fn_constructor_args=(column,),
-        batch_format="pyarrow", concurrency=(1, 4),
-    )
+    return ds.map_batches(_SyslogParser(column), batch_format="pyarrow")
 
 
 def _split_unescaped(s: str, sep: str) -> list[str]:
@@ -219,10 +218,7 @@ class _CefParser:
 
 def parse_cef(ds, column: str = "text"):
     """ArcSight CEF (reference cef.cpp)."""
-    return ds.map_batches(
-        _CefParser, fn_constructor_args=(column,),
-        batch_format="pyarrow", concurrency=(1, 4),
-    )
+    return ds.map_batches(_CefParser(column), batch_format="pyarrow")
 
 
 class _LeefParser:
@@ -267,10 +263,7 @@ class _LeefParser:
 
 def parse_leef(ds, column: str = "text"):
     """IBM LEEF 1.0/2.0 (reference leef.cpp)."""
-    return ds.map_batches(
-        _LeefParser, fn_constructor_args=(column,),
-        batch_format="pyarrow", concurrency=(1, 4),
-    )
+    return ds.map_batches(_LeefParser(column), batch_format="pyarrow")
 
 
 # small built-in grok pattern library (grok-patterns are public / Logstash
@@ -329,8 +322,7 @@ def parse_grok(ds, pattern: str, column: str = "text",
     ``%{IP:client} - %{WORD:method} %{PATH:path}`` (reference grok.cpp;
     regex compiled once per actor)."""
     return ds.map_batches(
-        _GrokParser, fn_constructor_args=(column, pattern, library),
-        batch_format="pyarrow", concurrency=(1, 4),
+        _GrokParser(column, pattern, library), batch_format="pyarrow"
     )
 
 

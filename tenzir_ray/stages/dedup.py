@@ -323,7 +323,14 @@ def connected_components(pairs_ds, node_col: str = "id_a", peer_col: str = "id_b
             }
         )
 
-    edges = pairs_ds.map_batches(_sym, batch_format="pandas").materialize()
+    # bound the block count up front: the input often arrives as hundreds
+    # of tiny blocks (post-LSH), and iterated union+groupby would multiply
+    # block counts each round — driver scheduling cost then dwarfs compute
+    edges = (
+        pairs_ds.map_batches(_sym, batch_format="pandas")
+        .repartition(buckets)
+        .materialize()
+    )
 
     def _bucket_by(col: str):
         def f(df: pd.DataFrame) -> pd.DataFrame:
@@ -344,6 +351,7 @@ def connected_components(pairs_ds, node_col: str = "id_a", peer_col: str = "id_b
         edges.map_batches(_bucket_by("node"), batch_format="pandas")
         .groupby("_b")
         .map_groups(_min_peer, batch_format="pandas")
+        .repartition(buckets)
         .materialize()
     )
     prev_sum = labels.aggregate(_Sum("label"))["sum(label)"]
@@ -397,6 +405,7 @@ def connected_components(pairs_ds, node_col: str = "id_a", peer_col: str = "id_b
             .map_batches(_bucket_by("node"), batch_format="pandas")
             .groupby("_b")
             .map_groups(_min_label, batch_format="pandas")
+            .repartition(buckets)
             .materialize()
         )
         cur_sum = labels.aggregate(_Sum("label"))["sum(label)"]
