@@ -59,6 +59,56 @@ def entry() -> Any:
     return _cdc_replay("/root/testdata/sf0.001")
 
 
+def _build_sql_lake(sf: str, tag: str):
+    """Shared helper for the SQL-oracled CDC queries: derive a change log
+    from `events` by SQL-expressible rules and apply it through the
+    exactly-once lake in two out-of-order epochs (odd lsns first —
+    exercises tombstone persistence across backfill)."""
+    import pandas as pd
+    import ray.data
+
+    from tenzir_ray.cdc import LakeTable
+
+    def _mk(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["event_id"].to_numpy()
+        u = df["user_id"].to_numpy()
+        op = np.where(
+            i % 10 == 9, "delete", np.where(i % 10 >= 6, "update", "insert")
+        )
+        return pd.DataFrame(
+            {
+                "lsn": i.astype(np.int64),
+                "op": op,
+                "conv_id": "c" + pd.Series(u % 50).astype(str),
+                "turn_idx": ((i // 7) % 20).astype(np.int32),
+                "text": df["event_type"] + "-" + pd.Series(i).astype(str),
+            }
+        )
+
+    changes = ray.data.read_parquet(
+        f"{sf}/events.parquet", columns=["event_id", "user_id", "event_type"]
+    ).map_batches(_mk, batch_format="pandas")
+    root = f"/tmp/tenzir_ray_cdc_sql/{tag}-{os.path.basename(os.path.normpath(sf))}"
+    shutil.rmtree(root, ignore_errors=True)
+    lake = LakeTable(root, num_partitions=16)
+
+    def _parity(want: int):
+        def f(t):
+            import pyarrow.compute as pc
+
+            return t.filter(pc.equal(pc.bit_wise_and(t.column("lsn"), 1), want))
+
+        return f
+
+    lake.apply_changes(
+        changes.map_batches(_parity(1), batch_format="pyarrow"), epoch_id="odd"
+    )
+    lake.apply_changes(
+        changes.map_batches(_parity(0), batch_format="pyarrow"), epoch_id="even"
+    )
+    return lake
+
+
 # ---------------------------------------------------------------------------
 # queries
 
@@ -1122,51 +1172,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the exactly-once lake in two out-of-order epochs (odd lsns
         # first — tombstone persistence!), and the final table must equal
         # DuckDB's last-writer-wins over the same derivation
-        import pandas as pd
-        import ray.data
+        return _build_sql_lake(sf, "replay").final_table()
 
-        from tenzir_ray.cdc import LakeTable
-
-        def _mk(df: pd.DataFrame) -> pd.DataFrame:
-            i = df["event_id"].to_numpy()
-            u = df["user_id"].to_numpy()
-            op = np.where(
-                i % 10 == 9, "delete", np.where(i % 10 >= 6, "update", "insert")
-            )
-            return pd.DataFrame(
-                {
-                    "lsn": i.astype(np.int64),
-                    "op": op,
-                    "conv_id": "c" + pd.Series(u % 50).astype(str),
-                    "turn_idx": ((i // 7) % 20).astype(np.int32),
-                    "text": df["event_type"] + "-" + pd.Series(i).astype(str),
-                }
-            )
-
-        changes = _read(
-            sf, "events", columns=["event_id", "user_id", "event_type"]
-        ).map_batches(_mk, batch_format="pandas")
-        root = f"/tmp/tenzir_ray_cdc_sql/{os.path.basename(os.path.normpath(sf))}"
-        shutil.rmtree(root, ignore_errors=True)
-        lake = LakeTable(root, num_partitions=16)
-
-        def _parity(want: int):
-            def f(t):
-                import pyarrow.compute as pc
-
-                return t.filter(
-                    pc.equal(pc.bit_wise_and(t.column("lsn"), 1), want)
-                )
-
-            return f
-
-        lake.apply_changes(
-            changes.map_batches(_parity(1), batch_format="pyarrow"), epoch_id="odd"
-        )
-        lake.apply_changes(
-            changes.map_batches(_parity(0), batch_format="pyarrow"), epoch_id="even"
-        )
-        return lake.final_table()
+    def lake_export_filtered(sf):
+        # the EXPORT path (reference operators/export.cpp: catalog
+        # candidate selection + pushdown): stream the live lake back out
+        # with column pruning and a predicate
+        lake = _build_sql_lake(sf, "export")
+        ds = lake.read(columns=["conv_id", "turn_idx"])
+        return T.where(ds, "turn_idx < 5")
 
     return {
         "asof_status": asof_status,
@@ -1215,6 +1229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": embedding_near_dups,
         "cdc_replay": cdc_replay,
         "cdc_replay_sql": cdc_replay_sql,
+        "lake_export_filtered": lake_export_filtered,
         "struct_roundtrip": struct_roundtrip,
         "yield_nested": yield_nested,
         "rename_cols": rename_cols,
@@ -1538,6 +1553,21 @@ def oracle_sql() -> dict[str, str]:
                       PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) rn
                   FROM ch)
             SELECT conv_id, turn_idx, text FROM w WHERE rn = 1 AND op != 'delete'
+        """,
+        "lake_export_filtered": """
+            WITH ch AS (
+                SELECT event_id AS lsn,
+                       CASE WHEN event_id % 10 = 9 THEN 'delete'
+                            WHEN event_id % 10 >= 6 THEN 'update'
+                            ELSE 'insert' END AS op,
+                       'c' || CAST(user_id % 50 AS VARCHAR) AS conv_id,
+                       CAST((event_id // 7) % 20 AS INTEGER) AS turn_idx
+                FROM events),
+            w AS (SELECT *, row_number() OVER (
+                      PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) rn
+                  FROM ch)
+            SELECT conv_id, turn_idx FROM w
+            WHERE rn = 1 AND op != 'delete' AND turn_idx < 5
         """,
         "struct_roundtrip": """
             SELECT event_id, user_id AS "m.user_id", value AS "m.value"

@@ -812,6 +812,29 @@ class LakeTable:
             )
         )
 
+    def metrics(self) -> "ray.data.Dataset":
+        """Epoch lineage as a Dataset (the reference's `metrics`/
+        `diagnostics` stream analog, builtins/operators/metrics.cpp):
+        one row per committed epoch with lsn range, partition count, and
+        commit time."""
+        import ray.data
+
+        rows = [
+            {
+                "epoch_id": e["epoch_id"],
+                "lsn_min": e["lsn_min"],
+                "lsn_max": e["lsn_max"],
+                "committed_at": e["committed_at"],
+                "partitions_touched": len(e.get("partitions", {})),
+                "rows": sum(p.get("rows", 0) for p in e.get("partitions", {}).values()),
+            }
+            for e in self.manifest.epochs
+        ]
+        return ray.data.from_items(rows) if rows else ray.data.from_items(
+            [{"epoch_id": "", "lsn_min": -1, "lsn_max": -1,
+              "committed_at": 0.0, "partitions_touched": 0, "rows": 0}]
+        ).limit(0)
+
     def resume_lsn(self) -> int:
         """Next lsn to tail from (checkpoint/resume-from-offset)."""
         return self.manifest.lsn_high() + 1

@@ -141,6 +141,37 @@ def _register_builtins() -> None:
     OPERATORS["write_parquet"] = lambda ds, path, **kw: ds.write_parquet(path, **kw)
 
 
+def show(aspect: str | None = None):
+    """Introspection (reference builtins/operators/show.cpp + aspect
+    plugins): ``show("operators")`` lists the registry,
+    ``show("version")``, ``show("aggregations")`` the aggregate
+    functions, ``show()`` every aspect as a dict."""
+    if not OPERATORS:
+        _register_builtins()
+    import tenzir_ray
+    from tenzir_ray.stages.summarize import _PARTIAL_FNS
+
+    aspects = {
+        "operators": sorted(OPERATORS),
+        "version": getattr(tenzir_ray, "__version__", "0"),
+        "aggregations": sorted(
+            _PARTIAL_FNS
+            | {"count_distinct", "approx_count_distinct", "distinct",
+               "collect", "sample", "median", "quantile", "stddev_samp"}
+        ),
+        "contexts": ["lookup-table", "bloom-filter", "subnet-table", "geo-table"],
+        "formats": sorted(
+            n.removeprefix("parse_") for n in OPERATORS if n.startswith("parse_")
+        ),
+        "sinks": sorted(n for n in OPERATORS if n.startswith("write_")),
+    }
+    if aspect is None:
+        return aspects
+    if aspect not in aspects:
+        raise ValueError(f"unknown aspect {aspect!r} (have {sorted(aspects)})")
+    return aspects[aspect]
+
+
 class Pipeline:
     """An ordered list of operator steps over a ray.data.Dataset."""
 

@@ -114,9 +114,62 @@ def compile_rule(rule: dict) -> pads.Expression:
     return _walk(tree.body)
 
 
-def sigma(ds, rule: dict):
-    """Filter a Dataset to events matching the rule (the reference's
-    `sigma` operator)."""
+def load_rules(path: str) -> list[dict]:
+    """Load Sigma rules from a YAML file or a directory of ``*.yml`` /
+    ``*.yaml`` files (the reference's rule-directory loading,
+    plugins/sigma/plugin.cpp — without the hot-reload watcher; re-call to
+    pick up changes). Multi-document files yield one rule each."""
+    import glob
+    import os
+
+    import yaml
+
+    files = (
+        sorted(
+            glob.glob(os.path.join(path, "*.yml"))
+            + glob.glob(os.path.join(path, "*.yaml"))
+        )
+        if os.path.isdir(path)
+        else [path]
+    )
+    rules = []
+    for f in files:
+        with open(f) as fh:
+            for doc in yaml.safe_load_all(fh):
+                if isinstance(doc, dict) and "detection" in doc:
+                    rules.append(doc)
+    return rules
+
+
+def sigma(ds, rule: "dict | str | list[dict]"):
+    """Filter a Dataset to events matching the rule(s) (the reference's
+    `sigma` operator). ``rule`` may be a rule dict, a list of rule dicts
+    (match = ANY rule, tagged in ``_sigma_rule``), or a path to a YAML
+    rule file / directory."""
+    if isinstance(rule, str):
+        rule = load_rules(rule)
+    if isinstance(rule, list):
+        import pyarrow as pa
+
+        compiled = [
+            (r.get("title", f"rule{i}"), compile_rule(r))
+            for i, r in enumerate(rule)
+        ]
+
+        def _filter_many(batch):
+            view = pads.dataset(batch)
+            outs = []
+            for title, e in compiled:
+                hit = view.to_table(filter=e)
+                outs.append(
+                    hit.append_column(
+                        "_sigma_rule",
+                        pa.array([title] * hit.num_rows, pa.string()),
+                    )
+                )
+            return pa.concat_tables(outs)
+
+        return ds.map_batches(_filter_many, batch_format="pyarrow")
     expr = compile_rule(rule)
 
     def _filter(batch):

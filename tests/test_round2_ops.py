@@ -523,3 +523,44 @@ def test_resize_images(ray_session):
     resized = M.resize_images(imgs, 16, 16)
     decoded = M.decode_images(resized).to_pandas()
     assert (decoded["height"] == 16).all() and (decoded["width"] == 16).all()
+
+
+def test_lake_metrics_and_show(ray_session, tmp_path):
+    from tenzir_ray.cdc import LakeTable, gen_changes
+    from tenzir_ray.pipelines.pipeline import show
+
+    lake = LakeTable(str(tmp_path / "mlake"), num_partitions=4)
+    ch = gen_changes(300, seed=11)
+    lake.apply_changes(ch, epoch_id="e1")
+    m = lake.metrics().to_pandas()
+    assert len(m) == 1 and m["epoch_id"].iloc[0] == "e1"
+    assert m["partitions_touched"].iloc[0] > 0
+
+    aspects = show()
+    assert "where" in aspects["operators"] and "syslog" in aspects["formats"]
+    assert show("version")
+    with pytest.raises(ValueError):
+        show("nope")
+
+
+def test_sigma_yaml_rules(ray_session, tmp_path):
+    from tenzir_ray.stages.sigma import load_rules, sigma
+
+    (tmp_path / "r1.yml").write_text(
+        "title: big_clicks\ndetection:\n  sel:\n    event_type: click\n"
+        "    value|gt: 50\n  condition: sel\n"
+    )
+    (tmp_path / "r2.yaml").write_text(
+        "title: errors\ndetection:\n  sel:\n    event_type: error\n  condition: sel\n"
+    )
+    rules = load_rules(str(tmp_path))
+    assert [r["title"] for r in rules] == ["big_clicks", "errors"]
+
+    tbl = pa.table(
+        {
+            "event_type": ["click", "click", "error", "view"],
+            "value": [60.0, 10.0, 5.0, 99.0],
+        }
+    )
+    out = sigma(_ds(tbl), str(tmp_path)).to_pandas()
+    assert sorted(out["_sigma_rule"]) == ["big_clicks", "errors"]
