@@ -1140,6 +1140,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         by_suffix = where_extractor(ds, "value", ">", 90.0)
         return where_extractor(by_suffix, ":double", ">", 90.0)
 
+    def shell_upper(sf):
+        # the shell operator (reference operators/shell.cpp): pipe the
+        # text column through `tr` — SQL oracle = upper()
+        ds = _read(sf, "documents", columns=["doc_id", "text"])
+        return T.shell_(ds, "tr a-z A-Z")
+
     def geo_enrich(sf):
         import pandas as pd
 
@@ -1257,6 +1263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "taste_lineitem_high_card": taste_lineitem_high_card,
         "geo_enrich": geo_enrich,
         "extractor_filter": extractor_filter,
+        "shell_upper": shell_upper,
         "asof_forward": asof_forward,
         "hash_join_left_outer": hash_join_left_outer,
     }
@@ -1684,6 +1691,9 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (
                            PARTITION BY l_orderkey ORDER BY l_linenumber) rn
                 FROM lineitem) WHERE rn <= 2
+        """,
+        "shell_upper": """
+            SELECT doc_id, upper(text) AS text FROM documents
         """,
         "extractor_filter": """
             SELECT event_id, user_id, value AS "m.value" FROM events

@@ -881,38 +881,70 @@ class LakeTable:
             removed_staging += 1
         return {"files_removed": removed_files, "staging_removed": removed_staging}
 
-    def optimize(self, compression_level: int = 10) -> int:
-        """Compact every partition: merge base + delta files (LWW, drop
+    def optimize(self, compression_level: int = 10,
+                 parts: list | None = None) -> int:
+        """Compact partitions: merge base + delta files (LWW, drop
         tombstones) into ONE file at a higher zstd level — the reference's
-        partition rebuild (builtins/commands/rebuild.cpp:26). Write-then-
-        rename per file, then one atomic manifest swap; superseded files
-        become orphans for gc()."""
-        new_parts = {}
-        for k, info in self.manifest.partitions.items():
-            merged = _merge_live(
-                [_load_stored(self.root, rel, self.registry) for rel in info["files"]]
-            )
+        partition rebuild (builtins/commands/rebuild.cpp:26). One Ray
+        task per partition (never a driver loop); write-then-rename per
+        file, then one atomic manifest swap; superseded files become
+        orphans for gc(). ``parts`` limits compaction to the given
+        partition ids (selective rebuild)."""
+        import ray as ray_core
+
+        todo = {
+            k: info
+            for k, info in self.manifest.partitions.items()
+            if parts is None or int(k) in {int(p) for p in parts}
+        }
+        if not todo:
+            return 0
+        root = self.root
+        reg_json = self.registry.to_json()
+
+        @ray_core.remote
+        def _compact(k: str, rels: list[str]) -> dict:
+            reg = SchemaRegistry.from_json(reg_json)
+            merged = _merge_live([_load_stored(root, rel, reg) for rel in rels])
             payload_cols = [c for c in merged.column_names if c not in ("lsn", "op")]
             out = merged.select(payload_cols).append_column(
                 LSN_COL, merged.column("lsn")
             )
             new_rel = f"part={k}/compact-{uuid.uuid4().hex[:8]}.parquet"
-            dst = os.path.join(self.root, new_rel)
+            dst = os.path.join(root, new_rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             pq.write_table(out, dst + ".tmp", compression="zstd",
                            compression_level=compression_level)
             os.replace(dst + ".tmp", dst)
-            new_parts[k] = {
+            return {"part": k, "file": new_rel, "rows": out.num_rows}
+
+        results = ray_core.get(
+            [_compact.remote(k, info["files"]) for k, info in todo.items()]
+        )
+        for r in results:
+            info = self.manifest.partitions[r["part"]]
+            self.manifest.partitions[r["part"]] = {
                 **info,
-                "files": [new_rel],
-                "rows": out.num_rows,
+                "files": [r["file"]],
+                "rows": r["rows"],
                 "delta_rows": 0,
                 "tombstones": 0,
             }
-        self.manifest.partitions = new_parts
         self.manifest._atomic_write()
         self.gc()  # old files are now orphans
-        return len(new_parts)
+        return len(results)
+
+    def compact_hot(self, max_files: int = 8,
+                    compression_level: int = 10) -> int:
+        """Selective compaction: rebuild only partitions whose live file
+        count exceeds ``max_files`` (the automatic-rebuild policy,
+        rebuild.cpp:26 'undersized/outdated partitions')."""
+        hot = [
+            int(k)
+            for k, info in self.manifest.partitions.items()
+            if len(info.get("files", [])) > max_files
+        ]
+        return self.optimize(compression_level=compression_level, parts=hot)
 
     def truncate_lineage(self, keep_epochs: int = 100) -> int:
         """Retention for the lineage log (disk-monitor analog,

@@ -108,6 +108,7 @@ def _register_builtins() -> None:
         parse_time=transforms.parse_time,
         compress=transforms.compress,
         decompress=transforms.decompress,
+        shell=transforms.shell_,
 
         streaming_deduplicate=streaming.streaming_deduplicate,
         adjacent_unique=streaming.adjacent_unique,
@@ -120,6 +121,8 @@ def _register_builtins() -> None:
     from tenzir_ray.sources import writers
     OPERATORS.update(
         write_csv=writers.write_csv,
+        write_tsv=writers.write_tsv,
+        write_ssv=writers.write_ssv,
         write_json=writers.write_json,
         write_feather=writers.write_feather,
     )

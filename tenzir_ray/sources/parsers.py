@@ -40,10 +40,12 @@ def _from_pylist_uniform(rows: list[dict]) -> pa.Table:
 
 
 class _NdjsonParser:
-    def __init__(self, column: str, selector: str | None, schema: pa.Schema | None):
+    def __init__(self, column: str, selector: str | None, schema: pa.Schema | None,
+                 arrays_of_objects: bool = False):
         self.column = column
         self.selector = selector
         self.schema = schema
+        self.arrays_of_objects = arrays_of_objects
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = []
@@ -54,11 +56,21 @@ class _NdjsonParser:
                 obj = json.loads(line)
             except json.JSONDecodeError:
                 obj = {"_raw": line, "_parse_error": True}
-            if self.selector:
-                # schema-per-event selector (json.cpp --selector): record
-                # the selector value as #schema analog
-                obj["_schema"] = str(obj.get(self.selector, ""))
-            rows.append(obj)
+            # --arrays-of-objects (json.cpp): a top-level array yields
+            # one event per element
+            objs = (
+                obj
+                if self.arrays_of_objects and isinstance(obj, list)
+                else [obj]
+            )
+            for obj in objs:
+                if not isinstance(obj, dict):
+                    obj = {"_raw": str(obj), "_parse_error": True}
+                if self.selector:
+                    # schema-per-event selector (json.cpp --selector):
+                    # record the selector value as the #schema analog
+                    obj["_schema"] = str(obj.get(self.selector, ""))
+                rows.append(obj)
         tbl = _from_pylist_uniform(rows)
         if self.schema is not None:
             from tenzir_ray.cdc.registry import SchemaRegistry
@@ -69,16 +81,18 @@ class _NdjsonParser:
 
 
 def parse_ndjson(ds, column: str = "text", selector: str | None = None,
-                 schema: pa.Schema | None = None, batch_size: int = 8192):
+                 schema: pa.Schema | None = None, batch_size: int = 8192,
+                 arrays_of_objects: bool = False):
     """Parse an NDJSON string column into events.
 
     ``selector``: a field whose value names the per-event schema
     (emitted as ``_schema``); ``schema``: conform output to a fixed
-    schema (``--no-infer`` analog)."""
+    schema (``--no-infer`` analog); ``arrays_of_objects``: a top-level
+    JSON array yields one event per element (json.cpp flag)."""
     # prebuilt instance → stateless task pool (scales to every CPU; an
     # actor pool here capped parallelism at its max size)
     return ds.map_batches(
-        _NdjsonParser(column, selector, schema),
+        _NdjsonParser(column, selector, schema, arrays_of_objects),
         batch_format="pyarrow", batch_size=batch_size,
     )
 

@@ -34,6 +34,26 @@ def write_json(ds, path: str, **kw):
     return ds.write_json(path, **kw)
 
 
+def _delim_args_fn(delim: str):
+    # WriteOptions is not picklable — build it ON the worker
+    def f():
+        import pyarrow.csv as pacsv
+
+        return {"write_options": pacsv.WriteOptions(delimiter=delim)}
+
+    return f
+
+
+def write_tsv(ds, path: str, **kw):
+    """TSV printer (reference xsv.cpp `tsv` alias)."""
+    return ds.write_csv(path, arrow_csv_args_fn=_delim_args_fn("\t"), **kw)
+
+
+def write_ssv(ds, path: str, **kw):
+    """Space-separated printer (reference xsv.cpp `ssv` alias)."""
+    return ds.write_csv(path, arrow_csv_args_fn=_delim_args_fn(" "), **kw)
+
+
 class _FeatherWriter:
     def __init__(self, path: str, compression: str):
         self.path = path

@@ -143,7 +143,26 @@ def flatten(ds, sep: str = "."):
 
 
 def unflatten(ds, sep: str = "."):
-    """Rebuild nested structs from dotted column names."""
+    """Rebuild nested structs from dotted column names — fully recursive
+    (``a.b.c`` becomes struct a{ struct b{ c } }, reference
+    unflatten.cpp)."""
+
+    def _build(sub: dict[str, Any]) -> pa.StructArray:
+        names, arrays = [], []
+        nested: dict[str, dict] = {}
+        for name, col in sub.items():
+            if sep in name:
+                top, rest = name.split(sep, 1)
+                nested.setdefault(top, {})[rest] = col
+            else:
+                names.append(name)
+                arrays.append(
+                    col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                )
+        for top, inner in nested.items():
+            names.append(top)
+            arrays.append(_build(inner))
+        return pa.StructArray.from_arrays(arrays, names=names)
 
     def _unflatten(batch: pa.Table) -> pa.Table:
         groups: dict[str, dict[str, Any]] = {}
@@ -156,16 +175,45 @@ def unflatten(ds, sep: str = "."):
                 plain.append((name, batch.column(name)))
         cols, names = [c for _, c in plain], [n for n, _ in plain]
         for top, sub in groups.items():
-            arrays = [
-                c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
-                for c in sub.values()
-            ]
-            struct = pa.StructArray.from_arrays(arrays, names=list(sub.keys()))
-            cols.append(struct)
+            cols.append(_build(sub))
             names.append(top)
         return pa.table(cols, names=names)
 
     return ds.map_batches(_unflatten, batch_format="pyarrow")
+
+
+def shell_(ds, cmd: str, column: str = "text", out: str | None = None,
+           batch_size: int = 8192):
+    """Pipe a string column through an external command's stdin/stdout,
+    one subprocess per BATCH with newline-delimited records (reference
+    operators/shell.cpp pipes the byte stream; the per-batch analog keeps
+    the fork cost amortized). The command must emit one line per input
+    line (filters like tr/sed/awk '1'...)."""
+    import shlex
+    import subprocess
+
+    out = out or column
+    argv = shlex.split(cmd)
+
+    def _pipe(batch: pa.Table) -> pa.Table:
+        lines = batch.column(column).to_pylist()
+        blob = ("\n".join(x if x is not None else "" for x in lines) + "\n").encode()
+        res = subprocess.run(argv, input=blob, stdout=subprocess.PIPE, check=True)
+        out_lines = res.stdout.decode().split("\n")
+        if out_lines and out_lines[-1] == "":
+            out_lines.pop()
+        if len(out_lines) != batch.num_rows:
+            raise ValueError(
+                f"shell command emitted {len(out_lines)} lines for "
+                f"{batch.num_rows} input rows — only line-preserving "
+                "filters are supported"
+            )
+        arr = pa.array(out_lines, pa.string())
+        if out in batch.column_names:
+            return batch.set_column(batch.schema.get_field_index(out), out, arr)
+        return batch.append_column(out, arr)
+
+    return ds.map_batches(_pipe, batch_format="pyarrow", batch_size=batch_size)
 
 
 def unroll(ds, column: str):

@@ -564,3 +564,77 @@ def test_sigma_yaml_rules(ray_session, tmp_path):
     )
     out = sigma(_ds(tbl), str(tmp_path)).to_pandas()
     assert sorted(out["_sigma_rule"]) == ["big_clicks", "errors"]
+
+
+def test_unflatten_recursive(ray_session):
+    from tenzir_ray.stages import transforms as T
+
+    tbl = pa.table({"a.b.c": [1, 2], "a.b.d": [3, 4], "a.e": [5, 6], "x": [7, 8]})
+    out = pa.concat_tables(
+        list(T.unflatten(_ds(tbl)).iter_batches(batch_format="pyarrow"))
+    )
+    a = out.schema.field("a").type
+    assert pa.types.is_struct(a)
+    b = a.field("b").type
+    assert pa.types.is_struct(b) and {f.name for f in b} == {"c", "d"}
+    rows = out.to_pylist()
+    assert rows[0]["a"] == {"b": {"c": 1, "d": 3}, "e": 5}
+    # flatten inverts it
+    back = T.flatten(T.unflatten(_ds(tbl))).to_pandas()
+    assert set(back.columns) == {"a.b.c", "a.b.d", "a.e", "x"}
+
+
+def test_shell_operator(ray_session):
+    from tenzir_ray.stages import transforms as T
+
+    ds = _ds(pa.table({"text": ["hello", "world", "abc"]}))
+    out = T.shell_(ds, "tr a-z A-Z").to_pandas()
+    assert sorted(out["text"]) == ["ABC", "HELLO", "WORLD"]
+
+
+def test_ndjson_arrays_of_objects(ray_session):
+    from tenzir_ray.sources.parsers import parse_ndjson
+
+    lines = ['[{"a":1},{"a":2}]', '{"a":3}']
+    out = parse_ndjson(
+        _ds(pa.table({"text": lines})), arrays_of_objects=True
+    ).to_pandas()
+    assert sorted(out["a"]) == [1, 2, 3]
+
+
+def test_write_tsv(ray_session, tmp_path):
+    from tenzir_ray.sources import readers, writers
+
+    tbl = pa.table({"a": [1, 2], "b": ["x", "y"]})
+    out = str(tmp_path / "tsv")
+    writers.write_tsv(_ds(tbl), out)
+    back = readers.read_csv(f"{out}/", delimiter="\t").to_pandas()
+    assert back.sort_values("a", ignore_index=True).to_dict("list") == {
+        "a": [1, 2], "b": ["x", "y"]
+    }
+
+
+def test_optimize_selective_and_compact_hot(ray_session, tmp_path):
+    import pyarrow.compute as pc
+
+    from tenzir_ray.cdc import LakeTable, gen_changes
+    from tenzir_ray.cdc.oracle import naive_apply
+
+    changes = gen_changes(2000, seed=17)
+    lake = LakeTable(str(tmp_path / "clake"), num_partitions=4)
+    # many small epochs → delta files accumulate
+    lsn = changes.column("lsn")
+    for e in range(8):
+        seg = changes.filter(
+            pc.and_(pc.greater_equal(lsn, e * 250), pc.less(lsn, (e + 1) * 250))
+        )
+        lake.apply_changes(seg, epoch_id=f"e{e}")
+    files_before = {k: len(i["files"]) for k, i in lake.manifest.partitions.items()}
+    assert max(files_before.values()) > 1
+    n = lake.compact_hot(max_files=1)
+    assert n > 0
+    files_after = {k: len(i["files"]) for k, i in lake.manifest.partitions.items()}
+    assert max(files_after.values()) == 1
+    exp = naive_apply(changes)
+    got = lake.final_table()
+    assert got.column("text").to_pylist() == exp.column("text").to_pylist()
