@@ -1180,6 +1180,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DuckDB's last-writer-wins over the same derivation
         return _build_sql_lake(sf, "replay").final_table()
 
+    def cdc_schema_evolution(sf):
+        # schema evolution end-to-end vs SQL: epoch 1 (odd lsns) carries
+        # NO `extra` column and int32 turn_idx; epoch 2 (even lsns) adds
+        # `extra` and widens turn_idx to int64. The registry must evolve
+        # (additive column, type widening) and old rows read as NULL —
+        # exactly what the SQL CASE expresses
+        import pandas as pd
+        import ray.data
+
+        from tenzir_ray.cdc import LakeTable
+
+        def _mk(with_extra: bool, turn_dtype):
+            def f(df: pd.DataFrame) -> pd.DataFrame:
+                i = df["event_id"].to_numpy()
+                u = df["user_id"].to_numpy()
+                op = np.where(
+                    i % 10 == 9, "delete",
+                    np.where(i % 10 >= 6, "update", "insert"),
+                )
+                out = pd.DataFrame(
+                    {
+                        "lsn": i.astype(np.int64),
+                        "op": op,
+                        "conv_id": "c" + pd.Series(u % 50).astype(str),
+                        "turn_idx": ((i // 7) % 20).astype(turn_dtype),
+                        "text": df["event_type"] + "-" + pd.Series(i).astype(str),
+                    }
+                )
+                if with_extra:
+                    out["extra"] = (i * 3).astype(np.int64)
+                return out
+
+            return f
+
+        base = _read(sf, "events", columns=["event_id", "user_id", "event_type"])
+
+        def _parity(want: int):
+            def f(t):
+                import pyarrow.compute as pc
+
+                return t.filter(
+                    pc.equal(pc.bit_wise_and(t.column("lsn"), 1), want)
+                )
+
+            return f
+
+        root = f"/tmp/tenzir_ray_cdc_sql/evo-{os.path.basename(os.path.normpath(sf))}"
+        shutil.rmtree(root, ignore_errors=True)
+        lake = LakeTable(root, num_partitions=16)
+        lake.apply_changes(
+            base.map_batches(_mk(False, np.int32), batch_format="pandas")
+            .map_batches(_parity(1), batch_format="pyarrow"),
+            epoch_id="v1-odd",
+        )
+        lake.apply_changes(
+            base.map_batches(_mk(True, np.int64), batch_format="pandas")
+            .map_batches(_parity(0), batch_format="pyarrow"),
+            epoch_id="v2-even",
+        )
+        assert lake.registry.version >= 2, "registry must have evolved"
+        return lake.final_table()
+
     def lake_export_filtered(sf):
         # the EXPORT path (reference operators/export.cpp: catalog
         # candidate selection + pushdown): stream the live lake back out
@@ -1235,6 +1297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": embedding_near_dups,
         "cdc_replay": cdc_replay,
         "cdc_replay_sql": cdc_replay_sql,
+        "cdc_schema_evolution": cdc_schema_evolution,
         "lake_export_filtered": lake_export_filtered,
         "struct_roundtrip": struct_roundtrip,
         "yield_nested": yield_nested,
@@ -1560,6 +1623,24 @@ def oracle_sql() -> dict[str, str]:
                       PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) rn
                   FROM ch)
             SELECT conv_id, turn_idx, text FROM w WHERE rn = 1 AND op != 'delete'
+        """,
+        "cdc_schema_evolution": """
+            WITH ch AS (
+                SELECT event_id AS lsn,
+                       CASE WHEN event_id % 10 = 9 THEN 'delete'
+                            WHEN event_id % 10 >= 6 THEN 'update'
+                            ELSE 'insert' END AS op,
+                       'c' || CAST(user_id % 50 AS VARCHAR) AS conv_id,
+                       CAST((event_id // 7) % 20 AS BIGINT) AS turn_idx,
+                       event_type || '-' || CAST(event_id AS VARCHAR) AS text,
+                       CASE WHEN event_id % 2 = 0
+                            THEN CAST(event_id * 3 AS BIGINT) END AS extra
+                FROM events),
+            w AS (SELECT *, row_number() OVER (
+                      PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) rn
+                  FROM ch)
+            SELECT conv_id, turn_idx, text, extra
+            FROM w WHERE rn = 1 AND op != 'delete'
         """,
         "lake_export_filtered": """
             WITH ch AS (
