@@ -30,6 +30,8 @@ class Server:
     """
 
     def __init__(self, ds, page_size: int = 1000, max_cached_pages: int = 64):
+        import threading
+
         self._iter = iter(
             ds.iter_batches(batch_size=page_size, batch_format="pyarrow")
         )
@@ -37,6 +39,9 @@ class Server:
         self._next = 0
         self._done = False
         self._max_cached = max_cached_pages
+        # HttpServer serves from a ThreadingHTTPServer: concurrent gets
+        # must not race the underlying iterator
+        self._lock = threading.Lock()
 
     def get(self, token: int | None) -> tuple[pa.Table | None, int | None]:
         """Return (page, next_token); next_token None ⇒ stream exhausted.
@@ -46,6 +51,10 @@ class Server:
         already evicted from the bounded replay cache — silently
         advancing past lost data would be invisible data loss for an
         at-least-once client that fell behind."""
+        with self._lock:
+            return self._get_locked(token)
+
+    def _get_locked(self, token: int | None) -> tuple[pa.Table | None, int | None]:
         token = 0 if token is None else int(token)
         while token >= self._next and not self._done:
             try:

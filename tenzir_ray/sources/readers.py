@@ -10,6 +10,7 @@ pushdown analog, builtins/operators/export.cpp:139).
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 
@@ -89,3 +90,46 @@ def read_feather(paths, columns: list[str] | None = None):
 
     ds = ray.data.read_binary_files(paths)
     return ds.map_batches(_load, batch_format="pandas", batch_size=1)
+
+
+def follow_lines(path, poll_s: float = 0.5, idle_limit: int | None = None,
+                 sleep=None, from_start: bool = True):
+    """Tail a growing text file (the reference `file --follow`,
+    connectors/file.cpp): a DRIVER-side generator yielding batches of
+    complete new lines as they are appended. A byte-stream tail is
+    outside the Dataset model, so the driver owns the loop and feeds
+    each yielded batch into pipelines (e.g. `ray.data.from_items` +
+    a parser, or a `LakeTable.apply_changes` epoch).
+
+    ``idle_limit``: stop after this many consecutive empty polls (None =
+    follow forever); ``sleep`` is injectable for tests. Partial trailing
+    lines (no newline yet) are held back until completed."""
+    import time as _time
+
+    sleep = sleep or _time.sleep
+    idle = 0
+    pos = 0 if from_start else os.path.getsize(path)
+    buf = ""
+    while True:
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            size = pos
+        if size > pos:
+            with open(path, "r") as f:
+                f.seek(pos)
+                chunk = f.read()
+                pos = f.tell()
+            buf += chunk
+            lines = buf.split("\n")
+            buf = lines.pop()  # partial tail (or "" after a full line)
+            if lines:
+                idle = 0
+                yield lines
+                continue
+        idle += 1
+        if idle_limit is not None and idle >= idle_limit:
+            if buf:
+                yield [buf]  # flush the unterminated tail on shutdown
+            return
+        sleep(poll_s)

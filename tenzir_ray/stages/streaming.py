@@ -239,7 +239,9 @@ class StreamingSummarize:
                 named[alias] = pd.NamedAgg(column=col, aggfunc="min")
             else:
                 named[alias] = pd.NamedAgg(column=col, aggfunc=fn)
-        return df.groupby(self.keys, as_index=False, sort=False).agg(**named)
+        return df.groupby(
+            self.keys, as_index=False, sort=False, dropna=False
+        ).agg(**named)
 
     def feed(self, batch: pd.DataFrame) -> pd.DataFrame:
         now = self.clock()

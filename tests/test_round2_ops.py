@@ -711,3 +711,25 @@ def test_taste_empty_and_single(ray_session):
     assert T.taste(_ds(empty), 2, by="k").count() == 0
     one = pa.table({"k": [1], "v": [9]})
     assert T.taste(_ds(one), 2, by="k", order_by="v").count() == 1
+
+
+def test_follow_lines(tmp_path):
+    from tenzir_ray.sources.readers import follow_lines
+
+    p = tmp_path / "log.txt"
+    p.write_text("a\nb\n")
+    state = {"n": 0}
+
+    def fake_sleep(_s):
+        # appender simulation: new lines arrive during the "wait"
+        state["n"] += 1
+        if state["n"] == 1:
+            with open(p, "a") as f:
+                f.write("c\nd")  # d is partial — must be held back
+        elif state["n"] == 2:
+            with open(p, "a") as f:
+                f.write("!\n")
+
+    batches = list(follow_lines(str(p), idle_limit=3, sleep=fake_sleep))
+    flat = [x for b in batches for x in b]
+    assert flat == ["a", "b", "c", "d!"]
