@@ -62,7 +62,10 @@ def _cron_sets(spec: str):
     hour = _parse_field(fields[1], 0, 23)
     dom = _parse_field(fields[2], 1, 31)
     month = _parse_field(fields[3], 1, 12)
-    dow = _parse_field(fields[4], 0, 6)  # 0 = Monday (python weekday)
+    # STANDARD cron day-of-week: 0 (or 7) = Sunday, 1 = Monday … 6 =
+    # Saturday; convert to python weekday numbers (0 = Monday)
+    dow_cron = _parse_field(fields[4], 0, 7)
+    dow = {(v - 1) % 7 for v in dow_cron}
     return minute, hour, dom, month, dow
 
 

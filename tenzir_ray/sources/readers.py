@@ -109,27 +109,35 @@ def follow_lines(path, poll_s: float = 0.5, idle_limit: int | None = None,
     sleep = sleep or _time.sleep
     idle = 0
     pos = 0 if from_start else os.path.getsize(path)
-    buf = ""
+    buf = b""
     while True:
         try:
             size = os.path.getsize(path)
         except OSError:
             size = pos
+        if size < pos:
+            # truncation/rotation: restart from the top of the new file
+            pos = 0
+            buf = b""
         if size > pos:
-            with open(path, "r") as f:
+            # BINARY read: a poll may catch a multibyte character
+            # mid-write; splitting on b"\n" first means only complete
+            # lines are decoded (held-back partials finish later)
+            with open(path, "rb") as f:
                 f.seek(pos)
                 chunk = f.read()
                 pos = f.tell()
             buf += chunk
-            lines = buf.split("\n")
-            buf = lines.pop()  # partial tail (or "" after a full line)
+            lines = buf.split(b"\n")
+            buf = lines.pop()  # partial tail (or b"" after a full line)
             if lines:
                 idle = 0
-                yield lines
+                yield [x.decode("utf-8", errors="replace") for x in lines]
                 continue
         idle += 1
         if idle_limit is not None and idle >= idle_limit:
             if buf:
-                yield [buf]  # flush the unterminated tail on shutdown
+                # flush the unterminated tail on shutdown
+                yield [buf.decode("utf-8", errors="replace")]
             return
         sleep(poll_s)

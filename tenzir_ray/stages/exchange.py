@@ -48,12 +48,30 @@ def exchange_root() -> str:
     raise RuntimeError("no writable temp dir for exchange staging")
 
 
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+
+
 def _gc_old(root: str, max_age_s: float = 3600.0) -> None:
-    """Best-effort cleanup of stale staging dirs from crashed runs."""
+    """Best-effort cleanup of stale staging dirs from CRASHED runs only:
+    a dir is removed when it is old AND its creating process is gone —
+    a live driver may still hold lazy join datasets whose reduce tasks
+    read these files at consumption time, and the root is shared
+    machine-wide."""
     try:
         now = time.time()
         for d in os.listdir(root):
             p = os.path.join(root, d)
+            parts = d.split("-")
+            owner = int(parts[1]) if len(parts) >= 3 and parts[1].isdigit() else None
+            if owner is not None and _pid_alive(owner):
+                continue
             if now - os.path.getmtime(p) > max_age_s:
                 shutil.rmtree(p, ignore_errors=True)
     except OSError:
@@ -63,7 +81,7 @@ def _gc_old(root: str, max_age_s: float = 3600.0) -> None:
 def new_staging(tag: str = "x") -> str:
     root = exchange_root()
     _gc_old(root)
-    d = os.path.join(root, f"{tag}-{uuid.uuid4().hex[:12]}")
+    d = os.path.join(root, f"{tag}-{os.getpid()}-{uuid.uuid4().hex[:12]}")
     os.makedirs(d, exist_ok=True)
     atexit.register(shutil.rmtree, d, ignore_errors=True)
     return d
@@ -91,8 +109,14 @@ def _mix64(x: np.ndarray) -> np.ndarray:
 def key_buckets(batch: pa.Table, keys: list[str], num_buckets: int) -> np.ndarray:
     """Deterministic bucket per key tuple, agreeing across physically
     different but logically equal columns: integer families are widened
-    to int64 before mixing; strings/other types hash their dictionary
-    uniques once (pandas siphash, fixed key) and broadcast via codes."""
+    to int64 before mixing (null slots are filled typed BEFORE any numpy
+    conversion — a null in the batch must never push int keys through a
+    lossy float64 path); strings/other types hash their dictionary
+    uniques once (pandas siphash, fixed key) and broadcast via codes.
+    Null keys hash to bucket value 0-slot deterministically on both
+    sides; -0.0 normalizes to 0.0 so equal-under-join float keys meet."""
+    import pyarrow.compute as pc
+
     h = np.zeros(batch.num_rows, dtype=np.uint64)
     for k in keys:
         col = batch.column(k)
@@ -100,13 +124,17 @@ def key_buckets(batch: pa.Table, keys: list[str], num_buckets: int) -> np.ndarra
             col = col.combine_chunks()
         t = col.type
         if pa.types.is_integer(t):
-            vals = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            filled = pc.fill_null(col.cast(pa.int64()), 0)
+            vals = filled.to_numpy(zero_copy_only=False)
             hk = _mix64(vals.astype(np.uint64))
         elif pa.types.is_floating(t):
-            vals = col.cast(pa.float64()).to_numpy(zero_copy_only=False)
+            filled = pc.fill_null(col.cast(pa.float64()), 0.0)
+            vals = filled.to_numpy(zero_copy_only=False)
+            vals = vals + 0.0  # -0.0 → +0.0 (copy; never mutate the buffer)
             hk = _mix64(vals.view(np.uint64))
         elif pa.types.is_timestamp(t):
-            vals = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            filled = pc.fill_null(col.cast(pa.int64()), 0)
+            vals = filled.to_numpy(zero_copy_only=False)
             hk = _mix64(vals.astype(np.uint64))
         else:
             d = col.dictionary_encode()
@@ -115,8 +143,13 @@ def key_buckets(batch: pa.Table, keys: list[str], num_buckets: int) -> np.ndarra
             uh = pd.util.hash_array(
                 np.asarray(d.dictionary.to_pylist(), dtype=object)
             ).astype(np.uint64)
-            codes = d.indices.to_numpy(zero_copy_only=False)
+            ind = pc.fill_null(d.indices, 0) if d.null_count else d.indices
+            codes = ind.to_numpy(zero_copy_only=False).astype(np.int64)
             hk = uh[codes] if len(uh) else np.zeros(batch.num_rows, np.uint64)
+            if d.null_count:
+                null_mask = pc.is_null(d.indices).to_numpy(zero_copy_only=False)
+                hk = hk.copy()
+                hk[null_mask] = np.uint64(0)
         h = h ^ hk
     return (h % np.uint64(num_buckets)).astype(np.int64)
 

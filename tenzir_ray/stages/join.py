@@ -99,10 +99,17 @@ def hash_join(left, right, on: str | list[str], right_on: str | list[str] | None
     )
     lschema, rschema = left.schema(), right.schema()
     lcols = lschema.names
-    rename_r = {
-        c: (c + right_suffix if c in lcols and c not in rkeys else c)
-        for c in rschema.names
-    }
+    key_partner = dict(zip(rkeys, lkeys))
+    rename_r = {}
+    for c in rschema.names:
+        if c in rkeys:
+            # a right KEY keeps its name unless it collides with a left
+            # column other than its own join partner (which would create
+            # duplicate output columns)
+            clash = c in lcols and key_partner[c] != c
+            rename_r[c] = c + right_suffix if clash else c
+        else:
+            rename_r[c] = c + right_suffix if c in lcols else c
     r_key_names = [rename_r.get(k, k) for k in rkeys]
     l_arrow = _arrow_schema(lschema)
     r_arrow = _arrow_schema(rschema, rename_r)
@@ -197,9 +204,24 @@ class _AsofReducer:
                     out = out.append_column(f.name, pa.nulls(out.num_rows, f.type))
             return out.select(self.out_schema.names)
         rhs = rtbl.to_pandas().sort_values(self.on, kind="mergesort")
+        # string timestamp columns (post NDJSON/syslog parse) merge on
+        # their datetime interpretation; the output keeps the ORIGINAL
+        # left strings so the typed schema cast below still holds
+        orig_on = None
+        if lhs[self.on].dtype == object or rhs[self.on].dtype == object:
+            orig = lhs[self.on].copy()
+            lhs = lhs.assign(**{self.on: pd.to_datetime(lhs[self.on])})
+            rhs = rhs.assign(**{self.on: pd.to_datetime(rhs[self.on])})
+            order = np.argsort(lhs[self.on].to_numpy(), kind="stable")
+            lhs = lhs.iloc[order]
+            orig_on = orig.iloc[order]
+            rhs = rhs.sort_values(self.on, kind="mergesort")
         merged = pd.merge_asof(
             lhs, rhs, on=self.on, by=self.keys, direction=self.direction
         )
+        if orig_on is not None:
+            # merge_asof preserves left row order/count — restore positionally
+            merged[self.on] = orig_on.to_numpy()
         # cast back to the target Arrow schema: unmatched rows turned int
         # columns into float64-with-NaN in pandas; from_pandas restores
         # the typed column with nulls, identical across all tasks

@@ -157,6 +157,11 @@ def sigma(ds, rule: "dict | str | list[dict]"):
         ]
 
         def _filter_many(batch):
+            if not compiled:
+                # zero rules ⇒ zero matches, not a crash
+                return batch.slice(0, 0).append_column(
+                    "_sigma_rule", pa.array([], pa.string())
+                )
             view = pads.dataset(batch)
             outs = []
             for title, e in compiled:

@@ -243,12 +243,21 @@ class StreamingSummarize:
             self.keys, as_index=False, sort=False, dropna=False
         ).agg(**named)
 
+    @staticmethod
+    def _norm_key(key: tuple) -> tuple:
+        # NaN != NaN, so NaN-keyed state entries would never merge across
+        # batches — normalize every null flavor to None for the dict key
+        return tuple(None if pd.isna(v) else v for v in key)
+
     def feed(self, batch: pd.DataFrame) -> pd.DataFrame:
         now = self.clock()
         if len(batch):
             partials = self._partial_frame(batch)
             val_cols = [c for c in partials.columns if c not in self.keys]
-            keys_arr = list(zip(*(partials[k] for k in self.keys)))
+            keys_arr = [
+                self._norm_key(k)
+                for k in zip(*(partials[k] for k in self.keys))
+            ]
             for i, key in enumerate(keys_arr):
                 row = {c: partials[c].iloc[i] for c in val_cols}
                 ent = self.state.get(key)

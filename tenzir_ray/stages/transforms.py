@@ -257,6 +257,8 @@ def hash_(ds, column: str, out: str | None = None, salt: str = ""):
             or pa.types.is_large_binary(col.type)
         ):
             col = col.cast(pa.string())
+        if len(col) == 0:
+            return batch.append_column(out, pa.array([], pa.string()))
         large = pa.types.is_large_string(col.type) or pa.types.is_large_binary(col.type)
         bufs = col.buffers()
         off = np.frombuffer(bufs[1], dtype=np.int64 if large else np.int32)
@@ -411,7 +413,8 @@ def taste(ds, n: int, by: str | list[str], order_by: str | None = None,
     def _local_head(df: pd.DataFrame) -> pd.DataFrame:
         if order_by:
             df = df.sort_values(order_by, kind="mergesort")
-        return df.groupby(keys, sort=False).head(n)
+        # dropna=False: null group keys are a group, not silent data loss
+        return df.groupby(keys, sort=False, dropna=False).head(n)
 
     pre = ds.map_batches(_local_head, batch_format="pandas")
     return _bucketed_groups(pre, keys, _local_head, buckets=buckets)
@@ -549,7 +552,9 @@ def enumerate_per_group(ds, by: str | list[str], out: str = "index",
         if order_by:
             g = g.sort_values(order_by, kind="mergesort")
         g = g.copy()
-        g[out] = g.groupby(keys, sort=False).cumcount().astype(np.int64)
+        g[out] = (
+            g.groupby(keys, sort=False, dropna=False).cumcount().astype(np.int64)
+        )
         return g
 
     return _bucketed_groups(ds, keys, _enum, buckets=buckets)
@@ -577,6 +582,12 @@ def enumerate_global(ds, order_by: str | list[str], out: str = "row_number",
     from ray.data.aggregate import Max as _Max, Min as _Min
 
     agg = ds.aggregate(_Min(k0), _Max(k0))
+    if not agg or agg.get(f"min({k0})") is None:
+        # empty input: emit the row-number column on zero rows
+        return ds.map_batches(
+            lambda df: df.assign(**{out: np.zeros(len(df), np.int64)}),
+            batch_format="pandas",
+        )
     lo, hi = agg[f"min({k0})"], agg[f"max({k0})"]
 
     is_num = isinstance(lo, (int, float, np.integer, np.floating))
@@ -828,6 +839,13 @@ def _map_binary(ds, column: str, out: str, fn, in_cast=None, out_type=None):
             or pa.types.is_large_binary(col.type)
         ):
             col = col.cast(pa.string())
+        if len(col) == 0:
+            arr0 = pa.array([], out_type)
+            if out in batch.column_names:
+                return batch.set_column(
+                    batch.schema.get_field_index(out), out, arr0
+                )
+            return batch.append_column(out, arr0)
         large = pa.types.is_large_string(col.type) or pa.types.is_large_binary(col.type)
         bufs = col.buffers()
         off = np.frombuffer(bufs[1], dtype=np.int64 if large else np.int32)

@@ -126,9 +126,14 @@ def test_cron_next():
     # daily at 03:30
     n = cron_next("30 3 * * *", datetime(2024, 1, 1, 10, 0))
     assert (n.day, n.hour, n.minute) == (2, 3, 30)
-    # monday only (python weekday 0)
+    # STANDARD cron dow: 0 = Sunday (python weekday 6)
     n = cron_next("0 12 * * 0", datetime(2024, 1, 3, 0, 0))  # wed
-    assert n.weekday() == 0 and (n.hour, n.minute) == (12, 0)
+    assert n.weekday() == 6 and (n.hour, n.minute) == (12, 0)
+    # 7 also means Sunday; 1-5 = Mon-Fri
+    n = cron_next("0 12 * * 7", datetime(2024, 1, 3, 0, 0))
+    assert n.weekday() == 6
+    n = cron_next("0 12 * * 1-5", datetime(2024, 1, 6, 0, 0))  # sat
+    assert n.weekday() == 0  # monday
 
 
 # ---------------------------------------------------------------------------
@@ -733,3 +738,128 @@ def test_follow_lines(tmp_path):
     batches = list(follow_lines(str(p), idle_limit=3, sleep=fake_sleep))
     flat = [x for b in batches for x in b]
     assert flat == ["a", "b", "c", "d!"]
+
+
+# ---------------------------------------------------------------------------
+# code-review regression fixes
+
+
+def test_hash_join_null_string_keys(ray_session):
+    from tenzir_ray.stages.join import hash_join
+
+    left = _ds(pa.table({"host": ["a", None, "b"], "lv": [1, 2, 3]}))
+    right = _ds(pa.table({"host": ["a", "b", None], "rv": [10, 20, 30]}))
+    out = hash_join(left, right, on="host").to_pandas()
+    # arrow join semantics: null keys never match
+    assert sorted(out["rv"].tolist()) == [10, 20]
+
+
+def test_hash_join_big_int_keys_with_nulls(ray_session):
+    from tenzir_ray.stages.join import hash_join
+
+    big = 2**60 + 12345  # would lose precision through float64
+    left = _ds(pa.table({"k": pa.array([big, None, 7], pa.int64()),
+                         "lv": pa.array([1, 2, 3], pa.int64())}))
+    right = _ds(pa.table({"k": pa.array([big, 7], pa.int64()),
+                          "rv": pa.array([100, 700], pa.int64())}))
+    out = hash_join(left, right, on="k").to_pandas()
+    assert sorted(out["rv"].tolist()) == [100, 700]
+
+
+def test_hash_join_right_key_name_collision(ray_session):
+    from tenzir_ray.stages.join import hash_join
+
+    # right key is named like a left NON-key column
+    left = _ds(pa.table({"id": [1, 2], "ref": [10, 20]}))
+    right = _ds(pa.table({"ref": [1, 2], "x": [7, 8]}))
+    out = hash_join(left, right, on="id", right_on="ref").to_pandas()
+    assert {"id", "ref", "ref_r", "x"} <= set(out.columns)
+    assert sorted(out["x"]) == [7, 8]
+
+
+def test_taste_dedup_enumerate_null_keys(ray_session):
+    from tenzir_ray.stages import transforms as T
+
+    tbl = pa.table(
+        {"k": pa.array(["a", None, "a", None], pa.string()),
+         "v": pa.array([1, 2, 3, 4], pa.int64())}
+    )
+    out = T.taste(_ds(tbl), 1, by="k", order_by="v").to_pandas()
+    assert len(out) == 2  # one for "a", one for the null group
+    assert out["v"].min() == 1 and 2 in out["v"].tolist()
+    en = T.enumerate_per_group(_ds(tbl), by="k", out="i", order_by="v").to_pandas()
+    assert len(en) == 4
+    assert sorted(en[en["k"].isna()]["i"]) == [0, 1]
+
+
+def test_streaming_summarize_null_keys_merge():
+    from tenzir_ray.stages.streaming import StreamingSummarize
+
+    agg = StreamingSummarize("k", {"n": "count(*)", "s": "sum(v)"})
+    agg.feed(pd.DataFrame({"k": [None, "x"], "v": [1.0, 5.0]}))
+    agg.feed(pd.DataFrame({"k": [None], "v": [3.0]}))
+    out = agg.flush()
+    nullrow = out[out["k"].isna()]
+    assert len(nullrow) == 1 and nullrow["n"].iloc[0] == 2 and nullrow["s"].iloc[0] == 4.0
+
+
+def test_asof_join_string_ts(ray_session):
+    from tenzir_ray.stages.join import asof_join
+
+    left = _ds(pa.table({
+        "u": pa.array([1, 1], pa.int64()),
+        "ts": ["2024-01-01T00:05:00", "2024-01-01T00:20:00"],
+        "ev": pa.array([100, 101], pa.int64()),
+    }))
+    right = _ds(pa.table({
+        "u": pa.array([1, 1], pa.int64()),
+        "ts": ["2024-01-01T00:00:00", "2024-01-01T00:10:00"],
+        "state": pa.array([7, 8], pa.int64()),
+    }))
+    out = asof_join(left, right, by="u", on="ts").to_pandas()
+    out = out.sort_values("ev", ignore_index=True)
+    assert out["state"].tolist() == [7, 8]
+    # original string timestamps survive
+    assert out["ts"].tolist() == ["2024-01-01T00:05:00", "2024-01-01T00:20:00"]
+
+
+def test_sigma_empty_rule_list(ray_session):
+    from tenzir_ray.stages.sigma import sigma
+
+    ds = _ds(pa.table({"event_type": ["a", "b"]}))
+    out = sigma(ds, []).to_pandas()
+    assert len(out) == 0
+
+
+def test_follow_lines_multibyte_split(tmp_path):
+    from tenzir_ray.sources.readers import follow_lines
+
+    p = tmp_path / "log.bin"
+    full = "wörld\n".encode()
+    p.write_bytes(full[:2])  # mid-multibyte cut
+    state = {"n": 0}
+
+    def fake_sleep(_s):
+        state["n"] += 1
+        if state["n"] == 1:
+            with open(p, "ab") as f:
+                f.write(full[2:])
+
+    batches = list(follow_lines(str(p), idle_limit=3, sleep=fake_sleep))
+    assert [x for b in batches for x in b] == ["wörld"]
+
+
+def test_follow_lines_truncation(tmp_path):
+    from tenzir_ray.sources.readers import follow_lines
+
+    p = tmp_path / "log.txt"
+    p.write_text("one\ntwo\n")
+    state = {"n": 0}
+
+    def fake_sleep(_s):
+        state["n"] += 1
+        if state["n"] == 1:
+            p.write_text("new\n")  # rotation: file shrinks
+
+    batches = list(follow_lines(str(p), idle_limit=3, sleep=fake_sleep))
+    assert [x for b in batches for x in b] == ["one", "two", "new"]
