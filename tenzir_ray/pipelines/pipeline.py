@@ -109,6 +109,8 @@ def _register_builtins() -> None:
         compress=transforms.compress,
         decompress=transforms.decompress,
         shell=transforms.shell_,
+        chart=transforms.chart,
+        print_ndjson=transforms.print_ndjson,
 
         streaming_deduplicate=streaming.streaming_deduplicate,
         adjacent_unique=streaming.adjacent_unique,
@@ -128,6 +130,12 @@ def _register_builtins() -> None:
     )
     from tenzir_ray import expr as expr_mod
     OPERATORS["where_extractor"] = expr_mod.where_extractor
+    from tenzir_ray.sources import host as host_mod
+    OPERATORS.update(
+        files=host_mod.files,
+        processes=host_mod.processes,
+        sockets=host_mod.sockets,
+    )
     from tenzir_ray.stages import window as window_mod
     OPERATORS.update(
         sliding_window=window_mod.sliding_window,

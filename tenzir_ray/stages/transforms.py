@@ -888,6 +888,80 @@ def decompress(ds, column: str, codec: str = "zstd", out: str | None = None,
     return _map_binary(ds, column, out or column, fn, out_type=out_t)
 
 
+def delay(ds, column: str, speed: float = 1.0, start=None, sleep=None,
+          batch_size: int = 8192):
+    """Replay events at their timestamp pace (reference
+    operators/delay.cpp: sleep so wall-clock tracks event time / speed).
+    A DRIVER-side generator — pacing inside parallel tasks is the
+    anti-pattern the reference's own docs warn about. Yields Arrow
+    batches; ``sleep`` is injectable for tests.
+
+    The stream is consumed in dataset order; sort by the time column
+    upstream for faithful replay."""
+    import time as _time
+
+    sleep = sleep or _time.sleep
+    first_ts = None
+    t0 = None
+    for batch in ds.iter_batches(batch_size=batch_size, batch_format="pyarrow"):
+        if batch.num_rows == 0:
+            continue
+        ts = batch.column(column).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if first_ts is None:
+            first_ts = int(ts[0]) if start is None else int(
+                pa.scalar(start).cast(pa.int64()).as_py()
+            )
+            t0 = _time.monotonic()
+        # pace to the batch's LAST event: one sleep per batch, not per row
+        target_s = (int(ts[-1]) - first_ts) / 1e6 / speed
+        lag = target_s - (_time.monotonic() - t0)
+        if lag > 0:
+            sleep(lag)
+        yield batch
+
+
+def chart(ds, kind: str, x: str, y: str | list[str], title: str = ""):
+    """Attach render metadata to the schema (reference
+    operators/chart.cpp attaches chart metadata only — rendering is the
+    UI's job). The metadata travels on every batch's Arrow schema."""
+    ys = [y] if isinstance(y, str) else list(y)
+    meta = {
+        b"chart.kind": kind.encode(),
+        b"chart.x": x.encode(),
+        b"chart.y": ",".join(ys).encode(),
+        b"chart.title": title.encode(),
+    }
+
+    def _attach(batch: pa.Table) -> pa.Table:
+        return batch.replace_schema_metadata(
+            {**(batch.schema.metadata or {}), **meta}
+        )
+
+    return ds.map_batches(_attach, batch_format="pyarrow")
+
+
+def print_ndjson(ds, out: str = "text", keep: bool = False):
+    """Format each event as one JSON line in a string column (the
+    reference json.cpp PRINTER as a transform — the inverse of
+    parse_ndjson). ``keep=False`` emits only the printed column."""
+
+    def _print(batch: pa.Table) -> pa.Table:
+        import pandas as pd_mod
+
+        lines = pd_mod.DataFrame(batch.to_pylist()).apply(
+            lambda r: json.dumps(
+                {k: v for k, v in r.items()}, default=str, separators=(",", ":")
+            ),
+            axis=1,
+        ) if batch.num_rows else pd_mod.Series([], dtype=object)
+        arr = pa.array(lines.tolist(), pa.string())
+        if keep:
+            return batch.append_column(out, arr)
+        return pa.table({out: arr})
+
+    return ds.map_batches(_print, batch_format="pyarrow")
+
+
 def parse_time(ds, column: str, fmt: str, out: str | None = None,
                unit: str = "us"):
     """strptime a string column into a timestamp (the reference `time`

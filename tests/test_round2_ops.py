@@ -863,3 +863,60 @@ def test_follow_lines_truncation(tmp_path):
 
     batches = list(follow_lines(str(p), idle_limit=3, sleep=fake_sleep))
     assert [x for b in batches for x in b] == ["one", "two", "new"]
+
+
+# ---------------------------------------------------------------------------
+# host sources, delay, chart, print
+
+
+def test_host_sources(ray_session, tmp_path):
+    from tenzir_ray.sources.host import files, processes, sockets
+
+    (tmp_path / "x.txt").write_text("hi")
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "sub" / "y.txt").write_text("yo")
+    f = files(str(tmp_path)).to_pandas()
+    assert len(f) == 2 and f["size"].sum() == 4
+    p = processes().to_pandas()
+    assert len(p) > 0 and (p["pid"] > 0).all()
+    assert any("python" in n for n in p["name"])  # this test process
+    s = sockets("tcp").to_pandas()
+    assert set(s.columns) >= {"local_addr", "local_port", "state"}
+
+
+def test_delay_paced_replay(ray_session):
+    from tenzir_ray.stages import transforms as T
+
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    ts = [t0 + datetime.timedelta(seconds=i) for i in range(6)]
+    tbl = pa.table({"ts": pa.array(ts, pa.timestamp("us")),
+                    "v": pa.array(range(6), pa.int64())})
+    slept = []
+    batches = list(
+        T.delay(_ds(tbl), "ts", speed=1000.0, sleep=slept.append, batch_size=2)
+    )
+    total = sum(b.num_rows for b in batches)
+    assert total == 6
+    assert len(slept) >= 1 and all(x >= 0 for x in slept)
+
+
+def test_chart_metadata(ray_session):
+    from tenzir_ray.stages import transforms as T
+
+    tbl = pa.table({"x": [1, 2], "y": [3.0, 4.0]})
+    out = T.chart(_ds(tbl), "line", x="x", y="y", title="demo")
+    b = next(iter(out.iter_batches(batch_format="pyarrow")))
+    assert b.schema.metadata[b"chart.kind"] == b"line"
+    assert b.schema.metadata[b"chart.x"] == b"x"
+
+
+def test_print_ndjson_roundtrip(ray_session):
+    from tenzir_ray.sources.parsers import parse_ndjson
+    from tenzir_ray.stages import transforms as T
+
+    tbl = pa.table({"a": [1, 2], "b": ["x", "y"]})
+    printed = T.print_ndjson(_ds(tbl))
+    back = parse_ndjson(printed).to_pandas().sort_values("a", ignore_index=True)
+    assert back.to_dict("list") == {"a": [1, 2], "b": ["x", "y"]}
