@@ -293,20 +293,52 @@ def ngram_jaccard_pairs(ds, pairs: list[tuple], id_column: str,
     return pa.Table.from_pylist(rows)
 
 
-def connected_components(pairs_ds, node_col: str = "id_a", peer_col: str = "id_b",
-                         max_iters: int = 10, buckets: int = 32):
-    """Distributed connected components by iterative min-label propagation
-    (the transitive closure LSH's one-round min-label misses): every node
-    repeatedly adopts the smallest label among itself and its neighbors
-    until a fixpoint. Rounds needed = graph diameter (small for dedup
-    clusters).
+def _driver_union_find(edges_tbl: "pa.Table", node_col: str) -> "pa.Table":
+    """Exact union-find over an edge table that FITS on the driver
+    (two int64 columns): path-halving DSU, then component = min node id.
+    O(E α(N)); 2M edges ≈ 32 MB ≈ milliseconds."""
+    a = edges_tbl.column("node").to_numpy(zero_copy_only=False)
+    b = edges_tbl.column("peer").to_numpy(zero_copy_only=False)
+    nodes, codes = np.unique(np.r_[a, b], return_inverse=True)
+    ca, cb = codes[: len(a)], codes[len(a) :]
+    parent = np.arange(len(nodes), dtype=np.int64)
 
-    Fully distributed: the label table stays a ``ray.data.Dataset``
-    end-to-end — propagation is a co-bucketed hash merge of edges with
-    labels (typed int padding through the union, vectorized pandas merge
-    per bucket), and the ONLY driver-side state is one scalar per round:
-    labels are non-increasing integers, so ``sum(label)`` is strictly
-    monotone and unchanged ⟺ fixpoint. Node ids must be integers.
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for i in range(len(ca)):
+        ra, rb = find(ca[i]), find(cb[i])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots = np.array([find(i) for i in range(len(nodes))], dtype=np.int64)
+    # component label = min node id in the component
+    comp_min = np.full(len(nodes), np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(comp_min, roots, nodes)
+    return pa.table(
+        {node_col: pa.array(nodes, pa.int64()),
+         "component": pa.array(comp_min[roots], pa.int64())}
+    )
+
+
+def connected_components(pairs_ds, node_col: str = "id_a", peer_col: str = "id_b",
+                         max_iters: int = 10, buckets: int = 32,
+                         driver_threshold: int = 2_000_000):
+    """Connected components with a size-gated hybrid:
+
+    - edge lists that PROVABLY fit on the driver (≤ ``driver_threshold``
+      rows, two int64 columns — 2M edges ≈ 32 MB) run exact union-find
+      locally (milliseconds, no iteration);
+    - larger graphs run the fully distributed iterative min-label
+      propagation: the label table stays a ``ray.data.Dataset``
+      end-to-end — propagation is a co-bucketed hash merge of edges with
+      labels (typed int padding through the union, vectorized pandas
+      merge per bucket), and the ONLY driver-side state is one scalar
+      per round (labels are non-increasing ints, so ``sum(label)`` is
+      monotone and unchanged ⟺ fixpoint). Rounds needed = graph
+      diameter. Node ids must be integers.
 
     Input: a Dataset of undirected edges. Returns (node, component) with
     component = min node id in the component.
@@ -331,6 +363,18 @@ def connected_components(pairs_ds, node_col: str = "id_a", peer_col: str = "id_b
         .repartition(buckets)
         .materialize()
     )
+
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        tbl = pa.concat_tables(
+            list(edges.iter_batches(batch_format="pyarrow"))
+        )
+        if tbl.num_rows == 0:
+            return ray.data.from_arrow(
+                pa.table({node_col: pa.array([], pa.int64()),
+                          "component": pa.array([], pa.int64())})
+            )
+        return ray.data.from_arrow(_driver_union_find(tbl, node_col))
 
     def _bucket_by(col: str):
         def f(df: pd.DataFrame) -> pd.DataFrame:

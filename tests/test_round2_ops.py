@@ -920,3 +920,25 @@ def test_print_ndjson_roundtrip(ray_session):
     printed = T.print_ndjson(_ds(tbl))
     back = parse_ndjson(printed).to_pandas().sort_values("a", ignore_index=True)
     assert back.to_dict("list") == {"a": [1, 2], "b": ["x", "y"]}
+
+
+def test_connected_components_distributed_path(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages.dedup import connected_components
+
+    edges = pa.table({
+        "id_a": pa.array([1, 2, 3, 10], pa.int64()),
+        "id_b": pa.array([2, 3, 4, 11], pa.int64()),
+    })
+    # force the distributed loop (threshold 0) and compare to the
+    # driver union-find fast path
+    fast = connected_components(
+        ray.data.from_arrow(edges)
+    ).to_pandas().sort_values("id_a", ignore_index=True)
+    dist = connected_components(
+        ray.data.from_arrow(edges), driver_threshold=0
+    ).to_pandas().sort_values("id_a", ignore_index=True)
+    pd.testing.assert_frame_equal(
+        fast, dist.astype(fast.dtypes.to_dict())
+    )
