@@ -153,6 +153,10 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1")
+        # the scaling measurement needs a job large enough to amortize
+        # the fixed ~2.5s serial term (pipeline launch, metadata,
+        # commit): default to 32M events unless the caller pinned a size
+        env.setdefault("BENCH_CDC_EVENTS", "32000000")
         out = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(__file__), "bench.py")],
             env=env,
