@@ -646,7 +646,12 @@ class _Pseudonymizer:
     construction (Xu et al. 2002) with an HMAC-SHA256 bit oracle instead
     of AES (no crypto libs in this environment; same prefix-preserving
     property, keyed by `salt`). Reference: operators/pseudonymize.cpp
-    (-m crypto-pan)."""
+    (-m crypto-pan).
+
+    Vectorized level-wise: per batch, the 32 prefix levels are processed
+    with numpy over the UNIQUE prefixes at each level — Python/HMAC work
+    is O(distinct prefixes in the trie), everything per-row is numpy.
+    Invalid IPs pass through unchanged."""
 
     def __init__(self, column: str, salt: str):
         import hmac as hmac_mod
@@ -655,47 +660,84 @@ class _Pseudonymizer:
         self.key = salt.encode()
         self._hmac = hmac_mod
         self.cache: dict[str, str] = {}
-        self.bit_cache: dict[str, int] = {}  # prefixes shared across IPs
+        self.bit_cache: dict[tuple, int] = {}  # (level, prefix-int) -> bit
 
-    def _bit(self, prefix_bits: str) -> int:
-        b = self.bit_cache.get(prefix_bits)
-        if b is None:
-            import hashlib
+    def _level_bits(self, level: int, uniq: np.ndarray) -> np.ndarray:
+        """Oracle bit per unique prefix at ``level`` (cached). The HMAC
+        input is the prefix BIT-STRING, identical to the original
+        construction, so results are stable across versions."""
+        import hashlib
 
-            d = self._hmac.new(self.key, prefix_bits.encode(), hashlib.sha256).digest()
-            b = d[0] & 1
-            self.bit_cache[prefix_bits] = b
-        return b
+        out = np.empty(len(uniq), dtype=np.uint32)
+        for j, p in enumerate(uniq):
+            key = (level, int(p))
+            b = self.bit_cache.get(key)
+            if b is None:
+                prefix_bits = format(int(p), f"0{level}b") if level else ""
+                d = self._hmac.new(
+                    self.key, prefix_bits.encode(), hashlib.sha256
+                ).digest()
+                b = d[0] & 1
+                self.bit_cache[key] = b
+            out[j] = b
+        return out
 
-    def _anon_one(self, ip: str) -> str:
-        if ip in self.cache:
-            return self.cache[ip]
-        try:
-            parts = [int(x) for x in ip.split(".")]
-            assert len(parts) == 4
-        except Exception:
-            return ip
-        bits = "".join(f"{p:08b}" for p in parts)
-        out_bits = "".join(
-            str(int(bits[i]) ^ self._bit(bits[:i])) for i in range(32)
-        )
-        octets = [int(out_bits[i : i + 8], 2) for i in range(0, 32, 8)]
-        res = ".".join(map(str, octets))
-        self.cache[ip] = res
-        return res
+    def _anon_batch(self, u32: np.ndarray) -> np.ndarray:
+        result = np.zeros(len(u32), dtype=np.uint32)
+        for i in range(32):
+            prefixes = (
+                (u32 >> np.uint32(32 - i)) if i else np.zeros(len(u32), np.uint32)
+            )
+            uniq, inv = np.unique(prefixes, return_inverse=True)
+            bits = self._level_bits(i, uniq)
+            orig_bit = (u32 >> np.uint32(31 - i)) & np.uint32(1)
+            result = (result << np.uint32(1)) | (orig_bit ^ bits[inv])
+        return result
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch[self.column] = batch[self.column].map(
-            lambda v: self._anon_one(v) if isinstance(v, str) else v
-        )
+        s = batch[self.column]
+        valid = s.str.fullmatch(r"\d{1,3}(\.\d{1,3}){3}", na=False)
+        if valid.any():
+            parts = s[valid].str.split(".", expand=True).astype(np.int64)
+            ok = (parts <= 255).all(axis=1)
+            vi = valid.to_numpy().nonzero()[0][ok.to_numpy()]
+            if len(vi):
+                p = parts.to_numpy()[ok.to_numpy()]
+                u32 = (
+                    (p[:, 0] << 24) | (p[:, 1] << 16) | (p[:, 2] << 8) | p[:, 3]
+                ).astype(np.uint32)
+                # anonymize UNIQUE ips only; broadcast back via codes
+                uniq, inv = np.unique(u32, return_inverse=True)
+                anon_u = self._anon_batch(uniq)
+                a = anon_u[inv]
+                dotted = (
+                    pd.Series((a >> 24) & 255).astype(str)
+                    + "." + pd.Series((a >> 16) & 255).astype(str)
+                    + "." + pd.Series((a >> 8) & 255).astype(str)
+                    + "." + pd.Series(a & 255).astype(str)
+                )
+                out = s.to_numpy(dtype=object).copy()
+                out[vi] = dotted.to_numpy(dtype=object)
+                batch = batch.copy()
+                batch[self.column] = out
         return batch
 
 
-def pseudonymize(ds, column: str, salt: str = "seed", concurrency=(1, 4)):
-    """Prefix-preserving IP pseudonymization (keyed; per-actor memo cache)."""
+def pseudonymize(ds, column: str, salt: str = "seed", concurrency=None,
+                 batch_size: int = 16384):
+    """Prefix-preserving IP pseudonymization (keyed). Ships a prebuilt
+    instance to stateless tasks (full-CPU parallelism; the level-wise
+    vectorized oracle makes per-task cache rebuilds cheap). Pass
+    ``concurrency`` to run an actor pool instead (persistent cache)."""
+    if concurrency is not None:
+        return ds.map_batches(
+            _Pseudonymizer, fn_constructor_args=(column, salt),
+            batch_format="pandas", concurrency=concurrency,
+            batch_size=batch_size,
+        )
     return ds.map_batches(
-        _Pseudonymizer, fn_constructor_args=(column, salt),
-        batch_format="pandas", concurrency=concurrency,
+        _Pseudonymizer(column, salt), batch_format="pandas",
+        batch_size=batch_size,
     )
 
 
