@@ -136,6 +136,11 @@ def _register_builtins() -> None:
         processes=host_mod.processes,
         sockets=host_mod.sockets,
     )
+    from tenzir_ray.sources import pcap as pcap_mod
+    OPERATORS.update(
+        read_pcap=pcap_mod.read_pcap,
+        decapsulate=pcap_mod.decapsulate,
+    )
     from tenzir_ray.stages import window as window_mod
     OPERATORS.update(
         sliding_window=window_mod.sliding_window,

@@ -942,3 +942,93 @@ def test_connected_components_distributed_path(ray_session):
     pd.testing.assert_frame_equal(
         fast, dist.astype(fast.dtypes.to_dict())
     )
+
+
+# ---------------------------------------------------------------------------
+# network connectors + pcap
+
+
+def test_tcp_listener_roundtrip(ray_session):
+    import time
+
+    from tenzir_ray.sources.net import TcpLineListener, send_lines_tcp
+
+    srv = TcpLineListener()
+    port = srv.start()
+    try:
+        send_lines_tcp(["alpha", "beta"], "127.0.0.1", port)
+        send_lines_tcp(["gamma"], "127.0.0.1", port)
+        deadline = time.time() + 5
+        got = []
+        while len(got) < 3 and time.time() < deadline:
+            got += srv.drain()
+            time.sleep(0.05)
+        assert sorted(got) == ["alpha", "beta", "gamma"]
+    finally:
+        srv.stop()
+
+
+def test_udp_listener_roundtrip(ray_session):
+    import time
+
+    from tenzir_ray.sources.net import UdpListener, send_datagrams_udp
+
+    srv = UdpListener()
+    port = srv.start()
+    try:
+        send_datagrams_udp(["one", "two"], "127.0.0.1", port)
+        deadline = time.time() + 5
+        got = []
+        while len(got) < 2 and time.time() < deadline:
+            got += srv.drain()
+            time.sleep(0.05)
+        assert sorted(got) == ["one", "two"]
+    finally:
+        srv.stop()
+
+
+def test_read_http_json_from_serve(ray_session):
+    from tenzir_ray.pipelines.serve import HttpServer, Server
+    from tenzir_ray.sources.net import read_http_json
+
+    ds = _ds(pa.table({"x": [1, 2, 3]}))
+    hs = HttpServer({"q": Server(ds, page_size=10)})
+    port = hs.start()
+    try:
+        got = read_http_json(f"http://127.0.0.1:{port}/serve/q").to_pandas()
+        # one row: {"rows": [...], "next_token": ...}
+        assert len(got) == 1 and len(got["rows"].iloc[0]) == 3
+    finally:
+        hs.stop()
+
+
+def _eth_ipv4_tcp(src_ip, dst_ip, sport, dport, payload=b"hi", flags=0x18):
+    import struct
+
+    eth = bytes.fromhex("aabbccddeeff") + bytes.fromhex("112233445566") + struct.pack("!H", 0x0800)
+    ip_hdr = struct.pack(
+        "!BBHHHBBH4s4s", 0x45, 0, 20 + 20 + len(payload), 1, 0, 64, 6, 0,
+        bytes(int(x) for x in src_ip.split(".")),
+        bytes(int(x) for x in dst_ip.split(".")),
+    )
+    tcp_hdr = struct.pack("!HHIIBBHHH", sport, dport, 1, 1, 0x50, flags, 8192, 0, 0)
+    return eth + ip_hdr + tcp_hdr + payload
+
+
+def test_pcap_read_and_decapsulate(ray_session, tmp_path):
+    from tenzir_ray.sources.pcap import decapsulate, read_pcap, write_pcap
+
+    p1 = _eth_ipv4_tcp("10.0.0.1", "10.0.0.2", 1234, 80, b"GET /")
+    p2 = _eth_ipv4_tcp("10.0.0.2", "10.0.0.1", 80, 1234, b"200 OK!")
+    path = str(tmp_path / "t.pcap")
+    write_pcap(path, [(1700000000.25, p1), (1700000001.5, p2)])
+    ds = read_pcap(path)
+    df = ds.to_pandas().sort_values("packet_idx", ignore_index=True)
+    assert len(df) == 2 and df["caplen"].tolist() == [len(p1), len(p2)]
+    assert abs(df["ts"].iloc[0] - 1700000000.25) < 1e-6
+    dec = decapsulate(ds).to_pandas().sort_values("packet_idx", ignore_index=True)
+    assert dec["src_ip"].tolist() == ["10.0.0.1", "10.0.0.2"]
+    assert dec["dst_port"].tolist() == [80, 1234]
+    assert dec["ip_proto"].tolist() == [6, 6]
+    assert dec["payload_len"].tolist() == [5, 7]
+    assert dec["eth_type"].tolist() == [0x0800, 0x0800]
