@@ -127,6 +127,8 @@ def _register_builtins() -> None:
         write_ssv=writers.write_ssv,
         write_json=writers.write_json,
         write_feather=writers.write_feather,
+        write_bitz=writers.write_bitz,
+        read_bitz=writers.read_bitz,
     )
     from tenzir_ray import expr as expr_mod
     OPERATORS["where_extractor"] = expr_mod.where_extractor

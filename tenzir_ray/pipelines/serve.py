@@ -155,3 +155,54 @@ class HttpServer:
             self._httpd.shutdown()
             self._httpd.server_close()
             self._httpd = None
+
+
+def openapi(server_ids: "list[str] | None" = None) -> dict:
+    """OpenAPI 3 document for the serve surface (reference
+    operators/openapi.cpp dumps the node API spec; serve.cpp:39-130
+    carries the original /serve schema)."""
+    return {
+        "openapi": "3.0.0",
+        "info": {"title": "tenzir_ray serve API", "version": "1"},
+        "paths": {
+            "/serve/{id}": {
+                "get": {
+                    "summary": "Fetch one result page by continuation token",
+                    "parameters": [
+                        {"name": "id", "in": "path", "required": True,
+                         "schema": {"type": "string"},
+                         **({"description": f"one of {server_ids}"}
+                            if server_ids else {})},
+                        {"name": "token", "in": "query", "required": False,
+                         "schema": {"type": "integer"}},
+                    ],
+                    "responses": {
+                        "200": {
+                            "description": "a page of rows + next token",
+                            "content": {"application/json": {"schema": {
+                                "type": "object",
+                                "properties": {
+                                    "rows": {"type": "array",
+                                             "items": {"type": "object"}},
+                                    "next_token": {"type": "integer",
+                                                   "nullable": True},
+                                },
+                            }}},
+                        },
+                        "404": {"description": "unknown serve id"},
+                        "410": {"description": "token expired (page evicted)"},
+                    },
+                }
+            }
+        },
+    }
+
+
+def openapi_dataset(server_ids: "list[str] | None" = None):
+    """The spec as a one-row Dataset (the reference `openapi` operator
+    emits it as an event)."""
+    import json
+
+    import ray.data
+
+    return ray.data.from_items([{"spec": json.dumps(openapi(server_ids))}])

@@ -85,4 +85,63 @@ def write_feather(ds, path: str, compression: str = "lz4",
     return stats
 
 
+class _BitzWriter:
+    def __init__(self, path: str):
+        self.path = path
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rel = f"part-{uuid.uuid4().hex[:12]}.bitz"
+        dest = os.path.join(self.path, rel)
+        tmp = dest + ".tmp"
+        # length-prefixed Arrow IPC stream messages (the reference's
+        # `bitz` wire format, formats/bitz.cpp: 64-bit LE frame length
+        # followed by one IPC stream per frame)
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, batch.schema) as w:
+            w.write_table(batch)
+        payload = sink.getvalue().to_pybytes()
+        with open(tmp, "wb") as f:
+            f.write(len(payload).to_bytes(8, "little"))
+            f.write(payload)
+        os.replace(tmp, dest)
+        return pa.table(
+            {"path": pa.array([rel]), "rows": pa.array([batch.num_rows], pa.int64())}
+        )
+
+
+def write_bitz(ds, path: str, batch_size: int | None = None):
+    """Length-prefixed Arrow-IPC wire sink (reference formats/bitz.cpp);
+    one frame per block, directory-of-parts layout."""
+    os.makedirs(path, exist_ok=True)
+    return ds.map_batches(
+        _BitzWriter(path), batch_format="pyarrow", batch_size=batch_size
+    ).to_pandas()
+
+
+def read_bitz(paths: "str | list[str]"):
+    """Read length-prefixed Arrow-IPC frames back into a Dataset
+    (one read task per file; a file may hold many frames)."""
+    import ray.data
+
+    paths = [paths] if isinstance(paths, str) else list(paths)
+
+    def _load(batch: pa.Table) -> pa.Table:
+        tables = []
+        for p in batch.column("path").to_pylist():
+            with open(p, "rb") as f:
+                while True:
+                    hdr = f.read(8)
+                    if len(hdr) < 8:
+                        break
+                    n = int.from_bytes(hdr, "little")
+                    payload = f.read(n)
+                    with pa.ipc.open_stream(pa.BufferReader(payload)) as r:
+                        tables.append(r.read_all())
+        return pa.concat_tables(tables, promote_options="permissive")
+
+    return ray.data.from_items([{"path": p} for p in paths]).map_batches(
+        _load, batch_format="pyarrow", batch_size=1
+    )
+
+
 ship_by_value(sys.modules[__name__])

@@ -1032,3 +1032,27 @@ def test_pcap_read_and_decapsulate(ray_session, tmp_path):
     assert dec["ip_proto"].tolist() == [6, 6]
     assert dec["payload_len"].tolist() == [5, 7]
     assert dec["eth_type"].tolist() == [0x0800, 0x0800]
+
+
+def test_bitz_roundtrip(ray_session, tmp_path):
+    import glob
+
+    from tenzir_ray.sources.writers import read_bitz, write_bitz
+
+    tbl = pa.table({"a": pa.array([1, 2, 3], pa.int64()),
+                    "ts": pa.array([10, 20, 30], pa.timestamp("us")),
+                    "s": ["x", "y", "z"]})
+    out = str(tmp_path / "bitz")
+    write_bitz(_ds(tbl), out)
+    back = read_bitz(sorted(glob.glob(f"{out}/*.bitz")))
+    got = back.to_pandas().sort_values("a", ignore_index=True)
+    pd.testing.assert_frame_equal(got, tbl.to_pandas())
+
+
+def test_openapi_spec():
+    from tenzir_ray.pipelines.serve import openapi
+
+    spec = openapi(["q1"])
+    assert spec["openapi"].startswith("3.")
+    assert "/serve/{id}" in spec["paths"]
+    assert "410" in spec["paths"]["/serve/{id}"]["get"]["responses"]
