@@ -28,6 +28,10 @@ from typing import Any
 
 OPERATORS: dict[str, Callable] = {}
 
+# operators that CREATE a dataset (take no upstream ds); names outside
+# this set receive the threaded dataset as their first argument
+SOURCE_OPS: set[str] = set()
+
 
 def register(name: str, fn: Callable | None = None):
     """Register an operator: ``register("name", fn)`` or decorator."""
@@ -143,6 +147,10 @@ def _register_builtins() -> None:
         read_pcap=pcap_mod.read_pcap,
         decapsulate=pcap_mod.decapsulate,
     )
+    SOURCE_OPS.update(
+        n for n in OPERATORS if n.startswith("read_")
+    )
+    SOURCE_OPS.update({"files", "processes", "sockets"})
     from tenzir_ray.stages import window as window_mod
     OPERATORS.update(
         sliding_window=window_mod.sliding_window,
@@ -234,7 +242,7 @@ class Pipeline:
             fn = OPERATORS.get(name)
             if fn is None:
                 raise ValueError(f"unknown operator {name!r}")
-            if name.startswith("read_"):
+            if name in SOURCE_OPS or name.startswith("read_"):
                 ds = fn(**step)
             else:
                 ds = fn(ds, **step)

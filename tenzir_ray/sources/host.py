@@ -101,9 +101,15 @@ def _hex_addr(s: str) -> tuple[str, int]:
 
 def sockets(proto: str = "tcp"):
     """One row per socket from /proc/net/{tcp,udp}: local/remote
-    addr+port, state, inode (reference sockets.cpp)."""
+    addr+port, state, inode (reference sockets.cpp). IPv4 only —
+    tcp6/udp6 use a different address layout and raise rather than
+    silently mis-parse."""
     import ray.data
 
+    if proto not in ("tcp", "udp"):
+        raise ValueError(
+            f"unsupported proto {proto!r}: only IPv4 'tcp'/'udp' are parsed"
+        )
     rows = []
     with open(f"/proc/net/{proto}") as f:
         next(f)  # header

@@ -87,6 +87,7 @@ class UdpListener:
         self._stop = threading.Event()
 
     def start(self, port: int = 0) -> int:
+        self._stop.clear()  # allow stop() → start() restarts
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         self._sock.bind((self.host, port))
         self._sock.settimeout(0.2)

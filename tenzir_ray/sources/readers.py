@@ -110,13 +110,24 @@ def follow_lines(path, poll_s: float = 0.5, idle_limit: int | None = None,
     idle = 0
     pos = 0 if from_start else os.path.getsize(path)
     buf = b""
+    try:
+        inode = os.stat(path).st_ino
+    except OSError:
+        inode = None
     while True:
         try:
-            size = os.path.getsize(path)
+            st = os.stat(path)
+            size = st.st_size
         except OSError:
-            size = pos
-        if size < pos:
-            # truncation/rotation: restart from the top of the new file
+            st, size = None, pos
+        if st is not None and inode is not None and st.st_ino != inode:
+            # rotation to a NEW file (rename+create): size alone can lie
+            # if the replacement already grew past the old offset
+            inode = st.st_ino
+            pos = 0
+            buf = b""
+        elif size < pos:
+            # in-place truncation: restart from the top
             pos = 0
             buf = b""
         if size > pos:

@@ -131,12 +131,18 @@ def read_bitz(paths: "str | list[str]"):
             with open(p, "rb") as f:
                 while True:
                     hdr = f.read(8)
+                    if not hdr:
+                        break  # clean end of file
                     if len(hdr) < 8:
-                        break
+                        raise ValueError(f"truncated bitz frame header in {p}")
                     n = int.from_bytes(hdr, "little")
                     payload = f.read(n)
+                    if len(payload) < n:
+                        raise ValueError(f"truncated bitz frame body in {p}")
                     with pa.ipc.open_stream(pa.BufferReader(payload)) as r:
                         tables.append(r.read_all())
+        if not tables:
+            return pa.table({})  # all listed files were empty
         return pa.concat_tables(tables, promote_options="permissive")
 
     return ray.data.from_items([{"path": p} for p in paths]).map_batches(

@@ -294,32 +294,32 @@ def ngram_jaccard_pairs(ds, pairs: list[tuple], id_column: str,
 
 
 def _driver_union_find(edges_tbl: "pa.Table", node_col: str) -> "pa.Table":
-    """Exact union-find over an edge table that FITS on the driver
-    (two int64 columns): path-halving DSU, then component = min node id.
-    O(E α(N)); 2M edges ≈ 32 MB ≈ milliseconds."""
+    """Exact components over an edge table that FITS on the driver (two
+    int64 columns): VECTORIZED iterated min-label with pointer jumping —
+    each pass is O(E) numpy (np.minimum.at both directions) followed by
+    label[label] jumping to a fixpoint; passes needed ≈ log(diameter).
+    2M edges ≈ tens of milliseconds, never a per-edge Python loop."""
     a = edges_tbl.column("node").to_numpy(zero_copy_only=False)
     b = edges_tbl.column("peer").to_numpy(zero_copy_only=False)
     nodes, codes = np.unique(np.r_[a, b], return_inverse=True)
     ca, cb = codes[: len(a)], codes[len(a) :]
-    parent = np.arange(len(nodes), dtype=np.int64)
-
-    def find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]  # path halving
-            x = parent[x]
-        return x
-
-    for i in range(len(ca)):
-        ra, rb = find(ca[i]), find(cb[i])
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    roots = np.array([find(i) for i in range(len(nodes))], dtype=np.int64)
-    # component label = min node id in the component
-    comp_min = np.full(len(nodes), np.iinfo(np.int64).max, dtype=np.int64)
-    np.minimum.at(comp_min, roots, nodes)
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        before = label.sum()
+        np.minimum.at(label, ca, label[cb])
+        np.minimum.at(label, cb, label[ca])
+        while True:  # pointer jumping: label <- label[label]
+            nl = label[label]
+            if np.array_equal(nl, label):
+                break
+            label = nl
+        if label.sum() == before:
+            break
+    # nodes is sorted ascending, so the min label INDEX in a component
+    # names its min node id
     return pa.table(
         {node_col: pa.array(nodes, pa.int64()),
-         "component": pa.array(comp_min[roots], pa.int64())}
+         "component": pa.array(nodes[label], pa.int64())}
     )
 
 
@@ -365,15 +365,15 @@ def connected_components(pairs_ds, node_col: str = "id_a", peer_col: str = "id_b
     )
 
     n_edges = edges.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(
+            pa.table({node_col: pa.array([], pa.int64()),
+                      "component": pa.array([], pa.int64())})
+        )
     if n_edges <= driver_threshold:
         tbl = pa.concat_tables(
             list(edges.iter_batches(batch_format="pyarrow"))
         )
-        if tbl.num_rows == 0:
-            return ray.data.from_arrow(
-                pa.table({node_col: pa.array([], pa.int64()),
-                          "component": pa.array([], pa.int64())})
-            )
         return ray.data.from_arrow(_driver_union_find(tbl, node_col))
 
     def _bucket_by(col: str):

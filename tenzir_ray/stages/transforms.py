@@ -583,6 +583,11 @@ def enumerate_global(ds, order_by: str | list[str], out: str = "row_number",
 
     agg = ds.aggregate(_Min(k0), _Max(k0))
     if not agg or agg.get(f"min({k0})") is None:
+        if ds.count() > 0:
+            raise ValueError(
+                f"enumerate_global: order key {k0!r} is entirely null — "
+                "a total order needs non-null keys"
+            )
         # empty input: emit the row-number column on zero rows
         return ds.map_batches(
             lambda df: df.assign(**{out: np.zeros(len(df), np.int64)}),
@@ -696,6 +701,8 @@ class _Pseudonymizer:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         s = batch[self.column]
+        if not (s.dtype == object or pd.api.types.is_string_dtype(s)):
+            return batch  # non-string column: nothing to pseudonymize
         valid = s.str.fullmatch(r"\d{1,3}(\.\d{1,3}){3}", na=False)
         if valid.any():
             parts = s[valid].str.split(".", expand=True).astype(np.int64)
@@ -948,7 +955,10 @@ def delay(ds, column: str, speed: float = 1.0, start=None, sleep=None,
     for batch in ds.iter_batches(batch_size=batch_size, batch_format="pyarrow"):
         if batch.num_rows == 0:
             continue
-        ts = batch.column(column).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        col = batch.column(column)
+        if pa.types.is_timestamp(col.type):
+            col = col.cast(pa.timestamp("us"))  # normalize unit before int64
+        ts = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
         if first_ts is None:
             first_ts = int(ts[0]) if start is None else int(
                 pa.scalar(start).cast(pa.int64()).as_py()

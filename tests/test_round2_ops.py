@@ -1056,3 +1056,123 @@ def test_openapi_spec():
     assert spec["openapi"].startswith("3.")
     assert "/serve/{id}" in spec["paths"]
     assert "410" in spec["paths"]["/serve/{id}"]["get"]["responses"]
+
+
+# ---------------------------------------------------------------------------
+# second review round regressions
+
+
+def test_connected_components_empty_edges(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages.dedup import connected_components
+
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64())})
+    out = connected_components(ray.data.from_arrow(empty)).to_pandas()
+    assert len(out) == 0
+
+
+def test_driver_union_find_vectorized_speed():
+    import time
+
+    from tenzir_ray.stages.dedup import _driver_union_find
+
+    rng = np.random.default_rng(5)
+    n = 200_000
+    a = rng.integers(0, 50_000, n)
+    b = rng.integers(0, 50_000, n)
+    tbl = pa.table({"node": pa.array(np.r_[a, b], pa.int64()),
+                    "peer": pa.array(np.r_[b, a], pa.int64())})
+    t0 = time.perf_counter()
+    out = _driver_union_find(tbl, "id_a")
+    dt = time.perf_counter() - t0
+    assert dt < 2.0, f"union-find took {dt:.2f}s — not vectorized?"
+    # sanity: a dense random graph this size is one giant component
+    assert out.column("component").to_pandas().nunique() < 100
+
+
+def test_delay_ns_timestamps(ray_session):
+    import pandas as pd_mod
+
+    from tenzir_ray.stages import transforms as T
+
+    df = pd_mod.DataFrame(
+        {"ts": pd_mod.date_range("2024-01-01", periods=4, freq="1s")}
+    )  # datetime64[ns]
+    import ray.data
+
+    slept = []
+    batches = list(
+        T.delay(ray.data.from_pandas(df), "ts", sleep=slept.append, batch_size=2)
+    )
+    assert sum(b.num_rows for b in batches) == 4
+    # 3 seconds of event time must never request a ~3000s sleep
+    assert all(s < 10 for s in slept)
+
+
+def test_enumerate_global_all_null_order_key(ray_session):
+    from tenzir_ray.stages import transforms as T
+
+    tbl = pa.table({"x": pa.array([None, None, None], pa.int64())})
+    with pytest.raises(Exception):
+        T.enumerate_global(_ds(tbl), "x").to_pandas()
+
+
+def test_pseudonymize_non_string_column(ray_session):
+    from tenzir_ray.stages import transforms as T
+
+    ds = _ds(pa.table({"ip": pa.array([1, 2, 3], pa.int64())}))
+    out = T.pseudonymize(ds, "ip").to_pandas()
+    assert out["ip"].tolist() == [1, 2, 3]  # untouched, no crash
+
+
+def test_udp_listener_restart(ray_session):
+    import time
+
+    from tenzir_ray.sources.net import UdpListener, send_datagrams_udp
+
+    srv = UdpListener()
+    srv.start()
+    srv.stop()
+    port = srv.start()  # restart must clear the stop latch
+    try:
+        send_datagrams_udp(["again"], "127.0.0.1", port)
+        deadline = time.time() + 5
+        got = []
+        while not got and time.time() < deadline:
+            got += srv.drain()
+            time.sleep(0.05)
+        assert got == ["again"]
+    finally:
+        srv.stop()
+
+
+def test_sockets_rejects_ipv6_proto():
+    from tenzir_ray.sources.host import sockets
+
+    with pytest.raises(ValueError):
+        sockets("tcp6")
+
+
+def test_read_bitz_empty_file(ray_session, tmp_path):
+    from tenzir_ray.sources.writers import read_bitz
+
+    p = tmp_path / "empty.bitz"
+    p.write_bytes(b"")
+    assert read_bitz(str(p)).count() == 0
+    trunc = tmp_path / "trunc.bitz"
+    trunc.write_bytes(b"\x01\x02\x03")  # short header
+    with pytest.raises(Exception):
+        read_bitz(str(trunc)).count()
+
+
+def test_pipeline_host_source_dispatch(ray_session, tmp_path):
+    from tenzir_ray.pipelines import Pipeline
+
+    (tmp_path / "f.txt").write_text("data")
+    out = Pipeline(
+        [{"op": "files", "root": str(tmp_path)},
+         {"op": "select", "columns": ["path", "size"]}]
+    ).run().to_pandas()
+    assert len(out) == 1 and out["size"].iloc[0] == 4
