@@ -183,4 +183,17 @@ def sigma(ds, rule: "dict | str | list[dict]"):
     return ds.map_batches(_filter, batch_format="pyarrow")
 
 
+def sigma_scan(paths, rule: dict, columns: list[str] | None = None, **kw):
+    """Sigma rule pushed INTO the parquet read: the compiled expression
+    prunes row groups at the scan (the reference's catalog/sketch pruning
+    analog for rule matching — export.cpp:139 candidate selection).
+    Equivalent to ``sigma(read_parquet(paths), rule)`` but the filter
+    runs in the reader."""
+    import ray.data
+
+    return ray.data.read_parquet(
+        paths, columns=columns, filter=compile_rule(rule), **kw
+    )
+
+
 ship_by_value(sys.modules[__name__])

@@ -1176,3 +1176,72 @@ def test_pipeline_host_source_dispatch(ray_session, tmp_path):
          {"op": "select", "columns": ["path", "size"]}]
     ).run().to_pandas()
     assert len(out) == 1 and out["size"].iloc[0] == 4
+
+
+# ---------------------------------------------------------------------------
+# sigma pushdown + concepts
+
+
+def test_sigma_scan_pushdown(ray_session):
+    from tenzir_ray.stages.sigma import sigma, sigma_scan
+
+    import ray.data
+
+    sf = "/root/testdata/sf0.001"
+    rule = {
+        "detection": {
+            "selection": {"event_type": ["click", "view"], "value|gt": 90},
+            "condition": "selection",
+        }
+    }
+    pushed = sigma_scan(f"{sf}/events.parquet", rule).to_pandas()
+    plain = sigma(ray.data.read_parquet(f"{sf}/events.parquet"), rule).to_pandas()
+    assert len(pushed) == len(plain) > 0
+    assert sorted(pushed["event_id"]) == sorted(plain["event_id"])
+
+
+def test_concepts_binding(ray_session):
+    from tenzir_ray.state.concepts import ConceptMap, select_concepts, where_concept
+
+    cm = ConceptMap({"source_ip": ["src_ip", "id.orig_h", "source.address"]})
+    zeekish = pa.table({"id.orig_h": ["10.0.0.1", "10.0.0.2"], "uid": ["a", "b"]})
+    fwish = pa.table({"src_ip": ["10.0.0.2"], "rule": ["r1"]})
+    z = where_concept(_ds(zeekish), cm, "source_ip", "==", "10.0.0.2").to_pandas()
+    f = where_concept(_ds(fwish), cm, "source_ip", "==", "10.0.0.2").to_pandas()
+    assert z["uid"].tolist() == ["b"] and f["rule"].tolist() == ["r1"]
+    # normalize both sources to one schema
+    nz = select_concepts(_ds(zeekish), cm, ["source_ip"]).to_pandas()
+    nf = select_concepts(_ds(fwish), cm, ["source_ip"]).to_pandas()
+    assert list(nz.columns) == ["source_ip"] == list(nf.columns)
+    assert sorted(nz["source_ip"]) == ["10.0.0.1", "10.0.0.2"]
+
+
+def test_schema_streams(ray_session, tmp_path):
+    import ray.data
+
+    from tenzir_ray.sources.parsers import parse_ndjson
+    from tenzir_ray.streams import SchemaStreams
+
+    lines = [
+        '{"event_type":"alert","sev":3,"msg":"boom"}',
+        '{"event_type":"flow","bytes":100}',
+        '{"event_type":"alert","sev":1,"msg":"ok"}',
+    ]
+    tagged = parse_ndjson(
+        ray.data.from_arrow(pa.table({"text": lines})), selector="event_type"
+    )
+    hs = SchemaStreams.from_selector(tagged)
+    assert set(hs.streams) == {"alert", "flow"}
+    assert hs.counts() == {"alert": 2, "flow": 1}
+    # per-schema transform: only alerts get filtered
+    hs2 = hs.map(lambda name, ds: ds.filter(lambda r: r["sev"] == 3) if name == "alert" else ds)
+    assert hs2.counts() == {"alert": 1, "flow": 1}
+    # union-by-name: one wide dataset, missing cols null, tag kept
+    wide = hs.union_by_name().to_pandas()
+    assert len(wide) == 3 and {"sev", "bytes", "_schema"} <= set(wide.columns)
+    assert wide[wide["_schema"] == "flow"]["sev"].isna().all()
+    # directory-connector exit: one subdir per schema
+    out = hs.write_parquet(str(tmp_path / "byschema"))
+    assert set(out) == {"alert", "flow"}
+    back = ray.data.read_parquet(out["alert"]).to_pandas()
+    assert len(back) == 2
