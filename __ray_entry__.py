@@ -1142,6 +1142,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         by_suffix = where_extractor(ds, "value", ">", 90.0)
         return where_extractor(by_suffix, ":double", ">", 90.0)
 
+    def media_image_decode(sf):
+        # REAL image decode, hash-gated: a BMP is built per document with
+        # dimensions derived from its columns, so SQL predicts exactly
+        # what the decoder must report
+        import pandas as pd
+
+        from tenzir_ray.stages.multimodal import DecodeImage, encode_bmp
+
+        def _mk(df: pd.DataFrame) -> pd.DataFrame:
+            payloads = []
+            for did, nc in zip(df["doc_id"], df["n_chars"]):
+                h = 8 + int(nc) % 32
+                w = 8 + int(did) % 16
+                img = np.full((h, w, 3), int(did) % 251, dtype=np.uint8)
+                payloads.append(encode_bmp(img))
+            return pd.DataFrame({"doc_id": df["doc_id"], "payload": payloads})
+
+        ds = _read(sf, "documents", columns=["doc_id", "n_chars"]).map_batches(
+            _mk, batch_format="pandas"
+        )
+        out = ds.map_batches(DecodeImage(), batch_format="pyarrow", batch_size=64)
+        return T.select(out, ["doc_id", "height", "width", "channels"])
+
+    def media_audio_decode(sf):
+        # REAL WAV decode, hash-gated: sample count derived from doc_id
+        import pandas as pd
+
+        from tenzir_ray.stages.multimodal import DecodeAudio, encode_wav
+
+        def _mk(df: pd.DataFrame) -> pd.DataFrame:
+            payloads = []
+            for did in df["doc_id"]:
+                n = 1600 + int(did) % 3200
+                t = np.arange(n)
+                samples = (np.sin(t / 10.0) * 9000).astype(np.int16)
+                payloads.append(encode_wav(samples, rate=16000))
+            return pd.DataFrame({"doc_id": df["doc_id"], "payload": payloads})
+
+        ds = _read(sf, "documents", columns=["doc_id"]).map_batches(
+            _mk, batch_format="pandas"
+        )
+        out = ds.map_batches(DecodeAudio(), batch_format="pyarrow", batch_size=64)
+        out = T.select(out, ["doc_id", "sample_rate", "channels", "duration_s"])
+        return T.scale_int_cols(out, ["duration_s"])
+
     def shell_upper(sf):
         # the shell operator (reference operators/shell.cpp): pipe the
         # text column through `tr` — SQL oracle = upper()
@@ -1329,6 +1374,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_enrich": geo_enrich,
         "extractor_filter": extractor_filter,
         "shell_upper": shell_upper,
+        "media_image_decode": media_image_decode,
+        "media_audio_decode": media_audio_decode,
         "asof_forward": asof_forward,
         "hash_join_left_outer": hash_join_left_outer,
     }
@@ -1777,6 +1824,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "shell_upper": """
             SELECT doc_id, upper(text) AS text FROM documents
+        """,
+        "media_image_decode": """
+            SELECT doc_id,
+                   CAST(8 + n_chars % 32 AS INTEGER) AS height,
+                   CAST(8 + doc_id % 16 AS INTEGER) AS width,
+                   3 AS channels
+            FROM documents
+        """,
+        "media_audio_decode": """
+            SELECT doc_id, 16000 AS sample_rate, 1 AS channels,
+                   CAST(round((1600 + doc_id % 3200) / 16000.0 * 1000000)
+                        AS BIGINT) AS duration_s
+            FROM documents
         """,
         "extractor_filter": """
             SELECT event_id, user_id, value AS "m.value" FROM events
