@@ -204,27 +204,34 @@ def resolve_extractor(schema, extractor: str) -> list[str]:
     return [n for n in names if n.endswith(suffix)]
 
 
-def extractor_predicate(schema, extractor: str, op: str, value):
-    """Compile ``<extractor> <op> <value>`` into ONE pads expression: the
-    disjunction over every field the extractor binds to (the reference's
-    binding rule). Returns None when nothing matches (⇒ no rows)."""
-    ops = {
-        "==": lambda c, v: c == v,
-        "!=": lambda c, v: c != v,
-        "<": lambda c, v: c < v,
-        "<=": lambda c, v: c <= v,
-        ">": lambda c, v: c > v,
-        ">=": lambda c, v: c >= v,
-        "in": lambda c, v: c.isin(v),
-    }
-    cols = resolve_extractor(schema, extractor)
-    if not cols:
+_PRED_OPS = {
+    "==": lambda c, v: c == v,
+    "!=": lambda c, v: c != v,
+    "<": lambda c, v: c < v,
+    "<=": lambda c, v: c <= v,
+    ">": lambda c, v: c > v,
+    ">=": lambda c, v: c >= v,
+    "in": lambda c, v: c.isin(v),
+}
+
+
+def disjunction_predicate(columns: list[str], op: str, value):
+    """``<any of columns> <op> <value>`` as ONE pads expression (the
+    reference's multi-field binding rule); None when nothing binds
+    (⇒ no rows). Shared by extractors and concepts."""
+    if not columns:
         return None
     out = None
-    for name in cols:
-        term = ops[op](pc.field(name), value)
+    for name in columns:
+        term = _PRED_OPS[op](pc.field(name), value)
         out = term if out is None else out | term
     return out
+
+
+def extractor_predicate(schema, extractor: str, op: str, value):
+    """Compile ``<extractor> <op> <value>`` into ONE pads expression: the
+    disjunction over every field the extractor binds to."""
+    return disjunction_predicate(resolve_extractor(schema, extractor), op, value)
 
 
 def where_extractor(ds, extractor: str, op: str, value):

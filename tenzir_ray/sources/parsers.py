@@ -24,6 +24,7 @@ import pandas as pd
 import pyarrow as pa
 
 from tenzir_ray._ship import ship_by_value
+from tenzir_ray.cdc.registry import SchemaRegistry
 
 
 def _from_pylist_uniform(rows: list[dict]) -> pa.Table:
@@ -73,8 +74,9 @@ class _NdjsonParser:
                 rows.append(obj)
         tbl = _from_pylist_uniform(rows)
         if self.schema is not None:
-            from tenzir_ray.cdc.registry import SchemaRegistry
-
+            # SchemaRegistry captured at module import: a runtime
+            # tenzir_ray import inside a shipped callable fails on
+            # workers without the repo on sys.path
             reg = SchemaRegistry(schema=self.schema)
             tbl = reg.conform(tbl)
         return tbl

@@ -183,17 +183,28 @@ def sigma(ds, rule: "dict | str | list[dict]"):
     return ds.map_batches(_filter, batch_format="pyarrow")
 
 
-def sigma_scan(paths, rule: dict, columns: list[str] | None = None, **kw):
-    """Sigma rule pushed INTO the parquet read: the compiled expression
-    prunes row groups at the scan (the reference's catalog/sketch pruning
-    analog for rule matching — export.cpp:139 candidate selection).
-    Equivalent to ``sigma(read_parquet(paths), rule)`` but the filter
-    runs in the reader."""
+def sigma_scan(paths, rule: "dict | str | list[dict]",
+               columns: list[str] | None = None, **kw):
+    """Sigma rule(s) pushed INTO the parquet read: the compiled
+    expression prunes row groups at the scan (the reference's
+    catalog/sketch pruning analog — export.cpp:139 candidate selection).
+    Accepts the same rule forms as :func:`sigma` (dict, YAML file/dir
+    path, or list — a list pushes the OR of all rules; per-rule tagging
+    needs the post-read :func:`sigma`)."""
     import ray.data
 
-    return ray.data.read_parquet(
-        paths, columns=columns, filter=compile_rule(rule), **kw
-    )
+    if isinstance(rule, str):
+        rule = load_rules(rule)
+    if isinstance(rule, list):
+        if not rule:
+            raise ValueError("sigma_scan: empty rule list")
+        expr = None
+        for r in rule:
+            e = compile_rule(r)
+            expr = e if expr is None else (expr | e)
+    else:
+        expr = compile_rule(rule)
+    return ray.data.read_parquet(paths, columns=columns, filter=expr, **kw)
 
 
 ship_by_value(sys.modules[__name__])

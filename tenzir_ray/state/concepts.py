@@ -39,25 +39,16 @@ class ConceptMap:
 def where_concept(ds, concepts: ConceptMap, concept: str, op: str, value):
     """Filter by ``<concept> <op> <value>``: the predicate binds to every
     matching concrete field per batch schema (disjunction), exactly like
-    the reference's concept lookup in expressions."""
-    ops = {
-        "==": lambda c, v: c == v,
-        "!=": lambda c, v: c != v,
-        "<": lambda c, v: c < v,
-        "<=": lambda c, v: c <= v,
-        ">": lambda c, v: c > v,
-        ">=": lambda c, v: c >= v,
-        "in": lambda c, v: c.isin(v),
-    }
+    the reference's concept lookup in expressions. Delegates to the
+    shared predicate builder in :mod:`tenzir_ray.expr`."""
+    from tenzir_ray.expr import disjunction_predicate
 
     def _f(batch):
-        cols = concepts.resolve(batch.schema, concept)
-        if not cols:
+        expr = disjunction_predicate(
+            concepts.resolve(batch.schema, concept), op, value
+        )
+        if expr is None:
             return batch.slice(0, 0)
-        expr = None
-        for name in cols:
-            term = ops[op](pc.field(name), value)
-            expr = term if expr is None else expr | term
         return pads.dataset(batch).to_table(filter=expr)
 
     return ds.map_batches(_f, batch_format="pyarrow")
@@ -81,7 +72,9 @@ def select_concepts(ds, concepts: ConceptMap, names: list[str],
                         f"concept {concept!r} binds nothing in "
                         f"{list(batch.schema.names)}"
                     )
-                cols.append(pa.nulls(batch.num_rows, pa.string()))
+                # pa.null() widens cleanly against any bound type in
+                # other blocks (string would conflict with e.g. int64)
+                cols.append(pa.nulls(batch.num_rows, pa.null()))
             else:
                 cols.append(batch.column(src))
             out_names.append(concept)

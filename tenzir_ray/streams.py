@@ -21,6 +21,22 @@ from collections.abc import Callable
 
 import pyarrow as pa
 
+from tenzir_ray.cdc.registry import SchemaRegistry
+
+
+_REG_CACHE: dict = {}
+
+
+def _registry_cache(reg_json: str):
+    """Per-process registry parse cache (JSON + hex + IPC schema decode
+    would otherwise run per batch). SchemaRegistry is captured at module
+    import (a runtime `import tenzir_ray...` inside a shipped-by-value
+    function would fail on workers without the repo on sys.path)."""
+    r = _REG_CACHE.get(reg_json)
+    if r is None:
+        r = _REG_CACHE[reg_json] = SchemaRegistry.from_json(reg_json)
+    return r
+
 
 class SchemaStreams:
     """A heterogeneous stream: schema name → ``ray.data.Dataset``."""
@@ -30,11 +46,19 @@ class SchemaStreams:
 
     # -- constructors ----------------------------------------------------
     @classmethod
-    def from_selector(cls, ds, column: str = "_schema") -> "SchemaStreams":
+    def from_selector(cls, ds, column: str = "_schema",
+                      materialize: bool = True) -> "SchemaStreams":
         """Split a ``_schema``-tagged Dataset (e.g. from
-        ``parse_ndjson(selector=...)``) into per-schema streams."""
-        from tenzir_ray.sources.parsers import split_by_schema
+        ``parse_ndjson(selector=...)``) into per-schema streams.
 
+        The tagged parent is MATERIALIZED first by default: every split
+        stream is a filter over the same parent, so an unmaterialized
+        parent would re-execute its whole upstream once per schema (and
+        again per consumption)."""
+        from tenzir_ray.sources.parsers import split_by_schema  # driver-side
+
+        if materialize:
+            ds = ds.materialize()
         return cls(split_by_schema(ds, column=column))
 
     # -- per-schema operations (the reference's per-schema resolution) ---
@@ -49,13 +73,24 @@ class SchemaStreams:
         )
 
     def schemas(self) -> dict:
-        """Arrow schema per stream (triggers a first-block fetch each)."""
+        """EXACT Arrow schema per stream: the registry-widened union over
+        every batch's schema (a first-block peek would silently drop
+        columns that appear only in later blocks). The collection pass is
+        tiny — one serialized-schema row per batch."""
         out = {}
         for k, v in self.streams.items():
-            s = v.schema()
-            out[k] = pa.schema(
-                [pa.field(n, t) for n, t in zip(s.names, s.types)]
-            )
+            def _schema_row(batch: pa.Table) -> pa.Table:
+                return pa.table(
+                    {"schema_hex": [batch.schema.serialize().to_pybytes().hex()]}
+                )
+
+            hexes = v.map_batches(
+                _schema_row, batch_format="pyarrow"
+            ).to_pandas()["schema_hex"].unique()
+            reg = SchemaRegistry()
+            for h in hexes:
+                reg.evolve(pa.ipc.read_schema(pa.BufferReader(bytes.fromhex(h))))
+            out[k] = reg.schema if reg.schema is not None else pa.schema([])
         return out
 
     # -- exits -----------------------------------------------------------
@@ -65,17 +100,17 @@ class SchemaStreams:
         missing columns null, each row tagged with its schema name."""
         import ray.data
 
-        from tenzir_ray.cdc.registry import SchemaRegistry
-
+        if not self.streams:
+            raise ValueError("no streams to union")
         reg = SchemaRegistry()
-        arrow_schemas = self.schemas()
+        arrow_schemas = self.schemas()  # exact: every batch's schema seen
         for name, sch in arrow_schemas.items():
             reg.evolve(pa.schema([f for f in sch if f.name != tag_column]))
         reg_json = reg.to_json()
 
         def _conform(name: str):
             def f(batch: pa.Table) -> pa.Table:
-                r = SchemaRegistry.from_json(reg_json)
+                r = _registry_cache(reg_json)  # parsed once per process
                 if tag_column in batch.column_names:
                     batch = batch.drop_columns([tag_column])
                 out = r.conform(batch)
@@ -90,8 +125,6 @@ class SchemaStreams:
             v.map_batches(_conform(k), batch_format="pyarrow")
             for k, v in sorted(self.streams.items())
         ]
-        if not parts:
-            raise ValueError("no streams to union")
         out = parts[0]
         if len(parts) > 1:
             out = out.union(*parts[1:])

@@ -1245,3 +1245,49 @@ def test_schema_streams(ray_session, tmp_path):
     assert set(out) == {"alert", "flow"}
     back = ray.data.read_parquet(out["alert"]).to_pandas()
     assert len(back) == 2
+
+
+def test_union_by_name_late_columns_and_widening(ray_session):
+    import ray.data
+
+    from tenzir_ray.streams import SchemaStreams
+
+    # stream 'a': first block lacks 'extra' and has int v; later block has
+    # 'extra' and float v — union must keep extra and widen v to float64
+    b1 = pa.table({"v": pa.array([1, 2], pa.int64())})
+    b2 = pa.table({"v": pa.array([2.5], pa.float64()),
+                   "extra": pa.array(["x"], pa.string())})
+    stream_a = ray.data.from_arrow(b1).union(ray.data.from_arrow(b2))
+    hs = SchemaStreams({"a": stream_a})
+    wide = hs.union_by_name().to_pandas()
+    assert "extra" in wide.columns and wide["extra"].notna().sum() == 1
+    assert wide["v"].dtype.kind == "f" and len(wide) == 3
+
+
+def test_select_concepts_null_type_widens(ray_session):
+    import ray.data
+
+    from tenzir_ray.state.concepts import ConceptMap, select_concepts
+
+    cm = ConceptMap({"dst_port": ["dport", "id.resp_p"]})
+    with_port = pa.table({"dport": pa.array([443, 80], pa.int64())})
+    without = pa.table({"other": pa.array([1], pa.int64())})
+    ds = ray.data.from_arrow(with_port).union(ray.data.from_arrow(without))
+    out = select_concepts(ds, cm, ["dst_port"]).to_pandas()
+    # int column + null block must not degrade to object/string
+    assert len(out) == 3 and out["dst_port"].isna().sum() == 1
+    assert out["dst_port"].dropna().astype(int).tolist() == [443, 80]
+
+
+def test_sigma_scan_accepts_list_and_path(ray_session, tmp_path):
+    from tenzir_ray.stages.sigma import load_rules, sigma_scan
+
+    (tmp_path / "r.yml").write_text(
+        "title: errors\ndetection:\n  sel:\n    event_type: error\n  condition: sel\n"
+    )
+    sf = "/root/testdata/sf0.001"
+    by_path = sigma_scan(f"{sf}/events.parquet", str(tmp_path)).count()
+    by_list = sigma_scan(f"{sf}/events.parquet", load_rules(str(tmp_path))).count()
+    assert by_path == by_list > 0
+    with pytest.raises(ValueError):
+        sigma_scan(f"{sf}/events.parquet", [])
