@@ -354,7 +354,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         ds = _read(sf, "documents", columns=["doc_id", "text"])
         fp = TX.fingerprint(ds.union(T.set_(ds, doc_id="doc_id + 10000")))
-        fp = T.select(fp, ["doc_id", "fingerprint"])
+        # tiny (id, fp) table consumed by BOTH join sides: materialize
+        # once or the whole parse+fingerprint pipeline re-executes twice
+        fp = T.select(fp, ["doc_id", "fingerprint"]).materialize()
         orig = T.where(fp, "doc_id < 10000")
         clone = T.set_(T.where(fp, "doc_id >= 10000"), doc_id="doc_id - 10000")
         j = hash_join(orig, clone, on="doc_id")
@@ -367,7 +369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         ds = _read(sf, "documents", columns=["doc_id", "text"])
         both = ds.union(T.set_(ds, doc_id="doc_id + 10000"))
-        groups = D.minhash_lsh_dedup(both, "doc_id", "text")
+        groups = D.minhash_lsh_dedup(both, "doc_id", "text").materialize()
         orig = T.where(groups, "doc_id < 10000")
         clone = T.set_(T.where(groups, "doc_id >= 10000"), doc_id="doc_id - 10000")
         j = hash_join(orig, clone, on="doc_id")
@@ -378,7 +380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         ds = _read(sf, "documents", columns=["doc_id", "text"])
         sh = D.simhash(ds.union(T.set_(ds, doc_id="doc_id + 10000")))
-        sh = T.select(sh, ["doc_id", "simhash"])
+        sh = T.select(sh, ["doc_id", "simhash"]).materialize()
         orig = T.where(sh, "doc_id < 10000")
         clone = T.set_(T.where(sh, "doc_id >= 10000"), doc_id="doc_id - 10000")
         j = hash_join(orig, clone, on="doc_id")
