@@ -349,42 +349,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def doc_fingerprint(sf):
         # planted truth: an id-shifted clone of every doc carries the
-        # identical text, so its rolling-hash fingerprint must match
-        from tenzir_ray.stages.join import hash_join
+        # identical text, so its rolling-hash fingerprint must match —
+        # verified as "per base id: 2 rows, 1 distinct fingerprint"
+        # (one bucketed groupby; a join would pay a whole exchange)
+        from tenzir_ray.stages.summarize import summarize_hash
 
         ds = _read(sf, "documents", columns=["doc_id", "text"])
         fp = TX.fingerprint(ds.union(T.set_(ds, doc_id="doc_id + 10000")))
-        # tiny (id, fp) table consumed by BOTH join sides: materialize
-        # once or the whole parse+fingerprint pipeline re-executes twice
-        fp = T.select(fp, ["doc_id", "fingerprint"]).materialize()
-        orig = T.where(fp, "doc_id < 10000")
-        clone = T.set_(T.where(fp, "doc_id >= 10000"), doc_id="doc_id - 10000")
-        j = hash_join(orig, clone, on="doc_id")
-        return T.put(j, doc_id="doc_id", fp_match="fingerprint == fingerprint_r")
+        fp = T.set_(T.select(fp, ["doc_id", "fingerprint"]),
+                    base="doc_id - doc_id / 10000 * 10000")
+        per = summarize_hash(fp, by="base", n="count(*)",
+                             nc="count_distinct(fingerprint)")
+        return T.put(per, doc_id="base", fp_match="nc == 1 and n == 2")
 
     def minhash_dedup_groups(sf):
         # planted truth: exact clones share every band bucket, so LSH
         # must place clone and original in the same dup_group
         from tenzir_ray.stages.join import hash_join
 
+        from tenzir_ray.stages.summarize import summarize_hash
+
         ds = _read(sf, "documents", columns=["doc_id", "text"])
         both = ds.union(T.set_(ds, doc_id="doc_id + 10000"))
-        groups = D.minhash_lsh_dedup(both, "doc_id", "text").materialize()
-        orig = T.where(groups, "doc_id < 10000")
-        clone = T.set_(T.where(groups, "doc_id >= 10000"), doc_id="doc_id - 10000")
-        j = hash_join(orig, clone, on="doc_id")
-        return T.put(j, doc_id="doc_id", same_group="dup_group == dup_group_r")
+        groups = D.minhash_lsh_dedup(both, "doc_id", "text")
+        groups = T.set_(groups, base="doc_id - doc_id / 10000 * 10000")
+        per = summarize_hash(groups, by="base", n="count(*)",
+                             nc="count_distinct(dup_group)")
+        return T.put(per, doc_id="base", same_group="nc == 1 and n == 2")
 
     def simhash_docs(sf):
         from tenzir_ray.stages.join import hash_join
 
+        from tenzir_ray.stages.summarize import summarize_hash
+
         ds = _read(sf, "documents", columns=["doc_id", "text"])
         sh = D.simhash(ds.union(T.set_(ds, doc_id="doc_id + 10000")))
-        sh = T.select(sh, ["doc_id", "simhash"]).materialize()
-        orig = T.where(sh, "doc_id < 10000")
-        clone = T.set_(T.where(sh, "doc_id >= 10000"), doc_id="doc_id - 10000")
-        j = hash_join(orig, clone, on="doc_id")
-        return T.put(j, doc_id="doc_id", sim_match="simhash == simhash_r")
+        sh = T.set_(T.select(sh, ["doc_id", "simhash"]),
+                    base="doc_id - doc_id / 10000 * 10000")
+        per = summarize_hash(sh, by="base", n="count(*)",
+                             nc="count_distinct(simhash)")
+        return T.put(per, doc_id="base", sim_match="nc == 1 and n == 2")
 
     def ann_cosine_topk(sf):
         import pyarrow as pa
