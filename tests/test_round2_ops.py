@@ -1291,3 +1291,60 @@ def test_sigma_scan_accepts_list_and_path(ray_session, tmp_path):
     assert by_path == by_list > 0
     with pytest.raises(ValueError):
         sigma_scan(f"{sf}/events.parquet", [])
+
+
+# ---------------------------------------------------------------------------
+# streaming consumer → exactly-once epochs
+
+
+def test_consume_stream_tcp_to_lake(ray_session, tmp_path):
+    import json as json_mod
+    import time
+
+    from tenzir_ray.cdc import LakeTable
+    from tenzir_ray.cdc.consume import consume_stream, next_epoch_index
+    from tenzir_ray.sources.net import TcpLineListener, send_lines_tcp
+
+    lake = LakeTable(str(tmp_path / "slake"), num_partitions=4)
+    srv = TcpLineListener()
+    port = srv.start()
+    try:
+        # a client ships NDJSON change events over TCP
+        events = [
+            json_mod.dumps(
+                {"lsn": i, "op": "insert", "conv_id": f"c{i % 3}",
+                 "turn_idx": i // 3, "text": f"t{i}"}
+            )
+            for i in range(30)
+        ]
+        send_lines_tcp(events[:20], "127.0.0.1", port)
+        time.sleep(0.3)  # let the listener buffer
+
+        def parse(msgs):
+            rows = [json_mod.loads(m) for m in msgs]
+            t = pa.Table.from_pylist(rows)
+            return t.set_column(
+                t.schema.get_field_index("turn_idx"), "turn_idx",
+                t.column("turn_idx").cast(pa.int32()),
+            )
+
+        res1 = consume_stream(
+            lake, srv.drain, parse, epoch_prefix="tcp",
+            min_batch=1000, max_wait_s=0.0, idle_limit=2, poll_s=0.01,
+        )
+        assert len(res1) == 1 and res1[0]["rows_live"] == 20
+        # second wave resumes at the next epoch index
+        send_lines_tcp(events[20:], "127.0.0.1", port)
+        time.sleep(0.3)
+        res2 = consume_stream(
+            lake, srv.drain, parse, epoch_prefix="tcp",
+            min_batch=1000, max_wait_s=0.0, idle_limit=2, poll_s=0.01,
+        )
+        assert len(res2) == 1
+        assert next_epoch_index(lake, "tcp") == 2
+        final = lake.final_table()
+        assert final.num_rows == 30
+        texts = final.column("text").to_pylist()
+        assert "t29" in texts and "t0" in texts
+    finally:
+        srv.stop()
