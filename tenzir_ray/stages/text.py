@@ -121,6 +121,11 @@ class Fingerprint:
         self.out = out
         self.base = 1_000_003
         self.mask = (1 << 61) - 1
+        # hoisted: identical for every row
+        self.powers = np.power(
+            np.uint64(self.base), np.arange(ngram, dtype=np.uint64),
+            dtype=np.uint64,
+        )[::-1].copy()
 
     def _fp(self, s: str) -> int:
         n = self.ngram
@@ -128,11 +133,8 @@ class Fingerprint:
             s = s.ljust(n, "\0")
         # vectorized rolling hash over all windows
         codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
-        powers = np.power(
-            np.uint64(self.base), np.arange(n, dtype=np.uint64), dtype=np.uint64
-        )
         win = np.lib.stride_tricks.sliding_window_view(codes, n)
-        hashes = (win * powers[::-1]).sum(axis=1) & np.uint64(self.mask)
+        hashes = (win * self.powers).sum(axis=1) & np.uint64(self.mask)
         return int(hashes.min())
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:

@@ -1348,3 +1348,18 @@ def test_consume_stream_tcp_to_lake(ray_session, tmp_path):
         assert "t29" in texts and "t0" in texts
     finally:
         srv.stop()
+
+
+def test_key_buckets_slice_invariance():
+    """Bucket assignment must not depend on array slicing/offsets (the
+    exchange hashes zero-copy slices of bigger blocks)."""
+    from tenzir_ray.stages.exchange import key_buckets
+
+    tbl = pa.table({
+        "k": pa.array([5, 9, 5, 13, None, 9], pa.int64()),
+        "s": pa.array(["a", "b", "a", None, "c", "b"]),
+    })
+    whole_k = key_buckets(tbl, ["k", "s"], 32)
+    parts = [tbl.slice(0, 2), tbl.slice(2, 2), tbl.slice(4, 2)]
+    sliced = np.concatenate([key_buckets(p, ["k", "s"], 32) for p in parts])
+    assert (whole_k == sliced).all()
