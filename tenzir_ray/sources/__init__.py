@@ -15,15 +15,34 @@ from tenzir_ray.sources.readers import (
 )
 from tenzir_ray.sources.parsers import (
     parse_cef,
+    parse_gelf,
     parse_grok,
     parse_kv,
     parse_leef,
     parse_ndjson,
+    parse_suricata,
     parse_syslog,
+    parse_yaml_docs,
+    parse_zeek_json,
+)
+from tenzir_ray.sources.readers import follow_lines
+from tenzir_ray.sources.writers import (
+    read_bitz,
+    write_bitz,
+    write_csv,
+    write_feather,
+    write_json,
+    write_parquet,
+    write_ssv,
+    write_tsv,
 )
 
 __all__ = [
     "read_parquet", "read_csv", "read_json", "read_lines", "read_feather",
+    "read_bitz", "follow_lines",
     "parse_ndjson", "parse_kv", "parse_syslog", "parse_cef", "parse_leef",
-    "parse_grok",
+    "parse_grok", "parse_gelf", "parse_suricata", "parse_zeek_json",
+    "parse_yaml_docs",
+    "write_parquet", "write_csv", "write_tsv", "write_ssv", "write_json",
+    "write_feather", "write_bitz",
 ]
