@@ -646,57 +646,113 @@ def enumerate_global(ds, order_by: str | list[str], out: str = "row_number",
     )
 
 
+def _siphash24_u64(k0: np.uint64, k1: np.uint64, m: np.ndarray) -> np.ndarray:
+    """Vectorized SipHash-2-4 over an array of single-uint64 messages
+    (framed per the spec: one data block + the final length block for an
+    8-byte message). Pure numpy uint64 ARX — no per-element Python.
+    Verified against the reference test vectors in
+    tests/test_streaming_and_maintenance.py."""
+    def rotl(x, b):
+        b = np.uint64(b)
+        return (x << b) | (x >> (np.uint64(64) - b))
+
+    v0 = np.uint64(0x736F6D6570736575) ^ k0
+    v1 = np.uint64(0x646F72616E646F6D) ^ k1
+    v2 = np.uint64(0x6C7967656E657261) ^ k0
+    v3 = np.uint64(0x7465646279746573) ^ k1
+    v0 = np.broadcast_to(v0, m.shape).copy()
+    v1 = np.broadcast_to(v1, m.shape).copy()
+    v2 = np.broadcast_to(v2, m.shape).copy()
+    v3 = np.broadcast_to(v3, m.shape).copy()
+
+    def sipround():
+        nonlocal v0, v1, v2, v3
+        v0 += v1
+        v1 = rotl(v1, 13) ^ v0
+        v0 = rotl(v0, 32)
+        v2 += v3
+        v3 = rotl(v3, 16) ^ v2
+        v0 += v3
+        v3 = rotl(v3, 21) ^ v0
+        v2 += v1
+        v1 = rotl(v1, 17) ^ v2
+        v2 = rotl(v2, 32)
+
+    for block in (m.astype(np.uint64), np.uint64(8) << np.uint64(56)):
+        v3 = v3 ^ block
+        sipround()
+        sipround()
+        v0 = v0 ^ block
+    v2 = v2 ^ np.uint64(0xFF)
+    for _ in range(4):
+        sipround()
+    return v0 ^ v1 ^ v2 ^ v3
+
+
+# Worker-process-level cache of shallow-level oracle bit tables, keyed by
+# the derived SipHash key (see _Pseudonymizer): Ray re-instantiates the
+# shipped callable per task, but tasks in the same worker share this dict.
+_PSEUDO_TABLES: dict = {}
+
+
 class _Pseudonymizer:
     """Prefix-preserving IPv4 pseudonymization in the Crypto-PAn
-    construction (Xu et al. 2002) with an HMAC-SHA256 bit oracle instead
-    of AES (no crypto libs in this environment; same prefix-preserving
-    property, keyed by `salt`). Reference: operators/pseudonymize.cpp
-    (-m crypto-pan).
+    construction (Xu et al. 2002) with a SipHash-2-4 bit oracle instead
+    of AES (no crypto libs in this environment; SipHash is a standard
+    keyed PRF for short inputs, which is exactly the oracle's contract —
+    same prefix-preserving property, keyed by `salt`). Reference:
+    operators/pseudonymize.cpp (-m crypto-pan).
 
-    Vectorized level-wise: per batch, the 32 prefix levels are processed
-    with numpy over the UNIQUE prefixes at each level — Python/HMAC work
-    is O(distinct prefixes in the trie), everything per-row is numpy.
-    Invalid IPs pass through unchanged."""
+    Fully vectorized: per batch, the 32 prefix levels are processed with
+    numpy over the UNIQUE prefixes at each level, and the PRF itself is
+    numpy uint64 ARX — zero per-row or per-trie-node Python. Invalid IPs
+    pass through unchanged."""
 
     def __init__(self, column: str, salt: str):
+        import hashlib
         import hmac as hmac_mod
 
         self.column = column
-        self.key = salt.encode()
-        self._hmac = hmac_mod
-        self.cache: dict[str, str] = {}
-        self.bit_cache: dict[tuple, int] = {}  # (level, prefix-int) -> bit
+        # Derive the 128-bit SipHash key from the salt via HMAC-SHA256.
+        d = hmac_mod.new(
+            salt.encode(), b"tenzir-ray.pseudonymize.v2", hashlib.sha256
+        ).digest()
+        self.k0 = np.frombuffer(d[:8], dtype="<u8")[0]
+        self.k1 = np.frombuffer(d[8:16], dtype="<u8")[0]
+        # Cached full bit tables for shallow levels: level i has only 2^i
+        # possible prefixes, so one PRF sweep over arange(2^i) (lazy,
+        # ~0.5 MB total through level 16) turns those levels into plain
+        # gathers. The cache is MODULE-level keyed by the derived key so
+        # it survives the per-task instance copies Ray makes when the
+        # prebuilt callable ships to stateless tasks.
+        self._tables = _PSEUDO_TABLES.setdefault((int(self.k0), int(self.k1)), {})
+        self._TABLE_MAX = 16
 
     def _level_bits(self, level: int, uniq: np.ndarray) -> np.ndarray:
-        """Oracle bit per unique prefix at ``level`` (cached). The HMAC
-        input is the prefix BIT-STRING, identical to the original
-        construction, so results are stable across versions."""
-        import hashlib
-
-        out = np.empty(len(uniq), dtype=np.uint32)
-        for j, p in enumerate(uniq):
-            key = (level, int(p))
-            b = self.bit_cache.get(key)
-            if b is None:
-                prefix_bits = format(int(p), f"0{level}b") if level else ""
-                d = self._hmac.new(
-                    self.key, prefix_bits.encode(), hashlib.sha256
-                ).digest()
-                b = d[0] & 1
-                self.bit_cache[key] = b
-            out[j] = b
-        return out
+        """Oracle bit per unique prefix at ``level``. The PRF input packs
+        (level, prefix-int) into one 64-bit word — injective because a
+        level-``i`` prefix is < 2^32 and the level sits in bits 32-39."""
+        m = (np.uint64(level) << np.uint64(32)) | uniq.astype(np.uint64)
+        h = _siphash24_u64(self.k0, self.k1, m)
+        return (h & np.uint64(1)).astype(np.uint32)
 
     def _anon_batch(self, u32: np.ndarray) -> np.ndarray:
+        # No per-level np.unique: the PRF is pure numpy, so hashing every
+        # prefix directly is cheaper than 32 sort-based dedups (the
+        # caller already dedups full IPs once per batch).
         result = np.zeros(len(u32), dtype=np.uint32)
         for i in range(32):
             prefixes = (
                 (u32 >> np.uint32(32 - i)) if i else np.zeros(len(u32), np.uint32)
             )
-            uniq, inv = np.unique(prefixes, return_inverse=True)
-            bits = self._level_bits(i, uniq)
+            tbl = self._tables.get(i) if i <= self._TABLE_MAX else None
+            if tbl is None and i <= self._TABLE_MAX and (1 << i) <= 2 * len(u32):
+                # build only when the one-off sweep pays for this batch
+                tbl = self._level_bits(i, np.arange(1 << i, dtype=np.uint64))
+                self._tables[i] = tbl
+            bits = tbl[prefixes] if tbl is not None else self._level_bits(i, prefixes)
             orig_bit = (u32 >> np.uint32(31 - i)) & np.uint32(1)
-            result = (result << np.uint32(1)) | (orig_bit ^ bits[inv])
+            result = (result << np.uint32(1)) | (orig_bit ^ bits)
         return result
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
@@ -731,11 +787,16 @@ class _Pseudonymizer:
 
 
 def pseudonymize(ds, column: str, salt: str = "seed", concurrency=None,
-                 batch_size: int = 16384):
+                 batch_size: int | None = None):
     """Prefix-preserving IP pseudonymization (keyed). Ships a prebuilt
     instance to stateless tasks (full-CPU parallelism; the level-wise
     vectorized oracle makes per-task cache rebuilds cheap). Pass
-    ``concurrency`` to run an actor pool instead (persistent cache)."""
+    ``concurrency`` to run an actor pool instead (persistent cache).
+
+    ``batch_size=None`` (default) keeps one batch per input block: an
+    explicit batch_size makes Ray COALESCE small blocks to reach it,
+    which capped a 64-block input at 6 tasks; the op is vectorized and
+    memory-light, so block-sized batches are right at any scale."""
     if concurrency is not None:
         return ds.map_batches(
             _Pseudonymizer, fn_constructor_args=(column, salt),

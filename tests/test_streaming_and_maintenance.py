@@ -124,3 +124,37 @@ def test_lake_gc_optimize_truncate(ray_session, tmp_path):
     want = naive_apply(changes)
     got = lake2.final_table()
     assert got.select(want.column_names).equals(want)
+
+
+def test_siphash24_reference_vector():
+    # Official SipHash-2-4 test vector (Aumasson & Bernstein, reference
+    # implementation appendix): key = 00..0f, message = bytes 00..07.
+    import numpy as np
+
+    from tenzir_ray.stages.transforms import _siphash24_u64
+
+    k0 = np.frombuffer(bytes(range(8)), dtype="<u8")[0]
+    k1 = np.frombuffer(bytes(range(8, 16)), dtype="<u8")[0]
+    m = np.array([int.from_bytes(bytes(range(8)), "little")], dtype=np.uint64)
+    assert int(_siphash24_u64(k0, k1, m)[0]) == 0x93F5F5799A932462
+
+
+def test_pseudonymizer_table_and_direct_paths_agree():
+    # The shallow-level bit-table gather and the direct per-prefix PRF
+    # must produce identical ciphertexts: anonymize a large batch (table
+    # path engages) and a tiny batch (gate keeps the direct path) with
+    # fresh instances and compare the overlap.
+    import numpy as np
+
+    from tenzir_ray.stages.transforms import _PSEUDO_TABLES, _Pseudonymizer
+
+    rng = np.random.default_rng(7)
+    big = rng.integers(0, 2**32, 200_000, dtype=np.uint64).astype(np.uint32)
+    p1 = _Pseudonymizer("ip", "vector-test")
+    a_big = p1._anon_batch(big)
+    _PSEUDO_TABLES.clear()  # fresh process state for the tiny-batch side
+    p2 = _Pseudonymizer("ip", "vector-test")
+    a_small = p2._anon_batch(big[:5])
+    assert (a_big[:5] == a_small).all()
+    # tiny batch must not have paid for deep tables
+    assert all((1 << lvl) <= 10 for lvl in p2._tables)
