@@ -66,7 +66,14 @@ def _cron_sets(spec: str):
     # Saturday; convert to python weekday numbers (0 = Monday)
     dow_cron = _parse_field(fields[4], 0, 7)
     dow = {(v - 1) % 7 for v in dow_cron}
-    return minute, hour, dom, month, dow
+    # POSIX/Vixie rule: when BOTH day-of-month and day-of-week are
+    # restricted (neither field is '*'), a timestamp fires if EITHER
+    # matches — '0 0 13 * 5' means the 13th OR any Friday, not only
+    # Friday-the-13th (croncpp, which the reference's cron uses, agrees)
+    dom_star = fields[2].lstrip().startswith("*")
+    dow_star = fields[4].lstrip().startswith("*")
+    day_is_or = not dom_star and not dow_star
+    return minute, hour, dom, month, dow, day_is_or
 
 
 def cron_next(spec: str, after: datetime) -> datetime:
@@ -74,16 +81,19 @@ def cron_next(spec: str, after: datetime) -> datetime:
     spec (minute hour day-of-month month day-of-week; supports ``*``,
     ``*/n``, ``a-b``, ``a,b,c``). Minute-resolution scan, bounded to 4
     years."""
-    minute, hour, dom, month, dow = _cron_sets(spec)
+    minute, hour, dom, month, dow, day_is_or = _cron_sets(spec)
     t = after.replace(second=0, microsecond=0) + timedelta(minutes=1)
     limit = after + timedelta(days=4 * 366)
     while t <= limit:
+        if day_is_or:
+            day_ok = t.day in dom or t.weekday() in dow
+        else:
+            day_ok = t.day in dom and t.weekday() in dow
         if (
             t.minute in minute
             and t.hour in hour
-            and t.day in dom
+            and day_ok
             and t.month in month
-            and t.weekday() in dow
         ):
             return t
         t += timedelta(minutes=1)

@@ -38,14 +38,60 @@ from tenzir_ray._ship import ship_by_value
 
 _EXCHANGE_ROOT_CANDIDATES = ("/dev/shm", tempfile.gettempdir())
 
+#: env var naming a shared staging directory for multi-node clusters
+ROOT_ENV = "TENZIR_RAY_EXCHANGE_ROOT"
+#: env var selecting the transport: "fs" (packed-IPC files, default) or
+#: "object" (Ray object store — no shared-filesystem requirement)
+TRANSPORT_ENV = "TENZIR_RAY_EXCHANGE_TRANSPORT"
 
-def exchange_root() -> str:
+
+def default_transport() -> str:
+    t = os.environ.get(TRANSPORT_ENV, "fs").strip().lower()
+    if t not in ("fs", "object"):
+        raise ValueError(f"{TRANSPORT_ENV} must be 'fs' or 'object', got {t!r}")
+    return t
+
+
+def exchange_root(staging_root: str | None = None) -> str:
+    """Resolve the staging root: explicit argument > $TENZIR_RAY_EXCHANGE_ROOT
+    > /dev/shm > tmpdir. The last two are NODE-LOCAL — fine single-node,
+    rejected by :func:`new_staging` when the Ray cluster spans nodes."""
+    override = staging_root or os.environ.get(ROOT_ENV)
+    if override:
+        root = os.path.join(override, "tenzir_ray_exchange")
+        os.makedirs(root, exist_ok=True)
+        return root
     for c in _EXCHANGE_ROOT_CANDIDATES:
         if os.path.isdir(c):
             root = os.path.join(c, "tenzir_ray_exchange")
             os.makedirs(root, exist_ok=True)
             return root
     raise RuntimeError("no writable temp dir for exchange staging")
+
+
+def _assert_root_reachable(root: str, explicit: bool) -> None:
+    """Fail fast (instead of a FileNotFoundError deep in a reduce task)
+    when the cluster spans multiple nodes but staging would land on a
+    known node-local path. An explicit root (argument or env var) is
+    trusted — the operator is asserting it is shared storage."""
+    if explicit:
+        return
+    try:
+        import ray
+
+        if not ray.is_initialized():
+            return
+        alive = [n for n in ray.nodes() if n.get("Alive")]
+    except Exception:
+        return
+    if len(alive) > 1:
+        raise RuntimeError(
+            f"exchange staging root {root!r} is node-local but the Ray "
+            f"cluster has {len(alive)} nodes; set {ROOT_ENV} (or pass "
+            f"staging_root=) to a shared filesystem path, or select the "
+            f"object-store transport ({TRANSPORT_ENV}=object / "
+            f"transport='object')."
+        )
 
 
 def _pid_alive(pid: int) -> bool:
@@ -78,8 +124,10 @@ def _gc_old(root: str, max_age_s: float = 3600.0) -> None:
         pass
 
 
-def new_staging(tag: str = "x") -> str:
-    root = exchange_root()
+def new_staging(tag: str = "x", staging_root: str | None = None) -> str:
+    explicit = bool(staging_root or os.environ.get(ROOT_ENV))
+    root = exchange_root(staging_root)
+    _assert_root_reachable(root, explicit)
     _gc_old(root)
     d = os.path.join(root, f"{tag}-{os.getpid()}-{uuid.uuid4().hex[:12]}")
     os.makedirs(d, exist_ok=True)
@@ -150,7 +198,12 @@ def key_buckets(batch: pa.Table, keys: list[str], num_buckets: int) -> np.ndarra
                 null_mask = pc.is_null(d.indices).to_numpy(zero_copy_only=False)
                 hk = hk.copy()
                 hk[null_mask] = np.uint64(0)
-        h = h ^ hk
+        # asymmetric combine: a plain XOR collapses any row where two key
+        # columns hold equal values (h^h==0) into one hot bucket — e.g.
+        # by=["src","dst"] traffic with src==dst. Re-finalizing the
+        # running hash before mixing in the next column breaks the
+        # symmetry while staying deterministic across exchange sides.
+        h = _mix64(h ^ hk)
     return (h % np.uint64(num_buckets)).astype(np.int64)
 
 
@@ -267,6 +320,132 @@ def coalesce_tasks(bucket_ids: list[int], nbytes: dict[int, int],
     if cur:
         tasks.append(cur)
     return tasks
+
+
+# --------------------------------------------------------------------------
+# Object-store transport: the same exchange contract (per-bucket index +
+# measured bytes) carried over Ray's shared object store instead of a
+# staging filesystem. For clusters without fast shared POSIX storage —
+# plasma handles node-to-node transfer and spilling. Map outputs are
+# owned by the driver (returned from tasks, lineage-reconstructable);
+# reduce readers borrow the refs via closure capture, which Ray
+# reference-counts, so blocks live exactly as long as the join Dataset.
+# --------------------------------------------------------------------------
+
+
+def _pack_block(block: pa.Table, keys: list[str], num_buckets: int, transform):
+    """Bucket one input block; return [stats_dict, tbl_b0, tbl_b1, ...].
+    Empty buckets return None (tiny objects; reduce skips them via the
+    stats-driven index, same orphan-safety as the file index)."""
+    if transform is not None:
+        block = transform(block)
+    outs: list = [None] * num_buckets
+    stats: dict[int, tuple[int, int]] = {}
+    if block.num_rows:
+        bucket = key_buckets(block, keys, num_buckets)
+        order = np.argsort(bucket, kind="stable")
+        sb = bucket[order]
+        bounds = np.r_[np.flatnonzero(np.r_[True, sb[1:] != sb[:-1]]), len(sb)]
+        body = block.take(pa.array(order)).combine_chunks()
+        for i in range(len(bounds) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            piece = body.slice(lo, hi - lo).combine_chunks()
+            b = int(sb[lo])
+            outs[b] = piece
+            stats[b] = (hi - lo, piece.nbytes)
+    return [stats] + outs
+
+
+def run_exchange_obj(ds, keys: list[str], num_buckets: int, side: str,
+                     transform=None, batch_size: int | None = 65536):
+    """Stage 1 over the object store. Returns
+    ``(index: dict[bucket -> list[ObjectRef[pa.Table]]], bytes_per_bucket)``.
+    ``side`` is accepted for interface parity with :func:`run_exchange`."""
+    import ray
+
+    del side  # no per-side namespace needed: refs are already unique
+    if batch_size is not None:
+        # to_arrow_refs() yields one ref per BLOCK; honor the requested
+        # granularity so pack tasks see comparable batch sizes
+        ds = ds.map_batches(
+            lambda b: b, batch_format="pyarrow", batch_size=batch_size
+        )
+    block_refs = ds.to_arrow_refs()
+    pack = ray.remote(_pack_block)
+    outs = [
+        pack.options(num_returns=num_buckets + 1).remote(
+            br, keys, num_buckets, transform
+        )
+        for br in block_refs
+    ]
+    index: dict[int, list] = {}
+    nbytes: dict[int, int] = {}
+    for refs in outs:
+        stats = ray.get(refs[0])
+        for b, (rows, by) in stats.items():
+            index.setdefault(int(b), []).append(refs[1 + int(b)])
+            nbytes[int(b)] = nbytes.get(int(b), 0) + int(by)
+    return index, nbytes
+
+
+def read_bucket_obj(index: dict[int, list], buckets: list[int],
+                    schema: pa.Schema) -> pa.Table:
+    """Reduce-side fetch of the given buckets' tables from the object
+    store (one batched ray.get; plasma dedupes and zero-copies locally)."""
+    import ray
+
+    refs = [r for b in buckets for r in index.get(b, ())]
+    if not refs:
+        return schema.empty_table()
+    tables = [t for t in ray.get(refs) if t is not None and t.num_rows]
+    if not tables:
+        return schema.empty_table()
+    return pa.concat_tables(tables, promote_options="none")
+
+
+class Exchange:
+    """Transport-selecting facade used by join/asof: ``transport`` is
+    "fs" (packed-IPC staging files — fastest with fast shared storage)
+    or "object" (Ray object store — works on any cluster). Defaults to
+    $TENZIR_RAY_EXCHANGE_TRANSPORT or "fs"."""
+
+    def __init__(self, tag: str, transport: str | None = None,
+                 staging_root: str | None = None):
+        self.transport = transport or default_transport()
+        if self.transport not in ("fs", "object"):
+            raise ValueError(f"unknown exchange transport {self.transport!r}")
+        self.staging = (
+            new_staging(tag, staging_root) if self.transport == "fs" else None
+        )
+
+    def run(self, ds, keys, num_buckets, side, transform=None,
+            batch_size: int | None = 65536):
+        if self.transport == "fs":
+            return run_exchange(
+                ds, keys, num_buckets, self.staging, side,
+                transform=transform, batch_size=batch_size,
+            )
+        return run_exchange_obj(
+            ds, keys, num_buckets, side, transform=transform,
+            batch_size=batch_size,
+        )
+
+    def reader(self, index, schema: pa.Schema):
+        """A picklable callable (buckets) -> pa.Table for reduce tasks.
+        Object-store refs ride in the closure — Ray's closure-capture
+        reference counting keeps them alive for the reader's lifetime."""
+        if self.transport == "fs":
+            staging = self.staging
+
+            def read_fs(buckets: list[int]) -> pa.Table:
+                return read_bucket(staging, index, buckets, schema)
+
+            return read_fs
+
+        def read_obj(buckets: list[int]) -> pa.Table:
+            return read_bucket_obj(index, buckets, schema)
+
+        return read_obj
 
 
 ship_by_value(sys.modules[__name__])

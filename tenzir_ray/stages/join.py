@@ -32,11 +32,9 @@ import pyarrow as pa
 
 from tenzir_ray._ship import ship_by_value
 from tenzir_ray.stages.exchange import (
+    Exchange,
     coalesce_tasks,
     default_buckets,
-    new_staging,
-    read_bucket,
-    run_exchange,
 )
 
 
@@ -52,13 +50,9 @@ def _task_buckets(batch: pa.Table) -> list[int]:
 
 
 class _HashJoinReducer:
-    def __init__(self, staging, lidx, ridx, l_schema, r_schema,
-                 lkeys, rkeys, how, out_cols):
-        self.staging = staging
-        self.lidx = lidx
-        self.ridx = ridx
-        self.l_schema = l_schema
-        self.r_schema = r_schema
+    def __init__(self, read_l, read_r, lkeys, rkeys, how, out_cols):
+        self.read_l = read_l
+        self.read_r = read_r
         self.lkeys = lkeys
         self.rkeys = rkeys
         self.join_type = {"inner": "inner", "left": "left outer"}[how]
@@ -67,8 +61,8 @@ class _HashJoinReducer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         bl = _task_buckets(batch)
-        ltbl = read_bucket(self.staging, self.lidx, bl, self.l_schema)
-        rtbl = read_bucket(self.staging, self.ridx, bl, self.r_schema)
+        ltbl = self.read_l(bl)
+        rtbl = self.read_r(bl)
         joined = ltbl.join(
             rtbl,
             keys=self.lkeys,
@@ -83,13 +77,18 @@ def hash_join(left, right, on: str | list[str], right_on: str | list[str] | None
               how: str = "inner", right_suffix: str = "_r",
               num_buckets: int | None = None,
               target_task_bytes: int = 128 << 20,
-              batch_size: int | None = 65536):
+              batch_size: int | None = 65536,
+              transport: str | None = None,
+              staging_root: str | None = None):
     """Co-partitioned hash join of two Datasets via the packed exchange.
 
     ``on``/``right_on`` name the key columns; overlapping non-key columns
     from the right get ``right_suffix``. Supported ``how``: inner, left.
     When the two sides' key names differ, both key columns appear in the
     output (pandas-merge convention); identical names coalesce into one.
+    ``transport``: "fs" (packed-IPC staging; needs shared storage
+    multi-node — configure via ``staging_root`` / $TENZIR_RAY_EXCHANGE_ROOT)
+    or "object" (Ray object store, no shared-FS requirement).
     """
     import ray.data
 
@@ -141,7 +140,7 @@ def hash_join(left, right, on: str | list[str], right_on: str | list[str] | None
     ]
 
     B = num_buckets or default_buckets()
-    staging = new_staging("join")
+    ex = Exchange("join", transport, staging_root)
 
     def _cast_cols(casts: dict):
         def f(b: pa.Table) -> pa.Table:
@@ -156,19 +155,20 @@ def hash_join(left, right, on: str | list[str], right_on: str | list[str] | None
         b = b.rename_columns([rename_r.get(c, c) for c in b.column_names])
         return _cast_cols(r_casts)(b)
 
-    lidx, lbytes = run_exchange(
-        left, lkeys, B, staging, "l",
+    lidx, lbytes = ex.run(
+        left, lkeys, B, "l",
         transform=_cast_cols(l_casts) if l_casts else None,
         batch_size=batch_size,
     )
-    ridx, rbytes = run_exchange(
-        right, r_key_names, B, staging, "r", transform=_ren, batch_size=batch_size
+    ridx, rbytes = ex.run(
+        right, r_key_names, B, "r", transform=_ren, batch_size=batch_size
     )
     relevant = set(lidx) & set(ridx) if how == "inner" else set(lidx)
     total = {b: lbytes.get(b, 0) + rbytes.get(b, 0) for b in relevant}
     tasks = coalesce_tasks(list(relevant), total, target_task_bytes)
     reducer = _HashJoinReducer(
-        staging, lidx, ridx, l_arrow, r_arrow, lkeys, r_key_names, how, out_cols
+        ex.reader(lidx, l_arrow), ex.reader(ridx, r_arrow),
+        lkeys, r_key_names, how, out_cols,
     )
     if not tasks:
         empty = reducer(pa.table({"buckets": pa.array([[]], pa.list_(pa.int64()))}))
@@ -179,13 +179,9 @@ def hash_join(left, right, on: str | list[str], right_on: str | list[str] | None
 
 
 class _AsofReducer:
-    def __init__(self, staging, lidx, ridx, l_schema, r_schema,
-                 keys, on, direction, out_schema):
-        self.staging = staging
-        self.lidx = lidx
-        self.ridx = ridx
-        self.l_schema = l_schema
-        self.r_schema = r_schema
+    def __init__(self, read_l, read_r, keys, on, direction, out_schema):
+        self.read_l = read_l
+        self.read_r = read_r
         self.keys = keys
         self.on = on
         self.direction = direction
@@ -193,8 +189,8 @@ class _AsofReducer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         bl = _task_buckets(batch)
-        ltbl = read_bucket(self.staging, self.lidx, bl, self.l_schema)
-        rtbl = read_bucket(self.staging, self.ridx, bl, self.r_schema)
+        ltbl = self.read_l(bl)
+        rtbl = self.read_r(bl)
         lhs = ltbl.to_pandas().sort_values(self.on, kind="mergesort")
         if rtbl.num_rows == 0:
             # typed null padding straight in Arrow — no pandas objects
@@ -236,7 +232,9 @@ def asof_join(left, right, by: str | list[str], on: str,
               direction: str = "backward", right_suffix: str = "_r",
               num_buckets: int | None = None,
               target_task_bytes: int = 128 << 20,
-              batch_size: int | None = 65536):
+              batch_size: int | None = 65536,
+              transport: str | None = None,
+              staging_root: str | None = None):
     """As-of join: for each left row, the latest right row with
     ``right.on <= left.on`` (direction="backward") within the same
     ``by`` key — the time-series enrichment join. Both sides exchange on
@@ -254,26 +252,62 @@ def asof_join(left, right, by: str | list[str], on: str,
     }
     l_arrow = _arrow_schema(lschema)
     r_arrow = _arrow_schema(rschema, rename_r)
+
+    # widen mismatched by/on key dtypes to their common type, mirroring
+    # hash_join: key_buckets co-buckets int32-vs-int64 fine, but
+    # pd.merge_asof raises MergeError on incompatible key dtypes at
+    # reduce time — a late, confusing failure for inputs hash_join accepts
+    from tenzir_ray.cdc.registry import widen
+
+    l_casts: dict[str, pa.DataType] = {}
+    r_casts: dict[str, pa.DataType] = {}
+    for k in keys + [on]:
+        lt = l_arrow.field(k).type
+        rt = r_arrow.field(k).type
+        if not lt.equals(rt):
+            try:
+                wt = widen(lt, rt)
+            except TypeError:
+                if k == on:
+                    # e.g. string-vs-timestamp `on`: the reducer's
+                    # to_datetime path reconciles those at merge time
+                    continue
+                raise
+            l_casts[k] = wt
+            r_casts[k] = wt
+            l_arrow = l_arrow.set(l_arrow.get_field_index(k), pa.field(k, wt))
+            r_arrow = r_arrow.set(r_arrow.get_field_index(k), pa.field(k, wt))
+
     out_schema = pa.schema(
         list(l_arrow)
         + [f for f in r_arrow if f.name not in keys and f.name != on]
     )
 
     B = num_buckets or default_buckets()
-    staging = new_staging("asof")
+    ex = Exchange("asof", transport, staging_root)
+
+    def _cast(b: pa.Table, casts: dict) -> pa.Table:
+        for name, t in casts.items():
+            i = b.schema.get_field_index(name)
+            b = b.set_column(i, name, b.column(name).cast(t))
+        return b
 
     def _ren(b: pa.Table) -> pa.Table:
-        return b.rename_columns([rename_r.get(c, c) for c in b.column_names])
+        b = b.rename_columns([rename_r.get(c, c) for c in b.column_names])
+        return _cast(b, r_casts) if r_casts else b
 
-    lidx, lbytes = run_exchange(left, keys, B, staging, "l", batch_size=batch_size)
-    ridx, rbytes = run_exchange(
-        right, keys, B, staging, "r", transform=_ren, batch_size=batch_size
+    lidx, lbytes = ex.run(
+        left, keys, B, "l",
+        transform=(lambda b: _cast(b, l_casts)) if l_casts else None,
+        batch_size=batch_size,
     )
+    ridx, rbytes = ex.run(right, keys, B, "r", transform=_ren, batch_size=batch_size)
     relevant = set(lidx)  # as-of is a left join
     total = {b: lbytes.get(b, 0) + rbytes.get(b, 0) for b in relevant}
     tasks = coalesce_tasks(list(relevant), total, target_task_bytes)
     reducer = _AsofReducer(
-        staging, lidx, ridx, l_arrow, r_arrow, keys, on, direction, out_schema
+        ex.reader(lidx, l_arrow), ex.reader(ridx, r_arrow),
+        keys, on, direction, out_schema,
     )
     if not tasks:
         return ray.data.from_arrow(out_schema.empty_table())

@@ -353,9 +353,13 @@ def _partial_summarize(ds, keys: list[str], parsed: list[tuple[str, str, str]]):
         elif fn in ("mean", "avg"):
             out[alias] = merged[f"{alias}__s"] / merged[f"{alias}__c"]
         elif fn == "any":
-            out[alias] = merged[f"{alias}__mx"].astype(bool)
+            # all-null group: max partial is NaN and astype(bool) maps
+            # NaN→True; fill to match the Arrow-native path (any→False)
+            mx = merged[f"{alias}__mx"]
+            out[alias] = mx.notna() & mx.where(mx.notna(), False).astype(bool)
         elif fn == "all":
-            out[alias] = merged[f"{alias}__mn"].astype(bool)
+            mn = merged[f"{alias}__mn"]
+            out[alias] = mn.isna() | mn.where(mn.notna(), True).astype(bool)
         elif fn in ("variance", "var_pop", "stddev", "stddev_pop"):
             n = merged[f"{alias}__c"].astype(np.float64)
             s = merged[f"{alias}__s"].astype(np.float64)
@@ -443,7 +447,9 @@ def summarize_hash(ds, by: str | list[str], buckets: int = 64, **aggs: str):
     def _bucket(df: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_array(df[keys[0]].to_numpy())
         for k in keys[1:]:
-            h = h ^ pd.util.hash_array(df[k].to_numpy())
+            # multiply-then-xor (FNV-style) so equal values in two key
+            # columns don't cancel to one hot bucket (plain XOR would)
+            h = (h * np.uint64(0x100000001B3)) ^ pd.util.hash_array(df[k].to_numpy())
         df["_b"] = h % buckets
         return df
 

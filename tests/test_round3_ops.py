@@ -1,0 +1,144 @@
+"""Round-3 regression tests: ADVICE r2 fixes + new exchange transport."""
+
+import os
+from datetime import datetime
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+# ---------------------------------------------------------------- exchange
+
+
+def _mk_sides(ray):
+    import ray.data as rd
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(list(range(200)) * 2, pa.int32()),
+        "lx": pa.array(range(400), pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array(list(range(0, 400, 2)), pa.int64()),
+        "ry": pa.array([f"v{i}" for i in range(200)], pa.string()),
+    }))
+    return left, right
+
+
+def _join_df(ds):
+    df = ds.to_pandas()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_hash_join_object_transport_matches_fs(ray_session):
+    from tenzir_ray.stages.join import hash_join
+
+    left, right = _mk_sides(ray_session)
+    a = _join_df(hash_join(left, right, on="k", transport="fs"))
+    b = _join_df(hash_join(left, right, on="k", transport="object"))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 200  # even ks 0..198, each appearing twice on left
+
+
+def test_asof_join_object_transport_matches_fs(ray_session):
+    import ray.data as rd
+
+    from tenzir_ray.stages.join import asof_join
+
+    left = rd.from_arrow(pa.table({
+        "g": pa.array([1, 1, 2, 2] * 25, pa.int64()),
+        "t": pa.array(list(range(100)), pa.int64()),
+        "v": pa.array(np.arange(100.0)),
+    }))
+    right = rd.from_arrow(pa.table({
+        "g": pa.array([1, 2] * 10, pa.int64()),
+        "t": pa.array(list(range(0, 100, 5)), pa.int64()),
+        "s": pa.array([f"s{i}" for i in range(20)], pa.string()),
+    }))
+    a = _join_df(asof_join(left, right, by="g", on="t", transport="fs"))
+    b = _join_df(asof_join(left, right, by="g", on="t", transport="object"))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_exchange_root_env_override(ray_session, tmp_path, monkeypatch):
+    from tenzir_ray.stages import exchange
+    from tenzir_ray.stages.join import hash_join
+
+    monkeypatch.setenv(exchange.ROOT_ENV, str(tmp_path))
+    left, right = _mk_sides(ray_session)
+    out = hash_join(left, right, on="k", transport="fs")
+    n = out.count()
+    assert n == 200
+    staged = os.listdir(tmp_path / "tenzir_ray_exchange")
+    assert any(d.startswith("join-") for d in staged)
+
+
+def test_asof_join_widens_mismatched_by_dtypes(ray_session):
+    """ADVICE r2: int32-vs-int64 `by` keys must not raise MergeError."""
+    import ray.data as rd
+
+    from tenzir_ray.stages.join import asof_join
+
+    left = rd.from_arrow(pa.table({
+        "g": pa.array([1, 2] * 10, pa.int32()),
+        "t": pa.array(list(range(20)), pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "g": pa.array([1, 2], pa.int64()),
+        "t": pa.array([0, 1], pa.int32()),
+        "s": pa.array(["a", "b"], pa.string()),
+    }))
+    df = asof_join(left, right, by="g", on="t").to_pandas()
+    assert len(df) == 20
+    assert df["s"].notna().all()
+
+
+def test_key_buckets_equal_columns_spread(ray_session):
+    """ADVICE r2: src==dst rows must not all collapse into bucket(0)."""
+    from tenzir_ray.stages.exchange import key_buckets
+
+    n = 4096
+    vals = pa.array(np.arange(n), pa.int64())
+    t = pa.table({"src": vals, "dst": vals})
+    b = key_buckets(t, ["src", "dst"], 64)
+    assert len(np.unique(b)) > 32  # uniform-ish, definitely not 1 bucket
+
+
+# ---------------------------------------------------------------- summarize
+
+
+def test_any_all_all_null_group_partial_path(ray_session):
+    import ray.data as rd
+
+    from tenzir_ray.stages.summarize import summarize
+
+    t = pa.table({
+        "k": pa.array(["a", "a", "b", "b"]),
+        "flag": pa.array([True, None, None, None], pa.bool_()),
+    })
+    out = summarize(rd.from_arrow(t), by="k", anyf="any(flag)", allf="all(flag)")
+    df = out.to_pandas().sort_values("k").reset_index(drop=True)
+    # group b is entirely null: any→False, all→True (Arrow-native semantics)
+    assert bool(df.loc[df.k == "b", "anyf"].iloc[0]) is False
+    assert bool(df.loc[df.k == "b", "allf"].iloc[0]) is True
+    assert bool(df.loc[df.k == "a", "anyf"].iloc[0]) is True
+    assert bool(df.loc[df.k == "a", "allf"].iloc[0]) is True
+
+
+# ---------------------------------------------------------------- cron
+
+
+def test_cron_dom_dow_or_semantics():
+    from tenzir_ray.pipelines.schedule import cron_next
+
+    # '0 0 13 * 5': fires on the 13th of any month OR any Friday
+    # 2026-03-05 is a Thursday; next Friday is 2026-03-06, well before the 13th
+    nxt = cron_next("0 0 13 * 5", datetime(2026, 3, 5, 12, 0))
+    assert nxt == datetime(2026, 3, 6, 0, 0)
+    # restricted dom + '*' dow: pure AND on dom (the 13th)
+    nxt = cron_next("0 0 13 * *", datetime(2026, 3, 5, 12, 0))
+    assert nxt == datetime(2026, 3, 13, 0, 0)
+    # '*' dom + restricted dow: fires on the weekday
+    nxt = cron_next("0 0 * * 5", datetime(2026, 3, 5, 12, 0))
+    assert nxt == datetime(2026, 3, 6, 0, 0)
