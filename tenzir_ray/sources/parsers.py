@@ -48,9 +48,54 @@ class _NdjsonParser:
         self.schema = schema
         self.arrays_of_objects = arrays_of_objects
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _fast(self, col: pa.Array) -> pa.Table | None:
+        """Whole-column parse through Arrow's C++ NDJSON reader — one
+        parse per BATCH instead of one ``json.loads`` per row (the hot
+        ingest path; same shape as transforms.parse_json). Returns None
+        on any input the C++ reader can't take faithfully (malformed
+        lines, top-level non-objects) — the per-row loop then handles
+        the batch, including its ``_parse_error`` row tagging."""
+        import io
+
+        import pyarrow.compute as pc
+        import pyarrow.json as pa_json
+
+        trimmed = pc.utf8_trim_whitespace(pc.fill_null(col, ""))
+        keep = pc.not_equal(trimmed, "")
+        lines = col.filter(keep)
+        if len(lines) == 0:
+            return pa.table({})
+        try:
+            lst = pa.ListArray.from_arrays(
+                pa.array([0, len(lines)], pa.int32()), lines
+            )
+            blob = pc.binary_join(lst, "\n")[0].as_py().encode()
+            parsed = pa_json.read_json(io.BytesIO(blob))
+        except Exception:
+            return None
+        if parsed.num_rows != len(lines):
+            return None  # embedded-newline edge — fall back
+        if self.selector:
+            # schema-per-event selector (json.cpp --selector): the
+            # selector field's STRING value becomes the #schema analog;
+            # non-string selector columns keep the per-row path (str()
+            # of Python values differs from an Arrow cast)
+            if self.selector in parsed.column_names:
+                sc = parsed.column(self.selector)
+                if not pa.types.is_string(sc.type):
+                    return None
+                parsed = parsed.append_column(
+                    "_schema", pc.fill_null(sc, "")
+                )
+            else:
+                parsed = parsed.append_column(
+                    "_schema", pa.array([""] * parsed.num_rows, pa.string())
+                )
+        return parsed
+
+    def _slow(self, col: pa.Array) -> pa.Table:
         rows = []
-        for line in batch.column(self.column).to_pylist():
+        for line in col.to_pylist():
             if not line or not line.strip():
                 continue
             try:
@@ -72,7 +117,15 @@ class _NdjsonParser:
                     # record the selector value as the #schema analog
                     obj["_schema"] = str(obj.get(self.selector, ""))
                 rows.append(obj)
-        tbl = _from_pylist_uniform(rows)
+        return _from_pylist_uniform(rows)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        tbl = None if self.arrays_of_objects else self._fast(col)
+        if tbl is None:
+            tbl = self._slow(col)
         if self.schema is not None:
             # SchemaRegistry captured at module import: a runtime
             # tenzir_ray import inside a shipped callable fails on

@@ -1063,13 +1063,23 @@ def print_ndjson(ds, out: str = "text", keep: bool = False):
     def _print(batch: pa.Table) -> pa.Table:
         import pandas as pd_mod
 
-        lines = pd_mod.DataFrame(batch.to_pylist()).apply(
-            lambda r: json.dumps(
-                {k: v for k, v in r.items()}, default=str, separators=(",", ":")
-            ),
-            axis=1,
-        ) if batch.num_rows else pd_mod.Series([], dtype=object)
-        arr = pa.array(lines.tolist(), pa.string())
+        if batch.num_rows == 0:
+            arr = pa.array([], pa.string())
+        else:
+            df = batch.to_pandas()
+            # pandas' C serializer writes the whole frame in one call
+            # (was a per-row json.dumps via DataFrame.apply). Datetimes
+            # pre-stringify so the output matches str(Timestamp) — the
+            # same rendering default=str produced; nested list/struct
+            # columns stay object dtype and to_json handles them.
+            for c in df.columns:
+                if pd_mod.api.types.is_datetime64_any_dtype(df[c]):
+                    df[c] = df[c].astype(str)
+            txt = df.to_json(
+                orient="records", lines=True, force_ascii=True,
+                double_precision=15, default_handler=str,
+            )
+            arr = pa.array(txt.splitlines(), pa.string())
         if keep:
             return batch.append_column(out, arr)
         return pa.table({out: arr})

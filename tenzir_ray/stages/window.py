@@ -90,11 +90,30 @@ def session_window(ds, ts_column: str, gap: str, by: str | list[str],
     gap_ns = _to_ns(gap)
     keys = [by] if isinstance(by, str) else list(by)
 
-    def _sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_column, kind="mergesort")
+    from tenzir_ray.stages.transforms import _bucketed_groups
+
+    def _sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """ONE vectorized sessionization over ALL keys in the bucket:
+        sort by (keys, ts), mark session starts where the key tuple
+        changes OR the gap is exceeded, cumsum session ids, one pandas
+        groupby. No per-key Python — the per-group ``map_groups`` trap
+        (~4 ms/group) this replaces melts at millions of session keys."""
+        if not len(g):
+            cols = keys + ["session_start", "session_end", "n"]
+            if agg_column:
+                cols.append("total")
+            return pd.DataFrame({c: [] for c in cols})
+        g = g.sort_values(keys + [ts_column], kind="mergesort")
         # normalize to ns regardless of the column's stored resolution
         ts = pd.to_datetime(g[ts_column]).astype("datetime64[ns]").astype("int64").to_numpy()
-        new_session = np.r_[True, (ts[1:] - ts[:-1]) > gap_ns]
+        key_change = np.zeros(len(g), dtype=bool)
+        key_change[0] = True
+        for k in keys:
+            # factorize: null keys get one sentinel code, so null==null
+            # (a null-keyed group sessionizes as one key, not per-row)
+            codes = pd.factorize(g[k], use_na_sentinel=True)[0]
+            key_change[1:] |= codes[1:] != codes[:-1]
+        new_session = key_change | np.r_[True, (ts[1:] - ts[:-1]) > gap_ns]
         sid = np.cumsum(new_session)
         g = g.assign(_sid=sid)
         gb = g.groupby(keys + ["_sid"], as_index=False, sort=False)
@@ -103,10 +122,10 @@ def session_window(ds, ts_column: str, gap: str, by: str | list[str],
                 "n": (ts_column, "size")}
         if agg_column:
             aggs["total"] = (agg_column, "sum")
-        out = gb.agg(**aggs).drop(columns=["_sid"])
-        return out
+        return gb.agg(**aggs).drop(columns=["_sid"])
 
-    return ds.groupby(keys).map_groups(_sessions, batch_format="pandas")
+    cols = keys + [ts_column] + ([agg_column] if agg_column else [])
+    return _bucketed_groups(ds.select_columns(cols), keys, _sessions_bucket)
 
 
 ship_by_value(sys.modules[__name__])

@@ -56,20 +56,20 @@ class _Enricher:
         import ray
 
         ctx: LookupTable = ray.get(ctx_ref)  # once per actor
-        self.df = ctx.table.to_pandas().drop_duplicates(subset=[ctx.key], keep="last")
-        self.key = ctx.key
+        df = ctx.table.to_pandas().drop_duplicates(subset=[ctx.key], keep="last")
+        # pre-rename ONCE per actor — renaming per batch copied the whole
+        # dimension frame on every call (the per-batch state-setup trap
+        # this actor's __init__ exists to avoid)
+        self.right = df.rename(
+            columns={c: (prefix + c) for c in df.columns if c != ctx.key}
+        ).rename(columns={ctx.key: field})
         self.field = field
-        self.prefix = prefix
         self.replace = replace
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        right = self.df.rename(
-            columns={
-                c: (self.prefix + c) for c in self.df.columns if c != self.key
-            }
-        ).rename(columns={self.key: self.field})
-        out = batch.merge(right, on=self.field, how="inner" if self.replace else "left")
-        return out
+        return batch.merge(
+            self.right, on=self.field, how="inner" if self.replace else "left"
+        )
 
 
 def enrich(ds, context: LookupTable, field: str, prefix: str = "",
