@@ -1303,7 +1303,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = lake.read(columns=["conv_id", "turn_idx"])
         return T.where(ds, "turn_idx < 5")
 
+    def where_subnet(sf):
+        # typed CIDR literal in the expression language (reference
+        # expressions.md ip/subnet literals; type.hpp:674 ip type):
+        # first octet 9..12 derived from event_id, so `in 10.0.0.0/8`
+        # selects exactly event_id % 4 == 1; the conjunct `event_id <
+        # 5000` stays parquet-pushdown-able (compile_filter split)
+        import pandas as pd
+
+        def _mk(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "event_id": df["event_id"],
+                "src_ip": (9 + df["event_id"] % 4).astype(str) + "."
+                + (df["user_id"] % 256).astype(str) + ".0."
+                + (df["event_id"] % 250).astype(str),
+            })
+
+        ds = _read(sf, "events", columns=["event_id", "user_id"]).map_batches(
+            _mk, batch_format="pandas"
+        )
+        return T.where(ds, "src_ip in 10.0.0.0/8 and event_id < 5000")
+
+    def ip_typed_roundtrip(sf):
+        # string ip → fixed_size_binary(16) (v4-mapped, the reference's
+        # ip storage) → canonical string; oracle checks the identity
+        import pandas as pd
+
+        from tenzir_ray.iptype import cast_ip, ip_to_string
+
+        def _mk(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "event_id": df["event_id"],
+                "src_ip": (9 + df["event_id"] % 4).astype(str) + "."
+                + (df["user_id"] % 256).astype(str) + ".0."
+                + (df["event_id"] % 250).astype(str),
+            })
+
+        ds = _read(sf, "events", columns=["event_id", "user_id"]).map_batches(
+            _mk, batch_format="pandas"
+        )
+        return ip_to_string(cast_ip(ds, "src_ip"), "src_ip")
+
     return {
+        "where_subnet": where_subnet,
+        "ip_typed_roundtrip": ip_typed_roundtrip,
         "asof_status": asof_status,
         "join_revenue_by_priority": join_revenue_by_priority,
         "ann_ivf_topk": ann_ivf_topk,
@@ -1389,6 +1432,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "where_subnet": """
+            SELECT event_id,
+                   CAST(9 + event_id % 4 AS VARCHAR) || '.' ||
+                   CAST(user_id % 256 AS VARCHAR) || '.0.' ||
+                   CAST(event_id % 250 AS VARCHAR) AS src_ip
+            FROM events
+            WHERE event_id % 4 = 1 AND event_id < 5000
+        """,
+        "ip_typed_roundtrip": """
+            SELECT event_id,
+                   CAST(9 + event_id % 4 AS VARCHAR) || '.' ||
+                   CAST(user_id % 256 AS VARCHAR) || '.0.' ||
+                   CAST(event_id % 250 AS VARCHAR) AS src_ip
+            FROM events
+        """,
         "q1_pricing_summary": """
             WITH t AS (
                 SELECT l_returnflag, l_linestatus,

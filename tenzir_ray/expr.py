@@ -44,6 +44,14 @@ def _lift(op):
     Python scalars on the left into pc.scalar expressions."""
 
     def f(a, b):
+        from datetime import timedelta
+
+        # date-string ± duration literal → datetime arithmetic
+        # ('2026-01-15' + 36h); _date_literal is a no-op on other strings
+        if isinstance(a, timedelta) and isinstance(b, str):
+            b = _date_literal(b)
+        elif isinstance(b, timedelta) and isinstance(a, str):
+            a = _date_literal(a)
         if not isinstance(a, pads.Expression) and isinstance(b, pads.Expression):
             a = pc.scalar(a)
         return op(a, b)
@@ -84,13 +92,87 @@ def _date_literal(v):
     return v
 
 
+# --- typed literals (reference web/docs/language/expressions.md) ----------
+# The reference's language has first-class ip (1.2.3.4), subnet
+# (10.0.0.0/8) and duration (24h) literals. Python's ast can't lex those,
+# so a quote-aware preprocessor rewrites them into marker calls
+# (__ip__ / __subnet__ / __dur__) before parsing; users can also write
+# ip("..."), subnet("...") and dur("...") directly (e.g. for IPv6, whose
+# colon syntax can't be rewritten safely).
+
+_re = __import__("re")
+_CIDR_RE = _re.compile(r"(?<![\w.])((?:\d{1,3}\.){3}\d{1,3}/\d{1,3})(?![\w.])")
+_IPV4_RE = _re.compile(r"(?<![\w.])((?:\d{1,3}\.){3}\d{1,3})(?![\w./])")
+_DUR_RE = _re.compile(r"(?<![\w.])(\d+(?:\.\d+)?)(ns|us|ms|s|min|m|h|d|w)\b(?!\s*\()")
+
+_DUR_UNIT_S = {
+    "ns": 1e-9, "us": 1e-6, "ms": 1e-3, "s": 1.0,
+    "m": 60.0, "min": 60.0, "h": 3600.0, "d": 86400.0, "w": 604800.0,
+}
+
+
+def duration_value(text: str):
+    """'24h' / '1.5s' / '250ms' → datetime.timedelta."""
+    from datetime import timedelta
+
+    m = _re.fullmatch(r"(\d+(?:\.\d+)?)\s*([a-z]+)", text.strip())
+    if not m or m.group(2) not in _DUR_UNIT_S:
+        raise ValueError(f"bad duration literal {text!r}")
+    return timedelta(seconds=float(m.group(1)) * _DUR_UNIT_S[m.group(2)])
+
+
+class SubnetLiteral:
+    """Marker produced for CIDR literals; only valid on the right of
+    ``in`` / ``not in`` (membership), compiled to the vectorized
+    iptype.subnet_mask kernel by :func:`compile_filter`."""
+
+    def __init__(self, cidr: str):
+        from tenzir_ray.iptype import parse_cidr
+
+        parse_cidr(cidr)  # validate eagerly — fail at compile time
+        self.cidr = cidr
+
+    def __repr__(self):
+        return f"subnet({self.cidr!r})"
+
+
+def _preprocess(text: str) -> str:
+    """Rewrite ip/subnet/duration literals outside of string quotes."""
+
+    def rewrite(chunk: str) -> str:
+        chunk = _CIDR_RE.sub(r'__subnet__("\1")', chunk)
+        chunk = _IPV4_RE.sub(r'__ip__("\1")', chunk)
+        chunk = _DUR_RE.sub(r'__dur__("\1\2")', chunk)
+        return chunk
+
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch in ("'", '"'):
+            j = i + 1
+            while j < n and (text[j] != ch or text[j - 1] == "\\"):
+                j += 1
+            out.append(text[i : j + 1])
+            i = j + 1
+        else:
+            j = i
+            while j < n and text[j] not in ("'", '"'):
+                j += 1
+            out.append(rewrite(text[i:j]))
+            i = j
+    return "".join(out)
+
+
 def compile_expr(text: str) -> pads.Expression:
     """Compile an expression string to a pyarrow.dataset Expression.
 
     Bare field names become ``pc.field(name)``; dotted paths
-    (``props.id``) become nested field refs.
+    (``props.id``) become nested field refs. Subnet-membership terms are
+    NOT expressible as pads expressions — use :func:`compile_filter`
+    for filter contexts (it splits pushdown vs residual automatically).
     """
-    tree = ast.parse(text, mode="eval")
+    tree = ast.parse(_preprocess(text), mode="eval")
     return _compile(tree.body)
 
 
@@ -102,6 +184,22 @@ def _field_path(node: ast.expr) -> tuple[str, ...] | None:
         if base is not None:
             return base + (node.attr,)
     return None
+
+
+class _Residual(Exception):
+    """Raised when a subtree needs the batch-kernel path (subnet
+    membership) and cannot become a pads expression; compile_filter
+    catches it and compiles that conjunct as a residual mask."""
+
+
+_MARKER_FNS = {
+    "__ip__": lambda s: s,  # ips compare as their string form
+    "ip": lambda s: s,
+    "__dur__": duration_value,
+    "dur": duration_value,
+    "__subnet__": SubnetLiteral,
+    "subnet": SubnetLiteral,
+}
 
 
 def _compile(node: ast.expr):
@@ -123,7 +221,10 @@ def _compile(node: ast.expr):
         for op, comp in zip(node.ops, node.comparators):
             left = _compile(left_node)
             if isinstance(op, (ast.In, ast.NotIn)):
-                term = left.isin(_compile(comp))
+                rhs = _compile(comp)
+                if isinstance(rhs, SubnetLiteral):
+                    raise _Residual(node)  # → compile_filter's mask path
+                term = left.isin(rhs)
                 if isinstance(op, ast.NotIn):
                     term = ~term
             elif isinstance(op, (ast.Is, ast.IsNot)):
@@ -131,7 +232,12 @@ def _compile(node: ast.expr):
                     raise ValueError("`is` only supported with None")
                 term = left.is_null() if isinstance(op, ast.Is) else left.is_valid()
             else:
-                term = _CMPOP[type(op)](left, _date_literal(_compile(comp)))
+                rhs = _date_literal(_compile(comp))
+                if isinstance(rhs, SubnetLiteral) or isinstance(left, SubnetLiteral):
+                    raise ValueError(
+                        "subnet literals are only valid with `in`/`not in`"
+                    )
+                term = _CMPOP[type(op)](left, rhs)
             out = term if out is None else out & term
             left_node = comp
         return out
@@ -146,6 +252,11 @@ def _compile(node: ast.expr):
                 return _METHOD_MAP[node.func.attr](col, *args)
         if isinstance(node.func, ast.Name) and node.func.id == "abs":
             return abs(_compile(node.args[0]))
+        if isinstance(node.func, ast.Name) and node.func.id in _MARKER_FNS:
+            arg = node.args[0]
+            if not (isinstance(arg, ast.Constant) and isinstance(arg.value, str)):
+                raise ValueError(f"{node.func.id}() takes one string literal")
+            return _MARKER_FNS[node.func.id](arg.value)
         raise ValueError(f"unsupported call: {ast.dump(node)}")
     path = _field_path(node)
     if path is not None:
@@ -155,6 +266,136 @@ def _compile(node: ast.expr):
     if isinstance(node, (ast.List, ast.Tuple)):
         return [_compile(e) for e in node.elts]
     raise ValueError(f"unsupported expression node: {ast.dump(node)}")
+
+
+# ---------------------------------------------------------------------------
+# filter compilation: pushdown + residual split
+
+
+class Filter:
+    """A compiled filter: ``pushdown`` (pads.Expression over the
+    pushdown-able conjuncts — hand it to ``read_parquet(filter=)`` /
+    a dataset scan) plus ``residual`` (a batch→bool-mask callable for
+    the kernels pads can't express, e.g. subnet membership). Either may
+    be None. ``apply`` runs both on one batch."""
+
+    def __init__(self, pushdown, residual):
+        self.pushdown = pushdown
+        self.residual = residual
+
+    def apply(self, batch):
+        import pyarrow as pa
+
+        if self.pushdown is not None:
+            batch = pads.dataset(batch).to_table(filter=self.pushdown)
+        if self.residual is not None and batch.num_rows:
+            batch = batch.filter(pa.array(self.residual(batch)))
+        return batch
+
+
+def _split_and(node: ast.expr) -> list[ast.expr]:
+    if isinstance(node, ast.BoolOp) and isinstance(node.op, ast.And):
+        out: list[ast.expr] = []
+        for v in node.values:
+            out.extend(_split_and(v))
+        return out
+    return [node]
+
+
+def _eval_mask(expr, batch):
+    """pads expression → numpy bool mask over the batch (null → False,
+    matching filter semantics)."""
+    import numpy as np
+    import pyarrow as pa
+
+    arr = pads.dataset(batch).to_table(columns={"_": expr}).column("_")
+    return np.asarray(pc.fill_null(arr, False).combine_chunks())
+
+
+def _batch_column(batch, path: tuple[str, ...]):
+    name = ".".join(path)
+    if name in batch.column_names:
+        return batch.column(name)
+    col = batch.column(path[0])
+    for p in path[1:]:
+        import pyarrow.compute as _pc
+
+        col = _pc.struct_field(col, p)
+    return col
+
+
+def _compile_mask(node: ast.expr):
+    """Compile a subtree containing subnet-membership terms into a
+    batch→bool-mask callable: subnet terms go through the vectorized
+    iptype kernel, every other subtree compiles to a pads expression
+    evaluated per batch."""
+    if isinstance(node, ast.BoolOp):
+        subs = [_compile_mask(v) for v in node.values]
+        is_and = isinstance(node.op, ast.And)
+
+        def f_bool(batch):
+            m = subs[0](batch)
+            for s in subs[1:]:
+                m = (m & s(batch)) if is_and else (m | s(batch))
+            return m
+
+        return f_bool
+    if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.Not):
+        inner = _compile_mask(node.operand)
+        return lambda batch: ~inner(batch)
+    if (
+        isinstance(node, ast.Compare)
+        and len(node.ops) == 1
+        and isinstance(node.ops[0], (ast.In, ast.NotIn))
+    ):
+        rhs = _compile(node.comparators[0])
+        if isinstance(rhs, SubnetLiteral):
+            path = _field_path(node.left)
+            if path is None:
+                raise ValueError("subnet membership needs a field on the left")
+            neg = isinstance(node.ops[0], ast.NotIn)
+            # capture the kernel NOW: a runtime `import tenzir_ray...`
+            # inside a shipped-by-value closure fails on workers whose
+            # sys.path lacks the repo (ship-by-value covers code, not
+            # import statements)
+            from tenzir_ray.iptype import subnet_mask as _snm
+
+            def f_subnet(batch, path=path, cidr=rhs.cidr, neg=neg, _snm=_snm):
+                m = _snm(_batch_column(batch, path), cidr)
+                return ~m if neg else m
+
+            return f_subnet
+    expr = _compile(node)  # no subnet in this subtree → pads eval
+    return lambda batch: _eval_mask(expr, batch)
+
+
+def compile_filter(text: str) -> Filter:
+    """Compile a filter expression, splitting top-level conjuncts into a
+    pushdown pads expression and a residual batch-mask callable. This is
+    what `where` and `read_parquet(filter_expr=)` use — CIDR terms like
+    ``src_ip in 10.0.0.0/8`` land in the residual, everything else stays
+    pushdown-able to the parquet row-group scan."""
+    tree = ast.parse(_preprocess(text), mode="eval").body
+    pushdown = None
+    residuals = []
+    for c in _split_and(tree):
+        try:
+            e = _compile(c)
+            pushdown = e if pushdown is None else pushdown & e
+        except _Residual:
+            residuals.append(_compile_mask(c))
+    if not residuals:
+        residual = None
+    elif len(residuals) == 1:
+        residual = residuals[0]
+    else:
+        def residual(batch, _rs=residuals):
+            m = _rs[0](batch)
+            for r in _rs[1:]:
+                m = m & r(batch)
+            return m
+
+    return Filter(pushdown, residual)
 
 
 # ---------------------------------------------------------------------------

@@ -22,11 +22,25 @@ def read_parquet(paths, columns: list[str] | None = None, filter_expr: str | Non
     pyarrow dataset expression evaluated at the row-group level."""
     import ray.data
 
+    residual = None
     if filter_expr is not None:
-        from tenzir_ray.expr import compile_expr
+        from tenzir_ray.expr import compile_filter
 
-        kwargs["filter"] = compile_expr(filter_expr)
-    return ray.data.read_parquet(paths, columns=columns, **kwargs)
+        f = compile_filter(filter_expr)
+        if f.pushdown is not None:
+            kwargs["filter"] = f.pushdown
+        residual = f.residual
+    ds = ray.data.read_parquet(paths, columns=columns, **kwargs)
+    if residual is not None:
+        import pyarrow as pa
+
+        def _post(batch: pa.Table) -> pa.Table:
+            if not batch.num_rows:
+                return batch
+            return batch.filter(pa.array(residual(batch)))
+
+        ds = ds.map_batches(_post, batch_format="pyarrow")
+    return ds
 
 
 def read_csv(paths, delimiter: str = ",", columns: list[str] | None = None,

@@ -54,13 +54,15 @@ def _eval_on_batch(expr, batch: pa.Table):
 
 
 def where(ds, expr: str):
-    """Filter rows by a compiled expression (vectorized bitmap per batch)."""
-    compiled = compile_expr(expr)
+    """Filter rows by a compiled expression (vectorized bitmap per
+    batch). Supports the typed literals (`src_ip in 10.0.0.0/8`, `24h`)
+    via compile_filter's pushdown/residual split."""
+    from tenzir_ray.expr import compile_filter
+
+    compiled = compile_filter(expr)
 
     def _filter(batch: pa.Table) -> pa.Table:
-        import pyarrow.dataset as pads
-
-        return pads.dataset(batch).to_table(filter=compiled)
+        return compiled.apply(batch)
 
     return ds.map_batches(_filter, batch_format="pyarrow")
 

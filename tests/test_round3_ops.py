@@ -126,6 +126,91 @@ def test_any_all_all_null_group_partial_path(ray_session):
     assert bool(df.loc[df.k == "a", "allf"].iloc[0]) is True
 
 
+# ---------------------------------------------------------------- ip/subnet/duration
+
+
+def test_iptype_roundtrip_and_subnet_kernel():
+    from tenzir_ray.iptype import (bytes16_to_ip_strings, ip_strings_to_bytes16,
+                                   subnet_mask)
+
+    ips = pa.array(["10.1.2.3", "192.168.1.7", "2001:db8::1", "junk", None])
+    b16 = ip_strings_to_bytes16(ips)
+    assert b16.type == pa.binary(16)
+    back = bytes16_to_ip_strings(b16)
+    assert back.to_pylist() == ["10.1.2.3", "192.168.1.7", "2001:db8::1", None, None]
+    assert subnet_mask(ips, "10.0.0.0/8").tolist() == [True, False, False, False, False]
+    assert subnet_mask(b16, "10.0.0.0/8").tolist() == [True, False, False, False, False]
+    assert subnet_mask(b16, "2001:db8::/32").tolist() == [False, False, True, False, False]
+
+
+def test_expr_subnet_and_duration_literals(ray_session):
+    import ray.data as rd
+
+    from tenzir_ray.stages import transforms as T
+
+    t = pa.table({
+        "src_ip": pa.array(["10.0.0.1", "10.200.3.4", "11.0.0.1", "192.168.0.9"]),
+        "n": pa.array([1, 2, 3, 4], pa.int64()),
+    })
+    out = T.where(rd.from_arrow(t), "src_ip in 10.0.0.0/8").to_pandas()
+    assert sorted(out["n"]) == [1, 2]
+    out = T.where(rd.from_arrow(t), "src_ip not in 10.0.0.0/8 and n < 4").to_pandas()
+    assert sorted(out["n"]) == [3]
+    # bare ip literal == string comparison
+    out = T.where(rd.from_arrow(t), "src_ip == 192.168.0.9").to_pandas()
+    assert out["n"].tolist() == [4]
+    # duration literal in timestamp arithmetic
+    ts = pa.table({
+        "ts": pa.array([pd.Timestamp("2026-01-15") + pd.Timedelta(hours=h)
+                        for h in (0, 12, 40)]),
+        "i": pa.array([0, 1, 2], pa.int64()),
+    })
+    out = T.where(rd.from_arrow(ts), "ts < '2026-01-15' + 36h").to_pandas()
+    assert out["i"].tolist() == [0, 1]
+
+
+def test_compile_filter_split():
+    from tenzir_ray.expr import compile_filter
+
+    f = compile_filter("n > 1 and src_ip in 10.0.0.0/8")
+    assert f.pushdown is not None and f.residual is not None
+    t = pa.table({
+        "src_ip": pa.array(["10.0.0.1", "10.1.1.1", "11.0.0.1"]),
+        "n": pa.array([1, 2, 3], pa.int64()),
+    })
+    out = f.apply(t)
+    assert out.column("n").to_pylist() == [2]
+    # pure-pushdown expression has no residual
+    f2 = compile_filter("n > 1")
+    assert f2.residual is None
+
+
+def test_read_parquet_filter_expr_with_subnet(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.sources.readers import read_parquet
+
+    p = str(tmp_path / "ips.parquet")
+    pq.write_table(pa.table({
+        "ip": pa.array(["10.0.0.%d" % i if i % 2 else "172.16.0.%d" % i
+                        for i in range(100)]),
+        "i": pa.array(range(100), pa.int64()),
+    }), p)
+    out = read_parquet(p, filter_expr="ip in 10.0.0.0/8 and i < 50").to_pandas()
+    assert len(out) == 25 and (out["i"] % 2 == 1).all()
+
+
+def test_cast_ip_dataset_roundtrip(ray_session):
+    import ray.data as rd
+
+    from tenzir_ray.iptype import cast_ip, ip_to_string
+
+    t = pa.table({"ip": pa.array(["10.0.0.1", "8.8.8.8", None])})
+    typed = cast_ip(rd.from_arrow(t), "ip")
+    back = ip_to_string(typed, "ip").to_pandas()
+    assert back["ip"].tolist()[:2] == ["10.0.0.1", "8.8.8.8"]
+
+
 # ---------------------------------------------------------------- cron
 
 
