@@ -499,6 +499,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).run()
         return out
 
+    def tql_revenue(sf):
+        # textual front-end (exec_pipeline.cpp:186 tql::parse analog):
+        # the string parses to steps, the optimizer fuses where+select
+        # into the parquet scan (filter/projection pushdown)
+        from tenzir_ray.pipelines.tql import run_pipeline
+
+        return run_pipeline(
+            f"read_parquet {sf}/lineitem.parquet "
+            "| where l_quantity > 45 "
+            "| select l_returnflag, l_quantity "
+            "| summarize total_qty=sum(l_quantity), n=count(*) by l_returnflag "
+            "| sort l_returnflag"
+        )
+
+    def slice_stride_orders(sf):
+        # reference slice.cpp b:e:stride parity over an explicit order
+        return T.slice_(
+            _read(sf, "orders", columns=["o_orderkey", "o_totalprice"]),
+            10, 200, stride=7, order_by="o_orderkey",
+        )
+
     def syslog_parse(sf):
         import pandas as pd
 
@@ -1363,6 +1384,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "timeshift_events": timeshift_events,
         "sigma_match": sigma_match,
         "pipeline_revenue": pipeline_revenue,
+        "tql_revenue": tql_revenue,
+        "slice_stride_orders": slice_stride_orders,
         "syslog_parse": syslog_parse,
         "streaming_dedup_types": streaming_dedup_types,
         "pseudonymize_ips": pseudonymize_ips,
@@ -1615,6 +1638,19 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_revenue": """
             SELECT l_returnflag, sum(l_quantity) AS total_qty, count(*) AS n
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "tql_revenue": """
+            SELECT l_returnflag, sum(l_quantity) AS total_qty, count(*) AS n
+            FROM lineitem WHERE l_quantity > 45
+            GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "slice_stride_orders": """
+            WITH o AS (
+                SELECT o_orderkey, o_totalprice,
+                       row_number() OVER (ORDER BY o_orderkey) - 1 AS rn
+                FROM orders)
+            SELECT o_orderkey, o_totalprice FROM o
+            WHERE rn >= 10 AND rn < 200 AND (rn - 10) % 7 = 0
         """,
         "doc_quality": """
             WITH t AS (

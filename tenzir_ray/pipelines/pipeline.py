@@ -198,6 +198,75 @@ def show(aspect: str | None = None):
     return aspects[aspect]
 
 
+def optimize_steps(steps: list[dict[str, Any]]) -> list[dict[str, Any]]:
+    """The reference's right-to-left ``optimize(filter, order)`` pass
+    (libtenzir/include/tenzir/pipeline.hpp:252-321: operators pull
+    filters/projections backwards into their upstream) as a peephole
+    over the step list:
+
+    - adjacent ``where`` steps merge into one conjunction;
+    - a ``where`` directly after ``read_parquet`` fuses into the read's
+      ``filter_expr`` (row-group pruning) — unless the filter needs a
+      residual kernel (e.g. subnet membership) AND the read is
+      column-pruned (the residual might reference a pruned column);
+    - a ``select`` directly after ``read_parquet`` fuses into the
+      read's ``columns=`` projection when the read's existing filter is
+      fully pushdown-able (a residual may reference non-projected
+      columns, so it blocks projection fusion).
+
+    Results are identical by construction — only WHERE the work happens
+    moves (into the parquet scan).
+    """
+
+    def _residual_free(expr: str) -> bool:
+        from tenzir_ray.expr import compile_filter
+
+        try:
+            return compile_filter(expr).residual is None
+        except Exception:
+            return False
+
+    def _fusable(expr: str) -> bool:
+        from tenzir_ray.expr import compile_filter
+
+        try:
+            compile_filter(expr)
+            return True
+        except Exception:
+            return False
+
+    out: list[dict[str, Any]] = []
+    for step in steps:
+        s = dict(step)
+        name = s.get("op")
+        prev = out[-1] if out else None
+        if name == "where" and prev is not None:
+            if prev.get("op") == "where":
+                prev["expr"] = f"({prev['expr']}) and ({s['expr']})"
+                continue
+            if prev.get("op") == "read_parquet" and _fusable(s["expr"]):
+                if prev.get("columns") is None or _residual_free(s["expr"]):
+                    fe = prev.get("filter_expr")
+                    prev["filter_expr"] = (
+                        f"({fe}) and ({s['expr']})" if fe else s["expr"]
+                    )
+                    continue
+        if (
+            name == "select"
+            and prev is not None
+            and prev.get("op") == "read_parquet"
+            and prev.get("columns") is None
+            and (
+                prev.get("filter_expr") is None
+                or _residual_free(prev["filter_expr"])
+            )
+        ):
+            prev["columns"] = list(s["columns"])
+            continue
+        out.append(s)
+    return out
+
+
 class Pipeline:
     """An ordered list of operator steps over a ray.data.Dataset."""
 
@@ -216,12 +285,15 @@ class Pipeline:
 
         return cls(yaml.safe_load(text))
 
-    def run(self, ds=None):
+    def run(self, ds=None, optimize: bool = True):
         """Execute the steps; source steps ignore ``ds``, every other step
         threads the Dataset through (the generator-chain analog,
         pipeline.hpp:242). Two-input operators (hash_join/asof_join) take
-        their right side as a nested ``right: [steps...]`` sub-pipeline."""
-        for step in self.steps:
+        their right side as a nested ``right: [steps...]`` sub-pipeline.
+        ``optimize=True`` (default) runs :func:`optimize_steps` first —
+        filters/projections fuse into adjacent parquet reads."""
+        steps = optimize_steps(self.steps) if optimize else self.steps
+        for step in steps:
             step = dict(step)
             name = step.pop("op")
             if name == "apply":

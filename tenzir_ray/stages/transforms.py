@@ -509,17 +509,45 @@ def rare(ds, column: str, k: int = 10):
     )
 
 
-def slice_(ds, start: int = 0, stop: int | None = None, order_by: str | list[str] | None = None):
+def slice_(ds, start: int | None = 0, stop: int | None = None,
+           stride: int | None = None,
+           order_by: str | list[str] | None = None):
     """Python-style row slice over an explicit global order (reference
-    slice.cpp:30 — stream order; a distributed engine needs a sort key).
-    Implemented with sort + split_at_indices (ordered, no driver loop).
-    Negative indices are resolved against ds.count()."""
+    slice.cpp:30-120 — ``b:e:stride`` incl. negatives over stream order;
+    a distributed engine needs a sort key). start/stop without stride is
+    sort + split_at_indices (ordered, no driver loop). A stride (either
+    sign) REQUIRES ``order_by``: rows get exact global row numbers via
+    :func:`enumerate_global` (range-bucketed two-pass, no global sort)
+    and a vectorized modulo mask selects ``range(b, e, s)``."""
+    if stride is not None and stride != 1:
+        if stride == 0:
+            raise ValueError("slice: stride must be non-zero")
+        if order_by is None:
+            raise ValueError(
+                "slice with a stride needs order_by — global row position "
+                "is undefined without a total order on a distributed input"
+            )
+        n = ds.count()
+        b, e, s = slice(start, stop, stride).indices(n)
+        rn = "__slice_rn__"
+        out = enumerate_global(ds, order_by, out=rn)
+
+        def _mask(batch: "pa.Table") -> "pa.Table":
+            r = batch.column(rn).to_numpy(zero_copy_only=False)
+            if s > 0:
+                keep = (r >= b) & (r < e) & ((r - b) % s == 0)
+            else:
+                keep = (r <= b) & (r > e) & ((b - r) % (-s) == 0)
+            return batch.filter(pa.array(keep)).drop_columns([rn])
+
+        return out.map_batches(_mask, batch_format="pyarrow")
     if order_by is not None:
         keys = [order_by] if isinstance(order_by, str) else order_by
         ds = ds.sort(keys)
-    if (start is not None and start < 0) or (stop is not None and stop < 0):
+    start = 0 if start is None else start
+    if start < 0 or (stop is not None and stop < 0):
         n = ds.count()
-        if start is not None and start < 0:
+        if start < 0:
             start = max(0, n + start)
         if stop is not None and stop < 0:
             stop = max(0, n + stop)

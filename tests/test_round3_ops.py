@@ -227,3 +227,145 @@ def test_cron_dom_dow_or_semantics():
     # '*' dom + restricted dow: fires on the weekday
     nxt = cron_next("0 0 * * 5", datetime(2026, 3, 5, 12, 0))
     assert nxt == datetime(2026, 3, 6, 0, 0)
+
+
+# ---------------------------------------------------------------- tql + optimizer
+
+
+def _orders_parquet(tmp_path):
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "orders.parquet")
+    t = pa.table({
+        "k": pa.array(range(100), pa.int64()),
+        "price": pa.array([float(i * 7 % 50) for i in range(100)]),
+        "flag": pa.array(["A" if i % 3 else "B" for i in range(100)]),
+    })
+    pq.write_table(t, p, row_group_size=10)
+    return p
+
+
+def test_tql_parse_segments():
+    from tenzir_ray.pipelines.tql import parse_pipeline, split_segments
+
+    assert split_segments("a 'x|y' | b (1|2) | c") == ["a 'x|y'", "b (1|2)", "c"]
+    p = parse_pipeline(
+        "read_parquet /tmp/x.parquet | where a > 1 and b == 'p|q' "
+        "| select a, b | summarize s=sum(a), n=count(*) by b "
+        "| sort s desc | head 5 | slice 1:9:2"
+    )
+    ops = [s["op"] for s in p.steps]
+    assert ops == ["read_parquet", "where", "select", "summarize", "sort",
+                   "head", "slice"]
+    assert p.steps[0]["paths"] == "/tmp/x.parquet"
+    assert p.steps[1]["expr"] == "a > 1 and b == 'p|q'"
+    assert p.steps[2]["columns"] == ["a", "b"]
+    assert p.steps[3] == {"op": "summarize",
+                          "aggs": {"s": "sum(a)", "n": "count(*)"}, "by": "b"}
+    assert p.steps[4] == {"op": "sort", "keys": "s", "descending": True}
+    assert p.steps[5] == {"op": "head", "n": 5}
+    assert p.steps[6] == {"op": "slice", "start": 1, "stop": 9, "stride": 2}
+
+
+def test_tql_run_end_to_end(ray_session, tmp_path):
+    from tenzir_ray.pipelines.tql import run_pipeline
+
+    p = _orders_parquet(tmp_path)
+    out = run_pipeline(
+        f"read_parquet {p} | where price > 10 and flag == 'A' "
+        "| summarize total=sum(price), n=count(*) by flag | sort flag"
+    ).to_pandas()
+    assert out["flag"].tolist() == ["A"]
+    assert out["n"][0] == sum(1 for i in range(100)
+                              if i % 3 and (i * 7 % 50) > 10)
+
+
+def test_optimize_fuses_where_and_select():
+    from tenzir_ray.pipelines.pipeline import optimize_steps
+
+    steps = [
+        {"op": "read_parquet", "paths": "x"},
+        {"op": "where", "expr": "a > 1"},
+        {"op": "where", "expr": "b < 2"},
+        {"op": "select", "columns": ["a", "b"]},
+        {"op": "head", "n": 3},
+    ]
+    out = optimize_steps(steps)
+    assert [s["op"] for s in out] == ["read_parquet", "head"]
+    assert out[0]["filter_expr"] == "(a > 1) and (b < 2)"
+    assert out[0]["columns"] == ["a", "b"]
+    # input list untouched (optimize is pure)
+    assert steps[1] == {"op": "where", "expr": "a > 1"}
+
+
+def test_optimize_residual_blocks_projection_fusion():
+    from tenzir_ray.pipelines.pipeline import optimize_steps
+
+    # subnet membership compiles to a residual kernel; a later select must
+    # NOT fuse into the read (the residual reads the unprojected column)
+    steps = [
+        {"op": "read_parquet", "paths": "x"},
+        {"op": "where", "expr": "src_ip in 10.0.0.0/8"},
+        {"op": "select", "columns": ["dst"]},
+    ]
+    out = optimize_steps(steps)
+    assert out[0].get("filter_expr") == "src_ip in 10.0.0.0/8"
+    assert out[0].get("columns") is None
+    assert [s["op"] for s in out] == ["read_parquet", "select"]
+    # and a residual where must not fuse into an already-projected read
+    steps2 = [
+        {"op": "read_parquet", "paths": "x", "columns": ["dst"]},
+        {"op": "where", "expr": "src_ip in 10.0.0.0/8"},
+    ]
+    out2 = optimize_steps(steps2)
+    assert [s["op"] for s in out2] == ["read_parquet", "where"]
+
+
+def test_optimize_prunes_row_groups(ray_session, tmp_path):
+    from tenzir_ray.pipelines.pipeline import Pipeline
+
+    p = _orders_parquet(tmp_path)  # 10 row groups of 10, k sorted
+    spec = [
+        {"op": "read_parquet", "paths": p},
+        {"op": "where", "expr": "k < 10"},
+        {"op": "select", "columns": ["k", "price"]},
+    ]
+    from tenzir_ray.pipelines.pipeline import optimize_steps
+
+    # the whole pipeline fuses into ONE parquet scan step...
+    fused_steps = optimize_steps(spec)
+    assert len(fused_steps) == 1 and fused_steps[0]["op"] == "read_parquet"
+    fused = Pipeline(spec).run()
+    raw = Pipeline(spec).run(optimize=False)
+    fdf = fused.to_pandas().sort_values("k").reset_index(drop=True)
+    rdf = raw.to_pandas().sort_values("k").reset_index(drop=True)
+    assert fdf.equals(rdf) and len(fdf) == 10
+    assert list(fdf.columns) == ["k", "price"]
+    # ...and that scan emits only the matching row group: with no
+    # downstream where step left, count()==10 proves the predicate ran
+    # inside the read (k is row-group-sorted, 10 rows per group)
+    bare_read = Pipeline([spec[0]]).run()
+    assert fused.count() == 10 and bare_read.count() == 100
+
+
+def test_slice_stride(ray_session):
+    import ray.data as rd
+
+    t = pa.table({"k": pa.array(range(50), pa.int64()),
+                  "v": pa.array([i * 2 for i in range(50)], pa.int64())})
+    ds = rd.from_arrow(t).repartition(7)
+    from tenzir_ray.stages import transforms as T
+
+    got = sorted(T.slice_(ds, 5, 40, stride=3, order_by="k").to_pandas()["k"])
+    assert got == list(range(5, 40, 3))
+    # negative stride: Python semantics over the ordered stream
+    got = sorted(T.slice_(ds, 40, 5, stride=-7, order_by="k").to_pandas()["k"])
+    assert got == sorted(range(40, 5, -7))
+    # open ends
+    got = sorted(T.slice_(ds, None, None, stride=10, order_by="k").to_pandas()["k"])
+    assert got == list(range(0, 50, 10))
+    # stride without order is an error on a distributed input
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        T.slice_(ds, 0, 10, stride=2)
