@@ -1246,6 +1246,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return enrich_geo(ds, geo, field="ip")
 
+    def kafka_replay_sql(sf):
+        # Kafka-shape ingest gate: the same SQL-derived change log is
+        # PRODUCED to a 4-partition file broker keyed by conv_id, then
+        # CONSUMED by two group members (partitions split between them)
+        # through the exactly-once offsets-in-manifest protocol
+        # (cdc/broker.py) — final table must equal DuckDB LWW over the log
+        import json as _json
+
+        import pandas as _pd
+        import pyarrow as pa
+
+        from tenzir_ray.cdc import LakeTable
+        from tenzir_ray.cdc.broker import (
+            FileBroker, GroupConsumer, consume_partitioned,
+        )
+
+        ev = _pd.read_parquet(
+            f"{sf}/events.parquet",
+            columns=["event_id", "user_id", "event_type"],
+        )
+        i = ev["event_id"].to_numpy()
+        op = np.where(
+            i % 10 == 9, "delete", np.where(i % 10 >= 6, "update", "insert")
+        )
+        rows = _pd.DataFrame({
+            "lsn": i.astype(np.int64),
+            "op": op,
+            "conv_id": "c" + _pd.Series(ev["user_id"].to_numpy() % 50).astype(str),
+            "turn_idx": ((i // 7) % 20).astype(np.int32),
+            "text": ev["event_type"] + "-" + _pd.Series(i).astype(str),
+        })
+        root = (f"/tmp/tenzir_ray_kafka/"
+                f"{os.path.basename(os.path.normpath(sf))}")
+        shutil.rmtree(root, ignore_errors=True)
+        broker = FileBroker(f"{root}/broker")
+        broker.create_topic("chat", partitions=4)
+        recs = rows.to_dict("records")
+        broker.produce_many(
+            "chat",
+            [_json.dumps(r).encode() for r in recs],
+            keys=[r["conv_id"].encode() for r in recs],
+        )
+
+        def _parse(msgs):
+            got = [_json.loads(v) for (_o, _k, v) in msgs]
+            return pa.table({
+                "lsn": pa.array([r["lsn"] for r in got], pa.int64()),
+                "op": pa.array([r["op"] for r in got]),
+                "conv_id": pa.array([r["conv_id"] for r in got]),
+                "turn_idx": pa.array([r["turn_idx"] for r in got], pa.int32()),
+                "text": pa.array([r["text"] for r in got]),
+            })
+
+        lake = LakeTable(f"{root}/lake", num_partitions=8)
+        c1 = GroupConsumer(broker, "chat", "g", "c1")
+        c2 = GroupConsumer(broker, "chat", "g", "c2")
+        c1.rebalance(), c2.rebalance()
+        for c in (c1, c2):
+            consume_partitioned(lake, c, _parse, max_records=100_000,
+                                idle_limit=1, poll_s=0)
+        return lake.final_table().select(["conv_id", "turn_idx", "text"])
+
     def cdc_replay_sql(sf):
         # FULL oracle for the flagship CDC engine: the change log is
         # derived from `events` by SQL-expressible rules, applied through
@@ -1416,6 +1478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": embedding_near_dups,
         "cdc_replay": cdc_replay,
         "cdc_replay_sql": cdc_replay_sql,
+        "kafka_replay_sql": kafka_replay_sql,
         "cdc_schema_evolution": cdc_schema_evolution,
         "lake_export_filtered": lake_export_filtered,
         "struct_roundtrip": struct_roundtrip,
@@ -1757,6 +1820,21 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) t(k)
             GROUP BY 1
+        """,
+        "kafka_replay_sql": """
+            WITH ch AS (
+                SELECT event_id AS lsn,
+                       CASE WHEN event_id % 10 = 9 THEN 'delete'
+                            WHEN event_id % 10 >= 6 THEN 'update'
+                            ELSE 'insert' END AS op,
+                       'c' || CAST(user_id % 50 AS VARCHAR) AS conv_id,
+                       CAST((event_id // 7) % 20 AS INTEGER) AS turn_idx,
+                       event_type || '-' || CAST(event_id AS VARCHAR) AS text
+                FROM events),
+            w AS (SELECT *, row_number() OVER (
+                      PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) rn
+                  FROM ch)
+            SELECT conv_id, turn_idx, text FROM w WHERE rn = 1 AND op != 'delete'
         """,
         "cdc_replay_sql": """
             WITH ch AS (

@@ -566,11 +566,14 @@ class LakeTable:
         num_salts: int = 0,
         batch_size: int = 262144,
         delta_ratio: float = 0.2,
+        epoch_meta: dict[str, Any] | None = None,
     ) -> dict[str, Any]:
         """Apply one epoch (a bounded chunk of the binlog) exactly once.
 
         Returns the epoch lineage record. Re-applying a committed
-        ``epoch_id`` is a no-op (idempotence/resume gate).
+        ``epoch_id`` is a no-op (idempotence/resume gate). ``epoch_meta``
+        is persisted in the lineage record atomically with the data —
+        source-offset checkpoints go here (see cdc/broker.py).
         """
         import ray.data
 
@@ -592,7 +595,7 @@ class LakeTable:
         if self.registry.schema is None:
             # nothing to apply and no schema yet: commit an empty epoch so
             # the segment is marked applied (tail_directory resume gate)
-            self.manifest.commit_epoch(epoch_id, -1, -1, {})
+            self.manifest.commit_epoch(epoch_id, -1, -1, {}, meta=epoch_meta)
             return {"epoch_id": epoch_id, "lsn_min": -1, "lsn_max": -1,
                     "partitions_touched": 0, "rows_live": 0}
         self._persist_registry()
@@ -660,7 +663,7 @@ class LakeTable:
         if not touched:
             # zero-row epoch (e.g. an empty binlog segment): commit an
             # empty lineage record so resume never re-crashes on it
-            self.manifest.commit_epoch(epoch_id, -1, -1, {})
+            self.manifest.commit_epoch(epoch_id, -1, -1, {}, meta=epoch_meta)
             shutil.rmtree(staging, ignore_errors=True)
             return {"epoch_id": epoch_id, "lsn_min": -1, "lsn_max": -1,
                     "partitions_touched": 0, "rows_live": 0}
@@ -737,7 +740,8 @@ class LakeTable:
                 }
         lsn_min = int(lineage["lsn_lo"].min())
         lsn_max = int(lineage["lsn_hi"].max())
-        self.manifest.commit_epoch(epoch_id, lsn_min, lsn_max, part_results)
+        self.manifest.commit_epoch(epoch_id, lsn_min, lsn_max, part_results,
+                                   meta=epoch_meta)
         # exchange fragments are transient: GC after the commit
         shutil.rmtree(staging, ignore_errors=True)
         if frag_dir != staging:

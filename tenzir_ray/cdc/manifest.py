@@ -79,9 +79,15 @@ class Manifest:
         lsn_min: int,
         lsn_max: int,
         part_results: dict[str, dict[str, Any]],
+        meta: dict[str, Any] | None = None,
     ) -> None:
         """Atomically publish an epoch: replace the touched partitions'
-        live file sets and append the lineage record."""
+        live file sets and append the lineage record. ``meta`` rides in
+        the lineage record — source-offset checkpoints (broker topic/
+        partition/offset ranges) commit in the SAME atomic write as the
+        data, which is what makes partitioned-log consumption
+        exactly-once (the Kafka-Connect store-offsets-in-the-sink
+        pattern)."""
         for k, res in part_results.items():
             # store the full result record — callers own the field set
             # (files/rows/delta_rows/tombstones/lsn_high/checksum)
@@ -91,6 +97,7 @@ class Manifest:
                 "epoch_id": epoch_id,
                 "lsn_min": lsn_min,
                 "lsn_max": lsn_max,
+                **({"meta": meta} if meta else {}),
                 "committed_at": time.time(),
                 "partitions": {
                     k: {
