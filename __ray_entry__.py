@@ -682,6 +682,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def ann_ivf_persisted(sf):
+        # IVF as a SERVICE: index built once into a list-partitioned
+        # parquet layout (similarity.IvfIndex), searches read only the
+        # probed lists' files. nprobe=nlist here → brute-force-equal,
+        # so the SQL cosine oracle gates it; probe-proportional bytes
+        # and recall@nprobe<nlist are pytest-covered
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from tenzir_ray.stages.similarity import IvfIndex
+
+        q_tbl = pq.read_table(
+            f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).slice(0, 2)
+        queries_m = np.stack(
+            [np.asarray(v) for v in q_tbl.column("embedding").to_pylist()]
+        )
+        root = (f"/tmp/tenzir_ray_ivf/"
+                f"{os.path.basename(os.path.normpath(sf))}")
+        shutil.rmtree(root, ignore_errors=True)
+        idx = IvfIndex.build(_read(sf, "embeddings"), root, nlist=16,
+                             train_sample=2048)
+        out = idx.search(queries_m, k=5, nprobe=16, dtype=np.float64)
+        return pa.table(
+            {
+                "query_idx": out.column("query_idx").cast(pa.int64()),
+                "vec_id": out.column("vec_id"),
+            }
+        )
+
     def dedup_components(sf):
         # planted transitive chain: TWO clone generations of every doc
         # (orig—c1—c2) must land in ONE connected component — the
@@ -1433,6 +1463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_status": asof_status,
         "join_revenue_by_priority": join_revenue_by_priority,
         "ann_ivf_topk": ann_ivf_topk,
+        "ann_ivf_persisted": ann_ivf_persisted,
         "dedup_components": dedup_components,
         "session_windows": session_windows,
         "sliding_windows": sliding_windows,
@@ -1761,6 +1792,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, TRUE AS clone_found FROM embeddings
         """,
         "ann_cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_idx,
+                              CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 2),
+                 s AS (SELECT q.query_idx, e.vec_id,
+                              list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS score
+                       FROM embeddings e CROSS JOIN q)
+            SELECT query_idx, vec_id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_idx ORDER BY score DESC, vec_id) rn
+                FROM s) WHERE rn <= 5
+        """,
+        "ann_ivf_persisted": """
             WITH q AS (SELECT vec_id AS query_idx,
                               CAST(embedding AS DOUBLE[]) AS qv
                        FROM embeddings WHERE vec_id < 2),

@@ -369,3 +369,55 @@ def test_slice_stride(ray_session):
 
     with _pytest.raises(ValueError):
         T.slice_(ds, 0, 10, stride=2)
+
+
+# ---------------------------------------------------------------- persistent IVF
+
+
+def test_ivf_index_persisted(ray_session, tmp_path):
+    import ray.data as rd
+
+    from tenzir_ray.stages import similarity as SIM
+
+    rng = np.random.default_rng(3)
+    n, d = 2000, 16
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                  "embedding": pa.array(emb.tolist(),
+                                        pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t).repartition(8)
+    root = str(tmp_path / "ivf")
+    idx = SIM.IvfIndex.build(ds, root, nlist=16, train_sample=512)
+    assert idx.meta["num_rows"] == n and idx.meta["dim"] == d
+
+    q = emb[:3]
+    # exhaustive probe == brute force, from the PERSISTED layout
+    exact = SIM.brute_force_topk(ds, q, k=10, dtype=np.float64)
+    got = idx.search(q, k=10, nprobe=16, dtype=np.float64)
+    assert got.column("vec_id").to_pylist() == exact.column("vec_id").to_pylist()
+
+    # probe-proportional read bytes: nprobe=4 of 16 touches a strict
+    # subset of the layout's files
+    lists4 = idx.probe_lists(q, nprobe=4)
+    files4, bytes4 = idx.probe_files(lists4)
+    _, total = idx.probe_files(list(range(16)))
+    assert 0 < bytes4 < 0.8 * total
+    rows4 = sum(SIM.IvfIndex._scan_lists(root)[j]["rows"] for j in lists4)
+    assert rows4 < n
+
+    # recall at nprobe<nlist is imperfect but real
+    part = idx.search(q, k=10, nprobe=4, dtype=np.float64)
+    ex = {(r["query_idx"], r["vec_id"]) for r in exact.to_pylist()}
+    pt = {(r["query_idx"], r["vec_id"]) for r in part.to_pylist()}
+    recall = len(ex & pt) / len(ex)
+    assert recall >= 0.3, recall
+
+    # reopen without retraining
+    from tenzir_ray.stages.similarity import ann_index_build
+
+    again = ann_index_build(ds, root)
+    assert np.allclose(again.centroids, idx.centroids)
+    import pytest as _pytest
+
+    with _pytest.raises(FileExistsError):
+        SIM.IvfIndex.build(ds, root)
