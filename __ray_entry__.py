@@ -1338,6 +1338,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 idle_limit=1, poll_s=0)
         return lake.final_table().select(["conv_id", "turn_idx", "text"])
 
+    def retro_lookup_convs(sf):
+        # reference `lookup` (lookup.md): a context applied RETROACTIVELY
+        # against storage — key set pushed into the lake scan as an isin
+        # expression, hits enriched with the context's columns
+        import pyarrow as pa
+
+        from tenzir_ray.state.context import LookupTable, lookup_retro
+
+        lake = _build_sql_lake(sf, "retro")
+        ctx = LookupTable(
+            pa.table({
+                "conv_id": pa.array([f"c{i}" for i in range(5)]),
+                "label": pa.array([f"L{i}" for i in range(5)]),
+            }),
+            key="conv_id",
+        )
+        out = lookup_retro(lake, ctx, "conv_id")
+        return out.to_pandas()[["conv_id", "turn_idx", "text", "label"]]
+
     def cdc_replay_sql(sf):
         # FULL oracle for the flagship CDC engine: the change log is
         # derived from `events` by SQL-expressible rules, applied through
@@ -1510,6 +1529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replay": cdc_replay,
         "cdc_replay_sql": cdc_replay_sql,
         "kafka_replay_sql": kafka_replay_sql,
+        "retro_lookup_convs": retro_lookup_convs,
         "cdc_schema_evolution": cdc_schema_evolution,
         "lake_export_filtered": lake_export_filtered,
         "struct_roundtrip": struct_roundtrip,
@@ -1863,6 +1883,26 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) t(k)
             GROUP BY 1
+        """,
+        "retro_lookup_convs": """
+            WITH ch AS (
+                SELECT event_id AS lsn,
+                       CASE WHEN event_id % 10 = 9 THEN 'delete'
+                            WHEN event_id % 10 >= 6 THEN 'update'
+                            ELSE 'insert' END AS op,
+                       'c' || CAST(user_id % 50 AS VARCHAR) AS conv_id,
+                       CAST((event_id // 7) % 20 AS INTEGER) AS turn_idx,
+                       event_type || '-' || CAST(event_id AS VARCHAR) AS text
+                FROM events),
+            w AS (SELECT *, row_number() OVER (
+                      PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) rn
+                  FROM ch),
+            live AS (SELECT conv_id, turn_idx, text FROM w
+                     WHERE rn = 1 AND op != 'delete'),
+            ctx(conv_id, label) AS (VALUES ('c0','L0'), ('c1','L1'),
+                                           ('c2','L2'), ('c3','L3'), ('c4','L4'))
+            SELECT live.conv_id, live.turn_idx, live.text, ctx.label
+            FROM live JOIN ctx USING (conv_id)
         """,
         "kafka_replay_sql": """
             WITH ch AS (

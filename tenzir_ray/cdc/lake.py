@@ -768,12 +768,19 @@ class LakeTable:
             for info in self.manifest.partitions.values()
         )
 
-    def read(self, columns: list[str] | None = None) -> "ray.data.Dataset":
+    def read(self, columns: list[str] | None = None,
+             filter=None) -> "ray.data.Dataset":
         """Streaming Dataset over the live table (payload columns only).
 
         Compacted partitions stream straight from parquet (fast path);
         partitions carrying delta files merge-on-read, one task per
-        partition (run ``optimize()`` to compact back to the fast path)."""
+        partition (run ``optimize()`` to compact back to the fast path).
+
+        ``filter`` (a ``pyarrow.dataset.Expression``) pushes into the
+        parquet scan on the fast path (row-group pruning); on the
+        merge-on-read path it applies right after each partition's merge
+        (rows must survive LWW BEFORE the predicate — a deleted row must
+        not resurrect into the match set)."""
         import ray.data
 
         files = self.manifest.live_files()
@@ -782,7 +789,8 @@ class LakeTable:
                 pa.table({c: [] for c in (columns or ["conv_id"])})
             )
         if not self._has_deltas():
-            ds = ray.data.read_parquet(files, columns=columns)
+            kwargs = {"filter": filter} if filter is not None else {}
+            ds = ray.data.read_parquet(files, columns=columns, **kwargs)
             if columns is None:
                 ds = ds.drop_columns([LSN_COL])
             return ds
@@ -793,9 +801,21 @@ class LakeTable:
             columns,
         )
         parts = sorted(self.manifest.partitions, key=int)
-        return ray.data.from_items([{"part": int(k)} for k in parts]).map_batches(
+        ds = ray.data.from_items([{"part": int(k)} for k in parts]).map_batches(
             loader, batch_format="pyarrow", batch_size=1
         )
+        if filter is not None:
+            import pyarrow.dataset as pads
+
+            expr = filter
+
+            def _post(batch: pa.Table) -> pa.Table:
+                if not batch.num_rows:
+                    return batch
+                return pads.dataset(batch).to_table(filter=expr)
+
+            ds = ds.map_batches(_post, batch_format="pyarrow")
+        return ds
 
     def final_table(self) -> pa.Table:
         """Driver-side full read, sorted by (conv_id, turn_idx) — for

@@ -147,6 +147,11 @@ def _register_builtins() -> None:
         read_pcap=pcap_mod.read_pcap,
         decapsulate=pcap_mod.decapsulate,
     )
+    from tenzir_ray.sources import net as net_mod
+    OPERATORS.update(
+        read_http_json=net_mod.read_http_json,
+        write_http=net_mod.write_http,
+    )
     SOURCE_OPS.update(
         n for n in OPERATORS if n.startswith("read_")
     )

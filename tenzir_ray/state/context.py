@@ -67,6 +67,11 @@ class _Enricher:
         self.replace = replace
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0 and self.field not in batch.columns:
+            # zero-row block that lost its schema (empty-Dataset
+            # to_pandas gotcha) — emit the context's column shape so
+            # downstream concat still sees the enrich columns
+            return self.right.iloc[0:0]
         return batch.merge(
             self.right, on=self.field, how="inner" if self.replace else "left"
         )
@@ -135,6 +140,8 @@ class _BloomFilterStage:
         self.keep = keep_members
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
         member = self.bloom.contains(batch.column(self.field).to_pylist())
         mask = member if self.keep else ~member
         return batch.filter(pa.array(mask))
@@ -282,6 +289,12 @@ class _SubnetEnricher:
         self.vals = self.ctx.table.to_pandas()  # once per actor
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0 and self.field not in batch.columns:
+            # schema-lost zero-row block (see _Enricher)
+            out = self.vals.iloc[0:0].rename(
+                columns={c: self.prefix + c for c in self.ctx.value_cols})
+            out[self.field] = pd.Series(dtype=object)
+            return out
         rows = self.ctx.match_rows(batch[self.field].tolist())
         matched = rows >= 0
         safe = np.where(matched, rows, 0)
@@ -309,6 +322,53 @@ def enrich_subnet(ds, context: SubnetTable, field: str, prefix: str = "",
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def lookup_retro(lake, context, field: str,
+                 columns: list[str] | None = None,
+                 pushdown_limit: int = 65536, concurrency=(1, 4)):
+    """Retro-lookup: apply a context snapshot against STORAGE (the
+    reference ``lookup`` operator, web/docs/operators/lookup.md — a
+    context update retroactively scans historical data, with the
+    context's key set compiled into a catalog/scan filter).
+
+    Here the storage is a :class:`~tenzir_ray.cdc.lake.LakeTable`:
+
+    - :class:`LookupTable` context → the key set becomes an ``isin``
+      expression pushed into ``lake.read`` (parquet row-group pruning;
+      merge-on-read partitions filter right after their LWW merge), and
+      surviving rows are enriched with the context's value columns.
+      Contexts larger than ``pushdown_limit`` keys skip the expression
+      (a multi-MB isin list slows the scanner down more than it prunes)
+      and filter via the enrich join instead.
+    - :class:`BloomFilter` context → membership mask inside
+      ``map_batches`` (no exact pushdown exists for a sketch).
+    - :class:`SubnetTable` context → subnet longest-prefix enrich with
+      unmatched rows dropped.
+
+    Returns the matching rows as a streaming Dataset — snapshot
+    semantics: the context is captured (``ray.put``) at call time."""
+    if isinstance(context, LookupTable):
+        flt = None
+        n_keys = context.table.num_rows
+        if 0 < n_keys <= pushdown_limit:
+            import pyarrow.dataset as pads
+
+            keys = context.table.column(context.key)
+            flt = pads.field(field).isin(
+                keys.combine_chunks()
+                if isinstance(keys, pa.ChunkedArray) else keys
+            )
+        ds = lake.read(columns=columns, filter=flt)
+        return enrich(ds, context, field, filter_unmatched=True,
+                      concurrency=concurrency)
+    if isinstance(context, BloomFilter):
+        return bloom_filter_semi_join(lake.read(columns=columns), context,
+                                      field, concurrency=concurrency)
+    if isinstance(context, SubnetTable):
+        return enrich_subnet(lake.read(columns=columns), context, field,
+                             filter_unmatched=True, concurrency=concurrency)
+    raise TypeError(f"unsupported context type {type(context).__name__}")
 
 
 ship_by_value(sys.modules[__name__])

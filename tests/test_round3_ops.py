@@ -421,3 +421,66 @@ def test_ivf_index_persisted(ray_session, tmp_path):
 
     with _pytest.raises(FileExistsError):
         SIM.IvfIndex.build(ds, root)
+
+
+# ---------------------------------------------------------------- retro-lookup
+
+
+def test_lookup_retro_over_lake(ray_session, tmp_path):
+    from tenzir_ray.cdc.generate import gen_changes
+    from tenzir_ray.cdc.lake import LakeTable
+    from tenzir_ray.cdc.oracle import naive_apply
+    from tenzir_ray.state.context import BloomFilter, LookupTable, lookup_retro
+
+    changes = gen_changes(3000, seed=9)
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=4)
+    lake.apply_changes(changes, epoch_id="e1")
+    final = naive_apply(changes).to_pandas()
+
+    hot = sorted(final["conv_id"].unique())[:5]
+    ctx = LookupTable(
+        pa.table({"conv_id": pa.array(hot),
+                  "label": pa.array([f"L{i}" for i in range(len(hot))])}),
+        key="conv_id",
+    )
+    got = lookup_retro(lake, ctx, "conv_id").to_pandas()
+    want = final[final["conv_id"].isin(hot)]
+    assert len(got) == len(want)
+    assert set(got["label"]) == {f"L{i}" for i in range(len(hot))}
+    lbl = dict(zip(hot, [f"L{i}" for i in range(len(hot))]))
+    assert (got["label"] == got["conv_id"].map(lbl)).all()
+
+    # merge-on-read path: a delta epoch (small change vs base) must be
+    # visible to the retro scan — and a retro-deleted row must NOT appear
+    victim, keep = hot[0], hot[1]
+    upd = pa.table({
+        "lsn": pa.array([10_000, 10_001], pa.int64()),
+        "op": pa.array(["delete", "update"]),
+        "conv_id": pa.array([victim, keep]),
+        "turn_idx": pa.array(
+            [int(final[final.conv_id == victim]["turn_idx"].iloc[0]),
+             int(final[final.conv_id == keep]["turn_idx"].iloc[0])],
+            pa.int32()),
+        "role": pa.array(["x", "x"]),
+        "text": pa.array(["gone", "RETRO"]),
+        "tool": pa.array(["", ""]),
+        "ts": pa.array([pd.Timestamp("2026-01-01")] * 2),
+    })
+    lake.apply_changes(upd, epoch_id="e2")
+    assert lake._has_deltas()
+    got2 = lookup_retro(lake, ctx, "conv_id").to_pandas()
+    assert len(got2) == len(want) - 1  # one row tombstoned
+    assert "RETRO" in set(got2["text"])
+    k = (got2.conv_id == victim) & (
+        got2.turn_idx == upd.column("turn_idx")[0].as_py())
+    assert not k.any()
+
+    # bloom context path
+    bf = BloomFilter(capacity=64, fp_rate=1e-4)
+    bf.add(hot)
+    got3 = lookup_retro(lake, bf, "conv_id").to_pandas()
+    assert set(got3["conv_id"]) >= set(got2["conv_id"])
+
+    # oversized context skips pushdown but matches the same rows
+    got4 = lookup_retro(lake, ctx, "conv_id", pushdown_limit=2).to_pandas()
+    assert len(got4) == len(got2)
