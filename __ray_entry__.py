@@ -1276,6 +1276,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return enrich_geo(ds, geo, field="ip")
 
+    def mmdb_enrich(sf):
+        # real MaxMind-DB binary format end-to-end: write an .mmdb with
+        # the stdlib writer, enrich derived ips through the mmap reader
+        # stage, oracle = the subnet split reconstructed in SQL
+        import pandas as pd
+
+        from tenzir_ray.sources.mmdb import enrich_mmdb, write_mmdb
+
+        root = (f"/tmp/tenzir_ray_mmdb/"
+                f"{os.path.basename(os.path.normpath(sf))}")
+        os.makedirs(root, exist_ok=True)
+        p = f"{root}/geo.mmdb"
+        write_mmdb(p, [
+            ("10.0.0.0/17", {"country": "AA", "city": "alpha"}),
+            ("10.0.128.0/17", {"country": "BB", "city": "beta"}),
+        ])
+
+        def _mk(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["ip"] = "10.0." + (df["user_id"] % 256).astype(str) + "." + (
+                df["event_id"] % 200
+            ).astype(str)
+            return df
+
+        ds = _read(sf, "events", columns=["event_id", "user_id"]).map_batches(
+            _mk, batch_format="pandas"
+        )
+        out = enrich_mmdb(ds, p, "ip").to_pandas()
+        return out[["event_id", "ip", "geo_country", "geo_city"]]
+
     def kafka_replay_sql(sf):
         # Kafka-shape ingest gate: the same SQL-derived change log is
         # PRODUCED to a 4-partition file broker keyed by conv_id, then
@@ -1530,6 +1560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replay_sql": cdc_replay_sql,
         "kafka_replay_sql": kafka_replay_sql,
         "retro_lookup_convs": retro_lookup_convs,
+        "mmdb_enrich": mmdb_enrich,
         "cdc_schema_evolution": cdc_schema_evolution,
         "lake_export_filtered": lake_export_filtered,
         "struct_roundtrip": struct_roundtrip,
@@ -1883,6 +1914,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) t(k)
             GROUP BY 1
+        """,
+        "mmdb_enrich": """
+            SELECT event_id,
+                   '10.0.' || CAST(user_id % 256 AS VARCHAR) || '.' ||
+                       CAST(event_id % 200 AS VARCHAR) AS ip,
+                   CASE WHEN user_id % 256 < 128 THEN 'AA' ELSE 'BB' END
+                       AS geo_country,
+                   CASE WHEN user_id % 256 < 128 THEN 'alpha' ELSE 'beta' END
+                       AS geo_city
+            FROM events
         """,
         "retro_lookup_convs": """
             WITH ch AS (

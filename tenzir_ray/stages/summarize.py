@@ -58,13 +58,33 @@ def _col(block, col: str):
 
 
 
+# Exact distinct-set accumulators hold every unique value of a group in
+# one Python list crossing the block boundary (semantics match the
+# reference — its count_distinct is exact too). A skewed group with 10^8
+# uniques would materialize the whole set in one merge, so the
+# accumulators hard-stop at this bound with a pointer to the HLL path
+# (`approx_count_distinct`) — a loud early error beats an OOM-killed
+# worker deep in a 100 TB job.
+DISTINCT_LIMIT = 5_000_000
+
+
+def _guard_distinct(s: "list") -> "list":
+    if len(s) > DISTINCT_LIMIT:
+        raise ValueError(
+            f"distinct/count_distinct: a group exceeded {DISTINCT_LIMIT:,} "
+            "unique values — use approx_count_distinct (HLL) for "
+            "high-cardinality groups, or raise summarize.DISTINCT_LIMIT"
+        )
+    return s
+
+
 def _count_distinct(col: str, alias: str) -> AggregateFn:
     return AggregateFn(
         init=lambda k: [],
-        accumulate_block=lambda s, block: sorted(
+        accumulate_block=lambda s, block: _guard_distinct(sorted(
             set(s) | set(pc.drop_null(_col(block, col)).unique().to_pylist())
-        ),
-        merge=lambda a, b: sorted(set(a) | set(b)),
+        )),
+        merge=lambda a, b: _guard_distinct(sorted(set(a) | set(b))),
         finalize=lambda s: len(s),
         name=alias,
     )
@@ -73,10 +93,10 @@ def _count_distinct(col: str, alias: str) -> AggregateFn:
 def _distinct(col: str, alias: str) -> AggregateFn:
     return AggregateFn(
         init=lambda k: [],
-        accumulate_block=lambda s, block: sorted(
+        accumulate_block=lambda s, block: _guard_distinct(sorted(
             set(s) | set(pc.drop_null(_col(block, col)).unique().to_pylist())
-        ),
-        merge=lambda a, b: sorted(set(a) | set(b)),
+        )),
+        merge=lambda a, b: _guard_distinct(sorted(set(a) | set(b))),
         finalize=lambda s: list(s),
         name=alias,
     )
@@ -85,9 +105,10 @@ def _distinct(col: str, alias: str) -> AggregateFn:
 def _collect(col: str, alias: str) -> AggregateFn:
     return AggregateFn(
         init=lambda k: [],
-        accumulate_block=lambda acc, block: acc
-        + pc.drop_null(_col(block, col)).to_pylist(),
-        merge=lambda a, b: a + b,
+        accumulate_block=lambda acc, block: _guard_distinct(
+            acc + pc.drop_null(_col(block, col)).to_pylist()
+        ),
+        merge=lambda a, b: _guard_distinct(a + b),
         finalize=lambda acc: acc,
         name=alias,
     )
