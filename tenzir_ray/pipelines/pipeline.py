@@ -133,6 +133,9 @@ def _register_builtins() -> None:
         write_feather=writers.write_feather,
         write_bitz=writers.write_bitz,
         read_bitz=writers.read_bitz,
+        write_lines=writers.write_lines,
+        write_yaml=writers.write_yaml,
+        read_stdin=writers.read_stdin,
     )
     from tenzir_ray import expr as expr_mod
     OPERATORS["where_extractor"] = expr_mod.where_extractor

@@ -150,4 +150,69 @@ def read_bitz(paths: "str | list[str]"):
     )
 
 
+def write_lines(ds, path: str, column: str = "text"):
+    """`lines` printer (reference formats/lines.cpp print side): one
+    text line per event, one file per block — the inverse of
+    ``read_lines``."""
+    import os
+    import uuid
+
+    os.makedirs(path, exist_ok=True)
+
+    def _dump(batch: pa.Table) -> pa.Table:
+        if batch.num_rows:
+            p = os.path.join(path, f"part-{uuid.uuid4().hex[:12]}.txt")
+            col = batch.column(column).cast(pa.string()).to_pylist()
+            with open(p, "w") as f:
+                f.write("\n".join("" if v is None else v for v in col) + "\n")
+        return pa.table({"rows": pa.array([batch.num_rows], pa.int64())})
+
+    ds.map_batches(_dump, batch_format="pyarrow").to_pandas()
+    return path
+
+
+def write_yaml(ds, path: str, batch_size: int = 8192):
+    """YAML printer (reference formats/yaml.cpp print side): a stream of
+    ``---``-separated documents, one per event, one file per batch."""
+    import os
+    import uuid
+
+    os.makedirs(path, exist_ok=True)
+
+    def _dump(batch: pa.Table) -> pa.Table:
+        import yaml
+
+        if batch.num_rows:
+            p = os.path.join(path, f"part-{uuid.uuid4().hex[:12]}.yaml")
+            with open(p, "w") as f:
+                yaml.safe_dump_all(batch.to_pylist(), f, sort_keys=False,
+                                   default_flow_style=False)
+        return pa.table({"rows": pa.array([batch.num_rows], pa.int64())})
+
+    ds.map_batches(_dump, batch_format="pyarrow", batch_size=batch_size
+                   ).to_pandas()
+    return path
+
+
+def read_stdin(lines: bool = True, stream=None):
+    """`stdin` connector (reference connectors/stdin — the `-` source):
+    read standard input to EOF on the driver, one ``text`` row per line
+    (or a single blob row). Interactive byte streams are inherently
+    driver-side; pipe-fed batch use is what this supports. ``stream``
+    is injectable for tests."""
+    import sys as _s
+
+    import ray.data
+
+    stream = stream if stream is not None else _s.stdin
+    data = stream.read()
+    if lines:
+        rows = [{"text": ln} for ln in data.splitlines()]
+    else:
+        rows = [{"text": data}] if data else []
+    if not rows:
+        return ray.data.from_arrow(pa.table({"text": pa.array([], pa.string())}))
+    return ray.data.from_items(rows)
+
+
 ship_by_value(sys.modules[__name__])

@@ -484,3 +484,38 @@ def test_lookup_retro_over_lake(ray_session, tmp_path):
     # oversized context skips pushdown but matches the same rows
     got4 = lookup_retro(lake, ctx, "conv_id", pushdown_limit=2).to_pandas()
     assert len(got4) == len(got2)
+
+
+# ---------------------------------------------------------------- stdin/yaml/lines
+
+
+def test_write_lines_yaml_and_stdin(ray_session, tmp_path):
+    import glob
+    import io
+
+    import ray.data as rd
+    import yaml
+
+    from tenzir_ray.sources.readers import read_lines
+    from tenzir_ray.sources.writers import read_stdin, write_lines, write_yaml
+
+    t = pa.table({"text": pa.array([f"line {i}" for i in range(10)]),
+                  "n": pa.array(range(10), pa.int64())})
+    out = str(tmp_path / "lines")
+    write_lines(rd.from_arrow(t).repartition(3), out)
+    back = sorted(r["text"] for r in read_lines(sorted(glob.glob(out + "/*.txt"))).take_all())
+    assert back == sorted(f"line {i}" for i in range(10))
+
+    ydir = str(tmp_path / "yaml")
+    write_yaml(rd.from_arrow(t), ydir)
+    docs = []
+    for p in glob.glob(ydir + "/*.yaml"):
+        docs.extend(yaml.safe_load_all(open(p)))
+    assert sorted(d["n"] for d in docs) == list(range(10))
+    assert all(d["text"] == f"line {d['n']}" for d in docs)
+
+    ds = read_stdin(stream=io.StringIO("a\nb\nc"))
+    assert [r["text"] for r in ds.take_all()] == ["a", "b", "c"]
+    blob = read_stdin(lines=False, stream=io.StringIO("x\ny"))
+    assert blob.take_all() == [{"text": "x\ny"}]
+    assert read_stdin(stream=io.StringIO("")).count() == 0
