@@ -194,6 +194,7 @@ def show(aspect: str | None = None):
                "collect", "sample", "median", "quantile", "stddev_samp"}
         ),
         "contexts": ["lookup-table", "bloom-filter", "subnet-table", "geo-table"],
+        "pipelines": sorted(NAMED_PIPELINES),
         "formats": sorted(
             n.removeprefix("parse_") for n in OPERATORS if n.startswith("parse_")
         ),
@@ -204,6 +205,58 @@ def show(aspect: str | None = None):
     if aspect not in aspects:
         raise ValueError(f"unknown aspect {aspect!r} (have {sorted(aspects)})")
     return aspects[aspect]
+
+
+#: user-defined named pipelines (the reference's config-defined
+#: operators: `tenzir.operators:` in tenzir.yaml, applied by name —
+#: builtins/operators/apply.cpp:106). Values may be a step list, a
+#: Pipeline, or a TQL string.
+NAMED_PIPELINES: dict[str, Any] = {}
+
+
+def define(name: str, pipeline) -> None:
+    """Register a named pipeline: step list, Pipeline, or TQL string."""
+    NAMED_PIPELINES[name] = pipeline
+
+
+def resolve_named(name: str) -> "Pipeline":
+    spec = NAMED_PIPELINES.get(name)
+    if spec is None:
+        raise ValueError(
+            f"unknown named pipeline {name!r} "
+            f"(have {sorted(NAMED_PIPELINES)}; register with define() or "
+            "load_named_pipelines())"
+        )
+    if isinstance(spec, Pipeline):
+        return spec
+    if isinstance(spec, str):
+        from tenzir_ray.pipelines.tql import parse_pipeline
+
+        return parse_pipeline(spec)
+    return Pipeline(spec)
+
+
+def load_named_pipelines(path: str) -> list[str]:
+    """Load named pipelines from a YAML file (or every ``*.yaml`` in a
+    directory): a mapping of name → TQL string or step list — the
+    `tenzir.operators` config section analog. Returns loaded names."""
+    import glob
+    import os
+
+    import yaml
+
+    files = (sorted(glob.glob(os.path.join(path, "*.yaml")))
+             if os.path.isdir(path) else [path])
+    loaded: list[str] = []
+    for f in files:
+        with open(f) as fh:
+            doc = yaml.safe_load(fh) or {}
+        if not isinstance(doc, dict):
+            raise ValueError(f"{f}: expected a name -> pipeline mapping")
+        for name, spec in doc.items():
+            define(str(name), spec)
+            loaded.append(str(name))
+    return loaded
 
 
 def optimize_steps(steps: list[dict[str, Any]]) -> list[dict[str, Any]]:
@@ -305,7 +358,12 @@ class Pipeline:
             step = dict(step)
             name = step.pop("op")
             if name == "apply":
-                ds = Pipeline(step["pipeline"]).run(ds)
+                if "name" in step:  # named pipeline (apply.cpp:106 —
+                    # user-defined operators resolved from config)
+                    ds = resolve_named(step["name"]).run(
+                        ds, optimize=optimize)
+                else:
+                    ds = Pipeline(step["pipeline"]).run(ds, optimize=optimize)
                 continue
             if name in ("hash_join", "asof_join"):
                 from tenzir_ray.stages import join as join_mod

@@ -158,6 +158,9 @@ def parse_segment(seg: str) -> dict:
             step["descending"] = desc if len(desc) > 1 else desc[0]
         step.update(kwargs)
         return step
+    if name == "apply":
+        # named user-defined pipeline (apply.cpp:106)
+        return {"op": "apply", "name": rest.strip()}
     if name == "slice":
         # slice b:e[:stride] [key=value ...] (reference slice.cpp syntax)
         toks = rest.split()

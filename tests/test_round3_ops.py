@@ -519,3 +519,44 @@ def test_write_lines_yaml_and_stdin(ray_session, tmp_path):
     blob = read_stdin(lines=False, stream=io.StringIO("x\ny"))
     assert blob.take_all() == [{"text": "x\ny"}]
     assert read_stdin(stream=io.StringIO("")).count() == 0
+
+
+# ---------------------------------------------------------------- named pipelines
+
+
+def test_named_pipelines(ray_session, tmp_path):
+    import ray.data as rd
+
+    from tenzir_ray.pipelines.pipeline import (
+        NAMED_PIPELINES, Pipeline, define, load_named_pipelines, show,
+    )
+    from tenzir_ray.pipelines.tql import run_pipeline
+
+    # from a config YAML (the tenzir.operators analog): TQL string form
+    cfg = tmp_path / "ops.yaml"
+    cfg.write_text(
+        "flag_big: |\n"
+        "  where price > 25 | set big='yes'\n"
+        "keep_ab:\n"
+        "  - {op: where, expr: \"flag == 'A'\"}\n"
+    )
+    try:
+        names = load_named_pipelines(str(cfg))
+        assert sorted(names) == ["flag_big", "keep_ab"]
+        assert "flag_big" in show("pipelines")
+
+        p = _orders_parquet(tmp_path)
+        out = run_pipeline(
+            f"read_parquet {p} | apply keep_ab | apply flag_big "
+            "| select k, big").to_pandas()
+        want = sum(1 for i in range(100) if i % 3 and (i * 7 % 50) > 25)
+        assert len(out) == want and (out["big"] == "yes").all()
+
+        # python-side define() with a Pipeline value
+        define("head3", Pipeline([{"op": "head", "n": 3}]))
+        assert run_pipeline(f"read_parquet {p} | apply head3").count() == 3
+
+        with pytest.raises(ValueError, match="unknown named pipeline"):
+            run_pipeline(f"read_parquet {p} | apply nope")
+    finally:
+        NAMED_PIPELINES.clear()
