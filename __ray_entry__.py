@@ -1276,6 +1276,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return enrich_geo(ds, geo, field="ip")
 
+    def pattern_filter_events(sf):
+        # /regex/ pattern literal (expressions.md patterns; RE2 partial
+        # match semantics → match_substring_regex)
+        return T.where(
+            _read(sf, "events", columns=["event_id", "event_type"]),
+            r"event_type == /^(cl|pu)/ and event_id % 3 == 0",
+        )
+
     def mmdb_enrich(sf):
         # real MaxMind-DB binary format end-to-end: write an .mmdb with
         # the stdlib writer, enrich derived ips through the mmap reader
@@ -1561,6 +1569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kafka_replay_sql": kafka_replay_sql,
         "retro_lookup_convs": retro_lookup_convs,
         "mmdb_enrich": mmdb_enrich,
+        "pattern_filter_events": pattern_filter_events,
         "cdc_schema_evolution": cdc_schema_evolution,
         "lake_export_filtered": lake_export_filtered,
         "struct_roundtrip": struct_roundtrip,
@@ -1914,6 +1923,11 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) t(k)
             GROUP BY 1
+        """,
+        "pattern_filter_events": """
+            SELECT event_id, event_type FROM events
+            WHERE regexp_matches(event_type, '^(cl|pu)')
+              AND event_id % 3 = 0
         """,
         "mmdb_enrich": """
             SELECT event_id,

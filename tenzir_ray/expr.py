@@ -64,6 +64,11 @@ _BINOP = {
     ast.Sub: _lift(lambda a, b: a - b),
     ast.Mult: _lift(lambda a, b: a * b),
     ast.Div: _lift(lambda a, b: a / b),
+    # % and // on INTEGER operands: Arrow's `/` on int expressions is
+    # truncating division (same convention as SQL %), so modulo composes
+    # as a - (a/b)*b — there is no pc.mod kernel for pads Expressions
+    ast.Mod: _lift(lambda a, b: a - (a / b) * b),
+    ast.FloorDiv: _lift(lambda a, b: a / b),
 }
 
 _CMPOP = {
@@ -136,14 +141,44 @@ class SubnetLiteral:
         return f"subnet({self.cidr!r})"
 
 
-def _preprocess(text: str) -> str:
-    """Rewrite ip/subnet/duration literals outside of string quotes."""
+class PatternLiteral:
+    """Regex pattern literal ``/re/`` (reference expressions.md patterns,
+    RE2 partial-match semantics): valid with ``==`` / ``!=``, compiled
+    to ``pc.match_substring_regex``."""
 
-    def rewrite(chunk: str) -> str:
+    def __init__(self, pattern: str):
+        _re.compile(pattern)  # validate eagerly — fail at compile time
+        self.pattern = pattern
+
+    def __repr__(self):
+        return f"pattern(/{self.pattern}/)"
+
+
+# a pattern literal is only lexed directly after ==/!=/in — `/` anywhere
+# else stays division
+_PAT_RE = _re.compile(r"(==|!=|\bin)\s*/((?:[^/\\\"]|\\.)*)/")
+
+
+def _preprocess(text: str) -> str:
+    """Rewrite ip/subnet/duration/pattern literals outside of quotes."""
+
+    def others(chunk: str) -> str:
         chunk = _CIDR_RE.sub(r'__subnet__("\1")', chunk)
         chunk = _IPV4_RE.sub(r'__ip__("\1")', chunk)
         chunk = _DUR_RE.sub(r'__dur__("\1\2")', chunk)
         return chunk
+
+    def rewrite(chunk: str) -> str:
+        # patterns first, and their bodies are NOT re-scanned (a literal
+        # like /10.0.0.1/ must not sprout an __ip__ inside)
+        parts: list[str] = []
+        last = 0
+        for m in _PAT_RE.finditer(chunk):
+            parts.append(others(chunk[last:m.start()]))
+            parts.append(f'{m.group(1)} __pat__(r"{m.group(2)}")')
+            last = m.end()
+        parts.append(others(chunk[last:]))
+        return "".join(parts)
 
     out: list[str] = []
     i, n = 0, len(text)
@@ -199,6 +234,8 @@ _MARKER_FNS = {
     "dur": duration_value,
     "__subnet__": SubnetLiteral,
     "subnet": SubnetLiteral,
+    "__pat__": PatternLiteral,
+    "pattern": PatternLiteral,
 }
 
 
@@ -224,8 +261,20 @@ def _compile(node: ast.expr):
                 rhs = _compile(comp)
                 if isinstance(rhs, SubnetLiteral):
                     raise _Residual(node)  # → compile_filter's mask path
-                term = left.isin(rhs)
+                if isinstance(rhs, PatternLiteral):
+                    term = pc.match_substring_regex(left, rhs.pattern)
+                else:
+                    term = left.isin(rhs)
                 if isinstance(op, ast.NotIn):
+                    term = ~term
+            elif (isinstance(op, (ast.Eq, ast.NotEq))
+                  and isinstance(comp, ast.Call)
+                  and isinstance(comp.func, ast.Name)
+                  and comp.func.id in ("__pat__", "pattern")):
+                # field == /regex/ — RE2-style partial match
+                pat = _compile(comp)
+                term = pc.match_substring_regex(left, pat.pattern)
+                if isinstance(op, ast.NotEq):
                     term = ~term
             elif isinstance(op, (ast.Is, ast.IsNot)):
                 if not (isinstance(comp, ast.Constant) and comp.value is None):
@@ -236,6 +285,10 @@ def _compile(node: ast.expr):
                 if isinstance(rhs, SubnetLiteral) or isinstance(left, SubnetLiteral):
                     raise ValueError(
                         "subnet literals are only valid with `in`/`not in`"
+                    )
+                if isinstance(rhs, PatternLiteral) or isinstance(left, PatternLiteral):
+                    raise ValueError(
+                        "pattern literals are only valid with `==`/`!=`/`in`"
                     )
                 term = _CMPOP[type(op)](left, rhs)
             out = term if out is None else out & term

@@ -66,3 +66,38 @@ def test_unsupported_raises():
         compile_expr("__import__('os').system('x')")
     with pytest.raises(ValueError):
         compile_expr("a ** 2")
+
+
+def test_pattern_literals(ray_session):
+    import ray.data as rd
+
+    from tenzir_ray.stages import transforms as T
+
+    t = pa.table({
+        "name": pa.array(["alpha-1", "beta-22", "alpha-9", "gamma"]),
+        "n": pa.array([1, 2, 3, 4], pa.int64()),
+    })
+    out = T.where(rd.from_arrow(t), r"name == /alpha-\d+/").to_pandas()
+    assert sorted(out["n"]) == [1, 3]
+    out = T.where(rd.from_arrow(t), r"name != /alpha/ and n < 4").to_pandas()
+    assert sorted(out["n"]) == [2]
+    out = T.where(rd.from_arrow(t), "name in /a-[29]/").to_pandas()
+    assert sorted(out["n"]) == [2, 3]  # 'bet(a-2)2' and 'alph(a-9)'
+    # pattern bodies are not re-lexed as ip literals
+    t2 = pa.table({"s": pa.array(["10.0.0.1", "x10.0.0.1y", "other"]),
+                   "n": pa.array([1, 2, 3], pa.int64())})
+    out = T.where(rd.from_arrow(t2), r"s == /10\.0\.0\.1/").to_pandas()
+    assert sorted(out["n"]) == [1, 2]
+    # division is untouched
+    out = T.where(rd.from_arrow(t), "n / 2 >= 1").to_pandas()
+    assert sorted(out["n"]) == [2, 3, 4]
+    import pytest as _p
+
+    from tenzir_ray.expr import compile_expr
+
+    # /re/ only lexes after ==/!=/in; elsewhere the explicit marker form
+    # exists and rejects unsupported operators
+    with _p.raises(ValueError, match="pattern literals"):
+        compile_expr('name > pattern("abc")')
+    with _p.raises(SyntaxError):
+        compile_expr("name > /abc/")
