@@ -360,6 +360,33 @@ class _SaltReducer:
         return pa.Table.from_pylist(done)
 
 
+def _pack_block_cdc(block: pa.Table, registry_json: str,
+                    num_partitions: int) -> list:
+    """Object-store stage 1: normalize + combine one block, slice it by
+    ``_part``; returns ``[stats, tbl_p0, tbl_p1, ...]`` (None for
+    partitions absent from the block). Run with
+    ``num_returns=P+1`` so each partition slice becomes its OWN object —
+    reducers fetch exactly their partition, nothing else."""
+    out = _NormalizeCombine(registry_json, num_partitions, 0)(block)
+    outs: list = [None] * num_partitions
+    stats: dict[int, tuple[int, int]] = {}
+    part = out.column("_part").to_numpy(zero_copy_only=False)
+    if len(part):
+        order = np.argsort(part, kind="stable")
+        spart = part[order]
+        bounds = np.r_[
+            np.flatnonzero(np.r_[True, spart[1:] != spart[:-1]]), len(spart)
+        ]
+        body = out.take(pa.array(order)).drop_columns(["_part"]).combine_chunks()
+        for i in range(len(bounds) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            piece = body.slice(lo, hi - lo).combine_chunks()
+            k = int(spart[lo])
+            outs[k] = piece
+            stats[k] = (hi - lo, piece.nbytes)
+    return [stats] + outs
+
+
 class _PartitionReducer:
     """Stage 2: one task per touched partition — read the partition's
     exchange fragments, merge with its live base rows, final LWW by lsn,
@@ -567,6 +594,7 @@ class LakeTable:
         batch_size: int = 262144,
         delta_ratio: float = 0.2,
         epoch_meta: dict[str, Any] | None = None,
+        transport: str | None = None,
     ) -> dict[str, Any]:
         """Apply one epoch (a bounded chunk of the binlog) exactly once.
 
@@ -574,6 +602,14 @@ class LakeTable:
         ``epoch_id`` is a no-op (idempotence/resume gate). ``epoch_meta``
         is persisted in the lineage record atomically with the data —
         source-offset checkpoints go here (see cdc/broker.py).
+
+        ``transport`` selects the exchange fabric (default: the
+        ``TENZIR_RAY_EXCHANGE_TRANSPORT`` env var, else "fs"):
+        "fs" = packed-IPC staging files (page cache locally, shared
+        storage on a cluster — fastest where fast shared POSIX storage
+        exists); "object" = partition slices ride Ray's object store
+        (plasma moves bytes node-to-node and spills — no shared-FS
+        requirement; salted mode is fs-only).
         """
         import ray.data
 
@@ -608,27 +644,67 @@ class LakeTable:
         import glob as globmod
         import shutil
 
+        from tenzir_ray.stages.exchange import default_transport
+
+        transport = transport or default_transport()
+        if transport not in ("fs", "object"):
+            raise ValueError(f"unknown exchange transport {transport!r}")
+        if transport == "object" and num_salts > 1:
+            raise ValueError(
+                "salted pre-reduce requires the fs transport (the salt "
+                "stage globs staging files); the per-batch combiner "
+                "already absorbs skew on the object path"
+            )
+        import ray as ray_core
+
         staging = os.path.join(self.root, "_staging", epoch_id)
         shutil.rmtree(staging, ignore_errors=True)  # stale crashed attempt
         import time as _time
 
         _t0 = _time.perf_counter()
-        stage1 = changes.map_batches(
-            _FragmentWriter(staging, reg_json, self.num_partitions, num_salts),
-            batch_format="pyarrow",
-            batch_size=batch_size,
-        ).to_pandas()  # barrier: all fragments on disk before reducing
-        frag_rows = (
-            stage1.groupby("part")["rows"].sum().to_dict() if len(stage1) else {}
-        )
+        obj_index: dict[int, list] | None = None
         frag_index: dict[int, list] | None = None
-        if num_salts <= 1:
-            frag_index = {}
-            if len(stage1):
-                for part_v, file_v, bidx_v in zip(
-                    stage1["part"], stage1["file"], stage1["batch_idx"]
-                ):
-                    frag_index.setdefault(int(part_v), []).append((file_v, int(bidx_v)))
+        if transport == "object":
+            # stage 1 over the object store (run_exchange_obj's shape with
+            # the lake's own partition function): one pack task per block,
+            # num_returns=P+1 so each partition slice is its own object
+            ds1 = changes
+            if batch_size is not None:
+                ds1 = ds1.map_batches(
+                    lambda b: b, batch_format="pyarrow", batch_size=batch_size
+                )
+            block_refs = ds1.to_arrow_refs()
+            pack = ray_core.remote(_pack_block_cdc)
+            outs = [
+                pack.options(num_returns=self.num_partitions + 1).remote(
+                    br, reg_json, self.num_partitions
+                )
+                for br in block_refs
+            ]
+            obj_index = {}
+            frag_rows: dict[int, int] = {}
+            for refs in outs:
+                stats = ray_core.get(refs[0])
+                for k, (rows, _nb) in stats.items():
+                    obj_index.setdefault(int(k), []).append(refs[1 + int(k)])
+                    frag_rows[int(k)] = frag_rows.get(int(k), 0) + int(rows)
+        else:
+            stage1 = changes.map_batches(
+                _FragmentWriter(staging, reg_json, self.num_partitions, num_salts),
+                batch_format="pyarrow",
+                batch_size=batch_size,
+            ).to_pandas()  # barrier: all fragments on disk before reducing
+            frag_rows = (
+                stage1.groupby("part")["rows"].sum().to_dict() if len(stage1) else {}
+            )
+            if num_salts <= 1:
+                frag_index = {}
+                if len(stage1):
+                    for part_v, file_v, bidx_v in zip(
+                        stage1["part"], stage1["file"], stage1["batch_idx"]
+                    ):
+                        frag_index.setdefault(int(part_v), []).append(
+                            (file_v, int(bidx_v)))
 
         # -- optional stage 1.5: salted sub-partition pre-reduce ----------
         frag_dir = staging
@@ -653,7 +729,9 @@ class LakeTable:
             frag_dir = reduced_dir
 
         # -- stage 2: one parallel task per touched partition -------------
-        if frag_index is not None and frag_dir == staging:
+        if obj_index is not None:
+            touched = sorted(obj_index)
+        elif frag_index is not None and frag_dir == staging:
             touched = sorted(frag_index)
         else:
             touched = sorted(
@@ -699,8 +777,6 @@ class LakeTable:
         # with tiny dict outputs — the one place the Dataset API adds
         # only launch overhead (~0.5-1s per epoch). Task retries on
         # worker death are preserved (ray.remote default max_retries).
-        import ray as ray_core
-
         reducer_ref = ray_core.put(reducer)
 
         @ray_core.remote
@@ -709,10 +785,23 @@ class LakeTable:
             # stored once in plasma, not re-pickled per task
             return r._reduce_one(part, r._load_raw(part))
 
+        @ray_core.remote
+        def _reduce_task_obj(r, part: int, refs: list) -> dict:
+            # object transport: the partition's slices are plasma objects
+            # (refs nested in a list are NOT auto-derefed — fetched here,
+            # on the node the task runs on)
+            tables = [t for t in ray_core.get(refs)
+                      if t is not None and t.num_rows]
+            raw = pa.concat_tables(tables, promote_options="permissive")
+            return r._reduce_one(part, raw)
+
         _t1 = _time.perf_counter()
-        lineage = pd.DataFrame(
-            ray_core.get([_reduce_task.remote(reducer_ref, k) for k in touched])
-        )
+        if obj_index is not None:
+            futs = [_reduce_task_obj.remote(reducer_ref, k, obj_index[k])
+                    for k in touched]
+        else:
+            futs = [_reduce_task.remote(reducer_ref, k) for k in touched]
+        lineage = pd.DataFrame(ray_core.get(futs))
         _t2 = _time.perf_counter()
 
         # -- two-phase commit -------------------------------------------
