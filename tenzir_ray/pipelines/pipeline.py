@@ -155,6 +155,36 @@ def _register_builtins() -> None:
         read_http_json=net_mod.read_http_json,
         write_http=net_mod.write_http,
     )
+
+    # lake source/sink (reference export.cpp / import.cpp): `read_lake
+    # <root>` streams the live table (filter_expr pushes into the scan —
+    # see optimize_steps), `write_lake` applies one exactly-once epoch
+    def _read_lake(root: str, columns=None, filter_expr: str | None = None):
+        from tenzir_ray.cdc import LakeTable
+
+        flt = None
+        if filter_expr is not None:
+            from tenzir_ray.expr import compile_filter
+
+            f = compile_filter(filter_expr)
+            flt = f.pushdown
+            if f.residual is not None:
+                import pyarrow as _pa
+
+                ds = LakeTable(root).read(columns=columns, filter=flt)
+                res = f.residual
+                return ds.map_batches(
+                    lambda t: t.filter(_pa.array(res(t))) if t.num_rows else t,
+                    batch_format="pyarrow",
+                )
+        return LakeTable(root).read(columns=columns, filter=flt)
+
+    def _write_lake(ds, root: str, epoch_id: str, **kw):
+        from tenzir_ray.cdc import LakeTable
+
+        return LakeTable(root).apply_changes(ds, epoch_id=epoch_id, **kw)
+
+    OPERATORS.update(read_lake=_read_lake, write_lake=_write_lake)
     SOURCE_OPS.update(
         n for n in OPERATORS if n.startswith("read_")
     )
@@ -305,7 +335,7 @@ def optimize_steps(steps: list[dict[str, Any]]) -> list[dict[str, Any]]:
             if prev.get("op") == "where":
                 prev["expr"] = f"({prev['expr']}) and ({s['expr']})"
                 continue
-            if prev.get("op") == "read_parquet" and _fusable(s["expr"]):
+            if prev.get("op") in ("read_parquet", "read_lake") and _fusable(s["expr"]):
                 if prev.get("columns") is None or _residual_free(s["expr"]):
                     fe = prev.get("filter_expr")
                     prev["filter_expr"] = (
@@ -315,7 +345,7 @@ def optimize_steps(steps: list[dict[str, Any]]) -> list[dict[str, Any]]:
         if (
             name == "select"
             and prev is not None
-            and prev.get("op") == "read_parquet"
+            and prev.get("op") in ("read_parquet", "read_lake")
             and prev.get("columns") is None
             and (
                 prev.get("filter_expr") is None

@@ -411,10 +411,29 @@ def summarize(ds, by: str | list[str] | None = None, **aggs: str):
     if by is not None and all(fn in _PARTIAL_FNS for _, fn, _ in parsed):
         keys = [by] if isinstance(by, str) else list(by)
         return _partial_summarize(ds, keys, parsed)
-    specs = [make_agg(fn, col, alias) for alias, fn, col in parsed]
     if by is None:
+        # Ray 2.49's column-less Count() yields 0 on a GLOBAL aggregate
+        # (fine under groupby) — star-counts go through an explicit
+        # row-counting AggregateFn here instead
+        def _rows(alias):
+            return AggregateFn(
+                init=lambda k: 0,
+                accumulate_block=lambda a, block: a + (
+                    block.num_rows if hasattr(block, "num_rows") else len(block)
+                ),
+                merge=lambda a, b: a + b,
+                finalize=lambda a: a,
+                name=alias,
+            )
+
+        specs = [
+            _rows(alias) if fn == "count" and col in ("", "*", ".")
+            else make_agg(fn, col, alias)
+            for alias, fn, col in parsed
+        ]
         result = ds.aggregate(*specs)  # global aggregate → dict
         return pa.table({k: [v] for k, v in result.items()})
+    specs = [make_agg(fn, col, alias) for alias, fn, col in parsed]
     keys = [by] if isinstance(by, str) else by
     return ds.groupby(keys).aggregate(*specs)
 

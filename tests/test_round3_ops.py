@@ -600,3 +600,54 @@ def test_lake_apply_object_transport(ray_session, tmp_path):
     with pytest.raises(ValueError, match="salted"):
         ob.apply_changes(second, epoch_id="e3", transport="object",
                          num_salts=4)
+
+
+def test_read_lake_tql_with_pushdown(ray_session, tmp_path):
+    from tenzir_ray.cdc.generate import gen_changes
+    from tenzir_ray.cdc.lake import LakeTable
+    from tenzir_ray.cdc.oracle import naive_apply
+    from tenzir_ray.pipelines import run_pipeline
+    from tenzir_ray.pipelines.pipeline import optimize_steps
+
+    root = str(tmp_path / "lake")
+    ch = gen_changes(2000, seed=3)
+    LakeTable(root, num_partitions=4).apply_changes(ch, epoch_id="e1")
+    final = naive_apply(ch).to_pandas()
+
+    # the where fuses into the lake scan
+    steps = optimize_steps([
+        {"op": "read_lake", "root": root},
+        {"op": "where", "expr": "turn_idx < 3"},
+    ])
+    assert len(steps) == 1 and steps[0]["filter_expr"] == "turn_idx < 3"
+
+    out = run_pipeline(
+        f"read_lake {root} | where turn_idx < 3 "
+        "| summarize n=count(*) by role | sort role").to_pandas()
+    want = (final[final.turn_idx < 3].groupby("role").size()
+            .rename("n").reset_index().sort_values("role"))
+    assert out["role"].tolist() == want["role"].tolist()
+    assert out["n"].astype(int).tolist() == want["n"].astype(int).tolist()
+
+    # write_lake epoch via pipeline, idempotent
+    import ray.data as rd
+
+    res = run_pipeline(
+        f"write_lake {root} epoch_id=e2",
+        ds=rd.from_arrow(ch.slice(0, 100)))
+    assert res.get("skipped") or res["epoch_id"] == "e2"
+
+
+def test_global_summarize_star_count(ray_session):
+    """Ray 2.49 regression guard: column-less Count() returns 0 on global
+    aggregates — summarize must row-count star specs itself."""
+    import ray.data as rd
+
+    from tenzir_ray.stages.summarize import summarize
+
+    t = pa.table({"x": pa.array([1, 2, None, 4], pa.int64())})
+    out = summarize(rd.from_arrow(t), n="count(*)", nx="count(x)",
+                    s="sum(x)").to_pandas()
+    assert int(out["n"][0]) == 4      # star counts rows incl. null x
+    assert int(out["nx"][0]) == 3     # column count skips nulls
+    assert int(out["s"][0]) == 7
