@@ -264,7 +264,11 @@ def make_agg(func: str, col: str, alias: str):
     if func == "mean" or func == "avg":
         return Mean(col, alias_name=alias)
     if func == "count":
-        return Count(alias_name=alias) if col in ("", "*", ".") else Count(col, alias_name=alias)
+        if col in ("", "*", "."):
+            return Count(alias_name=alias)
+        # SQL count(col) skips nulls; Ray's default ignore_nulls=False
+        # counts them (matches the pandas partial path, oracle-checked)
+        return Count(col, ignore_nulls=True, alias_name=alias)
     if func == "count_distinct":
         return _count_distinct(col, alias)
     if func in ("approx_count_distinct", "hll"):
