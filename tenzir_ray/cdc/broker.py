@@ -142,11 +142,34 @@ class FileBroker:
         ((p, end),) = ends.items()
         return p, end - 1
 
+    @staticmethod
+    def _committed_bytes(seg: str, nrecs: int) -> int:
+        """Byte length of the first ``nrecs`` committed records in a
+        segment (walks the framing once — only needed when meta.json
+        predates the tail cache or after a crash)."""
+        if nrecs <= 0 or not os.path.exists(seg):
+            return 0
+        with open(seg, "rb") as f:
+            data = f.read()
+        pos = 0
+        for _ in range(nrecs):
+            if pos + 4 > len(data):
+                break
+            (klen,) = _U32.unpack_from(data, pos)
+            pos += 4 + (0 if klen == _NULL else klen)
+            if pos + 4 > len(data):
+                break
+            (vlen,) = _U32.unpack_from(data, pos)
+            pos += 4 + vlen
+        return min(pos, len(data))
+
     def _append(self, topic: str, p: int, msgs) -> int:
         d = _part_dir(self.root, topic, p)
         meta_path = os.path.join(d, "meta.json")
         with open(meta_path) as f:
-            next_off = json.load(f)["next_offset"]
+            meta = json.load(f)
+        next_off = meta["next_offset"]
+        tail_seg, tail_bytes = meta.get("tail_seg"), meta.get("tail_bytes")
         while msgs:
             base = (next_off // self.segment_records) * self.segment_records
             seg = os.path.join(d, f"segment-{base:012d}.log")
@@ -159,12 +182,26 @@ class FileBroker:
                 else:
                     buf += _U32.pack(len(k)) + k
                 buf += _U32.pack(len(v)) + v
-            with open(seg, "ab") as f:
+            # torn-tail recovery: a producer killed mid-write leaves
+            # partial record bytes past the committed end (meta.json
+            # never advanced, so readers were safe) — truncate to the
+            # committed length before appending so the framing stays
+            # intact for every later record.
+            if base == tail_seg and tail_bytes is not None:
+                committed = tail_bytes
+            else:
+                committed = self._committed_bytes(seg, next_off - base)
+            with open(seg, "r+b" if os.path.exists(seg) else "wb") as f:
+                f.truncate(committed)
+                f.seek(committed)
                 f.write(buf)
                 f.flush()
                 os.fsync(f.fileno())
             next_off += len(chunk)
-        _atomic_json(meta_path, {"next_offset": next_off})
+            tail_seg, tail_bytes = base, committed + len(buf)
+        _atomic_json(meta_path, {"next_offset": next_off,
+                                 "tail_seg": tail_seg,
+                                 "tail_bytes": tail_bytes})
         return next_off
 
     # -- fetch ---------------------------------------------------------

@@ -63,6 +63,7 @@ import pyarrow.parquet as pq
 
 from tenzir_ray.cdc.manifest import Manifest, REGISTRY_NAME
 from tenzir_ray.cdc.registry import SchemaRegistry
+from tenzir_ray.stages.exchange import pack_by_partition
 
 META_COLS = ("lsn", "op")
 KEY_COLS = ("conv_id", "turn_idx")
@@ -368,23 +369,8 @@ def _pack_block_cdc(block: pa.Table, registry_json: str,
     ``num_returns=P+1`` so each partition slice becomes its OWN object —
     reducers fetch exactly their partition, nothing else."""
     out = _NormalizeCombine(registry_json, num_partitions, 0)(block)
-    outs: list = [None] * num_partitions
-    stats: dict[int, tuple[int, int]] = {}
     part = out.column("_part").to_numpy(zero_copy_only=False)
-    if len(part):
-        order = np.argsort(part, kind="stable")
-        spart = part[order]
-        bounds = np.r_[
-            np.flatnonzero(np.r_[True, spart[1:] != spart[:-1]]), len(spart)
-        ]
-        body = out.take(pa.array(order)).drop_columns(["_part"]).combine_chunks()
-        for i in range(len(bounds) - 1):
-            lo, hi = int(bounds[i]), int(bounds[i + 1])
-            piece = body.slice(lo, hi - lo).combine_chunks()
-            k = int(spart[lo])
-            outs[k] = piece
-            stats[k] = (hi - lo, piece.nbytes)
-    return [stats] + outs
+    return pack_by_partition(out, part, num_partitions, drop=["_part"])
 
 
 class _PartitionReducer:
@@ -883,11 +869,15 @@ class LakeTable:
             if columns is None:
                 ds = ds.drop_columns([LSN_COL])
             return ds
+        # merge-on-read: a filter may reference columns outside the
+        # projection (optimize_steps fuses where+select independently),
+        # so the loader merges FULL rows when a filter is present; the
+        # projection applies after the predicate
         loader = _PartitionLoader(
             self.root,
             {k: info["files"] for k, info in self.manifest.partitions.items()},
             self.registry.to_json(),
-            columns,
+            None if filter is not None else columns,
         )
         parts = sorted(self.manifest.partitions, key=int)
         ds = ray.data.from_items([{"part": int(k)} for k in parts]).map_batches(
@@ -897,11 +887,15 @@ class LakeTable:
             import pyarrow.dataset as pads
 
             expr = filter
+            proj = columns
 
             def _post(batch: pa.Table) -> pa.Table:
-                if not batch.num_rows:
-                    return batch
-                return pads.dataset(batch).to_table(filter=expr)
+                if batch.num_rows:
+                    batch = pads.dataset(batch).to_table(filter=expr)
+                if proj is not None:
+                    batch = batch.select(
+                        [c for c in proj if c in batch.column_names])
+                return batch
 
             ds = ds.map_batches(_post, batch_format="pyarrow")
         return ds

@@ -39,6 +39,16 @@ _METHOD_MAP = {
     "isin": lambda col, values: col.isin(values),
 }
 
+def _efloor(x):
+    """floor() that works on both plain numbers and pads Expressions
+    (pc.floor dispatches to an Expression call on the latter)."""
+    if isinstance(x, pads.Expression):
+        return pc.floor(x)
+    import math
+
+    return math.floor(x) if isinstance(x, float) else x
+
+
 def _lift(op):
     """pyarrow Expression lacks reflected ops (__rsub__ …): lift plain
     Python scalars on the left into pc.scalar expressions."""
@@ -64,11 +74,13 @@ _BINOP = {
     ast.Sub: _lift(lambda a, b: a - b),
     ast.Mult: _lift(lambda a, b: a * b),
     ast.Div: _lift(lambda a, b: a / b),
-    # % and // on INTEGER operands: Arrow's `/` on int expressions is
-    # truncating division (same convention as SQL %), so modulo composes
-    # as a - (a/b)*b — there is no pc.mod kernel for pads Expressions
-    ast.Mod: _lift(lambda a, b: a - (a / b) * b),
-    ast.FloorDiv: _lift(lambda a, b: a / b),
+    # there is no pc.mod kernel for pads Expressions, so % composes as
+    # a - floor(a/b)*b and // as floor(a/b). On ints Arrow's `/` already
+    # truncates so floor is a no-op (SQL trunc-mod convention for
+    # negatives); on floats floor makes both correct (the bare a-(a/b)*b
+    # identity collapses to 0 under true division).
+    ast.Mod: _lift(lambda a, b: a - _efloor(a / b) * b),
+    ast.FloorDiv: _lift(lambda a, b: _efloor(a / b)),
 }
 
 _CMPOP = {

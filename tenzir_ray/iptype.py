@@ -172,11 +172,28 @@ def subnet_mask(col: pa.Array | pa.ChunkedArray, cidr: str) -> np.ndarray:
         return hit
     # string storage: IPv4 fast path — parse to u32, lift to the
     # v4-mapped 128-bit form (hi=0, lo=0x0000ffff<<32 | u32) and apply
-    # the same two-u64 mask-compare (uniform across any prefix length)
+    # the same two-u64 mask-compare (uniform across any prefix length).
+    # Rows the v4 parser rejects but that contain ':' fall back to a
+    # per-element IPv6 parse (cast_ip() is the scale path for v6-heavy
+    # columns; this keeps string v6 correct rather than silently False).
     s = pd.Series(col.to_pandas(), dtype="object")
     u32, valid = _parse_v4_u32(s)
     hi = np.zeros(len(s), dtype=np.uint64)
     lo = np.uint64(0x0000FFFF00000000) | u32.astype(np.uint64)
+    v6_rows = np.flatnonzero(
+        ~valid
+        & s.str.contains(":", regex=False, na=False).to_numpy(dtype=bool)
+    )
+    for i in v6_rows:
+        try:
+            packed = ipaddress.ip_address(s.iloc[i]).packed
+        except ValueError:
+            continue
+        if len(packed) == 4:  # "::ffff:1.2.3.4" style still maps to v4
+            packed = _V4_PREFIX + packed
+        w = np.frombuffer(packed, dtype=">u8").astype(np.uint64)
+        hi[i], lo[i] = w[0], w[1]
+        valid[i] = True
     hi_m, lo_m = _mask128(plen)
     b = np.frombuffer(base, dtype=">u8").astype(np.uint64)
     return (

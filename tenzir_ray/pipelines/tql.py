@@ -49,12 +49,19 @@ _POSITIONAL = {
 }
 
 
+_PAT_OPENER = re.compile(r"(==|!=|\bin)\s*$")
+
+
 def split_segments(text: str, sep: str = "|") -> list[str]:
-    """Split on top-level ``sep`` outside quotes/parens/brackets."""
+    """Split on top-level ``sep`` outside quotes/parens/brackets — and
+    outside ``/regex/`` pattern literals (which may contain ``|`` and
+    unbalanced brackets; a ``/`` opens a pattern only directly after
+    ``==``/``!=``/``in``, mirroring the expression lexer)."""
     out: list[str] = []
     buf: list[str] = []
     depth = 0
     quote: str | None = None
+    in_pattern = False
     i = 0
     while i < len(text):
         ch = text[i]
@@ -62,6 +69,13 @@ def split_segments(text: str, sep: str = "|") -> list[str]:
             buf.append(ch)
             if ch == quote and text[i - 1] != "\\":
                 quote = None
+        elif in_pattern:
+            buf.append(ch)
+            if ch == "/" and text[i - 1] != "\\":
+                in_pattern = False
+        elif ch == "/" and _PAT_OPENER.search("".join(buf[-8:])):
+            in_pattern = True
+            buf.append(ch)
         elif ch in ("'", '"'):
             quote = ch
             buf.append(ch)

@@ -333,27 +333,41 @@ def coalesce_tasks(bucket_ids: list[int], nbytes: dict[int, int],
 # --------------------------------------------------------------------------
 
 
-def _pack_block(block: pa.Table, keys: list[str], num_buckets: int, transform):
-    """Bucket one input block; return [stats_dict, tbl_b0, tbl_b1, ...].
-    Empty buckets return None (tiny objects; reduce skips them via the
-    stats-driven index, same orphan-safety as the file index)."""
-    if transform is not None:
-        block = transform(block)
-    outs: list = [None] * num_buckets
+def pack_by_partition(block: pa.Table, part_ids: np.ndarray, n: int,
+                      drop: list[str] | None = None) -> list:
+    """Slice one block by a per-row partition id array; returns
+    ``[stats_dict, tbl_p0, ..., tbl_p{n-1}]`` — the shared packing
+    kernel behind the object-store exchange AND the CDC lake's apply
+    path (stable argsort, boundary flatnonzero, per-slice
+    combine_chunks, (rows, nbytes) stats). Empty partitions return None
+    (tiny objects; reduce skips them via the stats-driven index)."""
+    outs: list = [None] * n
     stats: dict[int, tuple[int, int]] = {}
-    if block.num_rows:
-        bucket = key_buckets(block, keys, num_buckets)
-        order = np.argsort(bucket, kind="stable")
-        sb = bucket[order]
-        bounds = np.r_[np.flatnonzero(np.r_[True, sb[1:] != sb[:-1]]), len(sb)]
-        body = block.take(pa.array(order)).combine_chunks()
+    if len(part_ids):
+        order = np.argsort(part_ids, kind="stable")
+        sp = part_ids[order]
+        bounds = np.r_[np.flatnonzero(np.r_[True, sp[1:] != sp[:-1]]), len(sp)]
+        body = block.take(pa.array(order))
+        if drop:
+            body = body.drop_columns(drop)
+        body = body.combine_chunks()
         for i in range(len(bounds) - 1):
             lo, hi = int(bounds[i]), int(bounds[i + 1])
             piece = body.slice(lo, hi - lo).combine_chunks()
-            b = int(sb[lo])
-            outs[b] = piece
-            stats[b] = (hi - lo, piece.nbytes)
+            p = int(sp[lo])
+            outs[p] = piece
+            stats[p] = (hi - lo, piece.nbytes)
     return [stats] + outs
+
+
+def _pack_block(block: pa.Table, keys: list[str], num_buckets: int, transform):
+    """Bucket one input block; return [stats_dict, tbl_b0, tbl_b1, ...]."""
+    if transform is not None:
+        block = transform(block)
+    if not block.num_rows:
+        return [{}] + [None] * num_buckets
+    return pack_by_partition(block, key_buckets(block, keys, num_buckets),
+                             num_buckets)
 
 
 def run_exchange_obj(ds, keys: list[str], num_buckets: int, side: str,

@@ -538,9 +538,15 @@ def slice_(ds, start: int | None = 0, stop: int | None = None,
                 keep = (r >= b) & (r < e) & ((r - b) % s == 0)
             else:
                 keep = (r <= b) & (r > e) & ((b - r) % (-s) == 0)
-            return batch.filter(pa.array(keep)).drop_columns([rn])
+            return batch.filter(pa.array(keep))
 
-        return out.map_batches(_mask, batch_format="pyarrow")
+        out = out.map_batches(_mask, batch_format="pyarrow")
+        if s < 0:
+            # Python [::-s] semantics emit rows in DESCENDING position
+            # order; the strided result is small, so a sort on the row
+            # number restores it
+            out = out.sort(rn, descending=True)
+        return out.drop_columns([rn])
     if order_by is not None:
         keys = [order_by] if isinstance(order_by, str) else order_by
         ds = ds.sort(keys)
@@ -1096,15 +1102,21 @@ def print_ndjson(ds, out: str = "text", keep: bool = False):
         if batch.num_rows == 0:
             arr = pa.array([], pa.string())
         else:
-            df = batch.to_pandas()
+            # integer_object_nulls keeps int columns integral when they
+            # hold nulls (plain to_pandas would float-ify: 1 -> 1.0)
+            df = batch.to_pandas(integer_object_nulls=True)
             # pandas' C serializer writes the whole frame in one call
             # (was a per-row json.dumps via DataFrame.apply). Datetimes
             # pre-stringify so the output matches str(Timestamp) — the
-            # same rendering default=str produced; nested list/struct
-            # columns stay object dtype and to_json handles them.
+            # rendering default=str produced — with NaT -> null (not
+            # the string "NaT"); nested list/struct columns stay object
+            # dtype and to_json handles them.
             for c in df.columns:
                 if pd_mod.api.types.is_datetime64_any_dtype(df[c]):
-                    df[c] = df[c].astype(str)
+                    s = df[c]
+                    txt = s.dt.strftime("%Y-%m-%d %H:%M:%S.%f").str.replace(
+                        r"\.000000$", "", regex=True)
+                    df[c] = txt.where(s.notna(), None)
             txt = df.to_json(
                 orient="records", lines=True, force_ascii=True,
                 double_precision=15, default_handler=str,

@@ -651,3 +651,144 @@ def test_global_summarize_star_count(ray_session):
     assert int(out["n"][0]) == 4      # star counts rows incl. null x
     assert int(out["nx"][0]) == 3     # column count skips nulls
     assert int(out["s"][0]) == 7
+
+
+def test_split_segments_pattern_literals():
+    """Regression: '|' and unbalanced brackets inside /regex/ pattern
+    literals must not split or corrupt segment tracking."""
+    from tenzir_ray.pipelines.tql import split_segments
+
+    assert split_segments(
+        "read_parquet x.parquet | where msg == /err|warn/ | head 5"
+    ) == ["read_parquet x.parquet", "where msg == /err|warn/", "head 5"]
+    assert split_segments("where x == /a[(]b/ | head 5") == [
+        "where x == /a[(]b/", "head 5"]
+    # a '/' used as division must NOT open a pattern
+    assert split_segments("put y = a / b | head 1") == [
+        "put y = a / b", "head 1"]
+
+
+def test_lake_read_filter_on_nonprojected_column(ray_session, tmp_path):
+    """Regression: merge-on-read with a filter referencing a column
+    outside the projection (optimize_steps fuses where+select into
+    read_lake independently) must not raise ArrowInvalid."""
+    import pyarrow.dataset as pads
+
+    from tenzir_ray.cdc.generate import gen_changes
+    from tenzir_ray.cdc.lake import LakeTable
+    from tenzir_ray.cdc.oracle import naive_apply
+
+    root = str(tmp_path / "lake")
+    ch = gen_changes(1200, seed=11)
+    lt = LakeTable(root, num_partitions=4)
+    half = ch.num_rows // 2
+    lt.apply_changes(ch.slice(0, half), epoch_id="e1")
+    lt.apply_changes(ch.slice(half), epoch_id="e2")  # delta files land
+    assert lt._has_deltas()
+
+    out = lt.read(columns=["role"],
+                  filter=pads.field("turn_idx") < 3).to_pandas()
+    final = naive_apply(ch).to_pandas()
+    want = final[final.turn_idx < 3]
+    assert sorted(out.columns) == ["role"]
+    assert sorted(out["role"].tolist()) == sorted(want["role"].tolist())
+
+
+def test_subnet_mask_ipv6_strings():
+    """Regression: IPv6 address STRINGS must match v6 subnets (were
+    silently all-False; only the bytes16 path handled v6)."""
+    from tenzir_ray.iptype import subnet_mask
+
+    a = pa.array(["2001:db8::1", "2001:db9::1", "10.0.0.5", None,
+                  "bogus", "::ffff:10.0.0.9"])
+    assert subnet_mask(a, "2001:db8::/32").tolist() == [
+        True, False, False, False, False, False]
+    assert subnet_mask(a, "10.0.0.0/8").tolist() == [
+        False, False, True, False, False, True]
+
+
+def test_broker_torn_tail_recovery(tmp_path):
+    """Regression: a producer crash mid-write leaves partial record
+    bytes; the next append must truncate them, not write after them."""
+    import json as json_mod
+
+    from tenzir_ray.cdc.broker import FileBroker
+
+    root = str(tmp_path)
+    b = FileBroker(root, segment_records=16)
+    b.create_topic("t", partitions=1)
+    b.produce_many("t", [f"v{i}".encode() for i in range(10)],
+                   keys=[b"k"] * 10)
+    seg = os.path.join(root, "t", "p00000", "segment-000000000000.log")
+    with open(seg, "ab") as f:
+        f.write(b"\x07\x00\x00\x00par")  # torn partial record
+    # also drop the tail cache to force the framing-walk recovery path
+    mp = os.path.join(root, "t", "p00000", "meta.json")
+    m = json_mod.load(open(mp))
+    m.pop("tail_seg"), m.pop("tail_bytes")
+    json_mod.dump(m, open(mp, "w"))
+    b2 = FileBroker(root, segment_records=16)
+    b2.produce_many("t", [f"w{i}".encode() for i in range(10)],
+                    keys=[b"k"] * 10)  # spans a segment roll
+    vals = [v.decode() for _, _, v in b2.read("t", 0, 0, max_records=100)]
+    assert vals == [f"v{i}" for i in range(10)] + [
+        f"w{i}" for i in range(10)]
+
+
+def test_expr_float_mod_floordiv():
+    """Regression: % and // on float operands (the int-only identity
+    made float %% always 0 and float // true division)."""
+    import pyarrow.dataset as pads
+
+    from tenzir_ray.expr import compile_expr
+
+    t = pa.table({"x": [7.5, 3.0, 8.0], "n": [7, 3, 8]})
+
+    def rows(e):
+        return pads.dataset(t).to_table(filter=compile_expr(e)).num_rows
+
+    assert rows("x % 2 == 1.5") == 1
+    assert rows("x // 2 == 3") == 1
+    assert rows("n % 2 == 1") == 2
+    assert rows("n // 2 == 3") == 1
+
+
+def test_print_ndjson_nulls(ray_session):
+    """Regression: null timestamps rendered as the string "NaT" and
+    int64-with-null columns floatified (1 -> 1.0)."""
+    import datetime
+    import json as json_mod
+
+    import ray.data as rd
+
+    from tenzir_ray.stages.transforms import print_ndjson
+
+    t = pa.table({
+        "n": pa.array([1, None], pa.int64()),
+        "ts": pa.array([datetime.datetime(2026, 1, 1), None],
+                       pa.timestamp("us")),
+        "ts2": pa.array([datetime.datetime(2026, 1, 1, 1, 2, 3, 500000)] * 2,
+                        pa.timestamp("us")),
+    })
+    out = [json_mod.loads(s) for s in
+           print_ndjson(rd.from_arrow(t)).to_pandas()["text"]]
+    assert out[0] == {"n": 1, "ts": "2026-01-01 00:00:00",
+                      "ts2": "2026-01-01 01:02:03.500000"}
+    assert out[1] == {"n": None, "ts": None,
+                      "ts2": "2026-01-01 01:02:03.500000"}
+
+
+def test_slice_negative_stride_order(ray_session):
+    """Regression: negative stride must emit rows in descending
+    position order (Python b:e:stride semantics), not ascending."""
+    import ray.data as rd
+
+    from tenzir_ray.stages.transforms import slice_
+
+    ds = rd.from_arrow(pa.table({"k": list(range(20))}))
+    got = slice_(ds, None, None, stride=-2,
+                 order_by="k").to_pandas()["k"].tolist()
+    assert got == list(range(20))[::-2]
+    got2 = slice_(ds, 15, 2, stride=-3,
+                  order_by="k").to_pandas()["k"].tolist()
+    assert got2 == list(range(20))[15:2:-3]
