@@ -198,6 +198,12 @@ def _register_builtins() -> None:
     OPERATORS["yield"] = transforms.yield_
     # trivial ops (pass/discard, reference pass.cpp/discard.cpp)
     OPERATORS["pass"] = lambda ds: ds
+    # scheduling hints (reference local.cpp/remote.cpp/unordered.cpp):
+    # placement and ordering are Ray's scheduler's job here, so these
+    # accept-and-ignore — kept so reference pipelines parse unchanged
+    OPERATORS["unordered"] = lambda ds: ds
+    OPERATORS["local"] = lambda ds: ds
+    OPERATORS["remote"] = lambda ds: ds
     OPERATORS["limit"] = lambda ds, n: ds.limit(n)
     OPERATORS["repartition"] = lambda ds, n, shuffle=False: ds.repartition(
         n, shuffle=shuffle

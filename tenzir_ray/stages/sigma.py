@@ -207,4 +207,50 @@ def sigma_scan(paths, rule: "dict | str | list[dict]",
     return ray.data.read_parquet(paths, columns=columns, filter=expr, **kw)
 
 
+class RuleWatcher:
+    """Hot-reload for a Sigma rule file/directory (the reference's
+    rule-directory watcher, plugins/sigma/plugin.cpp — it live-reloads
+    rules for long-running pipelines).
+
+    A Ray Data pipeline serializes its compiled expressions at launch,
+    so reload happens at micro-batch boundaries: each scheduled tick
+    (``every``/``cron``, pipelines/schedule.py) calls :meth:`rules` and
+    gets the current set, re-read only when an mtime/file-set change is
+    detected (one cheap stat pass per tick, no YAML parse when clean)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._sig: tuple | None = None
+        self._rules: list[dict] = []
+
+    def _signature(self) -> tuple:
+        import glob
+        import os
+
+        if os.path.isdir(self.path):
+            files = sorted(
+                glob.glob(os.path.join(self.path, "*.yml"))
+                + glob.glob(os.path.join(self.path, "*.yaml"))
+            )
+        else:
+            files = [self.path]
+        return tuple(
+            (f, os.stat(f).st_mtime_ns, os.stat(f).st_size)
+            for f in files if os.path.exists(f)
+        )
+
+    def rules(self) -> list[dict]:
+        """Current rule set; reloads iff the file set/mtimes changed."""
+        sig = self._signature()
+        if sig != self._sig:
+            self._rules = load_rules(self.path) if sig else []
+            self._sig = sig
+        return self._rules
+
+    @property
+    def changed(self) -> bool:
+        """True if the next :meth:`rules` call would reload."""
+        return self._signature() != self._sig
+
+
 ship_by_value(sys.modules[__name__])

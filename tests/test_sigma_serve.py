@@ -55,3 +55,48 @@ def test_serve_paging(ray_session):
     # re-fetch an already-served token (at-least-once client retry)
     page1, _ = srv.get(1)
     assert page1 is not None and page1.num_rows == 300
+
+
+def test_sigma_rule_watcher(tmp_path, ray_session):
+    """Hot-reload: the watcher re-reads rules only when the file set or
+    mtimes change, and new rules take effect on the next tick."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tenzir_ray.stages.sigma import RuleWatcher, sigma
+
+    rdir = tmp_path / "rules"
+    rdir.mkdir()
+    (rdir / "a.yml").write_text(
+        "title: sshd\ndetection:\n  sel:\n    proc: sshd\n  condition: sel\n")
+    w = RuleWatcher(str(rdir))
+    assert [r["title"] for r in w.rules()] == ["sshd"]
+    assert not w.changed
+    r1 = w.rules()
+    assert w.rules() is r1  # clean tick: no reload, same object
+
+    time.sleep(0.01)
+    (rdir / "b.yml").write_text(
+        "title: cron\ndetection:\n  sel:\n    proc: cron\n  condition: sel\n")
+    assert w.changed
+    assert sorted(r["title"] for r in w.rules()) == ["cron", "sshd"]
+
+    ds = rd.from_arrow(pa.table({"proc": ["sshd", "cron", "bash"]}))
+    out = sigma(ds, w.rules()).to_pandas()
+    assert sorted(out["proc"]) == ["cron", "sshd"]
+
+
+def test_hint_ops_are_noops(ray_session):
+    """unordered/local/remote parse and pass events through unchanged
+    (Ray's scheduler owns placement/ordering here)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tenzir_ray.pipelines import run_pipeline
+
+    ds = rd.from_arrow(pa.table({"x": [3, 1, 2]}))
+    out = run_pipeline("unordered | local | remote | sort x", ds=ds).to_pandas()
+    assert out["x"].tolist() == [1, 2, 3]
