@@ -1514,7 +1514,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ip_to_string(cast_ip(ds, "src_ip"), "src_ip")
 
+    def yara_match(sf):
+        """YARA rule scan over document text (plugins/yara analog):
+        fullword + nocase + hex strings, count/boolean condition; one
+        match event per (doc, rule) with per-string counts."""
+        from tenzir_ray.stages.yara import yara_
+
+        rule = (
+            "rule vocab {\n"
+            "  strings:\n"
+            '    $a = "data" fullword\n'
+            '    $b = "MERGE" nocase\n'
+            "    $h = { 73 70 61 72 6B }\n"  # "spark"
+            "  condition: ($a and #b >= 3) or #h >= 5\n"
+            "}\n"
+        )
+        ds = yara_(
+            _read(sf, "documents", columns=["doc_id", "text"]),
+            rule, field="text", keep=("doc_id",), include_data=False,
+        )
+
+        def _counts(t):
+            import collections
+
+            import pyarrow as pa
+
+            na, nb, nh = [], [], []
+            for ms in t.column("matches").to_pylist():
+                c = collections.Counter(m["identifier"] for m in ms)
+                na.append(c.get("$a", 0))
+                nb.append(c.get("$b", 0))
+                nh.append(c.get("$h", 0))
+            return pa.table({
+                "doc_id": t.column("doc_id"),
+                "rule": t.column("rule_identifier"),
+                "n_a": pa.array(na, pa.int64()),
+                "n_b": pa.array(nb, pa.int64()),
+                "n_h": pa.array(nh, pa.int64()),
+            })
+
+        return ds.map_batches(_counts, batch_format="pyarrow")
+
     return {
+        "yara_match": yara_match,
         "where_subnet": where_subnet,
         "ip_typed_roundtrip": ip_typed_roundtrip,
         "asof_status": asof_status,
@@ -1609,6 +1651,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "yara_match": r"""
+            WITH c AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '\bdata\b')) AS n_a,
+                       len(regexp_extract_all(text, '(?i)merge')) AS n_b,
+                       len(regexp_extract_all(text, 'spark')) AS n_h
+                FROM documents)
+            SELECT doc_id, 'vocab' AS rule, n_a, n_b, n_h FROM c
+            WHERE (n_a >= 1 AND n_b >= 3) OR n_h >= 5
+        """,
         "where_subnet": """
             SELECT event_id,
                    CAST(9 + event_id % 4 AS VARCHAR) || '.' ||

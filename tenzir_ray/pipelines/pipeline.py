@@ -209,6 +209,10 @@ def _register_builtins() -> None:
         n, shuffle=shuffle
     )
     OPERATORS["write_parquet"] = lambda ds, path, **kw: ds.write_parquet(path, **kw)
+    from tenzir_ray.stages import sigma as sigma_mod
+    from tenzir_ray.stages import yara as yara_mod
+
+    OPERATORS.update(sigma=sigma_mod.sigma, yara=yara_mod.yara_)
 
 
 def show(aspect: str | None = None):

@@ -1,0 +1,679 @@
+"""YARA rule subset → byte scanners over binary/string columns.
+
+The reference wraps libyara as the ``yara`` operator
+(plugins/yara/src/plugin.cpp, web/docs/operators/yara.md): it buffers
+byte chunks and emits one ``yara.match`` event per matching rule, with
+the rule descriptor and per-string match offsets.  In a Dataset engine
+each ROW of a binary/string column is one self-contained scan unit (the
+reference's ``--blockwise`` mode — the only meaningful unit for a
+Dataset of blobs); rules are parsed and compiled ONCE per actor
+(:class:`YaraScanner` ``__init__``) into Python ``re`` byte patterns, so
+the per-blob scan runs in C, and the rule condition is evaluated per
+blob over the resulting match table.
+
+Supported subset of the public YARA v4 language:
+
+- text strings (``$a = "foo"``) with escapes (``\\" \\\\ \\t \\n \\r
+  \\xNN``) and modifiers ``nocase`` / ``ascii`` / ``wide`` /
+  ``fullword``;
+- hex strings (``$h = { AA ?? B? [2-4] CC }``) with full/nibble
+  wildcards, ``[n]`` / ``[n-m]`` / ``[-]`` jumps and ``( .. | .. )``
+  alternation;
+- regex strings (``$r = /foo[0-9]+/ nocase``);
+- conditions: ``and / or / not``, parentheses, ``$a`` (presence),
+  ``#a`` (match count), ``@a`` / ``@a[i]`` (offset), ``!a`` / ``!a[i]``
+  (length), comparisons, integer literals (``0x..``, ``KB`` / ``MB``),
+  ``filesize``, ``uint8/16/32(off)`` (+ ``be`` variants and signed
+  ``int*``), ``any/all/N of them`` / ``of ($a, $b*)``, ``$a at off``,
+  ``$a in (lo..hi)``, ``true`` / ``false``.
+
+Out of scope (documented, raises at parse time): modules (``pe.``,
+``math.`` …), ``for`` loops, string-count ranges in ``of``.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import re
+import sys
+
+import pyarrow as pa
+
+from tenzir_ray._ship import ship_by_value
+
+_MAX_MATCHES_PER_STRING = 10_000  # libyara caps too; bounds memory on
+# pathological blobs (e.g. a 1 GiB run of a 1-byte pattern)
+
+_WORD = b"0-9A-Za-z_"  # YARA fullword boundary class (ASCII, like \b)
+
+
+# --------------------------------------------------------------------------
+# rule-file tokenization / parsing
+# --------------------------------------------------------------------------
+
+def _strip_comments(text: str) -> str:
+    out, i, n = [], 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == '"':  # don't strip inside string literals
+            j = i + 1
+            while j < n and text[j] != '"':
+                j += 2 if text[j] == "\\" else 1
+            out.append(text[i : j + 1])
+            i = j + 1
+        elif c == "/" and i + 1 < n and text[i + 1] == "/":
+            while i < n and text[i] != "\n":
+                i += 1
+        elif c == "/" and i + 1 < n and text[i + 1] == "*":
+            j = text.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+            out.append(" ")
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def parse_rules(text: str) -> list[dict]:
+    """Parse YARA source into rule dicts:
+    ``{identifier, tags, meta, strings: {id: (kind, spec, mods)},
+    condition: str}``."""
+    text = _strip_comments(text)
+    rules = []
+    # rule header: [global|private]* rule NAME [: tag tag] {
+    hdr = re.compile(
+        r"(?:\b(?:global|private)\s+)*\brule\s+([A-Za-z_][A-Za-z0-9_]*)"
+        r"\s*(?::\s*([A-Za-z0-9_ \t]+?))?\s*\{"
+    )
+    pos = 0
+    while True:
+        m = hdr.search(text, pos)
+        if not m:
+            break
+        body_start = m.end()
+        end = _match_brace(text, body_start - 1)
+        body = text[body_start:end]
+        rules.append(
+            {
+                "identifier": m.group(1),
+                "tags": (m.group(2) or "").split(),
+                **_parse_body(body, m.group(1)),
+            }
+        )
+        pos = end + 1
+    if not rules:
+        raise ValueError("no YARA rules found in input")
+    return rules
+
+
+def _match_brace(text: str, open_idx: int) -> int:
+    depth, i, n = 0, open_idx, len(text)
+    while i < n:
+        c = text[i]
+        if c == '"':
+            i += 1
+            while i < n and text[i] != '"':
+                i += 2 if text[i] == "\\" else 1
+        elif c == "{":
+            depth += 1
+        elif c == "}":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    raise ValueError("unbalanced braces in YARA rule")
+
+
+def _string_spans(text: str) -> list[tuple[int, int]]:
+    return [m.span() for m in re.finditer(r'"(?:[^"\\]|\\.)*"', text)]
+
+
+def _parse_body(body: str, name: str) -> dict:
+    sections: dict[str, str] = {}
+    sec = re.compile(r"\b(meta|strings|condition)\s*:")
+    quoted = _string_spans(body)
+    marks = [
+        (m.group(1), m.start(), m.end())
+        for m in sec.finditer(body)
+        if not any(a <= m.start() < b for a, b in quoted)
+    ]
+    if not any(k == "condition" for k, _, _ in marks):
+        raise ValueError(f"rule {name}: missing condition section")
+    for idx, (key, _, e) in enumerate(marks):
+        nxt = marks[idx + 1][1] if idx + 1 < len(marks) else len(body)
+        sections[key] = body[e:nxt]
+    return {
+        "meta": _parse_meta(sections.get("meta", "")),
+        "strings": _parse_strings(sections.get("strings", ""), name),
+        "condition": " ".join(sections["condition"].split()),
+    }
+
+
+def _parse_meta(sec: str) -> dict:
+    meta = {}
+    for m in re.finditer(
+        r"([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(\"(?:[^\"\\]|\\.)*\"|true|false|-?\d+)",
+        sec,
+    ):
+        k, v = m.group(1), m.group(2)
+        if v.startswith('"'):
+            meta[k] = v[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+        elif v in ("true", "false"):
+            meta[k] = v == "true"
+        else:
+            meta[k] = int(v)
+    return meta
+
+
+_STR_DEF = re.compile(
+    r"\$([A-Za-z0-9_]*)\s*=\s*"
+    r"(\"(?:[^\"\\]|\\.)*\"|\{[^}]*\}|/(?:[^/\\\n]|\\.)+/)"
+    r"([a-z0-9 \t]*)",
+)
+
+
+def _parse_strings(sec: str, name: str) -> dict:
+    out = {}
+    for m in _STR_DEF.finditer(sec):
+        sid, spec, mods_s = m.group(1), m.group(2), m.group(3)
+        mods = set(mods_s.split())
+        bad = mods - {"nocase", "ascii", "wide", "fullword", "private",
+                      "i", "s"}  # i/s: YARA regex-string flag suffixes
+        if bad:
+            raise ValueError(f"rule {name}: unsupported modifier(s) {bad}")
+        if spec.startswith('"'):
+            kind, body = "text", spec[1:-1]
+        elif spec.startswith("{"):
+            kind, body = "hex", spec[1:-1]
+        else:
+            kind, body = "regex", spec[1:-1]
+        out["$" + sid] = (kind, body, mods)
+    if re.search(r"\$[A-Za-z0-9_]*\s*=", sec) and not out:
+        raise ValueError(f"rule {name}: could not parse strings section")
+    return out
+
+
+# --------------------------------------------------------------------------
+# string compilation → bytes regex
+# --------------------------------------------------------------------------
+
+def _unescape_text(s: str) -> bytes:
+    out, i, n = bytearray(), 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "\\" and i + 1 < n:
+            e = s[i + 1]
+            if e == "x" and i + 3 < n:
+                out.append(int(s[i + 2 : i + 4], 16))
+                i += 4
+                continue
+            out.append({"n": 10, "t": 9, "r": 13}.get(e, ord(e)))
+            i += 2
+        else:
+            out += c.encode("utf-8")
+            i += 1
+    return bytes(out)
+
+
+def _hex_to_regex(body: str) -> bytes:
+    """Hex string tokens → bytes-regex source (evaluated with DOTALL)."""
+    toks = re.findall(
+        r"\?\?|[0-9A-Fa-f]\?|\?[0-9A-Fa-f]|[0-9A-Fa-f]{2}"
+        r"|\[\s*\d*\s*-?\s*\d*\s*\]|\(|\)|\|",
+        body,
+    )
+    parts: list[bytes] = []
+    for t in toks:
+        if t == "??":
+            parts.append(b".")
+        elif t == "(":
+            parts.append(b"(?:")
+        elif t == ")":
+            parts.append(b")")
+        elif t == "|":
+            parts.append(b"|")
+        elif t.startswith("["):
+            lo, dash, hi = re.match(
+                r"\[\s*(\d*)\s*(-?)\s*(\d*)\s*\]", t
+            ).groups()
+            if not dash:  # [n] fixed jump
+                parts.append(b".{%d}" % int(lo or 0))
+            else:  # [n-m] / [n-] / [-m] / [-]
+                l = (lo or "0").encode()
+                h = hi.encode() if hi else b""
+                parts.append(b".{" + l + b"," + h + b"}")
+        elif "?" in t:  # nibble wildcard
+            if t[1] == "?":  # high nibble fixed: A? → 0xA0-0xAF
+                base = int(t[0], 16) << 4
+                parts.append(b"[%s-%s]" % (re.escape(bytes([base])),
+                                           re.escape(bytes([base + 15]))))
+            else:  # low nibble fixed: ?A → {0x0A,0x1A,…}
+                low = int(t[1], 16)
+                cls = b"".join(
+                    re.escape(bytes([(h << 4) | low])) for h in range(16)
+                )
+                parts.append(b"[" + cls + b"]")
+        else:
+            parts.append(re.escape(bytes([int(t, 16)])))
+    return b"".join(parts)
+
+
+def _compile_string(kind: str, body: str, mods: set) -> re.Pattern:
+    flags = re.DOTALL
+    if "nocase" in mods:
+        flags |= re.IGNORECASE
+    if kind == "hex":
+        return re.compile(_hex_to_regex(body), re.DOTALL)
+    if kind == "regex":
+        if "i" in mods:
+            flags |= re.IGNORECASE
+        return re.compile(body.encode("utf-8", "surrogateescape"), flags)
+    # text
+    raw = _unescape_text(body)
+    variants = []
+    if "wide" in mods:
+        variants.append(b"".join(re.escape(bytes([b])) + b"\x00" for b in raw))
+    if "ascii" in mods or "wide" not in mods:
+        variants.append(re.escape(raw))
+    src = b"|".join(variants) if len(variants) > 1 else variants[0]
+    if len(variants) > 1:
+        src = b"(?:" + src + b")"
+    if "fullword" in mods:
+        src = b"(?<![" + _WORD + b"])" + src + b"(?![" + _WORD + b"])"
+    return re.compile(src, flags)
+
+
+# --------------------------------------------------------------------------
+# condition compilation (recursive descent → closure tree)
+# --------------------------------------------------------------------------
+
+_COND_TOKEN = re.compile(
+    r"\s*(?:"
+    r"(?P<num>0x[0-9A-Fa-f]+|\d+(?:KB|MB)?)"
+    r"|(?P<strref>[$#@!][A-Za-z0-9_]*)"
+    r"|(?P<op>==|!=|<=|>=|<|>|\(|\)|\[|\]|,|\.\.|\*)"
+    r"|(?P<word>[A-Za-z_][A-Za-z0-9_]*)"
+    r")"
+)
+
+
+def _tokenize_cond(s: str) -> list[str]:
+    toks, i = [], 0
+    while i < len(s):
+        m = _COND_TOKEN.match(s, i)
+        if not m:
+            if s[i].isspace():
+                i += 1
+                continue
+            raise ValueError(f"bad condition token at {s[i:]!r}")
+        toks.append(m.group().strip())
+        i = m.end()
+    return toks
+
+
+class _Cond:
+    """Compiles a condition string into ``eval(ctx)`` where ctx is
+    ``(matches: dict[str, list[(off, len)]], data: bytes)``."""
+
+    def __init__(self, cond: str, string_ids: list[str]):
+        self.toks = _tokenize_cond(cond)
+        self.ids = string_ids
+        self.i = 0
+        self.fn = self._or()
+        if self.i != len(self.toks):
+            raise ValueError(
+                f"trailing tokens in condition: {self.toks[self.i:]}")
+
+    # -- token helpers
+    def _peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def _next(self):
+        t = self._peek()
+        self.i += 1
+        return t
+
+    def _expect(self, t):
+        got = self._next()
+        if got != t:
+            raise ValueError(f"expected {t!r}, got {got!r}")
+
+    # -- grammar
+    def _or(self):
+        left = self._and()
+        while self._peek() == "or":
+            self._next()
+            right = self._and()
+            left = (lambda l, r: lambda c: l(c) or r(c))(left, right)
+        return left
+
+    def _and(self):
+        left = self._not()
+        while self._peek() == "and":
+            self._next()
+            right = self._not()
+            left = (lambda l, r: lambda c: l(c) and r(c))(left, right)
+        return left
+
+    def _not(self):
+        if self._peek() == "not":
+            self._next()
+            inner = self._not()
+            return lambda c: not inner(c)
+        return self._cmp()
+
+    _CMP = {
+        "==": lambda a, b: a == b, "!=": lambda a, b: a != b,
+        "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+        ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
+    }
+
+    def _cmp(self):
+        left = self._primary()
+        t = self._peek()
+        if t in self._CMP:
+            self._next()
+            op = self._CMP[t]
+            right = self._primary()
+            return (lambda l, r, o: lambda c: o(l(c), r(c)))(left, right, op)
+        return left
+
+    def _int(self, tok: str) -> int:
+        if tok.startswith("0x"):
+            return int(tok, 16)
+        if tok.endswith("KB"):
+            return int(tok[:-2]) * 1024
+        if tok.endswith("MB"):
+            return int(tok[:-2]) * 1024 * 1024
+        return int(tok)
+
+    def _string_set(self) -> list[str]:
+        """``them`` or ``($a, $b*, …)`` → concrete string ids."""
+        if self._peek() == "them":
+            self._next()
+            return list(self.ids)
+        self._expect("(")
+        ids: list[str] = []
+        while True:
+            t = self._next()
+            if not t or not t.startswith("$"):
+                raise ValueError(f"expected $id in string set, got {t!r}")
+            if self._peek() == "*":
+                self._next()
+                ids.extend(s for s in self.ids if s.startswith(t))
+            else:
+                ids.append(t)
+            t = self._next()
+            if t == ")":
+                break
+            if t != ",":
+                raise ValueError(f"expected , or ) in string set, got {t!r}")
+        return ids
+
+    def _of(self, need):
+        """``N/any/all of <set>``: need is int, 'any' or 'all'."""
+        self._expect("of")
+        ids = self._string_set()
+        if need == "any":
+            n = 1
+        elif need == "all":
+            n = len(ids)
+        else:
+            n = need
+        return lambda c, ids=tuple(ids), n=n: (
+            sum(1 for s in ids if c[0].get(s)) >= n
+        )
+
+    def _uint(self, word):
+        signed = word.startswith("int")
+        be = word.endswith("be")
+        bits = int(re.search(r"\d+", word).group())
+        self._expect("(")
+        off = self._primary()
+        self._expect(")")
+        width = bits // 8
+
+        def read(c, off=off, width=width, be=be, signed=signed):
+            o = off(c)
+            chunk = c[1][o : o + width]
+            if len(chunk) < width:
+                return -1  # YARA: undefined → comparison false; -1 is safe
+            return int.from_bytes(
+                chunk, "big" if be else "little", signed=signed)
+
+        return read
+
+    def _primary(self):
+        t = self._next()
+        if t is None:
+            raise ValueError("unexpected end of condition")
+        if t == "(":
+            inner = self._or()
+            self._expect(")")
+            return inner
+        if t == "true":
+            return lambda c: True
+        if t == "false":
+            return lambda c: False
+        if t == "filesize":
+            return lambda c: len(c[1])
+        if t in ("any", "all"):
+            return self._of(t)
+        if re.fullmatch(r"0x[0-9A-Fa-f]+|\d+(?:KB|MB)?", t or ""):
+            v = self._int(t)
+            if self._peek() == "of":
+                return self._of(v)
+            return lambda c, v=v: v
+        if re.fullmatch(r"u?int(?:8|16|32)(?:be)?", t or ""):
+            return self._uint(t)
+        if t.startswith("$"):
+            sid = t
+            nxt = self._peek()
+            if nxt == "at":
+                self._next()
+                off = self._primary()
+                return lambda c, s=sid, o=off: any(
+                    m[0] == o(c) for m in c[0].get(s, ()))
+            if nxt == "in":
+                self._next()
+                self._expect("(")
+                lo = self._primary()
+                self._expect("..")
+                hi = self._primary()
+                self._expect(")")
+                return lambda c, s=sid, lo=lo, hi=hi: any(
+                    lo(c) <= m[0] <= hi(c) for m in c[0].get(s, ()))
+            return lambda c, s=sid: bool(c[0].get(s))
+        if t.startswith("#"):
+            sid = "$" + t[1:]
+            return lambda c, s=sid: len(c[0].get(s, ()))
+        if t.startswith("@") or t.startswith("!"):
+            sid = "$" + t[1:]
+            idx = 0
+            if self._peek() == "[":
+                self._next()
+                idx_fn = self._primary()
+                self._expect("]")
+                idx = None
+            which = 0 if t[0] == "@" else 1
+            if idx is None:
+                return lambda c, s=sid, w=which, f=idx_fn: (
+                    c[0][s][f(c) - 1][w]  # YARA @a[i] is 1-based
+                    if len(c[0].get(s, ())) >= f(c) >= 1 else -1)
+            return lambda c, s=sid, w=which: (
+                c[0][s][0][w] if c[0].get(s) else -1)
+        raise ValueError(f"unsupported condition construct {t!r} "
+                         "(modules and for-loops are out of scope)")
+
+
+# --------------------------------------------------------------------------
+# compiled rules + scanning
+# --------------------------------------------------------------------------
+
+class CompiledRule:
+    __slots__ = ("identifier", "tags", "meta", "patterns", "cond",
+                 "strings_src")
+
+    def __init__(self, rule: dict):
+        self.identifier = rule["identifier"]
+        self.tags = rule["tags"]
+        self.meta = rule["meta"]
+        self.strings_src = {
+            sid: (body if kind == "text" else f"{{{body}}}"
+                  if kind == "hex" else f"/{body}/")
+            for sid, (kind, body, _m) in rule["strings"].items()
+        }
+        self.patterns = {
+            sid: _compile_string(kind, body, mods)
+            for sid, (kind, body, mods) in rule["strings"].items()
+        }
+        self.cond = _Cond(rule["condition"], list(self.patterns)).fn
+
+    def scan(self, data: bytes):
+        """Return ``{sid: [(offset, length), …]}`` if the condition
+        holds, else None."""
+        matches = {}
+        for sid, pat in self.patterns.items():
+            hits = []
+            for m in pat.finditer(data):
+                hits.append((m.start(), m.end() - m.start()))
+                if len(hits) >= _MAX_MATCHES_PER_STRING:
+                    break
+            if hits:
+                matches[sid] = hits
+        return matches if self.cond((matches, data)) else None
+
+
+def compile_rules(source: str | list[str]) -> list[CompiledRule]:
+    if isinstance(source, list):
+        source = "\n".join(source)
+    return [CompiledRule(r) for r in parse_rules(source)]
+
+
+_MATCH_TYPE = pa.list_(pa.struct([
+    ("identifier", pa.string()),
+    ("data", pa.string()),       # base64, like the reference's JSON output
+    ("base", pa.int64()),
+    ("offset", pa.int64()),
+    ("match_length", pa.int64()),
+]))
+
+
+class YaraScanner:
+    """Actor-pool stage: one ``yara.match`` output row per (blob, rule)
+    match. Rules compile once per actor; each blob scan is C-speed
+    ``re`` over bytes. ``keep`` columns are copied onto every emitted
+    match so Dataset rows stay joinable back to their source."""
+
+    def __init__(self, rules: str | list[str], field: str = "data",
+                 keep: tuple[str, ...] = (), namespace: str = "default",
+                 include_data: bool = True):
+        self.rules = compile_rules(rules)
+        self.field = field
+        self.keep = tuple(keep)
+        self.namespace = namespace
+        self.include_data = include_data
+
+    __name__ = "YaraScanner"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.field)
+        kept = {k: batch.column(k) for k in self.keep}
+        out: dict[str, list] = {k: [] for k in self.keep}
+        out.update(rule_identifier=[], rule_namespace=[], rule_tags=[],
+                   rule_meta=[], matches=[])
+        for i, v in enumerate(col):
+            raw = v.as_py()
+            if raw is None:
+                continue
+            data = raw.encode("utf-8") if isinstance(raw, str) else raw
+            for rule in self.rules:
+                hits = rule.scan(data)
+                if hits is None:
+                    continue
+                for k, arr in kept.items():
+                    out[k].append(arr[i].as_py())
+                out["rule_identifier"].append(rule.identifier)
+                out["rule_namespace"].append(self.namespace)
+                out["rule_tags"].append(rule.tags)
+                out["rule_meta"].append(json.dumps(rule.meta, sort_keys=True))
+                out["matches"].append([
+                    {
+                        "identifier": sid,
+                        "data": base64.b64encode(
+                            data[off : off + ln]).decode()
+                        if self.include_data else "",
+                        "base": 0,
+                        "offset": off,
+                        "match_length": ln,
+                    }
+                    for sid, hs in sorted(hits.items()) for off, ln in hs
+                ])
+        arrays, names = [], []
+        for k in self.keep:
+            names.append(k)
+            arrays.append(pa.array(out[k], type=batch.schema.field(k).type))
+        names += ["rule_identifier", "rule_namespace", "rule_tags",
+                  "rule_meta", "matches"]
+        arrays += [
+            pa.array(out["rule_identifier"], type=pa.string()),
+            pa.array(out["rule_namespace"], type=pa.string()),
+            pa.array(out["rule_tags"], type=pa.list_(pa.string())),
+            pa.array(out["rule_meta"], type=pa.string()),
+            pa.array(out["matches"], type=_MATCH_TYPE),
+        ]
+        return pa.Table.from_arrays(arrays, names=names)
+
+
+def yara_(ds, rules: str | list[str], field: str = "data",
+          keep: tuple[str, ...] = (), namespace: str = "default",
+          include_data: bool = True, concurrency=(1, 8), batch_size=256):
+    """The ``yara`` operator (blockwise: each row is one scan unit)."""
+    return ds.map_batches(
+        YaraScanner,
+        fn_constructor_kwargs=dict(rules=rules, field=field, keep=keep,
+                                   namespace=namespace,
+                                   include_data=include_data),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def yara_scan_bytes(data: bytes, rules: str | list[str],
+                    namespace: str = "default") -> list[dict]:
+    """One-shot whole-stream scan (the reference's default accumulate
+    mode: the scanner fires once when the input is exhausted). Driver
+    side by design — a single logical byte stream is not a Dataset."""
+    events = []
+    for rule in compile_rules(rules):
+        hits = rule.scan(data)
+        if hits is None:
+            continue
+        events.append({
+            "rule": {
+                "identifier": rule.identifier,
+                "namespace": namespace,
+                "tags": rule.tags,
+                "meta": rule.meta,
+                "strings": rule.strings_src,
+            },
+            "matches": {
+                sid: [
+                    {
+                        "data": base64.b64encode(
+                            data[off : off + ln]).decode(),
+                        "base": 0,
+                        "offset": off,
+                        "match_length": ln,
+                    }
+                    for off, ln in hs
+                ]
+                for sid, hs in sorted(hits.items())
+            },
+        })
+    return events
+
+
+ship_by_value(sys.modules[__name__])

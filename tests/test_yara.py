@@ -1,0 +1,199 @@
+"""YARA engine: parser, string kinds, condition semantics, Dataset stage.
+
+Reference surface: plugins/yara (libyara scanner → one yara.match event
+per matching rule; web/docs/operators/yara.md documents the exact output
+record), exercised here against the documented example and the public
+YARA v4 language spec."""
+
+import base64
+import json
+
+import pyarrow as pa
+import pytest
+
+from tenzir_ray.stages.yara import (
+    CompiledRule,
+    compile_rules,
+    parse_rules,
+    yara_,
+    yara_scan_bytes,
+)
+
+DOC_EXAMPLE = """
+rule test {
+  meta:
+    string = "string meta data"
+    integer = 42
+    boolean = true
+  strings:
+    $foo = "foo"
+    $bar = "bar"
+    $baz = "baz"
+  condition:
+    ($foo and $bar) or $baz
+}
+"""
+
+
+def test_reference_doc_example():
+    """The docs' `echo 'foo bar' | yara test.yara` walkthrough, field
+    for field (web/docs/operators/yara.md)."""
+    ev = yara_scan_bytes(b"foo bar", DOC_EXAMPLE)
+    assert len(ev) == 1
+    r = ev[0]["rule"]
+    assert r["identifier"] == "test"
+    assert r["namespace"] == "default"
+    assert r["meta"] == {"string": "string meta data", "integer": 42,
+                         "boolean": True}
+    assert set(r["strings"]) == {"$foo", "$bar", "$baz"}
+    m = ev[0]["matches"]
+    assert m["$foo"] == [{"data": "Zm9v", "base": 0, "offset": 0,
+                          "match_length": 3}]
+    assert m["$bar"][0]["offset"] == 4
+    assert "$baz" not in m
+    assert yara_scan_bytes(b"nothing", DOC_EXAMPLE) == []
+    assert yara_scan_bytes(b"... baz ...", DOC_EXAMPLE)
+
+
+def test_parse_tags_comments_multirule():
+    src = """
+    // line comment
+    rule a : exe malware { strings: $x = "A" condition: $x }
+    /* block
+       comment */
+    private rule b { condition: true }
+    """
+    rules = parse_rules(src)
+    assert [r["identifier"] for r in rules] == ["a", "b"]
+    assert rules[0]["tags"] == ["exe", "malware"]
+    assert rules[1]["strings"] == {}
+
+
+def test_hex_strings_wildcards_jumps():
+    src = """rule h { strings:
+      $a = { 4D 5A ?? 00 }
+      $b = { FF [2-4] FE }
+      $c = { A? ?B }
+      $d = { ( 01 | 02 ) 03 }
+    condition: $a or $b or $c or $d }"""
+    [r] = compile_rules(src)
+    assert r.scan(b"\x4d\x5a\x99\x00")
+    assert r.scan(b"\xff12\xfe")
+    assert r.scan(b"\xff1234\xfe")
+    assert r.scan(b"\xff1\xfe") is None  # jump below range
+    assert r.scan(b"\xa7\x5b")  # A? matches 0xA7, ?B matches 0x5B
+    assert r.scan(b"\x02\x03") and r.scan(b"\x01\x03")
+    assert r.scan(b"\x04\x03") is None
+
+
+def test_text_modifiers():
+    src = """rule t { strings:
+      $n = "MiXeD" nocase
+      $w = "wide" wide
+      $f = "word" fullword
+    condition: $n or $w or $f }"""
+    [r] = compile_rules(src)
+    assert r.scan(b"xx mixed yy")
+    assert r.scan(b"w\x00i\x00d\x00e\x00")
+    assert r.scan(b"wide") is None  # wide-only string, ascii input
+    assert r.scan(b"a word here")
+    assert r.scan(b"sword") is None
+    assert r.scan(b"words") is None
+
+
+def test_regex_strings():
+    src = r"""rule re { strings:
+      $r = /ab+c/
+      $i = /HeLLo/i
+    condition: $r or $i }"""
+    [r] = compile_rules(src)
+    assert r.scan(b"xabbbcx")
+    assert r.scan(b"hello")
+    assert r.scan(b"abc ")
+
+
+def test_condition_counts_offsets_uint_filesize():
+    src = """rule c { strings:
+      $a = "ha"
+    condition:
+      #a >= 3 and @a == 0 and filesize < 1KB and uint8(0) == 0x68
+      and uint16(0) == 0x6168
+    }"""
+    [r] = compile_rules(src)
+    assert r.scan(b"hahaha")
+    assert r.scan(b"xhahaha") is None  # @a == 1, uint8(0) != 'h'
+
+
+def test_condition_of_sets_and_at_in():
+    src = """rule o { strings:
+      $a1 = "alpha"
+      $a2 = "beta"
+      $b1 = "gamma"
+    condition:
+      2 of ($a*) or all of them or $b1 at 10 or $a1 in (5..20)
+    }"""
+    [r] = compile_rules(src)
+    assert r.scan(b"alpha beta")
+    assert r.scan(b"0123456789gamma")
+    assert r.scan(b"12345alpha")
+    assert r.scan(b"gamma") is None
+    assert r.scan(b"alpha") is None  # at offset 0, not in (5..20)
+
+
+def test_unsupported_constructs_raise():
+    with pytest.raises(ValueError):
+        compile_rules("rule m { condition: pe.is_dll() }")
+    with pytest.raises(ValueError):
+        compile_rules("no rules here at all")
+    with pytest.raises(ValueError):
+        compile_rules('rule s { strings: $a = "x" base64 condition: $a }')
+
+
+def test_yara_dataset_stage(ray_session):
+    """Blockwise Dataset scan: one output row per (blob, rule) match,
+    keep columns carried through, match offsets exact."""
+    import ray.data as rd
+
+    src = """
+    rule foo_bar { strings: $foo = "foo" $bar = "bar"
+                   condition: $foo and $bar }
+    rule baz { strings: $baz = "baz" condition: $baz }
+    """
+    ds = rd.from_arrow(pa.table({
+        "id": [1, 2, 3, 4],
+        "data": [b"foo bar", b"only baz here", b"foo baz bar", b"none"],
+    }))
+    out = yara_(ds, src, field="data", keep=("id",)).to_pandas()
+    got = sorted(zip(out["id"], out["rule_identifier"]))
+    assert got == [(1, "foo_bar"), (2, "baz"), (3, "baz"), (3, "foo_bar")]
+    row = out[(out["id"] == 1)].iloc[0]
+    ms = list(row["matches"])
+    foo = [m for m in ms if m["identifier"] == "$foo"][0]
+    assert foo["offset"] == 0 and foo["match_length"] == 3
+    assert base64.b64decode(foo["data"]) == b"foo"
+    meta = json.loads(row["rule_meta"])
+    assert meta == {}
+
+
+def test_yara_string_column_and_registry(ray_session):
+    """String columns scan as UTF-8 bytes; the `yara` registry op wires
+    through run_pipeline."""
+    import ray.data as rd
+
+    from tenzir_ray.pipelines import Pipeline
+
+    ds = rd.from_arrow(pa.table({"doc_id": [10, 20],
+                                 "text": ["evil payload", "clean"]}))
+    out = Pipeline([
+        {"op": "yara",
+         "rules": "rule evil { strings: $e = \"evil\" condition: $e }",
+         "field": "text", "keep": ("doc_id",)},
+    ]).run(ds).to_pandas()
+    assert out["doc_id"].tolist() == [10]
+    assert out["rule_identifier"].tolist() == ["evil"]
+
+
+def test_match_cap_bounds_memory():
+    [r] = compile_rules('rule x { strings: $a = "A" condition: #a > 5 }')
+    hits = r.scan(b"A" * 100_000)
+    assert len(hits["$a"]) == 10_000  # capped, like libyara
