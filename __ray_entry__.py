@@ -1555,8 +1555,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ds.map_batches(_counts, batch_format="pyarrow")
 
+    def collect_users_by_type(sf):
+        """collect() aggregate (reference collect.cpp), canonicalized by
+        sorting each collected list (collection order is arbitrary in
+        both engines)."""
+        import pyarrow as pa
+
+        ds = T.where(
+            _read(sf, "events", columns=["event_id", "event_type", "user_id"]),
+            "event_id < 500",
+        )
+        out = S.summarize(ds, by="event_type",
+                          users="collect(user_id)", n="count(*)")
+
+        def _sort_lists(t: pa.Table) -> pa.Table:
+            users = [sorted(v) for v in t.column("users").to_pylist()]
+            return t.set_column(
+                t.schema.get_field_index("users"), "users",
+                pa.array(users, pa.list_(pa.int64())),
+            )
+
+        return out.map_batches(_sort_lists, batch_format="pyarrow")
+
+    def repeat_nation(sf):
+        """repeat operator (reference repeat.cpp): n lazy unions of the
+        same plan; multiset equality vs a cross-join oracle."""
+        ds = T.repeat_(
+            _read(sf, "nation", columns=["n_nationkey", "n_name"]), 3
+        )
+        return ds
+
     return {
         "yara_match": yara_match,
+        "collect_users_by_type": collect_users_by_type,
+        "repeat_nation": repeat_nation,
         "where_subnet": where_subnet,
         "ip_typed_roundtrip": ip_typed_roundtrip,
         "asof_status": asof_status,
@@ -1651,6 +1683,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "collect_users_by_type": """
+            SELECT event_type,
+                   list_sort(list(user_id)) AS users,
+                   count(*) AS n
+            FROM events WHERE event_id < 500
+            GROUP BY event_type
+        """,
+        "repeat_nation": """
+            SELECT n_nationkey, n_name
+            FROM nation, (VALUES (1), (2), (3)) AS r(i)
+        """,
         "yara_match": r"""
             WITH c AS (
                 SELECT doc_id,

@@ -70,6 +70,17 @@ KEY_COLS = ("conv_id", "turn_idx")
 LSN_COL = "_lsn"  # lsn column name as stored in lake files
 OP_COL = "_op"    # op column as stored in DELTA files (delete tombstones)
 
+#: auto-salt gate: a partition whose POST-COMBINE change volume exceeded
+#: this many rows last epoch gets salted sub-partitioning this epoch.
+#: Measured on this box (BENCH/BASELINE.md): the per-batch LWW combiner
+#: absorbs Zipf-hot conversations and the extra salt exchange is pure
+#: overhead until a single partition's reduce input no longer fits one
+#: worker's heap — so the default threshold is set at that regime, not
+#: at "skew exists". Override with $TENZIR_RAY_SALT_THRESHOLD.
+SALT_THRESHOLD_ENV = "TENZIR_RAY_SALT_THRESHOLD"
+DEFAULT_SALT_THRESHOLD = 16_000_000
+AUTO_NUM_SALTS = 8
+
 
 def _factorize(col) -> tuple[np.ndarray, list[str]]:
     """Dictionary-encode a string column in Arrow (C, no Python objects):
@@ -576,7 +587,7 @@ class LakeTable:
         self,
         changes: "ray.data.Dataset | pa.Table",
         epoch_id: str,
-        num_salts: int = 0,
+        num_salts: "int | str" = 0,
         batch_size: int = 262144,
         delta_ratio: float = 0.2,
         epoch_meta: dict[str, Any] | None = None,
@@ -588,6 +599,13 @@ class LakeTable:
         ``epoch_id`` is a no-op (idempotence/resume gate). ``epoch_meta``
         is persisted in the lineage record atomically with the data —
         source-offset checkpoints go here (see cdc/broker.py).
+
+        ``num_salts``: 0/1 = unsalted, N>1 = salted sub-partition
+        pre-reduce for hot keys, ``"auto"`` = gate on the previous
+        epoch's recorded per-partition change volume (salt only past
+        $TENZIR_RAY_SALT_THRESHOLD rows in one partition — below that
+        the per-batch LWW combiner absorbs skew more cheaply, measured
+        in BENCH/BASELINE.md).
 
         ``transport`` selects the exchange fabric (default: the
         ``TENZIR_RAY_EXCHANGE_TRANSPORT`` env var, else "fs"):
@@ -635,6 +653,15 @@ class LakeTable:
         transport = transport or default_transport()
         if transport not in ("fs", "object"):
             raise ValueError(f"unknown exchange transport {transport!r}")
+        if num_salts == "auto":
+            # Salting must be decided BEFORE stage 1 (the FragmentWriter
+            # tags `_salt` at write time), but skew is only measured BY
+            # stage 1 — so auto gates on the PREVIOUS epoch's recorded
+            # exchange stats: CDC epochs are temporally homogeneous, a
+            # conversation hot this epoch was almost surely hot last
+            # epoch. First epoch (no history) runs unsalted — the
+            # per-batch LWW combiner bounds the damage meanwhile.
+            num_salts = 0 if transport == "object" else self._auto_salts()
         if transport == "object" and num_salts > 1:
             raise ValueError(
                 "salted pre-reduce requires the fs transport (the salt "
@@ -815,8 +842,18 @@ class LakeTable:
                 }
         lsn_min = int(lineage["lsn_lo"].min())
         lsn_max = int(lineage["lsn_hi"].max())
+        # exchange stats ride the lineage record (same atomic write):
+        # the next epoch's num_salts="auto" gate reads them back
+        commit_meta = {
+            **(epoch_meta or {}),
+            "_exchange": {
+                "rows": int(sum(frag_rows.values())),
+                "max_part_rows": int(max(frag_rows.values(), default=0)),
+                "num_salts": int(num_salts),
+            },
+        }
         self.manifest.commit_epoch(epoch_id, lsn_min, lsn_max, part_results,
-                                   meta=epoch_meta)
+                                   meta=commit_meta)
         # exchange fragments are transient: GC after the commit
         shutil.rmtree(staging, ignore_errors=True)
         if frag_dir != staging:
@@ -827,6 +864,7 @@ class LakeTable:
             "lsn_max": lsn_max,
             "partitions_touched": len(part_results),
             "rows_live": int(lineage["rows"].sum()),
+            "num_salts": int(num_salts),
             # per-stage wall metrics (engine diagnostics; the reference's
             # per-operator metric stream analog, pipeline.hpp:180)
             "timings": {
@@ -835,6 +873,19 @@ class LakeTable:
                 "commit_s": round(_time.perf_counter() - _t2, 3),
             },
         }
+
+    # ------------------------------------------------------------------
+    def _auto_salts(self) -> int:
+        """Resolve ``num_salts="auto"`` from the most recent committed
+        epoch's exchange stats (see apply_changes): salt only when a
+        single partition's post-combine change volume crossed the
+        one-worker-heap threshold last epoch."""
+        thr = int(os.environ.get(SALT_THRESHOLD_ENV, DEFAULT_SALT_THRESHOLD))
+        for e in reversed(self.manifest.epochs):
+            ex = (e.get("meta") or {}).get("_exchange")
+            if ex is not None:
+                return AUTO_NUM_SALTS if ex.get("max_part_rows", 0) > thr else 0
+        return 0
 
     # ------------------------------------------------------------------
     def _has_deltas(self) -> bool:

@@ -116,6 +116,42 @@ def test_salted_subpartitioning(ray_session, tmp_path):
     _assert_tables_equal(lake.final_table(), naive_apply(changes), cols=PAYLOAD)
 
 
+def test_auto_salt_gating(ray_session, tmp_path, monkeypatch):
+    """num_salts="auto": epoch 1 runs unsalted (no history) and records
+    per-partition exchange volume in the lineage; epoch 2 salts iff the
+    recorded hottest partition crossed the threshold — and the result
+    equals the naive oracle either way."""
+    from tenzir_ray.cdc import lake as lake_mod
+
+    changes = gen_changes(8_000, seed=13, n_convs=20)
+    lsn = changes.column("lsn")
+    e1 = changes.filter(pa.compute.less(lsn, 4000))
+    e2 = changes.filter(pa.compute.greater_equal(lsn, 4000))
+
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=4)
+    r1 = lake.apply_changes(e1, epoch_id="e1", num_salts="auto")
+    assert r1["num_salts"] == 0  # no history yet
+    ex = lake.manifest.epochs[-1]["meta"]["_exchange"]
+    assert ex["max_part_rows"] > 0 and ex["rows"] >= ex["max_part_rows"]
+
+    # threshold below last epoch's hottest partition → auto salts now
+    monkeypatch.setenv(lake_mod.SALT_THRESHOLD_ENV, "1")
+    r2 = lake.apply_changes(e2, epoch_id="e2", num_salts="auto")
+    assert r2["num_salts"] == lake_mod.AUTO_NUM_SALTS
+    _assert_tables_equal(lake.final_table(), naive_apply(changes), cols=PAYLOAD)
+
+    # default threshold (16M) keeps auto OFF at this scale
+    monkeypatch.delenv(lake_mod.SALT_THRESHOLD_ENV)
+    r3 = lake.apply_changes(e2.slice(0, 100), epoch_id="e3", num_salts="auto")
+    assert r3["num_salts"] == 0
+
+    # auto on the object transport resolves to 0 (salts are fs-only)
+    monkeypatch.setenv(lake_mod.SALT_THRESHOLD_ENV, "1")
+    r4 = lake.apply_changes(e2.slice(100, 100), epoch_id="e4",
+                            num_salts="auto", transport="object")
+    assert r4["num_salts"] == 0
+
+
 def test_schema_evolution(ray_session, tmp_path):
     """v2 events add `lang` and widen turn_idx int32→int64 mid-log; split
     into two epochs so the lake itself must evolve between commits."""
