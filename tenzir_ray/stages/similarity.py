@@ -392,6 +392,103 @@ class IvfIndex:
         )
 
 
+    # -- maintenance ----------------------------------------------------
+    def _write_meta(self) -> None:
+        import json
+        import os
+        import uuid
+
+        tmp = os.path.join(self.root, f"meta.json.tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            json.dump(self.meta, f)
+        os.replace(tmp, os.path.join(self.root, "meta.json"))
+
+    def append(self, ds, concurrency=(1, 4)) -> dict:
+        """Append new vectors: assign against the EXISTING centroids and
+        write extra files into the matching list partitions (no data
+        rewritten — epoch cost tracks append volume). Heavy appends
+        drift the lists away from the quantizer; check :meth:`skew` /
+        run :meth:`rebalance` afterwards."""
+        import os
+
+        import ray
+
+        cref = ray.put(self.centroids)
+        assigned = ds.map_batches(
+            _IvfAssigner, fn_constructor_args=(cref, self.meta["column"]),
+            batch_format="pyarrow", concurrency=concurrency,
+        )
+        assigned.write_parquet(
+            os.path.join(self.root, "lists"), partition_cols=["ivf_list"]
+        )
+        n = sum(i["rows"] for i in self._scan_lists(self.root).values())
+        added = n - self.meta["num_rows"]
+        self.meta["num_rows"] = n
+        self._write_meta()
+        return {"rows_added": added, "num_rows": n}
+
+    def skew(self) -> float:
+        """max-list-rows / mean-list-rows over non-empty lists — the
+        rebalance trigger metric (1.0 = perfectly even)."""
+        rows = [i["rows"] for i in self._scan_lists(self.root).values()]
+        if not rows or sum(rows) == 0:
+            return 1.0
+        return max(rows) / (sum(rows) / len(rows))
+
+    def rebalance(self, max_skew: float = 4.0, force: bool = False,
+                  train_sample: int = 2048, seed: int = 11,
+                  concurrency=(1, 4)) -> dict:
+        """Retrain the coarse quantizer on a fresh uniform sample of the
+        CURRENT corpus and rewrite the list layout (the background
+        list-maintenance pass real IVF services run after heavy
+        appends). No-op unless :meth:`skew` exceeds ``max_skew`` (or
+        ``force``). The rewrite lands in a temp dir and swaps in with
+        renames — single-writer, like the lake's compaction; readers
+        opening mid-swap should retry."""
+        import json
+        import os
+        import shutil
+        import uuid
+
+        import ray
+
+        sk = self.skew()
+        if not force and sk <= max_skew:
+            return {"rebalanced": False, "skew": round(sk, 3)}
+
+        lists_dir = os.path.join(self.root, "lists")
+        corpus = ray.data.read_parquet(lists_dir).drop_columns(["ivf_list"])
+        n = max(self.meta["num_rows"], 1)
+        frac = min(1.0, (train_sample * 2) / n)
+        sample_rows = corpus.random_sample(frac, seed=seed).take(train_sample)
+        sample = np.stack(
+            [np.asarray(r[self.meta["column"]]) for r in sample_rows]
+        ).astype(np.float32)
+        centroids = _kmeans(_normalize(sample), self.meta["nlist"], seed=seed)
+
+        cref = ray.put(centroids)
+        assigned = corpus.map_batches(
+            _IvfAssigner, fn_constructor_args=(cref, self.meta["column"]),
+            batch_format="pyarrow", concurrency=concurrency,
+        )
+        new_dir = os.path.join(self.root, f"lists.new-{uuid.uuid4().hex[:8]}")
+        assigned.write_parquet(new_dir, partition_cols=["ivf_list"])
+
+        old_dir = os.path.join(self.root, f"lists.old-{uuid.uuid4().hex[:8]}")
+        os.rename(lists_dir, old_dir)
+        os.rename(new_dir, lists_dir)
+        shutil.rmtree(old_dir, ignore_errors=True)
+        with open(os.path.join(self.root, "centroids.json"), "w") as f:
+            json.dump(centroids.tolist(), f)
+        self.centroids = centroids
+        new_sk = self.skew()
+        self.meta["num_rows"] = sum(
+            i["rows"] for i in self._scan_lists(self.root).values())
+        self._write_meta()
+        return {"rebalanced": True, "skew_before": round(sk, 3),
+                "skew_after": round(new_sk, 3)}
+
+
 def ann_index_build(ds, root: str, **kwargs) -> IvfIndex:
     """Build (or open, if already built at ``root``) a persistent IVF
     index — see :class:`IvfIndex`."""

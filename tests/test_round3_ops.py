@@ -792,3 +792,47 @@ def test_slice_negative_stride_order(ray_session):
     got2 = slice_(ds, 15, 2, stride=-3,
                   order_by="k").to_pandas()["k"].tolist()
     assert got2 == list(range(20))[15:2:-3]
+
+
+def test_ivf_append_and_rebalance(ray_session, tmp_path):
+    """Append assigns against existing centroids (no rewrite); heavy
+    drift trips skew() and rebalance() retrains + rewrites the layout,
+    after which exhaustive search still equals brute force."""
+    import ray.data as rd
+
+    from tenzir_ray.stages import similarity as SIM
+
+    rng = np.random.default_rng(5)
+    n, d = 1000, 8
+    base = rng.standard_normal((n, d)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                  "embedding": pa.array(base.tolist(), pa.list_(pa.float32()))})
+    root = str(tmp_path / "ivf")
+    idx = SIM.IvfIndex.build(rd.from_arrow(t).repartition(4), root,
+                             nlist=8, train_sample=256)
+
+    # append a tight cluster far from the training data → one hot list
+    hot = (rng.standard_normal((1500, d)) * 0.01 + 25.0).astype(np.float32)
+    t2 = pa.table({"vec_id": pa.array(range(n, n + 1500), pa.int64()),
+                   "embedding": pa.array(hot.tolist(), pa.list_(pa.float32()))})
+    r = idx.append(rd.from_arrow(t2).repartition(4))
+    assert r == {"rows_added": 1500, "num_rows": n + 1500}
+    assert idx.meta["num_rows"] == n + 1500
+    sk = idx.skew()
+    assert sk > 4.0, sk  # the hot cluster collapsed onto few lists
+
+    # below-threshold call is a no-op
+    assert idx.rebalance(max_skew=sk + 1)["rebalanced"] is False
+
+    out = idx.rebalance(max_skew=4.0)
+    assert out["rebalanced"] is True
+    assert out["skew_after"] < out["skew_before"]
+    assert idx.meta["num_rows"] == n + 1500
+
+    # correctness is preserved: exhaustive probe == brute force over
+    # the full (base + appended) corpus
+    full = pa.concat_tables([t, t2])
+    q = np.concatenate([base[:2], hot[:1]])
+    exact = SIM.brute_force_topk(rd.from_arrow(full), q, k=5, dtype=np.float64)
+    got = SIM.IvfIndex(root).search(q, k=5, nprobe=8, dtype=np.float64)
+    assert got.column("vec_id").to_pylist() == exact.column("vec_id").to_pylist()
