@@ -623,31 +623,6 @@ class LakeTable:
         if isinstance(changes, pa.Table):
             changes = ray.data.from_arrow(changes)
 
-        # -- schema evolution: merge the incoming payload schema ---------
-        incoming = changes.schema()
-        payload_fields = [
-            pa.field(n, t)
-            for n, t in zip(incoming.names, incoming.types)
-            if n not in META_COLS
-        ]
-        if payload_fields:
-            self.registry.evolve(pa.schema(payload_fields))
-        if self.registry.schema is None:
-            # nothing to apply and no schema yet: commit an empty epoch so
-            # the segment is marked applied (tail_directory resume gate)
-            self.manifest.commit_epoch(epoch_id, -1, -1, {}, meta=epoch_meta)
-            return {"epoch_id": epoch_id, "lsn_min": -1, "lsn_max": -1,
-                    "partitions_touched": 0, "rows_live": 0}
-        self._persist_registry()
-        reg_json = self.registry.to_json()
-        payload_cols = list(self.registry.schema.names)
-
-        # -- stage 1: normalize + per-batch LWW combine, then write the
-        #    batch's rows as per-partition Arrow-IPC fragments (the
-        #    filesystem-mediated exchange; see _FragmentWriter) ------------
-        import glob as globmod
-        import shutil
-
         from tenzir_ray.stages.exchange import default_transport
 
         transport = transport or default_transport()
@@ -668,6 +643,40 @@ class LakeTable:
                 "stage globs staging files); the per-batch combiner "
                 "already absorbs skew on the object path"
             )
+        # empty epochs still record zeroed exchange stats so the auto
+        # gate un-salts after a table goes quiet
+        empty_meta = {
+            **(epoch_meta or {}),
+            "_exchange": {"rows": 0, "max_part_rows": 0,
+                          "num_salts": int(num_salts)},
+        }
+
+        # -- schema evolution: merge the incoming payload schema ---------
+        incoming = changes.schema()
+        payload_fields = [
+            pa.field(n, t)
+            for n, t in zip(incoming.names, incoming.types)
+            if n not in META_COLS
+        ]
+        if payload_fields:
+            self.registry.evolve(pa.schema(payload_fields))
+        if self.registry.schema is None:
+            # nothing to apply and no schema yet: commit an empty epoch so
+            # the segment is marked applied (tail_directory resume gate)
+            self.manifest.commit_epoch(epoch_id, -1, -1, {}, meta=empty_meta)
+            return {"epoch_id": epoch_id, "lsn_min": -1, "lsn_max": -1,
+                    "partitions_touched": 0, "rows_live": 0,
+                    "num_salts": int(num_salts)}
+        self._persist_registry()
+        reg_json = self.registry.to_json()
+        payload_cols = list(self.registry.schema.names)
+
+        # -- stage 1: normalize + per-batch LWW combine, then write the
+        #    batch's rows as per-partition Arrow-IPC fragments (the
+        #    filesystem-mediated exchange; see _FragmentWriter) ------------
+        import glob as globmod
+        import shutil
+
         import ray as ray_core
 
         staging = os.path.join(self.root, "_staging", epoch_id)
@@ -754,10 +763,11 @@ class LakeTable:
         if not touched:
             # zero-row epoch (e.g. an empty binlog segment): commit an
             # empty lineage record so resume never re-crashes on it
-            self.manifest.commit_epoch(epoch_id, -1, -1, {}, meta=epoch_meta)
+            self.manifest.commit_epoch(epoch_id, -1, -1, {}, meta=empty_meta)
             shutil.rmtree(staging, ignore_errors=True)
             return {"epoch_id": epoch_id, "lsn_min": -1, "lsn_max": -1,
-                    "partitions_touched": 0, "rows_live": 0}
+                    "partitions_touched": 0, "rows_live": 0,
+                    "num_salts": int(num_salts)}
         base_files = {
             int(k): info["files"] for k, info in self.manifest.partitions.items()
         }

@@ -234,10 +234,14 @@ class RuleWatcher:
             )
         else:
             files = [self.path]
-        return tuple(
-            (f, os.stat(f).st_mtime_ns, os.stat(f).st_size)
-            for f in files if os.path.exists(f)
-        )
+        sig = []
+        for f in files:
+            try:  # one stat, tolerated racing an editor's delete+rename
+                st = os.stat(f)
+            except FileNotFoundError:
+                continue
+            sig.append((f, st.st_mtime_ns, st.st_size))
+        return tuple(sig)
 
     def rules(self) -> list[dict]:
         """Current rule set; reloads iff the file set/mtimes changed."""

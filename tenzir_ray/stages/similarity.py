@@ -292,9 +292,18 @@ class IvfIndex:
 
         with open(os.path.join(root, "meta.json")) as f:
             self.meta = json.load(f)
-        with open(os.path.join(root, "centroids.json")) as f:
+        # meta.json names the CURRENT (lists dir, centroids file) pair —
+        # rebalance() swaps both with ONE atomic meta replace, so a
+        # reader never sees new lists with a stale quantizer
+        with open(os.path.join(root, self.meta.get(
+                "centroids_file", "centroids.json"))) as f:
             self.centroids = np.asarray(json.load(f), dtype=np.float32)
         self.root = root
+
+    def _lists_path(self) -> str:
+        import os
+
+        return os.path.join(self.root, self.meta.get("lists_dir", "lists"))
 
     @classmethod
     def build(cls, ds, root: str, id_column: str = "vec_id",
@@ -332,11 +341,13 @@ class IvfIndex:
             json.dump({"nlist": int(len(centroids)),
                        "dim": int(centroids.shape[1]),
                        "id_column": id_column, "column": column,
-                       "num_rows": n}, f)
+                       "num_rows": n,
+                       "lists_dir": "lists",
+                       "centroids_file": "centroids.json"}, f)
         return cls(root)
 
     @staticmethod
-    def _scan_lists(root: str) -> dict[int, dict]:
+    def _scan_lists(root: str, lists_dir: str = "lists") -> dict[int, dict]:
         """{list_id: {"files": [...], "rows": n, "bytes": b}} from the
         written layout (row counts from parquet footers — no data read)."""
         import glob
@@ -345,7 +356,7 @@ class IvfIndex:
         import pyarrow.parquet as pq
 
         out: dict[int, dict] = {}
-        for d in glob.glob(os.path.join(root, "lists", "ivf_list=*")):
+        for d in glob.glob(os.path.join(root, lists_dir, "ivf_list=*")):
             j = int(os.path.basename(d).split("=")[1])
             files = sorted(glob.glob(os.path.join(d, "*.parquet")))
             rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
@@ -363,7 +374,8 @@ class IvfIndex:
     def probe_files(self, lists: list[int]) -> tuple[list[str], int]:
         """(files, total bytes) for the given list ids — the evidence
         that a search's read volume is probe-proportional."""
-        layout = self._scan_lists(self.root)
+        layout = self._scan_lists(
+            self.root, self.meta.get("lists_dir", "lists"))
         files: list[str] = []
         nbytes = 0
         for j in lists:
@@ -418,22 +430,26 @@ class IvfIndex:
             _IvfAssigner, fn_constructor_args=(cref, self.meta["column"]),
             batch_format="pyarrow", concurrency=concurrency,
         )
-        assigned.write_parquet(
-            os.path.join(self.root, "lists"), partition_cols=["ivf_list"]
-        )
-        n = sum(i["rows"] for i in self._scan_lists(self.root).values())
+        assigned.write_parquet(self._lists_path(), partition_cols=["ivf_list"])
+        n = sum(i["rows"] for i in self._scan_lists(
+            self.root, self.meta.get("lists_dir", "lists")).values())
         added = n - self.meta["num_rows"]
         self.meta["num_rows"] = n
         self._write_meta()
         return {"rows_added": added, "num_rows": n}
 
-    def skew(self) -> float:
-        """max-list-rows / mean-list-rows over non-empty lists — the
-        rebalance trigger metric (1.0 = perfectly even)."""
-        rows = [i["rows"] for i in self._scan_lists(self.root).values()]
+    @staticmethod
+    def _skew_of(layout: dict) -> float:
+        rows = [i["rows"] for i in layout.values()]
         if not rows or sum(rows) == 0:
             return 1.0
         return max(rows) / (sum(rows) / len(rows))
+
+    def skew(self) -> float:
+        """max-list-rows / mean-list-rows over non-empty lists — the
+        rebalance trigger metric (1.0 = perfectly even)."""
+        return self._skew_of(self._scan_lists(
+            self.root, self.meta.get("lists_dir", "lists")))
 
     def rebalance(self, max_skew: float = 4.0, force: bool = False,
                   train_sample: int = 2048, seed: int = 11,
@@ -442,9 +458,16 @@ class IvfIndex:
         CURRENT corpus and rewrite the list layout (the background
         list-maintenance pass real IVF services run after heavy
         appends). No-op unless :meth:`skew` exceeds ``max_skew`` (or
-        ``force``). The rewrite lands in a temp dir and swaps in with
-        renames — single-writer, like the lake's compaction; readers
-        opening mid-swap should retry."""
+        ``force``).
+
+        Swap discipline: the new lists dir AND the new centroids file
+        are written under versioned names first, then meta.json — which
+        names the current (lists_dir, centroids_file) pair — is
+        replaced atomically. A reader can never pair new lists with the
+        stale quantizer, and a crash at any point leaves the old index
+        fully readable (the half-written new version is orphaned and
+        overwritten by the next rebalance). Single concurrent writer,
+        like the lake's compaction."""
         import json
         import os
         import shutil
@@ -452,13 +475,15 @@ class IvfIndex:
 
         import ray
 
-        sk = self.skew()
+        cur_lists = self.meta.get("lists_dir", "lists")
+        layout = self._scan_lists(self.root, cur_lists)  # ONE footer scan
+        sk = self._skew_of(layout)
         if not force and sk <= max_skew:
             return {"rebalanced": False, "skew": round(sk, 3)}
 
-        lists_dir = os.path.join(self.root, "lists")
-        corpus = ray.data.read_parquet(lists_dir).drop_columns(["ivf_list"])
-        n = max(self.meta["num_rows"], 1)
+        corpus = ray.data.read_parquet(
+            os.path.join(self.root, cur_lists)).drop_columns(["ivf_list"])
+        n = max(sum(i["rows"] for i in layout.values()), 1)
         frac = min(1.0, (train_sample * 2) / n)
         sample_rows = corpus.random_sample(frac, seed=seed).take(train_sample)
         sample = np.stack(
@@ -471,22 +496,29 @@ class IvfIndex:
             _IvfAssigner, fn_constructor_args=(cref, self.meta["column"]),
             batch_format="pyarrow", concurrency=concurrency,
         )
-        new_dir = os.path.join(self.root, f"lists.new-{uuid.uuid4().hex[:8]}")
-        assigned.write_parquet(new_dir, partition_cols=["ivf_list"])
-
-        old_dir = os.path.join(self.root, f"lists.old-{uuid.uuid4().hex[:8]}")
-        os.rename(lists_dir, old_dir)
-        os.rename(new_dir, lists_dir)
-        shutil.rmtree(old_dir, ignore_errors=True)
-        with open(os.path.join(self.root, "centroids.json"), "w") as f:
+        ver = uuid.uuid4().hex[:8]
+        new_lists = f"lists-{ver}"
+        new_cent = f"centroids-{ver}.json"
+        assigned.write_parquet(
+            os.path.join(self.root, new_lists), partition_cols=["ivf_list"])
+        with open(os.path.join(self.root, new_cent), "w") as f:
             json.dump(centroids.tolist(), f)
+
+        new_layout = self._scan_lists(self.root, new_lists)
+        old_cent = self.meta.get("centroids_file", "centroids.json")
+        self.meta["lists_dir"] = new_lists
+        self.meta["centroids_file"] = new_cent
+        self.meta["num_rows"] = sum(i["rows"] for i in new_layout.values())
+        self._write_meta()  # the atomic commit point
         self.centroids = centroids
-        new_sk = self.skew()
-        self.meta["num_rows"] = sum(
-            i["rows"] for i in self._scan_lists(self.root).values())
-        self._write_meta()
+        shutil.rmtree(os.path.join(self.root, cur_lists), ignore_errors=True)
+        if old_cent != new_cent:
+            try:
+                os.unlink(os.path.join(self.root, old_cent))
+            except FileNotFoundError:
+                pass
         return {"rebalanced": True, "skew_before": round(sk, 3),
-                "skew_after": round(new_sk, 3)}
+                "skew_after": round(self._skew_of(new_layout), 3)}
 
 
 def ann_index_build(ds, root: str, **kwargs) -> IvfIndex:

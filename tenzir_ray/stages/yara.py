@@ -69,6 +69,16 @@ def _strip_comments(text: str) -> str:
             j = text.find("*/", i + 2)
             i = n if j < 0 else j + 2
             out.append(" ")
+        elif c == "/":
+            # regex string literal (YARA has no `/` operator, so a lone
+            # slash always opens one): copy verbatim to the closing
+            # unescaped `/` so `\/\/` inside a URL pattern is not
+            # mistaken for a `//` comment
+            j = i + 1
+            while j < n and text[j] != "/" and text[j] != "\n":
+                j += 2 if text[j] == "\\" else 1
+            out.append(text[i : j + 1])
+            i = j + 1
         else:
             out.append(c)
             i += 1
@@ -260,28 +270,41 @@ def _hex_to_regex(body: str) -> bytes:
 
 
 def _compile_string(kind: str, body: str, mods: set) -> re.Pattern:
+    """Compile one rule string to a bytes regex. The whole pattern is
+    wrapped in ``(?=(...))`` so finditer reports OVERLAPPING matches —
+    libyara counts every occurrence, so ``#a >= 2`` on ``"aa"`` over
+    ``b"aaa"`` must see offsets 0 AND 1 (the zero-width scan advances
+    one byte per hit; match bytes come from group 1)."""
     flags = re.DOTALL
     if "nocase" in mods:
         flags |= re.IGNORECASE
     if kind == "hex":
-        return re.compile(_hex_to_regex(body), re.DOTALL)
-    if kind == "regex":
+        src = _hex_to_regex(body)
+        flags = re.DOTALL
+    elif kind == "regex":
         if "i" in mods:
             flags |= re.IGNORECASE
-        return re.compile(body.encode("utf-8", "surrogateescape"), flags)
-    # text
-    raw = _unescape_text(body)
-    variants = []
-    if "wide" in mods:
-        variants.append(b"".join(re.escape(bytes([b])) + b"\x00" for b in raw))
-    if "ascii" in mods or "wide" not in mods:
-        variants.append(re.escape(raw))
-    src = b"|".join(variants) if len(variants) > 1 else variants[0]
-    if len(variants) > 1:
-        src = b"(?:" + src + b")"
-    if "fullword" in mods:
-        src = b"(?<![" + _WORD + b"])" + src + b"(?![" + _WORD + b"])"
-    return re.compile(src, flags)
+        src = body.encode("utf-8", "surrogateescape")
+    else:  # text
+        raw = _unescape_text(body)
+        variants = []
+        if "wide" in mods:
+            w = b"".join(re.escape(bytes([b])) + b"\x00" for b in raw)
+            if "fullword" in mods:
+                # wide boundaries are two-byte: the adjacent WIDE char
+                # (word byte + NUL) must not be a word character
+                w = (b"(?<![" + _WORD + b"]\x00)" + w
+                     + b"(?![" + _WORD + b"]\x00)")
+            variants.append(w)
+        if "ascii" in mods or "wide" not in mods:
+            a = re.escape(raw)
+            if "fullword" in mods:
+                a = (b"(?<![" + _WORD + b"])" + a
+                     + b"(?![" + _WORD + b"])")
+            variants.append(a)
+        src = (b"(?:" + b"|".join(variants) + b")"
+               if len(variants) > 1 else variants[0])
+    return re.compile(b"(?=(" + src + b"))", flags)
 
 
 # --------------------------------------------------------------------------
@@ -291,8 +314,10 @@ def _compile_string(kind: str, body: str, mods: set) -> re.Pattern:
 _COND_TOKEN = re.compile(
     r"\s*(?:"
     r"(?P<num>0x[0-9A-Fa-f]+|\d+(?:KB|MB)?)"
-    r"|(?P<strref>[$#@!][A-Za-z0-9_]*)"
+    # op BEFORE strref: a lone `!` would otherwise match as a
+    # zero-length !-ref and make `!=` untokenizable
     r"|(?P<op>==|!=|<=|>=|<|>|\(|\)|\[|\]|,|\.\.|\*)"
+    r"|(?P<strref>[$#@!][A-Za-z0-9_]*)"
     r"|(?P<word>[A-Za-z_][A-Za-z0-9_]*)"
     r")"
 )
@@ -310,6 +335,22 @@ def _tokenize_cond(s: str) -> list[str]:
         toks.append(m.group().strip())
         i = m.end()
     return toks
+
+
+class _Undefined:
+    """YARA's `undefined` value (spec: any comparison against undefined
+    is false, and undefined in boolean context is false): produced by
+    ``@a``/``!a`` with no match, an out-of-range ``[i]``, or ``uint*``
+    reads past EOF."""
+
+    def __bool__(self) -> bool:
+        return False
+
+    def __repr__(self) -> str:
+        return "undefined"
+
+
+_UNDEF = _Undefined()
 
 
 class _Cond:
@@ -376,7 +417,14 @@ class _Cond:
             self._next()
             op = self._CMP[t]
             right = self._primary()
-            return (lambda l, r, o: lambda c: o(l(c), r(c)))(left, right, op)
+
+            def cmp(c, l=left, r=right, o=op):
+                lv, rv = l(c), r(c)
+                if lv is _UNDEF or rv is _UNDEF:
+                    return False  # undefined compares false, always
+                return o(lv, rv)
+
+            return cmp
         return left
 
     def _int(self, tok: str) -> int:
@@ -401,7 +449,11 @@ class _Cond:
                 raise ValueError(f"expected $id in string set, got {t!r}")
             if self._peek() == "*":
                 self._next()
-                ids.extend(s for s in self.ids if s.startswith(t))
+                matching = [s for s in self.ids if s.startswith(t)]
+                if not matching:
+                    raise ValueError(
+                        f"{t}* matches no declared strings")
+                ids.extend(matching)
             else:
                 ids.append(t)
             t = self._next()
@@ -409,6 +461,10 @@ class _Cond:
                 break
             if t != ",":
                 raise ValueError(f"expected , or ) in string set, got {t!r}")
+        if not ids:
+            # libyara rejects this at compile time; silently-empty sets
+            # would make `all of (...)` vacuously match EVERY blob
+            raise ValueError("string set matches no declared strings")
         return ids
 
     def _of(self, need):
@@ -436,9 +492,11 @@ class _Cond:
 
         def read(c, off=off, width=width, be=be, signed=signed):
             o = off(c)
+            if o is _UNDEF or o < 0:
+                return _UNDEF
             chunk = c[1][o : o + width]
             if len(chunk) < width:
-                return -1  # YARA: undefined → comparison false; -1 is safe
+                return _UNDEF  # read past EOF
             return int.from_bytes(
                 chunk, "big" if be else "little", signed=signed)
 
@@ -473,8 +531,14 @@ class _Cond:
             if nxt == "at":
                 self._next()
                 off = self._primary()
-                return lambda c, s=sid, o=off: any(
-                    m[0] == o(c) for m in c[0].get(s, ()))
+
+                def at(c, s=sid, o=off):
+                    ov = o(c)
+                    if ov is _UNDEF:
+                        return False
+                    return any(m[0] == ov for m in c[0].get(s, ()))
+
+                return at
             if nxt == "in":
                 self._next()
                 self._expect("(")
@@ -482,8 +546,14 @@ class _Cond:
                 self._expect("..")
                 hi = self._primary()
                 self._expect(")")
-                return lambda c, s=sid, lo=lo, hi=hi: any(
-                    lo(c) <= m[0] <= hi(c) for m in c[0].get(s, ()))
+
+                def inrange(c, s=sid, lo=lo, hi=hi):
+                    lv, hv = lo(c), hi(c)
+                    if lv is _UNDEF or hv is _UNDEF:
+                        return False
+                    return any(lv <= m[0] <= hv for m in c[0].get(s, ()))
+
+                return inrange
             return lambda c, s=sid: bool(c[0].get(s))
         if t.startswith("#"):
             sid = "$" + t[1:]
@@ -498,11 +568,16 @@ class _Cond:
                 idx = None
             which = 0 if t[0] == "@" else 1
             if idx is None:
-                return lambda c, s=sid, w=which, f=idx_fn: (
-                    c[0][s][f(c) - 1][w]  # YARA @a[i] is 1-based
-                    if len(c[0].get(s, ())) >= f(c) >= 1 else -1)
+                def ref_i(c, s=sid, w=which, f=idx_fn):
+                    i = f(c)  # YARA @a[i] is 1-based
+                    if i is _UNDEF or not (
+                            len(c[0].get(s, ())) >= i >= 1):
+                        return _UNDEF
+                    return c[0][s][i - 1][w]
+
+                return ref_i
             return lambda c, s=sid, w=which: (
-                c[0][s][0][w] if c[0].get(s) else -1)
+                c[0][s][0][w] if c[0].get(s) else _UNDEF)
         raise ValueError(f"unsupported condition construct {t!r} "
                          "(modules and for-loops are out of scope)")
 
@@ -537,7 +612,7 @@ class CompiledRule:
         for sid, pat in self.patterns.items():
             hits = []
             for m in pat.finditer(data):
-                hits.append((m.start(), m.end() - m.start()))
+                hits.append((m.start(), len(m.group(1))))
                 if len(hits) >= _MAX_MATCHES_PER_STRING:
                     break
             if hits:

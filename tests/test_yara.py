@@ -197,3 +197,64 @@ def test_match_cap_bounds_memory():
     [r] = compile_rules('rule x { strings: $a = "A" condition: #a > 5 }')
     hits = r.scan(b"A" * 100_000)
     assert len(hits["$a"]) == 10_000  # capped, like libyara
+
+
+# ---- review-fix regressions -------------------------------------------------
+
+
+def test_neq_operator_tokenizes():
+    [r] = compile_rules('rule n { strings: $a = "x" condition: #a != 0 }')
+    assert r.scan(b"zxz")
+    assert r.scan(b"zzz") is None
+
+
+def test_regex_with_escaped_slashes_not_a_comment():
+    src = r'rule u { strings: $r = /https:\/\/[a-z]+/ condition: $r }'
+    [r] = compile_rules(src)
+    assert r.scan(b"see https://example for details")
+    assert r.scan(b"no url") is None
+
+
+def test_undefined_comparisons_are_false():
+    """YARA: any comparison against undefined is false — @a with no
+    match must NOT satisfy `@a < 5` (the -1 sentinel bug)."""
+    src = """rule u { strings: $a = "qq" $b = "zz"
+             condition: @a < 5 and $b }"""
+    [r] = compile_rules(src)
+    assert r.scan(b"zz only") is None  # @a undefined -> comparison false
+    assert r.scan(b"qq and zz")        # @a == 0 < 5, $b present
+    # uint past EOF is undefined, != included
+    src2 = "rule v { condition: uint32(0) != 0 }"
+    [v] = compile_rules(src2)
+    assert v.scan(b"ab") is None           # 2 bytes: read undefined
+    assert v.scan(b"abcd") is not None     # defined and nonzero
+    # @a[i] out of range is undefined
+    src3 = 'rule w { strings: $a = "x" condition: @a[5] >= 0 }'
+    [w] = compile_rules(src3)
+    assert w.scan(b"x") is None
+
+
+def test_overlapping_matches_counted():
+    """libyara counts overlapping occurrences: 'aa' in b'aaa' matches
+    at offsets 0 AND 1."""
+    [r] = compile_rules('rule o { strings: $a = "aa" condition: #a >= 2 }')
+    hits = r.scan(b"aaa")
+    assert hits and [h[0] for h in hits["$a"]] == [0, 1]
+    assert r.scan(b"aab") is None
+
+
+def test_empty_of_set_is_compile_error():
+    with pytest.raises(ValueError):
+        compile_rules("""rule e { strings: $a1 = "x"
+                         condition: all of ($z*) }""")
+
+
+def test_wide_fullword_boundaries():
+    """fullword on a wide string checks the adjacent WIDE character,
+    not the raw byte (which is NUL and always looked non-word)."""
+    src = 'rule wf { strings: $w = "wide" wide fullword condition: $w }'
+    [r] = compile_rules(src)
+    assert r.scan("wide".encode("utf-16-le"))
+    assert r.scan(("a wide b").encode("utf-16-le"))
+    assert r.scan("swide".encode("utf-16-le")) is None
+    assert r.scan("wides".encode("utf-16-le")) is None
