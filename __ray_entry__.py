@@ -1558,7 +1558,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def collect_users_by_type(sf):
         """collect() aggregate (reference collect.cpp), canonicalized by
         sorting each collected list (collection order is arbitrary in
-        both engines)."""
+        both engines) and rendering it as a string so sort-based value
+        compares never see an unhashable list cell."""
         import pyarrow as pa
 
         ds = T.where(
@@ -1569,10 +1570,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
                           users="collect(user_id)", n="count(*)")
 
         def _sort_lists(t: pa.Table) -> pa.Table:
-            users = [sorted(v) for v in t.column("users").to_pylist()]
+            users = [str(sorted(v)) for v in t.column("users").to_pylist()]
             return t.set_column(
                 t.schema.get_field_index("users"), "users",
-                pa.array(users, pa.list_(pa.int64())),
+                pa.array(users, pa.string()),
             )
 
         return out.map_batches(_sort_lists, batch_format="pyarrow")
@@ -1685,7 +1686,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "collect_users_by_type": """
             SELECT event_type,
-                   list_sort(list(user_id)) AS users,
+                   CAST(list_sort(list(user_id)) AS VARCHAR) AS users,
                    count(*) AS n
             FROM events WHERE event_id < 500
             GROUP BY event_type

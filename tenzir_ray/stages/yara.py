@@ -15,7 +15,7 @@ Supported subset of the public YARA v4 language:
 
 - text strings (``$a = "foo"``) with escapes (``\\" \\\\ \\t \\n \\r
   \\xNN``) and modifiers ``nocase`` / ``ascii`` / ``wide`` /
-  ``fullword``;
+  ``fullword`` / ``xor`` (+ key ranges) / ``base64`` / ``base64wide``;
 - hex strings (``$h = { AA ?? B? [2-4] CC }``) with full/nibble
   wildcards, ``[n]`` / ``[n-m]`` / ``[-]`` jumps and ``( .. | .. )``
   alternation;
@@ -25,10 +25,12 @@ Supported subset of the public YARA v4 language:
   (length), comparisons, integer literals (``0x..``, ``KB`` / ``MB``),
   ``filesize``, ``uint8/16/32(off)`` (+ ``be`` variants and signed
   ``int*``), ``any/all/N of them`` / ``of ($a, $b*)``, ``$a at off``,
-  ``$a in (lo..hi)``, ``true`` / ``false``.
+  ``$a in (lo..hi)``, ``true`` / ``false``, numeric ``for`` loops
+  (``for any i in (1..#a) : ( @a[i] < 100 )``) with undefined
+  propagating to false per the spec.
 
 Out of scope (documented, raises at parse time): modules (``pe.``,
-``math.`` …), ``for`` loops, string-count ranges in ``of``.
+``math.`` …) and the ``for .. of <string-set>`` placeholder form.
 """
 
 from __future__ import annotations
@@ -179,8 +181,11 @@ def _parse_meta(sec: str) -> dict:
 _STR_DEF = re.compile(
     r"\$([A-Za-z0-9_]*)\s*=\s*"
     r"(\"(?:[^\"\\]|\\.)*\"|\{[^}]*\}|/(?:[^/\\\n]|\\.)+/)"
-    r"([a-z0-9 \t]*)",
+    r"([a-z0-9()\- \t]*)",
 )
+
+_XOR_MOD = re.compile(r"^xor(?:\((0x[0-9A-Fa-f]+|\d+)"
+                      r"(?:-(0x[0-9A-Fa-f]+|\d+))?\))?$")
 
 
 def _parse_strings(sec: str, name: str) -> dict:
@@ -188,10 +193,23 @@ def _parse_strings(sec: str, name: str) -> dict:
     for m in _STR_DEF.finditer(sec):
         sid, spec, mods_s = m.group(1), m.group(2), m.group(3)
         mods = set(mods_s.split())
-        bad = mods - {"nocase", "ascii", "wide", "fullword", "private",
-                      "i", "s"}  # i/s: YARA regex-string flag suffixes
+        bad = {
+            x for x in mods
+            if x not in {"nocase", "ascii", "wide", "fullword", "private",
+                         "base64", "base64wide",
+                         "i", "s"}  # i/s: regex-string flag suffixes
+            and not _XOR_MOD.match(x)
+        }
         if bad:
             raise ValueError(f"rule {name}: unsupported modifier(s) {bad}")
+        if any(_XOR_MOD.match(x) for x in mods) and (
+                "nocase" in mods or "base64" in mods):
+            raise ValueError(f"rule {name}: xor is incompatible with "
+                             "nocase/base64 (YARA spec)")
+        if {"base64", "base64wide"} & mods and (
+                {"nocase", "fullword"} & mods):
+            raise ValueError(f"rule {name}: base64 is incompatible with "
+                             "nocase/fullword (YARA spec)")
         if spec.startswith('"'):
             kind, body = "text", spec[1:-1]
         elif spec.startswith("{"):
@@ -269,6 +287,26 @@ def _hex_to_regex(body: str) -> bytes:
     return b"".join(parts)
 
 
+def _b64_fragments(raw: bytes) -> list[bytes]:
+    """The three phase-shifted base64 encodings of ``raw``, trimmed to
+    the characters whose 6 bits lie ENTIRELY inside ``raw`` — those are
+    invariant to whatever bytes precede/follow it in the encoded stream
+    (the yara `base64` modifier's published algorithm)."""
+    frags = []
+    for shift in range(3):
+        enc = base64.b64encode(bytes(shift) + raw).rstrip(b"=")
+        start = (shift * 8 + 5) // 6          # first char fully in raw
+        end = (shift * 8 + len(raw) * 8) // 6  # one past the last
+        frag = enc[start:end]
+        if frag:
+            frags.append(frag)
+    return frags
+
+
+def _widen(raw: bytes) -> bytes:
+    return b"".join(bytes([b]) + b"\x00" for b in raw)
+
+
 def _compile_string(kind: str, body: str, mods: set) -> re.Pattern:
     """Compile one rule string to a bytes regex. The whole pattern is
     wrapped in ``(?=(...))`` so finditer reports OVERLAPPING matches —
@@ -287,21 +325,41 @@ def _compile_string(kind: str, body: str, mods: set) -> re.Pattern:
         src = body.encode("utf-8", "surrogateescape")
     else:  # text
         raw = _unescape_text(body)
+        xor_mod = next((x for x in mods if _XOR_MOD.match(x)), None)
         variants = []
-        if "wide" in mods:
-            w = b"".join(re.escape(bytes([b])) + b"\x00" for b in raw)
-            if "fullword" in mods:
-                # wide boundaries are two-byte: the adjacent WIDE char
-                # (word byte + NUL) must not be a word character
-                w = (b"(?<![" + _WORD + b"]\x00)" + w
-                     + b"(?![" + _WORD + b"]\x00)")
-            variants.append(w)
-        if "ascii" in mods or "wide" not in mods:
-            a = re.escape(raw)
-            if "fullword" in mods:
-                a = (b"(?<![" + _WORD + b"])" + a
-                     + b"(?![" + _WORD + b"])")
-            variants.append(a)
+        if xor_mod is not None:
+            # xor: the plaintext XORed with every key in the range is a
+            # fixed byte string — 256 literal alternatives compile into
+            # ONE scan (libyara does the same expansion internally)
+            g = _XOR_MOD.match(xor_mod).groups()
+            lo = int(g[0], 0) if g[0] else 0
+            hi = int(g[1], 0) if g[1] else (lo if g[0] else 255)
+            plains = [bytes(b ^ k for b in raw) for k in range(lo, hi + 1)]
+            if "wide" in mods:
+                variants += [re.escape(_widen(p)) for p in plains]
+            if "ascii" in mods or "wide" not in mods:
+                variants += [re.escape(p) for p in plains]
+        elif {"base64", "base64wide"} & mods:
+            frags = _b64_fragments(raw)
+            if "base64" in mods:
+                variants += [re.escape(f) for f in frags]
+            if "base64wide" in mods:
+                variants += [re.escape(_widen(f)) for f in frags]
+        else:
+            if "wide" in mods:
+                w = re.escape(_widen(raw))
+                if "fullword" in mods:
+                    # wide boundaries are two-byte: the adjacent WIDE
+                    # char (word byte + NUL) must not be a word char
+                    w = (b"(?<![" + _WORD + b"]\x00)" + w
+                         + b"(?![" + _WORD + b"]\x00)")
+                variants.append(w)
+            if "ascii" in mods or "wide" not in mods:
+                a = re.escape(raw)
+                if "fullword" in mods:
+                    a = (b"(?<![" + _WORD + b"])" + a
+                         + b"(?![" + _WORD + b"])")
+                variants.append(a)
         src = (b"(?:" + b"|".join(variants) + b")"
                if len(variants) > 1 else variants[0])
     return re.compile(b"(?=(" + src + b"))", flags)
@@ -316,7 +374,7 @@ _COND_TOKEN = re.compile(
     r"(?P<num>0x[0-9A-Fa-f]+|\d+(?:KB|MB)?)"
     # op BEFORE strref: a lone `!` would otherwise match as a
     # zero-length !-ref and make `!=` untokenizable
-    r"|(?P<op>==|!=|<=|>=|<|>|\(|\)|\[|\]|,|\.\.|\*)"
+    r"|(?P<op>==|!=|<=|>=|<|>|\(|\)|\[|\]|,|\.\.|\*|:)"
     r"|(?P<strref>[$#@!][A-Za-z0-9_]*)"
     r"|(?P<word>[A-Za-z_][A-Za-z0-9_]*)"
     r")"
@@ -361,6 +419,7 @@ class _Cond:
         self.toks = _tokenize_cond(cond)
         self.ids = string_ids
         self.i = 0
+        self._loopvars: set[str] = set()  # bound `for` iterators in scope
         self.fn = self._or()
         if self.i != len(self.toks):
             raise ValueError(
@@ -481,6 +540,52 @@ class _Cond:
             sum(1 for s in ids if c[0].get(s)) >= n
         )
 
+    def _for(self):
+        """Numeric iteration: ``for any|all|N <var> in (lo..hi) :
+        ( <bool> )`` — the loop variable binds in the body's scope and
+        resolves from ctx[2] at eval time (so ``@a[i]``/comparisons see
+        each value). The string-set ``for .. of`` form with ``$``
+        placeholders is not implemented (documented)."""
+        quant = self._next()
+        if quant not in ("any", "all") and not re.fullmatch(
+                r"0x[0-9A-Fa-f]+|\d+", quant or ""):
+            raise ValueError(f"for: expected any/all/N, got {quant!r}")
+        var = self._next()
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", var or ""):
+            raise ValueError(f"for: expected iterator name, got {var!r}")
+        self._expect("in")
+        self._expect("(")
+        lo = self._primary()
+        self._expect("..")
+        hi = self._primary()
+        self._expect(")")
+        self._expect(":")
+        self._expect("(")
+        self._loopvars.add(var)
+        try:
+            body = self._or()
+        finally:
+            self._loopvars.discard(var)
+        self._expect(")")
+        need = quant if quant in ("any", "all") else self._int(quant)
+
+        def forloop(c, lo=lo, hi=hi, body=body, var=var, need=need):
+            l, h = lo(c), hi(c)
+            if l is _UNDEF or h is _UNDEF:
+                return False
+            total = hits = 0
+            for v in range(l, h + 1):
+                total += 1
+                if body((c[0], c[1], {**c[2], var: v})):
+                    hits += 1
+                    if need == "any" or (need != "all" and hits >= need):
+                        return True
+            if need == "all":
+                return total > 0 and hits == total
+            return need != "any" and hits >= need
+
+        return forloop
+
     def _uint(self, word):
         signed = word.startswith("int")
         be = word.endswith("be")
@@ -518,6 +623,10 @@ class _Cond:
             return lambda c: len(c[1])
         if t in ("any", "all"):
             return self._of(t)
+        if t == "for":
+            return self._for()
+        if t in self._loopvars:
+            return lambda c, nm=t: c[2][nm]
         if re.fullmatch(r"0x[0-9A-Fa-f]+|\d+(?:KB|MB)?", t or ""):
             v = self._int(t)
             if self._peek() == "of":
@@ -617,7 +726,7 @@ class CompiledRule:
                     break
             if hits:
                 matches[sid] = hits
-        return matches if self.cond((matches, data)) else None
+        return matches if self.cond((matches, data, {})) else None
 
 
 def compile_rules(source: str | list[str]) -> list[CompiledRule]:

@@ -146,7 +146,10 @@ def test_unsupported_constructs_raise():
     with pytest.raises(ValueError):
         compile_rules("no rules here at all")
     with pytest.raises(ValueError):
-        compile_rules('rule s { strings: $a = "x" base64 condition: $a }')
+        compile_rules('rule s { strings: $a = "x" frobnicate condition: $a }')
+    with pytest.raises(ValueError):  # for..of placeholder form not built
+        compile_rules("""rule f { strings: $a = "x"
+                         condition: for all of them : ( $ ) }""")
 
 
 def test_yara_dataset_stage(ray_session):
@@ -258,3 +261,70 @@ def test_wide_fullword_boundaries():
     assert r.scan(("a wide b").encode("utf-16-le"))
     assert r.scan("swide".encode("utf-16-le")) is None
     assert r.scan("wides".encode("utf-16-le")) is None
+
+
+def test_xor_modifier():
+    """xor: plaintext XORed with every key in range compiles to one
+    alternation scan (libyara's expansion)."""
+    src = 'rule x { strings: $a = "cmd.exe" xor condition: $a }'
+    [r] = compile_rules(src)
+    plain = b"cmd.exe"
+    for key in (0x00, 0x01, 0x7F, 0xFF):
+        blob = b"__" + bytes(b ^ key for b in plain) + b"__"
+        assert r.scan(blob), hex(key)
+    assert r.scan(b"nothing here") is None
+
+    # explicit key range excludes keys outside it
+    src2 = 'rule y { strings: $a = "secret" xor(0x10-0x1f) condition: $a }'
+    [y] = compile_rules(src2)
+    assert y.scan(bytes(b ^ 0x15 for b in b"secret"))
+    assert y.scan(b"secret") is None          # key 0 not in range
+    assert y.scan(bytes(b ^ 0x40 for b in b"secret")) is None
+
+    with pytest.raises(ValueError):  # spec: xor + nocase is invalid
+        compile_rules('rule z { strings: $a = "q" xor nocase condition: $a }')
+
+
+def test_base64_modifier():
+    """base64: matches the encoding of the string at any of its three
+    phase alignments inside a longer base64 stream."""
+    import base64 as b64
+
+    src = 'rule b { strings: $a = "malicious payload" base64 condition: $a }'
+    [r] = compile_rules(src)
+    for prefix in (b"", b"x", b"xy", b"xyz", b"longer prefix!"):
+        enc = b64.b64encode(prefix + b"malicious payload" + b"suffix")
+        assert r.scan(enc), prefix
+    assert r.scan(b64.b64encode(b"innocent content")) is None
+    assert r.scan(b"malicious payload") is None  # raw form not matched
+
+    src2 = 'rule w { strings: $a = "evil" base64wide condition: $a }'
+    [w] = compile_rules(src2)
+    enc = b64.b64encode(b"__evil__")
+    wide = b"".join(bytes([c]) + b"\x00" for c in enc)
+    assert w.scan(wide)
+
+
+def test_for_loop_numeric():
+    """for any/all/N over a numeric range with @a[i] in the body."""
+    src = """rule f { strings: $a = "x"
+             condition: for all i in (1..#a) : ( @a[i] < 10 ) }"""
+    [r] = compile_rules(src)
+    assert r.scan(b"x.x.x")                    # offsets 0,2,4 all < 10
+    assert r.scan(b"x" + b"." * 20 + b"x") is None  # @a[2] == 21
+
+    src2 = """rule g { strings: $a = "x"
+              condition: for any i in (1..#a) : ( @a[i] == 4 ) }"""
+    [g] = compile_rules(src2)
+    assert g.scan(b"....x")
+    assert g.scan(b"x....") is None
+
+    src3 = """rule h { strings: $a = "x"
+              condition: for 2 i in (1..#a) : ( @a[i] >= 3 ) }"""
+    [h] = compile_rules(src3)
+    assert h.scan(b"...x.x")
+    assert h.scan(b"x..x") is None  # only one offset >= 3
+
+    # zero matches: range (1..0) is empty -> all is false, any is false
+    assert r.scan(b"no hits here") is None
+    assert g.scan(b"none") is None
