@@ -214,6 +214,32 @@ def _register_builtins() -> None:
 
     OPERATORS.update(sigma=sigma_mod.sigma, yara=yara_mod.yara_)
 
+    # named contexts (reference plugins/context: `context create NAME
+    # TYPE` consumes the piped events as the context data and the
+    # stream ends there, a context SINK; `enrich NAME` is the read side)
+    from tenzir_ray.state import context as ctx_mod
+
+    def _context_create(ds, name, kind, key=None, **kw):
+        ctx_mod.create_context(name, kind, ds=ds, key=key, **kw)
+        return ds
+
+    def _context_update(ds, name, key=None):
+        ctx_mod.update_context(name, ds=ds, key=key)
+        return ds
+
+    OPERATORS.update(
+        context_create=_context_create,
+        context_update=_context_update,
+        context_delete=lambda ds, name: (ctx_mod.delete_context(name), ds)[1],
+        enrich=ctx_mod.enrich_named,
+    )
+
+
+def _named_contexts() -> dict:
+    from tenzir_ray.state.context import list_contexts
+
+    return list_contexts()
+
 
 def show(aspect: str | None = None):
     """Introspection (reference builtins/operators/show.cpp + aspect
@@ -234,6 +260,7 @@ def show(aspect: str | None = None):
                "collect", "sample", "median", "quantile", "stddev_samp"}
         ),
         "contexts": ["lookup-table", "bloom-filter", "subnet-table", "geo-table"],
+        "named_contexts": _named_contexts(),
         "pipelines": sorted(NAMED_PIPELINES),
         "formats": sorted(
             n.removeprefix("parse_") for n in OPERATORS if n.startswith("parse_")

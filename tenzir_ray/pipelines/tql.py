@@ -46,6 +46,8 @@ _POSITIONAL = {
     "parse_grok": "column", "enumerate": "by", "enumerate_global": "out",
     "compress": "codec", "decompress": "codec", "shell": "command",
     "measure": "out",
+    "enrich": "context", "context_create": "name",
+    "context_update": "name", "context_delete": "name",
 }
 
 

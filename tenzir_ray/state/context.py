@@ -371,4 +371,131 @@ def lookup_retro(lake, context, field: str,
     raise TypeError(f"unsupported context type {type(context).__name__}")
 
 
+# ---------------------------------------------------------------------------
+# named contexts — the reference's `context` plugin surface
+# ---------------------------------------------------------------------------
+
+#: name → context instance (the reference's context plugin state:
+#: `context create <name> <type>` / `context update` / `context delete`
+#: + `enrich <name>`, plugins/context). Driver-scope registry, like
+#: pipelines.NAMED_PIPELINES.
+CONTEXTS: dict[str, object] = {}
+
+_KINDS = ("lookup-table", "bloom-filter", "subnet-table", "geo-table")
+
+
+def _materialize(ds) -> pa.Table:
+    return pa.concat_tables(
+        list(ds.iter_batches(batch_format="pyarrow")),
+        promote_options="permissive",
+    )
+
+
+def create_context(name: str, kind: str, table=None, ds=None,
+                   key: str | None = None, capacity: int = 100_000,
+                   fp_rate: float = 0.01):
+    """``context create <name> <type>``: build and register a named
+    context. Table-backed kinds take ``table`` (pa.Table) or ``ds`` (a
+    SMALL dimension Dataset, materialized here) plus ``key``; a
+    bloom-filter takes ``capacity``/``fp_rate`` and optionally seeds
+    from ``table[key]``."""
+    kind = kind.replace("_", "-")
+    if kind not in _KINDS:
+        raise ValueError(f"unknown context type {kind!r} (have {_KINDS})")
+    if table is None and ds is not None:
+        table = _materialize(ds)
+    if kind == "bloom-filter":
+        ctx = BloomFilter(capacity, fp_rate)
+        if table is not None:
+            if key is None:
+                raise ValueError("bloom-filter seeding needs key=")
+            ctx.add(table.column(key).to_pylist())
+    else:
+        if table is None or key is None and kind != "geo-table":
+            raise ValueError(f"{kind} needs table/ds and key=")
+        if kind == "lookup-table":
+            ctx = LookupTable(table, key)
+        elif kind == "subnet-table":
+            ctx = SubnetTable(table, key)
+        else:
+            ctx = GeoTable(table, key or "network")
+    CONTEXTS[name] = ctx
+    return ctx
+
+
+def update_context(name: str, table=None, ds=None, key: str | None = None):
+    """``context update <name>``: merge new rows into the named context
+    (lookup-table: last-writer-wins per key; bloom: add members;
+    subnet/geo: rebuild over the union — their probe dicts are
+    construction-time state)."""
+    ctx = CONTEXTS[name]
+    if table is None and ds is not None:
+        table = _materialize(ds)
+    if table is None:
+        raise ValueError("context update needs table= or ds=")
+    if isinstance(ctx, LookupTable):
+        CONTEXTS[name] = ctx.update(table)
+    elif isinstance(ctx, BloomFilter):
+        if key is None:
+            raise ValueError("bloom-filter update needs key=")
+        ctx.add(table.column(key).to_pylist())
+    elif isinstance(ctx, GeoTable):
+        merged = pa.concat_tables([ctx.table, table],
+                                  promote_options="permissive")
+        CONTEXTS[name] = GeoTable(merged, ctx.key)
+    elif isinstance(ctx, SubnetTable):
+        merged = pa.concat_tables([ctx.table, table],
+                                  promote_options="permissive")
+        CONTEXTS[name] = SubnetTable(merged, ctx.key)
+    else:
+        raise TypeError(f"unsupported context type {type(ctx).__name__}")
+    return CONTEXTS[name]
+
+
+def delete_context(name: str) -> None:
+    CONTEXTS.pop(name, None)
+
+
+def get_context(name: str):
+    if name not in CONTEXTS:
+        raise KeyError(f"unknown context {name!r} "
+                       f"(have {sorted(CONTEXTS)})")
+    return CONTEXTS[name]
+
+
+def list_contexts() -> dict[str, str]:
+    kindname = {LookupTable: "lookup-table", BloomFilter: "bloom-filter",
+                SubnetTable: "subnet-table", GeoTable: "geo-table"}
+    return {n: kindname.get(type(c), type(c).__name__)
+            for n, c in sorted(CONTEXTS.items())}
+
+
+def enrich_named(ds, context, field: str, prefix: str = "",
+                 filter_unmatched: bool = False, anti: bool = False,
+                 concurrency=(1, 4)):
+    """``enrich <context> --field f``: dispatch on the context's kind —
+    lookup-table broadcast join, subnet/geo longest-prefix enrich,
+    bloom semi/anti filter. ``context`` is a registered name or an
+    instance."""
+    if isinstance(context, str):
+        context = get_context(context)
+    if isinstance(context, LookupTable):
+        return enrich(ds, context, field, prefix=prefix,
+                      filter_unmatched=filter_unmatched,
+                      concurrency=concurrency)
+    if isinstance(context, BloomFilter):
+        return bloom_filter_semi_join(ds, context, field, anti=anti,
+                                      concurrency=concurrency)
+    if isinstance(context, GeoTable):
+        return enrich_geo(ds, context, field,
+                          prefix=prefix or "geo_",
+                          filter_unmatched=filter_unmatched,
+                          concurrency=concurrency)
+    if isinstance(context, SubnetTable):
+        return enrich_subnet(ds, context, field, prefix=prefix,
+                             filter_unmatched=filter_unmatched,
+                             concurrency=concurrency)
+    raise TypeError(f"unsupported context type {type(context).__name__}")
+
+
 ship_by_value(sys.modules[__name__])

@@ -88,3 +88,85 @@ def test_sliding_window_counts(ray_session):
     assert out["n"].max() == 5
     # every event appears in exactly 5 windows: total n == 50
     assert out["n"].sum() == 50
+
+
+def test_named_contexts_lifecycle(ray_session):
+    """context create / update / enrich-by-name / delete (the reference
+    context plugin's surface), including the TQL string form."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tenzir_ray.pipelines import run_pipeline, show
+    from tenzir_ray.state.context import (
+        CONTEXTS,
+        create_context,
+        delete_context,
+        enrich_named,
+        get_context,
+        list_contexts,
+        update_context,
+    )
+
+    dim = rd.from_arrow(pa.table({
+        "code": ["a", "b"], "label": ["alpha", "beta"]}))
+    create_context("codes", "lookup-table", ds=dim, key="code")
+    assert list_contexts() == {"codes": "lookup-table"}
+    assert "codes" in show("named_contexts")
+
+    events = rd.from_arrow(pa.table({"id": [1, 2, 3],
+                                     "code": ["a", "b", "z"]}))
+    out = enrich_named(events, "codes", field="code").to_pandas()
+    assert out.sort_values("id")["label"].fillna("-").tolist() == [
+        "alpha", "beta", "-"]
+
+    # update: later rows win per key; new keys join
+    update_context("codes", table=pa.table({"code": ["b", "z"],
+                                            "label": ["BETA", "zeta"]}))
+    out2 = enrich_named(events, "codes", field="code").to_pandas()
+    assert out2.sort_values("id")["label"].tolist() == ["alpha", "BETA", "zeta"]
+
+    # TQL string form: context create as a sink, enrich by name
+    run_pipeline(
+        "context_create geo2 kind=subnet-table key=net",
+        ds=rd.from_arrow(pa.table({"net": ["10.0.0.0/8"], "site": ["dc1"]})),
+    ).count()
+    got = run_pipeline(
+        "enrich geo2 field=ip prefix=x_ | select ip, x_site",
+        ds=rd.from_arrow(pa.table({"ip": ["10.1.2.3", "192.168.0.1"]})),
+    ).to_pandas()
+    assert got.sort_values("ip")["x_site"].tolist() == ["dc1", None]
+
+    delete_context("codes")
+    delete_context("geo2")
+    assert "codes" not in CONTEXTS
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        get_context("codes")
+
+
+def test_named_context_bloom_and_errors(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    import pytest as _pytest
+
+    from tenzir_ray.state.context import (
+        create_context, delete_context, enrich_named, update_context,
+    )
+
+    create_context("members", "bloom-filter", capacity=1000,
+                   table=pa.table({"u": ["x", "y"]}), key="u")
+    ds = rd.from_arrow(pa.table({"u": ["x", "q", "y", "w"]}))
+    kept = enrich_named(ds, "members", field="u").to_pandas()["u"].tolist()
+    # bloom has no false negatives: x and y MUST survive
+    assert {"x", "y"} <= set(kept)
+    update_context("members", table=pa.table({"u": ["q"]}), key="u")
+    kept2 = enrich_named(ds, "members", field="u").to_pandas()["u"].tolist()
+    assert {"x", "y", "q"} <= set(kept2)
+    delete_context("members")
+
+    with _pytest.raises(ValueError):
+        create_context("bad", "no-such-kind", table=pa.table({"k": [1]}),
+                       key="k")
+    with _pytest.raises(ValueError):
+        create_context("bad", "lookup-table")  # no table/key
