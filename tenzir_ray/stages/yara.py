@@ -40,6 +40,7 @@ import json
 import re
 import sys
 
+import numpy as np
 import pyarrow as pa
 
 from tenzir_ray._ship import ship_by_value
@@ -692,12 +693,158 @@ class _Cond:
 
 
 # --------------------------------------------------------------------------
+# vectorized fast path: Arrow-kernel counts + vector condition
+# --------------------------------------------------------------------------
+
+class _VecCond:
+    """Vector twin of :class:`_Cond`: compiles the SAME grammar subset
+    that is computable from per-string match COUNTS alone ($presence,
+    #counts, filesize, ints, and/or/not, comparisons, of-sets) into
+    closures over ``(counts: dict[sid, ndarray], sizes: ndarray)``
+    evaluating the whole batch elementwise. Raises ValueError on any
+    construct that needs offsets/bytes (@ ! at in uint for) — the
+    caller falls back to the per-blob scan."""
+
+    def __init__(self, cond: str, string_ids: list[str]):
+        self.toks = _tokenize_cond(cond)
+        self.ids = string_ids
+        self.i = 0
+        self.fn = self._or()
+        if self.i != len(self.toks):
+            raise ValueError("trailing tokens")
+
+    _peek = _Cond._peek
+    _next = _Cond._next
+    _expect = _Cond._expect
+    _int = _Cond._int
+    _string_set = _Cond._string_set
+
+    def _or(self):
+        import numpy as _np
+
+        left = self._and()
+        while self._peek() == "or":
+            self._next()
+            right = self._and()
+            left = (lambda l, r: lambda c: _np.logical_or(l(c), r(c)))(
+                left, right)
+        return left
+
+    def _and(self):
+        import numpy as _np
+
+        left = self._not()
+        while self._peek() == "and":
+            self._next()
+            right = self._not()
+            left = (lambda l, r: lambda c: _np.logical_and(l(c), r(c)))(
+                left, right)
+        return left
+
+    def _not(self):
+        import numpy as _np
+
+        if self._peek() == "not":
+            self._next()
+            inner = self._not()
+            return lambda c: _np.logical_not(inner(c))
+        return self._cmp()
+
+    def _cmp(self):
+        left = self._primary()
+        t = self._peek()
+        if t in _Cond._CMP:
+            self._next()
+            op = _Cond._CMP[t]
+            right = self._primary()
+            return (lambda l, r, o: lambda c: o(l(c), r(c)))(left, right, op)
+        return left
+
+    def _of(self, need):
+        self._expect("of")
+        ids = self._string_set()
+        n = 1 if need == "any" else (len(ids) if need == "all" else need)
+        return lambda c, ids=tuple(ids), n=n: sum(
+            (c[0][s] > 0) for s in ids) >= n
+
+    def _primary(self):
+        t = self._next()
+        if t is None:
+            raise ValueError("unexpected end")
+        if t == "(":
+            inner = self._or()
+            self._expect(")")
+            return inner
+        if t == "true":
+            return lambda c: np.ones(len(c[1]), dtype=bool)
+        if t == "false":
+            return lambda c: np.zeros(len(c[1]), dtype=bool)
+        if t == "filesize":
+            return lambda c: c[1]
+        if t in ("any", "all"):
+            return self._of(t)
+        if re.fullmatch(r"0x[0-9A-Fa-f]+|\d+(?:KB|MB)?", t or ""):
+            v = self._int(t)
+            if self._peek() == "of":
+                return self._of(v)
+            return lambda c, v=v: v
+        if t.startswith("$") and self._peek() not in ("at", "in"):
+            return lambda c, s=t: c[0][s] > 0
+        if t.startswith("#") and self._peek() != "[":
+            sid = "$" + t[1:]
+            return lambda c, s=sid: c[0][s]
+        raise ValueError(f"not vectorizable: {t!r}")
+
+
+def _no_self_overlap(b: bytes) -> bool:
+    """True if no proper prefix equals a suffix (KMP border check):
+    finditer's non-overlapping count then equals the overlapping count,
+    so Arrow kernels and the exact scan agree."""
+    return not any(b[:l] == b[-l:] for l in range(1, len(b)))
+
+
+def _vec_spec(kind: str, body: str, mods: set):
+    """(count kernel spec) for one string, or None if ineligible:
+    ("plain", literal, ignore_case) → pc.count_substring;
+    ("regex", pattern) → pc.count_substring_regex (RE2: no lookbehind,
+    so wide+fullword is excluded; xor/base64 and non-ASCII literals are
+    excluded for byte-vs-utf8 pattern fidelity)."""
+    if kind != "text":
+        return None
+    if any(_XOR_MOD.match(x) for x in mods) or {"base64", "base64wide"} & mods:
+        return None
+    raw = _unescape_text(body)
+    if not raw or any(b >= 128 for b in raw):
+        return None
+    if "wide" in mods and "fullword" in mods:
+        return None  # RE2 has no lookbehind for the 2-byte boundary
+    lit = raw.decode("ascii")
+    variants = []
+    if "wide" in mods:
+        variants.append(_widen(raw))
+    if "ascii" in mods or "wide" not in mods:
+        variants.append(raw)
+    if not all(_no_self_overlap(
+            v.lower() if "nocase" in mods else v) for v in variants):
+        return None  # overlapping matches would diverge from the scan
+    if variants == [raw] and "fullword" not in mods:
+        return ("plain", lit, "nocase" in mods)
+    alts = "|".join(re.escape(v.decode("latin-1")) for v in variants)
+    pat = f"(?:{alts})" if len(variants) > 1 else alts
+    if "fullword" in mods:
+        pat = rf"\b{pat}\b"
+    if "nocase" in mods:
+        pat = "(?i)" + pat
+    return ("regex", pat)
+
+
+# --------------------------------------------------------------------------
 # compiled rules + scanning
 # --------------------------------------------------------------------------
 
 class CompiledRule:
     __slots__ = ("identifier", "tags", "meta", "patterns", "cond",
-                 "strings_src")
+                 "strings_src", "vec")
 
     def __init__(self, rule: dict):
         self.identifier = rule["identifier"]
@@ -713,10 +860,21 @@ class CompiledRule:
             for sid, (kind, body, mods) in rule["strings"].items()
         }
         self.cond = _Cond(rule["condition"], list(self.patterns)).fn
+        # vectorized batch path: count specs + vector condition, or None
+        try:
+            specs = {
+                sid: _vec_spec(kind, body, mods)
+                for sid, (kind, body, mods) in rule["strings"].items()
+            }
+            if any(v is None for v in specs.values()):
+                raise ValueError("string not vectorizable")
+            self.vec = (specs,
+                        _VecCond(rule["condition"], list(self.patterns)).fn)
+        except ValueError:
+            self.vec = None
 
-    def scan(self, data: bytes):
-        """Return ``{sid: [(offset, length), …]}`` if the condition
-        holds, else None."""
+    def scan_strings(self, data: bytes) -> dict:
+        """``{sid: [(offset, length), …]}`` for every string with hits."""
         matches = {}
         for sid, pat in self.patterns.items():
             hits = []
@@ -726,6 +884,12 @@ class CompiledRule:
                     break
             if hits:
                 matches[sid] = hits
+        return matches
+
+    def scan(self, data: bytes):
+        """Return ``{sid: [(offset, length), …]}`` if the condition
+        holds, else None."""
+        matches = self.scan_strings(data)
         return matches if self.cond((matches, data, {})) else None
 
 
@@ -762,20 +926,60 @@ class YaraScanner:
     __name__ = "YaraScanner"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         col = batch.column(self.field)
+        n = batch.num_rows
         kept = {k: batch.column(k) for k in self.keep}
         out: dict[str, list] = {k: [] for k in self.keep}
         out.update(rule_identifier=[], rule_namespace=[], rule_tags=[],
                    rule_meta=[], matches=[])
-        for i, v in enumerate(col):
-            raw = v.as_py()
+
+        # vector prefilter: Arrow count kernels decide each vectorizable
+        # rule for the WHOLE batch (C speed); the per-blob Python scan
+        # then runs only on surviving (row, rule) pairs to extract exact
+        # offsets. Non-vectorizable rules scan every row (as before).
+        cand = np.ones((n, len(self.rules)), dtype=bool)
+        if n and any(r.vec is not None for r in self.rules):
+            sizes = pc.fill_null(pc.binary_length(col), 0).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            cache: dict[tuple, np.ndarray] = {}
+            for j, rule in enumerate(self.rules):
+                if rule.vec is None:
+                    continue
+                specs, vec_fn = rule.vec
+                counts = {}
+                for sid, spec in specs.items():
+                    arr = cache.get(spec)
+                    if arr is None:
+                        if spec[0] == "plain":
+                            a = pc.count_substring(
+                                col, spec[1], ignore_case=spec[2])
+                        else:
+                            a = pc.count_substring_regex(col, spec[1])
+                        arr = pc.fill_null(a, 0).to_numpy(
+                            zero_copy_only=False).astype(np.int64)
+                        cache[spec] = arr
+                    counts[sid] = arr
+                cand[:, j] = np.asarray(
+                    vec_fn((counts, sizes)), dtype=bool)
+
+        for i in np.nonzero(cand.any(axis=1))[0] if n else ():
+            raw = col[i].as_py()
             if raw is None:
                 continue
             data = raw.encode("utf-8") if isinstance(raw, str) else raw
-            for rule in self.rules:
-                hits = rule.scan(data)
-                if hits is None:
+            for j, rule in enumerate(self.rules):
+                if not cand[i, j]:
                     continue
+                if rule.vec is None:
+                    hits = rule.scan(data)
+                    if hits is None:
+                        continue
+                else:
+                    # the vector condition already held (counts are
+                    # exact, no-self-overlap gate); only extract offsets
+                    hits = rule.scan_strings(data)
                 for k, arr in kept.items():
                     out[k].append(arr[i].as_py())
                 out["rule_identifier"].append(rule.identifier)

@@ -328,3 +328,57 @@ def test_for_loop_numeric():
     # zero matches: range (1..0) is empty -> all is false, any is false
     assert r.scan(b"no hits here") is None
     assert g.scan(b"none") is None
+
+
+def test_vector_path_equals_scan_path():
+    """The Arrow-kernel prefilter must agree with the per-blob scan on
+    every (blob, rule) verdict AND the extracted offsets — randomized
+    corpus, rules mixing vectorizable and non-vectorizable conditions."""
+    import random
+
+    from tenzir_ray.stages.yara import YaraScanner
+
+    rng = random.Random(42)
+    vocab = ["data", "merge", "spark", "beacon", "sword", "Data", "xx"]
+    blobs = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 30)))
+        for _ in range(400)
+    ]
+    rules = """
+    rule v1 { strings: $a = "data" fullword $b = "MERGE" nocase
+              condition: ($a and #b >= 2) or #a >= 3 }
+    rule v2 { strings: $s = "spark" $w = "beacon"
+              condition: any of them and filesize > 10 }
+    rule nv { strings: $x = "sword"
+              condition: $x at 0 or @x > 50 }
+    """
+    sc = YaraScanner(rules, field="t", keep=("i",))
+    assert [r.vec is not None for r in sc.rules] == [True, True, False]
+    t = pa.table({"i": list(range(len(blobs))), "t": blobs})
+    fast = sc(t)
+    for r in sc.rules:
+        r.vec = None
+    slow = sc(t)
+    assert fast.column("i").to_pylist() == slow.column("i").to_pylist()
+    assert (fast.column("rule_identifier").to_pylist()
+            == slow.column("rule_identifier").to_pylist())
+    assert fast.column("matches").to_pylist() == slow.column("matches").to_pylist()
+
+
+def test_vec_spec_eligibility_gates():
+    """Self-overlapping literals, hex/regex strings and offset-using
+    conditions must NOT take the vector path (counts would diverge)."""
+    from tenzir_ray.stages.yara import compile_rules
+
+    [r] = compile_rules('rule o { strings: $a = "aa" condition: #a >= 2 }')
+    assert r.vec is None  # "aa" self-overlaps
+    [h] = compile_rules("rule h { strings: $a = { 41 41 } condition: $a }")
+    assert h.vec is None  # hex string
+    [w] = compile_rules(
+        'rule w { strings: $a = "ab" wide fullword condition: $a }')
+    assert w.vec is None  # RE2 lookbehind gap
+    [g] = compile_rules('rule g { strings: $a = "abc" condition: @a == 0 }')
+    assert g.vec is None  # offsets need the scan
+    [ok] = compile_rules(
+        'rule k { strings: $a = "abc" $b = "DEF" nocase condition: $a and #b > 1 }')
+    assert ok.vec is not None
