@@ -30,7 +30,12 @@ Dataflow per epoch (one bounded chunk of the binlog)::
         #   parallel — measured faster than Ray's sort/push shuffles here,
         #   and retry-safe because duplicate fragments collapse under LWW
       [→ map_batches(_SaltReducer)         # optional salted sub-partition
-        #   pre-reduce, one task per (part, salt) (north rule)]
+        #   pre-reduce, one task per (part, salt) (north rule). With
+        #   num_salts="auto" the gate is PER PARTITION: only partitions
+        #   whose recorded volume crossed the threshold last epoch take
+        #   the salted layout; cold partitions in the SAME epoch keep the
+        #   packed-IPC fast path (no tiny-file overhead where the
+        #   pre-reduce can't pay for itself)]
       → map_batches(_PartitionReducer)     # one task per touched
         #   partition: read its fragments, merge with the partition's live
         #   base rows, final LWW by lsn, drop deletes, sort
@@ -134,10 +139,15 @@ class _NormalizeCombine:
     """map_batches stage: conform payload to the registry schema, attach
     ``_part`` (and optional ``_salt``), partial-LWW-reduce the batch."""
 
-    def __init__(self, registry_json: str, num_partitions: int, num_salts: int = 0):
+    def __init__(self, registry_json: str, num_partitions: int, num_salts: int = 0,
+                 salt_parts: "frozenset[int] | None" = None):
         self.registry = SchemaRegistry.from_json(registry_json)
         self.num_partitions = num_partitions
         self.num_salts = num_salts
+        # None = salt every partition (explicit num_salts>1); a set = salt
+        # ONLY these partitions (per-partition auto gate) — cold partitions
+        # keep the packed-IPC fast path
+        self.salt_parts = salt_parts
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lsn = batch.column("lsn").to_numpy(zero_copy_only=False)
@@ -262,14 +272,36 @@ class _FragmentWriter(_NormalizeCombine):
     hands each reducer exactly the (file, batch) pairs for its partition,
     so orphan files from retried tasks are never even opened.
 
-    Salted mode (num_salts>1) keeps the one-file-per-(part,salt) layout —
-    the salt pre-reduce stage globs per salt.
+    Salted mode (num_salts>1) writes the one-file-per-(part,salt) layout —
+    the salt pre-reduce stage globs per salt. With ``salt_parts`` set,
+    ONLY those (hot) partitions take the salted layout; every cold
+    partition still rides the packed-IPC fast path in the same batch, so
+    the tiny-file overhead is paid exactly where the pre-reduce pays for
+    itself.
     """
 
     def __init__(self, staging: str, registry_json: str, num_partitions: int,
-                 num_salts: int = 0):
-        super().__init__(registry_json, num_partitions, num_salts)
+                 num_salts: int = 0,
+                 salt_parts: "frozenset[int] | None" = None):
+        super().__init__(registry_json, num_partitions, num_salts, salt_parts)
         self.staging = staging
+
+    def _write_salted(self, k: int, frag: pa.Table) -> None:
+        salts = frag.column("_salt").to_numpy(zero_copy_only=False)
+        sorder = np.argsort(salts, kind="stable")
+        ssal = salts[sorder]
+        sb = np.r_[np.flatnonzero(np.r_[True, ssal[1:] != ssal[:-1]]), len(ssal)]
+        sfrag = frag.take(pa.array(sorder))
+        for j in range(len(sb) - 1):
+            s = int(ssal[sb[j]])
+            piece = sfrag.slice(sb[j], sb[j + 1] - sb[j]).drop_columns(["_salt"])
+            _write_fragment(
+                piece,
+                os.path.join(
+                    self.staging, f"part={k}",
+                    f"s{s:03d}-{uuid.uuid4().hex[:12]}.arrow",
+                ),
+            )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = super().__call__(batch)
@@ -281,48 +313,41 @@ class _FragmentWriter(_NormalizeCombine):
         sorted_tbl = out.take(pa.array(order)) if len(order) else out
         stats_part, stats_rows, stats_file, stats_bidx = [], [], [], []
 
-        if self.num_salts > 1:
-            for i in range(len(bounds) - 1):
-                lo, hi = int(bounds[i]), int(bounds[i + 1])
-                k = int(spart[lo])
-                frag = sorted_tbl.slice(lo, hi - lo).drop_columns(["_part"])
-                salts = frag.column("_salt").to_numpy(zero_copy_only=False)
-                sorder = np.argsort(salts, kind="stable")
-                ssal = salts[sorder]
-                sb = np.r_[np.flatnonzero(np.r_[True, ssal[1:] != ssal[:-1]]), len(ssal)]
-                sfrag = frag.take(pa.array(sorder))
-                for j in range(len(sb) - 1):
-                    s = int(ssal[sb[j]])
-                    piece = sfrag.slice(sb[j], sb[j + 1] - sb[j]).drop_columns(["_salt"])
-                    _write_fragment(
-                        piece,
-                        os.path.join(
-                            self.staging, f"part={k}",
-                            f"s{s:03d}-{uuid.uuid4().hex[:12]}.arrow",
-                        ),
-                    )
+        packed: list[tuple[int, int, int]] = []  # (part, lo, hi) cold slices
+        for i in range(len(bounds) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            k = int(spart[lo])
+            if self.num_salts > 1 and (
+                self.salt_parts is None or k in self.salt_parts
+            ):
+                self._write_salted(
+                    k, sorted_tbl.slice(lo, hi - lo).drop_columns(["_part"])
+                )
                 stats_part.append(k)
                 stats_rows.append(hi - lo)
                 stats_file.append("")
                 stats_bidx.append(-1)
-        elif len(bounds) > 1:
+            else:
+                packed.append((k, lo, hi))
+
+        if packed:
             rel = f"packed-{uuid.uuid4().hex[:12]}.arrow"
             path = os.path.join(self.staging, rel)
             os.makedirs(self.staging, exist_ok=True)
             tmp = path + ".tmp"
-            body = sorted_tbl.drop_columns(["_part"]).combine_chunks()
+            drop = ["_part"] + (["_salt"] if "_salt" in sorted_tbl.column_names else [])
+            body = sorted_tbl.drop_columns(drop).combine_chunks()
             # uncompressed on purpose: fragments are transient and live on
             # tmpfs/page-cache (shared storage on a cluster) — lz4 costs
             # encode+decode CPU on both exchange sides for no lasting win
             opts = pa.ipc.IpcWriteOptions()
             with pa.OSFile(tmp, "wb") as sink:
                 with pa.ipc.new_file(sink, body.schema, options=opts) as w:
-                    for bidx in range(len(bounds) - 1):
-                        lo, hi = int(bounds[bidx]), int(bounds[bidx + 1])
+                    for bidx, (k, lo, hi) in enumerate(packed):
                         # one record batch per partition slice, in order —
                         # batch index bidx is the reducer's lookup key
                         w.write_table(body.slice(lo, hi - lo), max_chunksize=hi - lo)
-                        stats_part.append(int(spart[lo]))
+                        stats_part.append(k)
                         stats_rows.append(hi - lo)
                         stats_file.append(rel)
                         stats_bidx.append(bidx)
@@ -396,7 +421,8 @@ class _PartitionReducer:
     def __init__(self, root: str, staging: str, registry_json: str, epoch_id: str,
                  base_files: dict[int, list[str]], payload_cols: list[str],
                  modes: dict[int, str] | None = None,
-                 frag_index: dict[int, list] | None = None):
+                 frag_index: dict[int, list] | None = None,
+                 salted_dir: str | None = None):
         self.root = root
         self.staging = staging
         self.registry = SchemaRegistry.from_json(registry_json)
@@ -408,6 +434,9 @@ class _PartitionReducer:
         # built from the SUCCESSFUL stage-1 attempts' stats, so orphan
         # files from retried tasks are never even opened
         self.frag_index = frag_index
+        # where salted partitions' pre-reduced fragments live (mixed mode:
+        # a partition absent from frag_index was salted → glob here)
+        self.salted_dir = salted_dir
 
     def _read_packed(self, part: int) -> pa.Table | None:
         entries = self.frag_index.get(part, [])
@@ -429,11 +458,12 @@ class _PartitionReducer:
     def _load_raw(self, part: int) -> pa.Table:
         import glob as globmod
 
-        if self.frag_index is not None:
+        if self.frag_index is not None and part in self.frag_index:
             raw = self._read_packed(part)
         else:
+            d = self.salted_dir or self.staging
             paths = sorted(
-                globmod.glob(os.path.join(self.staging, f"part={part}", "*.arrow"))
+                globmod.glob(os.path.join(d, f"part={part}", "*.arrow"))
             )
             raw = _read_fragments(paths)
         assert raw is not None, f"no fragments for partition {part}"
@@ -628,6 +658,7 @@ class LakeTable:
         transport = transport or default_transport()
         if transport not in ("fs", "object"):
             raise ValueError(f"unknown exchange transport {transport!r}")
+        salt_parts: "frozenset[int] | None" = None  # None = salt every part
         if num_salts == "auto":
             # Salting must be decided BEFORE stage 1 (the FragmentWriter
             # tags `_salt` at write time), but skew is only measured BY
@@ -636,7 +667,13 @@ class LakeTable:
             # conversation hot this epoch was almost surely hot last
             # epoch. First epoch (no history) runs unsalted — the
             # per-batch LWW combiner bounds the damage meanwhile.
-            num_salts = 0 if transport == "object" else self._auto_salts()
+            # The gate is PER PARTITION: only partitions whose recorded
+            # volume crossed the threshold take the salted layout; cold
+            # partitions keep the packed-IPC fast path in the same epoch.
+            if transport == "object":
+                num_salts = 0
+            else:
+                num_salts, salt_parts = self._auto_salt_plan()
         if transport == "object" and num_salts > 1:
             raise ValueError(
                 "salted pre-reduce requires the fs transport (the salt "
@@ -712,24 +749,30 @@ class LakeTable:
                     frag_rows[int(k)] = frag_rows.get(int(k), 0) + int(rows)
         else:
             stage1 = changes.map_batches(
-                _FragmentWriter(staging, reg_json, self.num_partitions, num_salts),
+                _FragmentWriter(staging, reg_json, self.num_partitions,
+                                num_salts, salt_parts),
                 batch_format="pyarrow",
                 batch_size=batch_size,
             ).to_pandas()  # barrier: all fragments on disk before reducing
             frag_rows = (
                 stage1.groupby("part")["rows"].sum().to_dict() if len(stage1) else {}
             )
-            if num_salts <= 1:
-                frag_index = {}
-                if len(stage1):
-                    for part_v, file_v, bidx_v in zip(
-                        stage1["part"], stage1["file"], stage1["batch_idx"]
-                    ):
+            # packed-exchange index over the COLD partitions (all of them
+            # when unsalted; salted partitions emit batch_idx=-1 stats rows)
+            frag_index = {}
+            if len(stage1):
+                for part_v, file_v, bidx_v in zip(
+                    stage1["part"], stage1["file"], stage1["batch_idx"]
+                ):
+                    if int(bidx_v) >= 0:
                         frag_index.setdefault(int(part_v), []).append(
                             (file_v, int(bidx_v)))
 
         # -- optional stage 1.5: salted sub-partition pre-reduce ----------
-        frag_dir = staging
+        # (only the salted partitions have part=*/ dirs in staging; cold
+        # partitions live in packed-*.arrow files and skip this stage)
+        reduced_dir: str | None = None
+        salted_touched: set[int] = set()
         if num_salts > 1:
             import ray.data as rd
 
@@ -742,24 +785,20 @@ class LakeTable:
                     int(os.path.basename(f).split("-")[0][1:])
                     for f in globmod.glob(os.path.join(pdir, "s*-*.arrow"))
                 }
+                salted_touched.add(k)
                 parts_with_salts += [{"part": k, "salt": s} for s in sorted(salts)]
-            rd.from_items(parts_with_salts).map_batches(
-                _SaltReducer(staging, reduced_dir),
-                batch_format="pyarrow",
-                batch_size=1,
-            ).count()
-            frag_dir = reduced_dir
+            if parts_with_salts:
+                rd.from_items(parts_with_salts).map_batches(
+                    _SaltReducer(staging, reduced_dir),
+                    batch_format="pyarrow",
+                    batch_size=1,
+                ).count()
 
         # -- stage 2: one parallel task per touched partition -------------
         if obj_index is not None:
             touched = sorted(obj_index)
-        elif frag_index is not None and frag_dir == staging:
-            touched = sorted(frag_index)
         else:
-            touched = sorted(
-                int(os.path.basename(d).split("=")[1])
-                for d in globmod.glob(os.path.join(frag_dir, "part=*"))
-            )
+            touched = sorted(set(frag_index) | salted_touched)
         if not touched:
             # zero-row epoch (e.g. an empty binlog segment): commit an
             # empty lineage record so resume never re-crashes on it
@@ -791,9 +830,10 @@ class LakeTable:
                     modes[k] = "delta"
 
         reducer = _PartitionReducer(
-            self.root, frag_dir, reg_json, epoch_id, base_files, payload_cols,
+            self.root, staging, reg_json, epoch_id, base_files, payload_cols,
             modes=modes,
-            frag_index=frag_index if frag_dir == staging else None,
+            frag_index=frag_index,
+            salted_dir=reduced_dir,
         )
         # stage 2 runs as plain Ray tasks, not a Dataset pipeline: the
         # reduce is a FIXED fan-out of independent per-partition tasks
@@ -854,11 +894,17 @@ class LakeTable:
         lsn_max = int(lineage["lsn_hi"].max())
         # exchange stats ride the lineage record (same atomic write):
         # the next epoch's num_salts="auto" gate reads them back
+        # per-partition volumes (top 64 by rows — hot partitions are few
+        # by definition; a capped record keeps lineage bounded at high P.
+        # If >64 partitions are ALL past the salt threshold, the ones the
+        # cap drops merely stay on the packed path — correctness holds)
+        top_parts = sorted(frag_rows.items(), key=lambda kv: -kv[1])[:64]
         commit_meta = {
             **(epoch_meta or {}),
             "_exchange": {
                 "rows": int(sum(frag_rows.values())),
                 "max_part_rows": int(max(frag_rows.values(), default=0)),
+                "part_rows": {str(k): int(v) for k, v in top_parts},
                 "num_salts": int(num_salts),
             },
         }
@@ -866,8 +912,8 @@ class LakeTable:
                                    meta=commit_meta)
         # exchange fragments are transient: GC after the commit
         shutil.rmtree(staging, ignore_errors=True)
-        if frag_dir != staging:
-            shutil.rmtree(frag_dir, ignore_errors=True)
+        if reduced_dir is not None:
+            shutil.rmtree(reduced_dir, ignore_errors=True)
         return {
             "epoch_id": epoch_id,
             "lsn_min": lsn_min,
@@ -875,6 +921,9 @@ class LakeTable:
             "partitions_touched": len(part_results),
             "rows_live": int(lineage["rows"].sum()),
             "num_salts": int(num_salts),
+            # which partitions actually took the salted layout this epoch
+            # (None/absent semantics: all of them, when explicitly salted)
+            "salted_parts": sorted(salted_touched) if num_salts > 1 else [],
             # per-stage wall metrics (engine diagnostics; the reference's
             # per-operator metric stream analog, pipeline.hpp:180)
             "timings": {
@@ -885,17 +934,30 @@ class LakeTable:
         }
 
     # ------------------------------------------------------------------
-    def _auto_salts(self) -> int:
+    def _auto_salt_plan(self) -> "tuple[int, frozenset[int] | None]":
         """Resolve ``num_salts="auto"`` from the most recent committed
-        epoch's exchange stats (see apply_changes): salt only when a
-        single partition's post-combine change volume crossed the
-        one-worker-heap threshold last epoch."""
+        epoch's exchange stats (see apply_changes): returns
+        ``(num_salts, salt_parts)``. Salting is per partition — only the
+        partitions whose post-combine change volume crossed the
+        one-worker-heap threshold last epoch take the salted layout;
+        everything else keeps the packed-IPC fast path. ``salt_parts`` of
+        ``None`` (legacy lineage without part_rows) salts every partition."""
         thr = int(os.environ.get(SALT_THRESHOLD_ENV, DEFAULT_SALT_THRESHOLD))
         for e in reversed(self.manifest.epochs):
             ex = (e.get("meta") or {}).get("_exchange")
-            if ex is not None:
-                return AUTO_NUM_SALTS if ex.get("max_part_rows", 0) > thr else 0
-        return 0
+            if ex is None:
+                continue
+            part_rows = ex.get("part_rows")
+            if part_rows:
+                hot = frozenset(
+                    int(k) for k, v in part_rows.items() if int(v) > thr
+                )
+                return (AUTO_NUM_SALTS, hot) if hot else (0, None)
+            # legacy record (round-2 lineage): only the max is known
+            if ex.get("max_part_rows", 0) > thr:
+                return AUTO_NUM_SALTS, None
+            return 0, None
+        return 0, None
 
     # ------------------------------------------------------------------
     def _has_deltas(self) -> bool:

@@ -152,6 +152,34 @@ def test_auto_salt_gating(ray_session, tmp_path, monkeypatch):
     assert r4["num_salts"] == 0
 
 
+def test_per_partition_auto_salt(ray_session, tmp_path, monkeypatch):
+    """Per-partition salt gate: with the threshold set between last
+    epoch's hottest and second-hottest partition volumes, ONLY the hot
+    partition takes the salted layout — the rest stay on the packed-IPC
+    path in the same epoch — and the result still equals the oracle."""
+    from tenzir_ray.cdc import lake as lake_mod
+
+    changes = gen_changes(8_000, seed=13, n_convs=20)
+    lsn = changes.column("lsn")
+    e1 = changes.filter(pa.compute.less(lsn, 4000))
+    e2 = changes.filter(pa.compute.greater_equal(lsn, 4000))
+
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=4)
+    lake.apply_changes(e1, epoch_id="e1", num_salts="auto")
+    ex = lake.manifest.epochs[-1]["meta"]["_exchange"]
+    vols = sorted((int(v) for v in ex["part_rows"].values()), reverse=True)
+    assert len(vols) >= 2 and vols[0] > vols[1]  # a strict hot/cold gap
+    hot = sorted(int(k) for k, v in ex["part_rows"].items()
+                 if int(v) > vols[1])
+
+    monkeypatch.setenv(lake_mod.SALT_THRESHOLD_ENV, str(vols[1]))
+    r2 = lake.apply_changes(e2, epoch_id="e2", num_salts="auto")
+    assert r2["num_salts"] == lake_mod.AUTO_NUM_SALTS
+    assert r2["salted_parts"] == hot          # only the hot partition(s)
+    assert len(r2["salted_parts"]) < r2["partitions_touched"]  # mixed epoch
+    _assert_tables_equal(lake.final_table(), naive_apply(changes), cols=PAYLOAD)
+
+
 def test_schema_evolution(ray_session, tmp_path):
     """v2 events add `lang` and widen turn_idx int32→int64 mid-log; split
     into two epochs so the lake itself must evolve between commits."""
