@@ -1188,6 +1188,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
                         how="left")
         return out
 
+    def range_join_value_bands(sf):
+        # generic interval join (engine extension; the reference's only
+        # range-keyed construct is subnet-mode lookup-table enrichment):
+        # overlapping value bands derived from `nation` so DuckDB can
+        # rebuild the identical dimension side. Adjacent bands overlap by
+        # 12.0 → rows multi-match, exercising the stabbing fan-out.
+        from tenzir_ray.stages.join import range_join
+
+        events = _read(sf, "events", columns=["event_id", "value"])
+        nation = _read(sf, "nation", columns=["n_nationkey", "n_name"])
+
+        def _bands(t):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            k = t.column("n_nationkey").cast(pa.float64())
+            lo = pc.multiply(k, 18.0)
+            return pa.table({
+                "band_id": t.column("n_nationkey"),
+                "band_name": t.column("n_name"),
+                "lo": lo,
+                "hi": pc.add(lo, 30.0),
+            })
+
+        bands = nation.map_batches(_bands, batch_format="pyarrow")
+        return range_join(events, bands, on="value")
+
     def extractor_filter(sf):
         # reference suffix/type extractor semantics (expressions.md:100):
         # `value` as a SUFFIX extractor binds m.value; `:double > 90`
@@ -1679,6 +1706,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_audio_decode": media_audio_decode,
         "asof_forward": asof_forward,
         "hash_join_left_outer": hash_join_left_outer,
+        "range_join_value_bands": range_join_value_bands,
     }
 
 
@@ -2276,6 +2304,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderkey, o.o_custkey, c.c_custkey, c.c_mktsegment
             FROM orders o LEFT JOIN (SELECT * FROM customer WHERE c_custkey < 500) c
             ON o.o_custkey = c.c_custkey
+        """,
+        "range_join_value_bands": """
+            SELECT e.event_id, e.value,
+                   r.band_id, r.band_name, r.lo, r.hi
+            FROM events e JOIN (
+                SELECT n_nationkey AS band_id, n_name AS band_name,
+                       n_nationkey * 18.0 AS lo,
+                       n_nationkey * 18.0 + 30.0 AS hi
+                FROM nation) r
+            ON e.value >= r.lo AND e.value < r.hi
         """,
         # cdc_replay (generator-seeded log): rows-only — its hash-gated
         # twin is cdc_replay_sql, which derives the log from `events` so

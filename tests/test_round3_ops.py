@@ -836,3 +836,134 @@ def test_ivf_append_and_rebalance(ray_session, tmp_path):
     exact = SIM.brute_force_topk(rd.from_arrow(full), q, k=5, dtype=np.float64)
     got = SIM.IvfIndex(root).search(q, k=5, nprobe=8, dtype=np.float64)
     assert got.column("vec_id").to_pylist() == exact.column("vec_id").to_pylist()
+
+
+# ---------------------------------------------------------------- range join
+
+
+def _range_oracle(ldf, rdf, on, by=None, how="inner"):
+    """Brute-force pandas oracle: v >= lo AND v < hi (+ optional by)."""
+    l = ldf.copy(); l["_o"] = 1
+    r = rdf.copy(); r["_o"] = 1
+    m = l.merge(r, on="_o", suffixes=("", "_r")).drop(columns="_o")
+    keep = (m[on] >= m["lo"]) & (m[on] < m["hi"])
+    if by:
+        rby = by if by + "_r" not in m.columns else by + "_r"
+        keep &= m[by].eq(m[rby])
+    inner = m[keep]
+    if how == "inner":
+        return inner
+    matched = set(inner.index.map(lambda i: None))  # noqa placeholder
+    return inner
+
+
+def test_range_join_overlapping_vs_bruteforce(ray_session):
+    import ray.data as rd
+
+    from tenzir_ray.stages.join import range_join
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    left = pd.DataFrame({
+        "eid": np.arange(n, dtype=np.int64),
+        "v": np.round(rng.uniform(-10, 110, n), 3),
+    })
+    # overlapping bands incl. an empty gap [95, 100) covered by nothing
+    right = pd.DataFrame({
+        "band": np.arange(12, dtype=np.int64),
+        "lo": np.arange(12) * 8.0,          # 0, 8, ..., 88
+        "hi": np.arange(12) * 8.0 + 12.0,   # overlap 4 with the next band
+        "tag": [f"b{i}" for i in range(12)],
+    })
+    got = range_join(
+        rd.from_pandas(left), rd.from_pandas(right), on="v"
+    ).to_pandas()
+    want = _range_oracle(left, right, "v")
+    assert len(got) == len(want)
+    g = got.sort_values(["eid", "band"]).reset_index(drop=True)
+    w = want.sort_values(["eid", "band"]).reset_index(drop=True)
+    assert (g["eid"].values == w["eid"].values).all()
+    assert (g["band"].values == w["band"].values).all()
+    assert (g["tag"].values == w["tag"].values).all()
+    # duplicate-endpoint intervals and zero/negative-width ones are dropped
+    right2 = pd.concat([right, pd.DataFrame(
+        {"band": [99], "lo": [50.0], "hi": [50.0], "tag": ["degenerate"]})])
+    got2 = range_join(rd.from_pandas(left), rd.from_pandas(right2),
+                      on="v").to_pandas()
+    assert len(got2) == len(want)
+
+
+def test_range_join_left_and_by(ray_session):
+    import ray.data as rd
+
+    from tenzir_ray.stages.join import range_join
+
+    left = pd.DataFrame({
+        "eid": [0, 1, 2, 3, 4],
+        "grp": ["a", "a", "b", "b", "a"],
+        "v": [5.0, 15.0, 5.0, 200.0, np.nan],
+    })
+    right = pd.DataFrame({
+        "grp": ["a", "b", "a"],
+        "lo": [0.0, 0.0, 10.0],
+        "hi": [10.0, 10.0, 20.0],
+        "tier": ["a-low", "b-low", "a-mid"],
+    })
+    got = range_join(rd.from_pandas(left), rd.from_pandas(right),
+                     on="v", by="grp", how="left").to_pandas()
+    got = got.sort_values("eid").reset_index(drop=True)
+    # eid0 -> a-low; eid1 -> a-mid; eid2 -> b-low; eid3/4 unmatched (null)
+    assert len(got) == 5
+    assert got.loc[0, "tier"] == "a-low"
+    assert got.loc[1, "tier"] == "a-mid"
+    assert got.loc[2, "tier"] == "b-low"
+    assert pd.isna(got.loc[3, "tier"]) and pd.isna(got.loc[4, "tier"])
+    # inner drops the unmatched + NaN-value rows
+    inner = range_join(rd.from_pandas(left), rd.from_pandas(right),
+                       on="v", by="grp").to_pandas()
+    assert sorted(inner["eid"].tolist()) == [0, 1, 2]
+
+
+def test_range_join_timestamps_vs_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from tenzir_ray.stages.join import range_join
+
+    SF = "/root/testdata/sf0.001"
+    events = rd.read_parquet(f"{SF}/events.parquet",
+                             columns=["event_id", "ts"])
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    bounds = con.sql("SELECT min(ts) AS t0 FROM events").df()
+    t0 = pd.Timestamp(bounds["t0"][0])
+    # 6-hour maintenance windows every day at t0 + k days
+    win = pd.DataFrame({
+        "win_id": np.arange(30, dtype=np.int64),
+        "lo": [t0 + pd.Timedelta(days=int(k)) for k in range(30)],
+        "hi": [t0 + pd.Timedelta(days=int(k), hours=6) for k in range(30)],
+    })
+    got = range_join(events, rd.from_pandas(win), on="ts").to_pandas()
+    con.register("win", win)
+    want = con.sql(
+        "SELECT e.event_id, w.win_id FROM events e JOIN win w "
+        "ON e.ts >= w.lo AND e.ts < w.hi"
+    ).df()
+    assert len(got) == len(want)
+    g = got.sort_values(["event_id", "win_id"]).reset_index(drop=True)
+    w = want.sort_values(["event_id", "win_id"]).reset_index(drop=True)
+    assert (g["event_id"].values == w["event_id"].values).all()
+    assert (g["win_id"].values == w["win_id"].values).all()
+    con.close()
+
+
+def test_range_join_broadcast_size_guard(ray_session):
+    import ray.data as rd
+
+    from tenzir_ray.stages.join import range_join
+
+    left = rd.range(10)
+    big = pd.DataFrame({"lo": np.arange(100.0), "hi": np.arange(100.0) + 1})
+    with pytest.raises(ValueError, match="dimension-sized"):
+        range_join(left, rd.from_pandas(big), on="id",
+                   max_broadcast_rows=50)
