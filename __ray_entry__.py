@@ -1088,6 +1088,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return est.map_batches(_ok, batch_format="pyarrow")
 
+    def pctl_sketch_accuracy(sf):
+        # DDSketch p50/p95/p99 (mergeable, alpha=1% relative error) vs an
+        # exact Ray-side quantile (collect + numpy) — same accuracy-gate
+        # design as hll_accuracy: the booleans are deterministic because
+        # the sketch guarantee bounds the error, so DuckDB just asserts
+        # TRUE per group.
+        import numpy as np
+        import pandas as pd
+
+        ds = _read(sf, "events", columns=["event_type", "value"])
+        est = S.summarize(ds, by="event_type", a50="p50(value)",
+                          a95="p95(value)", a99="p99(value)").to_pandas()
+        ex = S.summarize(ds, by="event_type",
+                         vals="collect(value)").to_pandas()
+        ex = ex.assign(
+            e50=[np.quantile(np.asarray(v, dtype=np.float64), 0.5) for v in ex["vals"]],
+            e95=[np.quantile(np.asarray(v, dtype=np.float64), 0.95) for v in ex["vals"]],
+            e99=[np.quantile(np.asarray(v, dtype=np.float64), 0.99) for v in ex["vals"]],
+        ).drop(columns=["vals"])
+        m = est.merge(ex, on="event_type")
+
+        def _ok(a, e):
+            return (a - e).abs() <= 0.02 * e.abs() + 1e-6
+
+        return pd.DataFrame({
+            "event_type": m["event_type"],
+            "ok50": _ok(m["a50"], m["e50"]),
+            "ok95": _ok(m["a95"], m["e95"]),
+            "ok99": _ok(m["a99"], m["e99"]),
+        })
+
     def streaming_summarize_types(sf):
         from tenzir_ray.stages.streaming import streaming_summarize
 
@@ -1693,6 +1724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_nulls_first": sort_nulls_first,
         "distinct_users_by_type": distinct_users_by_type,
         "hll_accuracy": hll_accuracy,
+        "pctl_sketch_accuracy": pctl_sketch_accuracy,
         "streaming_summarize_types": streaming_summarize_types,
         "compress_roundtrip_docs": compress_roundtrip_docs,
         "csv_roundtrip": csv_roundtrip,
@@ -2235,6 +2267,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hll_accuracy": """
             SELECT event_type, TRUE AS hll_ok FROM events GROUP BY event_type
+        """,
+        "pctl_sketch_accuracy": """
+            SELECT event_type, TRUE AS ok50, TRUE AS ok95, TRUE AS ok99
+            FROM events GROUP BY event_type
         """,
         "streaming_summarize_types": """
             SELECT event_type,

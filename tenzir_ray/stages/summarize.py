@@ -10,7 +10,8 @@ distinct (distinct.cpp — sorted unique list), collect (collect.cpp),
 sample (sample.cpp — first non-null), any/all (any.cpp/all.cpp),
 stddev/variance (stddev_variance.cpp — merged via (n, Σx, Σx²) partials),
 median/approximate_median (approximate_median.cpp — t-digest in the
-reference; exact-at-small / quantile here).
+reference; exact-at-small / quantile here), p50/p95/p99/p999
+(DDSketch — engine extension, see :func:`_ddsketch`).
 
 `resolution` time-bucketing (summarize.cpp:41-99 — Arrow temporal floor)
 is exposed via :func:`time_bucket`.
@@ -252,6 +253,105 @@ def _hll(col: str, alias: str, p: int = 12) -> AggregateFn:
     )
 
 
+def _dds_reduce(idx: np.ndarray, cnt: np.ndarray):
+    """Collapse duplicate bucket indices (sorted unique + summed counts)."""
+    if len(idx) == 0:
+        return idx.astype(np.int32), cnt.astype(np.int64)
+    u, inv = np.unique(idx, return_inverse=True)
+    c = np.bincount(inv, weights=cnt.astype(np.float64)).astype(np.int64)
+    return u.astype(np.int32), c
+
+
+def _ddsketch(col: str, alias: str, q: float, alpha: float = 0.01) -> AggregateFn:
+    """DDSketch approximate quantile (Masson, Rim & Lee, VLDB 2019 —
+    public algorithm): log-γ bucketed counts with γ=(1+α)/(1-α) give a
+    RELATIVE-error guarantee |est/true - 1| ≤ α for any quantile, and the
+    sketch merges by adding bucket counts — the mergeable path for
+    p95/p99-style aggregates at 10^10 rows where exact quantiles would
+    shuffle every value. Three-part store (negative mirror, zero count,
+    positive), packed to bytes so accumulators stay Arrow-representable
+    across block boundaries (same discipline as the HLL registers above).
+    Reference analog: approximate_median.cpp (t-digest)."""
+    import struct
+
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    inv_lg = 1.0 / np.log(gamma)
+    coef = 2.0 * gamma / (gamma + 1.0)  # bucket midpoint = coef * γ^(i-1)
+
+    def _enc(nidx, ncnt, zero, pidx, pcnt) -> bytes:
+        return (struct.pack("<qqq", len(nidx), len(pidx), int(zero))
+                + nidx.astype(np.int32).tobytes()
+                + ncnt.astype(np.int64).tobytes()
+                + pidx.astype(np.int32).tobytes()
+                + pcnt.astype(np.int64).tobytes())
+
+    def _dec(b: bytes):
+        nn, npos, zero = struct.unpack_from("<qqq", b, 0)
+        off = 24
+        nidx = np.frombuffer(b, np.int32, nn, off); off += 4 * nn
+        ncnt = np.frombuffer(b, np.int64, nn, off); off += 8 * nn
+        pidx = np.frombuffer(b, np.int32, npos, off); off += 4 * npos
+        pcnt = np.frombuffer(b, np.int64, npos, off)
+        return nidx, ncnt, zero, pidx, pcnt
+
+    def _acc(acc: bytes, block) -> bytes:
+        arr = pc.drop_null(_col(block, col))
+        if len(arr) == 0:
+            return acc
+        v = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        nidx0, ncnt0, zero, pidx0, pcnt0 = _dec(acc)
+        pos, neg = v > 0, v < 0
+        zero += int(len(v) - pos.sum() - neg.sum())
+        pidx1 = np.ceil(np.log(v[pos]) * inv_lg).astype(np.int32)
+        nidx1 = np.ceil(np.log(-v[neg]) * inv_lg).astype(np.int32)
+        pu, pc_ = _dds_reduce(np.concatenate([pidx0, pidx1]),
+                              np.concatenate([pcnt0, np.ones(len(pidx1), np.int64)]))
+        nu, nc_ = _dds_reduce(np.concatenate([nidx0, nidx1]),
+                              np.concatenate([ncnt0, np.ones(len(nidx1), np.int64)]))
+        return _enc(nu, nc_, zero, pu, pc_)
+
+    def _merge(a: bytes, b: bytes) -> bytes:
+        na, ca, za, pa_, cpa = _dec(a)
+        nb, cb, zb, pb, cpb = _dec(b)
+        nu, nc_ = _dds_reduce(np.concatenate([na, nb]), np.concatenate([ca, cb]))
+        pu, pc_ = _dds_reduce(np.concatenate([pa_, pb]), np.concatenate([cpa, cpb]))
+        return _enc(nu, nc_, za + zb, pu, pc_)
+
+    def _fin(acc: bytes) -> "float | None":
+        nidx, ncnt, zero, pidx, pcnt = _dec(acc)
+        total = int(zero + ncnt.sum() + pcnt.sum())
+        if total == 0:
+            return None
+        # ascending value order: negatives (idx desc → most negative
+        # first), the zero bucket, positives (idx asc)
+        vals = np.concatenate([
+            -coef * np.power(gamma, nidx[::-1].astype(np.float64) - 1.0),
+            np.zeros(1 if zero else 0),
+            coef * np.power(gamma, pidx.astype(np.float64) - 1.0),
+        ])
+        cnts = np.concatenate([
+            ncnt[::-1].astype(np.float64),
+            np.full(1 if zero else 0, float(zero)),
+            pcnt.astype(np.float64),
+        ])
+        rank = q * (total - 1)
+        j = int(np.searchsorted(np.cumsum(cnts), rank, side="right"))
+        return float(vals[min(j, len(vals) - 1)])
+
+    return AggregateFn(
+        init=lambda k: _enc(np.zeros(0, np.int32), np.zeros(0, np.int64), 0,
+                            np.zeros(0, np.int32), np.zeros(0, np.int64)),
+        accumulate_block=_acc,
+        merge=_merge,
+        finalize=_fin,
+        name=alias,
+    )
+
+
+_PCTL_RE = re.compile(r"^p(\d{1,3})$")
+
+
 def make_agg(func: str, col: str, alias: str):
     """Build one aggregate from (function-name, column, output alias)."""
     func = func.lower()
@@ -293,6 +393,10 @@ def make_agg(func: str, col: str, alias: str):
         return Quantile(col, q=0.5, alias_name=alias)
     if func == "quantile":
         return Quantile(col, alias_name=alias)
+    m = _PCTL_RE.match(func)
+    if m:  # p50 / p95 / p99 / p999 → DDSketch approximate percentile
+        d = m.group(1)  # 1-2 digits = percent, 3 digits = per-mille (p999)
+        return _ddsketch(col, alias, q=int(d) / (100 if len(d) <= 2 else 1000))
     raise ValueError(f"unknown aggregation function: {func}")
 
 

@@ -967,3 +967,56 @@ def test_range_join_broadcast_size_guard(ray_session):
     with pytest.raises(ValueError, match="dimension-sized"):
         range_join(left, rd.from_pandas(big), on="id",
                    max_broadcast_rows=50)
+
+
+# ------------------------------------------------------------- dds quantile
+
+
+def test_ddsketch_percentiles_accuracy(ray_session):
+    """DDSketch p50/p95/p99: relative error <= alpha (plus rank
+    discretization slack) vs exact numpy quantiles, across groups with
+    negatives, zeros and nulls, merged over many blocks."""
+    import ray.data as rd
+
+    from tenzir_ray.stages import summarize as S
+
+    rng = np.random.default_rng(11)
+    n = 60_000
+    grp = rng.integers(0, 4, n)
+    # lognormal positives, group 3 shifted negative, sprinkle zeros/nulls
+    v = np.exp(rng.normal(3.0, 1.2, n))
+    v[grp == 3] = -v[grp == 3]
+    v[rng.random(n) < 0.01] = 0.0
+    vals = v.copy()
+    null_mask = rng.random(n) < 0.02
+    col = vals.copy()
+    col[null_mask] = np.nan
+    df = pd.DataFrame({"g": grp, "v": col})
+    ds = rd.from_pandas(df).repartition(16)
+
+    got = S.summarize(ds, by="g", p50="p50(v)", p95="p95(v)",
+                      p99="p99(v)").to_pandas().set_index("g").sort_index()
+    for g in range(4):
+        clean = vals[(grp == g) & ~null_mask]
+        for name, q in (("p50", 0.5), ("p95", 0.95), ("p99", 0.99)):
+            exact = np.quantile(clean, q)
+            est = got.loc[g, name]
+            tol = 0.02 * abs(exact) + 1e-9  # 2*alpha slack
+            assert abs(est - exact) <= tol + abs(exact) * 0.01, (
+                g, name, est, exact)
+
+
+def test_ddsketch_all_null_and_signs(ray_session):
+    import ray.data as rd
+
+    from tenzir_ray.stages import summarize as S
+
+    df = pd.DataFrame({
+        "g": ["a"] * 3 + ["b"] * 3,
+        "v": pd.array([None, None, None, -100.0, 0.0, 100.0],
+                      dtype="float64"),
+    })
+    got = S.summarize(rd.from_pandas(df), by="g",
+                      p50="p50(v)").to_pandas().set_index("g")
+    assert pd.isna(got.loc["a", "p50"])
+    assert abs(got.loc["b", "p50"]) < 1e-9  # median of {-100, 0, 100} = 0
