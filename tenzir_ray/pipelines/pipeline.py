@@ -416,7 +416,7 @@ class Pipeline:
     def run(self, ds=None, optimize: bool = True):
         """Execute the steps; source steps ignore ``ds``, every other step
         threads the Dataset through (the generator-chain analog,
-        pipeline.hpp:242). Two-input operators (hash_join/asof_join) take
+        pipeline.hpp:242). Two-input operators (hash_join/asof_join/range_join) take
         their right side as a nested ``right: [steps...]`` sub-pipeline.
         ``optimize=True`` (default) runs :func:`optimize_steps` first —
         filters/projections fuse into adjacent parquet reads."""
@@ -432,7 +432,7 @@ class Pipeline:
                 else:
                     ds = Pipeline(step["pipeline"]).run(ds, optimize=optimize)
                 continue
-            if name in ("hash_join", "asof_join"):
+            if name in ("hash_join", "asof_join", "range_join"):
                 from tenzir_ray.stages import join as join_mod
 
                 right = Pipeline(step.pop("right")).run()

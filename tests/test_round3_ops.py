@@ -1020,3 +1020,26 @@ def test_ddsketch_all_null_and_signs(ray_session):
                       p50="p50(v)").to_pandas().set_index("g")
     assert pd.isna(got.loc["a", "p50"])
     assert abs(got.loc["b", "p50"]) < 1e-9  # median of {-100, 0, 100} = 0
+
+
+def test_pipeline_range_join_op(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.pipelines.pipeline import Pipeline
+
+    SF = "/root/testdata/sf0.001"
+    bands = pa.table({
+        "band_id": pa.array([0, 1, 2], pa.int64()),
+        "lo": pa.array([0.0, 100.0, 200.0]),
+        "hi": pa.array([120.0, 220.0, 1000.0]),  # overlapping
+    })
+    bp = str(tmp_path / "bands.parquet")
+    pq.write_table(bands, bp)
+    out = Pipeline([
+        {"op": "read_parquet", "paths": f"{SF}/events.parquet",
+         "columns": ["event_id", "value"]},
+        {"op": "range_join", "on": "value",
+         "right": [{"op": "read_parquet", "paths": bp}]},
+    ]).run().to_pandas()
+    assert len(out) > 0
+    assert ((out["value"] >= out["lo"]) & (out["value"] < out["hi"])).all()
