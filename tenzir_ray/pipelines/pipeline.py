@@ -135,6 +135,8 @@ def _register_builtins() -> None:
         read_bitz=writers.read_bitz,
         write_lines=writers.write_lines,
         write_yaml=writers.write_yaml,
+        write_parquet_partitioned=writers.write_parquet_partitioned,
+        read_parquet_partitioned=writers.read_parquet_partitioned,
         read_stdin=writers.read_stdin,
     )
     from tenzir_ray import expr as expr_mod

@@ -28,11 +28,13 @@ from tenzir_ray.sources.parsers import (
 from tenzir_ray.sources.readers import follow_lines
 from tenzir_ray.sources.writers import (
     read_bitz,
+    read_parquet_partitioned,
     write_bitz,
     write_csv,
     write_feather,
     write_json,
     write_parquet,
+    write_parquet_partitioned,
     write_ssv,
     write_tsv,
 )
@@ -45,4 +47,5 @@ __all__ = [
     "parse_yaml_docs",
     "write_parquet", "write_csv", "write_tsv", "write_ssv", "write_json",
     "write_feather", "write_bitz",
+    "write_parquet_partitioned", "read_parquet_partitioned",
 ]

@@ -15,6 +15,7 @@ import sys
 import uuid
 
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 from tenzir_ray._ship import ship_by_value
 
@@ -213,6 +214,126 @@ def read_stdin(lines: bool = True, stream=None):
     if not rows:
         return ray.data.from_arrow(pa.table({"text": pa.array([], pa.string())}))
     return ray.data.from_items(rows)
+
+
+class _PartitionedWriter:
+    """map_batches stage: split the batch by the partition column and
+    write one parquet file per (batch, value) with write-then-rename;
+    the emitted stats rows are the PENDING manifest entries — only files
+    recorded by successful tasks get committed, so orphans from retried
+    tasks are never visible to readers."""
+
+    def __init__(self, root: str, by: str, compression: str, level: int):
+        self.root = root
+        self.by = by
+        self.compression = compression
+        self.level = level
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import uuid
+
+        import numpy as np
+
+        files, values, rows = [], [], []
+        if batch.num_rows:
+            col = batch.column(self.by)
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            d = col.dictionary_encode()
+            if isinstance(d, pa.ChunkedArray):
+                d = d.combine_chunks()
+            codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = d.dictionary.to_pylist()
+            order = np.argsort(codes, kind="stable")
+            sc = codes[order]
+            bounds = np.r_[np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]]),
+                           len(sc)]
+            sorted_tbl = batch.take(pa.array(order))
+            for i in range(len(bounds) - 1):
+                lo, hi = int(bounds[i]), int(bounds[i + 1])
+                v = vals[int(sc[lo])]
+                vdir = os.path.join(self.root, f"{self.by}={v}")
+                os.makedirs(vdir, exist_ok=True)
+                rel = os.path.join(
+                    f"{self.by}={v}", f"part-{uuid.uuid4().hex[:12]}.parquet"
+                )
+                path = os.path.join(self.root, rel)
+                pq.write_table(
+                    sorted_tbl.slice(lo, hi - lo), path + ".tmp",
+                    compression=self.compression,
+                    compression_level=self.level,
+                )
+                os.replace(path + ".tmp", path)
+                files.append(rel)
+                values.append(str(v))
+                rows.append(hi - lo)
+        return pa.table({
+            "file": pa.array(files, pa.string()),
+            "value": pa.array(values, pa.string()),
+            "rows": pa.array(rows, pa.int64()),
+        })
+
+
+def write_parquet_partitioned(ds, root: str, by: str, resume: bool = True,
+                              compression: str = "zstd",
+                              compression_level: int = 1) -> dict:
+    """Resumable partitioned parquet sink (the 100 TB output contract:
+    never one giant file, and a re-run after failure skips finished
+    work). Rows land under ``root/<by>=<value>/part-*.parquet``; a
+    root-level ``_manifest.json`` commits atomically (write-then-rename)
+    AFTER every task succeeded, listing exactly the files written by
+    successful attempts — crashed/retried tasks leave orphans that
+    readers (:func:`read_parquet_partitioned`) never open. ``resume``:
+    an already-committed root returns its manifest immediately (the
+    job-level idempotence gate — the lake's epoch-skip analog,
+    cdc/lake.py apply_changes). ``by`` should be low-cardinality (a
+    date, shard id, key range): one file per (block, value)."""
+    import json
+
+    man_path = os.path.join(root, "_manifest.json")
+    if resume and os.path.exists(man_path):
+        with open(man_path) as f:
+            return json.load(f)
+    os.makedirs(root, exist_ok=True)
+    stats = ds.map_batches(
+        _PartitionedWriter(root, by, compression, compression_level),
+        batch_format="pyarrow",
+    ).to_pandas()  # barrier: all files durable before the commit
+    by_val: dict[str, dict] = {}
+    for f_, v, r in zip(stats["file"], stats["value"], stats["rows"]):
+        e = by_val.setdefault(v, {"files": [], "rows": 0})
+        e["files"].append(f_)
+        e["rows"] += int(r)
+    manifest = {"by": by, "partitions": by_val,
+                "rows": int(stats["rows"].sum()) if len(stats) else 0}
+    tmp = man_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, man_path)
+    return manifest
+
+
+def read_parquet_partitioned(root: str, values: "list | None" = None,
+                             **kw):
+    """Manifest-gated reader for :func:`write_parquet_partitioned`
+    output: opens ONLY committed files (orphans invisible), and prunes
+    whole partition directories when ``values`` is given — probe cost
+    tracks the partitions touched, not the table size."""
+    import json
+
+    import ray.data
+
+    with open(os.path.join(root, "_manifest.json")) as f:
+        manifest = json.load(f)
+    want = None if values is None else {str(v) for v in values}
+    paths = [
+        os.path.join(root, rel)
+        for v, e in manifest["partitions"].items()
+        if want is None or v in want
+        for rel in e["files"]
+    ]
+    if not paths:
+        return ray.data.from_arrow(pa.table({}))
+    return ray.data.read_parquet(paths, **kw)
 
 
 ship_by_value(sys.modules[__name__])

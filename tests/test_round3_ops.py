@@ -1043,3 +1043,54 @@ def test_pipeline_range_join_op(ray_session, tmp_path):
     ]).run().to_pandas()
     assert len(out) > 0
     assert ((out["value"] >= out["lo"]) & (out["value"] < out["hi"])).all()
+
+
+# ------------------------------------------------- resumable partitioned out
+
+
+def test_write_parquet_partitioned_resume_and_orphans(ray_session, tmp_path):
+    import json
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from tenzir_ray.sources.writers import (
+        read_parquet_partitioned,
+        write_parquet_partitioned,
+    )
+
+    df = pd.DataFrame({
+        "day": ["d1"] * 40 + ["d2"] * 30 + ["d3"] * 30,
+        "x": np.arange(100, dtype=np.int64),
+    })
+    root = str(tmp_path / "out")
+    m1 = write_parquet_partitioned(rd.from_pandas(df).repartition(4),
+                                   root, by="day")
+    assert m1["rows"] == 100 and set(m1["partitions"]) == {"d1", "d2", "d3"}
+
+    # plant an ORPHAN (crashed-attempt analog): must stay invisible
+    orphan = os.path.join(root, "day=d1", "part-deadbeef.parquet")
+    pq.write_table(pa.table({"day": ["d1"], "x": [999999]}), orphan)
+
+    got = read_parquet_partitioned(root).to_pandas()
+    assert len(got) == 100 and 999999 not in set(got["x"])
+
+    # partition pruning reads only the asked-for dirs
+    d2 = read_parquet_partitioned(root, values=["d2"]).to_pandas()
+    assert len(d2) == 30 and set(d2["day"]) == {"d2"}
+
+    # resume: the committed root short-circuits (manifest returned as-is,
+    # no rewrite — file set unchanged)
+    before = json.load(open(os.path.join(root, "_manifest.json")))
+    m2 = write_parquet_partitioned(rd.from_pandas(df), root, by="day")
+    assert m2 == before
+
+    # a crashed FIRST attempt (no manifest) redoes the work: orphans from
+    # it are superseded because the fresh manifest lists only new files
+    root2 = str(tmp_path / "out2")
+    os.makedirs(os.path.join(root2, "day=d1"), exist_ok=True)
+    pq.write_table(pa.table({"day": ["d1"], "x": [123456]}),
+                   os.path.join(root2, "day=d1", "part-stale.parquet"))
+    write_parquet_partitioned(rd.from_pandas(df), root2, by="day")
+    got2 = read_parquet_partitioned(root2).to_pandas()
+    assert len(got2) == 100 and 123456 not in set(got2["x"])
