@@ -527,8 +527,14 @@ def slice_(ds, start: int | None = 0, stop: int | None = None,
                 "slice with a stride needs order_by — global row position "
                 "is undefined without a total order on a distributed input"
             )
-        n = ds.count()
-        b, e, s = slice(start, stop, stride).indices(n)
+        if (stride > 0 and start is not None and start >= 0
+                and stop is not None and stop >= 0):
+            # all bounds explicit and non-negative: the row-number mask
+            # needs no dataset length — skip the count() pass entirely
+            b, e, s = start, stop, stride
+        else:
+            n = ds.count()
+            b, e, s = slice(start, stop, stride).indices(n)
         rn = "__slice_rn__"
         out = enumerate_global(ds, order_by, out=rn)
 
