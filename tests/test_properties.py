@@ -90,3 +90,99 @@ def test_registry_conform_total(names):
     out = reg.conform(tbl)
     assert out.schema.equals(reg.schema)
     assert out.num_rows == 2
+
+
+# ---------------------------------------------------------------- ddsketch
+
+
+@given(
+    st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                       allow_nan=False, allow_infinity=False),
+             min_size=1, max_size=300),
+    st.sampled_from([0.25, 0.5, 0.9, 0.99]),
+    st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=100, deadline=None)
+def test_ddsketch_merge_invariant_and_error_bound(vals, q, nsplits):
+    """Sketch(all values) == merge(sketches of any split) — and the
+    finalized quantile is within the DDSketch relative-error guarantee
+    of the exact empirical quantile (same rank convention: element at
+    floor/ceil of q*(n-1))."""
+    import numpy as np
+    import pyarrow as pa
+
+    from tenzir_ray.stages.summarize import _ddsketch
+
+    agg = _ddsketch("v", "q", q=q, alpha=0.01)
+    acc_all = agg.init(None)
+    acc_all = agg.accumulate_block(acc_all, pa.table({"v": vals}))
+
+    # arbitrary split points
+    n = len(vals)
+    cuts = sorted({(i * n) // nsplits for i in range(1, nsplits)})
+    parts, prev = [], 0
+    for c in cuts + [n]:
+        parts.append(vals[prev:c])
+        prev = c
+    acc_m = agg.init(None)
+    for p in parts:
+        a = agg.accumulate_block(agg.init(None), pa.table({"v": p or []}))
+        acc_m = agg.merge(acc_m, a)
+    assert acc_all == acc_m  # byte-identical accumulators
+
+    est = agg.finalize(acc_all)
+    ordered = np.sort(np.asarray(vals, dtype=np.float64))
+    rank = q * (n - 1)
+    lo_v, hi_v = ordered[int(np.floor(rank))], ordered[int(np.ceil(rank))]
+    # the sketch answers SOME element within one rank step; check the
+    # relative-error bound against the closest of the two rank neighbors
+    tol = lambda x: 0.0101 * abs(x) + 1e-12
+    ok = (abs(est - lo_v) <= tol(lo_v)) or (abs(est - hi_v) <= tol(hi_v))
+    assert ok, (est, lo_v, hi_v, q)
+
+
+@given(
+    st.lists(st.tuples(
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        st.floats(min_value=0.01, max_value=50, allow_nan=False),
+    ), min_size=0, max_size=20),
+    st.lists(st.floats(min_value=-200, max_value=200, allow_nan=False),
+             min_size=0, max_size=60),
+)
+@settings(max_examples=60, deadline=None)
+def test_range_joiner_matches_bruteforce(ray_session, intervals, values):
+    """_RangeJoiner (interval-stabbing kernel) == O(n*m) brute force,
+    including overlapping intervals and boundary values."""
+    import numpy as np
+    import pyarrow as pa
+
+    from tenzir_ray.stages.join import _RangeJoiner
+
+    lo = np.array([a for a, w in intervals], dtype=np.float64)
+    hi = lo + np.array([w for a, w in intervals], dtype=np.float64)
+    right = pa.table({
+        "rid": pa.array(np.arange(len(intervals), dtype=np.int64)),
+        "lo": pa.array(lo), "hi": pa.array(hi),
+    })
+
+    class _Ref:
+        pass
+
+    import ray as ray_mod
+    ref = ray_mod.put(right)
+    j = _RangeJoiner(ref, on="v", lo="lo", hi="hi", how="inner", by=None,
+                     rename_r={})
+    batch = pa.table({
+        "vid": pa.array(np.arange(len(values), dtype=np.int64)),
+        "v": pa.array(np.asarray(values, dtype=np.float64)),
+    })
+    got = j(batch)
+    got_pairs = sorted(zip(got.column("vid").to_pylist(),
+                           got.column("rid").to_pylist()))
+    want = sorted(
+        (vi, ri)
+        for vi, v in enumerate(values)
+        for ri in range(len(intervals))
+        if lo[ri] <= v < hi[ri]
+    )
+    assert got_pairs == want
