@@ -24,6 +24,7 @@ like ``text.startswith("a")``).
 from __future__ import annotations
 
 import ast
+import re
 
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
@@ -171,8 +172,18 @@ class PatternLiteral:
 _PAT_RE = _re.compile(r"(==|!=|\bin)\s*/((?:[^/\\\"]|\\.)*)/")
 
 
+#: `A ni B` (reference operator.hpp:44-55: "B in A", i.e. A contains B)
+#: and its negation. Operands are single tokens by the time this runs —
+#: quoted strings are placeholders (__qstr_N__).
+_NI_RE = re.compile(r"([\w.]+)\s+(!?)ni\s+([\w.\-/:]+)")
+_QSTR_RE = re.compile(r"__qstr_(\d+)__")
+
+
 def _preprocess(text: str) -> str:
-    """Rewrite ip/subnet/duration/pattern literals outside of quotes."""
+    """Rewrite reference-syntax forms into parseable Python: quoted
+    strings are lifted to placeholders first, then `!in` / `ni` / `!ni`
+    operators and ip/subnet/duration/pattern literals rewrite on the
+    quote-free skeleton, then the strings substitute back."""
 
     def others(chunk: str) -> str:
         chunk = _CIDR_RE.sub(r'__subnet__("\1")', chunk)
@@ -192,7 +203,10 @@ def _preprocess(text: str) -> str:
         parts.append(others(chunk[last:]))
         return "".join(parts)
 
-    out: list[str] = []
+    # 1. lift quoted strings out (placeholders are plain identifiers, so
+    #    no literal/operator regex can touch their contents)
+    strings: list[str] = []
+    skel: list[str] = []
     i, n = 0, len(text)
     while i < n:
         ch = text[i]
@@ -200,15 +214,29 @@ def _preprocess(text: str) -> str:
             j = i + 1
             while j < n and (text[j] != ch or text[j - 1] == "\\"):
                 j += 1
-            out.append(text[i : j + 1])
+            skel.append(f"__qstr_{len(strings)}__")
+            strings.append(text[i : j + 1])
             i = j + 1
         else:
             j = i
             while j < n and text[j] not in ("'", '"'):
                 j += 1
-            out.append(rewrite(text[i:j]))
+            skel.append(text[i:j])
             i = j
-    return "".join(out)
+    skeleton = "".join(skel)
+
+    # 2. operator sugar: `!in` → `not in`; `A ni B` → `B in A` (contains)
+    skeleton = re.sub(r"\s+!in\s+", " not in ", skeleton)
+    skeleton = _NI_RE.sub(
+        lambda m: f"{'not ' if m.group(2) else ''}{m.group(3)} in {m.group(1)}",
+        skeleton,
+    )
+
+    # 3. literal rewrites on the quote-free skeleton
+    skeleton = rewrite(skeleton)
+
+    # 4. strings back in place
+    return _QSTR_RE.sub(lambda m: strings[int(m.group(1))], skeleton)
 
 
 def compile_expr(text: str) -> pads.Expression:
@@ -251,16 +279,25 @@ _MARKER_FNS = {
 }
 
 
+def _as_pred(node: ast.expr):
+    """Compile a node in PREDICATE position: a bare field path means
+    "field exists and is not null" (reference short form,
+    expressions.md:173-199). Value positions use _compile directly."""
+    if _field_path(node) is not None:
+        return _compile(node).is_valid()
+    return _compile(node)
+
+
 def _compile(node: ast.expr):
     if isinstance(node, ast.BoolOp):
-        parts = [_compile(v) for v in node.values]
+        parts = [_as_pred(v) for v in node.values]
         out = parts[0]
         for p in parts[1:]:
             out = (out & p) if isinstance(node.op, ast.And) else (out | p)
         return out
     if isinstance(node, ast.UnaryOp):
         if isinstance(node.op, ast.Not):
-            return ~_compile(node.operand)
+            return ~_as_pred(node.operand)
         if isinstance(node.op, ast.USub):
             operand = _compile(node.operand)
             return -operand if not isinstance(operand, pads.Expression) else 0 - operand
@@ -275,6 +312,11 @@ def _compile(node: ast.expr):
                     raise _Residual(node)  # → compile_filter's mask path
                 if isinstance(rhs, PatternLiteral):
                     term = pc.match_substring_regex(left, rhs.pattern)
+                elif isinstance(left, str) and _field_path(comp) is not None:
+                    # `"sub" in field` (also what `field ni "sub"`
+                    # rewrites to): substring containment, the
+                    # reference's in/ni string semantics
+                    term = pc.match_substring(rhs, left)
                 else:
                     term = left.isin(rhs)
                 if isinstance(op, ast.NotIn):
@@ -430,7 +472,7 @@ def _compile_mask(node: ast.expr):
                 return ~m if neg else m
 
             return f_subnet
-    expr = _compile(node)  # no subnet in this subtree → pads eval
+    expr = _as_pred(node)  # no subnet in this subtree → pads eval
     return lambda batch: _eval_mask(expr, batch)
 
 
@@ -445,7 +487,7 @@ def compile_filter(text: str) -> Filter:
     residuals = []
     for c in _split_and(tree):
         try:
-            e = _compile(c)
+            e = _as_pred(c)  # bare field conjunct ≡ field != null
             pushdown = e if pushdown is None else pushdown & e
         except _Residual:
             residuals.append(_compile_mask(c))

@@ -101,3 +101,48 @@ def test_pattern_literals(ray_session):
         compile_expr('name > pattern("abc")')
     with _p.raises(SyntaxError):
         compile_expr("name > /abc/")
+
+
+# ---------------------------------------------- reference operator sugar
+
+
+def test_ni_and_bang_in_operators(ray_session):
+    import ray.data as rd
+
+    from tenzir_ray.stages.transforms import where
+
+    ds = rd.from_arrow(pa.table({
+        "msg": ["GET /index", "POST /login", "GET /api", None],
+        "code": [200, 403, 200, 500],
+    }))
+    # A ni B == A contains B
+    got = where(ds, 'msg ni "GET"').to_pandas()
+    assert sorted(got["msg"]) == ["GET /api", "GET /index"]
+    # !ni — nulls drop (predicate null semantics)
+    got2 = where(ds, 'msg !ni "GET"').to_pandas()
+    assert sorted(got2["msg"]) == ["POST /login"]
+    # "lit" in field is the same containment, un-sugared
+    got3 = where(ds, '"login" in msg').to_pandas()
+    assert list(got3["msg"]) == ["POST /login"]
+    # !in on list membership
+    got4 = where(ds, "code !in [200, 500]").to_pandas()
+    assert list(got4["code"]) == [403]
+
+
+def test_bare_field_short_form(ray_session):
+    import ray.data as rd
+
+    from tenzir_ray.stages.transforms import where
+
+    ds = rd.from_arrow(pa.table({
+        "a": [1, None, 3, None],
+        "b": ["x", "y", None, None],
+    }))
+    # bare field ≡ field != null (expressions.md:173-199)
+    assert where(ds, "a").count() == 2
+    assert where(ds, "a and b").count() == 1
+    assert where(ds, "not a").count() == 2
+    assert where(ds, "a or b").count() == 3
+    # value positions unchanged: arithmetic on the bare name still works
+    got = where(ds, "a + 1 > 2").to_pandas()
+    assert list(got["a"]) == [3.0] or list(got["a"]) == [3]
