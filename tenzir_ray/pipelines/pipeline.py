@@ -434,7 +434,8 @@ class Pipeline:
                 else:
                     ds = Pipeline(step["pipeline"]).run(ds, optimize=optimize)
                 continue
-            if name in ("hash_join", "asof_join", "range_join"):
+            if name in ("hash_join", "asof_join", "range_join",
+                        "range_join_partitioned"):
                 from tenzir_ray.stages import join as join_mod
 
                 right = Pipeline(step.pop("right")).run()

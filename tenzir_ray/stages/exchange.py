@@ -273,6 +273,11 @@ def run_exchange(ds, keys: list[str], num_buckets: int, staging: str,
     ).to_pandas()
     index: dict[int, list] = {}
     nbytes: dict[int, int] = {}
+    if "bucket" not in stats.columns:
+        # a zero-block input side (e.g. joining against an empty
+        # Dataset) yields an empty stats frame WITHOUT columns — Ray
+        # drops the schema of all-empty datasets in to_pandas
+        return index, nbytes
     for b, f, i, by in zip(
         stats["bucket"], stats["file"], stats["batch_idx"], stats["bytes"]
     ):

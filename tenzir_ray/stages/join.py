@@ -45,6 +45,34 @@ def _arrow_schema(ds_schema, rename: dict | None = None) -> pa.Schema:
     )
 
 
+def _dataset_arrow_schema(ds) -> pa.Schema:
+    """Arrow schema of a Dataset. Arrow-block datasets carry it directly;
+    pandas-block datasets (from_pandas) report numpy dtypes, where
+    dtype('O') is ambiguous — resolve by converting ONE small batch, or
+    (zero-row input) by best-effort dtype mapping (object → string)."""
+    sch = ds.schema()
+    try:
+        return _arrow_schema(sch)
+    except (TypeError, AttributeError):
+        pass
+    for b in ds.limit(64).iter_batches(batch_format="pyarrow",
+                                       batch_size=64):
+        if b.num_rows or b.num_columns:
+            return b.schema
+    def _t(t):
+        if isinstance(t, pa.DataType):
+            return t
+        conv = getattr(t, "to_arrow_dtype", None)
+        if conv is not None:
+            return conv()
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string()
+    return pa.schema([pa.field(n, _t(t))
+                      for n, t in zip(sch.names, sch.types)])
+
+
 def _task_buckets(batch: pa.Table) -> list[int]:
     return [int(x) for x in batch.column("buckets").to_pylist()[0]]
 
@@ -336,37 +364,17 @@ def _within_group_arange(counts: np.ndarray) -> np.ndarray:
     return np.arange(total, dtype=np.int64) - np.repeat(ends - counts, counts)
 
 
-class _RangeJoiner:
-    """Actor-pool interval-join stage: ``__init__`` builds an interval-
-    STABBING index once per actor from the broadcast right table —
-    elementary segments between sorted unique interval endpoints, with a
-    CSR (offsets + interval-ids) map of which intervals cover each
-    segment. ``__call__`` then matches a whole batch vectorized: one
-    ``searchsorted`` locates every value's segment, and the CSR gather
-    fans each row out to ALL covering intervals (overlapping bands
-    multi-match, exactly like the SQL ``v >= lo AND v < hi`` join)."""
+class _StabbingIndex:
+    """Interval-stabbing index over ``[lo, hi)`` intervals: elementary
+    segments between sorted unique endpoints, with a CSR
+    (offsets + interval-ids) map of which intervals cover each segment.
+    ``match`` locates every value's segment with one ``searchsorted``
+    and fans each value out to ALL covering intervals via the CSR gather
+    (overlapping intervals multi-match, exactly the SQL
+    ``v >= lo AND v < hi`` join). Shared by the broadcast range_join
+    actor and the partitioned reducer."""
 
-    def __init__(self, right_ref, on: str, lo: str, hi: str, how: str,
-                 by: "str | None", rename_r: dict):
-        import ray
-
-        right: pa.Table = ray.get(right_ref)  # once per actor
-        self.on = on
-        self.how = how
-        self.by = by
-        rlo = _as_num(right.column(lo))
-        rhi = _as_num(right.column(hi))
-        ok = ~(np.isnan(rlo.astype(np.float64)) |
-               np.isnan(rhi.astype(np.float64))) & (rlo < rhi)
-        if not ok.all():
-            right = right.filter(pa.array(ok))
-            rlo, rhi = rlo[ok], rhi[ok]
-        # right payload with output names (collisions suffixed by caller)
-        self.right = right.rename_columns(
-            [rename_r.get(c, c) for c in right.column_names]
-        )
-        self.by_r = rename_r.get(by, by) if by else None
-
+    def __init__(self, rlo: np.ndarray, rhi: np.ndarray):
         self.endpoints = np.unique(np.concatenate([rlo, rhi]))
         n_seg = max(len(self.endpoints) - 1, 0)
         start = np.searchsorted(self.endpoints, rlo, side="left")
@@ -380,12 +388,9 @@ class _RangeJoiner:
         self.seg_off = np.r_[0, np.cumsum(self.seg_count)]   # CSR offsets
         self.n_seg = n_seg
 
-    def _null_right(self, n: int) -> list[pa.Array]:
-        return [pa.nulls(n, f.type) for f in self.right.schema]
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        v = _as_num(batch.column(self.on)) if n else np.zeros(0)
+    def match(self, v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(row_idx, interval_idx) pairs for every containment match."""
+        n = len(v)
         if n and self.n_seg:
             vf = v.astype(np.float64)
             seg = np.searchsorted(self.endpoints, v, side="right") - 1
@@ -395,10 +400,52 @@ class _RangeJoiner:
         else:
             cnt = np.zeros(n, dtype=np.int64)
             segc = np.zeros(n, dtype=np.int64)
-        left_idx = np.repeat(np.arange(n, dtype=np.int64), cnt)
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), cnt)
         within = _within_group_arange(cnt)
-        ids = self.seg_ids[self.seg_off[segc[left_idx]] + within] \
-            if len(left_idx) else np.zeros(0, dtype=np.int64)
+        ids = self.seg_ids[self.seg_off[segc[row_idx]] + within] \
+            if len(row_idx) else np.zeros(0, dtype=np.int64)
+        return row_idx, ids
+
+
+def _valid_intervals(rlo: np.ndarray, rhi: np.ndarray) -> np.ndarray:
+    """Mask dropping null/NaN endpoints and degenerate (lo >= hi) rows."""
+    return (~(np.isnan(rlo.astype(np.float64)) |
+              np.isnan(rhi.astype(np.float64)))) & (rlo < rhi)
+
+
+class _RangeJoiner:
+    """Actor-pool interval-join stage: ``__init__`` builds the
+    :class:`_StabbingIndex` once per actor from the broadcast right
+    table; ``__call__`` matches a whole batch vectorized."""
+
+    def __init__(self, right_ref, on: str, lo: str, hi: str, how: str,
+                 by: "str | None", rename_r: dict):
+        import ray
+
+        right: pa.Table = ray.get(right_ref)  # once per actor
+        self.on = on
+        self.how = how
+        self.by = by
+        rlo = _as_num(right.column(lo))
+        rhi = _as_num(right.column(hi))
+        ok = _valid_intervals(rlo, rhi)
+        if not ok.all():
+            right = right.filter(pa.array(ok))
+            rlo, rhi = rlo[ok], rhi[ok]
+        # right payload with output names (collisions suffixed by caller)
+        self.right = right.rename_columns(
+            [rename_r.get(c, c) for c in right.column_names]
+        )
+        self.by_r = rename_r.get(by, by) if by else None
+        self.index = _StabbingIndex(rlo, rhi)
+
+    def _null_right(self, n: int) -> list[pa.Array]:
+        return [pa.nulls(n, f.type) for f in self.right.schema]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        v = _as_num(batch.column(self.on)) if n else np.zeros(0)
+        left_idx, ids = self.index.match(v)
 
         if self.by is not None and len(left_idx):
             import pyarrow.compute as pc
@@ -448,12 +495,12 @@ def range_join(left, right, on: str, lo: str = "lo", hi: str = "hi",
     CSR gather (no shuffle at all; the left side streams). This is the
     right shape whenever the interval set fits a worker's heap (subnet
     tables, price bands, validity windows, SLA tiers — dimension-sized
-    by nature). For a genuinely large-large range join, partition the
-    DOMAIN instead: cut the value axis into quantile buckets over the
-    left side, replicate each right interval into every bucket it
-    overlaps, and run this same stabbing join per bucket (the exchange
-    machinery above provides the fabric) — raise the issue rather than
-    silently degrade, hence ``max_broadcast_rows``.
+    by nature). For a genuinely large-large range join use
+    :func:`range_join_partitioned` — it partitions the value DOMAIN
+    (quantile buckets over the left side, right intervals replicated
+    into every bucket they overlap, the same stabbing join per bucket
+    over the exchange fabric); ``max_broadcast_rows`` raises rather
+    than silently degrading so the caller picks deliberately.
 
     Reference analog: the closest construct is context-table enrichment
     with subnet keys (libtenzir/builtins/contexts/lookup_table.cpp's
@@ -487,6 +534,178 @@ def range_join(left, right, on: str, lo: str = "lo", hi: str = "hi",
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency or (1, 8),
+    )
+
+
+_RB = "__rb__"  # range-bucket column threaded through the exchange
+
+
+class _RangeJoinReducer:
+    """One task per coalesced set of exchange buckets: for each range
+    bucket present, build a stabbing index from ITS interval replicas
+    and match ITS left rows — replicas are tagged with the bucket they
+    serve, so a task holding several buckets never double-matches."""
+
+    def __init__(self, read_l, read_r, on, lo, hi, how, out_schema):
+        self.read_l = read_l
+        self.read_r = read_r
+        self.on = on
+        self.lo = lo
+        self.hi = hi
+        self.how = how
+        self.out_schema = out_schema
+
+    def _assemble(self, lsub: pa.Table, rsub: pa.Table) -> pa.Table:
+        rlo = _as_num(rsub.column(self.lo)) if rsub.num_rows else np.zeros(0)
+        rhi = _as_num(rsub.column(self.hi)) if rsub.num_rows else np.zeros(0)
+        ok = _valid_intervals(rlo, rhi)
+        if not ok.all():
+            rsub = rsub.filter(pa.array(ok))
+            rlo, rhi = rlo[ok], rhi[ok]
+        v = _as_num(lsub.column(self.on)) if lsub.num_rows else np.zeros(0)
+        li, ri = _StabbingIndex(rlo, rhi).match(v) if rsub.num_rows else (
+            np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64))
+        out = lsub.take(pa.array(li))
+        rtake = rsub.take(pa.array(ri))
+        for name, col in zip(rtake.column_names, rtake.columns):
+            out = out.append_column(name, col)
+        if self.how == "left":
+            matched = np.zeros(lsub.num_rows, dtype=bool)
+            if len(li):
+                matched[li] = True
+            if not matched.all():
+                rest = lsub.filter(pa.array(~matched))
+                for f in rsub.schema:
+                    rest = rest.append_column(
+                        f.name, pa.nulls(rest.num_rows, f.type))
+                out = pa.concat_tables([out, rest])
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bl = _task_buckets(batch)
+        ltbl = self.read_l(bl)
+        rtbl = self.read_r(bl)
+        lrb = ltbl.column(_RB).to_numpy(zero_copy_only=False)
+        rrb = (rtbl.column(_RB).to_numpy(zero_copy_only=False)
+               if rtbl.num_rows else np.zeros(0, dtype=lrb.dtype))
+        pieces = []
+        for rb in np.unique(lrb):
+            piece = self._assemble(
+                ltbl.filter(pa.array(lrb == rb)),
+                rtbl.filter(pa.array(rrb == rb)),
+            )
+            if piece.num_rows:
+                pieces.append(piece.select(self.out_schema.names))
+        if not pieces:
+            return self.out_schema.empty_table()
+        out = pa.concat_tables(pieces)
+        # normalize null-padded column types across tasks
+        return out.cast(self.out_schema).combine_chunks()
+
+
+def range_join_partitioned(left, right, on: str, lo: str = "lo",
+                           hi: str = "hi", how: str = "inner",
+                           right_suffix: str = "_r",
+                           num_buckets: int | None = None,
+                           sample_quantiles: int = 33,
+                           batch_size: int | None = 65536,
+                           target_task_bytes: int = 128 << 20,
+                           transport: str | None = None,
+                           staging_root: str | None = None):
+    """Large-large interval join: partition the VALUE DOMAIN instead of
+    broadcasting the right side (the scale path :func:`range_join`'s
+    docstring names). Bucket boundaries come from per-block quantile
+    grids of ``left.on`` (balanced left volume per bucket by
+    construction); every right interval replicates into each bucket its
+    span overlaps; both sides then ride the standard hash exchange on
+    the bucket id, and each reduce task runs the same vectorized
+    stabbing join per bucket. Replication factor = interval span /
+    bucket width — bounded for dimension-like spans; a single interval
+    covering the whole domain replicates everywhere (that side belongs
+    in :func:`range_join`'s broadcast instead).
+
+    ``how``: inner | left. Partitioning invariant: every left row lands
+    in exactly ONE bucket, so left-outer padding stays per-bucket-local
+    and no dedup pass is needed.
+    """
+    import ray.data
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"range_join_partitioned: how must be inner|left")
+
+    lschema = _dataset_arrow_schema(left)
+    rschema = _dataset_arrow_schema(right)
+    lcols = set(lschema.names)
+    rename_r = {c: c + right_suffix if c in lcols else c
+                for c in rschema.names}
+    lo_r, hi_r = rename_r.get(lo, lo), rename_r.get(hi, hi)
+
+    # ---- bucket boundaries from per-block quantile grids of left.on ----
+    def _grid(b: pa.Table) -> pa.Table:
+        v = _as_num(b.column(on)).astype(np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return pa.table({"q": pa.array([], pa.float64())})
+        qs = np.quantile(v, np.linspace(0.0, 1.0, sample_quantiles))
+        return pa.table({"q": pa.array(qs)})
+
+    grid = left.select_columns([on]).map_batches(
+        _grid, batch_format="pyarrow").to_pandas()["q"].to_numpy()
+    B = num_buckets or default_buckets()
+    if len(grid) == 0:
+        boundaries = np.zeros(0, dtype=np.float64)
+        B = 1
+    else:
+        boundaries = np.unique(
+            np.quantile(grid, np.linspace(0.0, 1.0, B + 1))[1:-1]
+        )
+
+    def _tag_left(b: pa.Table) -> pa.Table:
+        v = _as_num(b.column(on)).astype(np.float64)
+        rb = np.searchsorted(boundaries, v, side="right").astype(np.int32)
+        return b.append_column(_RB, pa.array(rb))
+
+    def _tag_right(b: pa.Table) -> pa.Table:
+        b = b.rename_columns([rename_r.get(c, c) for c in b.column_names])
+        rlo = _as_num(b.column(lo_r)).astype(np.float64)
+        rhi = _as_num(b.column(hi_r)).astype(np.float64)
+        ok = _valid_intervals(rlo, rhi)
+        if not ok.all():
+            b = b.filter(pa.array(ok))
+            rlo, rhi = rlo[ok], rhi[ok]
+        b0 = np.searchsorted(boundaries, rlo, side="right").astype(np.int64)
+        b1 = np.searchsorted(boundaries, rhi, side="left").astype(np.int64)
+        reps = b1 - b0 + 1  # inclusive bucket span of [lo, hi)
+        idx = np.repeat(np.arange(b.num_rows, dtype=np.int64), reps)
+        rb = (np.repeat(b0, reps) + _within_group_arange(reps)).astype(np.int32)
+        out = b.take(pa.array(idx))
+        return out.append_column(_RB, pa.array(rb))
+
+    l_arrow = lschema.append(pa.field(_RB, pa.int32()))
+    r_arrow = pa.schema(
+        [pa.field(rename_r.get(f.name, f.name), f.type) for f in rschema]
+    ).append(pa.field(_RB, pa.int32()))
+    out_schema = pa.schema(
+        [f for f in l_arrow if f.name != _RB]
+        + [f for f in r_arrow if f.name != _RB]
+    )
+
+    ex = Exchange("rjoin", transport, staging_root)
+    lidx, lbytes = ex.run(left, [_RB], B, "l", transform=_tag_left,
+                          batch_size=batch_size)
+    ridx, rbytes = ex.run(right, [_RB], B, "r", transform=_tag_right,
+                          batch_size=batch_size)
+    relevant = set(lidx) & set(ridx) if how == "inner" else set(lidx)
+    total = {b: lbytes.get(b, 0) + rbytes.get(b, 0) for b in relevant}
+    tasks = coalesce_tasks(list(relevant), total, target_task_bytes)
+    reducer = _RangeJoinReducer(
+        ex.reader(lidx, l_arrow), ex.reader(ridx, r_arrow),
+        on, lo_r, hi_r, how, out_schema,
+    )
+    if not tasks:
+        return ray.data.from_arrow(out_schema.empty_table())
+    return ray.data.from_items([{"buckets": t} for t in tasks]).map_batches(
+        reducer, batch_format="pyarrow", batch_size=1
     )
 
 

@@ -1094,3 +1094,48 @@ def test_write_parquet_partitioned_resume_and_orphans(ray_session, tmp_path):
     write_parquet_partitioned(rd.from_pandas(df), root2, by="day")
     got2 = read_parquet_partitioned(root2).to_pandas()
     assert len(got2) == 100 and 123456 not in set(got2["x"])
+
+
+def test_range_join_partitioned_matches_broadcast(ray_session):
+    import ray.data as rd
+
+    from tenzir_ray.stages.join import range_join, range_join_partitioned
+
+    rng = np.random.default_rng(23)
+    n = 20000
+    left = pd.DataFrame({
+        "eid": np.arange(n, dtype=np.int64),
+        "v": np.round(rng.uniform(-50, 550, n), 4),
+    })
+    right = pd.DataFrame({
+        "band": np.arange(40, dtype=np.int64),
+        "lo": np.arange(40) * 12.0,
+        "hi": np.arange(40) * 12.0 + 20.0,     # overlapping
+        "tag": [f"t{i}" for i in range(40)],
+    })
+
+    def norm(df, cols):
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    for how in ("inner", "left"):
+        a = range_join(rd.from_pandas(left).repartition(8),
+                       rd.from_pandas(right), on="v", how=how).to_pandas()
+        b = range_join_partitioned(rd.from_pandas(left).repartition(8),
+                                   rd.from_pandas(right).repartition(4),
+                                   on="v", how=how,
+                                   num_buckets=8).to_pandas()
+        assert len(a) == len(b), (how, len(a), len(b))
+        cols = ["eid", "v", "band", "tag"]
+        an, bn = norm(a.fillna(-1), cols), norm(b.fillna(-1), cols)
+        for c in cols:
+            assert (an[c].values == bn[c].values).all(), (how, c)
+
+    # empty right side
+    e = range_join_partitioned(
+        rd.from_pandas(left), rd.from_pandas(right.iloc[:0]),
+        on="v", how="left", num_buckets=4).to_pandas()
+    assert len(e) == n and e["band"].isna().all()
+    ei = range_join_partitioned(
+        rd.from_pandas(left), rd.from_pandas(right.iloc[:0]),
+        on="v", how="inner", num_buckets=4).to_pandas()
+    assert len(ei) == 0
