@@ -1088,6 +1088,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return est.map_batches(_ok, batch_format="pyarrow")
 
+    def heavy_hitters_hot(sf):
+        # Misra-Gries heavy hitters over a deterministic planted skew
+        # (40/30/15/5% + a unique tail) — capacity 256 << distinct
+        # values, yet the four hot values must surface in exact order,
+        # which DuckDB reconstructs with an exact ranked pivot.
+        ds = _read(sf, "events", columns=["event_id", "event_type"])
+
+        def _mk(t):
+            import numpy as np
+            import pyarrow as pa
+
+            eid = t.column("event_id").to_numpy(zero_copy_only=False)
+            m = eid % 20
+            hot = np.where(m < 8, "H0", np.where(
+                m < 14, "H1", np.where(m < 17, "H2", np.where(
+                    m < 18, "H3", "u" + eid.astype(str).astype(object)))))
+            return pa.table({
+                "event_type": t.column("event_type"),
+                "hot": pa.array(hot.astype(str)),
+            })
+
+        tagged = ds.map_batches(_mk, batch_format="pyarrow")
+        agg = S.summarize(tagged, by="event_type", hh="heavy_hitters(hot)")
+
+        def _cols(t):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            hh = t.column("hh")
+            return pa.table({
+                "event_type": t.column("event_type"),
+                "h1": pc.list_element(hh, 0),
+                "h2": pc.list_element(hh, 1),
+                "h3": pc.list_element(hh, 2),
+                "h4": pc.list_element(hh, 3),
+            })
+
+        return agg.map_batches(_cols, batch_format="pyarrow")
+
     def pctl_sketch_accuracy(sf):
         # DDSketch p50/p95/p99 (mergeable, alpha=1% relative error) vs an
         # exact Ray-side quantile (collect + numpy) — same accuracy-gate
@@ -1725,6 +1764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_by_type": distinct_users_by_type,
         "hll_accuracy": hll_accuracy,
         "pctl_sketch_accuracy": pctl_sketch_accuracy,
+        "heavy_hitters_hot": heavy_hitters_hot,
         "streaming_summarize_types": streaming_summarize_types,
         "compress_roundtrip_docs": compress_roundtrip_docs,
         "csv_roundtrip": csv_roundtrip,
@@ -2271,6 +2311,28 @@ def oracle_sql() -> dict[str, str]:
         "pctl_sketch_accuracy": """
             SELECT event_type, TRUE AS ok50, TRUE AS ok95, TRUE AS ok99
             FROM events GROUP BY event_type
+        """,
+        "heavy_hitters_hot": """
+            WITH tagged AS (
+                SELECT event_type,
+                       CASE WHEN event_id % 20 < 8  THEN 'H0'
+                            WHEN event_id % 20 < 14 THEN 'H1'
+                            WHEN event_id % 20 < 17 THEN 'H2'
+                            WHEN event_id % 20 < 18 THEN 'H3'
+                            ELSE 'u' || CAST(event_id AS VARCHAR) END AS hot
+                FROM events),
+            cnt AS (SELECT event_type, hot, count(*) AS c
+                    FROM tagged GROUP BY 1, 2),
+            rk AS (SELECT event_type, hot,
+                          row_number() OVER (PARTITION BY event_type
+                                             ORDER BY c DESC, hot ASC) AS r
+                   FROM cnt)
+            SELECT event_type,
+                   max(CASE WHEN r = 1 THEN hot END) AS h1,
+                   max(CASE WHEN r = 2 THEN hot END) AS h2,
+                   max(CASE WHEN r = 3 THEN hot END) AS h3,
+                   max(CASE WHEN r = 4 THEN hot END) AS h4
+            FROM rk GROUP BY event_type
         """,
         "streaming_summarize_types": """
             SELECT event_type,

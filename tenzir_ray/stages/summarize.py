@@ -349,6 +349,66 @@ def _ddsketch(col: str, alias: str, q: float, alpha: float = 0.01) -> AggregateF
     )
 
 
+def _heavy_hitters(col: str, alias: str, k_top: int = 10,
+                   capacity: int = 256) -> AggregateFn:
+    """Misra-Gries heavy-hitters sketch (Misra & Gries 1982; merge rule
+    from Agarwal et al., "Mergeable Summaries", PODS 2012 — both
+    public): at most ``capacity`` counters survive any accumulate/merge,
+    so a group with 10^9 distinct values costs O(capacity) memory while
+    every value with true frequency > N/(capacity+1) is guaranteed to
+    surface. Complements the exact `top`/`rare` operators (which
+    pre-aggregate but still shuffle every distinct key) the same way
+    HLL complements count_distinct. Finalize returns the estimated
+    top-``k_top`` values, ordered by estimated count desc (value asc on
+    ties, so output is deterministic). Accumulator = parallel
+    values/counts lists (Arrow-representable)."""
+
+    def _combine(vals_a, cnts_a, vals_b, cnts_b):
+        v = np.concatenate([np.asarray(vals_a, dtype=object),
+                            np.asarray(vals_b, dtype=object)])
+        c = np.concatenate([np.asarray(cnts_a, dtype=np.int64),
+                            np.asarray(cnts_b, dtype=np.int64)])
+        if len(v) == 0:
+            return [], []
+        u, inv = np.unique(v.astype(str), return_inverse=True)
+        cc = np.bincount(inv, weights=c.astype(np.float64)).astype(np.int64)
+        if len(u) > capacity:
+            # MG decrement: subtract the (capacity+1)-th largest count,
+            # drop non-positive — the mergeable-summaries trim
+            cut = np.partition(cc, -capacity - 1)[-capacity - 1]
+            keep = cc > cut
+            u, cc = u[keep], cc[keep] - cut
+        return u.tolist(), cc.tolist()
+
+    def _acc(acc, block):
+        arr = pc.drop_null(_col(block, col))
+        if len(arr) == 0:
+            return acc
+        vc = arr.cast(pa.string()).value_counts()
+        return dict(zip(("v", "c"), _combine(
+            acc["v"], acc["c"],
+            vc.field("values").to_pylist(),
+            vc.field("counts").to_pylist(),
+        )))
+
+    def _merge(a, b):
+        return dict(zip(("v", "c"), _combine(a["v"], a["c"], b["v"], b["c"])))
+
+    def _fin(acc):
+        v = np.asarray(acc["v"], dtype=object)
+        c = np.asarray(acc["c"], dtype=np.int64)
+        order = np.lexsort((v.astype(str), -c))
+        return [str(x) for x in v[order][:k_top]]
+
+    return AggregateFn(
+        init=lambda k: {"v": [], "c": []},
+        accumulate_block=_acc,
+        merge=_merge,
+        finalize=_fin,
+        name=alias,
+    )
+
+
 _PCTL_RE = re.compile(r"^p(\d{1,3})$")
 
 
@@ -393,6 +453,8 @@ def make_agg(func: str, col: str, alias: str):
         return Quantile(col, q=0.5, alias_name=alias)
     if func == "quantile":
         return Quantile(col, alias_name=alias)
+    if func in ("heavy_hitters", "top_values"):
+        return _heavy_hitters(col, alias)
     m = _PCTL_RE.match(func)
     if m:  # p50 / p95 / p99 / p999 → DDSketch approximate percentile
         d = m.group(1)  # 1-2 digits = percent, 3 digits = per-mille (p999)

@@ -1139,3 +1139,38 @@ def test_range_join_partitioned_matches_broadcast(ray_session):
         rd.from_pandas(left), rd.from_pandas(right.iloc[:0]),
         on="v", how="inner", num_buckets=4).to_pandas()
     assert len(ei) == 0
+
+
+def test_heavy_hitters_sketch(ray_session):
+    """Misra-Gries: with capacity 256 and ~50k distinct values, the
+    planted heavy values (40/30/15/5%) surface in exact order; counters
+    never exceed capacity."""
+    import ray.data as rd
+
+    from tenzir_ray.stages import summarize as S
+
+    rng = np.random.default_rng(3)
+    n = 50_000
+    r = rng.random(n)
+    vals = np.where(
+        r < 0.40, "H0", np.where(
+            r < 0.70, "H1", np.where(
+                r < 0.85, "H2", np.where(r < 0.90, "H3", None))))
+    tail = np.array([f"u{i}" for i in range(n)], dtype=object)
+    vals = np.where(vals == None, tail, vals)  # noqa: E711
+    df = pd.DataFrame({"g": np.where(np.arange(n) % 2 == 0, "a", "b"),
+                       "v": vals.astype(str)})
+    out = S.summarize(rd.from_pandas(df).repartition(16), by="g",
+                      hh="heavy_hitters(v)").to_pandas().set_index("g")
+    for g in ("a", "b"):
+        top = list(out.loc[g, "hh"])[:4]
+        assert top == ["H0", "H1", "H2", "H3"], (g, top)
+
+    # bounded state: the raw accumulator never exceeds capacity counters
+    agg = S._heavy_hitters("v", "hh", capacity=64)
+    acc = agg.init(None)
+    for lo in range(0, n, 8192):
+        acc = agg.accumulate_block(
+            acc, pa.table({"v": vals[lo:lo + 8192].astype(str)}))
+        assert len(acc["v"]) <= 64
+    assert agg.finalize(acc)[:2] == ["H0", "H1"]
