@@ -178,6 +178,34 @@ _PAT_RE = _re.compile(r"(==|!=|\bin)\s*/((?:[^/\\\"]|\\.)*)/")
 _NI_RE = re.compile(r"([\w.]+)\s+(!?)ni\s+([\w.\-/:]+)")
 _QSTR_RE = re.compile(r"__qstr_(\d+)__")
 
+#: relative-time literals: `2 hours ago`, `now` (expressions.md:52).
+#: `now` is reserved as a keyword — a column named `now` needs quoting
+#: through a rename, same trade the reference makes.
+_AGO_RE = re.compile(
+    r"(\d+(?:\.\d+)?)\s*(seconds?|minutes?|hours?|days?|weeks?"
+    r"|ns|us|ms|s|min|m|h|d|w)\s+ago\b")
+_NOW_RE = re.compile(r"\bnow\b(?!\s*\()")
+_WORD_UNITS = {"second": "s", "minute": "min", "hour": "h", "day": "d",
+               "week": "w"}
+
+
+def _now():
+    from datetime import datetime, timezone
+
+    return datetime.now(timezone.utc).replace(tzinfo=None)
+
+
+#: injectable clock for `now` / `... ago` literals (tests freeze it);
+#: evaluated once at expression COMPILE time, like the reference binds
+#: relative times when the pipeline starts
+NOW_FN = _now
+
+
+def _ago_value(text: str):
+    n, unit = text.split(" ", 1)
+    unit = _WORD_UNITS.get(unit.rstrip("s"), unit)
+    return NOW_FN() - duration_value(n + unit)
+
 
 def _preprocess(text: str) -> str:
     """Rewrite reference-syntax forms into parseable Python: quoted
@@ -231,6 +259,10 @@ def _preprocess(text: str) -> str:
         lambda m: f"{'not ' if m.group(2) else ''}{m.group(3)} in {m.group(1)}",
         skeleton,
     )
+    # relative time BEFORE duration literals (`2h ago` must not become
+    # `__dur__("2h") ago`)
+    skeleton = _AGO_RE.sub(r'__ago__("\1 \2")', skeleton)
+    skeleton = _NOW_RE.sub('__now__("0")', skeleton)
 
     # 3. literal rewrites on the quote-free skeleton
     skeleton = rewrite(skeleton)
@@ -276,6 +308,8 @@ _MARKER_FNS = {
     "subnet": SubnetLiteral,
     "__pat__": PatternLiteral,
     "pattern": PatternLiteral,
+    "__ago__": _ago_value,
+    "__now__": lambda _s: NOW_FN(),
 }
 
 

@@ -146,3 +146,30 @@ def test_bare_field_short_form(ray_session):
     # value positions unchanged: arithmetic on the bare name still works
     got = where(ds, "a + 1 > 2").to_pandas()
     assert list(got["a"]) == [3.0] or list(got["a"]) == [3]
+
+
+def test_relative_time_literals(ray_session, monkeypatch):
+    from datetime import datetime
+
+    import ray.data as rd
+
+    from tenzir_ray import expr as expr_mod
+    from tenzir_ray.stages.transforms import where
+
+    frozen = datetime(2024, 1, 10, 12, 0, 0)
+    monkeypatch.setattr(expr_mod, "NOW_FN", lambda: frozen)
+
+    ts = pa.array([
+        datetime(2024, 1, 10, 11, 30),   # 30 min ago
+        datetime(2024, 1, 10, 9, 0),     # 3 h ago
+        datetime(2024, 1, 8, 12, 0),     # 2 d ago
+        datetime(2024, 1, 10, 12, 30),   # future
+    ], pa.timestamp("us"))
+    ds = rd.from_arrow(pa.table({"i": [0, 1, 2, 3], "ts": ts}))
+
+    assert sorted(where(ds, "ts > 1 hour ago").to_pandas()["i"]) == [0, 3]
+    assert sorted(where(ds, "ts > 2 hours ago and ts < now")
+                  .to_pandas()["i"]) == [0]
+    assert sorted(where(ds, "ts <= 1 day ago").to_pandas()["i"]) == [2]
+    # compact unit form works too
+    assert sorted(where(ds, "ts > 90min ago").to_pandas()["i"]) == [0, 3]
