@@ -470,6 +470,9 @@ def _compile_mask(node: ast.expr):
     batch→bool-mask callable: subnet terms go through the vectorized
     iptype kernel, every other subtree compiles to a pads expression
     evaluated per batch."""
+    bare = _bare_value_node(node)
+    if bare is not None:
+        return _bare_value_mask(bare)
     if isinstance(node, ast.BoolOp):
         subs = [_compile_mask(v) for v in node.values]
         is_and = isinstance(node.op, ast.And)
@@ -510,6 +513,37 @@ def _compile_mask(node: ast.expr):
     return lambda batch: _eval_mask(expr, batch)
 
 
+def _bare_value_node(node: ast.expr):
+    """Bare-VALUE short form (expressions.md:173-199): a lone literal
+    conjunct means ``:type == value``. Returns the value, or None if the
+    node isn't a bare literal. Bound per batch schema (type extractors
+    can't precompile), so it lands in the residual."""
+    if isinstance(node, ast.Constant) and isinstance(
+        node.value, (bool, int, float, str)
+    ):
+        return node.value
+    if (isinstance(node, ast.Call) and isinstance(node.func, ast.Name)
+            and node.func.id in ("__ip__", "ip")
+            and isinstance(node.args[0], ast.Constant)):
+        return node.args[0].value  # bare ip literal → string equality
+    return None
+
+
+def _bare_value_mask(value):
+    import numpy as np
+
+    ext = {bool: ":bool", int: ":integer",
+           float: ":float", str: ":string"}[type(value)]
+
+    def f(batch):
+        expr = extractor_predicate(batch.schema, ext, "==", value)
+        if expr is None:
+            return np.zeros(batch.num_rows, dtype=bool)
+        return _eval_mask(expr, batch)
+
+    return f
+
+
 def compile_filter(text: str) -> Filter:
     """Compile a filter expression, splitting top-level conjuncts into a
     pushdown pads expression and a residual batch-mask callable. This is
@@ -520,6 +554,10 @@ def compile_filter(text: str) -> Filter:
     pushdown = None
     residuals = []
     for c in _split_and(tree):
+        bare = _bare_value_node(c)
+        if bare is not None:
+            residuals.append(_bare_value_mask(bare))
+            continue
         try:
             e = _as_pred(c)  # bare field conjunct ≡ field != null
             pushdown = e if pushdown is None else pushdown & e

@@ -173,3 +173,24 @@ def test_relative_time_literals(ray_session, monkeypatch):
     assert sorted(where(ds, "ts <= 1 day ago").to_pandas()["i"]) == [2]
     # compact unit form works too
     assert sorted(where(ds, "ts > 90min ago").to_pandas()["i"]) == [0, 3]
+
+
+def test_bare_value_short_form(ray_session):
+    import ray.data as rd
+
+    from tenzir_ray.stages.transforms import where
+
+    ds = rd.from_arrow(pa.table({
+        "a": pa.array([42, 7, 42, 1], pa.int64()),
+        "b": pa.array([7, 42, 3, 4], pa.int32()),
+        "s": ["x", "42", "y", "z"],
+    }))
+    # bare int ≡ :integer == 42 — matches in ANY integer column
+    got = where(ds, "42").to_pandas()
+    assert sorted(got["a"].tolist()) == [7, 42, 42]
+    # bare string binds string columns only
+    got2 = where(ds, '"42"').to_pandas()
+    assert got2["s"].tolist() == ["42"]
+    # conjunct composes with normal predicates
+    got3 = where(ds, "42 and b < 10").to_pandas()
+    assert sorted(got3["b"].tolist()) == [3, 7]
