@@ -60,6 +60,7 @@ def _register_builtins() -> None:
         set=transforms.set_,
         put=transforms.put,
         extend=transforms.extend,
+        replace=transforms.replace,
         flatten=transforms.flatten,
         unflatten=transforms.unflatten,
         unroll=transforms.unroll,

@@ -109,6 +109,27 @@ def extend(ds, **exprs: str):
     return set_(ds, **exprs)
 
 
+def replace(ds, **exprs: str):
+    """Overwrite EXISTING fields only (reference `replace`,
+    put_extend_replace_set.cpp:29-230): a target absent from the batch
+    schema is skipped — vs `set`'s upsert, which would create it."""
+    compiled = {k: compile_expr(v) for k, v in exprs.items()}
+
+    def _replace(batch: pa.Table) -> pa.Table:
+        for name, e in compiled.items():
+            if name not in batch.column_names:
+                continue
+            col = _eval_on_batch(e, batch)
+            if not isinstance(col, (pa.Array, pa.ChunkedArray)):
+                col = pa.array([col] * batch.num_rows)
+            batch = batch.set_column(
+                batch.schema.get_field_index(name), name, col
+            )
+        return batch
+
+    return ds.map_batches(_replace, batch_format="pyarrow")
+
+
 def put(ds, **exprs: str):
     """New events containing exactly the given fields."""
     names = list(exprs)

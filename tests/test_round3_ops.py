@@ -1174,3 +1174,15 @@ def test_heavy_hitters_sketch(ray_session):
             acc, pa.table({"v": vals[lo:lo + 8192].astype(str)}))
         assert len(acc["v"]) <= 64
     assert agg.finalize(acc)[:2] == ["H0", "H1"]
+
+
+def test_replace_only_touches_existing(ray_session):
+    import ray.data as rd
+
+    from tenzir_ray.stages.transforms import replace
+
+    ds = rd.from_arrow(pa.table({"a": [1, 2], "b": [10, 20]}))
+    out = replace(ds, a="a * 100", missing="a + 1").to_pandas()
+    assert list(out.columns) == ["a", "b"]  # `missing` NOT created
+    assert out["a"].tolist() == [100, 200]
+    assert out["b"].tolist() == [10, 20]
