@@ -1088,6 +1088,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return est.map_batches(_ok, batch_format="pyarrow")
 
+    def chunk_docs(sf):
+        # training-data shaping: overlapping character windows,
+        # SQL-reconstructable (substr × generate_series)
+        from tenzir_ray.stages.chunk import chunk_documents
+
+        ds = _read(sf, "documents", columns=["doc_id", "text"])
+        out = chunk_documents(ds, size=200, overlap=50)
+        return T.rename(out, {"text": "chunk"})
+
+    def pack_sequences_docs(sf):
+        # sequential packing: seq_id = floor(cum_tokens_before / 1000)
+        # over doc_id order, whitespace tokens (token_count's ws rule)
+        from tenzir_ray.stages.chunk import pack_sequences
+
+        ds = _read(sf, "documents", columns=["doc_id", "text"])
+        out = pack_sequences(ds, "doc_id", target_tokens=1000)
+        return T.select(out, ["doc_id", "seq_id"])
+
     def heavy_hitters_hot(sf):
         # Misra-Gries heavy hitters over a deterministic planted skew
         # (40/30/15/5% + a unique tail) — capacity 256 << distinct
@@ -1765,6 +1783,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_accuracy": hll_accuracy,
         "pctl_sketch_accuracy": pctl_sketch_accuracy,
         "heavy_hitters_hot": heavy_hitters_hot,
+        "chunk_docs": chunk_docs,
+        "pack_sequences_docs": pack_sequences_docs,
         "streaming_summarize_types": streaming_summarize_types,
         "compress_roundtrip_docs": compress_roundtrip_docs,
         "csv_roundtrip": csv_roundtrip,
@@ -2311,6 +2331,31 @@ def oracle_sql() -> dict[str, str]:
         "pctl_sketch_accuracy": """
             SELECT event_type, TRUE AS ok50, TRUE AS ok95, TRUE AS ok99
             FROM events GROUP BY event_type
+        """,
+        "chunk_docs": """
+            WITH d AS (SELECT doc_id, text, length(text) AS len
+                       FROM documents),
+            n AS (SELECT doc_id, text,
+                         greatest(1, CAST(ceil((len - 50) / 150.0) AS BIGINT)) AS nc
+                  FROM d),
+            e AS (SELECT doc_id, text,
+                         unnest(generate_series(0, nc - 1)) AS chunk_idx
+                  FROM n)
+            SELECT doc_id, chunk_idx,
+                   substr(text, CAST(chunk_idx * 150 + 1 AS BIGINT), 200) AS chunk
+            FROM e
+        """,
+        "pack_sequences_docs": """
+            WITH t AS (SELECT doc_id,
+                              len(string_split_regex(trim(text), '\\s+')) AS tok
+                       FROM documents),
+            c AS (SELECT doc_id, tok,
+                         COALESCE(sum(tok) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS cb
+                  FROM t)
+            SELECT doc_id, CAST(floor(cb / 1000.0) AS BIGINT) AS seq_id
+            FROM c
         """,
         "heavy_hitters_hot": """
             WITH tagged AS (

@@ -1,0 +1,139 @@
+"""Document chunking and sequence packing — the two shaping stages a
+training-data pipeline runs between cleaning/dedup and tokenization.
+Beyond the reference's operator surface (its unit is the event, never a
+token window); both use deterministic, SQL-reconstructable rules so the
+DuckDB oracle can verify them exactly.
+
+- :func:`chunk_documents` — fixed-size sliding character windows with
+  overlap: chunk ``i`` of a document is ``text[i*stride : i*stride+size]``
+  with ``stride = size - overlap`` and
+  ``n_chunks = max(1, ceil((len - overlap) / stride))`` (SQL:
+  ``substr(text, i*stride+1, size)`` × ``generate_series``). The explode
+  bookkeeping (repeat + within-group arange) is vectorized; the chunk
+  extraction itself is one C-level slice per chunk — the memcpy IS the
+  work, there is no batch kernel that beats it.
+
+- :func:`pack_sequences` — assign documents to fixed-token-budget
+  training sequences by GLOBAL cumulative token count over a total
+  order: ``seq_id = floor(cum_tokens_before / target)`` (the sequential
+  packing rule; SQL window ``sum() OVER (ORDER BY … 1 PRECEDING)``).
+  Exact two-pass range-bucket cumsum, no global sort — the same shape as
+  ``enumerate_global`` (transforms.py) with per-bucket SUMS instead of
+  counts: bucket offsets broadcast from the driver, each bucket then
+  sorts only its own rows.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from tenzir_ray._ship import ship_by_value
+
+
+def _within(counts: np.ndarray) -> np.ndarray:
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    ends = np.cumsum(counts)
+    return np.arange(total, dtype=np.int64) - np.repeat(ends - counts, counts)
+
+
+def chunk_documents(ds, column: str = "text", size: int = 512,
+                    overlap: int = 64, out_index: str = "chunk_idx",
+                    batch_size: int | None = 2048):
+    """Explode each document into overlapping character windows: the
+    ``column`` value is replaced by the chunk text and ``out_index``
+    (0-based) is appended; all other columns repeat per chunk. Every
+    document yields ≥1 chunk (an empty/short text is one short chunk),
+    so no rows silently vanish."""
+    if not 0 <= overlap < size:
+        raise ValueError("chunk_documents: need 0 <= overlap < size")
+    stride = size - overlap
+
+    def _chunk(batch: pa.Table) -> pa.Table:
+        n_rows = batch.num_rows
+        if n_rows == 0:
+            out = batch.append_column(out_index, pa.array([], pa.int64()))
+            return out
+        lens = pc.fill_null(pc.utf8_length(batch.column(column)), 0)
+        lens = lens.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.maximum(1, np.ceil((lens - overlap) / stride)).astype(np.int64)
+        rep = np.repeat(np.arange(n_rows, dtype=np.int64), n)
+        ci = _within(n)
+        starts = ci * stride
+        out = batch.take(pa.array(rep))
+        texts = out.column(column).to_pylist()
+        chunks = pa.array(
+            [None if t is None else t[s:s + size]
+             for t, s in zip(texts, starts)],
+            pa.string(),
+        )
+        out = out.set_column(
+            out.schema.get_field_index(column), column, chunks
+        )
+        return out.append_column(out_index, pa.array(ci))
+
+    return ds.map_batches(_chunk, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
+def pack_sequences(ds, order_by: str, target_tokens: int,
+                   column: str = "text", out: str = "seq_id"):
+    """Append ``out`` = training-sequence id under the sequential packing
+    rule ``seq_id = floor(cum_tokens_before / target_tokens)``, where
+    token counts are whitespace tokens of ``column`` (the same rule as
+    ``token_count``'s ``ws_tokens``) and the cumulative sum runs over
+    the total order given by the numeric ``order_by`` key.
+
+    Scale shape: one range sort (Ray's distributed sort — the sequence
+    order has to exist physically anyway for downstream tokenization),
+    then a tiny per-block token-sum pass (one row per block to the
+    driver), a driver-side block prefix sum, and a final per-block
+    vectorized cumsum + broadcast offset. The order key must be UNIQUE
+    (the same contract SQL row_number relies on)."""
+
+    def _tok(series: pd.Series) -> np.ndarray:
+        return (series.fillna("").str.split().str.len().fillna(0)
+                .to_numpy().astype(np.int64))
+
+    # materialize the sorted layout so both the block-sum pass and the
+    # assign pass see the IDENTICAL block boundaries
+    sorted_ds = ds.sort(order_by).materialize()
+
+    def _blocksum(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "k0": [df[order_by].iloc[0] if len(df) else None],
+            "t": [int(_tok(df[column]).sum())],
+            "n": [len(df)],
+        })
+
+    blocks = sorted_ds.map_batches(
+        _blocksum, batch_format="pandas", batch_size=None
+    ).to_pandas().dropna(subset=["k0"]).sort_values("k0").reset_index(drop=True)
+    # block-prefix offsets keyed by the block's FIRST order value: ties
+    # across block boundaries cannot occur for a unique order key (the
+    # packing contract, same uniqueness SQL row_number relies on)
+    block_first = blocks["k0"].to_numpy()
+    block_prefix = np.r_[0, np.cumsum(blocks["t"].to_numpy())[:-1]]
+
+    def _assign(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df.assign(**{out: np.zeros(0, dtype=np.int64)})
+        df = df.sort_values(order_by, kind="mergesort")
+        t = _tok(df[column])
+        first = df[order_by].iloc[0]
+        bi = np.searchsorted(block_first, first, side="left")
+        base = int(block_prefix[min(bi, len(block_prefix) - 1)])
+        cum_before = base + np.r_[0, np.cumsum(t)[:-1]]
+        return df.assign(**{out: (cum_before // target_tokens).astype(np.int64)})
+
+    return sorted_ds.map_batches(_assign, batch_format="pandas",
+                                 batch_size=None)
+
+
+ship_by_value(sys.modules[__name__])

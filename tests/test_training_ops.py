@@ -238,3 +238,51 @@ def test_connected_components_transitive(ray_session):
     comp = dict(zip(out["id_a"], out["component"]))
     assert comp[1] == comp[2] == comp[3] == comp[4] == 1
     assert comp[10] == comp[11] == 10
+
+
+# --------------------------------------------------- chunking / packing
+
+
+def test_chunk_documents_windows(ray_session):
+    import ray.data as rd
+
+    from tenzir_ray.stages.chunk import chunk_documents
+
+    texts = ["", "short", "x" * 200, "abcdefghij" * 25]  # 0/5/200/250 chars
+    ds = rd.from_arrow(pa.table({"doc_id": [0, 1, 2, 3], "text": texts}))
+    out = chunk_documents(ds, size=100, overlap=20).to_pandas()
+    out = out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    # n_chunks = max(1, ceil((len-20)/80)): 1, 1, 3, 3
+    assert out.groupby("doc_id")["chunk_idx"].count().tolist() == [1, 1, 3, 3]
+    # windows overlap by 20 and every char is covered
+    d2 = out[out["doc_id"] == 2]["text"].tolist()
+    assert [len(c) for c in d2] == [100, 100, 40]
+    assert d2[0][80:] == d2[1][:20]
+    full = d2[0] + d2[1][20:] + d2[2][20:]
+    assert full == "x" * 200
+    # reconstruction for the mixed-content doc too
+    d3 = out[out["doc_id"] == 3]["text"].tolist()
+    rec = d3[0] + "".join(c[20:] for c in d3[1:])
+    assert rec == "abcdefghij" * 25
+
+
+def test_pack_sequences_rule(ray_session):
+    import ray.data as rd
+
+    from tenzir_ray.stages.chunk import pack_sequences
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    words = [" ".join(["w"] * int(k)) for k in rng.integers(1, 40, n)]
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                       "text": words})
+    out = pack_sequences(rd.from_pandas(df).repartition(8), "doc_id",
+                         target_tokens=500).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    tok = out["text"].str.split().str.len().to_numpy()
+    cum_before = np.r_[0, np.cumsum(tok)[:-1]]
+    want = cum_before // 500
+    assert (out["seq_id"].to_numpy() == want).all()
+    # every sequence's token total is in [target - max_doc, target + max_doc)
+    per = pd.DataFrame({"seq": want, "t": tok}).groupby("seq")["t"].sum()
+    assert per.iloc[:-1].between(500 - 40, 500 + 40).all()
