@@ -1088,6 +1088,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return est.map_batches(_ok, batch_format="pyarrow")
 
+    def clean_corpus_chunks(sf):
+        # END-TO-END training-data cleaning recipe, one gate: quality
+        # filter (token count) → language filter (the table's lang
+        # metadata; content-based langid has its own planted-truth
+        # gate) → exact dedup (min doc_id per text) → overlapping
+        # chunking. Every stage's rule is SQL-reconstructable, so
+        # DuckDB verifies the WHOLE composition hash-exactly.
+        from tenzir_ray.stages.chunk import chunk_documents
+        from tenzir_ray.stages.dedup import exact_dedup
+
+        ds = _read(sf, "documents", columns=["doc_id", "lang", "text"])
+        q = TX.quality_score(ds)
+        q = T.where(q, 'n_tokens >= 40 and lang == "en"')
+        d = exact_dedup(T.select(q, ["doc_id", "text"]), "text",
+                        keep_order_by="doc_id")
+        out = chunk_documents(d, size=200, overlap=50)
+        return T.rename(out, {"text": "chunk"})
+
     def chunk_docs(sf):
         # training-data shaping: overlapping character windows,
         # SQL-reconstructable (substr × generate_series)
@@ -1797,6 +1815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pctl_sketch_accuracy": pctl_sketch_accuracy,
         "heavy_hitters_hot": heavy_hitters_hot,
         "chunk_docs": chunk_docs,
+        "clean_corpus_chunks": clean_corpus_chunks,
         "pack_sequences_docs": pack_sequences_docs,
         "streaming_summarize_types": streaming_summarize_types,
         "compress_roundtrip_docs": compress_roundtrip_docs,
@@ -2344,6 +2363,24 @@ def oracle_sql() -> dict[str, str]:
         "pctl_sketch_accuracy": """
             SELECT event_type, TRUE AS ok50, TRUE AS ok95, TRUE AS ok99
             FROM events GROUP BY event_type
+        """,
+        "clean_corpus_chunks": """
+            WITH q AS (
+                SELECT doc_id, lang, text,
+                       len(regexp_extract_all(lower(text), '[a-zA-Z0-9_'']+')) AS n_tokens
+                FROM documents),
+            f AS (SELECT doc_id, text FROM q
+                  WHERE n_tokens >= 40 AND lang = 'en'),
+            d AS (SELECT min(doc_id) AS doc_id, text FROM f GROUP BY text),
+            n AS (SELECT doc_id, text,
+                         greatest(1, CAST(ceil((length(text) - 50) / 150.0) AS BIGINT)) AS nc
+                  FROM d),
+            e AS (SELECT doc_id, text,
+                         unnest(generate_series(0, nc - 1)) AS chunk_idx
+                  FROM n)
+            SELECT doc_id, chunk_idx,
+                   substr(text, CAST(chunk_idx * 150 + 1 AS BIGINT), 200) AS chunk
+            FROM e
         """,
         "chunk_docs": """
             WITH d AS (SELECT doc_id, text, length(text) AS len
