@@ -1307,6 +1307,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                         how="left")
         return out
 
+    def anti_join_orders(sf):
+        # exchange anti join (Arrow left-anti): orders whose customer is
+        # NOT in the small filtered set — output is the left columns
+        from tenzir_ray.stages.join import hash_join
+
+        orders = _read(sf, "orders", columns=["o_orderkey", "o_custkey"])
+        cust = T.where(
+            _read(sf, "customer", columns=["c_custkey", "c_mktsegment"]),
+            "c_custkey < 500",
+        )
+        return hash_join(orders, cust, on="o_custkey",
+                         right_on="c_custkey", how="anti")
+
     def range_join_value_bands(sf):
         # generic interval join (engine extension; the reference's only
         # range-keyed construct is subnet-mode lookup-table enrichment):
@@ -1830,6 +1843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_audio_decode": media_audio_decode,
         "asof_forward": asof_forward,
         "hash_join_left_outer": hash_join_left_outer,
+        "anti_join_orders": anti_join_orders,
         "range_join_value_bands": range_join_value_bands,
     }
 
@@ -2497,6 +2511,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderkey, o.o_custkey, c.c_custkey, c.c_mktsegment
             FROM orders o LEFT JOIN (SELECT * FROM customer WHERE c_custkey < 500) c
             ON o.o_custkey = c.c_custkey
+        """,
+        "anti_join_orders": """
+            SELECT o.o_orderkey, o.o_custkey
+            FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey
+                                AND c.c_custkey < 500)
         """,
         "range_join_value_bands": """
             SELECT e.event_id, e.value,

@@ -83,7 +83,8 @@ class _HashJoinReducer:
         self.read_r = read_r
         self.lkeys = lkeys
         self.rkeys = rkeys
-        self.join_type = {"inner": "inner", "left": "left outer"}[how]
+        self.join_type = {"inner": "inner", "left": "left outer",
+                          "semi": "left semi", "anti": "left anti"}[how]
         self.coalesce = lkeys == rkeys
         self.out_cols = out_cols
 
@@ -111,7 +112,8 @@ def hash_join(left, right, on: str | list[str], right_on: str | list[str] | None
     """Co-partitioned hash join of two Datasets via the packed exchange.
 
     ``on``/``right_on`` name the key columns; overlapping non-key columns
-    from the right get ``right_suffix``. Supported ``how``: inner, left.
+    from the right get ``right_suffix``. Supported ``how``: inner, left,
+    semi, anti (Arrow left-semi/left-anti — output is the left columns).
     When the two sides' key names differ, both key columns appear in the
     output (pandas-merge convention); identical names coalesce into one.
     ``transport``: "fs" (packed-IPC staging; needs shared storage
@@ -162,10 +164,13 @@ def hash_join(left, right, on: str | list[str], right_on: str | list[str] | None
             )
 
     coalesce = lkeys == r_key_names
-    out_cols = list(lcols) + [
-        c for c in r_arrow.names
-        if not (coalesce and c in lkeys) and c not in lcols
-    ]
+    if how in ("semi", "anti"):
+        out_cols = list(lcols)  # Arrow's left semi/anti emit LEFT columns
+    else:
+        out_cols = list(lcols) + [
+            c for c in r_arrow.names
+            if not (coalesce and c in lkeys) and c not in lcols
+        ]
 
     B = num_buckets or default_buckets()
     ex = Exchange("join", transport, staging_root)
@@ -191,7 +196,10 @@ def hash_join(left, right, on: str | list[str], right_on: str | list[str] | None
     ridx, rbytes = ex.run(
         right, r_key_names, B, "r", transform=_ren, batch_size=batch_size
     )
-    relevant = set(lidx) & set(ridx) if how == "inner" else set(lidx)
+    # semi keeps only matched left rows, so right-empty buckets emit
+    # nothing; anti and left must still visit every left bucket
+    relevant = (set(lidx) & set(ridx) if how in ("inner", "semi")
+                else set(lidx))
     total = {b: lbytes.get(b, 0) + rbytes.get(b, 0) for b in relevant}
     tasks = coalesce_tasks(list(relevant), total, target_task_bytes)
     reducer = _HashJoinReducer(

@@ -1186,3 +1186,34 @@ def test_replace_only_touches_existing(ray_session):
     assert list(out.columns) == ["a", "b"]  # `missing` NOT created
     assert out["a"].tolist() == [100, 200]
     assert out["b"].tolist() == [10, 20]
+
+
+def test_hash_join_semi_anti(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from tenzir_ray.stages.join import hash_join
+
+    SF = "/root/testdata/sf0.001"
+    orders = rd.read_parquet(f"{SF}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    cust = rd.read_parquet(f"{SF}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    cust_low = cust.filter(expr="c_custkey < 100")
+
+    semi = hash_join(orders, cust_low, on="o_custkey",
+                     right_on="c_custkey", how="semi").to_pandas()
+    anti = hash_join(orders, cust_low, on="o_custkey",
+                     right_on="c_custkey", how="anti").to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM '{SF}/orders.parquet'")
+    n_semi = con.sql(
+        "SELECT count(*) FROM orders o WHERE EXISTS (SELECT 1 FROM "
+        f"'{SF}/customer.parquet' c WHERE c.c_custkey = o.o_custkey "
+        "AND c.c_custkey < 100)").fetchone()[0]
+    n_total = con.sql("SELECT count(*) FROM orders").fetchone()[0]
+    assert len(semi) == n_semi
+    assert len(anti) == n_total - n_semi
+    assert list(semi.columns) == ["o_orderkey", "o_custkey"]  # left cols only
+    assert set(semi["o_orderkey"]).isdisjoint(set(anti["o_orderkey"]))
+    con.close()
