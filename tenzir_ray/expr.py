@@ -315,10 +315,15 @@ _MARKER_FNS = {
 
 def _as_pred(node: ast.expr):
     """Compile a node in PREDICATE position: a bare field path means
-    "field exists and is not null" (reference short form,
-    expressions.md:173-199). Value positions use _compile directly."""
+    "field exists and is not null", a bare VALUE means ``:type == value``
+    (reference short forms, expressions.md:173-199). The value form
+    binds per batch schema, so it escapes to the residual mask path via
+    _Residual — e.g. ``42 or x > 5`` compiles the whole disjunct as a
+    mask. Value positions use _compile directly."""
     if _field_path(node) is not None:
         return _compile(node).is_valid()
+    if _bare_value_node(node) is not None:
+        raise _Residual(node)
     return _compile(node)
 
 

@@ -194,3 +194,18 @@ def test_bare_value_short_form(ray_session):
     # conjunct composes with normal predicates
     got3 = where(ds, "42 and b < 10").to_pandas()
     assert sorted(got3["b"].tolist()) == [3, 7]
+
+
+def test_bare_value_in_disjunction(ray_session):
+    import ray.data as rd
+
+    from tenzir_ray.stages.transforms import where
+
+    ds = rd.from_arrow(pa.table({
+        "a": pa.array([42, 7, 3], pa.int64()),
+        "v": pa.array([1.0, 95.0, 2.0]),
+    }))
+    got = where(ds, "42 or v > 90").to_pandas()
+    assert sorted(got["a"].tolist()) == [7, 42]
+    got2 = where(ds, "not 42").to_pandas()
+    assert sorted(got2["a"].tolist()) == [3, 7]
