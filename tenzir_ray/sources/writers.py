@@ -251,6 +251,12 @@ class _PartitionedWriter:
             for i in range(len(bounds) - 1):
                 lo, hi = int(bounds[i]), int(bounds[i + 1])
                 v = vals[int(sc[lo])]
+                if os.sep in str(v) or (os.altsep and os.altsep in str(v)):
+                    raise ValueError(
+                        f"write_parquet_partitioned: partition value {v!r} "
+                        "contains a path separator — derive a sanitized "
+                        "partition column first"
+                    )
                 vdir = os.path.join(self.root, f"{self.by}={v}")
                 os.makedirs(vdir, exist_ok=True)
                 rel = os.path.join(

@@ -635,6 +635,10 @@ def range_join_partitioned(left, right, on: str, lo: str = "lo",
     ``how``: inner | left. Partitioning invariant: every left row lands
     in exactly ONE bucket, so left-outer padding stays per-bucket-local
     and no dedup pass is needed.
+
+    Cost note: the left pipeline executes twice (once for the quantile
+    grid, once for the exchange) — materialize an expensive upstream
+    before calling if that matters.
     """
     import ray.data
 
