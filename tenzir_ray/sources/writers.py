@@ -238,6 +238,13 @@ class _PartitionedWriter:
         if batch.num_rows:
             col = batch.column(self.by)
             col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            # nulls partition into an explicit __null__ directory (the
+            # hive default-partition convention) instead of poisoning
+            # the dictionary codes with a null index
+            if col.null_count:
+                import pyarrow.compute as _pc
+
+                col = _pc.fill_null(col.cast(pa.string()), "__null__")
             d = col.dictionary_encode()
             if isinstance(d, pa.ChunkedArray):
                 d = d.combine_chunks()
@@ -304,6 +311,13 @@ def write_parquet_partitioned(ds, root: str, by: str, resume: bool = True,
         _PartitionedWriter(root, by, compression, compression_level),
         batch_format="pyarrow",
     ).to_pandas()  # barrier: all files durable before the commit
+    if "file" not in stats.columns:
+        # zero-block input: Ray drops the schema of all-empty datasets
+        # in to_pandas — still commit an EMPTY manifest so the resume
+        # contract and read_parquet_partitioned hold for empty outputs
+        import pandas as _pd
+
+        stats = _pd.DataFrame({"file": [], "value": [], "rows": []})
     by_val: dict[str, dict] = {}
     for f_, v, r in zip(stats["file"], stats["value"], stats["rows"]):
         e = by_val.setdefault(v, {"files": [], "rows": 0})

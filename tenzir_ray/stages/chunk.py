@@ -35,12 +35,7 @@ import pyarrow.compute as pc
 from tenzir_ray._ship import ship_by_value
 
 
-def _within(counts: np.ndarray) -> np.ndarray:
-    total = int(counts.sum())
-    if total == 0:
-        return np.zeros(0, dtype=np.int64)
-    ends = np.cumsum(counts)
-    return np.arange(total, dtype=np.int64) - np.repeat(ends - counts, counts)
+from tenzir_ray.nputil import within_group_arange as _within
 
 
 def chunk_documents(ds, column: str = "text", size: int = 512,
@@ -66,16 +61,20 @@ def chunk_documents(ds, column: str = "text", size: int = 512,
         rep = np.repeat(np.arange(n_rows, dtype=np.int64), n)
         ci = _within(n)
         starts = ci * stride
-        out = batch.take(pa.array(rep))
-        texts = out.column(column).to_pylist()
+        col_i = batch.schema.get_field_index(column)
+        # repeat only the NON-text columns; slicing chunks straight from
+        # the un-repeated texts keeps memory at output size — a
+        # batch.take on the text column would copy each FULL document
+        # once per chunk (O(len²/stride) for one long document)
+        others = batch.remove_column(col_i).take(pa.array(rep))
+        texts = batch.column(column).to_pylist()  # once per doc
         chunks = pa.array(
-            [None if t is None else t[s:s + size]
-             for t, s in zip(texts, starts)],
+            [None if texts[r] is None else texts[r][s:s + size]
+             for r, s in zip(rep, starts)],
             pa.string(),
         )
-        out = out.set_column(
-            out.schema.get_field_index(column), column, chunks
-        )
+        out = others.add_column(min(col_i, others.num_columns), column,
+                                chunks)
         return out.append_column(out_index, pa.array(ci))
 
     return ds.map_batches(_chunk, batch_format="pyarrow",
@@ -114,7 +113,15 @@ def pack_sequences(ds, order_by: str, target_tokens: int,
 
     blocks = sorted_ds.map_batches(
         _blocksum, batch_format="pandas", batch_size=None
-    ).to_pandas().dropna(subset=["k0"]).sort_values("k0").reset_index(drop=True)
+    ).to_pandas()
+    if "k0" not in blocks.columns:
+        # zero-block input (schema dropped by to_pandas, exchange.py's
+        # documented trap): emit the empty result with the seq column
+        return sorted_ds.map_batches(
+            lambda df: df.assign(**{out: np.zeros(len(df), np.int64)}),
+            batch_format="pandas",
+        )
+    blocks = blocks.dropna(subset=["k0"]).sort_values("k0").reset_index(drop=True)
     # block-prefix offsets keyed by the block's FIRST order value: ties
     # across block boundaries cannot occur for a unique order key (the
     # packing contract, same uniqueness SQL row_number relies on)

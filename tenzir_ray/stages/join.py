@@ -51,6 +51,8 @@ def _dataset_arrow_schema(ds) -> pa.Schema:
     dtype('O') is ambiguous — resolve by converting ONE small batch, or
     (zero-row input) by best-effort dtype mapping (object → string)."""
     sch = ds.schema()
+    if sch is None:  # zero-block dataset carries no schema at all
+        return pa.schema([])
     try:
         return _arrow_schema(sch)
     except (TypeError, AttributeError):
@@ -363,13 +365,7 @@ def _as_num(arr) -> np.ndarray:
     return v.astype(np.float64) if v.dtype == object else v
 
 
-def _within_group_arange(counts: np.ndarray) -> np.ndarray:
-    """[0..c0), [0..c1), ... concatenated — the standard grouped-arange."""
-    total = int(counts.sum())
-    if total == 0:
-        return np.zeros(0, dtype=np.int64)
-    ends = np.cumsum(counts)
-    return np.arange(total, dtype=np.int64) - np.repeat(ends - counts, counts)
+from tenzir_ray.nputil import within_group_arange as _within_group_arange
 
 
 class _StabbingIndex:
@@ -661,8 +657,18 @@ def range_join_partitioned(left, right, on: str, lo: str = "lo",
         qs = np.quantile(v, np.linspace(0.0, 1.0, sample_quantiles))
         return pa.table({"q": pa.array(qs)})
 
-    grid = left.select_columns([on]).map_batches(
-        _grid, batch_format="pyarrow").to_pandas()["q"].to_numpy()
+    if not lcols:
+        # zero-block left (no schema): the join output is empty with
+        # the renamed right columns — return it instead of crashing
+        empty = pa.schema(
+            [pa.field(rename_r.get(f.name, f.name), f.type)
+             for f in rschema]
+        ).empty_table()
+        return ray.data.from_arrow(empty)
+    gdf = left.select_columns([on]).map_batches(
+        _grid, batch_format="pyarrow").to_pandas()
+    grid = (gdf["q"].to_numpy() if "q" in gdf.columns
+            else np.zeros(0, dtype=np.float64))
     B = num_buckets or default_buckets()
     if len(grid) == 0:
         boundaries = np.zeros(0, dtype=np.float64)

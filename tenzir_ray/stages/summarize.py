@@ -457,8 +457,19 @@ def make_agg(func: str, col: str, alias: str):
         return _heavy_hitters(col, alias)
     m = _PCTL_RE.match(func)
     if m:  # p50 / p95 / p99 / p999 → DDSketch approximate percentile
-        d = m.group(1)  # 1-2 digits = percent, 3 digits = per-mille (p999)
-        return _ddsketch(col, alias, q=int(d) / (100 if len(d) <= 2 else 1000))
+        d = m.group(1)  # 1-2 digits = percent; 3 digits = per-mille
+        if d == "100":  # p100 is the max, not the 100th per-mille
+            q = 1.0
+        elif len(d) <= 2:
+            q = int(d) / 100
+        elif int(d) > 990:
+            q = int(d) / 1000  # p999 / p995-style tail quantiles
+        else:
+            raise ValueError(
+                f"ambiguous percentile spec {func!r}: use p0-p99, p100, "
+                "or a 3-digit tail per-mille like p999"
+            )
+        return _ddsketch(col, alias, q=q)
     raise ValueError(f"unknown aggregation function: {func}")
 
 

@@ -1217,3 +1217,70 @@ def test_hash_join_semi_anti(ray_session):
     assert list(semi.columns) == ["o_orderkey", "o_custkey"]  # left cols only
     assert set(semi["o_orderkey"]).isdisjoint(set(anti["o_orderkey"]))
     con.close()
+
+
+def test_review_findings_empty_and_null_edges(ray_session, tmp_path):
+    """Round-3 review findings: zero-block inputs and null partition
+    values must produce empty/valid results, never crashes."""
+    import ray.data as rd
+
+    from tenzir_ray.sources.writers import (
+        read_parquet_partitioned,
+        write_parquet_partitioned,
+    )
+    from tenzir_ray.stages.chunk import pack_sequences
+    from tenzir_ray.stages.join import range_join_partitioned
+
+    empty = rd.from_items([])
+
+    # partitioned sink: empty input commits an EMPTY manifest (resume
+    # contract holds) and the reader returns zero rows
+    root = str(tmp_path / "empty_out")
+    m = write_parquet_partitioned(empty, root, by="k")
+    assert m["rows"] == 0 and m["partitions"] == {}
+    assert read_parquet_partitioned(root).count() == 0
+
+    # null partition values land in an explicit __null__ directory
+    root2 = str(tmp_path / "null_out")
+    df = pd.DataFrame({"k": ["a", None, "a"], "x": [1, 2, 3]})
+    m2 = write_parquet_partitioned(rd.from_pandas(df), root2, by="k")
+    assert set(m2["partitions"]) == {"a", "__null__"}
+    got = read_parquet_partitioned(root2, values=["__null__"]).to_pandas()
+    assert got["x"].tolist() == [2]
+
+    # pack_sequences on a zero-block dataset: empty result, no crash
+    assert pack_sequences(empty, "k", target_tokens=10).count() == 0
+
+    # range_join_partitioned with a zero-block left: empty result with
+    # the right-side schema
+    right = rd.from_pandas(pd.DataFrame(
+        {"lo": [0.0], "hi": [10.0], "tag": ["t"]}))
+    out = range_join_partitioned(empty, right, on="v")
+    assert out.count() == 0
+
+
+def test_p100_and_ambiguous_percentiles(ray_session):
+    import ray.data as rd
+
+    from tenzir_ray.stages import summarize as S
+
+    ds = rd.from_arrow(pa.table({"g": ["a"] * 5, "v": [1.0, 2, 3, 4, 100.0]}))
+    got = S.summarize(ds, by="g", top="p100(v)").to_pandas()
+    assert abs(got["top"][0] - 100.0) <= 1.01 + 1e-9  # p100 = max (±1%)
+    with pytest.raises(ValueError, match="ambiguous"):
+        S.summarize(ds, by="g", x="p123(v)").to_pandas()
+
+
+def test_chunk_documents_long_doc_memory_shape(ray_session):
+    """The long-document path: output size stays ~len * size/stride, not
+    len * n_chunks (the quadratic take() trap the review caught)."""
+    import ray.data as rd
+
+    from tenzir_ray.stages.chunk import chunk_documents
+
+    big = "y" * 2_000_000  # 2 MB doc → ~4464 chunks at 512/64
+    ds = rd.from_arrow(pa.table({"doc_id": [1], "text": [big]}))
+    out = chunk_documents(ds, size=512, overlap=64)
+    df = out.to_pandas()
+    assert len(df) == int(np.ceil((2_000_000 - 64) / 448))
+    assert df["text"].str.len().sum() < 2_500_000  # ≈ len·(1+ov/stride)
