@@ -1312,10 +1312,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # NOT in the small filtered set — output is the left columns
         from tenzir_ray.stages.join import hash_join
 
+        # threshold 100 keeps the anti side NON-EMPTY at every sf (an
+        # all-empty Dataset drops its schema in to_pandas — the known
+        # Ray trap — so a gate must never legitimately return 0 rows)
         orders = _read(sf, "orders", columns=["o_orderkey", "o_custkey"])
         cust = T.where(
             _read(sf, "customer", columns=["c_custkey", "c_mktsegment"]),
-            "c_custkey < 500",
+            "c_custkey < 100",
         )
         return hash_join(orders, cust, on="o_custkey",
                          right_on="c_custkey", how="anti")
@@ -2517,7 +2520,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o
             WHERE NOT EXISTS (SELECT 1 FROM customer c
                               WHERE c.c_custkey = o.o_custkey
-                                AND c.c_custkey < 500)
+                                AND c.c_custkey < 100)
         """,
         "range_join_value_bands": """
             SELECT e.event_id, e.value,
