@@ -225,12 +225,17 @@ def _register_builtins() -> None:
     from tenzir_ray.state import context as ctx_mod
 
     def _context_create(ds, name, kind, key=None, **kw):
-        ctx_mod.create_context(name, kind, ds=ds, key=key, **kw)
-        return ds
+        # materialize ONCE: building the context consumes the stream;
+        # returning the lazy ds would re-execute the whole upstream for
+        # any downstream consumer (the count() that runs the sink)
+        mat = ds.materialize()
+        ctx_mod.create_context(name, kind, ds=mat, key=key, **kw)
+        return mat
 
     def _context_update(ds, name, key=None):
-        ctx_mod.update_context(name, ds=ds, key=key)
-        return ds
+        mat = ds.materialize()
+        ctx_mod.update_context(name, ds=mat, key=key)
+        return mat
 
     OPERATORS.update(
         context_create=_context_create,

@@ -182,7 +182,8 @@ def _parse_meta(sec: str) -> dict:
 _STR_DEF = re.compile(
     r"\$([A-Za-z0-9_]*)\s*=\s*"
     r"(\"(?:[^\"\\]|\\.)*\"|\{[^}]*\}|/(?:[^/\\\n]|\\.)+/)"
-    r"([a-z0-9()\- \t]*)",
+    # A-F included: `xor(0xAB)` keys with uppercase hex are valid YARA
+    r"([a-zA-Z0-9()\- \t]*)",
 )
 
 _XOR_MOD = re.compile(r"^xor(?:\((0x[0-9A-Fa-f]+|\d+)"
@@ -203,10 +204,20 @@ def _parse_strings(sec: str, name: str) -> dict:
         }
         if bad:
             raise ValueError(f"rule {name}: unsupported modifier(s) {bad}")
-        if any(_XOR_MOD.match(x) for x in mods) and (
-                "nocase" in mods or "base64" in mods):
+        xor_tok = next((x for x in mods if _XOR_MOD.match(x)), None)
+        if xor_tok is not None and (
+                "nocase" in mods or {"base64", "base64wide"} & mods):
             raise ValueError(f"rule {name}: xor is incompatible with "
-                             "nocase/base64 (YARA spec)")
+                             "nocase/base64/base64wide (YARA spec)")
+        if xor_tok is not None:
+            g = _XOR_MOD.match(xor_tok).groups()
+            klo = int(g[0], 0) if g[0] else 0
+            khi = int(g[1], 0) if g[1] else (klo if g[0] else 255)
+            if not (0 <= klo <= khi <= 255):
+                raise ValueError(
+                    f"rule {name}: xor key range 0x{klo:x}-0x{khi:x} must "
+                    "satisfy 0 <= lo <= hi <= 255"
+                )
         if {"base64", "base64wide"} & mods and (
                 {"nocase", "fullword"} & mods):
             raise ValueError(f"rule {name}: base64 is incompatible with "
@@ -331,21 +342,43 @@ def _compile_string(kind: str, body: str, mods: set) -> re.Pattern:
         if xor_mod is not None:
             # xor: the plaintext XORed with every key in the range is a
             # fixed byte string — 256 literal alternatives compile into
-            # ONE scan (libyara does the same expansion internally)
+            # ONE scan (libyara does the same expansion internally).
+            # fullword applies to the RAW scanned bytes around the hit,
+            # so the boundary lookarounds wrap each keyed variant.
             g = _XOR_MOD.match(xor_mod).groups()
             lo = int(g[0], 0) if g[0] else 0
             hi = int(g[1], 0) if g[1] else (lo if g[0] else 255)
             plains = [bytes(b ^ k for b in raw) for k in range(lo, hi + 1)]
+            fw = "fullword" in mods
             if "wide" in mods:
-                variants += [re.escape(_widen(p)) for p in plains]
+                for p in plains:
+                    w = re.escape(_widen(p))
+                    if fw:
+                        w = (b"(?<![" + _WORD + b"]\x00)" + w
+                             + b"(?![" + _WORD + b"]\x00)")
+                    variants.append(w)
             if "ascii" in mods or "wide" not in mods:
-                variants += [re.escape(p) for p in plains]
+                for p in plains:
+                    a = re.escape(p)
+                    if fw:
+                        a = (b"(?<![" + _WORD + b"])" + a
+                             + b"(?![" + _WORD + b"])")
+                    variants.append(a)
         elif {"base64", "base64wide"} & mods:
-            frags = _b64_fragments(raw)
-            if "base64" in mods:
-                variants += [re.escape(f) for f in frags]
-            if "base64wide" in mods:
-                variants += [re.escape(_widen(f)) for f in frags]
+            # wide/ascii pick the PLAINTEXT encodings fed to base64
+            # (YARA: `wide base64` encodes the UTF-16-LE plaintext);
+            # base64 vs base64wide pick the ENCODED-side width
+            raws = []
+            if "wide" in mods:
+                raws.append(_widen(raw))
+            if "ascii" in mods or "wide" not in mods:
+                raws.append(raw)
+            for r0 in raws:
+                frags = _b64_fragments(r0)
+                if "base64" in mods:
+                    variants += [re.escape(f) for f in frags]
+                if "base64wide" in mods:
+                    variants += [re.escape(_widen(f)) for f in frags]
         else:
             if "wide" in mods:
                 w = re.escape(_widen(raw))
@@ -581,6 +614,9 @@ class _Cond:
                     hits += 1
                     if need == "any" or (need != "all" and hits >= need):
                         return True
+                elif need == "all":
+                    return False  # one miss decides `for all` — don't
+                    # walk the rest of a potentially huge range
             if need == "all":
                 return total > 0 and hits == total
             return need != "any" and hits >= need
@@ -803,16 +839,39 @@ def _no_self_overlap(b: bytes) -> bool:
     return not any(b[:l] == b[-l:] for l in range(1, len(b)))
 
 
+def _variants_independent(variants: list[bytes]) -> bool:
+    """True if no variant self-overlaps AND no variant can start inside
+    or border another (containment / cross-variant suffix-prefix): only
+    then does a non-overlapping alternation count equal the overlapping
+    per-occurrence scan count."""
+    for u in variants:
+        if not _no_self_overlap(u):
+            return False
+        for v in variants:
+            if u is v:
+                continue
+            if v in u:
+                return False
+            if any(u[-l:] == v[:l]
+                   for l in range(1, min(len(u), len(v)))):
+                return False
+    return True
+
+
 def _vec_spec(kind: str, body: str, mods: set):
     """(count kernel spec) for one string, or None if ineligible:
-    ("plain", literal, ignore_case) → pc.count_substring;
+    ("plain", literal, False) → pc.count_substring;
     ("regex", pattern) → pc.count_substring_regex (RE2: no lookbehind,
     so wide+fullword is excluded; xor/base64 and non-ASCII literals are
-    excluded for byte-vs-utf8 pattern fidelity)."""
+    excluded for byte-vs-utf8 pattern fidelity; nocase is excluded
+    because Arrow folds Unicode-wide while the exact scan folds ASCII
+    bytes — U+212A vs 'k' would silently diverge)."""
     if kind != "text":
         return None
     if any(_XOR_MOD.match(x) for x in mods) or {"base64", "base64wide"} & mods:
         return None
+    if "nocase" in mods:
+        return None  # Unicode vs ASCII case folding mismatch (above)
     raw = _unescape_text(body)
     if not raw or any(b >= 128 for b in raw):
         return None
@@ -824,17 +883,14 @@ def _vec_spec(kind: str, body: str, mods: set):
         variants.append(_widen(raw))
     if "ascii" in mods or "wide" not in mods:
         variants.append(raw)
-    if not all(_no_self_overlap(
-            v.lower() if "nocase" in mods else v) for v in variants):
+    if not _variants_independent(variants):
         return None  # overlapping matches would diverge from the scan
     if variants == [raw] and "fullword" not in mods:
-        return ("plain", lit, "nocase" in mods)
+        return ("plain", lit, False)
     alts = "|".join(re.escape(v.decode("latin-1")) for v in variants)
     pat = f"(?:{alts})" if len(variants) > 1 else alts
     if "fullword" in mods:
         pat = rf"\b{pat}\b"
-    if "nocase" in mods:
-        pat = "(?i)" + pat
     return ("regex", pat)
 
 
@@ -959,6 +1015,10 @@ class YaraScanner:
                             a = pc.count_substring_regex(col, spec[1])
                         arr = pc.fill_null(a, 0).to_numpy(
                             zero_copy_only=False).astype(np.int64)
+                        # scan_strings caps at _MAX_MATCHES_PER_STRING;
+                        # cap the kernel counts identically so #-count
+                        # conditions can't diverge between the paths
+                        arr = np.minimum(arr, _MAX_MATCHES_PER_STRING)
                         cache[spec] = arr
                     counts[sid] = arr
                 cand[:, j] = np.asarray(

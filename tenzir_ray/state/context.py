@@ -35,11 +35,7 @@ class LookupTable:
     @classmethod
     def from_dataset(cls, ds, key: str) -> "LookupTable":
         """Materialize a SMALL dimension dataset into a context."""
-        tbl = pa.concat_tables(
-            list(ds.iter_batches(batch_format="pyarrow")),
-            promote_options="permissive",
-        )
-        return cls(tbl, key)
+        return cls(_materialize(ds, what="lookup-table"), key)
 
     def update(self, more: pa.Table) -> "LookupTable":
         """Functional update: later rows win per key."""
@@ -384,11 +380,14 @@ CONTEXTS: dict[str, object] = {}
 _KINDS = ("lookup-table", "bloom-filter", "subnet-table", "geo-table")
 
 
-def _materialize(ds) -> pa.Table:
-    return pa.concat_tables(
-        list(ds.iter_batches(batch_format="pyarrow")),
-        promote_options="permissive",
-    )
+def _materialize(ds, what: str = "context") -> pa.Table:
+    tables = list(ds.iter_batches(batch_format="pyarrow"))
+    if not tables:
+        raise ValueError(
+            f"{what}: input dataset is empty (zero blocks) — a context "
+            "needs at least one schema-carrying batch"
+        )
+    return pa.concat_tables(tables, promote_options="permissive")
 
 
 def create_context(name: str, kind: str, table=None, ds=None,

@@ -353,7 +353,11 @@ def test_vector_path_equals_scan_path():
               condition: $x at 0 or @x > 50 }
     """
     sc = YaraScanner(rules, field="t", keep=("i",))
-    assert [r.vec is not None for r in sc.rules] == [True, True, False]
+    # v1 contains a nocase string: since the round-3 review fix, nocase
+    # is vec-INELIGIBLE (Arrow folds Unicode-wide, the exact scan folds
+    # ASCII bytes — U+212A would silently diverge), so only v2 keeps
+    # the Arrow-kernel path
+    assert [r.vec is not None for r in sc.rules] == [False, True, False]
     t = pa.table({"i": list(range(len(blobs))), "t": blobs})
     fast = sc(t)
     for r in sc.rules:
@@ -379,6 +383,97 @@ def test_vec_spec_eligibility_gates():
     assert w.vec is None  # RE2 lookbehind gap
     [g] = compile_rules('rule g { strings: $a = "abc" condition: @a == 0 }')
     assert g.vec is None  # offsets need the scan
-    [ok] = compile_rules(
+    [nc] = compile_rules(
         'rule k { strings: $a = "abc" $b = "DEF" nocase condition: $a and #b > 1 }')
+    assert nc.vec is None  # nocase: Arrow Unicode fold vs ASCII scan fold
+    [ok] = compile_rules(
+        'rule k2 { strings: $a = "abc" $b = "DEF" condition: $a and #b > 1 }')
     assert ok.vec is not None
+
+
+# ------------------------------------------------ round-3 review findings
+
+
+def test_xor_fullword_and_uppercase_hex_keys():
+    from tenzir_ray.stages.yara import compile_rules
+
+    r = compile_rules(
+        'rule x { strings: $a = "cmd" xor fullword condition: $a }')[0]
+    assert r.scan(b"run cmdline now") is None          # mid-word: reject
+    assert r.scan(b"run cmd now") is not None          # word-bounded hit
+    key = bytes(b ^ 0xAB for b in b"cmd")
+    r2 = compile_rules(
+        'rule y { strings: $a = "cmd" xor(0xAB) fullword condition: $a }')[0]
+    assert r2.scan(b"|" + key + b"|") is not None      # uppercase hex key
+    assert r2.scan(b"a" + key + b"b") is None
+    import pytest as _pt
+    with _pt.raises(ValueError, match="0 <= lo <= hi"):
+        compile_rules('rule z { strings: $a = "q" xor(0x1f-0x10) '
+                      'condition: $a }')
+    with _pt.raises(ValueError, match="incompatible"):
+        compile_rules('rule w { strings: $a = "q" xor base64wide '
+                      'condition: $a }')
+
+
+def test_wide_base64_encodes_utf16_plaintext():
+    import base64 as b64
+
+    from tenzir_ray.stages.yara import compile_rules
+
+    r = compile_rules(
+        'rule wb { strings: $a = "evil" wide base64 condition: $a }')[0]
+    wide = "evil".encode("utf-16-le")
+    assert r.scan(b64.b64encode(wide)) is not None     # wide plaintext
+    assert r.scan(b64.b64encode(b"evil")) is None      # narrow: no match
+
+
+def test_vec_prefilter_parity_edges(ray_session):
+    """The three fast/slow divergences the review caught: nocase Unicode
+    folding, #-count cap, cross-variant overlap — all must now agree."""
+    import ray.data as rd
+
+    from tenzir_ray.stages.yara import compile_rules, yara_
+
+    def both_paths(rule_src, payloads):
+        rules = compile_rules(rule_src)
+        slow = [i for i, p in enumerate(payloads)
+                if rules[0].scan(p if isinstance(p, bytes)
+                                 else p.encode()) is not None]
+        ds = rd.from_arrow(pa.table({
+            "rid": list(range(len(payloads))), "data": payloads}))
+        df = yara_(ds, rule_src, field="data", keep=("rid",)).to_pandas()
+        fast = sorted(df["rid"].unique().tolist()) if "rid" in df.columns else []
+        return slow, fast
+
+    # nocase with a case-foldable non-ASCII char (Kelvin sign) — the
+    # rule must now take the exact-scan path on both sides
+    s, f = both_paths(
+        'rule k { strings: $a = "k" nocase condition: $a }',
+        ["K here", "plain K", "none"])
+    assert s == f
+
+    # #-count around the 10k cap
+    s, f = both_paths(
+        'rule c { strings: $a = "xy" condition: #a > 10000 }',
+        ["xy" * 10500, "xy" * 9000])
+    assert s == f == []
+
+    # cross-variant border (ascii suffix == wide prefix via NUL)
+    s, f = both_paths(
+        r'rule o { strings: $a = "aa\x00" wide ascii condition: #a >= 2 }',
+        [b"aa\x00a\x00\x00\x00", b"zz"])
+    assert s == f
+
+
+def test_for_all_early_exit_speed():
+    import time
+
+    from tenzir_ray.stages.yara import compile_rules
+
+    r = compile_rules(
+        'rule f { strings: $a = "zz" condition: '
+        'for all i in (1..filesize) : ( uint8(i) == 0 ) }')[0]
+    blob = b"\x01" * 5_000_000  # byte 1 nonzero → first iteration fails
+    t0 = time.perf_counter()
+    assert r.scan(blob) is None
+    assert time.perf_counter() - t0 < 1.0  # was ~minutes without the exit
