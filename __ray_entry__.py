@@ -1088,6 +1088,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return est.map_batches(_ok, batch_format="pyarrow")
 
+    def partitioned_sink_roundtrip(sf):
+        # resumable partitioned sink e2e: write events partitioned by
+        # event_type, read back ONLY two partitions via manifest pruning,
+        # aggregate — DuckDB checks the whole write→prune→read→agg chain
+        import shutil
+        import tempfile
+
+        from tenzir_ray.sources.writers import (
+            read_parquet_partitioned,
+            write_parquet_partitioned,
+        )
+
+        root = os.path.join(tempfile.gettempdir(),
+                            "tenzir_ray_gate_psink")
+        shutil.rmtree(root, ignore_errors=True)
+        ds = _read(sf, "events", columns=["event_id", "event_type", "value"])
+        write_parquet_partitioned(ds, root, by="event_type")
+        back = read_parquet_partitioned(root, values=["click", "view"])
+        agg = S.summarize(back, by="event_type", n="count(*)",
+                          total="sum(value)")
+        return T.scale_int_cols(agg, ["total"])
+
     def clean_corpus_chunks(sf):
         # END-TO-END training-data cleaning recipe, one gate: quality
         # filter (token count) → language filter (the table's lang
@@ -1832,6 +1854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters_hot": heavy_hitters_hot,
         "chunk_docs": chunk_docs,
         "clean_corpus_chunks": clean_corpus_chunks,
+        "partitioned_sink_roundtrip": partitioned_sink_roundtrip,
         "pack_sequences_docs": pack_sequences_docs,
         "streaming_summarize_types": streaming_summarize_types,
         "compress_roundtrip_docs": compress_roundtrip_docs,
@@ -2380,6 +2403,13 @@ def oracle_sql() -> dict[str, str]:
         "pctl_sketch_accuracy": """
             SELECT event_type, TRUE AS ok50, TRUE AS ok95, TRUE AS ok99
             FROM events GROUP BY event_type
+        """,
+        "partitioned_sink_roundtrip": """
+            SELECT event_type, count(*) AS n,
+                   CAST(round(sum(value) * 1000000) AS BIGINT) AS total
+            FROM events
+            WHERE event_type IN ('click', 'view')
+            GROUP BY event_type
         """,
         "clean_corpus_chunks": """
             WITH q AS (
