@@ -742,8 +742,9 @@ class LakeTable:
             ]
             obj_index = {}
             frag_rows: dict[int, int] = {}
-            for refs in outs:
-                stats = ray_core.get(refs[0])
+            # one batched get, not a per-task round-trip loop
+            all_stats = ray_core.get([refs[0] for refs in outs])
+            for refs, stats in zip(outs, all_stats):
                 for k, (rows, _nb) in stats.items():
                     obj_index.setdefault(int(k), []).append(refs[1 + int(k)])
                     frag_rows[int(k)] = frag_rows.get(int(k), 0) + int(rows)

@@ -94,7 +94,7 @@ _CMPOP = {
 }
 
 
-_DATE_RE = __import__("re").compile(
+_DATE_RE = re.compile(
     r"^\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}(:\d{2}(\.\d+)?)?)?$"
 )
 
@@ -118,10 +118,9 @@ def _date_literal(v):
 # ip("..."), subnet("...") and dur("...") directly (e.g. for IPv6, whose
 # colon syntax can't be rewritten safely).
 
-_re = __import__("re")
-_CIDR_RE = _re.compile(r"(?<![\w.])((?:\d{1,3}\.){3}\d{1,3}/\d{1,3})(?![\w.])")
-_IPV4_RE = _re.compile(r"(?<![\w.])((?:\d{1,3}\.){3}\d{1,3})(?![\w./])")
-_DUR_RE = _re.compile(r"(?<![\w.])(\d+(?:\.\d+)?)(ns|us|ms|s|min|m|h|d|w)\b(?!\s*\()")
+_CIDR_RE = re.compile(r"(?<![\w.])((?:\d{1,3}\.){3}\d{1,3}/\d{1,3})(?![\w.])")
+_IPV4_RE = re.compile(r"(?<![\w.])((?:\d{1,3}\.){3}\d{1,3})(?![\w./])")
+_DUR_RE = re.compile(r"(?<![\w.])(\d+(?:\.\d+)?)(ns|us|ms|s|min|m|h|d|w)\b(?!\s*\()")
 
 _DUR_UNIT_S = {
     "ns": 1e-9, "us": 1e-6, "ms": 1e-3, "s": 1.0,
@@ -133,7 +132,7 @@ def duration_value(text: str):
     """'24h' / '1.5s' / '250ms' → datetime.timedelta."""
     from datetime import timedelta
 
-    m = _re.fullmatch(r"(\d+(?:\.\d+)?)\s*([a-z]+)", text.strip())
+    m = re.fullmatch(r"(\d+(?:\.\d+)?)\s*([a-z]+)", text.strip())
     if not m or m.group(2) not in _DUR_UNIT_S:
         raise ValueError(f"bad duration literal {text!r}")
     return timedelta(seconds=float(m.group(1)) * _DUR_UNIT_S[m.group(2)])
@@ -160,7 +159,7 @@ class PatternLiteral:
     to ``pc.match_substring_regex``."""
 
     def __init__(self, pattern: str):
-        _re.compile(pattern)  # validate eagerly — fail at compile time
+        re.compile(pattern)  # validate eagerly — fail at compile time
         self.pattern = pattern
 
     def __repr__(self):
@@ -169,7 +168,7 @@ class PatternLiteral:
 
 # a pattern literal is only lexed directly after ==/!=/in — `/` anywhere
 # else stays division
-_PAT_RE = _re.compile(r"(==|!=|\bin)\s*/((?:[^/\\\"]|\\.)*)/")
+_PAT_RE = re.compile(r"(==|!=|\bin)\s*/((?:[^/\\\"]|\\.)*)/")
 
 
 #: `A ni B` (reference operator.hpp:44-55: "B in A", i.e. A contains B)
@@ -219,18 +218,6 @@ def _preprocess(text: str) -> str:
         chunk = _DUR_RE.sub(r'__dur__("\1\2")', chunk)
         return chunk
 
-    def rewrite(chunk: str) -> str:
-        # patterns first, and their bodies are NOT re-scanned (a literal
-        # like /10.0.0.1/ must not sprout an __ip__ inside)
-        parts: list[str] = []
-        last = 0
-        for m in _PAT_RE.finditer(chunk):
-            parts.append(others(chunk[last:m.start()]))
-            parts.append(f'{m.group(1)} __pat__(r"{m.group(2)}")')
-            last = m.end()
-        parts.append(others(chunk[last:]))
-        return "".join(parts)
-
     # 1. lift quoted strings out (placeholders are plain identifiers, so
     #    no literal/operator regex can touch their contents)
     strings: list[str] = []
@@ -253,7 +240,18 @@ def _preprocess(text: str) -> str:
             i = j
     skeleton = "".join(skel)
 
-    # 2. operator sugar: `!in` → `not in`; `A ni B` → `B in A` (contains)
+    # 2. lift PATTERN literals out BEFORE any operator/literal rewrite —
+    #    a body like /right now/ or /a !in b/ must never be rewritten
+    #    (the ni/ago/now substitutions previously corrupted it)
+    pats: list[str] = []
+
+    def _lift_pat(m):
+        pats.append(m.group(2))
+        return f"{m.group(1)} __patref_{len(pats) - 1}__"
+
+    skeleton = _PAT_RE.sub(_lift_pat, skeleton)
+
+    # 3. operator sugar: `!in` → `not in`; `A ni B` → `B in A` (contains)
     skeleton = re.sub(r"\s+!in\s+", " not in ", skeleton)
     skeleton = _NI_RE.sub(
         lambda m: f"{'not ' if m.group(2) else ''}{m.group(3)} in {m.group(1)}",
@@ -264,10 +262,15 @@ def _preprocess(text: str) -> str:
     skeleton = _AGO_RE.sub(r'__ago__("\1 \2")', skeleton)
     skeleton = _NOW_RE.sub('__now__("0")', skeleton)
 
-    # 3. literal rewrites on the quote-free skeleton
-    skeleton = rewrite(skeleton)
+    # 4. ip/subnet/duration literal rewrites (pattern bodies are gone)
+    skeleton = others(skeleton)
 
-    # 4. strings back in place
+    # 5. patterns and strings back in place
+    skeleton = re.sub(
+        r"__patref_(\d+)__",
+        lambda m: f'__pat__(r"{pats[int(m.group(1))]}")',
+        skeleton,
+    )
     return _QSTR_RE.sub(lambda m: strings[int(m.group(1))], skeleton)
 
 

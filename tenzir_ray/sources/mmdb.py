@@ -354,14 +354,17 @@ class _MmdbEnricher:
             return batch
         ips = batch[self.field]
         uniq = ips.unique()
+        # bound the cross-batch cache BEFORE filling for this batch — a
+        # mid-loop clear would evict entries already inserted for THIS
+        # batch and silently null-enrich their rows at the map below
+        if len(self.cache) + len(uniq) > 1_000_000:
+            self.cache.clear()  # crude bound; hit rate resets
         for ip in uniq:
             if ip not in self.cache:
                 rec = self.reader.lookup(ip) if isinstance(ip, str) else None
                 self.cache[ip] = (
                     _flatten_geo(rec, self.prefix) if rec else None
                 )
-                if len(self.cache) > 1_000_000:
-                    self.cache.clear()  # crude bound; hit rate resets
         hits = ips.map(self.cache)
         matched = hits.notna()
         cols: dict[str, list] = {}

@@ -399,8 +399,10 @@ def run_exchange_obj(ds, keys: list[str], num_buckets: int, side: str,
     ]
     index: dict[int, list] = {}
     nbytes: dict[int, int] = {}
-    for refs in outs:
-        stats = ray.get(refs[0])
+    # ONE batched get for every task's stats object — a per-task ray.get
+    # loop serializes the driver behind len(outs) sequential round-trips
+    all_stats = ray.get([refs[0] for refs in outs])
+    for refs, stats in zip(outs, all_stats):
         for b, (rows, by) in stats.items():
             index.setdefault(int(b), []).append(refs[1 + int(b)])
             nbytes[int(b)] = nbytes.get(int(b), 0) + int(by)

@@ -299,6 +299,11 @@ class IvfIndex:
                 "centroids_file", "centroids.json"))) as f:
             self.centroids = np.asarray(json.load(f), dtype=np.float32)
         self.root = root
+        # per-instance layout cache: scanning every list's parquet
+        # footers per search would make small-nprobe probes O(total
+        # files) instead of probe-proportional; append/rebalance
+        # invalidate it
+        self._layout: dict[int, dict] | None = None
 
     def _lists_path(self) -> str:
         import os
@@ -374,8 +379,10 @@ class IvfIndex:
     def probe_files(self, lists: list[int]) -> tuple[list[str], int]:
         """(files, total bytes) for the given list ids — the evidence
         that a search's read volume is probe-proportional."""
-        layout = self._scan_lists(
-            self.root, self.meta.get("lists_dir", "lists"))
+        if self._layout is None:
+            self._layout = self._scan_lists(
+                self.root, self.meta.get("lists_dir", "lists"))
+        layout = self._layout
         files: list[str] = []
         nbytes = 0
         for j in lists:
@@ -431,6 +438,7 @@ class IvfIndex:
             batch_format="pyarrow", concurrency=concurrency,
         )
         assigned.write_parquet(self._lists_path(), partition_cols=["ivf_list"])
+        self._layout = None  # lists changed — drop the probe cache
         n = sum(i["rows"] for i in self._scan_lists(
             self.root, self.meta.get("lists_dir", "lists")).values())
         added = n - self.meta["num_rows"]
@@ -510,6 +518,7 @@ class IvfIndex:
         self.meta["centroids_file"] = new_cent
         self.meta["num_rows"] = sum(i["rows"] for i in new_layout.values())
         self._write_meta()  # the atomic commit point
+        self._layout = new_layout  # already scanned above — reuse
         self.centroids = centroids
         shutil.rmtree(os.path.join(self.root, cur_lists), ignore_errors=True)
         if old_cent != new_cent:

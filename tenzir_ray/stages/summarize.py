@@ -666,12 +666,9 @@ def summarize_hash(ds, by: str | list[str], buckets: int = 64, **aggs: str):
             )
 
     def _bucket(df: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_array(df[keys[0]].to_numpy())
-        for k in keys[1:]:
-            # multiply-then-xor (FNV-style) so equal values in two key
-            # columns don't cancel to one hot bucket (plain XOR would)
-            h = (h * np.uint64(0x100000001B3)) ^ pd.util.hash_array(df[k].to_numpy())
-        df["_b"] = h % buckets
+        from tenzir_ray.nputil import mix_key_hashes
+
+        df["_b"] = mix_key_hashes(df, keys) % buckets
         return df
 
     def _agg(g: pd.DataFrame) -> pd.DataFrame:

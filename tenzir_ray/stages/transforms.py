@@ -405,12 +405,10 @@ def _bucketed_groups(ds, by: list[str] | None, fn, buckets: int = 64):
     """
 
     def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        from tenzir_ray.nputil import mix_key_hashes
+
         cols = by if by is not None else list(df.columns)
-        h = pd.util.hash_array(df[cols[0]].to_numpy())
-        for k in cols[1:]:
-            # multiply-then-xor (FNV-style) so equal values in two key
-            # columns don't cancel to one hot bucket (plain XOR would)
-            h = (h * np.uint64(0x100000001B3)) ^ pd.util.hash_array(df[k].to_numpy())
+        h = mix_key_hashes(df, cols)
         df = df.copy()
         df["_b"] = (h % buckets).astype(np.int64)
         return df

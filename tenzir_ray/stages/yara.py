@@ -325,7 +325,10 @@ def _compile_string(kind: str, body: str, mods: set) -> re.Pattern:
     libyara counts every occurrence, so ``#a >= 2`` on ``"aa"`` over
     ``b"aaa"`` must see offsets 0 AND 1 (the zero-width scan advances
     one byte per hit; match bytes come from group 1)."""
-    flags = re.DOTALL
+    # libyara default: `.` does NOT cross newlines in regex strings —
+    # DOTALL applies only to hex strings (whose `??` must match any
+    # byte) and to regex strings carrying the `s` flag suffix
+    flags = 0
     if "nocase" in mods:
         flags |= re.IGNORECASE
     if kind == "hex":
@@ -334,6 +337,8 @@ def _compile_string(kind: str, body: str, mods: set) -> re.Pattern:
     elif kind == "regex":
         if "i" in mods:
             flags |= re.IGNORECASE
+        if "s" in mods:
+            flags |= re.DOTALL
         src = body.encode("utf-8", "surrogateescape")
     else:  # text
         raw = _unescape_text(body)
@@ -898,11 +903,33 @@ def _vec_spec(kind: str, body: str, mods: set):
 # compiled rules + scanning
 # --------------------------------------------------------------------------
 
+def _validate_string_refs(cond: str, ids: list[str], name: str) -> None:
+    """Reject conditions referencing undeclared strings at COMPILE time
+    (libyara does; and the permissive fallback previously diverged —
+    the exact scan treated ``$undeclared`` as false while the vector
+    path crashed with KeyError)."""
+    toks = _tokenize_cond(cond)
+    idset = set(ids)
+    for k, t in enumerate(toks):
+        if not re.fullmatch(r"[$#@!][A-Za-z0-9_]+", t):
+            continue
+        base = "$" + t[1:]
+        if k + 1 < len(toks) and toks[k + 1] == "*":
+            if not any(i.startswith(base) for i in idset):
+                raise ValueError(
+                    f"rule {name}: wildcard {t}* matches no declared string")
+        elif base not in idset:
+            raise ValueError(
+                f"rule {name}: condition references undefined string {t}")
+
+
 class CompiledRule:
     __slots__ = ("identifier", "tags", "meta", "patterns", "cond",
                  "strings_src", "vec")
 
     def __init__(self, rule: dict):
+        _validate_string_refs(rule["condition"],
+                              list(rule["strings"]), rule["identifier"])
         self.identifier = rule["identifier"]
         self.tags = rule["tags"]
         self.meta = rule["meta"]

@@ -209,3 +209,19 @@ def test_bare_value_in_disjunction(ray_session):
     assert sorted(got["a"].tolist()) == [7, 42]
     got2 = where(ds, "not 42").to_pandas()
     assert sorted(got2["a"].tolist()) == [3, 7]
+
+
+def test_pattern_bodies_survive_operator_sugar(ray_session):
+    import ray.data as rd
+
+    from tenzir_ray.stages.transforms import where
+
+    ds = rd.from_arrow(pa.table({
+        "msg": ["right now", "later", "a !in b", "foo ni bar"],
+    }))
+    # pattern bodies containing operator/relative-time keywords must
+    # match literally, not be rewritten (round-3 review finding)
+    assert where(ds, "msg == /right now/").count() == 1
+    assert where(ds, "msg == /a !in b/").to_pandas()["msg"].tolist() == ["a !in b"]
+    assert where(ds, "msg == /foo ni bar/").count() == 1
+    assert where(ds, "msg == /2 hours ago/").count() == 0

@@ -477,3 +477,25 @@ def test_for_all_early_exit_speed():
     t0 = time.perf_counter()
     assert r.scan(blob) is None
     assert time.perf_counter() - t0 < 1.0  # was ~minutes without the exit
+
+
+def test_regex_dotall_matches_libyara_default():
+    from tenzir_ray.stages.yara import compile_rules
+
+    r = compile_rules('rule d { strings: $r = /a.b/ condition: $r }')[0]
+    assert r.scan(b"a\nb") is None          # `.` must NOT cross newlines
+    assert r.scan(b"axb") is not None
+    rs = compile_rules('rule s { strings: $r = /a.b/ s condition: $r }')[0]
+    assert rs.scan(b"a\nb") is not None     # explicit s flag opts in
+
+
+def test_undefined_string_ref_rejected_at_compile():
+    import pytest as _pt
+
+    from tenzir_ray.stages.yara import compile_rules
+
+    with _pt.raises(ValueError, match="undefined string"):
+        compile_rules('rule u { strings: $a = "foo" condition: $a and $b }')
+    with _pt.raises(ValueError, match="wildcard"):
+        compile_rules('rule w { strings: $a = "foo" '
+                      'condition: any of ($z*) }')
