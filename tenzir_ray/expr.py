@@ -50,6 +50,16 @@ def _efloor(x):
     return math.floor(x) if isinstance(x, float) else x
 
 
+def _trunc_mod(a, b):
+    return a - _efloor(a / b) * b
+
+
+def _floor_mod(a, b):
+    """Python floor-mod semantics (sign of the divisor) over plain
+    numbers AND pads Expressions — see the _BINOP comment."""
+    return _trunc_mod(_trunc_mod(a, b) + b, b)
+
+
 def _lift(op):
     """pyarrow Expression lacks reflected ops (__rsub__ …): lift plain
     Python scalars on the left into pc.scalar expressions."""
@@ -75,13 +85,15 @@ _BINOP = {
     ast.Sub: _lift(lambda a, b: a - b),
     ast.Mult: _lift(lambda a, b: a * b),
     ast.Div: _lift(lambda a, b: a / b),
-    # there is no pc.mod kernel for pads Expressions, so % composes as
-    # a - floor(a/b)*b and // as floor(a/b). On ints Arrow's `/` already
-    # truncates so floor is a no-op (SQL trunc-mod convention for
-    # negatives); on floats floor makes both correct (the bare a-(a/b)*b
-    # identity collapses to 0 under true division).
-    ast.Mod: _lift(lambda a, b: a - _efloor(a / b) * b),
-    ast.FloorDiv: _lift(lambda a, b: _efloor(a / b)),
+    # there is no pc.mod kernel for pads Expressions. a - floor(a/b)*b
+    # alone is TRUNC-mod on integer columns (Arrow's int `/` truncates
+    # before the no-op floor), which diverges from Python on negatives
+    # (-7 % 3 must be 2, not -1). The double identity
+    # tm(tm(a,b) + b, b) lifts trunc-mod to floor-mod for every sign
+    # combination, on ints and floats alike; // then derives as
+    # (a - mod) / b, exact by construction.
+    ast.Mod: _lift(lambda a, b: _floor_mod(a, b)),
+    ast.FloorDiv: _lift(lambda a, b: _efloor((a - _floor_mod(a, b)) / b)),
 }
 
 _CMPOP = {
@@ -513,8 +525,12 @@ def _compile_mask(node: ast.expr):
             from tenzir_ray.iptype import subnet_mask as _snm
 
             def f_subnet(batch, path=path, cidr=rhs.cidr, neg=neg, _snm=_snm):
-                m = _snm(_batch_column(batch, path), cidr)
-                return ~m if neg else m
+                # three-valued logic: null/malformed ips are dropped by
+                # BOTH polarities (valid & ~member under negation), as
+                # the pushdown conjuncts do (ADVICE r3)
+                m, valid = _snm(_batch_column(batch, path), cidr,
+                                with_valid=True)
+                return (valid & ~m) if neg else m
 
             return f_subnet
     expr = _as_pred(node)  # no subnet in this subtree → pads eval

@@ -34,7 +34,11 @@ _V4_PREFIX = b"\x00" * 10 + b"\xff\xff"  # ::ffff:0:0/96, the v4-mapped block
 def _parse_v4_u32(values: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized dotted-quad parse: (uint32 array, valid mask)."""
     s = values.astype("object")
-    valid = s.str.fullmatch(r"\d{1,3}(\.\d{1,3}){3}", na=False)
+    # reject leading-zero octets ("010.1.2.3") so the fast path agrees
+    # with ipaddress / the reference's strict ip type, which treat them
+    # as invalid rather than decimal (ADVICE r3)
+    valid = s.str.fullmatch(
+        r"(0|[1-9]\d{0,2})(\.(0|[1-9]\d{0,2})){3}", na=False)
     u32 = np.zeros(len(s), dtype=np.uint32)
     if valid.any():
         parts = s[valid].str.split(".", expand=True).astype(np.int64)
@@ -147,9 +151,14 @@ def _mask128(plen: int) -> tuple[np.uint64, np.uint64]:
     return np.uint64(0xFFFFFFFFFFFFFFFF), lo
 
 
-def subnet_mask(col: pa.Array | pa.ChunkedArray, cidr: str) -> np.ndarray:
+def subnet_mask(
+    col: pa.Array | pa.ChunkedArray, cidr: str, with_valid: bool = False
+) -> np.ndarray | tuple[np.ndarray, np.ndarray]:
     """Vectorized ``ip in cidr`` over a STRING or fixed_size_binary(16)
-    column → numpy bool mask (malformed/null ips → False)."""
+    column → numpy bool mask (malformed/null ips → False). With
+    ``with_valid=True`` also returns the validity mask so negated
+    membership can exclude null/malformed ips (three-valued logic:
+    ``ip not in net`` must not keep garbage — ADVICE r3)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     base, plen = parse_cidr(cidr)
@@ -169,7 +178,7 @@ def subnet_mask(col: pa.Array | pa.ChunkedArray, cidr: str) -> np.ndarray:
             (words[:, 1] & lo_m) == (np.uint64(b[1]) & lo_m)
         )
         hit[null_mask] = False
-        return hit
+        return (hit, ~null_mask) if with_valid else hit
     # string storage: IPv4 fast path — parse to u32, lift to the
     # v4-mapped 128-bit form (hi=0, lo=0x0000ffff<<32 | u32) and apply
     # the same two-u64 mask-compare (uniform across any prefix length).
@@ -196,11 +205,12 @@ def subnet_mask(col: pa.Array | pa.ChunkedArray, cidr: str) -> np.ndarray:
         valid[i] = True
     hi_m, lo_m = _mask128(plen)
     b = np.frombuffer(base, dtype=">u8").astype(np.uint64)
-    return (
+    hit = (
         valid
         & ((hi & hi_m) == (np.uint64(b[0]) & hi_m))
         & ((lo & lo_m) == (np.uint64(b[1]) & lo_m))
     )
+    return (hit, valid) if with_valid else hit
 
 
 # ---------------------------------------------------------------------------

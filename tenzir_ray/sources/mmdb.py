@@ -241,6 +241,12 @@ def write_mmdb(path: str, entries: list[tuple[str, dict]],
 
     def _insert(val: int, plen: int, data_idx: int):
         node = 0
+        if plen == 0:
+            # /0 catch-all: applies to every path without more-specific
+            # data — fill both root branches (ADVICE r3: a plain loop
+            # over range(0) silently dropped the entry).
+            _fill(0, ("data", data_idx))
+            return
         for i in range(plen):
             bit = (val >> (width - 1 - i)) & 1
             nxt = nodes[node][bit]

@@ -353,18 +353,25 @@ def _compile_string(kind: str, body: str, mods: set) -> re.Pattern:
             g = _XOR_MOD.match(xor_mod).groups()
             lo = int(g[0], 0) if g[0] else 0
             hi = int(g[1], 0) if g[1] else (lo if g[0] else 255)
-            plains = [bytes(b ^ k for b in raw) for k in range(lo, hi + 1)]
+            keys = range(lo, hi + 1)
             fw = "fullword" in mods
+            # libyara XORs the FINAL byte form: the wide (UTF-16-LE)
+            # encoding is widened FIRST, then every byte — including the
+            # interleaved NULs — is XORed, so the gap bytes become the
+            # key itself. Fullword boundaries are checked on the raw
+            # scanned data (plain space), not un-xored, per libyara's
+            # _yr_scan_verify_literal_match.
             if "wide" in mods:
-                for p in plains:
-                    w = re.escape(_widen(p))
+                wraw = _widen(raw)
+                for k in keys:
+                    w = re.escape(bytes(b ^ k for b in wraw))
                     if fw:
                         w = (b"(?<![" + _WORD + b"]\x00)" + w
                              + b"(?![" + _WORD + b"]\x00)")
                     variants.append(w)
             if "ascii" in mods or "wide" not in mods:
-                for p in plains:
-                    a = re.escape(p)
+                for k in keys:
+                    a = re.escape(bytes(b ^ k for b in raw))
                     if fw:
                         a = (b"(?<![" + _WORD + b"])" + a
                              + b"(?![" + _WORD + b"])")

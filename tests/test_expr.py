@@ -36,6 +36,25 @@ def test_arithmetic_precedence(tbl_ds):
     assert out["d"].tolist() == [6.0, 18.0, 32.0, 46.0, 60.0]
 
 
+def test_mod_floordiv_python_floor_semantics(ray_session):
+    """% and // follow Python floor semantics on signed ints — -7 % 3
+    is 2, -7 // 3 is -3 (ADVICE r3: Arrow trunc-division diverged)."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"x": [-7, -6, -1, 0, 1, 7],
+                                 "y": [-7.5, -6.0, -1.0, 0.0, 1.5, 7.5]}))
+    out = T.where(ds, "x % 3 == 2").to_pandas()
+    assert sorted(out["x"]) == [-7, -1]
+    got = T.set_(ds, m="x % 3", d="x // 3", n="x % -3",
+                 fm="y % 2.0").to_pandas().sort_values("x")
+    xs = got["x"].tolist()
+    assert got["m"].tolist() == [x % 3 for x in xs]
+    assert got["d"].tolist() == [x // 3 for x in xs]
+    assert got["n"].tolist() == [x % -3 for x in xs]
+    ys = got["y"].tolist()
+    assert got["fm"].tolist() == [y % 2.0 for y in ys]
+
+
 def test_scalar_on_left(tbl_ds):
     out = T.set_(tbl_ds, e="100 - a").to_pandas().sort_values("a")
     assert out["e"].tolist() == [99, 95, 90, 85, 80]

@@ -39,6 +39,19 @@ def test_mmdb_roundtrip_and_longest_prefix(tmp_path):
     r.close()
 
 
+def test_mmdb_default_route_slash_zero(tmp_path):
+    """A /0 entry is a catch-all; more-specific networks still win
+    regardless of insert order (ADVICE r3: /0 was silently dropped)."""
+    for order in (0, 1):
+        p = str(tmp_path / f"d{order}.mmdb")
+        ents = [("0.0.0.0/0", {"country": {"iso_code": "XX"}}),
+                ("10.0.0.0/8", {"country": {"iso_code": "US"}})]
+        write_mmdb(p, ents if order == 0 else list(reversed(ents)))
+        r = MmdbReader(p)
+        assert r.lookup("8.8.8.8")["country"]["iso_code"] == "XX"
+        assert r.lookup("10.1.2.3")["country"]["iso_code"] == "US"
+
+
 def test_mmdb_insert_order_independent(tmp_path):
     a, b = str(tmp_path / "a.mmdb"), str(tmp_path / "b.mmdb")
     write_mmdb(a, ENTRIES)

@@ -143,6 +143,19 @@ def test_iptype_roundtrip_and_subnet_kernel():
     assert subnet_mask(b16, "2001:db8::/32").tolist() == [False, False, True, False, False]
 
 
+def test_iptype_rejects_leading_zero_octets():
+    """Leading-zero octets are invalid per ipaddress / the reference's
+    strict ip type — the vectorized fast path must agree (ADVICE r3)."""
+    from tenzir_ray.iptype import ip_strings_to_bytes16, subnet_mask
+
+    ips = pa.array(["010.1.2.3", "10.01.2.3", "10.1.2.3", "0.0.0.0"])
+    assert subnet_mask(ips, "10.0.0.0/8").tolist() == [
+        False, False, True, False]
+    b16 = ip_strings_to_bytes16(ips)
+    assert b16.to_pylist()[:2] == [None, None]
+    assert b16.is_valid().to_pylist() == [False, False, True, True]
+
+
 def test_expr_subnet_and_duration_literals(ray_session):
     import ray.data as rd
 
@@ -156,6 +169,16 @@ def test_expr_subnet_and_duration_literals(ray_session):
     assert sorted(out["n"]) == [1, 2]
     out = T.where(rd.from_arrow(t), "src_ip not in 10.0.0.0/8 and n < 4").to_pandas()
     assert sorted(out["n"]) == [3]
+    # null/malformed ips are dropped by BOTH polarities (ADVICE r3:
+    # negation must not keep rows whose ip is not a valid address)
+    t2 = pa.table({
+        "src_ip": pa.array(["10.0.0.1", None, "garbage", "11.1.1.1"]),
+        "n": pa.array([1, 2, 3, 4], pa.int64()),
+    })
+    out = T.where(rd.from_arrow(t2), "src_ip not in 10.0.0.0/8").to_pandas()
+    assert sorted(out["n"]) == [4]
+    out = T.where(rd.from_arrow(t2), "src_ip in 10.0.0.0/8").to_pandas()
+    assert sorted(out["n"]) == [1]
     # bare ip literal == string comparison
     out = T.where(rd.from_arrow(t), "src_ip == 192.168.0.9").to_pandas()
     assert out["n"].tolist() == [4]

@@ -285,6 +285,26 @@ def test_xor_modifier():
         compile_rules('rule z { strings: $a = "q" xor nocase condition: $a }')
 
 
+def test_xor_wide_is_applied_after_widening():
+    """libyara XORs the widened (UTF-16-LE) byte form, so the
+    interleaved gap bytes carry the key — not 0x00 (ADVICE r3)."""
+    src = 'rule xw { strings: $a = "ab" xor(0x01) wide condition: $a }'
+    [r] = compile_rules(src)
+    libyara_form = bytes(b ^ 0x01 for b in "ab".encode("utf-16-le"))
+    assert libyara_form == bytes([0x60, 0x01, 0x63, 0x01])
+    assert r.scan(b"__" + libyara_form + b"__")
+    # the old (wrong) form: xor plaintext then widen — must NOT match
+    wrong = b"".join(bytes([b ^ 0x01, 0x00]) for b in b"ab")
+    assert r.scan(wrong) is None
+
+    # full key range: every key's widened-then-xored form matches
+    src2 = 'rule xw2 { strings: $a = "cmd" xor wide condition: $a }'
+    [r2] = compile_rules(src2)
+    for key in (0x00, 0x2a, 0xFF):
+        blob = bytes(b ^ key for b in "cmd".encode("utf-16-le"))
+        assert r2.scan(b"_" + blob + b"_"), hex(key)
+
+
 def test_base64_modifier():
     """base64: matches the encoding of the string at any of its three
     phase alignments inside a longer base64 stream."""
