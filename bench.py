@@ -152,7 +152,8 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1")
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1",
+                   BENCH_SKIP_SCALING="1")
         # the scaling measurement needs a job large enough to amortize
         # the fixed ~2.5s serial term (pipeline launch, metadata,
         # commit): default to 32M events unless the caller pinned a size
@@ -312,4 +313,29 @@ if __name__ == "__main__":
     elif "--incremental" in sys.argv:
         print(json.dumps(run_incremental()))
     else:
-        print(json.dumps(run_bench()))
+        res = run_bench()
+        print(json.dumps(res), flush=True)
+        # The driver keeps only the TAIL of stdout, so the giant full
+        # record above can get truncated from the front and fail to
+        # parse (BENCH_r03 had parsed=null). Always end with ONE compact
+        # line carrying the headline + scaling efficiency.
+        compact = {
+            k: res[k]
+            for k in ("metric", "value", "unit", "events",
+                      "events_per_sec", "num_cpus", "sf")
+        }
+        compact["queries_sec_total"] = round(
+            sum(res.get("queries", {}).values()), 2)
+        compact["queries_n"] = len(res.get("queries", {}))
+        if os.environ.get("BENCH_SKIP_SCALING") != "1":
+            try:
+                sc = run_scaling()
+                print(json.dumps(sc), flush=True)
+                compact["scaling_efficiency"] = sc["value"]
+                compact["scaling_cpus"] = [sc["cpus_lo"], sc["cpus_hi"]]
+                compact["scaling_eps"] = [sc["events_per_sec_lo"],
+                                          sc["events_per_sec_hi"]]
+                compact["scaling_events"] = sc["events"]
+            except Exception as e:  # never lose the headline record
+                compact["scaling_error"] = f"{type(e).__name__}: {e}"
+        print(json.dumps(compact), flush=True)

@@ -29,3 +29,22 @@ _pp = _os.environ.get("PYTHONPATH", "")
 if _pkg_parent not in _pp.split(_os.pathsep):
     _os.environ["PYTHONPATH"] = _pkg_parent + (_os.pathsep + _pp if _pp else "")
 del _os, _pkg_parent, _pp
+
+# pyarrow Schemas that carry metadata (every parquet read does: pandas
+# metadata) are unhashable in this pyarrow version, so Ray Data's schema
+# dedup fast path logs "Failed to hash the schemas (for deduplication):
+# unhashable type: 'dict'" on EVERY stage over parquet input. The fallback
+# it takes is correct — the message is pure noise (VERDICT r3 cosmetic).
+# Drop exactly that record; everything else from the logger passes through.
+import logging as _logging
+
+
+class _DropSchemaHashNoise(_logging.Filter):
+    def filter(self, record):  # noqa: A003 - logging API
+        return "Failed to hash the schemas" not in record.getMessage()
+
+
+_logging.getLogger(
+    "ray.data._internal.arrow_ops.transform_pyarrow"
+).addFilter(_DropSchemaHashNoise())
+del _logging

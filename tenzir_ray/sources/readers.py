@@ -14,6 +14,21 @@ import os
 from typing import Any
 
 
+def _bare_schema(path: str, columns: list[str] | None):
+    """Footer-only read of a single parquet file's schema, metadata
+    stripped and projected. Blocks produced under an explicit bare
+    schema are hashable (pa.Schema with pandas metadata is not in this
+    pyarrow version), which keeps Ray Data's schema-dedup fast path on
+    and silences its per-task 'Failed to hash the schemas' warning."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sch = pq.read_schema(path).remove_metadata()
+    if columns:
+        sch = pa.schema([sch.field(c) for c in columns])
+    return sch
+
+
 def read_parquet(paths, columns: list[str] | None = None, filter_expr: str | None = None,
                  **kwargs: Any):
     """Parquet read with projection + predicate pushdown.
@@ -30,6 +45,12 @@ def read_parquet(paths, columns: list[str] | None = None, filter_expr: str | Non
         if f.pushdown is not None:
             kwargs["filter"] = f.pushdown
         residual = f.residual
+    if ("schema" not in kwargs and isinstance(paths, str)
+            and os.path.isfile(paths)):
+        try:
+            kwargs["schema"] = _bare_schema(paths, columns)
+        except Exception:
+            pass  # odd layouts keep the default inference path
     ds = ray.data.read_parquet(paths, columns=columns, **kwargs)
     if residual is not None:
         import pyarrow as pa
