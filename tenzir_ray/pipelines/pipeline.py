@@ -79,7 +79,7 @@ def _register_builtins() -> None:
             ds, by=by, **(aggs or {})
         ),
         time_bucket=summarize.time_bucket,
-        summarize_hash=lambda ds, by, buckets=64, aggs=None: summarize.summarize_hash(
+        summarize_hash=lambda ds, by, buckets=None, aggs=None: summarize.summarize_hash(
             ds, by=by, buckets=buckets, **(aggs or {})
         ),
         lang_id=text.lang_id,

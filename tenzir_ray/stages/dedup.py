@@ -28,25 +28,21 @@ from tenzir_ray._ship import ship_by_value
 _MERSENNE = (1 << 61) - 1
 
 
-def _hash_texts(texts: pd.Series) -> np.ndarray:
-    """Stable vectorized 64-bit content hash (pandas siphash, fixed key)."""
-    return pd.util.hash_array(texts.fillna("").to_numpy(dtype=object)).astype(np.uint64)
-
-
 # ---------------------------------------------------------------------------
 # exact dedup
 
 
 def exact_dedup(ds, column: str = "text", keep_order_by: str | None = None,
-                buckets: int = 64):
+                buckets: int | None = None):
     """Drop exact duplicate contents, keeping one row per distinct value
     (deterministic winner = min(keep_order_by), default min of itself).
 
-    The 64-bit content hash is only the SHUFFLE key (bucketed, so one
-    vectorized pandas dedup per bucket — never a Python call per group);
-    equality within a bucket is decided on the text itself, so a hash
-    collision (expected ~3 at 10^10 docs for 64 bits) can never silently
-    merge two distinct contents."""
+    The content hash is only the SHUFFLE key (fine exchange buckets —
+    8x cluster CPUs — with reduce tasks coalesced by measured bytes, so
+    one vectorized pandas dedup per task, never a Python call per
+    group); equality within a bucket is decided on the text itself, so
+    a hash collision (expected ~3 at 10^10 docs for 64 bits) can never
+    silently merge two distinct contents."""
     order = keep_order_by or column
 
     def _pre(df: pd.DataFrame) -> pd.DataFrame:
@@ -55,20 +51,13 @@ def exact_dedup(ds, column: str = "text", keep_order_by: str | None = None,
 
     pre = ds.map_batches(_pre, batch_format="pandas")
 
-    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["_b"] = (_hash_texts(df[column]) % buckets).astype(np.int64)
-        return df
-
     def _first(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop(columns=["_b"]).sort_values(order, kind="mergesort")
+        g = g.sort_values(order, kind="mergesort")
         return g.drop_duplicates(subset=[column], keep="first")
 
-    return (
-        pre.map_batches(_bucket, batch_format="pandas")
-        .groupby("_b")
-        .map_groups(_first, batch_format="pandas")
-    )
+    from tenzir_ray.stages.exchange import grouped_apply
+
+    return grouped_apply(pre, [column], _first, num_buckets=buckets)
 
 
 # ---------------------------------------------------------------------------

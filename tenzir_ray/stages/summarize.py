@@ -633,14 +633,17 @@ _PANDAS_FN = {
 }
 
 
-def summarize_hash(ds, by: str | list[str], buckets: int = 64, **aggs: str):
+def summarize_hash(ds, by: str | list[str], buckets: int | None = None,
+                   **aggs: str):
     """High-cardinality grouped aggregation.
 
     Ray's native ``groupby().aggregate()`` pays per-group Python overhead
     (measured ~4ms/group); with many groups that dominates. This path
-    hash-buckets the keys and runs ONE vectorized pandas groupby per
-    bucket — `buckets` Python calls total, C inside. Bucketing by key
-    hash keeps groups intact, so results are exact.
+    hash-partitions the keys over the packed exchange (fine buckets,
+    8x cluster CPUs; reduce tasks coalesced by measured bytes) and runs
+    ONE vectorized pandas groupby per reduce task — task-count Python
+    calls total, C inside. Partitioning by key hash keeps groups
+    intact, so results are exact.
 
     Supports the C-fast subset: sum/min/max/mean/avg/median/count/
     count(*)/count_distinct/any/all/sample. Use :func:`summarize` for
@@ -665,12 +668,6 @@ def summarize_hash(ds, by: str | list[str], buckets: int = 64, **aggs: str):
                 f"{fn} not supported by summarize_hash; use summarize()"
             )
 
-    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
-        from tenzir_ray.nputil import mix_key_hashes
-
-        df["_b"] = mix_key_hashes(df, keys) % buckets
-        return df
-
     def _agg(g: pd.DataFrame) -> pd.DataFrame:
         gb = g.groupby(keys, as_index=False, sort=False)
         out = gb.agg(**named) if named else gb.size().drop(columns=["size"])
@@ -678,11 +675,9 @@ def summarize_hash(ds, by: str | list[str], buckets: int = 64, **aggs: str):
             out[alias] = gb.size()["size"].to_numpy()
         return out
 
-    return (
-        ds.map_batches(_bucket, batch_format="pandas")
-        .groupby("_b")
-        .map_groups(_agg, batch_format="pandas")
-    )
+    from tenzir_ray.stages.exchange import grouped_apply
+
+    return grouped_apply(ds, keys, _agg, num_buckets=buckets)
 
 
 def time_bucket(ds, column: str, resolution: str, out: str | None = None):

@@ -330,17 +330,16 @@ def test_tail_directory_with_empty_segment(ray_session, tmp_path):
 # exact_dedup collision guard
 
 
-def test_exact_dedup_hash_collision(ray_session, monkeypatch):
+def test_exact_dedup_hash_collision(ray_session):
     from tenzir_ray.stages import dedup as D
 
-    # force every text into ONE hash bucket: distinct texts must survive
-    monkeypatch.setattr(
-        D, "_hash_texts", lambda s: np.zeros(len(s), dtype=np.uint64)
-    )
+    # force every text into ONE bucket (num_buckets=1): distinct texts
+    # sharing a bucket must survive — equality is on the text itself
     tbl = pa.table(
         {"doc_id": [1, 2, 3, 4], "text": ["aaa", "bbb", "aaa", "ccc"]}
     )
-    out = D.exact_dedup(_ds(tbl), "text", keep_order_by="doc_id").to_pandas()
+    out = D.exact_dedup(_ds(tbl), "text", keep_order_by="doc_id",
+                        buckets=1).to_pandas()
     out = out.sort_values("doc_id", ignore_index=True)
     assert out["text"].tolist() == ["aaa", "bbb", "ccc"]
     assert out["doc_id"].tolist() == [1, 2, 4]
