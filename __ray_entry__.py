@@ -525,6 +525,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "| sort l_returnflag"
         )
 
+    def tql_hash_join_revenue(sf):
+        # two-input join from a PURE STRING pipeline: right=( ... ) is a
+        # nested sub-pipeline (VERDICT r3 #5). Twin of
+        # join_revenue_by_priority over exactly-summable quantities.
+        from tenzir_ray.pipelines.tql import run_pipeline
+
+        return run_pipeline(
+            f"read_parquet {sf}/lineitem.parquet "
+            "| select l_orderkey, l_quantity "
+            "| hash_join on=l_orderkey right_on=o_orderkey how=inner "
+            f"right=( read_parquet {sf}/orders.parquet "
+            "| select o_orderkey, o_orderpriority ) "
+            "| summarize qty=sum(l_quantity), n=count(*) by o_orderpriority "
+            "| sort o_orderpriority"
+        )
+
     def slice_stride_orders(sf):
         # reference slice.cpp b:e:stride parity over an explicit order
         return T.slice_(
@@ -1384,6 +1400,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         bands = nation.map_batches(_bands, batch_format="pyarrow")
         return range_join(events, bands, on="value")
 
+    def range_join_partitioned_bands(sf):
+        # the large-large (domain-partitioned) variant of the same join:
+        # single left execution, per-block quantile grid, both sides over
+        # the exchange — must agree with the broadcast oracle exactly
+        from tenzir_ray.stages.join import range_join_partitioned
+
+        events = _read(sf, "events", columns=["event_id", "value"])
+        nation = _read(sf, "nation", columns=["n_nationkey", "n_name"])
+
+        def _bands(t):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            k = t.column("n_nationkey").cast(pa.float64())
+            lo = pc.multiply(k, 18.0)
+            return pa.table({
+                "band_id": t.column("n_nationkey"),
+                "band_name": t.column("n_name"),
+                "lo": lo,
+                "hi": pc.add(lo, 30.0),
+            })
+
+        bands = nation.map_batches(_bands, batch_format="pyarrow")
+        out = range_join_partitioned(events, bands, on="value")
+        return out.select_columns(
+            ["event_id", "value", "band_id", "band_name", "lo", "hi"])
+
     def extractor_filter(sf):
         # reference suffix/type extractor semantics (expressions.md:100):
         # `value` as a SUFFIX extractor binds m.value; `:double > 90`
@@ -1790,6 +1833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ip_typed_roundtrip": ip_typed_roundtrip,
         "asof_status": asof_status,
         "join_revenue_by_priority": join_revenue_by_priority,
+        "tql_hash_join_revenue": tql_hash_join_revenue,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_ivf_persisted": ann_ivf_persisted,
         "dedup_components": dedup_components,
@@ -1883,6 +1927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join_left_outer": hash_join_left_outer,
         "anti_join_orders": anti_join_orders,
         "range_join_value_bands": range_join_value_bands,
+        "range_join_partitioned_bands": range_join_partitioned_bands,
     }
 
 
@@ -2027,6 +2072,11 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts, event_id AS status_id FROM events
                             WHERE event_id % 7 = 0) r
             ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "tql_hash_join_revenue": """
+            SELECT o_orderpriority, sum(l_quantity) AS qty, count(*) AS n
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "join_revenue_by_priority": """
             WITH j AS (
@@ -2565,6 +2615,16 @@ def oracle_sql() -> dict[str, str]:
                                 AND c.c_custkey < 100)
         """,
         "range_join_value_bands": """
+            SELECT e.event_id, e.value,
+                   r.band_id, r.band_name, r.lo, r.hi
+            FROM events e JOIN (
+                SELECT n_nationkey AS band_id, n_name AS band_name,
+                       n_nationkey * 18.0 AS lo,
+                       n_nationkey * 18.0 + 30.0 AS hi
+                FROM nation) r
+            ON e.value >= r.lo AND e.value < r.hi
+        """,
+        "range_join_partitioned_bands": """
             SELECT e.event_id, e.value,
                    r.band_id, r.band_name, r.lo, r.hi
             FROM events e JOIN (

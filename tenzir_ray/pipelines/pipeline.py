@@ -117,6 +117,10 @@ def _register_builtins() -> None:
         decompress=transforms.decompress,
         shell=transforms.shell_,
         chart=transforms.chart,
+        set_attributes=lambda ds, attrs=None, **kw: transforms.set_attributes(
+            ds, **{**(attrs or {}), **kw}
+        ),
+        get_attributes=transforms.get_attributes,
         print_ndjson=transforms.print_ndjson,
 
         streaming_deduplicate=streaming.streaming_deduplicate,

@@ -113,6 +113,27 @@ def _csv(text: str) -> list[str]:
 _AGG_RE = re.compile(r"^(\w+)\s*=\s*(.+)$", re.S)
 
 
+def _matching_paren(text: str, open_idx: int) -> int:
+    """Index of the ``)`` matching ``text[open_idx] == '('``
+    (quote-aware)."""
+    depth = 0
+    quote: str | None = None
+    for i in range(open_idx, len(text)):
+        ch = text[i]
+        if quote:
+            if ch == quote and text[i - 1] != "\\":
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise ValueError("unbalanced parentheses in sub-pipeline")
+
+
 def parse_segment(seg: str) -> dict:
     seg = seg.strip()
     name, _, rest = seg.partition(" ")
@@ -178,6 +199,31 @@ def parse_segment(seg: str) -> dict:
     if name == "apply":
         # named user-defined pipeline (apply.cpp:106)
         return {"op": "apply", "name": rest.strip()}
+    if name in ("hash_join", "asof_join", "range_join",
+                "range_join_partitioned"):
+        # two-input operators: `right=( read_* ... | where ... )` is a
+        # nested sub-pipeline (the textual analog of the dict form's
+        # right: [steps]; reference pipelines compose the same way,
+        # exec_pipeline.cpp:186). Everything else is key=value.
+        step = {"op": name}
+        m = re.search(r"\bright\s*=\s*\(", rest)
+        if m is None:
+            raise ValueError(
+                f"{name}: needs `right=( <sub-pipeline> )` for the "
+                "second input"
+            )
+        close = _matching_paren(rest, m.end() - 1)
+        inner = rest[m.end():close]
+        step["right"] = [parse_segment(s) for s in split_segments(inner)]
+        remainder = (rest[: m.start()] + " " + rest[close + 1:]).strip()
+        for tok in split_segments(remainder, " "):
+            if not tok:
+                continue
+            if "=" not in tok:
+                raise ValueError(f"{name}: want key=value, got {tok!r}")
+            k, _, v = tok.partition("=")
+            step[k] = _literal(v)
+        return step
     if name == "slice":
         # slice b:e[:stride] [key=value ...] (reference slice.cpp syntax)
         toks = rest.split()

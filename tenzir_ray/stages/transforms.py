@@ -1129,6 +1129,41 @@ def chart(ds, kind: str, x: str, y: str | list[str], title: str = ""):
     return ds.map_batches(_attach, batch_format="pyarrow")
 
 
+def set_attributes(ds, **attrs):
+    """Attach key→value attributes to the schema (reference
+    builtins/operators/set_attributes.cpp enriches the slice schema with
+    attribute views; here they ride every batch's Arrow schema
+    metadata, same mechanism as :func:`chart`)."""
+    meta = {k.encode(): str(v).encode() for k, v in attrs.items()}
+
+    def _attach(batch: pa.Table) -> pa.Table:
+        return batch.replace_schema_metadata(
+            {**(batch.schema.metadata or {}), **meta}
+        )
+
+    return ds.map_batches(_attach, batch_format="pyarrow")
+
+
+def get_attributes(ds):
+    """Emit the schema attributes as events (reference
+    builtins/operators/get_attributes.cpp yields one record per slice).
+    Distributed reshape: one ``(name, value)`` row per attribute per
+    batch-schema — stable output schema even when attribute keys differ
+    across batches — de-duplicated globally."""
+
+    def _get(batch: pa.Table) -> pa.Table:
+        md = batch.schema.metadata or {}
+        return pa.table({
+            "name": pa.array([k.decode("utf-8", "replace") for k in md],
+                             pa.string()),
+            "value": pa.array([v.decode("utf-8", "replace")
+                               for v in md.values()], pa.string()),
+        })
+
+    return unique(ds.map_batches(_get, batch_format="pyarrow"),
+                  by=["name", "value"])
+
+
 def print_ndjson(ds, out: str = "text", keep: bool = False):
     """Format each event as one JSON line in a string column (the
     reference json.cpp PRINTER as a transform — the inverse of

@@ -120,6 +120,130 @@ def test_enumerate_global_unbiased_string_edges(ray_session):
     assert sorted(out["rn"]) == list(range(40_000))
 
 
+def test_range_join_partitioned_single_left_execution(ray_session, tmp_path):
+    """The left pipeline must execute exactly once (VERDICT r3 #4): a
+    marker-dropping map stage upstream of the join writes one file per
+    invocation — two files would mean the old grid+exchange double
+    execution."""
+    import ray.data
+
+    from tenzir_ray.stages.join import range_join_partitioned
+
+    marks = tmp_path / "marks"
+    marks.mkdir()
+
+    def _mark(b: pa.Table) -> pa.Table:
+        import os
+        import uuid
+
+        open(os.path.join(str(marks), uuid.uuid4().hex), "w").close()
+        return b
+
+    left = ray.data.from_arrow(pa.table({
+        "v": np.arange(100, dtype=np.float64),
+        "lid": np.arange(100, dtype=np.int64),
+    })).repartition(1).map_batches(_mark, batch_format="pyarrow",
+                                   batch_size=None)
+    right = ray.data.from_arrow(pa.table({
+        "lo": [0.0, 50.0], "hi": [10.0, 60.0], "tag": ["a", "b"],
+    }))
+    out = range_join_partitioned(left, right, on="v").to_pandas()
+    # correctness: v in [0,10) -> a (10 rows), v in [50,60) -> b (10)
+    assert sorted(out["tag"].value_counts().to_dict().items()) == [
+        ("a", 10), ("b", 10)]
+    n_invocations = len(list(marks.iterdir()))
+    assert n_invocations == 1, n_invocations
+
+
+def test_tql_two_input_joins(ray_session, tmp_path):
+    """`right=( ... )` sub-pipeline syntax for hash/asof/range joins
+    (VERDICT r3 #5) — pure string pipelines end to end."""
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.pipelines.tql import parse_pipeline, run_pipeline
+
+    lpath = str(tmp_path / "l.parquet")
+    rpath = str(tmp_path / "r.parquet")
+    pq.write_table(pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "v": pa.array([10.0, 20.0, 30.0, 40.0]),
+    }), lpath)
+    pq.write_table(pa.table({
+        "k": pa.array([1, 3], pa.int64()),
+        "tag": ["a", "c"],
+    }), rpath)
+
+    out = run_pipeline(
+        f"read_parquet {lpath} "
+        f"| hash_join on=k how=inner right=( read_parquet {rpath} "
+        "| where tag != 'zzz' ) "
+        "| sort k"
+    ).to_pandas()
+    assert out["k"].tolist() == [1, 3]
+    assert out["tag"].tolist() == ["a", "c"]
+
+    # nested pipes inside right=() must not split the outer segment
+    steps = parse_pipeline(
+        f"hash_join on=k right=( read_parquet {rpath} | where tag == 'a' "
+        "| select k, tag ) how=left"
+    ).steps
+    assert steps[0]["op"] == "hash_join"
+    assert steps[0]["how"] == "left"
+    assert [s["op"] for s in steps[0]["right"]] == [
+        "read_parquet", "where", "select"]
+
+    # range join through the string front-end
+    bpath = str(tmp_path / "bands.parquet")
+    pq.write_table(pa.table({
+        "lo": [0.0, 25.0], "hi": [15.0, 45.0], "band": ["low", "high"],
+    }), bpath)
+    out = run_pipeline(
+        f"read_parquet {lpath} "
+        f"| range_join on=v right=( read_parquet {bpath} ) "
+        "| sort v"
+    ).to_pandas()
+    assert out["band"].tolist() == ["low", "high", "high"]
+
+    with pytest.raises(ValueError, match="right"):
+        parse_pipeline("hash_join on=k how=inner")
+
+
+def test_set_get_attributes_roundtrip(ray_session, tmp_path):
+    """set_attributes/get_attributes parity ops (reference
+    builtins/operators/{set,get}_attributes.cpp) through registry + TQL."""
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.pipelines.pipeline import Pipeline
+    from tenzir_ray.pipelines.tql import run_pipeline
+    from tenzir_ray.stages import transforms as T
+
+    p = str(tmp_path / "d.parquet")
+    pq.write_table(pa.table({"x": [1, 2, 3]}), p)
+
+    # library surface: metadata rides the batch schema
+    import ray.data
+
+    ds = T.set_attributes(ray.data.from_arrow(pa.table({"x": [1]})),
+                          owner="sec-team", ttl="30d")
+    b = ds.take_batch(1, batch_format="pyarrow")
+    assert b.schema.metadata[b"owner"] == b"sec-team"
+
+    # registry (dict pipeline) + TQL roundtrip
+    out = Pipeline([
+        {"op": "read_parquet", "paths": p},
+        {"op": "set_attributes", "attrs": {"owner": "sec-team"}},
+        {"op": "get_attributes"},
+    ]).run().to_pandas()
+    assert dict(zip(out["name"], out["value"]))["owner"] == "sec-team"
+
+    out = run_pipeline(
+        f"read_parquet {p} | set_attributes owner=sec ttl=30d "
+        "| get_attributes | sort name"
+    ).to_pandas()
+    assert out["name"].tolist() == ["owner", "ttl"]
+    assert out["value"].tolist() == ["sec", "30d"]
+
+
 def test_taste_and_unique_over_exchange_high_card(ray_session):
     """taste/unique route over the exchange now; exactness on a key space
     larger than any fixed bucket count."""
