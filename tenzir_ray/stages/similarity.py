@@ -529,6 +529,126 @@ class IvfIndex:
         return {"rebalanced": True, "skew_before": round(sk, 3),
                 "skew_after": round(self._skew_of(new_layout), 3)}
 
+    def split_hot_lists(self, hot_factor: float = 4.0,
+                        train_sample: int = 2048, seed: int = 11,
+                        concurrency=(1, 4)) -> dict:
+        """Bounded-cost alternative to :meth:`rebalance` (VERDICT r3 #9):
+        split ONLY the lists whose row count exceeds ``hot_factor`` ×
+        mean into sub-lists, leaving cold lists untouched.
+
+        Cost is proportional to the HOT lists' bytes: the new versioned
+        lists dir HARDLINKS every cold list's files (O(#files) metadata
+        ops, zero data copied, cold file inodes — and mtimes — never
+        touched); only hot rows are re-read, sub-clustered (local
+        k-means), and rewritten. Each hot centroid j is replaced by its
+        first sub-centroid, the rest append (nlist grows), so every
+        row's list centroid remains its placement-time nearest and
+        probes stay probe-proportional. Same swap discipline as
+        rebalance: new lists dir + new centroids file first, then ONE
+        atomic meta.json replace; a crash leaves the old index readable.
+
+        Note the split is LOCAL (hot rows re-assign among the new
+        sub-centroids only; cold rows keep their lists) — standard IVF
+        maintenance semantics, placement is append-history dependent."""
+        import json
+        import math
+        import os
+        import shutil
+        import uuid
+
+        import ray
+
+        cur_lists = self.meta.get("lists_dir", "lists")
+        cur_cent = self.meta.get("centroids_file", "centroids.json")
+        layout = self._scan_lists(self.root, cur_lists)
+        rows = {j: i["rows"] for j, i in layout.items() if i["rows"]}
+        if not rows:
+            return {"split": False, "hot_lists": []}
+        mean = sum(rows.values()) / len(rows)
+        hot = sorted(j for j, r in rows.items() if r > hot_factor * mean)
+        if not hot:
+            return {"split": False, "hot_lists": [],
+                    "skew": round(self._skew_of(layout), 3)}
+
+        ver = uuid.uuid4().hex[:8]
+        new_lists = f"lists-{ver}"
+        new_root = os.path.join(self.root, new_lists)
+        # 1. hardlink cold lists into the new version — data untouched
+        for j, info in layout.items():
+            if j in hot:
+                continue
+            d = os.path.join(new_root, f"ivf_list={j}")
+            os.makedirs(d, exist_ok=True)
+            for f in info["files"]:
+                os.link(f, os.path.join(d, os.path.basename(f)))
+
+        # 2. split each hot list locally
+        centroids = [c for c in self.centroids]
+        next_id = len(centroids)
+        col = self.meta["column"]
+        for j in hot:
+            part = ray.data.read_parquet(layout[j]["files"])
+            m = max(2, math.ceil(rows[j] / mean))
+            take_n = min(train_sample, rows[j])
+            sample_rows = part.random_sample(
+                min(1.0, (take_n * 2) / rows[j]), seed=seed).take(take_n)
+            sample = np.stack(
+                [np.asarray(r[col]) for r in sample_rows]).astype(np.float32)
+            sub = _kmeans(_normalize(sample), m, seed=seed)
+            ids = np.asarray([j] + list(range(next_id,
+                                              next_id + len(sub) - 1)),
+                             dtype=np.int32)
+            next_id += len(sub) - 1
+            centroids[j] = sub[0]
+            centroids.extend(sub[1:])
+            sub_ref = ray.put(sub)
+            ids_ref = ray.put(ids)
+
+            class _SubAssign:
+                def __init__(self, sub_ref, ids_ref, column):
+                    self.sub = _normalize(ray.get(sub_ref))
+                    self.ids = ray.get(ids_ref)
+                    self.column = column
+
+                __name__ = "_SubAssign"
+
+                def __call__(self, batch: pa.Table) -> pa.Table:
+                    mtx = _normalize(_to_matrix(batch.column(self.column)))
+                    loc = (mtx @ self.sub.T).argmax(axis=1)
+                    if "ivf_list" in batch.column_names:
+                        batch = batch.drop_columns(["ivf_list"])
+                    return batch.append_column(
+                        "ivf_list", pa.array(self.ids[loc], pa.int32()))
+
+            part.map_batches(
+                _SubAssign, fn_constructor_args=(sub_ref, ids_ref, col),
+                batch_format="pyarrow", concurrency=concurrency,
+            ).write_parquet(new_root, partition_cols=["ivf_list"])
+
+        # 3. one atomic swap: centroids file then meta names both
+        new_cent = f"centroids-{ver}.json"
+        cent_arr = np.stack(centroids).astype(np.float32)
+        with open(os.path.join(self.root, new_cent), "w") as f:
+            json.dump(cent_arr.tolist(), f)
+        new_layout = self._scan_lists(self.root, new_lists)
+        self.meta["lists_dir"] = new_lists
+        self.meta["centroids_file"] = new_cent
+        self.meta["nlist"] = int(len(cent_arr))
+        self.meta["num_rows"] = sum(i["rows"] for i in new_layout.values())
+        self._write_meta()
+        self.centroids = cent_arr
+        self._layout = new_layout
+        shutil.rmtree(os.path.join(self.root, cur_lists), ignore_errors=True)
+        if cur_cent != new_cent:
+            try:
+                os.unlink(os.path.join(self.root, cur_cent))
+            except FileNotFoundError:
+                pass
+        return {"split": True, "hot_lists": hot,
+                "nlist": int(len(cent_arr)),
+                "skew_before": round(self._skew_of(layout), 3),
+                "skew_after": round(self._skew_of(new_layout), 3)}
+
 
 def ann_index_build(ds, root: str, **kwargs) -> IvfIndex:
     """Build (or open, if already built at ``root``) a persistent IVF

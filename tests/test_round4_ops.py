@@ -244,6 +244,185 @@ def test_set_get_attributes_roundtrip(ray_session, tmp_path):
     assert out["value"].tolist() == ["sec", "30d"]
 
 
+# ---------------------------------------------------------------------------
+# wire-protocol broker adapters (typed, conformance-checked vs FileBroker)
+
+
+def test_wire_adapters_conform_to_filebroker_interface():
+    import inspect
+
+    from tenzir_ray.cdc.broker import FileBroker
+    from tenzir_ray.cdc.wire import BrokerProtocol, KafkaBroker, SqsBroker
+
+    methods = ("create_topic", "partitions", "end_offsets",
+               "produce_many", "produce", "read")
+    ref = {m: [p for p in inspect.signature(
+        getattr(FileBroker, m)).parameters if p != "self"]
+        for m in methods}
+    for cls in (KafkaBroker, SqsBroker):
+        for m in methods:
+            got = [p for p in inspect.signature(
+                getattr(cls, m)).parameters if p != "self"]
+            assert got == ref[m], (cls.__name__, m, got, ref[m])
+    # FileBroker itself satisfies the protocol structurally
+    assert isinstance(FileBroker("/tmp/_proto_probe"), BrokerProtocol)
+
+
+def test_kafka_broker_fails_fast_without_client_lib():
+    from tenzir_ray.cdc.wire import KafkaBroker
+
+    try:
+        import confluent_kafka  # noqa: F401
+
+        pytest.skip("confluent_kafka present")
+    except ImportError:
+        pass
+    with pytest.raises(RuntimeError, match="confluent_kafka"):
+        KafkaBroker("localhost:9092")
+
+
+class _FakeSqsClient:
+    """Dict-backed double of the boto3 SQS client surface the adapter
+    uses — validates the adapter's call shapes without a network."""
+
+    def __init__(self):
+        self.queues: dict[str, list[str]] = {}
+
+    def create_queue(self, QueueName):
+        self.queues.setdefault(QueueName, [])
+        return {"QueueUrl": f"https://sqs.fake/{QueueName}"}
+
+    def get_queue_url(self, QueueName):
+        assert QueueName in self.queues, QueueName
+        return {"QueueUrl": f"https://sqs.fake/{QueueName}"}
+
+    def list_queues(self, QueueNamePrefix):
+        return {"QueueUrls": [f"https://sqs.fake/{n}"
+                              for n in sorted(self.queues)
+                              if n.startswith(QueueNamePrefix)]}
+
+    def _name(self, url):
+        return url.rsplit("/", 1)[-1]
+
+    def get_queue_attributes(self, QueueUrl, AttributeNames):
+        n = len(self.queues[self._name(QueueUrl)])
+        return {"Attributes": {"ApproximateNumberOfMessages": str(n)}}
+
+    def send_message_batch(self, QueueUrl, Entries):
+        assert len(Entries) <= 10  # the real API cap
+        q = self.queues[self._name(QueueUrl)]
+        q.extend(e["MessageBody"] for e in Entries)
+        return {"Successful": [{"Id": e["Id"]} for e in Entries]}
+
+    def receive_message(self, QueueUrl, MaxNumberOfMessages, WaitTimeSeconds):
+        q = self.queues[self._name(QueueUrl)]
+        take = q[:MaxNumberOfMessages]
+        return {"Messages": [
+            {"Body": b, "ReceiptHandle": f"{self._name(QueueUrl)}::{i}"}
+            for i, b in enumerate(take)]}
+
+    def delete_message(self, QueueUrl, ReceiptHandle):
+        self.queues[self._name(QueueUrl)].pop(0)
+
+
+def test_sqs_broker_against_fake_client():
+    from tenzir_ray.cdc.wire import SqsBroker
+
+    b = SqsBroker(client=_FakeSqsClient())
+    b.create_topic("chat", partitions=2)
+    assert b.partitions("chat") == [0, 1]
+    ends = b.produce_many("chat", [b"m0", b"m1", b"m2", b"m3"],
+                          keys=[b"k0", b"k0", b"k1", b"k1"])
+    assert sum(b.end_offsets("chat").values()) == 4
+    assert set(ends) <= {0, 1}
+    # keyed messages co-partition
+    got = []
+    for p in (0, 1):
+        recs = b.read("chat", p, 0)
+        vals = [v for (_o, _k, v) in recs]
+        got.extend(vals)
+        # offsets are monotone synthetic counters
+        assert [o for (o, _k, _v) in recs] == list(range(len(recs)))
+    assert sorted(got) == [b"m0", b"m1", b"m2", b"m3"]
+    # destructive consume: queues drained, end offsets stay (counters)
+    assert all(len(b.read("chat", p, 0)) == 0 for p in (0, 1))
+    assert sum(b.end_offsets("chat").values()) == 4
+
+
+def test_ivf_split_hot_lists_bounded_maintenance(ray_session, tmp_path):
+    """split_hot_lists (VERDICT r3 #9): only hot lists are rewritten —
+    cold list files keep their inodes (hardlinked, same stat signature),
+    nlist grows, the index stays fully searchable."""
+    import os
+
+    import ray.data
+
+    from tenzir_ray.stages.similarity import IvfIndex
+
+    rng = np.random.default_rng(5)
+    dim = 16
+    # 4 well-separated clusters -> 4 lists; then a skewed append floods
+    # ONE cluster so its list becomes hot
+    centers = rng.normal(size=(4, dim)) * 10
+    base = np.concatenate(
+        [centers[i] + rng.normal(scale=0.1, size=(50, dim))
+         for i in range(4)])
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(len(base)), pa.int64()),
+        "embedding": pa.array(list(base.astype(np.float32))),
+    })
+    root = str(tmp_path / "ivf")
+    idx = IvfIndex.build(ray.data.from_arrow(tbl), root, nlist=4,
+                         train_sample=200, seed=3)
+
+    hot = centers[0] + rng.normal(scale=0.3, size=(1200, dim))
+    idx.append(ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(1000, 1000 + len(hot)), pa.int64()),
+        "embedding": pa.array(list(hot.astype(np.float32))),
+    })))
+    assert idx.skew() > 2.0
+
+    layout_before = idx._scan_lists(root, idx.meta["lists_dir"])
+    hot_rows = {j: i["rows"] for j, i in layout_before.items()}
+    hot_id = max(hot_rows, key=hot_rows.get)
+    cold_stats = {
+        (j, os.path.basename(f)):
+            (os.stat(f).st_ino, os.stat(f).st_mtime_ns, os.stat(f).st_size)
+        for j, info in layout_before.items() if j != hot_id
+        for f in info["files"]
+    }
+
+    out = idx.split_hot_lists(hot_factor=2.0, train_sample=400, seed=3)
+    assert out["split"] is True and hot_id in out["hot_lists"]
+    assert out["nlist"] > 4
+    assert out["skew_after"] < out["skew_before"]
+
+    # cold files: same inode/mtime/size under the new lists dir
+    layout_after = idx._scan_lists(root, idx.meta["lists_dir"])
+    after_by_name = {(j, os.path.basename(f)): f
+                     for j, info in layout_after.items()
+                     for f in info["files"]}
+    for key, sig in cold_stats.items():
+        nf = after_by_name[key]
+        st = os.stat(nf)
+        assert (st.st_ino, st.st_mtime_ns, st.st_size) == sig, nf
+
+    # still searchable, exact top-1 on an easy probe, row count kept
+    assert idx.meta["num_rows"] == sum(
+        i["rows"] for i in layout_after.values()) == len(base) + len(hot)
+    q = centers[1:2].astype(np.float32)
+    res = idx.search(q, k=1, nprobe=idx.meta["nlist"]).to_pandas()
+    true_id = int(np.argmax(
+        (q / np.linalg.norm(q)) @ (base / np.linalg.norm(
+            base, axis=1, keepdims=True)).T))
+    assert int(res["vec_id"].iloc[0]) == true_id
+
+    # a fresh reader sees the swapped version
+    idx2 = IvfIndex(root)
+    assert idx2.meta["nlist"] == out["nlist"]
+    assert len(idx2.centroids) == out["nlist"]
+
+
 def test_taste_and_unique_over_exchange_high_card(ray_session):
     """taste/unique route over the exchange now; exactness on a key space
     larger than any fixed bucket count."""
