@@ -541,6 +541,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "| sort o_orderpriority"
         )
 
+    def tql2_revenue(sf):
+        # TQL2-flavored front-end (tql2/parser.cpp subset): newline
+        # statements, assignment sugar, from-with-loader-inference,
+        # count() sugar — same registry underneath as tql_revenue
+        from tenzir_ray.pipelines.tql2 import run_pipeline2
+
+        return run_pipeline2(f"""
+            from "{sf}/lineitem.parquet"
+            where l_quantity > 45
+            select l_returnflag, l_quantity
+            summarize total_qty=sum(l_quantity), n=count() by l_returnflag
+            sort l_returnflag
+        """)
+
     def slice_stride_orders(sf):
         # reference slice.cpp b:e:stride parity over an explicit order
         return T.slice_(
@@ -1850,6 +1864,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sigma_match": sigma_match,
         "pipeline_revenue": pipeline_revenue,
         "tql_revenue": tql_revenue,
+        "tql2_revenue": tql2_revenue,
         "slice_stride_orders": slice_stride_orders,
         "syslog_parse": syslog_parse,
         "streaming_dedup_types": streaming_dedup_types,
@@ -2142,6 +2157,11 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_revenue": """
             SELECT l_returnflag, sum(l_quantity) AS total_qty, count(*) AS n
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "tql2_revenue": """
+            SELECT l_returnflag, sum(l_quantity) AS total_qty, count(*) AS n
+            FROM lineitem WHERE l_quantity > 45
+            GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "tql_revenue": """
             SELECT l_returnflag, sum(l_quantity) AS total_qty, count(*) AS n

@@ -1,0 +1,230 @@
+"""TQL2-flavored textual front-end (scoped subset).
+
+The reference ships a second pipeline language behind a flag
+(``libtenzir/src/tql2/parser.cpp``; ``exec_pipeline.cpp:190`` routes to
+``tql2::exec`` when ``cfg.tql2`` is set). Its visible differences from
+TQL1 at this snapshot (parser.cpp:83-230):
+
+- statements separate on NEWLINES as well as ``|``;
+- ``//`` line comments and ``/* */`` block comments (tokens.cpp:40-44);
+- bare ASSIGNMENT statements: ``rev = price * (1 - discount)`` instead
+  of ``set rev=...`` (parse_invocation_or_assignment);
+- ``let $name = <expr>`` bindings, substituted into later statements
+  (parse_let_stmt — ``$``-prefixed, constant);
+- invocations take COMMA-separated arguments: ``select a, b``,
+  ``from "file.parquet"``;
+- ``from <string>`` infers the loader from the path/extension.
+
+This module implements exactly that statement layer on top of the same
+operator registry the TQL1 front-end drives; expressions inside
+statements reuse the engine expression language (expr.py). NOT
+implemented from TQL2 (parser.cpp): ``if``/``match`` statement blocks
+and record/lambda literals — those raise with a pointer to this
+docstring. That keeps the subset honest: everything accepted executes
+with reference-shaped semantics; nothing parses to a silent guess.
+"""
+
+from __future__ import annotations
+
+import re
+
+from tenzir_ray.pipelines.pipeline import Pipeline
+from tenzir_ray.pipelines.tql import (
+    _literal,
+    parse_segment,
+    split_segments,
+)
+
+_LET_RE = re.compile(r"^let\s+\$(\w+)\s*=\s*(.+)$", re.S)
+_ASSIGN_RE = re.compile(r"^([A-Za-z_][\w.]*)\s*=\s*(.+)$", re.S)
+_IDENT_RE = re.compile(r"^[A-Za-z_]\w*$")
+
+#: invocation verbs whose single argument is ONE raw expression
+_EXPR_VERBS = {"where"}
+
+
+def strip_comments(text: str) -> str:
+    """Remove ``//`` line and ``/* */`` block comments, quote-aware
+    (tokens.cpp:40-44)."""
+    out: list[str] = []
+    i = 0
+    quote: str | None = None
+    n = len(text)
+    while i < n:
+        ch = text[i]
+        if quote:
+            out.append(ch)
+            if ch == quote and text[i - 1] != "\\":
+                quote = None
+            i += 1
+        elif ch in ("'", '"'):
+            quote = ch
+            out.append(ch)
+            i += 1
+        elif text.startswith("//", i):
+            j = text.find("\n", i)
+            i = n if j < 0 else j  # keep the newline (it separates)
+        elif text.startswith("/*", i):
+            j = text.find("*/", i + 2)
+            if j < 0:
+                raise ValueError("non-terminated /* comment")
+            i = j + 2
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def split_statements(text: str) -> list[str]:
+    """Statements separate on top-level newlines AND ``|``
+    (parser.cpp:87 accepts either token between statements)."""
+    stmts: list[str] = []
+    for line in split_segments(text, "\n"):
+        stmts.extend(split_segments(line, "|"))
+    return [s for s in (x.strip() for x in stmts) if s]
+
+
+def _subst_lets(stmt: str, env: dict[str, str]) -> str:
+    """Replace ``$name`` occurrences (outside quotes) with the bound
+    literal text."""
+
+    def _repl(m: re.Match) -> str:
+        name = m.group(1)
+        if name not in env:
+            raise ValueError(f"unbound let binding ${name}")
+        return env[name]
+
+    out: list[str] = []
+    quote: str | None = None
+    i = 0
+    while i < len(stmt):
+        ch = stmt[i]
+        if quote:
+            out.append(ch)
+            if ch == quote and stmt[i - 1] != "\\":
+                quote = None
+            i += 1
+        elif ch in ("'", '"'):
+            quote = ch
+            out.append(ch)
+            i += 1
+        elif ch == "$":
+            m = re.match(r"\$(\w+)", stmt[i:])
+            if not m:
+                raise ValueError("lone `$` — let bindings are `$name`")
+            out.append(_repl(m))
+            i += m.end()
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def _from_step(arg: str) -> dict:
+    """``from "<path>"`` — loader inferred from the extension
+    (TQL2's from/load entity; csv/json/ndjson/lines/feather/parquet)."""
+    path = str(_literal(arg.strip()))
+    ext = path.rsplit(".", 1)[-1].lower() if "." in path else ""
+    op = {
+        "parquet": "read_parquet", "csv": "read_csv", "tsv": "read_csv",
+        "json": "read_json", "ndjson": "read_json", "jsonl": "read_json",
+        "feather": "read_feather", "arrow": "read_feather",
+        "txt": "read_lines", "log": "read_lines",
+    }.get(ext)
+    if op is None:
+        raise ValueError(
+            f"from: cannot infer a loader from {path!r} — use an explicit "
+            "read_* operator"
+        )
+    step: dict = {"op": op, "paths": path}
+    if ext == "tsv":
+        step["delimiter"] = "\t"
+    return step
+
+
+def parse_statement(stmt: str) -> dict:
+    stmt = stmt.strip()
+    head = stmt.split(None, 1)[0] if stmt else ""
+    if head in ("if", "match"):
+        raise NotImplementedError(
+            f"TQL2 `{head}` statement blocks are not in this subset "
+            "(see tenzir_ray/pipelines/tql2.py docstring)"
+        )
+    # assignment statement: `path = expr` (but `==` is a comparison and
+    # verbs like `where x = 1` never reach here — verbs are idents
+    # followed by args, assignments start with the TARGET)
+    m = _ASSIGN_RE.match(stmt)
+    if m and not stmt.startswith("let ") and "==" not in stmt.split("=", 1)[0]:
+        target, expr = m.group(1), m.group(2).strip()
+        first = stmt.split("=", 1)[0].strip()
+        if _IDENT_RE.match(first.split(".")[0]) and " " not in first:
+            return {"op": "set", target: expr}
+    name, _, rest = stmt.partition(" ")
+    rest = rest.strip()
+    if name == "from":
+        return _from_step(rest)
+    if name in _EXPR_VERBS:
+        return {"op": name, "expr": rest}
+    if name in ("select", "drop"):
+        return {"op": name, "columns": [c.strip()
+                                        for c in split_segments(rest, ",")]}
+    if name == "sort":
+        # TQL2 descending = `-field`
+        keys, desc = [], []
+        for tok in split_segments(rest, ","):
+            tok = tok.strip()
+            if tok.startswith("-"):
+                keys.append(tok[1:].strip())
+                desc.append(True)
+            else:
+                keys.append(tok)
+                desc.append(False)
+        step: dict = {"op": "sort", "keys": keys if len(keys) > 1 else keys[0]}
+        if any(desc):
+            step["descending"] = desc if len(desc) > 1 else desc[0]
+        return step
+    if name in ("summarize", "summarize_hash"):
+        # `summarize qty=sum(x), n=count() by k1, k2`
+        m2 = re.search(r"\bby\b(?![^(]*\))", rest)
+        by = None
+        if m2:
+            by = [c.strip() for c in split_segments(rest[m2.end():], ",")]
+            by = by[0] if len(by) == 1 else by
+            rest = rest[: m2.start()].strip().rstrip(",")
+        aggs = {}
+        for part in split_segments(rest, ","):
+            am = re.match(r"^(\w+)\s*=\s*(.+)$", part.strip(), re.S)
+            if not am:
+                raise ValueError(f"{name}: want `alias=fn(col)`, "
+                                 f"got {part.strip()!r}")
+            spec = am.group(2).strip()
+            # TQL2 `count()` == TQL1 `count(*)`
+            spec = re.sub(r"^count\(\s*\)$", "count(*)", spec)
+            aggs[am.group(1)] = spec
+        step = {"op": name, "aggs": aggs}
+        if by is not None:
+            step["by"] = by
+        return step
+    # everything else: comma-separated positional/kv args mapped through
+    # the SAME grammar TQL1 uses for that verb (single source of truth)
+    args = [a.strip() for a in split_segments(rest, ",") if a.strip()]
+    return parse_segment(f"{name} {' '.join(args)}" if args else name)
+
+
+def parse_pipeline2(text: str) -> Pipeline:
+    """Parse a TQL2-flavored program into a :class:`Pipeline`."""
+    env: dict[str, str] = {}
+    steps: list[dict] = []
+    for stmt in split_statements(strip_comments(text)):
+        m = _LET_RE.match(stmt)
+        if m:
+            # bindings may reference earlier bindings in their RHS
+            env[m.group(1)] = _subst_lets(m.group(2).strip(), env)
+            continue
+        steps.append(parse_statement(_subst_lets(stmt, env)))
+    return Pipeline(steps)
+
+
+def run_pipeline2(text: str, ds=None, optimize: bool = True):
+    """Parse and execute a TQL2-flavored program."""
+    return parse_pipeline2(text).run(ds, optimize=optimize)

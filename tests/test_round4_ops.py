@@ -244,6 +244,50 @@ def test_set_get_attributes_roundtrip(ray_session, tmp_path):
     assert out["value"].tolist() == ["sec", "30d"]
 
 
+def test_tql2_front_end_subset(ray_session, tmp_path):
+    """TQL2-flavored statements (reference tql2/parser.cpp subset):
+    newline separators, // comments, bare assignments, let bindings,
+    from-with-loader-inference, comma-arg invocations, -field sort."""
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.pipelines.tql2 import parse_pipeline2, run_pipeline2
+
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "price": pa.array([10.0, 20.0, 30.0, 40.0]),
+        "discount": pa.array([0.0, 0.5, 0.0, 0.1]),
+    }), p)
+
+    out = run_pipeline2(f'''
+        // load and score
+        let $min_rev = 14.0
+        from "{p}"
+        rev = price * (1 - discount)   /* assignment statement */
+        where rev >= $min_rev
+        select k, rev
+        sort -rev
+    ''').to_pandas()
+    assert out["k"].tolist() == [4, 3]
+    assert out["rev"].tolist() == [36.0, 30.0]
+
+    # summarize with count() sugar + by clause; `|` also separates
+    out = run_pipeline2(
+        f'from "{p}" | big = price >= 20 '
+        "| summarize total=sum(price), n=count() by big | sort big"
+    ).to_pandas()
+    assert out["n"].tolist() == [1, 3]
+    assert out["total"].tolist() == [10.0, 90.0]
+
+    # unsupported statements fail loudly, not silently
+    with pytest.raises(NotImplementedError, match="if"):
+        parse_pipeline2('from "x.parquet"\nif k == 1 { head 1 }')
+    with pytest.raises(ValueError, match="loader"):
+        parse_pipeline2('from "plain.xyz"')
+    with pytest.raises(ValueError, match="unbound"):
+        parse_pipeline2('from "x.parquet"\nwhere k == $nope')
+
+
 # ---------------------------------------------------------------------------
 # wire-protocol broker adapters (typed, conformance-checked vs FileBroker)
 
