@@ -164,6 +164,11 @@ def _register_builtins() -> None:
         read_http_json=net_mod.read_http_json,
         write_http=net_mod.write_http,
     )
+    from tenzir_ray.sources import remote as remote_mod
+    OPERATORS.update(
+        read_ftp=remote_mod.read_ftp,
+        write_email=remote_mod.write_email,
+    )
 
     # lake source/sink (reference export.cpp / import.cpp): `read_lake
     # <root>` streams the live table (filter_expr pushes into the scan —

@@ -289,6 +289,167 @@ def test_tql2_front_end_subset(ray_session, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# ftp connector + smtp email sink (loopback servers, stdlib only)
+
+
+class _MiniFtpServer:
+    """Just enough RFC 959 for ftplib's login + TYPE I + PASV +
+    RETR/STOR: a dict-backed loopback FTP server."""
+
+    def __init__(self):
+        import socket
+        import threading
+
+        self.files: dict[str, bytes] = {}
+        self.sock = socket.socket()
+        self.sock.bind(("127.0.0.1", 0))
+        self.sock.listen(2)
+        self.port = self.sock.getsockname()[1]
+        self.t = threading.Thread(target=self._serve, daemon=True)
+        self.t.start()
+
+    def _serve(self):
+        import socket
+
+        while True:
+            try:
+                conn, _ = self.sock.accept()
+            except OSError:
+                return
+            f = conn.makefile("rwb")
+
+            def send(line):
+                f.write(line.encode() + b"\r\n")
+                f.flush()
+
+            send("220 mini ftp")
+            data_listener = None
+            while True:
+                raw = f.readline()
+                if not raw:
+                    break
+                cmd, _, arg = raw.decode().strip().partition(" ")
+                cmd = cmd.upper()
+                if cmd == "USER":
+                    send("331 need password")
+                elif cmd == "PASS":
+                    send("230 logged in")
+                elif cmd in ("TYPE", "NOOP"):
+                    send("200 ok")
+                elif cmd == "PASV":
+                    data_listener = socket.socket()
+                    data_listener.bind(("127.0.0.1", 0))
+                    data_listener.listen(1)
+                    p = data_listener.getsockname()[1]
+                    send(f"227 entering passive (127,0,0,1,{p >> 8},{p & 255})")
+                elif cmd == "RETR":
+                    body = self.files.get(arg)
+                    if body is None:
+                        send("550 no such file")
+                        continue
+                    send("150 opening data")
+                    d, _ = data_listener.accept()
+                    d.sendall(body)
+                    d.close()
+                    send("226 done")
+                elif cmd == "STOR":
+                    send("150 opening data")
+                    d, _ = data_listener.accept()
+                    chunks = []
+                    while True:
+                        b = d.recv(65536)
+                        if not b:
+                            break
+                        chunks.append(b)
+                    d.close()
+                    self.files[arg] = b"".join(chunks)
+                    send("226 done")
+                elif cmd == "QUIT":
+                    send("221 bye")
+                    break
+                else:
+                    send("502 not implemented")
+            conn.close()
+
+    def close(self):
+        self.sock.close()
+
+
+def test_ftp_connector_loopback(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.sources.remote import ftp_fetch, ftp_store, read_ftp
+
+    srv = _MiniFtpServer()
+    try:
+        # seed a parquet file on the "server"
+        buf = str(tmp_path / "x.parquet")
+        pq.write_table(pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]}), buf)
+        srv.files["/data/x.parquet"] = open(buf, "rb").read()
+
+        url = f"ftp://u:p@127.0.0.1:{srv.port}/data/x.parquet"
+        local = ftp_fetch(url)
+        assert open(local, "rb").read() == srv.files["/data/x.parquet"]
+
+        ds = read_ftp(url)
+        out = ds.to_pandas().sort_values("a", ignore_index=True)
+        assert out["a"].tolist() == [1, 2, 3]
+
+        n = ftp_store(f"ftp://u:p@127.0.0.1:{srv.port}/up/y.bin",
+                      b"payload-123")
+        assert n == 11 and srv.files["/up/y.bin"] == b"payload-123"
+    finally:
+        srv.close()
+
+
+def test_write_email_loopback_smtp(ray_session):
+    import asyncore
+    import threading
+    import warnings
+
+    import ray.data
+
+    from tenzir_ray.sources.remote import write_email
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import smtpd
+
+        inbox = []
+
+        class _Srv(smtpd.SMTPServer):
+            def process_message(self, peer, mailfrom, rcpttos, data,
+                                **kwargs):
+                inbox.append((mailfrom, tuple(rcpttos), data))
+
+        srv = _Srv(("127.0.0.1", 0), None, decode_data=False)
+        port = srv.socket.getsockname()[1]
+        t = threading.Thread(target=asyncore.loop,
+                             kwargs={"timeout": 0.1}, daemon=True)
+        t.start()
+    try:
+        ds = ray.data.from_arrow(pa.table({
+            "alert": ["disk-full", "cpu-hot"], "sev": [3, 2]}))
+        out = write_email(ds, f"smtp://127.0.0.1:{port}",
+                          to="ops@example.com", from_="bot@example.com",
+                          subject="alerts", format="ndjson")
+        assert out["rows"] == 2
+        deadline = 50
+        while not inbox and deadline:
+            import time
+
+            time.sleep(0.1)
+            deadline -= 1
+        assert inbox, "no message delivered"
+        mailfrom, rcpts, data = inbox[0]
+        assert mailfrom == "bot@example.com"
+        assert rcpts == ("ops@example.com",)
+        assert b"disk-full" in data and b"Subject: alerts" in data
+    finally:
+        srv.close()
+
+
+# ---------------------------------------------------------------------------
 # wire-protocol broker adapters (typed, conformance-checked vs FileBroker)
 
 
