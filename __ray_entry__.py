@@ -327,6 +327,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = TX.token_count(_read(sf, "documents", columns=["doc_id", "text"]))
         return T.select(ds, ["doc_id", "ws_tokens"])
 
+    def train_split_docs(sf):
+        # deterministic train/val/test assignment by Knuth multiplicative
+        # key hash — reshuffle-free, reproducible by plain SQL arithmetic
+        # (the oracle recomputes the identical assignment)
+        from tenzir_ray.stages.splits import hash_split
+
+        ds = hash_split(
+            _read(sf, "documents", columns=["doc_id"]), key="doc_id",
+            fractions={"train": 0.75, "val": 0.125, "test": 0.125},
+        )
+        return S.summarize(ds, by="split", n="count(*)", sd="sum(doc_id)")
+
+    def decontaminate_docs(sf):
+        # eval-set decontamination: drop documents containing any
+        # blocklist phrase (exact substring semantics, broadcast once)
+        from tenzir_ray.stages.splits import decontaminate
+
+        docs = _read(sf, "documents", columns=["doc_id", "text"])
+        out = decontaminate(docs, ["spark window", "big hash"],
+                            column="text")
+        return T.select(out, ["doc_id"])
+
     def doc_quality(sf):
         # every component of the heuristic is SQL-expressible; float
         # ratios compare as scaled micro-ints (cross-engine ulp guard)
@@ -1887,6 +1909,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "taste_per_type": taste_per_type,
         "dedup_limit2_per_type": dedup_limit2_per_type,
         "token_count_docs": token_count_docs,
+        "train_split_docs": train_split_docs,
+        "decontaminate_docs": decontaminate_docs,
         "doc_quality": doc_quality,
         "doc_langid": doc_langid,
         "doc_fingerprint": doc_fingerprint,
@@ -2157,6 +2181,22 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_revenue": """
             SELECT l_returnflag, sum(l_quantity) AS total_qty, count(*) AS n
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "train_split_docs": """
+            WITH h AS (
+                SELECT doc_id,
+                       ((doc_id * 2654435761) % 4294967296) / 4294967296.0 AS f
+                FROM documents)
+            SELECT CASE WHEN f < 0.75 THEN 'train'
+                        WHEN f < 0.875 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS n, sum(doc_id) AS sd
+            FROM h GROUP BY 1
+        """,
+        "decontaminate_docs": """
+            SELECT doc_id FROM documents
+            WHERE NOT COALESCE(text LIKE '%spark window%'
+                               OR text LIKE '%big hash%', FALSE)
         """,
         "tql2_revenue": """
             SELECT l_returnflag, sum(l_quantity) AS total_qty, count(*) AS n

@@ -45,7 +45,15 @@ def register(name: str, fn: Callable | None = None):
 
 def _register_builtins() -> None:
     from tenzir_ray.sources import readers
-    from tenzir_ray.stages import chunk, dedup, similarity, summarize, text, transforms
+    from tenzir_ray.stages import (
+        chunk,
+        dedup,
+        similarity,
+        splits,
+        summarize,
+        text,
+        transforms,
+    )
     from tenzir_ray.sources import parsers
 
     # sources (take no dataset input)
@@ -87,6 +95,8 @@ def _register_builtins() -> None:
         token_count=text.token_count,
         fingerprint=text.fingerprint,
         exact_dedup=dedup.exact_dedup,
+        hash_split=splits.hash_split,
+        decontaminate=splits.decontaminate,
         chunk_documents=chunk.chunk_documents,
         pack_sequences=chunk.pack_sequences,
         minhash=dedup.minhash,

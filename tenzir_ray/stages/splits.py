@@ -1,0 +1,148 @@
+"""Dataset splitting + decontamination — training-data corpus ops that
+run between cleaning/dedup and tokenization (engine extensions; the
+reference's closest constructs are deterministic routing by expression
+and the bloom-filter context).
+
+- :func:`hash_split` — deterministic, reshuffle-free train/val/test
+  assignment by key hash. The integer-key path uses the Knuth
+  multiplicative hash ``(key * 2654435761) mod 2^32`` so an external
+  system (or the DuckDB oracle) reproduces the exact assignment with
+  plain arithmetic; string keys hash via md5's first 8 hex digits
+  (also reproducible in SQL). Assignment is a pure per-row function —
+  no shuffle, no state, stable across runs and cluster sizes.
+
+- :func:`decontaminate` — drop documents that contain any benchmark /
+  blocklist phrase (exact substring semantics, the reproducible core
+  of eval-set decontamination). Patterns broadcast once via
+  ``ray.put``; each batch runs vectorized ``match_substring`` per
+  pattern, OR-folded. For huge blocklists swap the pattern scan for
+  the n-gram bloom filter context (state/context.py) — same stage
+  shape, documented trade: bloom gives false-positive drops, substring
+  scan is exact but O(patterns) kernels per batch.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from tenzir_ray._ship import ship_by_value
+
+_KNUTH = np.uint64(2654435761)
+_MOD32 = np.uint64(4294967296)
+
+
+def _key_fractions(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Per-row uniform [0,1) fraction from the key column, reproducible
+    in SQL (Knuth mod-2^32 for integers, md5 hex prefix for strings)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        keys = pc.fill_null(col.cast(pa.int64()), 0).to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        h = (keys * _KNUTH) % _MOD32
+        return h.astype(np.float64) / float(_MOD32)
+    # string keys: first 8 hex digits of md5 (SQL: substr(md5(k),1,8))
+    import hashlib
+
+    s = pd.Series(col.to_pandas(), dtype="object").fillna("")
+    h = np.fromiter(
+        (int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) for v in s),
+        dtype=np.uint64, count=len(s),
+    )
+    return h.astype(np.float64) / float(_MOD32)
+
+
+def hash_split(ds, key: str, fractions: dict[str, float] | None = None,
+               out: str = "split"):
+    """Assign every row a deterministic split label by key hash.
+
+    ``fractions`` maps label → fraction (must sum to ~1); assignment is
+    by cumulative ranges over the key's uniform hash fraction, so the
+    same key ALWAYS lands in the same split — across runs, cluster
+    sizes, and engines (the SQL oracle reproduces it exactly)."""
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    labels = list(fractions)
+    edges = np.cumsum([fractions[k] for k in labels])[:-1]
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        f = _key_fractions(batch.column(key))
+        idx = np.searchsorted(edges, f, side="right")
+        lab = pa.array(np.asarray(labels, dtype=object)[idx], pa.string())
+        if out in batch.column_names:
+            return batch.set_column(
+                batch.schema.get_field_index(out), out, lab)
+        return batch.append_column(out, lab)
+
+    return ds.map_batches(_assign, batch_format="pyarrow")
+
+
+class _Decontaminator:
+    """Actor stage: patterns fetched once per actor from the object
+    store; per batch one vectorized substring kernel per pattern."""
+
+    def __init__(self, patterns_ref, column: str, invert: bool):
+        import ray
+
+        self.patterns = list(ray.get(patterns_ref))
+        self.column = column
+        self.invert = invert
+
+    __name__ = "_Decontaminator"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return batch
+        col = batch.column(self.column)
+        hit = np.zeros(batch.num_rows, dtype=bool)
+        for p in self.patterns:
+            m = pc.match_substring(col, p)
+            hit |= pc.fill_null(m, False).to_numpy(zero_copy_only=False)
+        keep = hit if self.invert else ~hit
+        return batch.filter(pa.array(keep))
+
+
+def decontaminate(ds, patterns, column: str = "text",
+                  invert: bool = False, concurrency=(1, 8),
+                  batch_size: int = 4096):
+    """Remove rows whose ``column`` contains ANY blocklist phrase
+    (``invert=True`` keeps only contaminated rows — the audit view).
+
+    ``patterns`` is a list of literal strings or a Dataset/table with a
+    single string column (the benchmark phrases). The list is broadcast
+    once via ``ray.put``; contamination is exact substring match."""
+    import ray
+
+    if hasattr(patterns, "to_pandas") or hasattr(patterns, "iter_batches"):
+        tbl = (patterns.to_pandas() if hasattr(patterns, "to_pandas")
+               and not hasattr(patterns, "iter_batches") else None)
+        if tbl is None:
+            import pandas as _pd
+
+            parts = [b for b in patterns.iter_batches(
+                batch_format="pandas", batch_size=8192)]
+            tbl = (_pd.concat(parts, ignore_index=True)
+                   if parts else _pd.DataFrame())
+        if tbl.shape[1] != 1:
+            raise ValueError("decontaminate: pattern table needs exactly "
+                             "one string column")
+        patterns = tbl.iloc[:, 0].dropna().tolist()
+    patterns = [str(p) for p in patterns]
+    pref = ray.put(patterns)
+    return ds.map_batches(
+        _Decontaminator,
+        fn_constructor_args=(pref, column, invert),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+ship_by_value(sys.modules[__name__])

@@ -288,6 +288,71 @@ def test_tql2_front_end_subset(ray_session, tmp_path):
         parse_pipeline2('from "x.parquet"\nwhere k == $nope')
 
 
+def test_hash_split_deterministic_and_sql_parity(ray_session):
+    import duckdb
+    import ray.data
+
+    from tenzir_ray.stages.splits import hash_split
+
+    tbl = pa.table({"doc_id": pa.array(np.arange(5000), pa.int64())})
+    out = hash_split(ray.data.from_arrow(tbl), key="doc_id",
+                     fractions={"train": 0.75, "val": 0.125,
+                                "test": 0.125}).to_pandas()
+    # deterministic: a re-run with the same fractions assigns every key
+    # identically
+    out2 = hash_split(ray.data.from_arrow(tbl), key="doc_id",
+                      fractions={"train": 0.75, "val": 0.125,
+                                 "test": 0.125}).to_pandas()
+    m = out.set_index("doc_id")["split"]
+    assert m.sort_index().tolist() == out2.set_index(
+        "doc_id")["split"].sort_index().tolist()
+    # SQL parity (Knuth hash arithmetic)
+    exp = duckdb.sql(
+        "SELECT k AS doc_id, CASE WHEN f < 0.75 THEN 'train' "
+        "WHEN f < 0.875 THEN 'val' ELSE 'test' END AS split FROM ("
+        "SELECT UNNEST(range(5000)) k, "
+        "((UNNEST(range(5000)) * 2654435761) % 4294967296) / 4294967296.0 f)"
+    ).df()
+    assert m.sort_index().tolist() == exp.sort_values(
+        "doc_id")["split"].tolist()
+    # fractions roughly respected
+    counts = out["split"].value_counts(normalize=True)
+    assert abs(counts["train"] - 0.75) < 0.03
+
+    # string keys: md5 prefix path, also SQL-reproducible
+    st = pa.table({"k": [f"doc-{i}" for i in range(500)]})
+    got = hash_split(ray.data.from_arrow(st), key="k",
+                     fractions={"a": 0.5, "b": 0.5}).to_pandas()
+    exp2 = duckdb.sql(
+        "SELECT k, CASE WHEN f < 0.5 THEN 'a' ELSE 'b' END AS split FROM ("
+        "SELECT 'doc-' || UNNEST(range(500))::VARCHAR AS k, "
+        "CAST(('0x' || substr(md5('doc-' || UNNEST(range(500))::VARCHAR), "
+        "1, 8)) AS BIGINT) / 4294967296.0 AS f)"
+    ).df()
+    assert (got.set_index("k")["split"].sort_index().tolist()
+            == exp2.set_index("k")["split"].sort_index().tolist())
+
+
+def test_decontaminate_patterns_and_dataset_blocklist(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages.splits import decontaminate
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["the quick brown fox", "answer: 42 is final",
+                 None, "clean document"],
+    }))
+    out = decontaminate(docs, ["answer: 42", "zebra"]).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 3, 4]  # null text is NOT contaminated
+    audit = decontaminate(docs, ["answer: 42"], invert=True).to_pandas()
+    assert audit["doc_id"].tolist() == [2]
+    # blocklist as a single-column Dataset
+    bl = ray.data.from_arrow(pa.table({"phrase": ["brown fox"]}))
+    out2 = decontaminate(docs, bl).to_pandas()
+    assert sorted(out2["doc_id"]) == [2, 3, 4]
+
+
 # ---------------------------------------------------------------------------
 # ftp connector + smtp email sink (loopback servers, stdlib only)
 
