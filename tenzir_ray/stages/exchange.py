@@ -365,40 +365,64 @@ def pack_by_partition(block: pa.Table, part_ids: np.ndarray, n: int,
     return [stats] + outs
 
 
+#: bucket-space segments per map task in the object transport — the
+#: object-count / over-fetch dial: per task ``_OBJ_SEGMENTS + 1``
+#: plasma objects (vs the old num_buckets+1, whose per-object overhead
+#: measured ~2x vs fs), and a reduce task fetching one bucket pulls at
+#: most ~1/_OBJ_SEGMENTS of a body cross-node (vs the whole body for a
+#: single-body layout).
+_OBJ_SEGMENTS = 16
+
+
 def _pack_block_sorted(block: pa.Table, keys: list[str], num_buckets: int,
                        transform) -> list:
-    """Pack one input block for the object transport: ONE bucket-sorted
-    body table + a stats dict ``{bucket: (row_start, rows, bytes_est)}``.
+    """Pack one input block for the object transport: ``_OBJ_SEGMENTS``
+    bucket-sorted SEGMENT tables + a stats dict
+    ``{bucket: (segment, row_start_in_segment, rows, bytes_est)}``.
 
-    Two return objects per map task instead of ``num_buckets + 1`` —
-    plasma's per-object overhead (create/seal/metadata) dominated the
-    old per-bucket-table layout (measured ~2x slower than the fs
-    transport single-node). Arrow tables read back ZERO-COPY from
-    plasma, and bucket slices are zero-copy views of the shared body,
-    so a local reduce touches only pointers. Reduce tasks own
-    CONTIGUOUS bucket ranges (coalesce_tasks packs sorted ids), so the
-    rows a task needs from each body are one contiguous slice."""
+    Buckets map to segments by range (``bucket * S // num_buckets``),
+    so coalesce_tasks' contiguous bucket ranges touch few segments.
+    Arrow tables read back ZERO-COPY from plasma and bucket rows are
+    zero-copy slices of their segment, so a local reduce touches only
+    pointers; cross-node a reducer transfers only the overlapping
+    segments (bounded over-fetch)."""
     if transform is not None:
         block = transform(block)
+    S = _OBJ_SEGMENTS
     if not block.num_rows:
-        return [{}, None]
+        return [{}] + [None] * S
     part_ids = key_buckets(block, keys, num_buckets)
     order = np.argsort(part_ids, kind="stable")
     sp = part_ids[order]
     bounds = np.r_[np.flatnonzero(np.r_[True, sp[1:] != sp[:-1]]), len(sp)]
     body = block.take(pa.array(order)).combine_chunks()
     per_row = body.nbytes / max(1, body.num_rows)
-    stats: dict[int, tuple[int, int, int]] = {}
+    seg_of = (sp[bounds[:-1]].astype(np.int64) * S) // num_buckets
+    # segment row ranges over the sorted body
+    seg_lo: dict[int, int] = {}
+    seg_hi: dict[int, int] = {}
+    stats: dict[int, tuple[int, int, int, int]] = {}
     for i in range(len(bounds) - 1):
         lo, hi = int(bounds[i]), int(bounds[i + 1])
-        stats[int(sp[lo])] = (lo, hi - lo, int(per_row * (hi - lo)))
-    return [stats, body]
+        s = int(seg_of[i])
+        if s not in seg_lo:
+            seg_lo[s] = lo
+        seg_hi[s] = hi
+    for i in range(len(bounds) - 1):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        s = int(seg_of[i])
+        stats[int(sp[lo])] = (s, lo - seg_lo[s], hi - lo,
+                              int(per_row * (hi - lo)))
+    segs: list = [None] * S
+    for s, lo in seg_lo.items():
+        segs[s] = body.slice(lo, seg_hi[s] - lo)
+    return [stats] + segs
 
 
 def run_exchange_obj(ds, keys: list[str], num_buckets: int, side: str,
                      transform=None, batch_size: int | None = 65536):
     """Stage 1 over the object store. Returns
-    ``(index: dict[bucket -> list[(body_ref, row_start, rows)]],
+    ``(index: dict[bucket -> list[(segment_ref, row_start, rows)]],
     bytes_per_bucket)``. ``side`` is accepted for interface parity with
     :func:`run_exchange`."""
     import ray
@@ -413,7 +437,9 @@ def run_exchange_obj(ds, keys: list[str], num_buckets: int, side: str,
     block_refs = ds.to_arrow_refs()
     pack = ray.remote(_pack_block_sorted)
     outs = [
-        pack.options(num_returns=2).remote(br, keys, num_buckets, transform)
+        pack.options(num_returns=_OBJ_SEGMENTS + 1).remote(
+            br, keys, num_buckets, transform
+        )
         for br in block_refs
     ]
     index: dict[int, list] = {}
@@ -421,10 +447,10 @@ def run_exchange_obj(ds, keys: list[str], num_buckets: int, side: str,
     # ONE batched get for every task's stats object — a per-task ray.get
     # loop serializes the driver behind len(outs) sequential round-trips
     all_stats = ray.get([refs[0] for refs in outs])
-    for (_sref, body_ref), stats in zip(outs, all_stats):
-        for b, (start, rows, by) in stats.items():
+    for refs, stats in zip(outs, all_stats):
+        for b, (seg, start, rows, by) in stats.items():
             index.setdefault(int(b), []).append(
-                (body_ref, int(start), int(rows)))
+                (refs[1 + int(seg)], int(start), int(rows)))
             nbytes[int(b)] = nbytes.get(int(b), 0) + int(by)
     return index, nbytes
 
@@ -457,12 +483,12 @@ class Exchange:
     """Transport-selecting facade used by join/asof/grouped_apply:
     ``transport`` is "fs" (packed-IPC staging files; needs shared
     storage multi-node) or "object" (Ray object store — works on any
-    cluster). Since the bucket-sorted single-body packing
+    cluster). Since the bucket-sorted segmented packing
     (:func:`_pack_block_sorted`) the two are at PARITY single-node
-    (measured 8M-row join: object 2.1-2.3 s vs fs 2.7-3.1 s; 8M-row
-    3M-group apply: 3.0 vs 2.9 s) — prefer "object" on clusters
-    without fast shared POSIX storage. Defaults to
-    $TENZIR_RAY_EXCHANGE_TRANSPORT or "fs"."""
+    (measured 8M-row join @32 cpus, same window: object 3.3-4.1 s vs
+    fs 3.9-4.1 s; was object ~2x slower with per-bucket objects) —
+    prefer "object" on clusters without fast shared POSIX storage.
+    Defaults to $TENZIR_RAY_EXCHANGE_TRANSPORT or "fs"."""
 
     def __init__(self, tag: str, transport: str | None = None,
                  staging_root: str | None = None):
