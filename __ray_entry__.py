@@ -22,14 +22,53 @@ import numpy as np
 # Per-process scratch id: concurrent invocations (driver sweep + pytest +
 # judge check) must not rmtree each other's staging mid-apply (VERDICT r3
 # "what's wrong" #1). uuid on top of pid guards against pid reuse.
+# Cleanup is two-layer so repeated runs can't fill /tmp: this process's
+# dirs go at exit, and dirs left by DEAD pids (crashed runs) are swept on
+# import (the exchange staging uses the same discipline).
+import atexit as _atexit
 import uuid as _uuid_mod
 
 _SCRATCH_ID = f"{os.getpid()}-{_uuid_mod.uuid4().hex[:8]}"
+_SCRATCH_ROOTS: set[str] = set()
+
+
+def _scratch_gc_dead(family: str) -> None:
+    base = f"/tmp/{family}"
+    try:
+        entries = os.listdir(base)
+    except OSError:
+        return
+    for name in entries:
+        pid_s = name.split("-", 1)[0]
+        if not pid_s.isdigit() or int(pid_s) == os.getpid():
+            continue
+        try:
+            os.kill(int(pid_s), 0)  # raises if the owner is gone
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+        except OSError:
+            pass  # alive but other-uid etc. — leave it
+
+
+def _scratch_cleanup() -> None:
+    for root in _SCRATCH_ROOTS:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_atexit.register(_scratch_cleanup)
+
+
+_SCRATCH_SWEPT: set[str] = set()
 
 
 def _scratch(family: str, leaf: str) -> str:
     """Process-unique scratch dir /tmp/<family>/<pid-uuid>/<leaf>."""
-    return f"/tmp/{family}/{_SCRATCH_ID}/{leaf}"
+    if family not in _SCRATCH_SWEPT:
+        _SCRATCH_SWEPT.add(family)
+        _scratch_gc_dead(family)
+    root = f"/tmp/{family}/{_SCRATCH_ID}"
+    _SCRATCH_ROOTS.add(root)
+    return f"{root}/{leaf}"
 
 
 def _read(sf_dir: str, table: str, columns=None):

@@ -153,10 +153,26 @@ class KafkaBroker:
 
     def produce(self, topic: str, value: bytes, key: bytes | None = None,
                 partition: int | None = None) -> tuple[int, int]:
-        pf = (lambda i: partition) if partition is not None else None
-        ends = self.produce_many(topic, [value], [key], partition_of=pf)
-        p, end = next(iter(ends.items()))
-        return p, end - 1
+        # single-message path reports the ACTUAL landing slot via the
+        # delivery callback (FileBroker contract: (partition, offset) of
+        # the write, broker.py produce) — end_offsets alone cannot name
+        # which partition an unkeyed message went to
+        landed: list[tuple[int, int]] = []
+
+        def _cb(err, msg):
+            if err is None:
+                landed.append((msg.partition(), msg.offset()))
+
+        kwargs: dict = {"value": value, "on_delivery": _cb}
+        if key is not None:
+            kwargs["key"] = key
+        if partition is not None:
+            kwargs["partition"] = partition
+        self._producer.produce(topic, **kwargs)
+        self._producer.flush(self._timeout)
+        if not landed:
+            raise IOError("produce: delivery not confirmed")
+        return landed[0]
 
     # -- consume -------------------------------------------------------
     def read(self, topic: str, partition: int, offset: int,
@@ -278,15 +294,20 @@ class SqsBroker:
             else:
                 p = i % np_
             by_part.setdefault(parts[p], []).append(v)
+        import base64
+
         for p, msgs in by_part.items():
             url = self._url(topic, p)
             for chunk_start in range(0, len(msgs), 10):  # SQS batch cap
                 chunk = msgs[chunk_start:chunk_start + 10]
+                # SQS bodies are TEXT (strict UTF-8 on the wire) but the
+                # broker contract is bytes — base64 both ways so binary
+                # payloads (arrow/compressed) survive
                 self._sqs.send_message_batch(
                     QueueUrl=url,
                     Entries=[
                         {"Id": str(j),
-                         "MessageBody": m.decode("utf-8", "surrogateescape")}
+                         "MessageBody": base64.b64encode(m).decode("ascii")}
                         for j, m in enumerate(chunk)
                     ],
                 )
@@ -302,6 +323,8 @@ class SqsBroker:
     def read(self, topic: str, partition: int, offset: int,
              max_records: int = 10_000
              ) -> list[tuple[int, bytes | None, bytes]]:
+        import base64
+
         url = self._url(topic, partition)
         out: list[tuple[int, bytes | None, bytes]] = []
         base = self._counters.get((topic, partition), 0)
@@ -318,7 +341,7 @@ class SqsBroker:
                 out.append((
                     base + len(out),
                     None,
-                    m["Body"].encode("utf-8", "surrogateescape"),
+                    base64.b64decode(m["Body"]),
                 ))
                 self._sqs.delete_message(
                     QueueUrl=url, ReceiptHandle=m["ReceiptHandle"])

@@ -36,7 +36,8 @@ from tenzir_ray.pipelines.tql import (
 )
 
 _LET_RE = re.compile(r"^let\s+\$(\w+)\s*=\s*(.+)$", re.S)
-_ASSIGN_RE = re.compile(r"^([A-Za-z_][\w.]*)\s*=\s*(.+)$", re.S)
+# `=(?!=)`: a bare comparison (`x == 1`) must NOT parse as an assignment
+_ASSIGN_RE = re.compile(r"^([A-Za-z_][\w.]*)\s*=(?!=)\s*(.+)$", re.S)
 _IDENT_RE = re.compile(r"^[A-Za-z_]\w*$")
 
 #: invocation verbs whose single argument is ONE raw expression
@@ -154,11 +155,9 @@ def parse_statement(stmt: str) -> dict:
     # verbs like `where x = 1` never reach here — verbs are idents
     # followed by args, assignments start with the TARGET)
     m = _ASSIGN_RE.match(stmt)
-    if m and not stmt.startswith("let ") and "==" not in stmt.split("=", 1)[0]:
+    if m and not stmt.startswith("let "):
         target, expr = m.group(1), m.group(2).strip()
-        first = stmt.split("=", 1)[0].strip()
-        if _IDENT_RE.match(first.split(".")[0]) and " " not in first:
-            return {"op": "set", target: expr}
+        return {"op": "set", target: expr}
     name, _, rest = stmt.partition(" ")
     rest = rest.strip()
     if name == "from":

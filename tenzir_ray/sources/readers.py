@@ -45,8 +45,11 @@ def read_parquet(paths, columns: list[str] | None = None, filter_expr: str | Non
         if f.pushdown is not None:
             kwargs["filter"] = f.pushdown
         residual = f.residual
-    if ("schema" not in kwargs and isinstance(paths, str)
-            and os.path.isfile(paths)):
+    if ("schema" not in kwargs and "filter" not in kwargs
+            and isinstance(paths, str) and os.path.isfile(paths)):
+        # a pushed-down filter may reference columns OUTSIDE the
+        # projection; injecting a projected schema would make the scan
+        # fail on them — keep default inference for filtered reads
         try:
             kwargs["schema"] = _bare_schema(paths, columns)
         except Exception:

@@ -94,9 +94,14 @@ def read_ftp(url: str, format: str | None = None, timeout: float = 30.0,
     """Download an ftp file and read it as a Dataset — format inferred
     from the extension (parquet/csv/tsv/json/ndjson/feather/lines) or
     forced via ``format=``."""
+    import atexit
+
     from tenzir_ray.sources import readers
 
     local = ftp_fetch(url, timeout=timeout)
+    # the Dataset reads the spool lazily, so it can't be unlinked here —
+    # reclaim it at interpreter exit instead of leaking one file per call
+    atexit.register(lambda p=local: os.path.exists(p) and os.unlink(p))
     ext = (format or os.path.splitext(url)[1].lstrip(".")).lower()
     dispatch = {
         "parquet": readers.read_parquet,

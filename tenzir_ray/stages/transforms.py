@@ -628,7 +628,11 @@ def _order_edges(ds, k0: str, buckets: int) -> np.ndarray:
         qs = np.linspace(0, len(v) - 1, 129).astype(int)
         return pd.DataFrame({"q": v[qs]})
 
-    gdf = ds.map_batches(_block_grid, batch_format="pandas").to_pandas()
+    # batch_size=None = one call per BLOCK (the docstring's unit) — the
+    # default 1024-row batches would emit 129 points per KILOROW and
+    # pull ~12% of the dataset to the driver
+    gdf = ds.map_batches(_block_grid, batch_format="pandas",
+                         batch_size=None).to_pandas()
     sample = np.sort(gdf["q"].to_numpy()) if len(gdf) else np.array([])
     if not len(sample):
         return np.array([])

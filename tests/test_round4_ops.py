@@ -288,6 +288,55 @@ def test_tql2_front_end_subset(ray_session, tmp_path):
         parse_pipeline2('from "x.parquet"\nwhere k == $nope')
 
 
+def test_read_parquet_filter_on_unprojected_column(ray_session, tmp_path):
+    """filter_expr referencing a column OUTSIDE columns= must still work
+    (review r4: the bare-schema injection projected it away)."""
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.sources.readers import read_parquet
+
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({"a": [1, 2, 3, 4], "b": [10, 20, 30, 40]}), p)
+    out = read_parquet(p, columns=["a"], filter_expr="b > 15").to_pandas()
+    assert sorted(out["a"]) == [2, 3, 4]
+    assert list(out.columns) == ["a"]
+    # unfiltered single-file reads still get the metadata-free schema
+    b = read_parquet(p, columns=["a"]).take_batch(1, batch_format="pyarrow")
+    assert b.schema.metadata is None
+
+
+def test_tql2_bare_comparison_rejected_loudly():
+    from tenzir_ray.pipelines.tql2 import parse_pipeline2
+
+    # not an assignment: rejected loudly at PARSE time (an unknown `x`
+    # invocation with a stray `==` argument), never a silent set step
+    with pytest.raises(ValueError, match="unexpected argument"):
+        parse_pipeline2("x == 1")
+    steps = parse_pipeline2("flag = x == 1").steps
+    assert steps[0] == {"op": "set", "flag": "x == 1"}
+
+
+def test_scratch_gc_reclaims_dead_pid_dirs(tmp_path, monkeypatch):
+    import os
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+
+    fam = "tenzir_ray_test_scratch"
+    dead = f"/tmp/{fam}/999999-deadbeef"
+    os.makedirs(dead, exist_ok=True)
+    open(os.path.join(dead, "junk"), "w").close()
+    alive = f"/tmp/{fam}/{os.getpid()}-aaaaaaaa"
+    os.makedirs(alive, exist_ok=True)
+    entry._scratch_gc_dead(fam)
+    assert not os.path.exists(dead)      # dead pid swept
+    assert os.path.exists(alive)         # own pid kept
+    import shutil
+
+    shutil.rmtree(f"/tmp/{fam}", ignore_errors=True)
+
+
 def test_hash_split_deterministic_and_sql_parity(ray_session):
     import duckdb
     import ray.data
