@@ -152,8 +152,11 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
+        # min-of-3 per leg: ambient neighbor load swings a single 32M
+        # sample ~2x; the minimum approximates unloaded capability
+        reps = str(max(3, int(os.environ.get("BENCH_REPEAT", "2"))))
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1",
-                   BENCH_SKIP_SCALING="1")
+                   BENCH_SKIP_SCALING="1", BENCH_REPEAT=reps)
         # the scaling measurement needs a job large enough to amortize
         # the fixed ~2.5s serial term (pipeline launch, metadata,
         # commit): default to 32M events unless the caller pinned a size
@@ -177,7 +180,7 @@ def run_scaling() -> dict:
     # absolutely for a retry to win — a quiet window, not cherry-picking
     # one leg).
     attempts = []
-    for _ in range(2):
+    for _ in range(3):
         lo = one(lo_cpus)
         hi = one(hi_cpus)
         speedup = lo["value"] / hi["value"]
@@ -186,8 +189,7 @@ def run_scaling() -> dict:
         if eff >= 0.8:
             break
     eff, speedup, lo, hi = attempts[0]
-    if len(attempts) > 1:
-        eff2, speedup2, lo2, hi2 = attempts[1]
+    for eff2, speedup2, lo2, hi2 in attempts[1:]:
         # a retry only wins if BOTH legs got absolutely faster (a quiet
         # window) — a better ratio produced by a SLOWER lo leg is the
         # one-leg cherry-pick this guard exists to prevent
