@@ -586,6 +586,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "| sort l_returnflag"
         )
 
+    def regional_part_revenue(sf):
+        # TPC-H Q5-flavored composite over the three previously
+        # gate-uncovered tables: lineitem semi-joined to a filtered
+        # `part` (exchange hash join), then supplier→nation→region dims
+        # folded into ONE broadcast LookupTable (small sides broadcast,
+        # never shuffled) and revenue summed per region in fixed-point.
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from tenzir_ray.stages.join import hash_join
+        from tenzir_ray.state.context import LookupTable, enrich
+
+        li = _read(sf, "lineitem",
+                   columns=["l_partkey", "l_suppkey",
+                            "l_extendedprice", "l_discount"])
+        small_parts = T.where(
+            _read(sf, "part", columns=["p_partkey", "p_size"]),
+            "p_size <= 20",
+        )
+        li = hash_join(li, small_parts, on="l_partkey",
+                       right_on="p_partkey", how="semi")
+
+        sup = _read(sf, "supplier", columns=["s_suppkey", "s_nationkey"])
+        nat = _read(sf, "nation", columns=["n_nationkey", "n_regionkey"])
+        reg = _read(sf, "region")
+        dim = hash_join(sup, nat, on="s_nationkey", right_on="n_nationkey")
+        dim = hash_join(dim, reg, on="n_regionkey", right_on="r_regionkey")
+        ctx = LookupTable.from_dataset(
+            T.select(dim, ["s_suppkey", "r_name"]), key="s_suppkey")
+        enriched = enrich(li, ctx, field="l_suppkey")
+
+        def _cents(t: pa.Table) -> pa.Table:
+            rev = pc.multiply(
+                pc.multiply(t.column("l_extendedprice"),
+                            pc.subtract(1.0, t.column("l_discount"))),
+                10000)
+            return pa.table({
+                "r_name": t.column("r_name"),
+                "rev_dm": pc.cast(pc.round(rev), pa.int64()),
+            })
+
+        agg = S.summarize(
+            enriched.map_batches(_cents, batch_format="pyarrow"),
+            by="r_name", rev_dm="sum(rev_dm)", n="count(*)",
+        )
+
+        def _money(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "revenue",
+                pc.divide(pc.cast(t.column("rev_dm"), pa.float64()),
+                          10000.0),
+            ).drop_columns(["rev_dm"])
+
+        return agg.map_batches(_money, batch_format="pyarrow")
+
     def tql_hash_join_revenue(sf):
         # two-input join from a PURE STRING pipeline: right=( ... ) is a
         # nested sub-pipeline (VERDICT r3 #5). Twin of
@@ -1909,6 +1964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_status": asof_status,
         "join_revenue_by_priority": join_revenue_by_priority,
         "tql_hash_join_revenue": tql_hash_join_revenue,
+        "regional_part_revenue": regional_part_revenue,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_ivf_persisted": ann_ivf_persisted,
         "dedup_components": dedup_components,
@@ -2150,6 +2206,23 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts, event_id AS status_id FROM events
                             WHERE event_id % 7 = 0) r
             ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "regional_part_revenue": """
+            WITH j AS (
+                SELECT r.r_name,
+                       CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                  * 10000) AS BIGINT) AS rev_dm
+                FROM lineitem l
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation n ON s.s_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+                WHERE EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey
+                                AND p.p_size <= 20))
+            SELECT r_name,
+                   CAST(sum(rev_dm) AS DOUBLE) / 10000.0 AS revenue,
+                   count(*) AS n
+            FROM j GROUP BY r_name
         """,
         "tql_hash_join_revenue": """
             SELECT o_orderpriority, sum(l_quantity) AS qty, count(*) AS n
