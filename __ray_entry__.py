@@ -641,6 +641,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return agg.map_batches(_money, batch_format="pyarrow")
 
+    def repetition_docs(sf):
+        # Gopher-style within-document repetition ratio (engine text op)
+        from tenzir_ray.stages.text import repetition_score
+
+        ds = repetition_score(_read(sf, "documents",
+                                    columns=["doc_id", "text"]))
+        return T.select(ds, ["doc_id", "rep_ratio"])
+
+    def bigram_counts_docs(sf):
+        # corpus-level word bigram counts (explode vectorized per batch,
+        # per-batch combiner, exchange-backed global sum)
+        from tenzir_ray.stages.text import ngram_counts
+
+        return ngram_counts(_read(sf, "documents", columns=["text"]),
+                            n=2, min_count=30)
+
     def tql_hash_join_revenue(sf):
         # two-input join from a PURE STRING pipeline: right=( ... ) is a
         # nested sub-pipeline (VERDICT r3 #5). Twin of
@@ -1965,6 +1981,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_revenue_by_priority": join_revenue_by_priority,
         "tql_hash_join_revenue": tql_hash_join_revenue,
         "regional_part_revenue": regional_part_revenue,
+        "repetition_docs": repetition_docs,
+        "bigram_counts_docs": bigram_counts_docs,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_ivf_persisted": ann_ivf_persisted,
         "dedup_components": dedup_components,
@@ -2206,6 +2224,30 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts, event_id AS status_id FROM events
                             WHERE event_id % 7 = 0) r
             ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "repetition_docs": """
+            SELECT doc_id,
+                   CASE WHEN nw > 0 THEN 1.0 - CAST(du AS DOUBLE) / nw
+                        ELSE 0.0 END AS rep_ratio
+            FROM (SELECT doc_id, count(w) AS nw, count(DISTINCT w) AS du
+                  FROM (SELECT doc_id,
+                               unnest(string_split(text, ' ')) AS w
+                        FROM documents)
+                  GROUP BY doc_id)
+        """,
+        "bigram_counts_docs": """
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1) AS i
+                FROM documents),
+            b AS (
+                SELECT w || ' ' || lead(w) OVER (PARTITION BY doc_id
+                                                 ORDER BY i) AS ngram
+                FROM w)
+            SELECT ngram, count(*) AS count FROM b
+            WHERE ngram IS NOT NULL
+            GROUP BY ngram HAVING count(*) >= 30
         """,
         "regional_part_revenue": """
             WITH j AS (

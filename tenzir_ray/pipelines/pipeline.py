@@ -94,6 +94,8 @@ def _register_builtins() -> None:
         quality_score=text.quality_score,
         token_count=text.token_count,
         fingerprint=text.fingerprint,
+        repetition_score=text.repetition_score,
+        ngram_counts=text.ngram_counts,
         exact_dedup=dedup.exact_dedup,
         hash_split=splits.hash_split,
         decontaminate=splits.decontaminate,

@@ -169,4 +169,82 @@ def fingerprint(ds, column: str = "text", ngram: int = 8, batch_size: int = 4096
     )
 
 
+def repetition_score(ds, column: str = "text", out: str = "rep_ratio",
+                     batch_size: int = 4096):
+    """Gopher-style within-document repetition metric: the fraction of
+    word occurrences that are repeats, ``1 - distinct_words/words``
+    (0 = no word repeats; → 1 for degenerate loops). Vectorized:
+    explode whitespace tokens once per batch, one C groupby-nunique —
+    no per-row Python."""
+
+    def _rep(df: pd.DataFrame) -> pd.DataFrame:
+        words = df[column].fillna("").str.split()
+        n = words.str.len().to_numpy(dtype=np.float64)
+        ex = words.explode()
+        uniq = (
+            ex.groupby(level=0).nunique()
+            .reindex(df.index, fill_value=0)
+            .to_numpy(dtype=np.float64)
+        )
+        ratio = np.where(n > 0, 1.0 - uniq / np.maximum(n, 1), 0.0)
+        df = df.copy()
+        df[out] = ratio
+        return df
+
+    return ds.map_batches(_rep, batch_format="pandas",
+                          batch_size=batch_size)
+
+
+def ngram_counts(ds, column: str = "text", n: int = 2,
+                 min_count: int = 1, buckets: int | None = None,
+                 batch_size: int = 4096):
+    """Corpus-level word n-gram counts: per batch explode n-grams
+    vectorized (pandas shift-and-join, no per-row Python), pre-aggregate
+    WITHIN the batch (combiner), then one exchange-backed grouped sum
+    (`summarize_hash` policy — fine buckets, byte-coalesced tasks).
+    ``min_count`` filters the tail AFTER the global sum. Returns
+    ``(ngram, count)``. The streaming alternative for top-k-ish use is
+    the Misra-Gries `heavy_hitters` sketch."""
+
+    def _explode(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"ngram": pd.Series([], dtype=str),
+                              "count": pd.Series([], dtype=np.int64)})
+        ex = df[column].fillna("").str.split().explode().dropna()
+        if not len(ex):
+            return empty
+        # positional arrays: the exploded index (doc id) only gates
+        # n-grams from crossing document boundaries
+        w = ex.astype(str).to_numpy(dtype=object)
+        doc = ex.index.to_numpy()
+        base = pd.Series(w)  # fresh RangeIndex → positional str.cat
+        mask = np.ones(len(w), dtype=bool)
+        others = []
+        for k in range(1, n):
+            shifted = np.concatenate([w[k:], np.full(k, "", dtype=object)])
+            same_doc = np.concatenate([doc[k:] == doc[:-k],
+                                       np.zeros(k, dtype=bool)])
+            mask &= same_doc
+            others.append(pd.Series(shifted))
+        joined = base.str.cat(others, sep=" ") if others else base
+        joined = joined[mask]
+        if not len(joined):
+            return empty
+        c = joined.value_counts()
+        return pd.DataFrame({"ngram": c.index.astype(str),
+                             "count": c.to_numpy(np.int64)})
+
+    from tenzir_ray.stages.exchange import grouped_apply
+
+    pre = ds.map_batches(_explode, batch_format="pandas",
+                         batch_size=batch_size)
+
+    def _sum(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("ngram", as_index=False, sort=False)["count"].sum()
+        if min_count > 1:
+            out = out[out["count"] >= min_count]
+        return out
+
+    return grouped_apply(pre, ["ngram"], _sum, num_buckets=buckets)
+
+
 ship_by_value(sys.modules[__name__])

@@ -402,6 +402,33 @@ def test_decontaminate_patterns_and_dataset_blocklist(ray_session):
     assert sorted(out2["doc_id"]) == [2, 3, 4]
 
 
+def test_repetition_score_and_ngram_counts(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages.text import ngram_counts, repetition_score
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b c d", "a a a a", "x y x y", None],
+    }))
+    out = (repetition_score(docs).to_pandas()
+           .set_index("doc_id")["rep_ratio"])
+    assert out[1] == 0.0
+    assert out[2] == 0.75
+    assert out[3] == 0.5
+    assert out[4] == 0.0
+
+    # bigrams never cross documents; counts sum globally
+    bg = ngram_counts(docs, n=2).to_pandas().set_index("ngram")["count"]
+    assert bg["a a"] == 3
+    assert bg["x y"] == 2
+    assert bg["y x"] == 1
+    assert "d a" not in bg.index  # doc boundary
+    # trigram + min_count tail filter
+    tg = ngram_counts(docs, n=3, min_count=2).to_pandas()
+    assert tg.set_index("ngram")["count"].to_dict() == {"a a a": 2}
+
+
 # ---------------------------------------------------------------------------
 # ftp connector + smtp email sink (loopback servers, stdlib only)
 
