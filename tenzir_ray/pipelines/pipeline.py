@@ -181,6 +181,12 @@ def _register_builtins() -> None:
         read_ftp=remote_mod.read_ftp,
         write_email=remote_mod.write_email,
     )
+    from tenzir_ray.sources import zmtp as zmtp_mod
+    OPERATORS.update(
+        read_zmq=zmtp_mod.read_zmq_pull,
+        write_zmq=zmtp_mod.write_zmq_push,
+    )
+    SOURCE_OPS.add("read_zmq")
 
     # lake source/sink (reference export.cpp / import.cpp): `read_lake
     # <root>` streams the live table (filter_expr pushes into the scan —

@@ -591,6 +591,115 @@ def test_write_email_loopback_smtp(ray_session):
 
 
 # ---------------------------------------------------------------------------
+# ZMTP 3.0 wire protocol (spec-implemented, stdlib sockets)
+
+
+def test_zmtp_push_pull_multipart_and_long_frames():
+    import threading
+
+    from tenzir_ray.sources.zmtp import ZmqListener, zmq_connect
+
+    listener = ZmqListener("tcp://127.0.0.1:0", "PULL")
+    got: list[list[bytes]] = []
+
+    def _serve():
+        peer = listener.accept(timeout=10)
+        got.append(peer.recv_multipart())
+        got.append(peer.recv_multipart())
+        peer.close()
+
+    t = threading.Thread(target=_serve, daemon=True)
+    t.start()
+    push = zmq_connect(f"tcp://127.0.0.1:{listener.port}", "PUSH")
+    push.send_multipart([b"hdr", b"x" * 300])  # >255 -> LONG frame
+    push.send(b"single")
+    t.join(10)
+    push.close()
+    listener.close()
+    assert got[0] == [b"hdr", b"x" * 300]
+    assert got[1] == [b"single"]
+
+
+def test_zmtp_pub_sub_topic_filtering():
+    import threading
+
+    from tenzir_ray.sources.zmtp import ZmqListener, zmq_connect
+
+    listener = ZmqListener("tcp://127.0.0.1:0", "PUB")
+    delivered: list[bool] = []
+
+    def _serve():
+        pub = listener.accept(timeout=10)
+        pub.poll_subscriptions(timeout=1.0)
+        delivered.append(pub.publish([b"alerts.disk", b"full"]))
+        delivered.append(pub.publish([b"metrics.cpu", b"90"]))
+        pub.close()
+
+    t = threading.Thread(target=_serve, daemon=True)
+    t.start()
+    sub = zmq_connect(f"tcp://127.0.0.1:{listener.port}", "SUB")
+    sub.subscribe(b"alerts.")
+    msg = sub.recv_multipart()
+    t.join(10)
+    sub.close()
+    listener.close()
+    assert msg == [b"alerts.disk", b"full"]
+    assert delivered == [True, False]  # metrics.* filtered at the PUB
+
+
+def test_zmtp_socket_type_compat_enforced():
+    import threading
+
+    import pytest as _p
+
+    from tenzir_ray.sources.zmtp import ZmqListener, zmq_connect
+
+    listener = ZmqListener("tcp://127.0.0.1:0", "PULL")
+    err: list[Exception] = []
+
+    def _serve():
+        try:
+            listener.accept(timeout=10)
+        except Exception as e:
+            err.append(e)
+
+    t = threading.Thread(target=_serve, daemon=True)
+    t.start()
+    with _p.raises(ConnectionError, match="cannot talk"):
+        zmq_connect(f"tcp://127.0.0.1:{listener.port}", "SUB")
+    t.join(10)
+    listener.close()
+
+
+def test_zmq_dataset_glue(ray_session):
+    import threading
+
+    import ray.data
+
+    from tenzir_ray.sources.zmtp import read_zmq_pull, write_zmq_push
+
+    # PULL source side binds; PUSH sink connects and drains a Dataset
+    result: dict = {}
+
+    def _pull():
+        result["ds"] = read_zmq_pull("tcp://127.0.0.1:15999",
+                                     max_messages=3, timeout=15)
+
+    t = threading.Thread(target=_pull, daemon=True)
+    t.start()
+    import time
+
+    time.sleep(0.3)  # let the listener bind
+    src = ray.data.from_arrow(pa.table({
+        "data": [b"r1", b"r2", b"r3"]}))
+    n = write_zmq_push(src, "tcp://127.0.0.1:15999")
+    t.join(15)
+    assert n == 3
+    out = result["ds"].to_pandas()
+    assert sorted(out["data"]) == [b"r1", b"r2", b"r3"]
+
+
+# ---------------------------------------------------------------------------
 # wire-protocol broker adapters (typed, conformance-checked vs FileBroker)
 
 
