@@ -187,6 +187,12 @@ def _register_builtins() -> None:
         write_zmq=zmtp_mod.write_zmq_push,
     )
     SOURCE_OPS.add("read_zmq")
+    from tenzir_ray.sources import amqp as amqp_mod
+    OPERATORS.update(
+        read_amqp=amqp_mod.read_amqp,
+        write_amqp=amqp_mod.write_amqp,
+    )
+    SOURCE_OPS.add("read_amqp")
 
     # lake source/sink (reference export.cpp / import.cpp): `read_lake
     # <root>` streams the live table (filter_expr pushes into the scan —
