@@ -193,6 +193,9 @@ def _register_builtins() -> None:
         write_amqp=amqp_mod.write_amqp,
     )
     SOURCE_OPS.add("read_amqp")
+    from tenzir_ray.sources import fluent as fluent_mod
+    OPERATORS.update(read_fluent_forward=fluent_mod.read_fluent_forward)
+    SOURCE_OPS.add("read_fluent_forward")
 
     # lake source/sink (reference export.cpp / import.cpp): `read_lake
     # <root>` streams the live table (filter_expr pushes into the scan —

@@ -591,6 +591,66 @@ def test_write_email_loopback_smtp(ray_session):
 
 
 # ---------------------------------------------------------------------------
+# Fluentd Forward protocol + msgpack subset
+
+
+def test_msgpack_subset_roundtrip():
+    from tenzir_ray.sources.fluent import EventTime, pack, unpack
+
+    cases = [
+        None, True, False, 0, 1, 127, 128, 255, 65535, 1 << 40,
+        -1, -32, -33, -129, -(1 << 20), -(1 << 40),
+        3.14159, "", "hi", "x" * 300, b"\x00\xff" * 200,
+        [1, "two", [3, None]], {"k": 1, "nested": {"a": [True]}},
+    ]
+    for c in cases:
+        assert unpack(pack(c)) == c, c
+    t = EventTime(1700000000, 123456789)
+    assert unpack(pack(t)) == t
+
+
+def test_fluent_forward_all_modes(ray_session):
+    import threading
+
+    from tenzir_ray.sources.fluent import (
+        EventTime,
+        read_fluent_forward,
+        write_fluent_forward,
+    )
+
+    for mode in ("message", "forward", "packed_forward"):
+        got: dict = {}
+        port_box: list[int] = []
+        ev = threading.Event()
+
+        def _ready(p):
+            port_box.append(p)
+            ev.set()
+
+        def _listen():
+            got["ds"] = read_fluent_forward(
+                max_events=3, timeout=10, _ready=_ready)
+
+        t = threading.Thread(target=_listen, daemon=True)
+        t.start()
+        assert ev.wait(10)
+        events = [(EventTime(100, 0), {"msg": "a", "n": 1}),
+                  (1650000000, {"msg": "b", "n": 2}),
+                  (EventTime(100, 500), {"msg": "c", "n": 3})]
+        n = write_fluent_forward(events, "127.0.0.1", port_box[0],
+                                 tag="app.logs", mode=mode,
+                                 require_ack=True)
+        t.join(15)
+        assert n == 3
+        df = got["ds"].to_pandas()
+        assert df["tag"].tolist() == ["app.logs"] * 3, mode
+        assert [r for r in df["record"]] == [
+            '{"msg": "a", "n": 1}', '{"msg": "b", "n": 2}',
+            '{"msg": "c", "n": 3}'], mode
+        assert abs(df["time"].iloc[1] - 1650000000.0) < 1e-6
+
+
+# ---------------------------------------------------------------------------
 # AMQP 0-9-1 wire client (spec-implemented; broker double speaks the
 # server half of the same grammar)
 
