@@ -169,6 +169,7 @@ def _register_builtins() -> None:
     from tenzir_ray.sources import pcap as pcap_mod
     OPERATORS.update(
         read_pcap=pcap_mod.read_pcap,
+        read_nic=pcap_mod.read_nic,
         decapsulate=pcap_mod.decapsulate,
     )
     from tenzir_ray.sources import net as net_mod

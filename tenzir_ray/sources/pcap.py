@@ -143,4 +143,63 @@ def decapsulate(ds, data_column: str = "data"):
     return ds.map_batches(_decap, batch_format="pyarrow")
 
 
+
+def read_nic(interface: str = "lo", max_packets: int = 1000,
+             timeout: float = 10.0, promiscuous: bool = False):
+    """LIVE packet capture from a network interface (the reference's
+    `nic` loader, plugins/nic wraps libpcap) via a raw AF_PACKET socket
+    — stdlib-only, requires CAP_NET_RAW/root. One row per captured
+    frame in exactly :func:`read_pcap`'s schema (packet_idx, ts,
+    caplen, origlen, linktype=1 ethernet, data), so `decapsulate`
+    composes unchanged. The capture loop is driver-side (a NIC is a
+    single physical source); decode fans out downstream."""
+    import socket as _socket
+    import time as _time
+
+    import ray.data
+
+    ETH_P_ALL = 0x0003
+    s = _socket.socket(_socket.AF_PACKET, _socket.SOCK_RAW,
+                       _socket.htons(ETH_P_ALL))
+    rows = []
+    try:
+        s.bind((interface, 0))
+        if promiscuous:
+            import struct as _struct
+
+            # PACKET_ADD_MEMBERSHIP / PACKET_MR_PROMISC (if_packet.h)
+            ifidx = _socket.if_nametoindex(interface)
+            mreq = _struct.pack("iHH8s", ifidx, 1, 0, b"")
+            s.setsockopt(263, 1, mreq)  # SOL_PACKET, PACKET_ADD_MEMBERSHIP
+        s.settimeout(min(0.25, timeout))
+        deadline = _time.monotonic() + timeout
+        idx = 0
+        while len(rows) < max_packets and _time.monotonic() < deadline:
+            try:
+                data, _addr = s.recvfrom(65535)
+            except (_socket.timeout, TimeoutError):
+                continue
+            rows.append({
+                "packet_idx": idx,
+                "ts": _time.time(),
+                "caplen": len(data),
+                "origlen": len(data),
+                "linktype": 1,  # LINKTYPE_ETHERNET
+                "data": data,
+            })
+            idx += 1
+    finally:
+        s.close()
+    if not rows:
+        return ray.data.from_arrow(pa.table({
+            "packet_idx": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.float64()),
+            "caplen": pa.array([], pa.int64()),
+            "origlen": pa.array([], pa.int64()),
+            "linktype": pa.array([], pa.int64()),
+            "data": pa.array([], pa.binary()),
+        }))
+    return ray.data.from_items(rows)
+
+
 ship_by_value(sys.modules[__name__])

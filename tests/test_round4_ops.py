@@ -590,6 +590,46 @@ def test_write_email_loopback_smtp(ray_session):
         srv.close()
 
 
+def test_read_nic_live_loopback_capture(ray_session):
+    """REAL live capture: bind AF_PACKET on lo, send a UDP datagram to
+    127.0.0.1, capture it, and decode it with the standard pcap
+    decapsulate stage (schema-compatible by construction)."""
+    import socket
+    import threading
+    import time
+
+    from tenzir_ray.sources.pcap import decapsulate, read_nic
+
+    try:
+        probe = socket.socket(socket.AF_PACKET, socket.SOCK_RAW,
+                              socket.htons(0x0003))
+        probe.close()
+    except (PermissionError, OSError):
+        pytest.skip("AF_PACKET raw sockets unavailable")
+
+    payload = b"nic-capture-probe-7361"
+
+    def _traffic():
+        u = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        for _ in range(20):
+            u.sendto(payload, ("127.0.0.1", 19876))
+            time.sleep(0.05)
+        u.close()
+
+    t = threading.Thread(target=_traffic, daemon=True)
+    t.start()
+    ds = read_nic("lo", max_packets=40, timeout=5)
+    t.join(5)
+    df = ds.to_pandas()
+    assert len(df) > 0
+    mine = df[df["data"].apply(lambda b: payload in b)]
+    assert len(mine) > 0, "did not capture our own datagram"
+    dec = decapsulate(ds).to_pandas()
+    hit = dec[(dec["dst_port"] == 19876) & (dec["ip_proto"] == 17)]
+    assert len(hit) > 0
+    assert (hit["dst_ip"] == "127.0.0.1").all()
+
+
 # ---------------------------------------------------------------------------
 # Fluentd Forward protocol + msgpack subset
 
