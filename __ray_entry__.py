@@ -110,7 +110,7 @@ def entry() -> Any:
     return _cdc_replay("/root/testdata/sf0.001")
 
 
-def _build_sql_lake(sf: str, tag: str):
+def _build_sql_lake(sf: str, tag: str, **apply_kwargs):
     """Shared helper for the SQL-oracled CDC queries: derive a change log
     from `events` by SQL-expressible rules and apply it through the
     exactly-once lake in two out-of-order epochs (odd lsns first —
@@ -152,10 +152,12 @@ def _build_sql_lake(sf: str, tag: str):
         return f
 
     lake.apply_changes(
-        changes.map_batches(_parity(1), batch_format="pyarrow"), epoch_id="odd"
+        changes.map_batches(_parity(1), batch_format="pyarrow"), epoch_id="odd",
+        **apply_kwargs,
     )
     lake.apply_changes(
-        changes.map_batches(_parity(0), batch_format="pyarrow"), epoch_id="even"
+        changes.map_batches(_parity(0), batch_format="pyarrow"), epoch_id="even",
+        **apply_kwargs,
     )
     return lake
 
@@ -1850,6 +1852,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
         assert lake.registry.version >= 2, "registry must have evolved"
         return lake.final_table()
 
+    def cdc_time_travel(sf):
+        # time-travel snapshot read (Delta versionAsOf analog): the state
+        # as of the FIRST epoch (odd lsns only) must equal DuckDB's LWW
+        # over just the odd-lsn derivation — the even epoch, applied
+        # later, must be invisible to the snapshot
+        return _build_sql_lake(sf, "tt").final_table(as_of="odd")
+
+    def cdc_change_feed(sf):
+        # change-data-feed (Delta CDF analog): the NET applied changes of
+        # each epoch — intra-epoch LWW winners per key INCLUDING delete
+        # tombstones — streamed back with _lsn/_op attribution; the oracle
+        # reconstructs the same winners per parity group in SQL
+        lake = _build_sql_lake(sf, "cdf", change_feed=True)
+        return lake.changes()
+
+    def cdc_replicate_tables(sf):
+        # multi-table replication router: one heterogeneous change stream
+        # routed by a table column into TWO lakes (exactly-once each),
+        # read back as one tagged union; the oracle is per-table LWW
+        import pandas as pd
+        import ray.data
+
+        from tenzir_ray.cdc import LakeTable, replicate_stream
+
+        def _mk(df: pd.DataFrame) -> pd.DataFrame:
+            i = df["event_id"].to_numpy()
+            u = df["user_id"].to_numpy()
+            op = np.where(
+                i % 10 == 9, "delete",
+                np.where(i % 10 >= 6, "update", "insert"),
+            )
+            return pd.DataFrame({
+                "lsn": i.astype(np.int64),
+                "op": op,
+                "conv_id": "c" + pd.Series(u % 50).astype(str),
+                "turn_idx": ((i // 7) % 20).astype(np.int32),
+                "text": df["event_type"] + "-" + pd.Series(i).astype(str),
+                "_table": "t" + pd.Series(u % 2).astype(str),
+            })
+
+        import pyarrow as pa
+
+        changes = _read(sf, "events",
+                        columns=["event_id", "user_id", "event_type"]
+                        ).map_batches(_mk, batch_format="pandas")
+        root = _scratch("tenzir_ray_cdc_sql",
+                        f"repl-{os.path.basename(os.path.normpath(sf))}")
+        shutil.rmtree(root, ignore_errors=True)
+        lakes = {
+            "t0": LakeTable(f"{root}/t0", num_partitions=8),
+            "t1": LakeTable(f"{root}/t1", num_partitions=8),
+        }
+        replicate_stream(changes, lakes, epoch_id="e1")
+        parts = []
+        for name, lake in sorted(lakes.items()):
+            t = lake.final_table()
+            parts.append(t.append_column(
+                "tbl", pa.array([name] * t.num_rows, pa.string())))
+        return pa.concat_tables(parts)
+
     def lake_export_filtered(sf):
         # the EXPORT path (reference operators/export.cpp: catalog
         # candidate selection + pushdown): stream the live lake back out
@@ -2033,6 +2095,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": embedding_near_dups,
         "cdc_replay": cdc_replay,
         "cdc_replay_sql": cdc_replay_sql,
+        "cdc_time_travel": cdc_time_travel,
+        "cdc_change_feed": cdc_change_feed,
+        "cdc_replicate_tables": cdc_replicate_tables,
         "kafka_replay_sql": kafka_replay_sql,
         "retro_lookup_convs": retro_lookup_convs,
         "mmdb_enrich": mmdb_enrich,
@@ -2552,6 +2617,56 @@ def oracle_sql() -> dict[str, str]:
                       PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) rn
                   FROM ch)
             SELECT conv_id, turn_idx, text FROM w WHERE rn = 1 AND op != 'delete'
+        """,
+        "cdc_time_travel": """
+            WITH ch AS (
+                SELECT event_id AS lsn,
+                       CASE WHEN event_id % 10 = 9 THEN 'delete'
+                            WHEN event_id % 10 >= 6 THEN 'update'
+                            ELSE 'insert' END AS op,
+                       'c' || CAST(user_id % 50 AS VARCHAR) AS conv_id,
+                       CAST((event_id // 7) % 20 AS INTEGER) AS turn_idx,
+                       event_type || '-' || CAST(event_id AS VARCHAR) AS text
+                FROM events WHERE event_id % 2 = 1),
+            w AS (SELECT *, row_number() OVER (
+                      PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) rn
+                  FROM ch)
+            SELECT conv_id, turn_idx, text FROM w WHERE rn = 1 AND op != 'delete'
+        """,
+        "cdc_change_feed": """
+            WITH ch AS (
+                SELECT event_id AS lsn,
+                       CASE WHEN event_id % 10 = 9 THEN 'delete'
+                            WHEN event_id % 10 >= 6 THEN 'update'
+                            ELSE 'insert' END AS op,
+                       'c' || CAST(user_id % 50 AS VARCHAR) AS conv_id,
+                       CAST((event_id // 7) % 20 AS INTEGER) AS turn_idx,
+                       event_type || '-' || CAST(event_id AS VARCHAR) AS text
+                FROM events),
+            w AS (SELECT *, row_number() OVER (
+                      PARTITION BY conv_id, turn_idx, lsn % 2
+                      ORDER BY lsn DESC) rn
+                  FROM ch)
+            SELECT conv_id, turn_idx, text, lsn AS "_lsn", op AS "_op"
+            FROM w WHERE rn = 1
+        """,
+        "cdc_replicate_tables": """
+            WITH ch AS (
+                SELECT event_id AS lsn,
+                       CASE WHEN event_id % 10 = 9 THEN 'delete'
+                            WHEN event_id % 10 >= 6 THEN 'update'
+                            ELSE 'insert' END AS op,
+                       'c' || CAST(user_id % 50 AS VARCHAR) AS conv_id,
+                       CAST((event_id // 7) % 20 AS INTEGER) AS turn_idx,
+                       event_type || '-' || CAST(event_id AS VARCHAR) AS text,
+                       't' || CAST(user_id % 2 AS VARCHAR) AS tbl
+                FROM events),
+            w AS (SELECT *, row_number() OVER (
+                      PARTITION BY tbl, conv_id, turn_idx
+                      ORDER BY lsn DESC) rn
+                  FROM ch)
+            SELECT conv_id, turn_idx, text, tbl
+            FROM w WHERE rn = 1 AND op != 'delete'
         """,
         "cdc_schema_evolution": """
             WITH ch AS (

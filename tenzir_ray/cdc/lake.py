@@ -422,7 +422,9 @@ class _PartitionReducer:
                  base_files: dict[int, list[str]], payload_cols: list[str],
                  modes: dict[int, str] | None = None,
                  frag_index: dict[int, list] | None = None,
-                 salted_dir: str | None = None):
+                 salted_dir: str | None = None,
+                 change_feed: bool = False):
+        self.change_feed = change_feed
         self.root = root
         self.staging = staging
         self.registry = SchemaRegistry.from_json(registry_json)
@@ -536,6 +538,30 @@ class _PartitionReducer:
         pq.write_table(out, tmp, compression="zstd", compression_level=1)
         os.replace(tmp, path)  # write-then-rename (posix_filesystem.cpp:29)
 
+        # change-data-feed (Delta-Lake _change_data analog): persist the
+        # epoch's NET applied changes — intra-epoch LWW winners including
+        # delete tombstones — in a dedicated _cdf/ file that survives
+        # compaction. In delta mode this equals the delta file; a separate
+        # copy keeps the feed readable after optimize() collects the delta.
+        cdf_rel = None
+        if self.change_feed:
+            if mode == "delta":
+                cdf_tbl = out
+            else:
+                net = _sorted_by_key(_lww_reduce_table(changes))
+                cdf_tbl = net.select(self.payload_cols)
+                cdf_tbl = cdf_tbl.append_column(LSN_COL, net.column("lsn"))
+                cdf_tbl = cdf_tbl.append_column(OP_COL, net.column("op"))
+            cdf_rel = (
+                f"_cdf/part={part}/cdf-{self.epoch_id}-{uuid.uuid4().hex[:8]}"
+                ".parquet"
+            )
+            cdf_path = os.path.join(self.root, cdf_rel)
+            os.makedirs(os.path.dirname(cdf_path), exist_ok=True)
+            pq.write_table(cdf_tbl, cdf_path + ".tmp", compression="zstd",
+                           compression_level=1)
+            os.replace(cdf_path + ".tmp", cdf_path)
+
         # deterministic content checksum: sha256 over the sorted output's
         # Arrow IPC bytes (single C pass, no pandas round-trip)
         import hashlib
@@ -564,6 +590,7 @@ class _PartitionReducer:
             "lsn_hi": int(change_lsn.max()) if len(change_lsn) else -1,
             "checksum": checksum,
             "file": rel,
+            "cdf_file": cdf_rel,
         }
 
 
@@ -622,6 +649,7 @@ class LakeTable:
         delta_ratio: float = 0.2,
         epoch_meta: dict[str, Any] | None = None,
         transport: str | None = None,
+        change_feed: bool = False,
     ) -> dict[str, Any]:
         """Apply one epoch (a bounded chunk of the binlog) exactly once.
 
@@ -644,6 +672,12 @@ class LakeTable:
         exists); "object" = partition slices ride Ray's object store
         (plasma moves bytes node-to-node and spills — no shared-FS
         requirement; salted mode is fs-only).
+
+        ``change_feed=True`` additionally persists each partition's NET
+        applied changes (intra-epoch LWW winners incl. delete tombstones)
+        under ``_cdf/`` so :meth:`changes` can stream the applied change
+        log later (Delta-Lake change-data-feed analog). Off by default —
+        it costs one extra small parquet write per touched partition.
         """
         import ray.data
 
@@ -835,6 +869,7 @@ class LakeTable:
             modes=modes,
             frag_index=frag_index,
             salted_dir=reduced_dir,
+            change_feed=change_feed,
         )
         # stage 2 runs as plain Ray tasks, not a Dataset pipeline: the
         # reduce is a FIXED fan-out of independent per-partition tasks
@@ -891,6 +926,11 @@ class LakeTable:
                     "lsn_high": int(r.lsn_high),
                     "checksum": int(r.checksum),
                 }
+            # lineage-only fields (time travel + change feed)
+            part_results[k]["mode"] = str(r.mode)
+            part_results[k]["new_file"] = r.file
+            if r.cdf_file is not None:
+                part_results[k]["cdf_file"] = r.cdf_file
         lsn_min = int(lineage["lsn_lo"].min())
         lsn_max = int(lineage["lsn_hi"].max())
         # exchange stats ride the lineage record (same atomic write):
@@ -968,7 +1008,7 @@ class LakeTable:
         )
 
     def read(self, columns: list[str] | None = None,
-             filter=None) -> "ray.data.Dataset":
+             filter=None, as_of: "str | int | None" = None) -> "ray.data.Dataset":
         """Streaming Dataset over the live table (payload columns only).
 
         Compacted partitions stream straight from parquet (fast path);
@@ -979,15 +1019,43 @@ class LakeTable:
         parquet scan on the fast path (row-group pruning); on the
         merge-on-read path it applies right after each partition's merge
         (rows must survive LWW BEFORE the predicate — a deleted row must
-        not resurrect into the match set)."""
+        not resurrect into the match set).
+
+        ``as_of`` time-travels: read the snapshot as of a committed epoch
+        (id or positional index, negatives from the end) by reconstructing
+        each partition's file set from lineage — every epoch record stores
+        the full replacement file set it published, so the snapshot is
+        exact (Delta-Lake ``versionAsOf``). Snapshots stay readable until
+        ``optimize()``/``gc()`` collect superseded files and
+        ``truncate_lineage()`` drops the record (VACUUM semantics);
+        schemas conform to the CURRENT registry (old snapshots gain
+        later-added columns as nulls)."""
         import ray.data
 
-        files = self.manifest.live_files()
+        if as_of is None:
+            state = self.manifest.partitions
+            has_deltas = self._has_deltas()
+        else:
+            state = self.manifest.state_as_of(as_of)
+            # tombstones=None → pre-round-4 lineage record: tombstone
+            # presence unknown, the merge path is always correct
+            has_deltas = any(
+                len(info.get("files", [])) > 1
+                or info.get("tombstones") is None
+                or (info.get("tombstones", 0) or 0) > 0
+                for info in state.values()
+            )
+
+        files = [
+            os.path.join(self.root, f)
+            for k in sorted(state, key=int)
+            for f in state[k]["files"]
+        ]
         if not files:
             return ray.data.from_arrow(
                 pa.table({c: [] for c in (columns or ["conv_id"])})
             )
-        if not self._has_deltas():
+        if not has_deltas:
             kwargs = {"filter": filter} if filter is not None else {}
             ds = ray.data.read_parquet(files, columns=columns, **kwargs)
             if columns is None:
@@ -999,11 +1067,11 @@ class LakeTable:
         # projection applies after the predicate
         loader = _PartitionLoader(
             self.root,
-            {k: info["files"] for k, info in self.manifest.partitions.items()},
+            {k: info["files"] for k, info in state.items()},
             self.registry.to_json(),
             None if filter is not None else columns,
         )
-        parts = sorted(self.manifest.partitions, key=int)
+        parts = sorted(state, key=int)
         ds = ray.data.from_items([{"part": int(k)} for k in parts]).map_batches(
             loader, batch_format="pyarrow", batch_size=1
         )
@@ -1024,12 +1092,15 @@ class LakeTable:
             ds = ds.map_batches(_post, batch_format="pyarrow")
         return ds
 
-    def final_table(self) -> pa.Table:
+    def final_table(self, as_of: "str | int | None" = None) -> pa.Table:
         """Driver-side full read, sorted by (conv_id, turn_idx) — for
-        verification at test scale only (materializes)."""
+        verification at test scale only (materializes). ``as_of`` reads a
+        lineage snapshot (see :meth:`read`)."""
+        state = (self.manifest.partitions if as_of is None
+                 else self.manifest.state_as_of(as_of))
         tables = []
-        for k in sorted(self.manifest.partitions, key=int):
-            info = self.manifest.partitions[k]
+        for k in sorted(state, key=int):
+            info = state[k]
             merged = _merge_live(
                 [_load_stored(self.root, rel, self.registry) for rel in info["files"]]
             )
@@ -1069,6 +1140,76 @@ class LakeTable:
     def resume_lsn(self) -> int:
         """Next lsn to tail from (checkpoint/resume-from-offset)."""
         return self.manifest.lsn_high() + 1
+
+    def changes(self, since_lsn: int = 0,
+                epochs: "list[str] | None" = None,
+                with_epoch_id: bool = False) -> "ray.data.Dataset":
+        """Stream the applied change feed (Delta-Lake CDF analog): the NET
+        changes each epoch applied — intra-epoch LWW winners per key,
+        including delete tombstones — as payload + ``_lsn`` + ``_op`` rows.
+
+        Sources, per epoch in lineage order: the ``_cdf/`` file written
+        when the epoch was applied with ``change_feed=True``, else (delta
+        epochs only) the delta file itself, which has identical content but
+        dies at compaction. Full-rewrite epochs applied WITHOUT
+        ``change_feed`` cannot reconstruct per-row attribution → error.
+
+        ``since_lsn`` filters to changes with ``_lsn >= since_lsn`` (epochs
+        entirely below are skipped at the driver — file-level pruning);
+        ``epochs`` limits to the given epoch ids. ``with_epoch_id=True``
+        tags rows with their epoch id (one read per epoch unioned — use
+        only over bounded epoch selections)."""
+        import ray.data
+
+        wanted = None if epochs is None else set(epochs)
+        per_epoch: list[tuple[str, list[str]]] = []
+        for e in self.manifest.epochs:
+            if wanted is not None and e["epoch_id"] not in wanted:
+                continue
+            if (e.get("meta") or {}).get("_compaction"):
+                continue  # compaction republishes files, applies no changes
+            if e.get("lsn_max", -1) < since_lsn:
+                continue
+            files = []
+            for k, rec in e.get("partitions", {}).items():
+                cdf = rec.get("cdf_file")
+                if cdf is None and rec.get("mode") == "delta":
+                    cdf = rec.get("new_file")
+                if cdf is None:
+                    raise ValueError(
+                        f"epoch {e['epoch_id']!r} was applied without "
+                        "change_feed=True and rewrote partitions in place; "
+                        "its per-row changes are not reconstructible")
+                files.append(os.path.join(self.root, cdf))
+            if files:
+                per_epoch.append((e["epoch_id"], files))
+        if not per_epoch:
+            cols = list(self.registry.schema.names) if self.registry.schema else []
+            empty = {c: [] for c in cols + [LSN_COL, OP_COL]}
+            if with_epoch_id:
+                empty["_epoch_id"] = []
+            return ray.data.from_arrow(pa.table(empty))
+
+        def _since(t: pa.Table) -> pa.Table:
+            return t.filter(
+                pc.greater_equal(t.column(LSN_COL).cast(pa.int64()), since_lsn)
+            ) if since_lsn > 0 else t
+
+        # partitioning=None: the part=<k>/ layout is physical, not a hive
+        # column — inference would graft a spurious `part` column
+        if not with_epoch_id:
+            ds = ray.data.read_parquet(
+                [f for _, fl in per_epoch for f in fl], partitioning=None)
+            return ds.map_batches(_since, batch_format="pyarrow")
+        parts = []
+        for eid, fl in per_epoch:
+            d = ray.data.read_parquet(fl, partitioning=None).map_batches(
+                _since, batch_format="pyarrow")
+            parts.append(d.add_column(
+                "_epoch_id", lambda df, _e=eid: pd.Series([_e] * len(df)),
+            ))
+        ds = parts[0]
+        return ds.union(*parts[1:]) if len(parts) > 1 else ds
 
     def tail_directory(self, log_dir: str, pattern: str = "*.parquet",
                        num_salts: int = 0) -> list[dict]:
@@ -1152,16 +1293,25 @@ class LakeTable:
         results = ray_core.get(
             [_compact.remote(k, info["files"]) for k, info in todo.items()]
         )
+        # publish via a lineage record (not a bare partitions-map swap) so
+        # time-travel's epoch-prefix reconstruction stays consistent with
+        # the live state after compaction; changes() skips it (_compaction)
+        part_results = {}
         for r in results:
             info = self.manifest.partitions[r["part"]]
-            self.manifest.partitions[r["part"]] = {
+            part_results[r["part"]] = {
                 **info,
                 "files": [r["file"]],
                 "rows": r["rows"],
                 "delta_rows": 0,
                 "tombstones": 0,
+                "mode": "compact",
+                "new_file": r["file"],
             }
-        self.manifest._atomic_write()
+        self.manifest.commit_epoch(
+            f"_optimize-{uuid.uuid4().hex[:8]}", -1, -1, part_results,
+            meta={"_compaction": True},
+        )
         self.gc()  # old files are now orphans
         return len(results)
 
@@ -1180,10 +1330,21 @@ class LakeTable:
     def truncate_lineage(self, keep_epochs: int = 100) -> int:
         """Retention for the lineage log (disk-monitor analog,
         libtenzir/src/disk_monitor.cpp:68 — bounded history): keep the
-        most recent ``keep_epochs`` records; live state is unaffected."""
+        most recent ``keep_epochs`` records; live state is unaffected.
+        Change-feed files owned by dropped epochs are deleted (the feed's
+        retention IS the lineage retention); time-travel snapshots older
+        than the horizon become unreachable."""
         dropped = max(0, len(self.manifest.epochs) - keep_epochs)
         if dropped:
-            self.manifest.epochs = self.manifest.epochs[-keep_epochs:]
+            for e in self.manifest.epochs[:dropped]:
+                for rec in e.get("partitions", {}).values():
+                    cdf = rec.get("cdf_file")
+                    if cdf and cdf.startswith("_cdf/"):
+                        try:
+                            os.remove(os.path.join(self.root, cdf))
+                        except FileNotFoundError:
+                            pass
+            self.manifest.epochs = self.manifest.epochs[dropped:]
             self.manifest._atomic_write()
         return dropped
 

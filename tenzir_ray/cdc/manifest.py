@@ -62,6 +62,49 @@ class Manifest:
     def committed_epoch_ids(self) -> set[str]:
         return {e["epoch_id"] for e in self.epochs}
 
+    def resolve_epoch(self, as_of: "str | int") -> int:
+        """Index into ``epochs`` for an epoch id (str) or positional index
+        (int, negatives count from the end) — the time-travel version
+        resolver (Delta-Lake ``versionAsOf`` analog)."""
+        if isinstance(as_of, bool):
+            raise TypeError("as_of must be an epoch id or index")
+        if isinstance(as_of, int):
+            n = len(self.epochs)
+            idx = as_of + n if as_of < 0 else as_of
+            if not 0 <= idx < n:
+                raise IndexError(
+                    f"epoch index {as_of} out of range ({n} epochs retained; "
+                    "truncate_lineage() drops old snapshots)")
+            return idx
+        for i, e in enumerate(self.epochs):
+            if e["epoch_id"] == as_of:
+                return i
+        raise KeyError(
+            f"epoch {as_of!r} not in lineage ({len(self.epochs)} epochs "
+            "retained; truncate_lineage() drops old snapshots)")
+
+    def state_as_of(self, as_of: "str | int") -> dict[str, dict[str, Any]]:
+        """Reconstruct the per-partition live state as of a committed epoch
+        (inclusive): each epoch record stores the FULL replacement file set
+        of every partition it touched, so the snapshot is the last record
+        per partition in the prefix. Returns ``{part: {"files": [...],
+        "tombstones": int|None, ...}}``; ``tombstones`` is None for
+        pre-round-4 lineage records (readers must then assume tombstones
+        may exist). Snapshots reference historical data files — they stay
+        readable until ``optimize()``/``gc()`` collect superseded files
+        (VACUUM semantics)."""
+        idx = self.resolve_epoch(as_of)
+        parts: dict[str, dict[str, Any]] = {}
+        for e in self.epochs[: idx + 1]:
+            recs = e.get("partitions", {})
+            for k, files in e.get("files", {}).items():
+                rec = dict(recs.get(k, {}))
+                rec["files"] = files
+                if "tombstones" not in rec:
+                    rec["tombstones"] = None
+                parts[k] = rec
+        return parts
+
     def lsn_high(self) -> int:
         """Global applied-LSN high watermark (resume-from-offset checkpoint)."""
         return max((e["lsn_max"] for e in self.epochs), default=-1)
@@ -104,6 +147,15 @@ class Manifest:
                         "rows": r["rows"],
                         "lsn_high": r["lsn_high"],
                         "checksum": r["checksum"],
+                        # round-4 fields: cumulative tombstone/delta counts
+                        # (time-travel fast-path gate) and this epoch's own
+                        # output files (change-data-feed source)
+                        **{
+                            f: r[f]
+                            for f in ("tombstones", "delta_rows", "mode",
+                                      "new_file", "cdf_file")
+                            if f in r
+                        },
                     }
                     for k, r in part_results.items()
                 },

@@ -1,0 +1,155 @@
+"""Time-travel snapshot reads + change-data-feed over the CDC lake
+(Delta-Lake versionAsOf / CDF analogs; reference durability discipline
+libtenzir/src/active_partition.cpp:103-187 generalized to lineage)."""
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from tenzir_ray.cdc.generate import gen_changes
+from tenzir_ray.cdc.lake import LakeTable
+from tenzir_ray.cdc.oracle import naive_apply
+
+PAYLOAD = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def _split(changes: pa.Table, lo: int, hi: int) -> pa.Table:
+    lsn = changes.column("lsn")
+    return changes.filter(
+        pc.and_(pc.greater_equal(lsn, lo), pc.less(lsn, hi))
+    )
+
+
+def _eq(got: pa.Table, want: pa.Table, cols=PAYLOAD):
+    assert got.num_rows == want.num_rows, (got.num_rows, want.num_rows)
+    g = got.select(cols).to_pandas().reset_index(drop=True)
+    w = want.select(cols).to_pandas().reset_index(drop=True)
+    for c in cols:
+        assert g[c].equals(w[c]), f"column {c} differs"
+
+
+def _net_changes(epoch_tbl: pa.Table) -> pd.DataFrame:
+    """Per-epoch oracle: intra-epoch LWW winner per key, op retained."""
+    df = epoch_tbl.to_pandas()
+    # NOT groupby().last() — that skips nulls per column and would backfill
+    # a delete row's null payload from an earlier event
+    df = df.sort_values("lsn").drop_duplicates(["conv_id", "turn_idx"], keep="last")
+    return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def test_time_travel_snapshots(ray_session, tmp_path):
+    changes = gen_changes(9_000, seed=11)
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=4)
+    e1, e2, e3 = (_split(changes, 0, 3000), _split(changes, 3000, 6000),
+                  _split(changes, 6000, 9000))
+    lake.apply_changes(e1, epoch_id="e1")
+    lake.apply_changes(e2, epoch_id="e2")
+    lake.apply_changes(e3, epoch_id="e3")
+
+    _eq(lake.final_table(as_of="e1"), naive_apply(e1))
+    _eq(lake.final_table(as_of="e2"),
+        naive_apply(pa.concat_tables([e1, e2])))
+    # index + negative-index forms, and the Dataset read() path
+    _eq(lake.final_table(as_of=0), naive_apply(e1))
+    _eq(lake.final_table(as_of=-1), lake.final_table())
+    ds = lake.read(as_of="e1")
+    got = pa.Table.from_pandas(
+        ds.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    _eq(got, naive_apply(e1))
+
+    with pytest.raises(KeyError):
+        lake.final_table(as_of="nope")
+    with pytest.raises(IndexError):
+        lake.final_table(as_of=7)
+
+
+def test_time_travel_across_delta_epochs(ray_session, tmp_path):
+    changes = gen_changes(20_000, seed=13)
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=4)
+    base, tail = _split(changes, 0, 19_000), _split(changes, 19_000, 20_000)
+    lake.apply_changes(base, epoch_id="base")
+    r2 = lake.apply_changes(tail, epoch_id="tail", delta_ratio=0.5)
+    assert any(
+        rec.get("mode") == "delta"
+        for rec in lake.manifest.epochs[-1]["partitions"].values()
+    ), r2
+    # the pre-delta snapshot must not see the tail epoch
+    _eq(lake.final_table(as_of="base"), naive_apply(base))
+    _eq(lake.final_table(as_of="tail"), naive_apply(changes))
+
+
+def test_optimize_publishes_lineage_snapshot(ray_session, tmp_path):
+    changes = gen_changes(6_000, seed=17)
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=4)
+    lake.apply_changes(_split(changes, 0, 3000), epoch_id="a")
+    lake.apply_changes(_split(changes, 3000, 6000), epoch_id="b")
+    lake.optimize()
+    # latest snapshot == live state even after compaction + gc
+    _eq(lake.final_table(as_of=-1), lake.final_table())
+    got = lake.read(as_of=-1).to_pandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    _eq(pa.Table.from_pandas(got), lake.final_table())
+
+
+def test_change_feed_roundtrip(ray_session, tmp_path):
+    changes = gen_changes(8_000, seed=23)
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=4)
+    e1, e2 = _split(changes, 0, 4000), _split(changes, 4000, 8000)
+    lake.apply_changes(e1, epoch_id="e1", change_feed=True)
+    lake.apply_changes(e2, epoch_id="e2", change_feed=True)
+
+    feed = lake.changes().to_pandas()
+    want = pd.concat([_net_changes(e1), _net_changes(e2)], ignore_index=True)
+    assert len(feed) == len(want)
+    g = feed.sort_values(["_lsn"]).reset_index(drop=True)
+    w = want.sort_values(["lsn"]).reset_index(drop=True)
+    assert g["_lsn"].tolist() == w["lsn"].tolist()
+    assert g["_op"].tolist() == w["op"].tolist()
+    assert g["text"].tolist() == w["text"].tolist()
+    # tombstones are present in the feed
+    assert (g["_op"] == "delete").any()
+
+    # since_lsn prunes whole epochs + filters rows
+    tail = lake.changes(since_lsn=4000).to_pandas()
+    assert (tail["_lsn"] >= 4000).all()
+    assert len(tail) == len(_net_changes(e2))
+
+    # epoch selection + id tagging
+    tagged = lake.changes(epochs=["e1"], with_epoch_id=True).to_pandas()
+    assert set(tagged["_epoch_id"]) == {"e1"}
+    assert len(tagged) == len(_net_changes(e1))
+
+
+def test_change_feed_requires_flag_for_full_epochs(ray_session, tmp_path):
+    changes = gen_changes(2_000, seed=29)
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=2)
+    lake.apply_changes(changes, epoch_id="e1")  # full rewrite, no feed
+    with pytest.raises(ValueError, match="change_feed"):
+        lake.changes().to_pandas()
+
+
+def test_change_feed_delta_fallback_and_retention(ray_session, tmp_path):
+    changes = gen_changes(20_000, seed=31)
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=2)
+    base, tail = _split(changes, 0, 19_000), _split(changes, 19_000, 20_000)
+    lake.apply_changes(base, epoch_id="base", change_feed=True)
+    # delta epoch WITHOUT the flag: the delta file itself serves the feed
+    lake.apply_changes(tail, epoch_id="tail", delta_ratio=0.5)
+    feed = lake.changes(epochs=["tail"]).to_pandas()
+    assert len(feed) == len(_net_changes(tail))
+
+    # lineage truncation deletes owned _cdf files and bounds the feed
+    cdf_files = [
+        os.path.join(str(tmp_path / "lake"), rec["cdf_file"])
+        for rec in lake.manifest.epochs[0]["partitions"].values()
+    ]
+    assert all(os.path.exists(f) for f in cdf_files)
+    dropped = lake.truncate_lineage(keep_epochs=1)
+    assert dropped == 1
+    assert not any(os.path.exists(f) for f in cdf_files)
+    feed2 = lake.changes().to_pandas()
+    assert len(feed2) == len(_net_changes(tail))

@@ -118,7 +118,8 @@ def test_lake_gc_optimize_truncate(ray_session, tmp_path):
     assert n == 4
     lake2 = LakeTable(root)
     assert lake2.final_table().equals(before)
-    assert lake2.truncate_lineage(keep_epochs=1) == 1
+    # e1 + e2 + the compaction record optimize() publishes for time travel
+    assert lake2.truncate_lineage(keep_epochs=1) == 2
     assert len(LakeTable(root).manifest.epochs) == 1
     # correctness preserved end-to-end
     want = naive_apply(changes)
