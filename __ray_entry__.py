@@ -1912,6 +1912,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "tbl", pa.array([name] * t.num_rows, pa.string())))
         return pa.concat_tables(parts)
 
+    def redact_pii(sf):
+        # PII redaction (training-data sanitizer): plant an email, an ip
+        # and an SSN deterministically per doc, redact with the RE2 rule
+        # chain, and match DuckDB's identical regexp_replace nesting
+        import pandas as pd
+
+        def _mk(df: pd.DataFrame) -> pd.DataFrame:
+            i = df["doc_id"]
+            return pd.DataFrame({
+                "doc_id": i,
+                "text": "u" + i.astype(str) + "@mail.example.com ip 10."
+                + (i % 256).astype(str) + ".0.1 ssn 123-45-"
+                + (i % 10000).map("{:04d}".format) + " end "
+                + df["text"].str.slice(0, 40),
+            })
+
+        ds = _read(sf, "documents", columns=["doc_id", "text"]).map_batches(
+            _mk, batch_format="pandas")
+        return TX.redact(ds, "text")
+
+    def strip_html_docs(sf):
+        # HTML tag strip + entity decode (web-corpus normalize step):
+        # markup planted per doc, then <...> removal and the fixed entity
+        # chain — DuckDB mirrors with regexp_replace + nested replace()
+        import pandas as pd
+
+        def _mk(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "doc_id": df["doc_id"],
+                "text": "<p>Hello &amp; <b>world</b> "
+                + df["text"].str.slice(0, 30)
+                + "</p> &lt;tag&gt; &#39;q&#39; x&nbsp;y",
+            })
+
+        ds = _read(sf, "documents", columns=["doc_id", "text"]).map_batches(
+            _mk, batch_format="pandas")
+        return TX.strip_html(ds, "text")
+
     def lake_export_filtered(sf):
         # the EXPORT path (reference operators/export.cpp: catalog
         # candidate selection + pushdown): stream the live lake back out
@@ -2098,6 +2136,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_time_travel": cdc_time_travel,
         "cdc_change_feed": cdc_change_feed,
         "cdc_replicate_tables": cdc_replicate_tables,
+        "redact_pii": redact_pii,
+        "strip_html_docs": strip_html_docs,
         "kafka_replay_sql": kafka_replay_sql,
         "retro_lookup_convs": retro_lookup_convs,
         "mmdb_enrich": mmdb_enrich,
@@ -2649,6 +2689,41 @@ def oracle_sql() -> dict[str, str]:
                   FROM ch)
             SELECT conv_id, turn_idx, text, lsn AS "_lsn", op AS "_op"
             FROM w WHERE rn = 1
+        """,
+        "redact_pii": """
+            WITH base AS (
+                SELECT doc_id,
+                       'u' || CAST(doc_id AS VARCHAR)
+                       || '@mail.example.com ip 10.'
+                       || CAST(doc_id % 256 AS VARCHAR) || '.0.1 ssn 123-45-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       || ' end ' || substr(text, 1, 40) AS text
+                FROM documents)
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                         '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+                       '\\+?\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '<PHONE>', 'g'),
+                     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')
+                   AS text
+            FROM base
+        """,
+        "strip_html_docs": """
+            WITH base AS (
+                SELECT doc_id,
+                       '<p>Hello &amp; <b>world</b> ' || substr(text, 1, 30)
+                       || '</p> &lt;tag&gt; &#39;q&#39; x&nbsp;y' AS text
+                FROM documents)
+            SELECT doc_id,
+                   replace(replace(replace(replace(replace(replace(
+                     regexp_replace(text, '<[^>]*>', '', 'g'),
+                     '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                     '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS text
+            FROM base
         """,
         "cdc_replicate_tables": """
             WITH ch AS (

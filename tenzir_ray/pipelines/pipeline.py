@@ -95,6 +95,8 @@ def _register_builtins() -> None:
         token_count=text.token_count,
         fingerprint=text.fingerprint,
         repetition_score=text.repetition_score,
+        redact=text.redact,
+        strip_html=text.strip_html,
         ngram_counts=text.ngram_counts,
         exact_dedup=dedup.exact_dedup,
         hash_split=splits.hash_split,

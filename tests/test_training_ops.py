@@ -286,3 +286,55 @@ def test_pack_sequences_rule(ray_session):
     # every sequence's token total is in [target - max_doc, target + max_doc)
     per = pd.DataFrame({"seq": want, "t": tok}).groupby("seq")["t"].sum()
     assert per.iloc[:-1].between(500 - 40, 500 + 40).all()
+
+
+def test_redact_pii_rules(ray_session):
+    import ray.data
+
+    tbl = pa.table({
+        "id": [1, 2, 3, 4],
+        "text": [
+            "mail me at a.b+c@sub.example.org now",
+            "server 192.168.1.254 and ssn 123-45-6789",
+            "call +155 555 1234 ok",  # not a phone shape per rule
+            None,
+        ],
+    })
+    out = TX.redact(ray.data.from_arrow(tbl), "text").to_pandas()
+    out = out.sort_values("id").reset_index(drop=True)
+    assert out.loc[0, "text"] == "mail me at <EMAIL> now"
+    assert out.loc[1, "text"] == "server <IP> and ssn <SSN>"
+    assert out.loc[2, "text"] == "call <PHONE> ok"
+    assert out.loc[3, "text"] is None
+
+    # custom rules + separate out column leave the original intact
+    out2 = TX.redact(
+        ray.data.from_arrow(tbl),
+        "text",
+        rules=[("num", r"\d+", "#")],
+        out="clean",
+    ).to_pandas().sort_values("id").reset_index(drop=True)
+    assert out2.loc[1, "text"] == "server 192.168.1.254 and ssn 123-45-6789"
+    assert out2.loc[1, "clean"] == "server #.#.#.# and ssn #-#-#"
+
+    with pytest.raises(Exception):
+        TX.Redact("text", rules=[("bad", "(", "x")])  # invalid regex fails fast
+
+
+def test_strip_html(ray_session):
+    import ray.data
+
+    tbl = pa.table({
+        "id": [1, 2, 3],
+        "text": [
+            "<div class='x'>a &amp; b</div>",
+            "no markup &lt;kept&gt; &#39;q&#39;&nbsp;end",
+            None,
+        ],
+    })
+    out = TX.strip_html(ray.data.from_arrow(tbl), "text").to_pandas()
+    out = out.sort_values("id").reset_index(drop=True)
+    assert out.loc[0, "text"] == "a & b"
+    # entities decode AFTER tag strip, so decoded <kept> stays literal
+    assert out.loc[1, "text"] == "no markup <kept> 'q' end"
+    assert out.loc[2, "text"] is None
