@@ -1912,6 +1912,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "tbl", pa.array([name] * t.num_rows, pa.string())))
         return pa.concat_tables(parts)
 
+    def cdc_derived_view(sf):
+        # incremental materialized view: per-conversation rollup maintained
+        # from the change feed by delta-driven partial recompute, refreshed
+        # once per source epoch exactly-once; the oracle aggregates the
+        # same LWW-final live state
+        from tenzir_ray.cdc import DerivedView
+
+        lake = _build_sql_lake(sf, "dview", change_feed=True)
+        droot = _scratch(
+            "tenzir_ray_cdc_sql",
+            f"dview-dv-{os.path.basename(os.path.normpath(sf))}")
+        shutil.rmtree(droot, ignore_errors=True)
+        view = DerivedView(
+            lake, droot,
+            aggs={"turns": "count(*)", "max_turn": "max(turn_idx)"},
+        )
+        view.refresh()
+        return view.final_table()
+
     def redact_pii(sf):
         # PII redaction (training-data sanitizer): plant an email, an ip
         # and an SSN deterministically per doc, redact with the RE2 rule
@@ -2136,6 +2155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_time_travel": cdc_time_travel,
         "cdc_change_feed": cdc_change_feed,
         "cdc_replicate_tables": cdc_replicate_tables,
+        "cdc_derived_view": cdc_derived_view,
         "redact_pii": redact_pii,
         "strip_html_docs": strip_html_docs,
         "kafka_replay_sql": kafka_replay_sql,
@@ -2689,6 +2709,23 @@ def oracle_sql() -> dict[str, str]:
                   FROM ch)
             SELECT conv_id, turn_idx, text, lsn AS "_lsn", op AS "_op"
             FROM w WHERE rn = 1
+        """,
+        "cdc_derived_view": """
+            WITH ch AS (
+                SELECT event_id AS lsn,
+                       CASE WHEN event_id % 10 = 9 THEN 'delete'
+                            WHEN event_id % 10 >= 6 THEN 'update'
+                            ELSE 'insert' END AS op,
+                       'c' || CAST(user_id % 50 AS VARCHAR) AS conv_id,
+                       CAST((event_id // 7) % 20 AS INTEGER) AS turn_idx
+                FROM events),
+            w AS (SELECT *, row_number() OVER (
+                      PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) rn
+                  FROM ch),
+            live AS (SELECT conv_id, turn_idx FROM w
+                     WHERE rn = 1 AND op != 'delete')
+            SELECT conv_id, COUNT(*) AS turns, MAX(turn_idx) AS max_turn
+            FROM live GROUP BY conv_id
         """,
         "redact_pii": """
             WITH base AS (
