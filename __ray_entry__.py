@@ -1867,6 +1867,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         lake = _build_sql_lake(sf, "cdf", change_feed=True)
         return lake.changes()
 
+    def cdc_change_feed_pre(sf):
+        # preimage-enabled change feed (Delta CDF _change_type analog):
+        # every applied change is classified insert / update_preimage /
+        # update_postimage / delete, preimage rows carrying the REPLACED
+        # row's payload+lsn; the oracle reconstructs all four classes by
+        # joining the even-epoch winners against the odd-epoch live state
+        lake = _build_sql_lake(sf, "cdfpre", change_feed="preimages")
+        return lake.changes()
+
     def cdc_replicate_tables(sf):
         # multi-table replication router: one heterogeneous change stream
         # routed by a table column into TWO lakes (exactly-once each),
@@ -2155,6 +2164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_time_travel": cdc_time_travel,
         "cdc_change_feed": cdc_change_feed,
         "cdc_replicate_tables": cdc_replicate_tables,
+        "cdc_change_feed_pre": cdc_change_feed_pre,
         "cdc_derived_view": cdc_derived_view,
         "redact_pii": redact_pii,
         "strip_html_docs": strip_html_docs,
@@ -2761,6 +2771,48 @@ def oracle_sql() -> dict[str, str]:
                      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
                      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS text
             FROM base
+        """,
+        "cdc_change_feed_pre": """
+            WITH ch AS (
+                SELECT event_id AS lsn,
+                       CASE WHEN event_id % 10 = 9 THEN 'delete'
+                            WHEN event_id % 10 >= 6 THEN 'update'
+                            ELSE 'insert' END AS op,
+                       'c' || CAST(user_id % 50 AS VARCHAR) AS conv_id,
+                       CAST((event_id // 7) % 20 AS INTEGER) AS turn_idx,
+                       event_type || '-' || CAST(event_id AS VARCHAR) AS text
+                FROM events),
+            o AS (SELECT *, row_number() OVER (
+                      PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) rn
+                  FROM ch WHERE lsn % 2 = 1),
+            oa AS (SELECT conv_id, turn_idx, text, lsn, op FROM o
+                   WHERE rn = 1 AND op != 'delete'),
+            n AS (SELECT *, row_number() OVER (
+                      PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) rn
+                  FROM ch WHERE lsn % 2 = 0),
+            nw AS (SELECT conv_id, turn_idx, text, lsn, op FROM n
+                   WHERE rn = 1)
+            SELECT conv_id, turn_idx, text, lsn AS "_lsn", op AS "_op",
+                   'insert' AS "_change_type"
+            FROM oa
+            UNION ALL
+            SELECT nw.conv_id, nw.turn_idx, nw.text, nw.lsn, nw.op, 'insert'
+            FROM nw LEFT JOIN oa USING (conv_id, turn_idx)
+            WHERE nw.op != 'delete' AND oa.lsn IS NULL
+            UNION ALL
+            SELECT oa.conv_id, oa.turn_idx, oa.text, oa.lsn, oa.op,
+                   'update_preimage'
+            FROM oa JOIN nw USING (conv_id, turn_idx)
+            WHERE nw.op != 'delete'
+            UNION ALL
+            SELECT nw.conv_id, nw.turn_idx, nw.text, nw.lsn, nw.op,
+                   'update_postimage'
+            FROM nw JOIN oa USING (conv_id, turn_idx)
+            WHERE nw.op != 'delete'
+            UNION ALL
+            SELECT oa.conv_id, oa.turn_idx, oa.text, oa.lsn, oa.op, 'delete'
+            FROM oa JOIN nw USING (conv_id, turn_idx)
+            WHERE nw.op = 'delete'
         """,
         "cdc_replicate_tables": """
             WITH ch AS (

@@ -74,6 +74,7 @@ META_COLS = ("lsn", "op")
 KEY_COLS = ("conv_id", "turn_idx")
 LSN_COL = "_lsn"  # lsn column name as stored in lake files
 OP_COL = "_op"    # op column as stored in DELTA files (delete tombstones)
+CHANGE_TYPE_COL = "_change_type"  # preimage-feed classification column
 
 #: auto-salt gate: a partition whose POST-COMBINE change volume exceeded
 #: this many rows last epoch gets salted sub-partitioning this epoch.
@@ -478,6 +479,70 @@ class _PartitionReducer:
             out_rows.append(self._reduce_one(part, self._load_raw(part)))
         return pa.Table.from_pylist(out_rows)
 
+    def _preimage_feed(self, net: pa.Table,
+                       base_tables: list[pa.Table]) -> pa.Table:
+        """Delta-CDF-with-preimages feed for one partition: classify each
+        net change against the pre-epoch live state (already loaded for
+        the merge) into ``_change_type`` ∈ insert / update_preimage /
+        update_postimage / delete. Preimage rows carry the REPLACED row's
+        payload and lsn; a delete of a key that never lived emits nothing
+        (Delta semantics — differs from the plain postimage feed, which
+        keeps every tombstone). One pandas hash-join on the keys per
+        partition (bucket-then-vectorize; partition already fits a worker
+        heap by the reduce's own bound)."""
+        base_live = None
+        if base_tables:
+            merged_base = pa.concat_tables(base_tables,
+                                           promote_options="permissive")
+            if merged_base.num_rows:
+                base_live = _merge_live([merged_base])
+
+        def _with_type(t: pa.Table, ct: str) -> pa.Table:
+            body = t.select(self.payload_cols)
+            body = body.append_column(LSN_COL, t.column("lsn"))
+            body = body.append_column(OP_COL, t.column("op"))
+            return body.append_column(
+                CHANGE_TYPE_COL, pa.array([ct] * t.num_rows, pa.string()))
+
+        is_del = pc.equal(net.column("op"), "delete").to_numpy(
+            zero_copy_only=False)
+        if base_live is None or base_live.num_rows == 0:
+            return _with_type(net.filter(pa.array(~is_del)), "insert")
+
+        nk = pd.DataFrame({
+            "conv": net.column("conv_id").to_pandas(),
+            "turn": net.column("turn_idx").to_numpy(zero_copy_only=False),
+        })
+        bk = pd.DataFrame({
+            "conv": base_live.column("conv_id").to_pandas(),
+            "turn": base_live.column("turn_idx").to_numpy(zero_copy_only=False),
+            "bi": np.arange(base_live.num_rows),
+        })
+        m = nk.merge(bk, on=["conv", "turn"], how="left")
+        bi = m["bi"].to_numpy()
+        has_base = ~np.isnan(bi)
+
+        pieces = []
+        ins = ~has_base & ~is_del
+        if ins.any():
+            pieces.append(_with_type(net.filter(pa.array(ins)), "insert"))
+        upd = has_base & ~is_del
+        if upd.any():
+            pre_idx = bi[upd].astype(np.int64)
+            pieces.append(_with_type(base_live.take(pa.array(pre_idx)),
+                                     "update_preimage"))
+            pieces.append(_with_type(net.filter(pa.array(upd)),
+                                     "update_postimage"))
+        dele = has_base & is_del
+        if dele.any():
+            del_idx = bi[dele].astype(np.int64)
+            pieces.append(_with_type(base_live.take(pa.array(del_idx)),
+                                     "delete"))
+        if not pieces:
+            return _with_type(net.slice(0, 0), "insert").slice(0, 0)
+        feed = pa.concat_tables(pieces, promote_options="permissive")
+        return _sorted_by_key(feed)
+
     def _reduce_one(self, part: int, raw: pa.Table) -> dict:
         changes = self.registry.conform(
             raw.select([c for c in raw.column_names if c not in META_COLS])
@@ -499,14 +564,14 @@ class _PartitionReducer:
             rel = f"part={part}/delta-{self.epoch_id}-{uuid.uuid4().hex[:8]}.parquet"
             lsn_high = int(change_lsn.max()) if len(change_lsn) else -1
         else:
-            tables = [changes]
-            for rel_stored in self.base_files.get(part, ()):
-                tables.append(
-                    _load_stored(self.root, rel_stored, self.registry).select(
-                        changes.column_names
-                    )
+            base_tables = [
+                _load_stored(self.root, rel_stored, self.registry).select(
+                    changes.column_names
                 )
-            merged = pa.concat_tables(tables, promote_options="permissive")
+                for rel_stored in self.base_files.get(part, ())
+            ]
+            merged = pa.concat_tables([changes, *base_tables],
+                                      promote_options="permissive")
             mask = _lww_mask(
                 merged.column("lsn").to_numpy(zero_copy_only=False),
                 _factorize(merged.column("conv_id"))[0],
@@ -543,15 +608,21 @@ class _PartitionReducer:
         # delete tombstones — in a dedicated _cdf/ file that survives
         # compaction. In delta mode this equals the delta file; a separate
         # copy keeps the feed readable after optimize() collects the delta.
+        # change_feed="preimages" additionally emits the replaced rows
+        # (update_preimage / delete content) — possible exactly here, where
+        # the base was read anyway for the merge.
         cdf_rel = None
         if self.change_feed:
             if mode == "delta":
                 cdf_tbl = out
             else:
                 net = _sorted_by_key(_lww_reduce_table(changes))
-                cdf_tbl = net.select(self.payload_cols)
-                cdf_tbl = cdf_tbl.append_column(LSN_COL, net.column("lsn"))
-                cdf_tbl = cdf_tbl.append_column(OP_COL, net.column("op"))
+                if self.change_feed == "preimages":
+                    cdf_tbl = self._preimage_feed(net, base_tables)
+                else:
+                    cdf_tbl = net.select(self.payload_cols)
+                    cdf_tbl = cdf_tbl.append_column(LSN_COL, net.column("lsn"))
+                    cdf_tbl = cdf_tbl.append_column(OP_COL, net.column("op"))
             cdf_rel = (
                 f"_cdf/part={part}/cdf-{self.epoch_id}-{uuid.uuid4().hex[:8]}"
                 ".parquet"
@@ -678,6 +749,11 @@ class LakeTable:
         under ``_cdf/`` so :meth:`changes` can stream the applied change
         log later (Delta-Lake change-data-feed analog). Off by default —
         it costs one extra small parquet write per touched partition.
+        ``change_feed="preimages"`` also emits the REPLACED rows, tagging
+        every feed row with ``_change_type`` (insert / update_preimage /
+        update_postimage / delete); preimage capture needs the pre-epoch
+        base, so this mode disables the delta (merge-on-read) path for
+        the epoch — the same trade Delta Lake's CDF makes on MERGE.
         """
         import ray.data
 
@@ -851,6 +927,8 @@ class LakeTable:
         # volume against a large base → append a delta file instead of
         # rewriting; accumulated deltas force compaction at the threshold
         modes: dict[int, str] = {}
+        if change_feed == "preimages":
+            delta_ratio = 0  # preimages need the base read (see docstring)
         if delta_ratio > 0:
             for k in touched:
                 info = self.manifest.partitions.get(str(k))

@@ -153,3 +153,46 @@ def test_change_feed_delta_fallback_and_retention(ray_session, tmp_path):
     assert not any(os.path.exists(f) for f in cdf_files)
     feed2 = lake.changes().to_pandas()
     assert len(feed2) == len(_net_changes(tail))
+
+
+def test_change_feed_preimages(ray_session, tmp_path):
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=2)
+    e1 = pa.table({
+        "lsn": pa.array([0, 1, 2], pa.int64()),
+        "op": ["insert", "insert", "insert"],
+        "conv_id": ["a", "a", "b"],
+        "turn_idx": pa.array([0, 1, 0], pa.int32()),
+        "text": ["a0", "a1", "b0"],
+    })
+    # epoch 2: update a/0, delete a/1, insert c/0, delete missing key d/9
+    e2 = pa.table({
+        "lsn": pa.array([3, 4, 5, 6], pa.int64()),
+        "op": ["update", "delete", "insert", "delete"],
+        "conv_id": ["a", "a", "c", "d"],
+        "turn_idx": pa.array([0, 1, 0, 9], pa.int32()),
+        "text": ["a0v2", None, "c0", None],
+    })
+    lake.apply_changes(e1, epoch_id="e1", change_feed="preimages")
+    lake.apply_changes(e2, epoch_id="e2", change_feed="preimages")
+
+    feed = lake.changes(with_epoch_id=True).to_pandas()
+    f1 = feed[feed["_epoch_id"] == "e1"]
+    assert sorted(f1["_change_type"]) == ["insert"] * 3  # empty base
+
+    f2 = feed[feed["_epoch_id"] == "e2"]
+    by = {(r["conv_id"], r["turn_idx"], r["_change_type"]): r
+          for r in f2.to_dict("records")}
+    # update pair: preimage carries the OLD payload+lsn, postimage the new
+    assert by[("a", 0, "update_preimage")]["text"] == "a0"
+    assert by[("a", 0, "update_preimage")]["_lsn"] == 0
+    assert by[("a", 0, "update_postimage")]["text"] == "a0v2"
+    assert by[("a", 0, "update_postimage")]["_lsn"] == 3
+    # delete carries the removed row's content
+    assert by[("a", 1, "delete")]["text"] == "a1"
+    assert by[("c", 0, "insert")]["text"] == "c0"
+    # deleting a key that never lived emits nothing
+    assert ("d", 9, "delete") not in by and len(f2) == 4
+
+    # final state unaffected by the feed mode
+    fin = lake.final_table().to_pandas()
+    assert sorted(zip(fin["conv_id"], fin["turn_idx"])) == [("a", 0), ("b", 0), ("c", 0)]
