@@ -203,7 +203,8 @@ def _register_builtins() -> None:
     # lake source/sink (reference export.cpp / import.cpp): `read_lake
     # <root>` streams the live table (filter_expr pushes into the scan —
     # see optimize_steps), `write_lake` applies one exactly-once epoch
-    def _read_lake(root: str, columns=None, filter_expr: str | None = None):
+    def _read_lake(root: str, columns=None, filter_expr: str | None = None,
+                   as_of=None):
         from tenzir_ray.cdc import LakeTable
 
         flt = None
@@ -215,20 +216,29 @@ def _register_builtins() -> None:
             if f.residual is not None:
                 import pyarrow as _pa
 
-                ds = LakeTable(root).read(columns=columns, filter=flt)
+                ds = LakeTable(root).read(columns=columns, filter=flt,
+                                          as_of=as_of)
                 res = f.residual
                 return ds.map_batches(
                     lambda t: t.filter(_pa.array(res(t))) if t.num_rows else t,
                     batch_format="pyarrow",
                 )
-        return LakeTable(root).read(columns=columns, filter=flt)
+        return LakeTable(root).read(columns=columns, filter=flt, as_of=as_of)
 
     def _write_lake(ds, root: str, epoch_id: str, **kw):
         from tenzir_ray.cdc import LakeTable
 
         return LakeTable(root).apply_changes(ds, epoch_id=epoch_id, **kw)
 
-    OPERATORS.update(read_lake=_read_lake, write_lake=_write_lake)
+    def _read_lake_changes(root: str, since_lsn: int = 0, epochs=None,
+                           with_epoch_id: bool = False):
+        from tenzir_ray.cdc import LakeTable
+
+        return LakeTable(root).changes(
+            since_lsn=since_lsn, epochs=epochs, with_epoch_id=with_epoch_id)
+
+    OPERATORS.update(read_lake=_read_lake, write_lake=_write_lake,
+                     read_lake_changes=_read_lake_changes)
     SOURCE_OPS.update(
         n for n in OPERATORS if n.startswith("read_")
     )

@@ -35,7 +35,7 @@ _ASSIGN_OPS = {"set", "put", "extend"}
 _POSITIONAL = {
     "read_parquet": "paths", "read_csv": "paths", "read_json": "paths",
     "read_lines": "paths", "read_feather": "paths", "read_bitz": "path",
-    "read_lake": "root", "write_lake": "root",
+    "read_lake": "root", "write_lake": "root", "read_lake_changes": "root",
     "write_parquet": "path", "write_csv": "path", "write_tsv": "path",
     "write_json": "path", "write_feather": "path", "write_bitz": "path",
     "head": "n", "limit": "n", "taste": "n", "repeat": "n", "tail": "n",

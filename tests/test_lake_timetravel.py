@@ -196,3 +196,22 @@ def test_change_feed_preimages(ray_session, tmp_path):
     # final state unaffected by the feed mode
     fin = lake.final_table().to_pandas()
     assert sorted(zip(fin["conv_id"], fin["turn_idx"])) == [("a", 0), ("b", 0), ("c", 0)]
+
+
+def test_tql_lake_time_travel_and_feed(ray_session, tmp_path):
+    from tenzir_ray.pipelines.tql import run_pipeline
+
+    root = str(tmp_path / "lake")
+    lake = LakeTable(root, num_partitions=2)
+    ch = gen_changes(2000, seed=3)
+    lake.apply_changes(_split(ch, 0, 1000), epoch_id="e1", change_feed=True)
+    lake.apply_changes(_split(ch, 1000, 2000), epoch_id="e2", change_feed=True)
+
+    snap = run_pipeline(f'read_lake {root} as_of="e1"').to_pandas()
+    live = run_pipeline(f"read_lake {root}").to_pandas()
+    assert len(snap) == naive_apply(_split(ch, 0, 1000)).num_rows
+    assert len(live) == lake.final_table().num_rows
+
+    feed = run_pipeline(f"read_lake_changes {root} since_lsn=1000").to_pandas()
+    assert (feed["_lsn"] >= 1000).all()
+    assert len(feed) == len(_net_changes(_split(ch, 1000, 2000)))
