@@ -347,6 +347,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ds
 
+    def dup_span_stats(sf):
+        return D.duplicate_spans(
+            _read(sf, "documents", columns=["doc_id", "text"]), k=40
+        )
+
+    def clip_dup_spans(sf):
+        ds = D.clip_duplicate_spans(
+            _read(sf, "documents", columns=["doc_id", "text"]), k=40
+        )
+        return T.put(ds, doc_id="doc_id", clipped_chars="text.length()")
+
     def taste_per_type(sf):
         ds = T.taste(
             _read(sf, "events", columns=["event_id", "event_type"]),
@@ -2147,6 +2158,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_documents": hash_documents,
         "parse_json_props": parse_json_props,
         "dedup_documents_exact": dedup_documents_exact,
+        "dup_span_stats": dup_span_stats,
+        "clip_dup_spans": clip_dup_spans,
         "taste_per_type": taste_per_type,
         "dedup_limit2_per_type": dedup_limit2_per_type,
         "token_count_docs": token_count_docs,
@@ -2335,6 +2348,68 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_documents_exact": """
             SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+        """,
+        "dup_span_stats": """
+            WITH grams AS (
+              SELECT doc_id, i AS pos, substr(text, i, 40) AS g
+              FROM documents,
+                   unnest(generate_series(1, length(text) - 39)) AS t(i)
+              WHERE length(text) >= 40
+            ), dup AS (
+              SELECT g FROM grams GROUP BY g
+              HAVING count(DISTINCT doc_id) >= 2
+            ), hits AS (
+              SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)
+            ), brk AS (
+              SELECT doc_id, pos,
+                CASE WHEN pos - lag(pos) OVER
+                       (PARTITION BY doc_id ORDER BY pos) <= 40
+                     THEN 0 ELSE 1 END AS b
+              FROM hits
+            ), isl AS (
+              SELECT doc_id, pos,
+                sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM brk
+            ), spans AS (
+              SELECT doc_id, island, min(pos) AS s, max(pos) + 40 AS e
+              FROM isl GROUP BY doc_id, island
+            )
+            SELECT doc_id, count(*)::BIGINT AS dup_spans,
+                   sum(e - s)::BIGINT AS dup_chars
+            FROM spans GROUP BY doc_id
+        """,
+        "clip_dup_spans": """
+            WITH grams AS (
+              SELECT doc_id, i AS pos, substr(text, i, 40) AS g
+              FROM documents,
+                   unnest(generate_series(1, length(text) - 39)) AS t(i)
+              WHERE length(text) >= 40
+            ), dup AS (
+              SELECT g FROM grams GROUP BY g
+              HAVING count(DISTINCT doc_id) >= 2
+            ), hits AS (
+              SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)
+            ), brk AS (
+              SELECT doc_id, pos,
+                CASE WHEN pos - lag(pos) OVER
+                       (PARTITION BY doc_id ORDER BY pos) <= 40
+                     THEN 0 ELSE 1 END AS b
+              FROM hits
+            ), isl AS (
+              SELECT doc_id, pos,
+                sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM brk
+            ), spans AS (
+              SELECT doc_id, island, min(pos) AS s, max(pos) + 40 AS e
+              FROM isl GROUP BY doc_id, island
+            ), stats AS (
+              SELECT doc_id, sum(e - s) AS dup_chars
+              FROM spans GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   (length(d.text) - coalesce(s.dup_chars, 0))::INTEGER
+                     AS clipped_chars
+            FROM documents d LEFT JOIN stats s USING (doc_id)
         """,
         "taste_per_type": """
             SELECT event_id, event_type FROM (

@@ -37,6 +37,7 @@ _METHOD_MAP = {
     "lower": lambda col: pc.utf8_lower(col),
     "upper": lambda col: pc.utf8_upper(col),
     "strip": lambda col: pc.utf8_trim_whitespace(col),
+    "length": lambda col: pc.utf8_length(col),
     "isin": lambda col, values: col.isin(values),
 }
 

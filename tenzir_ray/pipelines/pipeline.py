@@ -99,6 +99,8 @@ def _register_builtins() -> None:
         strip_html=text.strip_html,
         ngram_counts=text.ngram_counts,
         exact_dedup=dedup.exact_dedup,
+        duplicate_spans=dedup.duplicate_spans,
+        clip_duplicate_spans=dedup.clip_duplicate_spans,
         hash_split=splits.hash_split,
         decontaminate=splits.decontaminate,
         chunk_documents=chunk.chunk_documents,

@@ -45,6 +45,7 @@ _POSITIONAL = {
     "parse_syslog": "column", "parse_cef": "column", "parse_leef": "column",
     "parse_grok": "column", "enumerate": "by", "enumerate_global": "out",
     "compress": "codec", "decompress": "codec", "shell": "command",
+    "duplicate_spans": "column", "clip_duplicate_spans": "column",
     "measure": "out",
     "enrich": "context", "context_create": "name",
     "context_update": "name", "context_delete": "name",

@@ -451,4 +451,227 @@ def connected_components(pairs_ds, node_col: str = "id_a", peer_col: str = "id_b
     )
 
 
+# ---------------------------------------------------------------------------
+# exact duplicate-span detection (cross-document substring dedup)
+
+_SPAN_BASES = (np.uint64(0x100000001B3), np.uint64(0x9E3779B97F4A7C15))
+_SPAN_INV = tuple(np.uint64(pow(int(b), -1, 1 << 64)) for b in _SPAN_BASES)
+
+
+def _rolling_hashes(codes: np.ndarray, k: int, base: np.uint64,
+                    invbase: np.uint64) -> np.ndarray:
+    """All k-wide window hashes of ``codes`` in O(n), vectorized.
+
+    Polynomial hash with ascending powers mod 2^64 (uint64 wraparound):
+    ``H[i] = sum_j codes[i+j] * base**j``. Computed from one prefix sum
+    ``P[i] = sum_{j<=i} codes[j]*base**j`` as ``(P[i+k-1]-P[i-1]) *
+    invbase**i`` — odd bases are invertible mod 2^64, so the
+    normalization is exact, not approximate."""
+    n = codes.size
+    m = n - k + 1
+    pw = np.full(n, base, dtype=np.uint64)
+    pw[0] = 1
+    np.multiply.accumulate(pw, out=pw)
+    P = codes.astype(np.uint64) * pw
+    np.add.accumulate(P, out=P)
+    low = np.empty(m, dtype=np.uint64)
+    low[0] = 0
+    low[1:] = P[: m - 1]
+    ipw = np.full(m, invbase, dtype=np.uint64)
+    ipw[0] = 1
+    np.multiply.accumulate(ipw, out=ipw)
+    return (P[k - 1:] - low) * ipw
+
+
+class _SpanGrams:
+    """Stage 1 of duplicate_spans: explode each document into one row per
+    k-char window — ``(h1, h2, id, pos)``, 28 bytes fixed width. The
+    window hash is double 64-bit (two independent odd bases), so a
+    cross-pair collision needs both to collide (~2^-128): grouping on
+    (h1, h2) is equality for any real corpus size."""
+
+    def __init__(self, column: str, id_col: str, k: int):
+        self.column, self.id_col, self.k = column, id_col, k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        k = self.k
+        ids = t.column(self.id_col).to_pylist()
+        texts = t.column(self.column).to_pylist()
+        h1s, h2s, out_ids, out_pos = [], [], [], []
+        for did, s in zip(ids, texts):
+            if did is None or s is None or len(s) < k:
+                continue
+            # code points (not UTF-8 bytes) so positions match the
+            # oracle's character-based substr() on non-ASCII text too
+            codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+            codes = codes.astype(np.uint64)
+            h1s.append(_rolling_hashes(codes, k, _SPAN_BASES[0], _SPAN_INV[0]))
+            h2s.append(_rolling_hashes(codes, k, _SPAN_BASES[1], _SPAN_INV[1]))
+            m = codes.size - k + 1
+            out_ids.append(np.full(m, did, dtype=np.int64))
+            out_pos.append(np.arange(1, m + 1, dtype=np.int64))
+        if not h1s:
+            return pa.table({
+                "h1": pa.array([], pa.uint64()),
+                "h2": pa.array([], pa.uint64()),
+                self.id_col: pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+            })
+        return pa.table({
+            "h1": np.concatenate(h1s),
+            "h2": np.concatenate(h2s),
+            self.id_col: np.concatenate(out_ids),
+            "pos": np.concatenate(out_pos),
+        })
+
+
+def duplicate_spans(ds, column: str = "text", id_col: str = "doc_id",
+                    k: int = 40, min_docs: int = 2,
+                    buckets: int | None = None):
+    """Exact cross-document duplicate-SPAN statistics: for every document,
+    find the character positions whose k-char window also appears in at
+    least ``min_docs - 1`` OTHER documents, merge overlapping windows
+    into maximal spans, and emit ``(id_col, dup_spans, dup_chars)`` for
+    documents containing at least one duplicated span.
+
+    This is the exact-substring half of Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" (ACL 2022, public):
+    their suffix-array dedup finds ≥k-char substrings shared across the
+    corpus; the window/rolling-hash formulation here finds the same
+    spans (a shared substring of length L ≥ k is exactly a run of
+    L - k + 1 duplicated windows) with shuffle-friendly fixed-width
+    rows instead of a monolithic suffix array.
+
+    Scale shape: stage 1 explodes to one 28-byte row per character —
+    the algorithm's published cost — streamed through the packed
+    exchange (fine buckets on the 128-bit window hash, reduce tasks
+    coalesced by measured bytes); stage 2 keeps only duplicated
+    positions (corpus-dup-rate bound, tiny for clean corpora); stage 3
+    is a per-document merge over that filtered set. No stage holds a
+    document's neighbors, no driver materialization.
+    """
+    from tenzir_ray.stages.exchange import grouped_apply
+
+    grams = ds.map_batches(
+        _SpanGrams(column, id_col, k), batch_format="pyarrow",
+        batch_size=1024,
+    )
+
+    def _dup_hits(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df[[id_col, "pos"]]
+        nd = df.groupby(["h1", "h2"], sort=False)[id_col].transform("nunique")
+        return df.loc[nd >= min_docs, [id_col, "pos"]]
+
+    hits = grouped_apply(grams, ["h1", "h2"], _dup_hits, num_buckets=buckets,
+                         tag="dupspan")
+
+    def _merge_spans(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "dup_spans": pd.Series([], dtype="int64"),
+                                 "dup_chars": pd.Series([], dtype="int64")})
+        df = df.sort_values([id_col, "pos"], kind="mergesort")
+        new_doc = df[id_col].ne(df[id_col].shift())
+        gap = df["pos"].diff().gt(k)
+        island = (new_doc | gap).cumsum()
+        sp = df.groupby(island, sort=False).agg(
+            _doc=(id_col, "first"), _s=("pos", "min"), _e=("pos", "max"))
+        sp["_e"] += k
+        sp["_len"] = sp["_e"] - sp["_s"]
+        out = sp.groupby("_doc", sort=False).agg(
+            dup_spans=("_len", "size"), dup_chars=("_len", "sum"))
+        out = out.reset_index().rename(columns={"_doc": id_col})
+        return out.astype({id_col: "int64", "dup_spans": "int64",
+                           "dup_chars": "int64"})
+
+    return grouped_apply(hits, [id_col], _merge_spans, num_buckets=buckets,
+                         tag="dupspan2")
+
+
+def clip_duplicate_spans(ds, column: str = "text", id_col: str = "doc_id",
+                         k: int = 40, min_docs: int = 2,
+                         buckets: int | None = None):
+    """Remove every cross-document duplicated span from each document's
+    text (ALL occurrences — the conservative variant; Lee et al. keep
+    one copy, which needs a global winner election this operator trades
+    for simplicity). Non-duplicated documents pass through unchanged.
+
+    Returns the input columns with ``column`` rewritten. Invariant
+    (pytest-enforced): ``len(clipped) == len(original) - dup_chars``
+    per document, with ``dup_chars`` from :func:`duplicate_spans`.
+
+    Shape: the merged span list per document (tiny — bounded by that
+    document's dup-span count) travels as one JSON string column
+    through a hash join back onto the documents; the cut itself is a
+    per-row slice concat."""
+    import json as _json
+
+    from tenzir_ray.stages.exchange import grouped_apply
+    from tenzir_ray.stages.join import hash_join
+
+    grams = ds.map_batches(
+        _SpanGrams(column, id_col, k), batch_format="pyarrow",
+        batch_size=1024,
+    )
+
+    def _dup_hits(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df[[id_col, "pos"]]
+        nd = df.groupby(["h1", "h2"], sort=False)[id_col].transform("nunique")
+        return df.loc[nd >= min_docs, [id_col, "pos"]]
+
+    hits = grouped_apply(grams, ["h1", "h2"], _dup_hits, num_buckets=buckets,
+                         tag="dupclip")
+
+    def _span_lists(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "_spans": pa.array([], pa.string())})
+        df = df.sort_values([id_col, "pos"], kind="mergesort")
+        new_doc = df[id_col].ne(df[id_col].shift())
+        gap = df["pos"].diff().gt(k)
+        island = (new_doc | gap).cumsum()
+        sp = df.groupby(island, sort=False).agg(
+            _doc=(id_col, "first"), _s=("pos", "min"), _e=("pos", "max"))
+        sp["_e"] += k
+        out = sp.groupby("_doc", sort=False).apply(
+            lambda g: _json.dumps(
+                [[int(s), int(e)] for s, e in zip(g["_s"], g["_e"])]),
+            include_groups=False,
+        )
+        return pa.table({
+            id_col: pa.array(out.index.astype("int64"), pa.int64()),
+            "_spans": pa.array(out.to_numpy(dtype=object), pa.string()),
+        })
+
+    spans = grouped_apply(hits, [id_col], _span_lists, num_buckets=buckets,
+                          tag="dupclip2")
+    joined = hash_join(ds, spans, [id_col], how="left")
+
+    def _clip(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df.drop(columns=["_spans"], errors="ignore")
+        texts = df[column].tolist()
+        out = []
+        for s, spec in zip(texts, df["_spans"]):
+            if spec is None or (isinstance(spec, float) and pd.isna(spec)) \
+                    or s is None:
+                out.append(s)
+                continue
+            parts, prev = [], 0
+            for a, b in _json.loads(spec):
+                parts.append(s[prev:a - 1])  # spans are 1-based inclusive
+                prev = b - 1
+            parts.append(s[prev:])
+            out.append("".join(parts))
+        df = df.drop(columns=["_spans"])
+        df[column] = out
+        return df
+
+    return joined.map_batches(_clip, batch_format="pandas")
+
+
 ship_by_value(sys.modules[__name__])

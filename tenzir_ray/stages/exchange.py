@@ -172,9 +172,16 @@ def key_buckets(batch: pa.Table, keys: list[str], num_buckets: int) -> np.ndarra
             col = col.combine_chunks()
         t = col.type
         if pa.types.is_integer(t):
-            filled = pc.fill_null(col.cast(pa.int64()), 0)
-            vals = filled.to_numpy(zero_copy_only=False)
-            hk = _mix64(vals.astype(np.uint64))
+            if t == pa.uint64():
+                # values above int64 max are legal uint64 keys (e.g.
+                # 64-bit content hashes) — bitcast, don't value-cast
+                filled = pc.fill_null(col, 0).cast(pa.uint64())
+                vals = filled.to_numpy(zero_copy_only=False)
+                hk = _mix64(vals)
+            else:
+                filled = pc.fill_null(col.cast(pa.int64()), 0)
+                vals = filled.to_numpy(zero_copy_only=False)
+                hk = _mix64(vals.astype(np.uint64))
         elif pa.types.is_floating(t):
             filled = pc.fill_null(col.cast(pa.float64()), 0.0)
             vals = filled.to_numpy(zero_copy_only=False)

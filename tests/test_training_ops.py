@@ -338,3 +338,66 @@ def test_strip_html(ray_session):
     # entities decode AFTER tag strip, so decoded <kept> stays literal
     assert out.loc[1, "text"] == "no markup <kept> 'q' end"
     assert out.loc[2, "text"] is None
+
+
+def test_duplicate_spans_synthetic(ray_session):
+    """Hand-built corpus with a known shared passage: two docs share one
+    40+-char run; a third is unique. Span stats must pinpoint exactly
+    the shared run (merged, 1-span) and nothing else."""
+    import ray.data
+
+    shared = "x" * 10 + "the quick brown fox jumps over the lazy dog" + "y" * 10
+    docs = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "AAA " + shared + " BBB",
+            "CCCCC " + shared + " DDD",
+            "totally unrelated content without any repeats at all " * 3,
+        ],
+    })
+    k = 40
+    out = (
+        D.duplicate_spans(ray.data.from_arrow(docs), k=k)
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    assert list(out["doc_id"]) == [1, 2]
+    # the true shared run includes the identical space on each side of
+    # `shared` ("AAA " / "CCCCC " both end in ' ', " BBB" / " DDD" both
+    # start with one): merged span = " " + shared + " "
+    assert list(out["dup_spans"]) == [1, 1]
+    assert list(out["dup_chars"]) == [len(shared) + 2] * 2
+
+
+def test_duplicate_spans_within_doc_repeat_not_counted(ray_session):
+    """min_docs=2 counts DISTINCT documents: a passage repeated twice
+    inside one document only is not a cross-document duplicate."""
+    import ray.data
+
+    passage = "z" * 60
+    docs = pa.table({
+        "doc_id": [1, 2],
+        "text": [passage + "-mid-" + passage,
+                 "completely different text that is long enough here"],
+    })
+    out = D.duplicate_spans(ray.data.from_arrow(docs), k=40).to_pandas()
+    assert len(out) == 0
+
+
+def test_clip_duplicate_spans_invariant(ray_session):
+    """clipped length == original length - dup_chars, per document, on
+    the real sf0.001 corpus; non-duplicated docs pass through intact."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    stats = D.duplicate_spans(ds, k=40).to_pandas()
+    clipped = D.clip_duplicate_spans(ds, k=40).to_pandas()
+    orig = ds.to_pandas()
+    m = (orig.merge(clipped, on="doc_id", suffixes=("", "_c"))
+             .merge(stats, on="doc_id", how="left")
+             .fillna({"dup_chars": 0}))
+    assert len(m) == len(orig)
+    assert (m["text_c"].str.len()
+            == m["text"].str.len() - m["dup_chars"]).all()
+    untouched = m[m["dup_chars"] == 0]
+    assert (untouched["text_c"] == untouched["text"]).all()
