@@ -42,8 +42,14 @@ def _scratch_gc_dead(family: str) -> None:
         pid_s = name.split("-", 1)[0]
         if not pid_s.isdigit() or int(pid_s) == os.getpid():
             continue
+        pid = int(pid_s)
+        if pid > 4_194_304:  # above Linux pid_max ceiling (2^22):
+            # cannot be a live process, and os.kill would raise
+            # OverflowError (not OSError) on values beyond C int
+            shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+            continue
         try:
-            os.kill(int(pid_s), 0)  # raises if the owner is gone
+            os.kill(pid, 0)  # raises if the owner is gone
         except ProcessLookupError:
             shutil.rmtree(os.path.join(base, name), ignore_errors=True)
         except OSError:
@@ -1440,7 +1446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from tenzir_ray.sources import readers, writers
 
-        out = f"/tmp/tenzir_ray_sink/csv-{_uuid.uuid4().hex[:8]}"
+        out = _scratch("tenzir_ray_sink", f"csv-{_uuid.uuid4().hex[:8]}")
         ds = _read(sf, "orders", columns=["o_orderkey", "o_totalprice", "o_orderpriority"])
         writers.write_csv(ds, out)
         return readers.read_csv(f"{out}/")
@@ -1452,7 +1458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from tenzir_ray.sources import writers
 
-        out = f"/tmp/tenzir_ray_sink/json-{_uuid.uuid4().hex[:8]}"
+        out = _scratch("tenzir_ray_sink", f"json-{_uuid.uuid4().hex[:8]}")
         ds = _read(sf, "events", columns=["event_id", "event_type", "value"])
         writers.write_json(ds, out)
         return ray.data.read_json(out)
@@ -1463,7 +1469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from tenzir_ray.sources import readers, writers
 
-        out = f"/tmp/tenzir_ray_sink/feather-{_uuid.uuid4().hex[:8]}"
+        out = _scratch("tenzir_ray_sink", f"feather-{_uuid.uuid4().hex[:8]}")
         ds = _read(sf, "events", columns=["event_id", "ts", "value"])
         writers.write_feather(ds, out)
         return readers.read_feather(sorted(_glob.glob(f"{out}/*.feather")))

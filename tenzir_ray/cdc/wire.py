@@ -158,10 +158,13 @@ class KafkaBroker:
         # the write, broker.py produce) — end_offsets alone cannot name
         # which partition an unkeyed message went to
         landed: list[tuple[int, int]] = []
+        errors: list = []
 
         def _cb(err, msg):
             if err is None:
                 landed.append((msg.partition(), msg.offset()))
+            else:
+                errors.append(err)
 
         kwargs: dict = {"value": value, "on_delivery": _cb}
         if key is not None:
@@ -170,8 +173,15 @@ class KafkaBroker:
             kwargs["partition"] = partition
         self._producer.produce(topic, **kwargs)
         self._producer.flush(self._timeout)
+        if errors:
+            # broker rejection (message too large, unknown partition, …)
+            # — surface the real cause, distinct from a flush timeout
+            raise IOError(f"produce: delivery failed: {errors[0]}")
         if not landed:
-            raise IOError("produce: delivery not confirmed")
+            raise IOError(
+                "produce: delivery not confirmed within "
+                f"{self._timeout}s (message may still be queued; a retry "
+                "can duplicate it)")
         return landed[0]
 
     # -- consume -------------------------------------------------------
@@ -311,7 +321,8 @@ class SqsBroker:
                         for j, m in enumerate(chunk)
                     ],
                 )
-        return {p: self.end_offsets(topic).get(p, 0) for p in by_part}
+        ends = self.end_offsets(topic)  # one API sweep, not one per partition
+        return {p: ends.get(p, 0) for p in by_part}
 
     def produce(self, topic: str, value: bytes, key: bytes | None = None,
                 partition: int | None = None) -> tuple[int, int]:

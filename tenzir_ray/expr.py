@@ -602,6 +602,24 @@ def compile_filter(text: str) -> Filter:
     return Filter(pushdown, residual)
 
 
+def referenced_columns(text: str) -> set[str]:
+    """Root column names an expression references explicitly (``a.b.c``
+    → ``a``). Suffix/type/meta extractors (``:ip``, ``#schema``, bare
+    suffixes) resolve per batch schema at evaluation time and are NOT
+    reported — callers widening a projection for a residual filter get
+    the static references only."""
+    tree = ast.parse(_preprocess(text), mode="eval").body
+    out: set[str] = set()
+    skip = set(_MARKER_FNS) | {"abs", "now", "true", "false", "null"}
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Name):
+            n = node.id
+            if n in skip or (n.startswith("__") and n.endswith("__")):
+                continue  # preprocess placeholders (__qstr_N__ etc.)
+            out.add(n)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # extractors — the reference's suffix / type / meta extractor semantics
 # (web/docs/language/expressions.md:100-167): a *suffix* extractor `z`

@@ -38,7 +38,6 @@ from tenzir_ray.pipelines.tql import (
 _LET_RE = re.compile(r"^let\s+\$(\w+)\s*=\s*(.+)$", re.S)
 # `=(?!=)`: a bare comparison (`x == 1`) must NOT parse as an assignment
 _ASSIGN_RE = re.compile(r"^([A-Za-z_][\w.]*)\s*=(?!=)\s*(.+)$", re.S)
-_IDENT_RE = re.compile(r"^[A-Za-z_]\w*$")
 
 #: invocation verbs whose single argument is ONE raw expression
 _EXPR_VERBS = {"where"}

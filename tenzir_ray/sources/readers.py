@@ -38,13 +38,31 @@ def read_parquet(paths, columns: list[str] | None = None, filter_expr: str | Non
     import ray.data
 
     residual = None
+    drop_after = []
     if filter_expr is not None:
-        from tenzir_ray.expr import compile_filter
+        from tenzir_ray.expr import compile_filter, referenced_columns
 
         f = compile_filter(filter_expr)
         if f.pushdown is not None:
             kwargs["filter"] = f.pushdown
         residual = f.residual
+        if residual is not None and columns:
+            # a residual conjunct (CIDR membership etc.) evaluates AFTER
+            # projection — widen the read to the columns it references,
+            # then drop them again post-filter (pushdown conjuncts don't
+            # need this: the dataset scan filters on unprojected columns)
+            try:
+                extra = sorted(referenced_columns(filter_expr) - set(columns))
+            except Exception:
+                extra = []
+            if extra and isinstance(paths, str) and os.path.isfile(paths):
+                import pyarrow.parquet as pq
+
+                avail = set(pq.read_schema(paths).names)
+                extra = [c for c in extra if c in avail]
+            if extra:
+                columns = list(columns) + extra
+                drop_after = extra
     if ("schema" not in kwargs and "filter" not in kwargs
             and isinstance(paths, str) and os.path.isfile(paths)):
         # a pushed-down filter may reference columns OUTSIDE the
@@ -59,9 +77,11 @@ def read_parquet(paths, columns: list[str] | None = None, filter_expr: str | Non
         import pyarrow as pa
 
         def _post(batch: pa.Table) -> pa.Table:
-            if not batch.num_rows:
-                return batch
-            return batch.filter(pa.array(residual(batch)))
+            if batch.num_rows:
+                batch = batch.filter(pa.array(residual(batch)))
+            if drop_after:
+                batch = batch.drop_columns(drop_after)
+            return batch
 
         ds = ds.map_batches(_post, batch_format="pyarrow")
     return ds

@@ -305,6 +305,33 @@ def test_read_parquet_filter_on_unprojected_column(ray_session, tmp_path):
     assert b.schema.metadata is None
 
 
+def test_read_parquet_residual_filter_on_unprojected_column(
+        ray_session, tmp_path):
+    """A RESIDUAL conjunct (CIDR membership — not pushdown-able) that
+    references an unprojected column must widen the read and drop the
+    extra column after filtering (review r4 follow-up: the earlier fix
+    only covered pushdown conjuncts)."""
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.sources.readers import read_parquet
+
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({
+        "a": [1, 2, 3],
+        "src_ip": ["10.0.0.7", "192.168.1.1", "10.9.9.9"],
+    }), p)
+    out = read_parquet(
+        p, columns=["a"], filter_expr="src_ip in 10.0.0.0/8"
+    ).to_pandas()
+    assert sorted(out["a"]) == [1, 3]
+    assert list(out.columns) == ["a"]
+    # mixed pushdown + residual, both on unprojected columns
+    out2 = read_parquet(
+        p, columns=["a"], filter_expr="src_ip in 10.0.0.0/8 and a > 1"
+    ).to_pandas()
+    assert sorted(out2["a"]) == [3]
+
+
 def test_tql2_bare_comparison_rejected_loudly():
     from tenzir_ray.pipelines.tql2 import parse_pipeline2
 
@@ -324,13 +351,22 @@ def test_scratch_gc_reclaims_dead_pid_dirs(tmp_path, monkeypatch):
     import __ray_entry__ as entry
 
     fam = "tenzir_ray_test_scratch"
-    dead = f"/tmp/{fam}/999999-deadbeef"
+    # a pid that is PROVABLY dead: fork a child, let it exit, reap it
+    # (999999 may be live on hosts with raised kernel.pid_max)
+    child = os.fork()
+    if child == 0:
+        os._exit(0)
+    os.waitpid(child, 0)
+    dead = f"/tmp/{fam}/{child}-deadbeef"
     os.makedirs(dead, exist_ok=True)
     open(os.path.join(dead, "junk"), "w").close()
     alive = f"/tmp/{fam}/{os.getpid()}-aaaaaaaa"
     os.makedirs(alive, exist_ok=True)
+    huge = f"/tmp/{fam}/99999999999999-x"  # beyond C-int pid range:
+    os.makedirs(huge, exist_ok=True)       # os.kill would OverflowError
     entry._scratch_gc_dead(fam)
     assert not os.path.exists(dead)      # dead pid swept
+    assert not os.path.exists(huge)      # impossible pid swept, no crash
     assert os.path.exists(alive)         # own pid kept
     import shutil
 
