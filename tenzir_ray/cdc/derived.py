@@ -77,7 +77,10 @@ class DerivedView:
             todo = [e for e in todo if e in keep]
         results = []
         for eid in todo:
-            seq = self.source.manifest.resolve_epoch(eid)
+            # absolute apply-sequence, NOT the lineage index: the index
+            # shrinks under source.truncate_lineage(), which would hand
+            # later refreshes lower LWW lsns than already-stored rows
+            seq = self.source.manifest.epoch_seq(eid)
             touched = self._touched_groups(eid)
             if not touched:
                 # zero-row source epoch: commit an empty derived epoch so
@@ -92,9 +95,24 @@ class DerivedView:
         return results
 
     # ------------------------------------------------------------------
+    #: lake key columns — group values for these ride every change row
+    #: (tombstones included), so the postimage feed suffices
+    _KEY_COLS = ("conv_id", "turn_idx")
+
     def _touched_groups(self, epoch_id: str) -> set:
+        from tenzir_ray.cdc.lake import CHANGE_TYPE_COL
+
         feed = self.source.changes(epochs=[epoch_id])
         col = self.group_col
+        if col not in self._KEY_COLS:
+            names = feed.schema().names
+            if CHANGE_TYPE_COL not in names:
+                raise ValueError(
+                    f"group_col {col!r} is a payload column: an update that "
+                    "moves a row between groups (or a delete tombstone with "
+                    "a null payload) only names the OLD group in a preimage "
+                    "feed — apply source epochs with "
+                    'change_feed="preimages" to maintain this view')
 
         def _uniq(t: pa.Table) -> pa.Table:
             return pa.table({col: pc.unique(t.column(col))})
@@ -155,6 +173,10 @@ class DerivedView:
 
     def final_table(self) -> pa.Table:
         t = self.table.final_table()
+        if t.num_columns == 0:  # no refresh yet / only zero-row epochs
+            return pa.table({self.group_col: pa.array([], pa.string()),
+                             **{a: pa.array([], pa.float64())
+                                for a in self.aggs}})
         return t.drop_columns(["turn_idx"]).rename_columns(
             [self.group_col if c == "conv_id" else c
              for c in t.column_names if c != "turn_idx"]

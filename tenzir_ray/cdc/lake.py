@@ -56,6 +56,7 @@ reference's partition rebuild, builtins/commands/rebuild.cpp:26).
 from __future__ import annotations
 
 import os
+import time
 import uuid
 import zlib
 from typing import Any
@@ -1236,7 +1237,15 @@ class LakeTable:
         entirely below are skipped at the driver — file-level pruning);
         ``epochs`` limits to the given epoch ids. ``with_epoch_id=True``
         tags rows with their epoch id (one read per epoch unioned — use
-        only over bounded epoch selections)."""
+        only over bounded epoch selections).
+
+        Preimage-mode epochs (``change_feed="preimages"``) resume at
+        EPOCH granularity: their update_preimage/delete rows carry the
+        REPLACED row's lsn by design, so a row-level ``_lsn`` cut would
+        silently drop the only record of a delete — instead every row of
+        a qualifying epoch (``lsn_max >= since_lsn``) is kept, giving
+        at-least-once on the boundary epoch. Use ``epochs=`` for exact
+        resume points with a preimage feed."""
         import ray.data
 
         wanted = None if epochs is None else set(epochs)
@@ -1269,9 +1278,12 @@ class LakeTable:
             return ray.data.from_arrow(pa.table(empty))
 
         def _since(t: pa.Table) -> pa.Table:
+            if since_lsn <= 0 or CHANGE_TYPE_COL in t.column_names:
+                # preimage feeds: epoch-granular resume only (see above)
+                return t
             return t.filter(
                 pc.greater_equal(t.column(LSN_COL).cast(pa.int64()), since_lsn)
-            ) if since_lsn > 0 else t
+            )
 
         # partitioning=None: the part=<k>/ layout is physical, not a hive
         # column — inference would graft a spurious `part` column
@@ -1414,7 +1426,8 @@ class LakeTable:
         than the horizon become unreachable."""
         dropped = max(0, len(self.manifest.epochs) - keep_epochs)
         if dropped:
-            for e in self.manifest.epochs[:dropped]:
+            prefix = self.manifest.epochs[:dropped]
+            for e in prefix:
                 for rec in e.get("partitions", {}).values():
                     cdf = rec.get("cdf_file")
                     if cdf and cdf.startswith("_cdf/"):
@@ -1422,7 +1435,30 @@ class LakeTable:
                             os.remove(os.path.join(self.root, cdf))
                         except FileNotFoundError:
                             pass
-            self.manifest.epochs = self.manifest.epochs[dropped:]
+            # fold the dropped prefix's final per-partition state into one
+            # synthetic base record so time travel to any RETAINED epoch
+            # stays complete — without it, a partition last touched before
+            # the horizon silently vanishes from state_as_of()
+            base_files: dict[str, list] = {}
+            base_recs: dict[str, dict] = {}
+            for e in prefix:
+                recs = e.get("partitions", {})
+                for k, files in e.get("files", {}).items():
+                    base_files[k] = files
+                    r = dict(recs.get(k, {}))
+                    r.pop("cdf_file", None)  # feed file just deleted above
+                    base_recs[k] = r
+            base = {
+                "epoch_id": f"_base-{prefix[-1]['epoch_id']}",
+                "seq": max(e.get("seq", i) for i, e in enumerate(prefix)),
+                "lsn_min": -1,
+                "lsn_max": -1,
+                "meta": {"_compaction": True, "_lineage_base": True},
+                "committed_at": time.time(),
+                "partitions": base_recs,
+                "files": base_files,
+            }
+            self.manifest.epochs = [base] + self.manifest.epochs[dropped:]
             self.manifest._atomic_write()
         return dropped
 

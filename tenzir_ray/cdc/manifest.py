@@ -62,6 +62,21 @@ class Manifest:
     def committed_epoch_ids(self) -> set[str]:
         return {e["epoch_id"] for e in self.epochs}
 
+    def next_seq(self) -> int:
+        """Next absolute apply-sequence number: monotone across
+        truncate_lineage() (unlike a lineage index, which shrinks)."""
+        return max(
+            (e.get("seq", i) for i, e in enumerate(self.epochs)), default=-1
+        ) + 1
+
+    def epoch_seq(self, epoch_id: str) -> int:
+        """Absolute apply-sequence number of a committed epoch (falls back
+        to the lineage index for pre-seq records)."""
+        for i, e in enumerate(self.epochs):
+            if e["epoch_id"] == epoch_id:
+                return e.get("seq", i)
+        raise KeyError(f"epoch {epoch_id!r} not in lineage")
+
     def resolve_epoch(self, as_of: "str | int") -> int:
         """Index into ``epochs`` for an epoch id (str) or positional index
         (int, negatives count from the end) — the time-travel version
@@ -138,6 +153,7 @@ class Manifest:
         self.epochs.append(
             {
                 "epoch_id": epoch_id,
+                "seq": self.next_seq(),
                 "lsn_min": lsn_min,
                 "lsn_max": lsn_max,
                 **({"meta": meta} if meta else {}),

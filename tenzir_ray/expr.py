@@ -441,9 +441,13 @@ class Filter:
     the kernels pads can't express, e.g. subnet membership). Either may
     be None. ``apply`` runs both on one batch."""
 
-    def __init__(self, pushdown, residual):
+    def __init__(self, pushdown, residual, residual_refs=None):
         self.pushdown = pushdown
         self.residual = residual
+        #: column names the residual conjuncts reference statically
+        #: (projection-widening hint for readers); extractor-based
+        #: residuals resolve per batch schema and contribute nothing
+        self.residual_refs: set[str] = residual_refs or set()
 
     def apply(self, batch):
         import pyarrow as pa
@@ -578,6 +582,7 @@ def compile_filter(text: str) -> Filter:
     tree = ast.parse(_preprocess(text), mode="eval").body
     pushdown = None
     residuals = []
+    residual_refs: set[str] = set()
     for c in _split_and(tree):
         bare = _bare_value_node(c)
         if bare is not None:
@@ -588,6 +593,7 @@ def compile_filter(text: str) -> Filter:
             pushdown = e if pushdown is None else pushdown & e
         except _Residual:
             residuals.append(_compile_mask(c))
+            residual_refs |= _node_names(c)
     if not residuals:
         residual = None
     elif len(residuals) == 1:
@@ -599,16 +605,13 @@ def compile_filter(text: str) -> Filter:
                 m = m & r(batch)
             return m
 
-    return Filter(pushdown, residual)
+    return Filter(pushdown, residual, residual_refs)
 
 
-def referenced_columns(text: str) -> set[str]:
-    """Root column names an expression references explicitly (``a.b.c``
-    → ``a``). Suffix/type/meta extractors (``:ip``, ``#schema``, bare
-    suffixes) resolve per batch schema at evaluation time and are NOT
-    reported — callers widening a projection for a residual filter get
-    the static references only."""
-    tree = ast.parse(_preprocess(text), mode="eval").body
+def _node_names(tree: ast.AST) -> set[str]:
+    """Root column names an AST subtree references explicitly (``a.b.c``
+    → ``a``). Suffix/type/meta extractors resolve per batch schema at
+    evaluation time and contribute nothing."""
     out: set[str] = set()
     skip = set(_MARKER_FNS) | {"abs", "now", "true", "false", "null"}
     for node in ast.walk(tree):
@@ -618,6 +621,11 @@ def referenced_columns(text: str) -> set[str]:
                 continue  # preprocess placeholders (__qstr_N__ etc.)
             out.add(n)
     return out
+
+
+def referenced_columns(text: str) -> set[str]:
+    """Root column names an expression references explicitly."""
+    return _node_names(ast.parse(_preprocess(text), mode="eval").body)
 
 
 # ---------------------------------------------------------------------------

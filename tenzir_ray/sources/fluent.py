@@ -137,6 +137,14 @@ class EventTime:
         return f"EventTime({self.sec}, {self.nsec})"
 
 
+class _Truncated(ValueError):
+    """Incomplete input — retry once more bytes arrive."""
+
+
+class _Corrupt(ValueError):
+    """Malformed/unsupported input — more bytes can never fix it."""
+
+
 class Unpacker:
     def __init__(self, data: bytes):
         self.d = data
@@ -148,7 +156,7 @@ class Unpacker:
     def _take(self, n: int) -> bytes:
         b = self.d[self.i:self.i + n]
         if len(b) < n:
-            raise ValueError("msgpack: truncated input")
+            raise _Truncated("msgpack: truncated input")
         self.i += n
         return b
 
@@ -196,15 +204,17 @@ class Unpacker:
             return struct.unpack(">i", self._take(4))[0]
         if c == 0xD3:
             return struct.unpack(">q", self._take(8))[0]
-        if c == 0xD7:  # fixext8
+        if 0xD4 <= c <= 0xD8:  # fixext1/2/4/8/16
             t = self._take(1)[0]
-            body = self._take(8)
-            if t == 0:
+            body = self._take(1 << (c - 0xD4))
+            if t == 0 and len(body) == 8:
                 s, ns = struct.unpack(">II", body)
                 return EventTime(s, ns)
             return (t, body)
-        if c == 0xC7:  # ext8
-            n = self._take(1)[0]
+        if c in (0xC7, 0xC8, 0xC9):  # ext8/16/32
+            n = (self._take(1)[0] if c == 0xC7
+                 else struct.unpack(">H", self._take(2))[0] if c == 0xC8
+                 else struct.unpack(">I", self._take(4))[0])
             t = self._take(1)[0]
             body = self._take(n)
             if t == 0 and n == 8:
@@ -225,7 +235,7 @@ class Unpacker:
             return self._map(struct.unpack(">H", self._take(2))[0])
         if c == 0xDF:
             return self._map(struct.unpack(">I", self._take(4))[0])
-        raise ValueError(f"msgpack: unsupported type byte 0x{c:02x}")
+        raise _Corrupt(f"msgpack: unsupported type byte 0x{c:02x}")
 
     def _arr(self, n: int) -> list:
         return [self.unpack() for _ in range(n)]
@@ -296,8 +306,11 @@ def read_fluent_forward(port: int = 0, host: str = "127.0.0.1",
                 u = Unpacker(buf)
                 try:
                     msg = u.unpack()
-                except ValueError:
+                except _Truncated:
                     break  # need more bytes
+                # _Corrupt propagates: a bad frame can never become
+                # decodable, so stalling on it would silently drop every
+                # later event — fail loudly instead
                 buf = buf[u.i:]
                 # option position depends on the mode: Forward/Packed
                 # carry entries at [1] and opt at [2]; Message mode has
@@ -364,10 +377,16 @@ def write_fluent_forward(events, host: str, port: int, tag: str = "tenzir",
 def _await_ack(s: socket.socket, chunk: str) -> None:
     buf = b""
     while True:
-        buf += s.recv(4096)
+        got = s.recv(4096)
+        if not got:
+            # peer closed without acking (e.g. the listener hit its
+            # max_events cap) — error out, never spin on empty reads
+            raise ConnectionError(
+                f"connection closed before ack for chunk {chunk!r}")
+        buf += got
         try:
             resp = unpack(buf)
-        except ValueError:
+        except _Truncated:
             continue
         if resp.get("ack") != chunk:
             raise ConnectionError(f"bad ack {resp!r}")

@@ -40,7 +40,7 @@ def read_parquet(paths, columns: list[str] | None = None, filter_expr: str | Non
     residual = None
     drop_after = []
     if filter_expr is not None:
-        from tenzir_ray.expr import compile_filter, referenced_columns
+        from tenzir_ray.expr import compile_filter
 
         f = compile_filter(filter_expr)
         if f.pushdown is not None:
@@ -51,10 +51,7 @@ def read_parquet(paths, columns: list[str] | None = None, filter_expr: str | Non
             # projection — widen the read to the columns it references,
             # then drop them again post-filter (pushdown conjuncts don't
             # need this: the dataset scan filters on unprojected columns)
-            try:
-                extra = sorted(referenced_columns(filter_expr) - set(columns))
-            except Exception:
-                extra = []
+            extra = sorted(f.residual_refs - set(columns))
             if extra and isinstance(paths, str) and os.path.isfile(paths):
                 import pyarrow.parquet as pq
 

@@ -256,8 +256,15 @@ def read_zmq_pull(endpoint: str, max_messages: int,
     msgs: list[bytes] = []
     try:
         peer = listener.accept(timeout=timeout)
+        # the timeout also bounds each recv — a producer that pushes
+        # fewer than max_messages then idles (or disconnects) must not
+        # hang the driver or lose what was already drained
+        peer.sock.settimeout(timeout)
         while len(msgs) < max_messages:
-            msgs.append(b"".join(peer.recv_multipart()))
+            try:
+                msgs.append(b"".join(peer.recv_multipart()))
+            except (socket.timeout, TimeoutError, ConnectionError, OSError):
+                break
         peer.close()
     finally:
         listener.close()

@@ -527,6 +527,36 @@ class _SpanGrams:
         })
 
 
+
+def _dup_hit_filter(id_col: str, min_docs: int):
+    """Reduce-side filter shared by duplicate_spans/clip_duplicate_spans:
+    keep (id, pos) rows whose (h1, h2) window hash occurs in >= min_docs
+    DISTINCT documents."""
+
+    def _dup_hits(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df[[id_col, "pos"]]
+        nd = df.groupby(["h1", "h2"], sort=False)[id_col].transform("nunique")
+        return df.loc[nd >= min_docs, [id_col, "pos"]]
+
+    return _dup_hits
+
+
+def _merge_islands(df: pd.DataFrame, id_col: str, k: int) -> pd.DataFrame:
+    """Merge duplicated window positions into maximal spans: one row per
+    span with columns ``_doc`` / ``_s`` (1-based start) / ``_e``
+    (exclusive end). Shared by the stats and clip operators so their
+    span boundaries can never drift apart."""
+    df = df.sort_values([id_col, "pos"], kind="mergesort")
+    new_doc = df[id_col].ne(df[id_col].shift())
+    gap = df["pos"].diff().gt(k)
+    island = (new_doc | gap).cumsum()
+    sp = df.groupby(island, sort=False).agg(
+        _doc=(id_col, "first"), _s=("pos", "min"), _e=("pos", "max"))
+    sp["_e"] += k
+    return sp
+
+
 def duplicate_spans(ds, column: str = "text", id_col: str = "doc_id",
                     k: int = 40, min_docs: int = 2,
                     buckets: int | None = None):
@@ -559,27 +589,16 @@ def duplicate_spans(ds, column: str = "text", id_col: str = "doc_id",
         batch_size=1024,
     )
 
-    def _dup_hits(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return df[[id_col, "pos"]]
-        nd = df.groupby(["h1", "h2"], sort=False)[id_col].transform("nunique")
-        return df.loc[nd >= min_docs, [id_col, "pos"]]
-
-    hits = grouped_apply(grams, ["h1", "h2"], _dup_hits, num_buckets=buckets,
-                         tag="dupspan")
+    hits = grouped_apply(grams, ["h1", "h2"],
+                         _dup_hit_filter(id_col, min_docs),
+                         num_buckets=buckets, tag="dupspan")
 
     def _merge_spans(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
             return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
                                  "dup_spans": pd.Series([], dtype="int64"),
                                  "dup_chars": pd.Series([], dtype="int64")})
-        df = df.sort_values([id_col, "pos"], kind="mergesort")
-        new_doc = df[id_col].ne(df[id_col].shift())
-        gap = df["pos"].diff().gt(k)
-        island = (new_doc | gap).cumsum()
-        sp = df.groupby(island, sort=False).agg(
-            _doc=(id_col, "first"), _s=("pos", "min"), _e=("pos", "max"))
-        sp["_e"] += k
+        sp = _merge_islands(df, id_col, k)
         sp["_len"] = sp["_e"] - sp["_s"]
         out = sp.groupby("_doc", sort=False).agg(
             dup_spans=("_len", "size"), dup_chars=("_len", "sum"))
@@ -617,26 +636,15 @@ def clip_duplicate_spans(ds, column: str = "text", id_col: str = "doc_id",
         batch_size=1024,
     )
 
-    def _dup_hits(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return df[[id_col, "pos"]]
-        nd = df.groupby(["h1", "h2"], sort=False)[id_col].transform("nunique")
-        return df.loc[nd >= min_docs, [id_col, "pos"]]
-
-    hits = grouped_apply(grams, ["h1", "h2"], _dup_hits, num_buckets=buckets,
-                         tag="dupclip")
+    hits = grouped_apply(grams, ["h1", "h2"],
+                         _dup_hit_filter(id_col, min_docs),
+                         num_buckets=buckets, tag="dupclip")
 
     def _span_lists(df: pd.DataFrame) -> pa.Table:
         if not len(df):
             return pa.table({id_col: pa.array([], pa.int64()),
                              "_spans": pa.array([], pa.string())})
-        df = df.sort_values([id_col, "pos"], kind="mergesort")
-        new_doc = df[id_col].ne(df[id_col].shift())
-        gap = df["pos"].diff().gt(k)
-        island = (new_doc | gap).cumsum()
-        sp = df.groupby(island, sort=False).agg(
-            _doc=(id_col, "first"), _s=("pos", "min"), _e=("pos", "max"))
-        sp["_e"] += k
+        sp = _merge_islands(df, id_col, k)
         out = sp.groupby("_doc", sort=False).apply(
             lambda g: _json.dumps(
                 [[int(s), int(e)] for s, e in zip(g["_s"], g["_e"])]),

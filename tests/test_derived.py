@@ -102,3 +102,57 @@ def test_derived_view_late_refresh_converges(ray_session, tmp_path):
     res = view.refresh()
     assert [r["epoch_id"] for r in res] == ["odd", "even"]
     _check(view, lake)
+
+
+def test_derived_view_survives_source_lineage_truncation(
+        ray_session, tmp_path):
+    """Refreshes after source.truncate_lineage() must still LWW-win over
+    rows written before the truncation (absolute apply-seq, not the
+    shrinking lineage index)."""
+    lake = LakeTable(str(tmp_path / "src"), num_partitions=2)
+    view = DerivedView(
+        lake, str(tmp_path / "dv"),
+        aggs={"turns": "count(*)", "max_turn": "max(turn_idx)"},
+    )
+    ch = gen_changes(6_000, seed=7)
+    for i, (lo, hi) in enumerate([(0, 2000), (2000, 4000)]):
+        lake.apply_changes(_split(ch, lo, hi), epoch_id=f"e{i}",
+                           change_feed=True)
+    view.refresh()
+    _check(view, lake)
+    lake.truncate_lineage(keep_epochs=1)
+    lake.apply_changes(_split(ch, 4000, 6000), epoch_id="e2",
+                       change_feed=True)
+    view.refresh()
+    _check(view, lake)  # fails if the new refresh lost LWW to old rows
+
+
+def test_derived_view_nonkey_group_requires_preimages(ray_session, tmp_path):
+    """A payload group_col with a postimage-only feed cannot see the OLD
+    group of a moved/deleted row — refuse loudly instead of silently
+    keeping stale aggregates."""
+    lake = LakeTable(str(tmp_path / "src"), num_partitions=2)
+    view = DerivedView(lake, str(tmp_path / "dv"),
+                       aggs={"n": "count(*)"}, group_col="role")
+    ch = gen_changes(500, seed=9)
+    lake.apply_changes(ch, epoch_id="e1", change_feed=True)
+    with pytest.raises(ValueError, match="preimages"):
+        view.refresh()
+    # with the preimage feed the same view refreshes fine
+    lake2 = LakeTable(str(tmp_path / "src2"), num_partitions=2)
+    view2 = DerivedView(lake2, str(tmp_path / "dv2"),
+                        aggs={"n": "count(*)"}, group_col="role")
+    lake2.apply_changes(ch, epoch_id="e1", change_feed="preimages")
+    view2.refresh()
+    live = lake2.final_table().to_pandas()
+    want = live.groupby("role").size()
+    got = view2.final_table().to_pandas().set_index("role")["n"]
+    assert dict(got) == dict(want)
+
+
+def test_derived_view_empty_final_table(ray_session, tmp_path):
+    lake = LakeTable(str(tmp_path / "src"), num_partitions=2)
+    view = DerivedView(lake, str(tmp_path / "dv"),
+                       aggs={"turns": "count(*)"})
+    t = view.final_table()
+    assert t.num_rows == 0 and "conv_id" in t.column_names

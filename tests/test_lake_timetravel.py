@@ -215,3 +215,64 @@ def test_tql_lake_time_travel_and_feed(ray_session, tmp_path):
     feed = run_pipeline(f"read_lake_changes {root} since_lsn=1000").to_pandas()
     assert (feed["_lsn"] >= 1000).all()
     assert len(feed) == len(_net_changes(_split(ch, 1000, 2000)))
+
+
+def test_preimage_feed_since_lsn_keeps_deletes(ray_session, tmp_path):
+    """Resuming a preimage feed with since_lsn must not drop delete rows:
+    preimage/delete rows carry the REPLACED row's lsn, so the cut is
+    epoch-granular (every row of a qualifying epoch is kept)."""
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=2)
+    e1 = pa.table({
+        "lsn": pa.array([0, 1], pa.int64()),
+        "op": ["insert", "insert"],
+        "conv_id": ["a", "b"],
+        "turn_idx": pa.array([0, 0], pa.int32()),
+        "text": ["a0", "b0"],
+    })
+    e2 = pa.table({
+        "lsn": pa.array([20], pa.int64()),
+        "op": ["delete"],
+        "conv_id": ["a"],
+        "turn_idx": pa.array([0], pa.int32()),
+        "text": pa.array([None], pa.string()),
+    })
+    lake.apply_changes(e1, epoch_id="e1", change_feed="preimages")
+    lake.apply_changes(e2, epoch_id="e2", change_feed="preimages")
+    feed = lake.changes(since_lsn=10).to_pandas()
+    # e1 (lsn_max 1) pruned entirely; e2's delete row survives even
+    # though its _lsn (the replaced row's, 0) is below the cut
+    assert list(feed["_change_type"]) == ["delete"]
+    assert feed.iloc[0]["conv_id"] == "a" and feed.iloc[0]["text"] == "a0"
+
+
+def test_truncate_lineage_keeps_time_travel_complete(ray_session, tmp_path):
+    """A partition last touched BEFORE the retention horizon must still
+    appear in snapshots of retained epochs (the dropped prefix folds
+    into a synthetic base record)."""
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=2)
+    # pick two conv ids that land in DIFFERENT partitions
+    from tenzir_ray.cdc.lake import stable_part_of_uniques
+
+    cands = [f"c{i}" for i in range(20)]
+    parts = stable_part_of_uniques(cands, 2)
+    ca = next(c for c, p in zip(cands, parts) if p == 0)
+    cb = next(c for c, p in zip(cands, parts) if p == 1)
+
+    # e1 writes both partitions; e2/e3 touch only ca's partition
+    def _e(lsns, convs, texts):
+        return pa.table({
+            "lsn": pa.array(lsns, pa.int64()),
+            "op": ["insert"] * len(lsns),
+            "conv_id": convs,
+            "turn_idx": pa.array([0] * len(lsns), pa.int32()),
+            "text": texts,
+        })
+    lake.apply_changes(_e([0, 1], [ca, cb], ["a0", "b0"]), epoch_id="e1")
+    lake.apply_changes(_e([2], [ca], ["a1"]), epoch_id="e2")
+    lake.apply_changes(_e([3], [ca], ["a2"]), epoch_id="e3")
+    assert lake.truncate_lineage(keep_epochs=1) == 2
+    # live read unaffected; snapshot of the retained epoch e3 must still
+    # contain cb (its partition's files come from the folded base record)
+    snap = lake.final_table(as_of="e3").to_pandas()
+    assert sorted(snap["conv_id"]) == sorted([ca, cb])
+    assert lake.final_table().num_rows == 2

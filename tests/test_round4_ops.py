@@ -1189,3 +1189,92 @@ def test_taste_and_unique_over_exchange_high_card(ray_session):
 
     uq = T.unique(_ds(tbl), by=["k"]).to_pandas()
     assert len(uq) == tbl.to_pandas()["k"].nunique()
+
+
+def test_msgpack_ext_types_and_corrupt_distinction():
+    """fixext1/2/4/16 and ext16/32 decode (opaque (type, body) tuples);
+    truncation and corruption raise DISTINCT errors so the forward
+    listener can wait for bytes vs fail loudly."""
+    import struct
+
+    from tenzir_ray.sources.fluent import (
+        EventTime, Unpacker, _Corrupt, _Truncated, unpack,
+    )
+
+    assert unpack(b"\xd4\x07Z") == (7, b"Z")                      # fixext1
+    assert unpack(b"\xd6\x05ABCD") == (5, b"ABCD")                # fixext4
+    assert unpack(b"\xd8\x09" + b"x" * 16) == (9, b"x" * 16)      # fixext16
+    assert unpack(b"\xc8\x00\x03\x0213!") == (2, b"13!")          # ext16
+    assert unpack(b"\xc9" + struct.pack(">I", 2) + b"\x04ab") == (4, b"ab")
+    # ext8 with type 0, 8 bytes is still EventTime
+    assert unpack(b"\xd7\x00" + struct.pack(">II", 5, 9)) == EventTime(5, 9)
+    import pytest as _pytest
+    with _pytest.raises(_Truncated):
+        unpack(b"\xd6\x05AB")  # incomplete fixext4
+    with _pytest.raises(_Corrupt):
+        unpack(b"\xc1")  # 0xc1 is never-used per spec
+
+
+def test_fluent_ack_peer_close_raises(ray_session):
+    """A peer that closes without acking must raise ConnectionError, not
+    busy-loop on empty reads."""
+    import socket
+    import threading
+
+    from tenzir_ray.sources.fluent import EventTime, write_fluent_forward
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def _accept_and_close():
+        conn, _ = srv.accept()
+        conn.recv(65536)
+        conn.close()
+
+    t = threading.Thread(target=_accept_and_close, daemon=True)
+    t.start()
+    with pytest.raises(ConnectionError, match="closed before ack"):
+        write_fluent_forward([(EventTime(1, 0), {"a": 1})],
+                             "127.0.0.1", port, mode="forward",
+                             require_ack=True, timeout=5)
+    t.join(5)
+    srv.close()
+
+
+def test_zmq_pull_partial_drain_returns_partial(ray_session):
+    """A producer pushing fewer than max_messages then idling must not
+    hang the driver past the timeout — the drained prefix is returned."""
+    import threading
+    import time as _time
+
+    from tenzir_ray.sources.zmtp import read_zmq_pull, zmq_connect
+
+    got: dict = {}
+
+    # pick a free port first (read_zmq_pull has no port-ready callback)
+    import socket as _socket
+
+    s = _socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    def _listen_fixed():
+        got["ds"] = read_zmq_pull(
+            f"tcp://127.0.0.1:{port}", max_messages=10, timeout=2.0)
+
+    t = threading.Thread(target=_listen_fixed, daemon=True)
+    t.start()
+    _time.sleep(0.3)
+    push = zmq_connect(f"tcp://127.0.0.1:{port}", "PUSH")
+    for i in range(3):
+        push.send(f"m{i}".encode())
+    t0 = _time.time()
+    t.join(15)
+    push.close()
+    assert not t.is_alive(), "listener hung past its timeout"
+    assert _time.time() - t0 < 12
+    df = got["ds"].to_pandas()
+    assert sorted(bytes(b).decode() for b in df["data"]) == ["m0", "m1", "m2"]

@@ -120,7 +120,11 @@ def test_lake_gc_optimize_truncate(ray_session, tmp_path):
     assert lake2.final_table().equals(before)
     # e1 + e2 + the compaction record optimize() publishes for time travel
     assert lake2.truncate_lineage(keep_epochs=1) == 2
-    assert len(LakeTable(root).manifest.epochs) == 1
+    eps = LakeTable(root).manifest.epochs
+    # retained record + the synthetic base folding the dropped prefix
+    # (keeps time travel to retained epochs complete)
+    assert len(eps) == 2
+    assert (eps[0].get("meta") or {}).get("_lineage_base")
     # correctness preserved end-to-end
     want = naive_apply(changes)
     got = lake2.final_table()
