@@ -353,6 +353,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ds
 
+    def stratified_sample_events(sf):
+        from tenzir_ray.stages.splits import stratified_sample
+
+        return stratified_sample(
+            _read(sf, "events", columns=["event_id", "event_type"]),
+            by="event_type", n=5, key="event_id",
+        )
+
     def dup_span_stats(sf):
         return D.duplicate_spans(
             _read(sf, "documents", columns=["doc_id", "text"]), k=40
@@ -2165,6 +2173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parse_json_props": parse_json_props,
         "dedup_documents_exact": dedup_documents_exact,
         "dup_span_stats": dup_span_stats,
+        "stratified_sample_events": stratified_sample_events,
         "clip_dup_spans": clip_dup_spans,
         "taste_per_type": taste_per_type,
         "dedup_limit2_per_type": dedup_limit2_per_type,
@@ -2354,6 +2363,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_documents_exact": """
             SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+        """,
+        "stratified_sample_events": """
+            SELECT event_id, event_type FROM (
+                SELECT event_id, event_type,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY (event_id * 2654435761) % 4294967296,
+                                    event_id) rn
+                FROM events) WHERE rn <= 5
         """,
         "dup_span_stats": """
             WITH grams AS (

@@ -102,6 +102,7 @@ def _register_builtins() -> None:
         duplicate_spans=dedup.duplicate_spans,
         clip_duplicate_spans=dedup.clip_duplicate_spans,
         hash_split=splits.hash_split,
+        stratified_sample=splits.stratified_sample,
         decontaminate=splits.decontaminate,
         chunk_documents=chunk.chunk_documents,
         pack_sequences=chunk.pack_sequences,

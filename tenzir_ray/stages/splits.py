@@ -145,4 +145,41 @@ def decontaminate(ds, patterns, column: str = "text",
     )
 
 
+def stratified_sample(ds, by, n: int, key: str,
+                      buckets: int | None = None):
+    """Deterministic uniform sample of ``n`` rows per group: rank each
+    group's rows by the key's hash fraction (ties broken by the key)
+    and keep the first ``n``. The rank is a pure function of the key,
+    so the sample is stable across runs, cluster sizes, and engines —
+    the SQL oracle reproduces it row-for-row (``row_number() OVER
+    (PARTITION BY g ORDER BY (key * 2654435761) % 2^32, key)``).
+
+    This is the reshuffle-stable alternative to reservoir sampling for
+    stratified corpus downsampling (per-language / per-source caps):
+    reservoir output depends on encounter order, which a distributed
+    engine does not guarantee; hash-rank output does not.
+
+    Scale shape: one grouped exchange on ``by`` (fine buckets, byte-
+    coalesced tasks); per task a vectorized sort + groupby head. Output
+    is the input columns, ≤ n rows per group."""
+    bycols = [by] if isinstance(by, str) else list(by)
+
+    def _frac(batch: pa.Table) -> pa.Table:
+        f = _key_fractions(batch.column(key))
+        return batch.append_column("_f", pa.array(f, pa.float64()))
+
+    with_f = ds.map_batches(_frac, batch_format="pyarrow")
+
+    def _take(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df.drop(columns=["_f"], errors="ignore")
+        df = df.sort_values(["_f", key], kind="mergesort")
+        return df.groupby(bycols, sort=False).head(n).drop(columns=["_f"])
+
+    from tenzir_ray.stages.exchange import grouped_apply
+
+    return grouped_apply(with_f, bycols, _take, num_buckets=buckets,
+                         tag="strat")
+
+
 ship_by_value(sys.modules[__name__])

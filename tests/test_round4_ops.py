@@ -1278,3 +1278,32 @@ def test_zmq_pull_partial_drain_returns_partial(ray_session):
     assert _time.time() - t0 < 12
     df = got["ds"].to_pandas()
     assert sorted(bytes(b).decode() for b in df["data"]) == ["m0", "m1", "m2"]
+
+
+def test_stratified_sample_deterministic_and_capped(ray_session):
+    """Hash-rank stratified sampling: exactly n per group (or the whole
+    group when smaller), identical output across two runs and across
+    different partitionings (encounter order must not matter)."""
+    import ray.data
+
+    from tenzir_ray.stages.splits import stratified_sample
+
+    rng = np.random.default_rng(5)
+    n_rows = 5_000
+    tbl = pa.table({
+        "id": np.arange(n_rows, dtype=np.int64),
+        "g": rng.choice(["a", "b", "c", "tiny"],
+                        p=[0.5, 0.3, 0.199, 0.001], size=n_rows),
+    })
+
+    def run(parts):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        return (stratified_sample(ds, by="g", n=7, key="id")
+                .to_pandas().sort_values(["g", "id"], ignore_index=True))
+
+    a, b = run(2), run(17)
+    assert a.equals(b)  # partitioning-independent
+    sizes = a.groupby("g").size().to_dict()
+    full = tbl.to_pandas().groupby("g").size().to_dict()
+    for g, cnt in sizes.items():
+        assert cnt == min(7, full[g]), (g, cnt)
