@@ -317,7 +317,8 @@ class SqsBroker:
                     QueueUrl=url,
                     Entries=[
                         {"Id": str(j),
-                         "MessageBody": base64.b64encode(m).decode("ascii")}
+                         "MessageBody": base64.b64encode(m).decode("ascii"),
+                         **self._entry_extras(topic, p, chunk_start + j, m)}
                         for j, m in enumerate(chunk)
                     ],
                 )
@@ -330,6 +331,11 @@ class SqsBroker:
         ends = self.produce_many(topic, [value], [key], partition_of=pf)
         p, end = next(iter(ends.items()))
         return p, end - 1
+
+    # subclass hook: extra per-entry fields (FIFO group/dedup ids)
+    def _entry_extras(self, topic: str, partition: int, batch_index: int,
+                      value: bytes) -> dict:
+        return {}
 
     def read(self, topic: str, partition: int, offset: int,
              max_records: int = 10_000
@@ -358,3 +364,75 @@ class SqsBroker:
                     QueueUrl=url, ReceiptHandle=m["ReceiptHandle"])
         self._counters[(topic, partition)] = base + len(out)
         return out
+
+
+class SqsFifoBroker(SqsBroker):
+    """FIFO-queue variant of :class:`SqsBroker` — the stronger replay
+    story flagged in NOTES: standard SQS is at-least-once with no
+    ordering, so the plain adapter's offsets are synthetic and a
+    producer retry can double-enqueue. FIFO queues (public AWS
+    semantics) add exactly what a binlog source needs:
+
+    - **ordering**: one ``MessageGroupId`` per partition-queue gives
+      strict FIFO delivery within the partition (the Kafka-partition
+      analog);
+    - **enqueue dedup**: a deterministic ``MessageDeduplicationId`` per
+      message means a retried ``produce_many`` of the same batch cannot
+      double-enqueue within SQS's 5-minute dedup window.
+
+    ``dedup_id_of(index, value) -> str`` should map each message to its
+    LOGICAL identity (e.g. its lsn) so cross-batch retries dedup too;
+    the default — sha1 of (partition-index, payload) — only dedups
+    retries of the same produce_many call. The consumer-side epoch-id
+    skip in the lake remains the end-to-end exactly-once gate (SQS
+    delivery is still at-least-once); FIFO narrows the window where
+    duplicates can exist at all.
+
+    UNTESTED against real AWS in-sandbox (no network); the call shapes
+    are locked by the fake-client conformance pytest alongside the
+    plain adapter's."""
+
+    def __init__(self, *, region_name: str | None = None,
+                 queue_prefix: str = "", client=None,
+                 dedup_id_of=None):
+        super().__init__(region_name=region_name, queue_prefix=queue_prefix,
+                         client=client)
+        self._dedup_id_of = dedup_id_of
+
+    def _qname(self, topic: str, partition: int) -> str:
+        return f"{self._prefix}{topic}-p{partition:05d}.fifo"
+
+    def create_topic(self, topic: str, partitions: int = 4) -> None:
+        for p in range(partitions):
+            r = self._sqs.create_queue(
+                QueueName=self._qname(topic, p),
+                Attributes={"FifoQueue": "true",
+                            # explicit ids, never content-based: two
+                            # distinct binlog events may share a payload
+                            "ContentBasedDeduplication": "false"},
+            )
+            self._urls[self._qname(topic, p)] = r["QueueUrl"]
+
+    def partitions(self, topic: str) -> list[int]:
+        prefix = f"{self._prefix}{topic}-p"
+        r = self._sqs.list_queues(QueueNamePrefix=prefix)
+        out = []
+        for url in r.get("QueueUrls", []):
+            name = url.rsplit("/", 1)[-1]
+            if name.endswith(".fifo"):
+                out.append(int(name[len(prefix):-len(".fifo")]))
+        if not out:
+            raise KeyError(f"unknown topic {topic!r}")
+        return sorted(out)
+
+    def _entry_extras(self, topic: str, partition: int, batch_index: int,
+                      value: bytes) -> dict:
+        import hashlib
+
+        if self._dedup_id_of is not None:
+            did = str(self._dedup_id_of(batch_index, value))
+        else:
+            did = hashlib.sha1(
+                f"{partition}:{batch_index}:".encode() + value).hexdigest()
+        return {"MessageGroupId": f"p{partition}",
+                "MessageDeduplicationId": did[:128]}

@@ -997,14 +997,19 @@ def test_wire_adapters_conform_to_filebroker_interface():
     import inspect
 
     from tenzir_ray.cdc.broker import FileBroker
-    from tenzir_ray.cdc.wire import BrokerProtocol, KafkaBroker, SqsBroker
+    from tenzir_ray.cdc.wire import (
+        BrokerProtocol,
+        KafkaBroker,
+        SqsBroker,
+        SqsFifoBroker,
+    )
 
     methods = ("create_topic", "partitions", "end_offsets",
                "produce_many", "produce", "read")
     ref = {m: [p for p in inspect.signature(
         getattr(FileBroker, m)).parameters if p != "self"]
         for m in methods}
-    for cls in (KafkaBroker, SqsBroker):
+    for cls in (KafkaBroker, SqsBroker, SqsFifoBroker):
         for m in methods:
             got = [p for p in inspect.signature(
                 getattr(cls, m)).parameters if p != "self"]
@@ -1307,3 +1312,67 @@ def test_stratified_sample_deterministic_and_capped(ray_session):
     full = tbl.to_pandas().groupby("g").size().to_dict()
     for g, cnt in sizes.items():
         assert cnt == min(7, full[g]), (g, cnt)
+
+
+class _FakeSqsFifoClient(_FakeSqsClient):
+    """FIFO double: validates FifoQueue creation attributes, requires
+    MessageGroupId/MessageDeduplicationId on every entry, and drops
+    duplicate dedup ids (AWS's 5-minute window, modeled as forever)."""
+
+    def __init__(self):
+        super().__init__()
+        self.fifo_queues: set = set()
+        self.seen_dedup: dict = {}
+
+    def create_queue(self, QueueName, Attributes=None):
+        if QueueName.endswith(".fifo"):
+            assert Attributes and Attributes.get("FifoQueue") == "true"
+            self.fifo_queues.add(QueueName)
+        return super().create_queue(QueueName)
+
+    def send_message_batch(self, QueueUrl, Entries):
+        name = self._name(QueueUrl)
+        assert name in self.fifo_queues, "FIFO send to non-FIFO queue"
+        kept = []
+        for e in Entries:
+            assert e.get("MessageGroupId"), e
+            did = e.get("MessageDeduplicationId")
+            assert did, e
+            seen = self.seen_dedup.setdefault(name, set())
+            if did in seen:
+                continue  # deduplicated enqueue
+            seen.add(did)
+            kept.append(e)
+        assert len(Entries) <= 10
+        self.queues[name].extend(e["MessageBody"] for e in kept)
+        return {"Successful": [{"Id": e["Id"]} for e in Entries]}
+
+
+def test_sqs_fifo_broker_dedups_retried_produce():
+    from tenzir_ray.cdc.wire import SqsFifoBroker
+
+    cli = _FakeSqsFifoClient()
+    b = SqsFifoBroker(client=cli)
+    b.create_topic("chat", partitions=2)
+    assert b.partitions("chat") == [0, 1]
+    vals = [b"m0", b"m1", b"m2", b"m3"]
+    keys = [b"k0", b"k0", b"k1", b"k1"]
+    b.produce_many("chat", vals, keys=keys)
+    n1 = sum(len(q) for q in cli.queues.values())
+    assert n1 == 4
+    # a RETRY of the same batch cannot double-enqueue (deterministic
+    # MessageDeduplicationId per (partition, index, payload))
+    b.produce_many("chat", vals, keys=keys)
+    assert sum(len(q) for q in cli.queues.values()) == 4
+    # logical-id hook: same lsn → same id across different batches
+    b2 = SqsFifoBroker(client=cli,
+                       dedup_id_of=lambda i, v: f"lsn-{17 + i}")
+    b2.produce_many("chat", [b"x0"], keys=[b"k0"])
+    b2.produce_many("chat", [b"x0"], keys=[b"k0"])  # same lsn-17 → dedup
+    assert sum(len(q) for q in cli.queues.values()) == 5
+    # FIFO order within a partition is arrival order
+    p0 = [v for (_o, _k, v) in b.read("chat", 0, 0)]
+    p1 = [v for (_o, _k, v) in b.read("chat", 1, 0)]
+    assert sorted(p0 + p1) == sorted(vals + [b"x0"])
+    assert [v for v in p0 if v in (b"m0", b"m1")] == [b"m0", b"m1"] or \
+           [v for v in p1 if v in (b"m0", b"m1")] == [b"m0", b"m1"]
