@@ -1530,6 +1530,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
                         how="left")
         return out
 
+    def full_outer_join_orders(sf):
+        # both-side outer: filtered orders vs filtered customers, with
+        # unmatched rows surviving from EACH side (null-padded)
+        from tenzir_ray.stages.join import hash_join
+
+        orders = T.where(
+            _read(sf, "orders", columns=["o_orderkey", "o_custkey"]),
+            "o_orderkey % 3 == 0 and o_custkey < 400",
+        )
+        cust = T.where(
+            _read(sf, "customer", columns=["c_custkey", "c_mktsegment"]),
+            "c_custkey < 200",
+        )
+        # same-named keys coalesce in a full outer (one key column fed
+        # from whichever side matched), mirroring SQL's COALESCE(l, r)
+        cust = T.rename(cust, {"c_custkey": "o_custkey"})
+        return hash_join(orders, cust, on="o_custkey", how="full")
+
+    def lag_value_by_user(sf):
+        from tenzir_ray.stages.window import window_shift
+
+        ev = _read(sf, "events",
+                   columns=["event_id", "user_id", "value"])
+        out = window_shift(ev, by="user_id", order_by="event_id",
+                           column="value", periods=1, out="prev_value")
+        return T.select(out, ["event_id", "user_id", "value",
+                              "prev_value"])
+
     def anti_join_orders(sf):
         # exchange anti join (Arrow left-anti): orders whose customer is
         # NOT in the small filtered set — output is the left columns
@@ -2240,6 +2268,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_audio_decode": media_audio_decode,
         "asof_forward": asof_forward,
         "hash_join_left_outer": hash_join_left_outer,
+        "full_outer_join_orders": full_outer_join_orders,
+        "lag_value_by_user": lag_value_by_user,
         "anti_join_orders": anti_join_orders,
         "range_join_value_bands": range_join_value_bands,
         "range_join_partitioned_bands": range_join_partitioned_bands,
@@ -3198,6 +3228,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderkey, o.o_custkey, c.c_custkey, c.c_mktsegment
             FROM orders o LEFT JOIN (SELECT * FROM customer WHERE c_custkey < 500) c
             ON o.o_custkey = c.c_custkey
+        """,
+        "full_outer_join_orders": """
+            SELECT coalesce(o.o_custkey, c.c_custkey) AS o_custkey,
+                   o.o_orderkey, c.c_mktsegment
+            FROM (SELECT * FROM orders
+                  WHERE o_orderkey % 3 = 0 AND o_custkey < 400) o
+            FULL JOIN (SELECT * FROM customer WHERE c_custkey < 200) c
+            ON o.o_custkey = c.c_custkey
+        """,
+        "lag_value_by_user": """
+            SELECT event_id, user_id, value,
+                   lag(value, 1) OVER (PARTITION BY user_id
+                                       ORDER BY event_id) AS prev_value
+            FROM events
         """,
         "anti_join_orders": """
             SELECT o.o_orderkey, o.o_custkey

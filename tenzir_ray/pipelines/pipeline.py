@@ -250,6 +250,7 @@ def _register_builtins() -> None:
     OPERATORS.update(
         sliding_window=window_mod.sliding_window,
         session_window=window_mod.session_window,
+        window_shift=window_mod.window_shift,
     )
     from tenzir_ray.stages import join as join_mod
     OPERATORS["yield"] = transforms.yield_

@@ -86,6 +86,7 @@ class _HashJoinReducer:
         self.lkeys = lkeys
         self.rkeys = rkeys
         self.join_type = {"inner": "inner", "left": "left outer",
+                          "right": "right outer", "full": "full outer",
                           "semi": "left semi", "anti": "left anti"}[how]
         self.coalesce = lkeys == rkeys
         self.out_cols = out_cols
@@ -115,6 +116,7 @@ def hash_join(left, right, on: str | list[str], right_on: str | list[str] | None
 
     ``on``/``right_on`` name the key columns; overlapping non-key columns
     from the right get ``right_suffix``. Supported ``how``: inner, left,
+    right, full (both-side outer; key columns coalesce when same-named),
     semi, anti (Arrow left-semi/left-anti — output is the left columns).
     When the two sides' key names differ, both key columns appear in the
     output (pandas-merge convention); identical names coalesce into one.
@@ -199,9 +201,14 @@ def hash_join(left, right, on: str | list[str], right_on: str | list[str] | None
         right, r_key_names, B, "r", transform=_ren, batch_size=batch_size
     )
     # semi keeps only matched left rows, so right-empty buckets emit
-    # nothing; anti and left must still visit every left bucket
-    relevant = (set(lidx) & set(ridx) if how in ("inner", "semi")
-                else set(lidx))
+    # nothing; anti and left must still visit every left bucket; the
+    # both-side outers must visit every bucket present on EITHER side
+    if how in ("inner", "semi"):
+        relevant = set(lidx) & set(ridx)
+    elif how in ("full", "right"):
+        relevant = set(lidx) | set(ridx)
+    else:
+        relevant = set(lidx)
     total = {b: lbytes.get(b, 0) + rbytes.get(b, 0) for b in relevant}
     tasks = coalesce_tasks(list(relevant), total, target_task_bytes)
     reducer = _HashJoinReducer(

@@ -128,4 +128,40 @@ def session_window(ds, ts_column: str, gap: str, by: str | list[str],
     return _bucketed_groups(ds.select_columns(cols), keys, _sessions_bucket)
 
 
+def window_shift(ds, by, order_by: str, column: str, periods: int = 1,
+                 out: str | None = None, buckets: int | None = None):
+    """Per-group ordered lag/lead: SQL's ``lag(column, n) OVER
+    (PARTITION BY by ORDER BY order_by)`` (negative ``periods`` =
+    lead). Output = input columns + ``out`` (default
+    ``{column}_lag{n}`` / ``{column}_lead{n}``), null where the window
+    runs off the group edge.
+
+    Determinism contract (same as SQL): ``order_by`` must be unique
+    within a group, else peer ordering is unspecified — ties here break
+    by the engine's stable sort of arrival order, which a re-shuffled
+    run may permute.
+
+    Scale shape: one grouped exchange on ``by``; per task a vectorized
+    sort + pandas groupby shift (C kernel per task, not per group)."""
+    import pandas as pd
+
+    bycols = [by] if isinstance(by, str) else list(by)
+    name = out or (
+        f"{column}_lag{periods}" if periods >= 0
+        else f"{column}_lead{-periods}")
+
+    def _shift(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            df[name] = pd.Series([], dtype="object")
+            return df
+        df = df.sort_values(bycols + [order_by], kind="mergesort")
+        df[name] = df.groupby(bycols, sort=False)[column].shift(periods)
+        return df
+
+    from tenzir_ray.stages.exchange import grouped_apply
+
+    return grouped_apply(ds, bycols, _shift, num_buckets=buckets,
+                         tag="wshift")
+
+
 ship_by_value(sys.modules[__name__])

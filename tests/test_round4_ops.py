@@ -1376,3 +1376,57 @@ def test_sqs_fifo_broker_dedups_retried_produce():
     assert sorted(p0 + p1) == sorted(vals + [b"x0"])
     assert [v for v in p0 if v in (b"m0", b"m1")] == [b"m0", b"m1"] or \
            [v for v in p1 if v in (b"m0", b"m1")] == [b"m0", b"m1"]
+
+
+def test_hash_join_full_and_right_outer(ray_session):
+    """Both-side outers vs DuckDB on overlapping key ranges."""
+    import duckdb
+
+    from tenzir_ray.stages.join import hash_join
+
+    L = pa.table({"k": [1, 2, 3, 4], "lv": ["a", "b", "c", "d"]})
+    R = pa.table({"k": [3, 4, 5, 6], "rv": [30, 40, 50, 60]})
+    full = (hash_join(_ds(L), _ds(R), "k", how="full")
+            .to_pandas().sort_values("k", ignore_index=True))
+    want = duckdb.sql(
+        "SELECT coalesce(l.k, r.k) AS k, lv, rv FROM L l "
+        "FULL JOIN R r ON l.k = r.k ORDER BY k").df()
+    assert full["k"].tolist() == want["k"].tolist()
+    assert full["lv"].fillna("-").tolist() == want["lv"].fillna("-").tolist()
+    assert full["rv"].fillna(-1).tolist() == want["rv"].fillna(-1).tolist()
+
+    right = (hash_join(_ds(L), _ds(R), "k", how="right")
+             .to_pandas().sort_values("k", ignore_index=True))
+    assert right["k"].tolist() == [3, 4, 5, 6]
+    assert right["lv"].fillna("-").tolist() == ["c", "d", "-", "-"]
+
+
+def test_window_shift_lag_lead(ray_session):
+    import duckdb
+
+    from tenzir_ray.stages.window import window_shift
+
+    rng = np.random.default_rng(3)
+    n = 8_000
+    T = pa.table({
+        "id": np.arange(n, dtype=np.int64),
+        "g": rng.integers(0, 50, n),
+        "v": rng.normal(size=n),
+    })
+    lag = (window_shift(_ds(T), by="g", order_by="id", column="v",
+                        periods=1, out="pv")
+           .to_pandas().sort_values("id", ignore_index=True))
+    want = duckdb.sql(
+        "SELECT id, g, v, lag(v, 1) OVER (PARTITION BY g ORDER BY id) pv "
+        "FROM T ORDER BY id").df()
+    assert np.allclose(lag["pv"].fillna(0), want["pv"].fillna(0))
+    assert lag["pv"].isna().sum() == 50  # one null per group head
+
+    lead = (window_shift(_ds(T), by="g", order_by="id", column="v",
+                         periods=-2)
+            .to_pandas().sort_values("id", ignore_index=True))
+    wl = duckdb.sql(
+        "SELECT id, lead(v, 2) OVER (PARTITION BY g ORDER BY id) lv "
+        "FROM T ORDER BY id").df()
+    assert "v_lead2" in lead.columns
+    assert np.allclose(lead["v_lead2"].fillna(0), wl["lv"].fillna(0))
