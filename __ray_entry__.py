@@ -1558,6 +1558,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return T.select(out, ["event_id", "user_id", "value",
                               "prev_value"])
 
+    def _value_cents(t):
+        # integer centi-units before any sum: cross-engine float
+        # accumulation order is ulp-unstable (same trick as q1)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        c = pc.cast(pc.round(pc.multiply(t.column("value"), 100)),
+                    pa.int64())
+        return t.set_column(t.schema.get_field_index("value"), "value", c)
+
+    def cumsum_value_by_user(sf):
+        from tenzir_ray.stages.window import window_cum
+
+        ev = _read(sf, "events",
+                   columns=["event_id", "user_id", "value"]).map_batches(
+            _value_cents, batch_format="pyarrow")
+        out = window_cum(ev, by="user_id", order_by="event_id",
+                         column="value", fn="sum", out="running_cents")
+        return T.select(out, ["event_id", "user_id", "running_cents"])
+
+    def pivot_events_by_user(sf):
+        ev = _read(sf, "events",
+                   columns=["user_id", "event_type", "value"]).map_batches(
+            _value_cents, batch_format="pyarrow")
+        return T.pivot(ev, by="user_id", key="event_type",
+                       value="value", agg="sum")
+
+    def melt_lineitem_charges(sf):
+        li = _read(sf, "lineitem",
+                   columns=["l_orderkey", "l_linenumber",
+                            "l_extendedprice", "l_discount", "l_tax"])
+        return T.melt(li, id_vars=["l_orderkey", "l_linenumber"],
+                      value_vars=["l_extendedprice", "l_discount",
+                                  "l_tax"],
+                      var_name="charge", value_name="amount")
+
     def anti_join_orders(sf):
         # exchange anti join (Arrow left-anti): orders whose customer is
         # NOT in the small filtered set — output is the left columns
@@ -2270,6 +2306,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join_left_outer": hash_join_left_outer,
         "full_outer_join_orders": full_outer_join_orders,
         "lag_value_by_user": lag_value_by_user,
+        "cumsum_value_by_user": cumsum_value_by_user,
+        "pivot_events_by_user": pivot_events_by_user,
+        "melt_lineitem_charges": melt_lineitem_charges,
         "anti_join_orders": anti_join_orders,
         "range_join_value_bands": range_join_value_bands,
         "range_join_partitioned_bands": range_join_partitioned_bands,
@@ -3242,6 +3281,39 @@ def oracle_sql() -> dict[str, str]:
                    lag(value, 1) OVER (PARTITION BY user_id
                                        ORDER BY event_id) AS prev_value
             FROM events
+        """,
+        "cumsum_value_by_user": """
+            SELECT event_id, user_id,
+                   sum(CAST(round(value * 100) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY event_id
+                             ROWS UNBOUNDED PRECEDING)
+                       AS running_cents
+            FROM events
+        """,
+        "pivot_events_by_user": """
+            WITH c AS (SELECT user_id, event_type,
+                              CAST(round(value * 100) AS BIGINT) AS v
+                       FROM events)
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'click' THEN v END) AS click,
+                   sum(CASE WHEN event_type = 'error' THEN v END) AS error,
+                   sum(CASE WHEN event_type = 'purchase' THEN v END)
+                       AS purchase,
+                   sum(CASE WHEN event_type = 'signup' THEN v END)
+                       AS signup,
+                   sum(CASE WHEN event_type = 'view' THEN v END) AS view
+            FROM c GROUP BY user_id
+        """,
+        "melt_lineitem_charges": """
+            SELECT l_orderkey, l_linenumber,
+                   'l_extendedprice' AS charge, l_extendedprice AS amount
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+            FROM lineitem
         """,
         "anti_join_orders": """
             SELECT o.o_orderkey, o.o_custkey

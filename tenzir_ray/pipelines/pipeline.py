@@ -70,6 +70,8 @@ def _register_builtins() -> None:
         extend=transforms.extend,
         replace=transforms.replace,
         flatten=transforms.flatten,
+        melt=transforms.melt,
+        pivot=transforms.pivot,
         unflatten=transforms.unflatten,
         unroll=transforms.unroll,
         hash=transforms.hash_,

@@ -205,6 +205,80 @@ def unflatten(ds, sep: str = "."):
     return ds.map_batches(_unflatten, batch_format="pyarrow")
 
 
+def melt(ds, id_vars: list[str], value_vars: list[str],
+         var_name: str = "variable", value_name: str = "value"):
+    """Wide → long (SQL UNPIVOT): one output row per (input row,
+    value var), carrying ``id_vars`` plus ``(var_name, value_name)``.
+    Stateless vectorized explode — value columns are widened to their
+    common type (the registry lattice) so the long column is typed."""
+    from tenzir_ray.cdc.registry import widen
+    from tenzir_ray.stages.join import _dataset_arrow_schema
+
+    schema = _dataset_arrow_schema(ds)
+    common = schema.field(value_vars[0]).type
+    for v in value_vars[1:]:
+        common = widen(common, schema.field(v).type)
+
+    def _melt(t: pa.Table) -> pa.Table:
+        pieces = []
+        for v in value_vars:
+            cols = [t.column(c) for c in id_vars]
+            cols.append(pa.array([v] * t.num_rows, pa.string()))
+            cols.append(t.column(v).cast(common))
+            pieces.append(pa.table(
+                cols, names=list(id_vars) + [var_name, value_name]))
+        return pa.concat_tables(pieces)
+
+    return ds.map_batches(_melt, batch_format="pyarrow")
+
+
+def pivot(ds, by, key: str, value: str, agg: str = "sum",
+          keys: "list | None" = None, buckets: int | None = None):
+    """Long → wide (SQL PIVOT): one row per ``by`` group, one column per
+    distinct ``key`` value holding ``agg(value)`` over that slice
+    (null where the combination is absent, matching SQL's
+    ``agg(CASE WHEN key = k THEN value END)``).
+
+    ``keys`` fixes the output columns; when omitted they are gathered
+    with one tiny distinct scan of the key column — bounded by the key
+    cardinality, which for a sane pivot is small (a thousand-column
+    table is the caller's own decision). The heavy reshape is a
+    grouped exchange on ``by`` + a vectorized pivot_table per task."""
+    import pandas as pd
+
+    if agg not in ("sum", "mean", "min", "max", "count"):
+        raise ValueError(f"unsupported agg {agg!r}")
+    bycols = [by] if isinstance(by, str) else list(by)
+    if keys is None:
+        import pyarrow.compute as pc2
+
+        vals: set = set()
+        uniq = ds.select_columns([key]).map_batches(
+            lambda t: pa.table({key: pc2.unique(t.column(key))}),
+            batch_format="pyarrow")
+        for b in uniq.iter_batches(batch_format="pyarrow"):
+            vals.update(v for v in b.column(key).to_pylist()
+                        if v is not None)
+        keys = sorted(vals)
+    names = [str(k) for k in keys]
+
+    def _piv(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                **{c: pd.Series([], dtype="object") for c in bycols},
+                **{n: pd.Series([], dtype="float64") for n in names}})
+        out = df.pivot_table(index=bycols, columns=key, values=value,
+                             aggfunc=agg, dropna=False)
+        out = out.reindex(columns=keys)
+        out.columns = names
+        return out.reset_index()
+
+    from tenzir_ray.stages.exchange import grouped_apply
+
+    return grouped_apply(ds, bycols, _piv, num_buckets=buckets,
+                         tag="pivot")
+
+
 def shell_(ds, cmd: str, column: str = "text", out: str | None = None,
            batch_size: int = 8192):
     """Pipe a string column through an external command's stdin/stdout,

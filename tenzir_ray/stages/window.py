@@ -164,4 +164,42 @@ def window_shift(ds, by, order_by: str, column: str, periods: int = 1,
                          tag="wshift")
 
 
+_CUM_FNS = {"sum": "cumsum", "min": "cummin", "max": "cummax",
+            "count": "cumcount"}
+
+
+def window_cum(ds, by, order_by: str, column: str, fn: str = "sum",
+               out: str | None = None, buckets: int | None = None):
+    """Per-group ordered running aggregate: SQL's ``sum/min/max/count(column)
+    OVER (PARTITION BY by ORDER BY order_by ROWS UNBOUNDED PRECEDING)``.
+    ``fn`` ∈ sum | min | max | count (count ignores nulls in ``column``
+    like SQL's count(col)). Same determinism contract and scale shape
+    as :func:`window_shift` (one grouped exchange, C-kernel cumulative
+    per task)."""
+    import pandas as pd
+
+    if fn not in _CUM_FNS:
+        raise ValueError(f"fn must be one of {sorted(_CUM_FNS)}, got {fn!r}")
+    bycols = [by] if isinstance(by, str) else list(by)
+    name = out or f"{column}_cum{fn}"
+
+    def _cum(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            df[name] = pd.Series([], dtype="float64")
+            return df
+        df = df.sort_values(bycols + [order_by], kind="mergesort")
+        g = df.groupby(bycols, sort=False)[column]
+        if fn == "count":
+            df[name] = df[column].notna().groupby(
+                [df[c] for c in bycols], sort=False).cumsum().astype("int64")
+        else:
+            df[name] = getattr(g, _CUM_FNS[fn])()
+        return df
+
+    from tenzir_ray.stages.exchange import grouped_apply
+
+    return grouped_apply(ds, bycols, _cum, num_buckets=buckets,
+                         tag="wcum")
+
+
 ship_by_value(sys.modules[__name__])

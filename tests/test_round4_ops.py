@@ -1430,3 +1430,48 @@ def test_window_shift_lag_lead(ray_session):
         "FROM T ORDER BY id").df()
     assert "v_lead2" in lead.columns
     assert np.allclose(lead["v_lead2"].fillna(0), wl["lv"].fillna(0))
+
+
+def test_window_cum_matches_duckdb(ray_session):
+    import duckdb
+
+    from tenzir_ray.stages.window import window_cum
+
+    rng = np.random.default_rng(13)
+    n = 6_000
+    T = pa.table({
+        "id": np.arange(n, dtype=np.int64),
+        "g": rng.integers(0, 40, n),
+        "v": rng.integers(-100, 100, n),
+    })
+    for fn, sql in (("sum", "sum"), ("min", "min"), ("max", "max"),
+                    ("count", "count")):
+        got = (window_cum(_ds(T), by="g", order_by="id", column="v", fn=fn)
+               .to_pandas().sort_values("id", ignore_index=True))
+        want = duckdb.sql(
+            f"SELECT id, {sql}(v) OVER (PARTITION BY g ORDER BY id "
+            "ROWS UNBOUNDED PRECEDING) w FROM T ORDER BY id").df()
+        assert got[f"v_cum{fn}"].astype("int64").tolist() \
+            == want["w"].astype("int64").tolist(), fn
+
+
+def test_pivot_and_melt_roundtrip(ray_session):
+    from tenzir_ray.stages.transforms import melt, pivot
+
+    T = pa.table({
+        "g": ["a", "a", "b", "b", "b"],
+        "k": ["x", "y", "x", "x", "z"],
+        "v": pa.array([1, 2, 3, 4, 5], pa.int64()),
+    })
+    wide = (pivot(_ds(T), by="g", key="k", value="v", agg="sum")
+            .to_pandas().sort_values("g", ignore_index=True))
+    assert list(wide.columns) == ["g", "x", "y", "z"]
+    assert wide.loc[0].fillna(-1).tolist() == ["a", 1, 2, -1]
+    assert wide.loc[1].fillna(-1).tolist() == ["b", 7, -1, 5]
+
+    # melt back: absent combinations stay absent after dropping nulls
+    long = melt(_ds(pa.Table.from_pandas(wide)), id_vars=["g"],
+                value_vars=["x", "y", "z"], var_name="k", value_name="v")
+    lp = long.to_pandas().dropna(subset=["v"])
+    lp = lp.sort_values(["g", "k"], ignore_index=True)
+    assert lp["v"].tolist() == [1.0, 2.0, 3.0 + 4.0, 5.0]
