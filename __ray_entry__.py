@@ -1594,6 +1594,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                   "l_tax"],
                       var_name="charge", value_name="amount")
 
+    def rank_orders_by_price(sf):
+        from tenzir_ray.stages.window import window_rank
+
+        orders = _read(sf, "orders",
+                       columns=["o_orderkey", "o_orderpriority",
+                                "o_totalprice"])
+        out = window_rank(orders, by="o_orderpriority",
+                          order_by="o_totalprice", method="dense",
+                          out="price_rank", descending=True)
+        return T.where(T.select(out, ["o_orderkey", "o_orderpriority",
+                                      "price_rank"]),
+                       "price_rank <= 10")
+
     def anti_join_orders(sf):
         # exchange anti join (Arrow left-anti): orders whose customer is
         # NOT in the small filtered set — output is the left columns
@@ -2307,6 +2320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_outer_join_orders": full_outer_join_orders,
         "lag_value_by_user": lag_value_by_user,
         "cumsum_value_by_user": cumsum_value_by_user,
+        "rank_orders_by_price": rank_orders_by_price,
         "pivot_events_by_user": pivot_events_by_user,
         "melt_lineitem_charges": melt_lineitem_charges,
         "anti_join_orders": anti_join_orders,
@@ -3281,6 +3295,14 @@ def oracle_sql() -> dict[str, str]:
                    lag(value, 1) OVER (PARTITION BY user_id
                                        ORDER BY event_id) AS prev_value
             FROM events
+        """,
+        "rank_orders_by_price": """
+            SELECT o_orderkey, o_orderpriority, price_rank FROM (
+                SELECT o_orderkey, o_orderpriority,
+                       dense_rank() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY o_totalprice DESC)
+                           AS price_rank
+                FROM orders) WHERE price_rank <= 10
         """,
         "cumsum_value_by_user": """
             SELECT event_id, user_id,

@@ -253,6 +253,8 @@ def _register_builtins() -> None:
         sliding_window=window_mod.sliding_window,
         session_window=window_mod.session_window,
         window_shift=window_mod.window_shift,
+        window_cum=window_mod.window_cum,
+        window_rank=window_mod.window_rank,
     )
     from tenzir_ray.stages import join as join_mod
     OPERATORS["yield"] = transforms.yield_

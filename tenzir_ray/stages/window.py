@@ -164,6 +164,38 @@ def window_shift(ds, by, order_by: str, column: str, periods: int = 1,
                          tag="wshift")
 
 
+def window_rank(ds, by, order_by: str, method: str = "rank",
+                out: str = "rank", descending: bool = False,
+                buckets: int | None = None):
+    """Per-group rank: SQL's ``rank() / dense_rank() / row_number()
+    OVER (PARTITION BY by ORDER BY order_by)``. ``method`` ∈ rank |
+    dense | row_number. Ties share a rank for rank/dense (with the SQL
+    gap/no-gap distinction); row_number breaks ties by arrival order —
+    as in SQL, only deterministic when ``order_by`` is unique per
+    group. Same grouped-exchange shape as :func:`window_shift`."""
+    import pandas as pd
+
+    methods = {"rank": "min", "dense": "dense", "row_number": "first"}
+    if method not in methods:
+        raise ValueError(
+            f"method must be one of {sorted(methods)}, got {method!r}")
+    bycols = [by] if isinstance(by, str) else list(by)
+
+    def _rank(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            df[out] = pd.Series([], dtype="int64")
+            return df
+        r = df.groupby(bycols, sort=False)[order_by].rank(
+            method=methods[method], ascending=not descending)
+        df[out] = r.astype("int64")
+        return df
+
+    from tenzir_ray.stages.exchange import grouped_apply
+
+    return grouped_apply(ds, bycols, _rank, num_buckets=buckets,
+                         tag="wrank")
+
+
 _CUM_FNS = {"sum": "cumsum", "min": "cummin", "max": "cummax",
             "count": "cumcount"}
 

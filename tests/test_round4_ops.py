@@ -1475,3 +1475,33 @@ def test_pivot_and_melt_roundtrip(ray_session):
     lp = long.to_pandas().dropna(subset=["v"])
     lp = lp.sort_values(["g", "k"], ignore_index=True)
     assert lp["v"].tolist() == [1.0, 2.0, 3.0 + 4.0, 5.0]
+
+
+def test_window_rank_methods(ray_session):
+    import duckdb
+
+    from tenzir_ray.stages.window import window_rank
+
+    rng = np.random.default_rng(23)
+    n = 4_000
+    T = pa.table({
+        "id": np.arange(n, dtype=np.int64),
+        "g": rng.integers(0, 20, n),
+        "v": rng.integers(0, 50, n),  # many ties
+    })
+    for method, sql in (("rank", "rank()"), ("dense", "dense_rank()")):
+        got = (window_rank(_ds(T), by="g", order_by="v", method=method,
+                           out="r")
+               .to_pandas().sort_values("id", ignore_index=True))
+        want = duckdb.sql(
+            f"SELECT id, {sql} OVER (PARTITION BY g ORDER BY v) r "
+            "FROM T ORDER BY id").df()
+        assert got["r"].tolist() == want["r"].astype("int64").tolist(), method
+    # row_number with a unique order key matches exactly
+    got = (window_rank(_ds(T), by="g", order_by="id",
+                       method="row_number", out="rn")
+           .to_pandas().sort_values("id", ignore_index=True))
+    want = duckdb.sql(
+        "SELECT id, row_number() OVER (PARTITION BY g ORDER BY id) rn "
+        "FROM T ORDER BY id").df()
+    assert got["rn"].tolist() == want["rn"].astype("int64").tolist()
