@@ -4,11 +4,13 @@ typed metadata; decode/feature/resize stages as actor-pool map_batches.
 Decode is REAL for the dependency-free formats this container can
 handle end-to-end:
 
-- images: uncompressed 24-bit **BMP** and binary **PPM (P6)** — parsed
+- images: uncompressed 24-bit **BMP**, binary **PPM (P6)**, and real
+  **PNG** (stdlib zlib inflate + all five scanline filters per the
+  public spec; 8-bit gray/RGB/GA/RGBA, non-interlaced) — parsed
   straight out of the payload bytes with numpy (no PIL/opencv needed);
 - audio: **WAV** (PCM) via the stdlib ``wave`` module + numpy features
   (RMS, zero-crossing rate, duration);
-- compressed formats (png/jpeg/mp3/video) remain STUBBED behind
+- the remaining compressed formats (jpeg/mp3/video) are STUBBED behind
   ``NotImplementedError`` unless ``fake=True`` (deterministic fake keyed
   on the content hash) — the decode libraries are not in this container,
   but the Ray-side plumbing (schema, batch sizing, actor signature,
@@ -81,6 +83,112 @@ def decode_bmp(data: bytes) -> np.ndarray:
     if h > 0:  # bottom-up
         arr = arr[::-1]
     return arr[:, :, ::-1].copy()  # BGR → RGB
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: PNG color type → samples per pixel (8-bit, non-palette)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Minimal PNG writer (public spec, RFC 2083): 8-bit gray/RGB/RGBA,
+    filter 0 scanlines, one zlib IDAT. Pure stdlib (zlib + struct)."""
+    import zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw = np.empty((h, 1 + w * c), dtype=np.uint8)
+    raw[:, 0] = 0  # filter type None per scanline
+    raw[:, 1:] = img.reshape(h, w * c)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+            + chunk(b"IEND", b""))
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Real PNG decode, pure stdlib: 8-bit depth, color types
+    gray/RGB/gray+alpha/RGBA, non-interlaced, all five scanline filters
+    (None/Sub/Up/Average/Paeth — spec section 6). Returns (h, w, c)
+    uint8. Palette/16-bit/interlaced images raise ValueError."""
+    import zlib
+
+    if not data.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = len(_PNG_SIG), [], None
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + ln]
+        pos += 12 + ln  # len + tag + body + crc
+        if tag == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if meta is None or not idat:
+        raise ValueError("malformed PNG (missing IHDR/IDAT)")
+    w, h, depth, ctype, _comp, _filt, interlace = meta
+    if depth != 8 or ctype not in _PNG_CHANNELS or interlace:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, color={ctype}, "
+            f"interlace={interlace}); supported: 8-bit gray/RGB/GA/RGBA, "
+            "non-interlaced")
+    c = _PNG_CHANNELS[ctype]
+    stride = w * c
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if raw.size != h * (1 + stride):
+        raise ValueError("PNG scanline payload size mismatch")
+    raw = raw.reshape(h, 1 + stride)
+    filters = raw[:, 0]
+    rows = raw[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f, row = filters[y], rows[y]
+        if f == 0:
+            cur = row.copy()
+        elif f == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif f == 1:  # Sub: recon[x] = raw[x] + recon[x-c] — per-lane
+            cur = row.reshape(w, c).cumsum(axis=0, dtype=np.int64)
+            cur = (cur & 0xFF).astype(np.int32).reshape(stride)
+        else:  # Average (3) / Paeth (4): left-dependence is sequential
+            cur = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - c] if x >= c else 0
+                b = prev[x]
+                if f == 3:
+                    cur[x] = (row[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    cc = prev[x - c] if x >= c else 0
+                    p = a + b - cc
+                    pa_, pb, pcd = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = (a if pa_ <= pb and pa_ <= pcd
+                            else b if pb <= pcd else cc)
+                    cur[x] = (row[x] + pred) & 0xFF
+        out[y] = cur
+        prev = cur
+    return out.astype(np.uint8).reshape(h, w, c)
+
+
+def _as_rgb(img: np.ndarray) -> np.ndarray:
+    """Normalize decoded gray/GA/RGBA to (h, w, 3) for feature math."""
+    if img.shape[2] == 1:
+        return np.repeat(img, 3, axis=2)
+    if img.shape[2] == 2:  # gray + alpha
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    if img.shape[2] == 4:
+        return img[:, :, :3]
+    return img
 
 
 def decode_ppm(data: bytes) -> np.ndarray:
@@ -201,6 +309,10 @@ class DecodeImage:
             img = decode_bmp(payload)
         elif payload[:2] == b"P6":
             img = decode_ppm(payload)
+        elif payload[:8] == _PNG_SIG:
+            img = decode_png(payload)
+            h, w, c = img.shape
+            return h, w, c, self._features(_as_rgb(img))
         elif self.fake:
             digest = hashlib.sha256(payload).digest()
             h = 16 + digest[0] % 64
@@ -211,9 +323,9 @@ class DecodeImage:
             return h, w, 3, feats
         else:
             raise NotImplementedError(
-                "compressed image decode (png/jpeg) requires PIL/opencv, "
-                "not present in this container — BMP/PPM decode for real, "
-                "or construct with fake=True for plumbing tests"
+                "jpeg decode requires PIL/opencv, not present in this "
+                "container — BMP/PPM/PNG decode for real, or construct "
+                "with fake=True for plumbing tests"
             )
         return img.shape[0], img.shape[1], img.shape[2], self._features(img)
 
@@ -263,8 +375,13 @@ class ResizeImage:
                 img = decode_bmp(payload)
             elif payload[:2] == b"P6":
                 img = decode_ppm(payload)
+            elif payload[:8] == _PNG_SIG:
+                # PNG in → PNG out (alpha and gray planes survive)
+                out.append(encode_png(self._resize(decode_png(payload))))
+                continue
             else:
-                raise NotImplementedError("resize supports BMP/PPM payloads")
+                raise NotImplementedError(
+                    "resize supports BMP/PPM/PNG payloads")
             out.append(encode_bmp(self._resize(img)))
         i = batch.schema.get_field_index("payload")
         return batch.set_column(i, "payload", pa.array(out, pa.binary()))
