@@ -1892,6 +1892,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DuckDB's last-writer-wins over the same derivation
         return _build_sql_lake(sf, "replay").final_table()
 
+    def cdc_append_pruned(sf):
+        # append-only ingest (reference import semantics: pure inserts,
+        # per-epoch files, fast path preserved) + zone-map FILE pruning
+        # on the range read — the catalog-synopsis pruning analog. The
+        # oracle recomputes the same derivation + range filter in SQL.
+        import pandas as pd
+        import ray.data
+
+        from tenzir_ray.cdc import LakeTable
+
+        ev = _read(sf, "events", columns=["event_id", "event_type"])
+        total = ev.count()
+        t3 = total // 3
+        threshold = 2 * t3
+
+        def _mk(df: pd.DataFrame) -> pd.DataFrame:
+            i = df["event_id"].to_numpy()
+            return pd.DataFrame({
+                "lsn": i.astype(np.int64),
+                "op": "insert",
+                "conv_id": "c" + pd.Series(i % 97).astype(str),
+                "turn_idx": i.astype(np.int32),
+                "text": df["event_type"] + "-" + pd.Series(i).astype(str),
+            })
+
+        changes = ev.map_batches(_mk, batch_format="pandas")
+        root = _scratch("tenzir_ray_cdc_sql",
+                        f"append-{os.path.basename(os.path.normpath(sf))}")
+        shutil.rmtree(root, ignore_errors=True)
+        lake = LakeTable(root, num_partitions=8)
+        for e, (lo, hi) in enumerate([(0, t3), (t3, 2 * t3),
+                                      (2 * t3, total + 1)]):
+            def _rng(t, _lo=lo, _hi=hi):
+                import pyarrow.compute as pc
+
+                keep = pc.and_(pc.greater_equal(t.column("lsn"), _lo),
+                               pc.less(t.column("lsn"), _hi))
+                return t.filter(keep)
+
+            lake.apply_changes(
+                changes.map_batches(_rng, batch_format="pyarrow"),
+                epoch_id=f"e{e}", append_only=True)
+        out = lake.read(filter_expr=f"turn_idx >= {threshold}")
+        assert lake._last_read_pruned > 0  # the pruning actually engaged
+        return out
+
     def cdc_schema_evolution(sf):
         # schema evolution end-to-end vs SQL: epoch 1 (odd lsns) carries
         # NO `extra` column and int32 turn_idx; epoch 2 (even lsns) adds
@@ -2266,6 +2312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": embedding_near_dups,
         "cdc_replay": cdc_replay,
         "cdc_replay_sql": cdc_replay_sql,
+        "cdc_append_pruned": cdc_append_pruned,
         "cdc_time_travel": cdc_time_travel,
         "cdc_change_feed": cdc_change_feed,
         "cdc_replicate_tables": cdc_replicate_tables,
@@ -2854,6 +2901,13 @@ def oracle_sql() -> dict[str, str]:
                       PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) rn
                   FROM ch)
             SELECT conv_id, turn_idx, text FROM w WHERE rn = 1 AND op != 'delete'
+        """,
+        "cdc_append_pruned": """
+            SELECT 'c' || CAST(event_id % 97 AS VARCHAR) AS conv_id,
+                   CAST(event_id AS INTEGER) AS turn_idx,
+                   event_type || '-' || CAST(event_id AS VARCHAR) AS text
+            FROM events
+            WHERE event_id >= 2 * ((SELECT count(*) FROM events) // 3)
         """,
         "cdc_replay_sql": """
             WITH ch AS (

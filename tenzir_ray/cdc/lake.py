@@ -55,6 +55,7 @@ reference's partition rebuild, builtins/commands/rebuild.cpp:26).
 
 from __future__ import annotations
 
+import json as _json
 import os
 import time
 import uuid
@@ -411,6 +412,70 @@ def _pack_block_cdc(block: pa.Table, registry_json: str,
     return pack_by_partition(out, part, num_partitions, drop=["_part"])
 
 
+def _zone_stats(tbl: pa.Table) -> dict:
+    """Per-file zone map: ``{col: [min, max]}`` over the payload's
+    numeric/boolean columns and string keys (truncated to 64 chars) —
+    the reference's partition-synopsis min-max sketch
+    (libtenzir/include/tenzir/partition_synopsis.hpp) carried in the
+    manifest so readers can skip whole files without opening them.
+    Nulls are ignored (a comparison predicate never matches null);
+    all-null/empty columns are omitted (no pruning claim)."""
+    out: dict = {}
+    for name in tbl.column_names:
+        if name in (OP_COL, CHANGE_TYPE_COL):
+            continue
+        col = tbl.column(name)
+        t = col.type
+        if not (pa.types.is_integer(t) or pa.types.is_floating(t)
+                or pa.types.is_boolean(t) or pa.types.is_string(t)
+                or pa.types.is_large_string(t)):
+            continue
+        try:
+            mm = pc.min_max(col)
+        except Exception:
+            continue
+        mn, mx = mm["min"].as_py(), mm["max"].as_py()
+        if mn is None or mx is None:
+            continue
+        if isinstance(mn, str):
+            # truncating the MAX upward keeps the bound conservative
+            # ("abc…" prefix + 0x10FFFF sentinel covers every extension)
+            if len(mn) > 64:
+                mn = mn[:64]
+            if len(mx) > 64:
+                mx = mx[:64] + "\U0010ffff"
+        out[name] = [mn, mx]
+    return out
+
+
+def _zone_skip(stats: "dict | None", conjuncts: list) -> bool:
+    """True iff the file provably contains no matching row for the
+    AND-ed ``(col, op, value)`` conjuncts. Missing stats → keep."""
+    if not stats:
+        return False
+    for col, op, v in conjuncts:
+        mm = stats.get(col)
+        if not mm:
+            continue
+        mn, mx = mm
+        try:
+            if op == "==" and (v < mn or v > mx):
+                return True
+            if op == "<" and not (mn < v):
+                return True
+            if op == "<=" and not (mn <= v):
+                return True
+            if op == ">" and not (mx > v):
+                return True
+            if op == ">=" and not (mx >= v):
+                return True
+            if op == "!=" and mn == mx == v:
+                return True
+        except TypeError:
+            continue  # incomparable literal/stat types: keep the file
+    return False
+
+
 class _PartitionReducer:
     """Stage 2: one task per touched partition — read the partition's
     exchange fragments, merge with its live base rows, final LWW by lsn,
@@ -553,7 +618,27 @@ class _PartitionReducer:
         change_lsn = changes.column("lsn").to_numpy(zero_copy_only=False)
         mode = self.modes.get(part, "full")
 
-        if mode == "delta":
+        if mode == "append":
+            # append-only path (the reference's import semantics,
+            # importer.cpp append-only partitions): INSERTs of new keys
+            # land as a fresh file, base untouched, fast read path kept —
+            # so per-epoch files accumulate with disjoint zone maps and
+            # time-range reads prune whole epochs. Key disjointness vs
+            # the base is the CALLER's contract (exactly as the
+            # reference's import, which never dedups); non-insert ops
+            # are rejected loudly.
+            bad = pc.any(pc.not_equal(changes.column("op"), "insert"))
+            if bool(bad.as_py()):
+                raise ValueError(
+                    "append_only epoch contains update/delete ops — "
+                    "use the default upsert path for those")
+            final = _sorted_by_key(_lww_reduce_table(changes))
+            out = final.select(self.payload_cols).append_column(
+                LSN_COL, final.column("lsn"))
+            rel = (f"part={part}/append-{self.epoch_id}-"
+                   f"{uuid.uuid4().hex[:8]}.parquet")
+            lsn_high = int(change_lsn.max()) if len(change_lsn) else -1
+        elif mode == "delta":
             # merge-on-read path: never touch the base — LWW-reduce only the
             # epoch's changes and write them (incl. delete tombstones) as a
             # DELTA file; readers merge base+deltas, optimize() compacts
@@ -655,6 +740,9 @@ class _PartitionReducer:
             "rows": out.num_rows - (n_tomb if mode != "delta" else 0),
             "tombstones": n_tomb,
             "mode": mode,
+            # JSON string: heterogeneous min/max types don't survive the
+            # Arrow struct inference of the lineage result block
+            "stats": _json.dumps(_zone_stats(out)),
             # applied-LSN watermark (resume checkpoint)
             "lsn_high": lsn_high,
             # this epoch's change-lsn range (lineage)
@@ -722,8 +810,18 @@ class LakeTable:
         epoch_meta: dict[str, Any] | None = None,
         transport: str | None = None,
         change_feed: bool = False,
+        append_only: bool = False,
     ) -> dict[str, Any]:
         """Apply one epoch (a bounded chunk of the binlog) exactly once.
+
+        ``append_only=True`` switches to the reference's import
+        semantics (append-only partitions, importer.cpp): the epoch must
+        be pure INSERTs of keys not already live (the caller's contract
+        — never verified against the base, exactly like the reference's
+        import, which has no dedup); each partition lands a fresh file
+        with its own zone map instead of a rewrite, the read fast path
+        is preserved across any number of append epochs, and time-range
+        predicates prune whole epoch files via ``read(filter_expr=)``.
 
         Returns the epoch lineage record. Re-applying a committed
         ``epoch_id`` is a no-op (idempotence/resume gate). ``epoch_meta``
@@ -928,9 +1026,16 @@ class LakeTable:
         # volume against a large base → append a delta file instead of
         # rewriting; accumulated deltas force compaction at the threshold
         modes: dict[int, str] = {}
+        if append_only:
+            if change_feed == "preimages":
+                raise ValueError(
+                    "append_only is incompatible with change_feed="
+                    "'preimages' (preimages require the base read; an "
+                    "append-only epoch by contract replaces nothing)")
+            modes = {k: "append" for k in touched}
         if change_feed == "preimages":
             delta_ratio = 0  # preimages need the base read (see docstring)
-        if delta_ratio > 0:
+        if not append_only and delta_ratio > 0:
             for k in touched:
                 info = self.manifest.partitions.get(str(k))
                 if info is None:
@@ -987,7 +1092,19 @@ class LakeTable:
         for r in lineage.itertuples():
             k = str(int(r.part))
             prev = self.manifest.partitions.get(k, {})
-            if r.mode == "delta":
+            fstats = _json.loads(r.stats) if r.stats else {}
+            if r.mode == "append":
+                part_results[k] = {
+                    "files": list(prev.get("files", [])) + [r.file],
+                    "rows": (prev.get("rows", 0) or 0) + int(r.rows),
+                    "delta_rows": prev.get("delta_rows", 0) or 0,
+                    "tombstones": prev.get("tombstones", 0) or 0,
+                    "lsn_high": max(int(r.lsn_high), prev.get("lsn_high", -1)),
+                    "checksum": int(r.checksum),
+                    "file_stats": {**(prev.get("file_stats") or {}),
+                                   r.file: fstats},
+                }
+            elif r.mode == "delta":
                 part_results[k] = {
                     "files": list(prev.get("files", [])) + [r.file],
                     "rows": prev.get("rows", 0),
@@ -995,6 +1112,8 @@ class LakeTable:
                     "tombstones": (prev.get("tombstones", 0) or 0) + int(r.tombstones),
                     "lsn_high": max(int(r.lsn_high), prev.get("lsn_high", -1)),
                     "checksum": int(r.checksum),
+                    "file_stats": {**(prev.get("file_stats") or {}),
+                                   r.file: fstats},
                 }
             else:
                 part_results[k] = {
@@ -1004,6 +1123,7 @@ class LakeTable:
                     "tombstones": int(r.tombstones),
                     "lsn_high": int(r.lsn_high),
                     "checksum": int(r.checksum),
+                    "file_stats": {r.file: fstats},
                 }
             # lineage-only fields (time travel + change feed)
             part_results[k]["mode"] = str(r.mode)
@@ -1081,13 +1201,19 @@ class LakeTable:
 
     # ------------------------------------------------------------------
     def _has_deltas(self) -> bool:
+        # append-only partitions keep the fast path at any file count:
+        # their files are pure payload+lsn with (by contract) disjoint
+        # keys, so concatenation IS the live state. Only pending delta
+        # rows or surviving tombstones force merge-on-read.
         return any(
-            len(info.get("files", [])) > 1 or (info.get("tombstones", 0) or 0) > 0
+            (info.get("delta_rows", 0) or 0) > 0
+            or (info.get("tombstones", 0) or 0) > 0
             for info in self.manifest.partitions.values()
         )
 
     def read(self, columns: list[str] | None = None,
-             filter=None, as_of: "str | int | None" = None) -> "ray.data.Dataset":
+             filter=None, as_of: "str | int | None" = None,
+             filter_expr: str | None = None) -> "ray.data.Dataset":
         """Streaming Dataset over the live table (payload columns only).
 
         Compacted partitions stream straight from parquet (fast path);
@@ -1108,7 +1234,15 @@ class LakeTable:
         ``optimize()``/``gc()`` collect superseded files and
         ``truncate_lineage()`` drops the record (VACUUM semantics);
         schemas conform to the CURRENT registry (old snapshots gain
-        later-added columns as nulls)."""
+        later-added columns as nulls).
+
+        ``filter_expr`` (expression-language string) compiles to the
+        same scan filter AND prunes whole FILES first via the manifest's
+        zone maps (per-file min/max recorded at write time — the
+        reference's catalog synopsis pruning, catalog.hpp:90): a file
+        whose range provably excludes every simple comparison conjunct
+        is never opened. Fast path only — merge-on-read partitions must
+        merge before any predicate."""
         import ray.data
 
         if as_of is None:
@@ -1125,18 +1259,63 @@ class LakeTable:
                 for info in state.values()
             )
 
-        files = [
-            os.path.join(self.root, f)
-            for k in sorted(state, key=int)
-            for f in state[k]["files"]
-        ]
+        residual = None
+        res_refs: set = set()
+        conjuncts: list = []
+        if filter_expr is not None:
+            from tenzir_ray.expr import compile_filter, prune_conjuncts
+
+            f = compile_filter(filter_expr)
+            if f.pushdown is not None:
+                if filter is not None:
+                    filter = filter & f.pushdown
+                else:
+                    filter = f.pushdown
+            residual = f.residual
+            res_refs = f.residual_refs
+            conjuncts = prune_conjuncts(filter_expr)
+
+        files = []
+        pruned = 0
+        for k in sorted(state, key=int):
+            info = state[k]
+            fstats = info.get("file_stats") or {}
+            for rel in info["files"]:
+                if (conjuncts and not has_deltas
+                        and _zone_skip(fstats.get(rel), conjuncts)):
+                    pruned += 1
+                    continue
+                files.append(os.path.join(self.root, rel))
+        self._last_read_pruned = pruned  # observability + tests
         if not files:
-            return ray.data.from_arrow(
-                pa.table({c: [] for c in (columns or ["conv_id"])})
-            )
+            cols = columns or (list(self.registry.schema.names)
+                               if self.registry.schema else ["conv_id"])
+            return ray.data.from_arrow(pa.table({c: [] for c in cols}))
         if not has_deltas:
-            kwargs = {"filter": filter} if filter is not None else {}
-            ds = ray.data.read_parquet(files, columns=columns, **kwargs)
+            # partitioning=None: part=<k>/ is physical layout, not a hive
+            # column — inference would graft a spurious `part` column
+            kwargs = {"filter": filter, "partitioning": None} \
+                if filter is not None else {"partitioning": None}
+            scan_cols, drop_after = columns, []
+            if residual is not None and columns:
+                # widen the scan to residual-referenced columns (same
+                # contract as sources.readers.read_parquet)
+                extra = sorted(res_refs - set(columns))
+                if extra:
+                    scan_cols = list(columns) + extra
+                    drop_after = extra
+            ds = ray.data.read_parquet(files, columns=scan_cols, **kwargs)
+            if residual is not None:
+                _res = residual
+
+                def _resid(batch: pa.Table) -> pa.Table:
+                    if batch.num_rows:
+                        batch = batch.filter(pa.array(_res(batch)))
+                    if drop_after:
+                        batch = batch.drop_columns(drop_after)
+                    return batch
+
+                ds = ds.map_batches(_resid, batch_format="pyarrow")
             if columns is None:
                 ds = ds.drop_columns([LSN_COL])
             return ds
@@ -1148,21 +1327,24 @@ class LakeTable:
             self.root,
             {k: info["files"] for k, info in state.items()},
             self.registry.to_json(),
-            None if filter is not None else columns,
+            None if (filter is not None or residual is not None) else columns,
         )
         parts = sorted(state, key=int)
         ds = ray.data.from_items([{"part": int(k)} for k in parts]).map_batches(
             loader, batch_format="pyarrow", batch_size=1
         )
-        if filter is not None:
+        if filter is not None or residual is not None:
             import pyarrow.dataset as pads
 
             expr = filter
             proj = columns
+            _res = residual
 
             def _post(batch: pa.Table) -> pa.Table:
-                if batch.num_rows:
+                if batch.num_rows and expr is not None:
                     batch = pads.dataset(batch).to_table(filter=expr)
+                if batch.num_rows and _res is not None:
+                    batch = batch.filter(pa.array(_res(batch)))
                 if proj is not None:
                     batch = batch.select(
                         [c for c in proj if c in batch.column_names])
@@ -1378,7 +1560,8 @@ class LakeTable:
             pq.write_table(out, dst + ".tmp", compression="zstd",
                            compression_level=compression_level)
             os.replace(dst + ".tmp", dst)
-            return {"part": k, "file": new_rel, "rows": out.num_rows}
+            return {"part": k, "file": new_rel, "rows": out.num_rows,
+                    "stats": _json.dumps(_zone_stats(out))}
 
         results = ray_core.get(
             [_compact.remote(k, info["files"]) for k, info in todo.items()]
@@ -1397,6 +1580,7 @@ class LakeTable:
                 "tombstones": 0,
                 "mode": "compact",
                 "new_file": r["file"],
+                "file_stats": {r["file"]: _json.loads(r["stats"])},
             }
         self.manifest.commit_epoch(
             f"_optimize-{uuid.uuid4().hex[:8]}", -1, -1, part_results,

@@ -169,7 +169,7 @@ class Manifest:
                         **{
                             f: r[f]
                             for f in ("tombstones", "delta_rows", "mode",
-                                      "new_file", "cdf_file")
+                                      "new_file", "cdf_file", "file_stats")
                             if f in r
                         },
                     }

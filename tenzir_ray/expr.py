@@ -628,6 +628,37 @@ def referenced_columns(text: str) -> set[str]:
     return _node_names(ast.parse(_preprocess(text), mode="eval").body)
 
 
+_CMP_OPS = {ast.Lt: "<", ast.LtE: "<=", ast.Gt: ">", ast.GtE: ">=",
+            ast.Eq: "==", ast.NotEq: "!="}
+
+
+def prune_conjuncts(text: str) -> list:
+    """Zone-map-testable conjuncts of a filter expression: the
+    ``(column, op, literal)`` triples for simple top-level comparisons
+    (``col <op> literal`` / ``literal <op> col``). Every other conjunct
+    shape contributes nothing (never a wrong prune — the scan filter
+    still applies in full)."""
+    tree = ast.parse(_preprocess(text), mode="eval").body
+    out = []
+    for c in _split_and(tree):
+        if not (isinstance(c, ast.Compare) and len(c.ops) == 1
+                and type(c.ops[0]) in _CMP_OPS):
+            continue
+        op = _CMP_OPS[type(c.ops[0])]
+        lhs, rhs = c.left, c.comparators[0]
+        if isinstance(lhs, ast.Name) and isinstance(rhs, ast.Constant):
+            col, v = lhs.id, rhs.value
+        elif isinstance(rhs, ast.Name) and isinstance(lhs, ast.Constant):
+            # literal <op> col ≡ col <flipped-op> literal
+            flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
+            col, v, op = rhs.id, lhs.value, flip.get(op, op)
+        else:
+            continue
+        if isinstance(v, (int, float, str)) and not isinstance(v, bool):
+            out.append((col, op, v))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # extractors — the reference's suffix / type / meta extractor semantics
 # (web/docs/language/expressions.md:100-167): a *suffix* extractor `z`

@@ -212,23 +212,11 @@ def _register_builtins() -> None:
                    as_of=None):
         from tenzir_ray.cdc import LakeTable
 
-        flt = None
-        if filter_expr is not None:
-            from tenzir_ray.expr import compile_filter
-
-            f = compile_filter(filter_expr)
-            flt = f.pushdown
-            if f.residual is not None:
-                import pyarrow as _pa
-
-                ds = LakeTable(root).read(columns=columns, filter=flt,
-                                          as_of=as_of)
-                res = f.residual
-                return ds.map_batches(
-                    lambda t: t.filter(_pa.array(res(t))) if t.num_rows else t,
-                    batch_format="pyarrow",
-                )
-        return LakeTable(root).read(columns=columns, filter=flt, as_of=as_of)
+        # LakeTable.read owns the whole filter path now: zone-map FILE
+        # pruning from manifest stats, parquet scan pushdown, residual
+        # mask, and the merge-on-read ordering constraint
+        return LakeTable(root).read(columns=columns, as_of=as_of,
+                                    filter_expr=filter_expr)
 
     def _write_lake(ds, root: str, epoch_id: str, **kw):
         from tenzir_ray.cdc import LakeTable

@@ -276,3 +276,81 @@ def test_truncate_lineage_keeps_time_travel_complete(ray_session, tmp_path):
     snap = lake.final_table(as_of="e3").to_pandas()
     assert sorted(snap["conv_id"]) == sorted([ca, cb])
     assert lake.final_table().num_rows == 2
+
+
+def _append_epoch(lo: int, n: int = 100) -> pa.Table:
+    import numpy as np
+
+    return pa.table({
+        "lsn": pa.array(np.arange(lo, lo + n), pa.int64()),
+        "op": ["insert"] * n,
+        "conv_id": [f"c{i % 7}" for i in range(n)],
+        "turn_idx": pa.array(np.arange(lo, lo + n, dtype=np.int32)),
+        "text": [f"t{lo + i}" for i in range(n)],
+    })
+
+
+def test_zone_map_file_pruning_append_only(ray_session, tmp_path):
+    """Append-only epochs keep the fast path at any file count, and the
+    manifest zone maps (per-file min/max — the reference's catalog
+    synopsis pruning) skip whole epoch files for range predicates,
+    without opening them. Results stay exact vs an unpruned read."""
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=1)
+    for e, lo in enumerate([0, 1000, 2000]):
+        lake.apply_changes(_append_epoch(lo), epoch_id=f"e{e}",
+                           append_only=True)
+    info = lake.manifest.partitions["0"]
+    assert len(info["files"]) == 3          # no rewrites, no deltas
+    assert not lake._has_deltas()           # fast path preserved
+    stats = info["file_stats"]
+    assert all("turn_idx" in s and "conv_id" in s for s in stats.values())
+
+    out = lake.read(filter_expr="turn_idx >= 2000").to_pandas()
+    assert lake._last_read_pruned == 2      # two epoch files skipped
+    assert len(out) == 100 and out["turn_idx"].min() == 2000
+    mid = lake.read(filter_expr="turn_idx >= 1000 and turn_idx < 2000"
+                    ).to_pandas()
+    assert lake._last_read_pruned == 2
+    assert sorted(mid["turn_idx"]) == list(range(1000, 1100))
+    # unpruned equality
+    full = lake.read().to_pandas()
+    assert len(full) == 300
+    assert len(full[full["turn_idx"] >= 2000]) == len(out)
+
+    # non-insert ops are rejected loudly in append mode
+    bad = pa.table({
+        "lsn": pa.array([9000], pa.int64()), "op": ["delete"],
+        "conv_id": ["c0"], "turn_idx": pa.array([0], pa.int32()),
+        "text": pa.array([None], pa.string()),
+    })
+    with pytest.raises(Exception, match="append_only"):
+        lake.apply_changes(bad, epoch_id="bad", append_only=True)
+
+    # a later UPSERT epoch transitions back: rewrite merges the append
+    # files and the final state is the LWW result
+    upd = pa.table({
+        "lsn": pa.array([9001], pa.int64()), "op": ["update"],
+        "conv_id": ["c0"], "turn_idx": pa.array([0], pa.int32()),
+        "text": ["patched"],
+    })
+    lake.apply_changes(upd, epoch_id="e-up")
+    fin = lake.final_table().to_pandas()
+    assert len(fin) == 300
+    assert fin[(fin["conv_id"] == "c0") & (fin["turn_idx"] == 0)][
+        "text"].iloc[0] == "patched"
+
+
+def test_zone_map_never_prunes_merge_path(ray_session, tmp_path):
+    """A delta-carrying lake must NOT prune files: a delta row has to
+    merge before any predicate. filter_expr still filters correctly."""
+    changes = gen_changes(20_000, seed=41)
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=2)
+    base, tail = _split(changes, 0, 19_000), _split(changes, 19_000, 20_000)
+    lake.apply_changes(base, epoch_id="base")
+    lake.apply_changes(tail, epoch_id="tail", delta_ratio=0.5)
+    assert lake._has_deltas()
+    got = lake.read(filter_expr="turn_idx >= 3").to_pandas()
+    assert lake._last_read_pruned == 0
+    want = lake.final_table().to_pandas()
+    want = want[want["turn_idx"] >= 3]
+    assert len(got) == len(want)
