@@ -1568,6 +1568,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     pa.int64())
         return t.set_column(t.schema.get_field_index("value"), "value", c)
 
+    def math_fns_events(sf):
+        # floor/ceil/sqrt are IEEE-exact cross-engine (round is not: the
+        # half-to-even vs half-away convention differs, so it stays out
+        # of the hash gate and is pytest-covered instead)
+        ev = _read(sf, "events", columns=["event_id", "value"])
+        return T.put(ev, event_id="event_id", vf="floor(value)",
+                     vc="ceil(value)", vs="sqrt(value)")
+
     def cumsum_value_by_user(sf):
         from tenzir_ray.stages.window import window_cum
 
@@ -2367,6 +2375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_outer_join_orders": full_outer_join_orders,
         "lag_value_by_user": lag_value_by_user,
         "cumsum_value_by_user": cumsum_value_by_user,
+        "math_fns_events": math_fns_events,
         "rank_orders_by_price": rank_orders_by_price,
         "pivot_events_by_user": pivot_events_by_user,
         "melt_lineitem_charges": melt_lineitem_charges,
@@ -3357,6 +3366,11 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY o_totalprice DESC)
                            AS price_rank
                 FROM orders) WHERE price_rank <= 10
+        """,
+        "math_fns_events": """
+            SELECT event_id, floor(value) AS vf, ceil(value) AS vc,
+                   sqrt(value) AS vs
+            FROM events
         """,
         "cumsum_value_by_user": """
             SELECT event_id, user_id,

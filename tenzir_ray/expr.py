@@ -41,6 +41,38 @@ _METHOD_MAP = {
     "isin": lambda col, values: col.isin(values),
 }
 
+def _mathfn(pcfn, pyfn):
+    """Dispatch a unary/binary math function over pads Expressions
+    (Arrow kernel) or plain literals (Python math)."""
+
+    def f(*args):
+        if any(isinstance(a, pads.Expression) for a in args):
+            return pcfn(*args)
+        return pyfn(*args)
+
+    return f
+
+
+def _py_round(x, n=0):
+    return round(x, int(n))
+
+
+#: reference-style function calls in expressions: round(x[, n]),
+#: floor/ceil/sqrt/exp/ln (Arrow kernels on columns, math on literals)
+import math as _math  # noqa: E402
+
+_MATH_FNS = {
+    "round": _mathfn(
+        lambda x, n=0: pc.round(x, ndigits=int(n) if not isinstance(
+            n, pads.Expression) else 0), _py_round),
+    "floor": _mathfn(pc.floor, _math.floor),
+    "ceil": _mathfn(pc.ceil, _math.ceil),
+    "sqrt": _mathfn(pc.sqrt, _math.sqrt),
+    "exp": _mathfn(pc.exp, _math.exp),
+    "ln": _mathfn(pc.ln, _math.log),
+}
+
+
 def _efloor(x):
     """floor() that works on both plain numbers and pads Expressions
     (pc.floor dispatches to an Expression call on the latter)."""
@@ -414,6 +446,9 @@ def _compile(node: ast.expr):
                 return _METHOD_MAP[node.func.attr](col, *args)
         if isinstance(node.func, ast.Name) and node.func.id == "abs":
             return abs(_compile(node.args[0]))
+        if isinstance(node.func, ast.Name) and node.func.id in _MATH_FNS:
+            return _MATH_FNS[node.func.id](
+                *[_compile(a) for a in node.args])
         if isinstance(node.func, ast.Name) and node.func.id in _MARKER_FNS:
             arg = node.args[0]
             if not (isinstance(arg, ast.Constant) and isinstance(arg.value, str)):
@@ -613,7 +648,8 @@ def _node_names(tree: ast.AST) -> set[str]:
     → ``a``). Suffix/type/meta extractors resolve per batch schema at
     evaluation time and contribute nothing."""
     out: set[str] = set()
-    skip = set(_MARKER_FNS) | {"abs", "now", "true", "false", "null"}
+    skip = (set(_MARKER_FNS) | set(_MATH_FNS)
+            | {"abs", "now", "true", "false", "null"})
     for node in ast.walk(tree):
         if isinstance(node, ast.Name):
             n = node.id

@@ -244,3 +244,27 @@ def test_pattern_bodies_survive_operator_sugar(ray_session):
     assert where(ds, "msg == /a !in b/").to_pandas()["msg"].tolist() == ["a !in b"]
     assert where(ds, "msg == /foo ni bar/").count() == 1
     assert where(ds, "msg == /2 hours ago/").count() == 0
+
+
+def test_math_functions(ray_session):
+    import numpy as np
+    import ray.data
+
+    from tenzir_ray.stages import transforms as T
+
+    ds = ray.data.from_arrow(pa.table({
+        "x": [1.234, 5.678, -2.5], "y": [4.0, 9.0, 16.0]}))
+    out = T.put(ds, a="round(x, 1)", b="sqrt(y)", c="floor(x)",
+                d="ceil(x)", e="exp(0.0) + ln(y)").to_pandas()
+    assert out["a"].tolist() == [1.2, 5.7, -2.5]
+    assert out["b"].tolist() == [2.0, 3.0, 4.0]
+    assert out["c"].tolist() == [1.0, 5.0, -3.0]
+    assert out["d"].tolist() == [2.0, 6.0, -2.0]
+    assert np.allclose(out["e"], 1.0 + np.log([4.0, 9.0, 16.0]))
+    # functions work inside filters, on columns AND literals
+    f = T.where(ds, "sqrt(y) > 2.5 and x < round(10.4)").to_pandas()
+    assert f["y"].tolist() == [9.0, 16.0]
+    # function names are not treated as column references
+    from tenzir_ray.expr import referenced_columns
+
+    assert referenced_columns("sqrt(y) > floor(x)") == {"x", "y"}
