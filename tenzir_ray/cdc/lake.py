@@ -426,9 +426,10 @@ def _zone_stats(tbl: pa.Table) -> dict:
             continue
         col = tbl.column(name)
         t = col.type
+        is_ts = pa.types.is_timestamp(t)
         if not (pa.types.is_integer(t) or pa.types.is_floating(t)
                 or pa.types.is_boolean(t) or pa.types.is_string(t)
-                or pa.types.is_large_string(t)):
+                or pa.types.is_large_string(t) or is_ts):
             continue
         try:
             mm = pc.min_max(col)
@@ -436,6 +437,11 @@ def _zone_stats(tbl: pa.Table) -> dict:
             continue
         mn, mx = mm["min"].as_py(), mm["max"].as_py()
         if mn is None or mx is None:
+            continue
+        if is_ts:
+            # ISO 'T'-separated strings in the JSON manifest; _zone_skip
+            # parses them (and ISO literals) back for a typed compare
+            out[name] = [mn.isoformat(), mx.isoformat()]
             continue
         if isinstance(mn, str):
             # truncating the MAX upward keeps the bound conservative
@@ -448,6 +454,33 @@ def _zone_stats(tbl: pa.Table) -> dict:
     return out
 
 
+_ISO_DATE_RE = None
+
+
+def _zone_norm(v, mn, mx):
+    """Normalize an ISO-date-shaped literal + bounds trio to datetimes
+    so timestamp pruning compares typed values, not mixed-separator
+    strings ('2025-01-02 07:00' vs '2025-01-02T07:00' are the same
+    instant but lexically unordered)."""
+    global _ISO_DATE_RE
+    if not (isinstance(v, str) and isinstance(mn, str)):
+        return v, mn, mx
+    if _ISO_DATE_RE is None:
+        import re
+
+        _ISO_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}([ T]|$)")
+    if _ISO_DATE_RE.match(v) and _ISO_DATE_RE.match(mn):
+        from datetime import datetime
+
+        try:
+            return (datetime.fromisoformat(v),
+                    datetime.fromisoformat(mn),
+                    datetime.fromisoformat(mx))
+        except ValueError:
+            return v, mn, mx
+    return v, mn, mx
+
+
 def _zone_skip(stats: "dict | None", conjuncts: list) -> bool:
     """True iff the file provably contains no matching row for the
     AND-ed ``(col, op, value)`` conjuncts. Missing stats → keep."""
@@ -458,6 +491,7 @@ def _zone_skip(stats: "dict | None", conjuncts: list) -> bool:
         if not mm:
             continue
         mn, mx = mm
+        v, mn, mx = _zone_norm(v, mn, mx)
         try:
             if op == "==" and (v < mn or v > mx):
                 return True

@@ -354,3 +354,33 @@ def test_zone_map_never_prunes_merge_path(ray_session, tmp_path):
     want = lake.final_table().to_pandas()
     want = want[want["turn_idx"] >= 3]
     assert len(got) == len(want)
+
+
+def test_zone_map_timestamp_pruning(ray_session, tmp_path):
+    """Time-range reads over append-only epochs prune via ISO-normalized
+    timestamp zone maps — the canonical transcript scan."""
+    import numpy as np
+
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=1)
+    for e, day in enumerate(["2025-01-01", "2025-02-01", "2025-03-01"]):
+        n = 50
+        base = np.datetime64(f"{day}T00:00:00", "us")
+        lake.apply_changes(pa.table({
+            "lsn": pa.array(np.arange(e * n, (e + 1) * n), pa.int64()),
+            "op": ["insert"] * n,
+            "conv_id": [f"c{i % 5}" for i in range(n)],
+            "turn_idx": pa.array(np.arange(e * n, (e + 1) * n,
+                                           dtype=np.int32)),
+            "text": [f"t{e}-{i}" for i in range(n)],
+            "ts": pa.array(base + np.arange(n) * np.timedelta64(3600, "s"),
+                           pa.timestamp("us")),
+        }), epoch_id=f"e{e}", append_only=True)
+    stats = lake.manifest.partitions["0"]["file_stats"]
+    assert all("ts" in s for s in stats.values())
+    out = lake.read(filter_expr='ts >= "2025-03-01"').to_pandas()
+    assert lake._last_read_pruned == 2
+    assert len(out) == 50
+    mid = lake.read(
+        filter_expr='ts >= "2025-02-01" and ts < "2025-02-15"').to_pandas()
+    assert lake._last_read_pruned == 2
+    assert len(mid) == 50
