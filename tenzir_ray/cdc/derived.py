@@ -76,11 +76,20 @@ class DerivedView:
             keep = set(epochs)
             todo = [e for e in todo if e in keep]
         results = []
+        src_epochs = {e["epoch_id"]: e for e in self.source.manifest.epochs}
         for eid in todo:
             # absolute apply-sequence, NOT the lineage index: the index
             # shrinks under source.truncate_lineage(), which would hand
             # later refreshes lower LWW lsns than already-stored rows
             seq = self.source.manifest.epoch_seq(eid)
+            if not src_epochs.get(eid, {}).get("partitions"):
+                # zero-row source epoch (idle binlog tail): nothing to
+                # touch — drain it BEFORE the feed-mode check, whose
+                # empty-feed fallback has no _change_type column and
+                # would wedge a payload-group view on this epoch forever
+                self.table.manifest.commit_epoch(eid, -1, -1, {})
+                results.append({"epoch_id": eid, "groups": 0})
+                continue
             touched = self._touched_groups(eid)
             if not touched:
                 # zero-row source epoch: commit an empty derived epoch so
@@ -174,6 +183,14 @@ class DerivedView:
     def final_table(self) -> pa.Table:
         t = self.table.final_table()
         if t.num_columns == 0:  # no refresh yet / only zero-row epochs
+            reg = self.table.registry.schema
+            if reg is not None:
+                # a prior refresh fixed the real aggregate types — match
+                # them so empty/non-empty snapshots share one schema
+                return pa.table({
+                    (self.group_col if f.name == "conv_id" else f.name):
+                        pa.array([], f.type)
+                    for f in reg if f.name != "turn_idx"})
             return pa.table({self.group_col: pa.array([], pa.string()),
                              **{a: pa.array([], pa.float64())
                                 for a in self.aggs}})

@@ -1294,19 +1294,18 @@ class LakeTable:
             )
 
         residual = None
-        res_refs: set = set()
+        flt_obj = None
         conjuncts: list = []
         if filter_expr is not None:
             from tenzir_ray.expr import compile_filter, prune_conjuncts
 
-            f = compile_filter(filter_expr)
-            if f.pushdown is not None:
+            flt_obj = compile_filter(filter_expr)
+            if flt_obj.pushdown is not None:
                 if filter is not None:
-                    filter = filter & f.pushdown
+                    filter = filter & flt_obj.pushdown
                 else:
-                    filter = f.pushdown
-            residual = f.residual
-            res_refs = f.residual_refs
+                    filter = flt_obj.pushdown
+            residual = flt_obj.residual
             conjuncts = prune_conjuncts(filter_expr)
 
         files = []
@@ -1331,13 +1330,9 @@ class LakeTable:
             kwargs = {"filter": filter, "partitioning": None} \
                 if filter is not None else {"partitioning": None}
             scan_cols, drop_after = columns, []
-            if residual is not None and columns:
-                # widen the scan to residual-referenced columns (same
-                # contract as sources.readers.read_parquet)
-                extra = sorted(res_refs - set(columns))
-                if extra:
-                    scan_cols = list(columns) + extra
-                    drop_after = extra
+            if flt_obj is not None and columns:
+                # shared residual-projection contract (expr.Filter)
+                scan_cols, drop_after = flt_obj.widen_projection(columns)
             ds = ray.data.read_parquet(files, columns=scan_cols, **kwargs)
             if residual is not None:
                 _res = residual

@@ -381,12 +381,14 @@ class SqsFifoBroker(SqsBroker):
       double-enqueue within SQS's 5-minute dedup window.
 
     ``dedup_id_of(index, value) -> str`` should map each message to its
-    LOGICAL identity (e.g. its lsn) so cross-batch retries dedup too;
-    the default — sha1 of (partition-index, payload) — only dedups
-    retries of the same produce_many call. The consumer-side epoch-id
-    skip in the lake remains the end-to-end exactly-once gate (SQS
-    delivery is still at-least-once); FIFO narrows the window where
-    duplicates can exist at all.
+    LOGICAL identity (e.g. its lsn) — that is what makes cross-call
+    retries dedup. The DEFAULT id is salted per produce call (sha1 of
+    a call-unique nonce + position + payload): client-level re-sends
+    within one call dedup, but two separate calls NEVER collide — a
+    content-only default would silently drop a legitimate second event
+    that happens to carry identical bytes (binlogs do). The
+    consumer-side epoch-id skip in the lake remains the end-to-end
+    exactly-once gate (SQS delivery is still at-least-once).
 
     UNTESTED against real AWS in-sandbox (no network); the call shapes
     are locked by the fake-client conformance pytest alongside the
@@ -398,6 +400,14 @@ class SqsFifoBroker(SqsBroker):
         super().__init__(region_name=region_name, queue_prefix=queue_prefix,
                          client=client)
         self._dedup_id_of = dedup_id_of
+        self._call_salt = ""
+
+    def produce_many(self, topic, values, keys=None, partition_of=None):
+        import uuid as _uuid
+
+        self._call_salt = _uuid.uuid4().hex  # one nonce per produce call
+        return super().produce_many(topic, values, keys=keys,
+                                    partition_of=partition_of)
 
     def _qname(self, topic: str, partition: int) -> str:
         return f"{self._prefix}{topic}-p{partition:05d}.fifo"
@@ -433,6 +443,7 @@ class SqsFifoBroker(SqsBroker):
             did = str(self._dedup_id_of(batch_index, value))
         else:
             did = hashlib.sha1(
-                f"{partition}:{batch_index}:".encode() + value).hexdigest()
+                f"{self._call_salt}:{partition}:{batch_index}:".encode()
+                + value).hexdigest()
         return {"MessageGroupId": f"p{partition}",
                 "MessageDeduplicationId": did[:128]}

@@ -61,10 +61,15 @@ def _py_round(x, n=0):
 #: floor/ceil/sqrt/exp/ln (Arrow kernels on columns, math on literals)
 import math as _math  # noqa: E402
 
+def _round_expr(x, n=0):
+    if isinstance(n, pads.Expression):
+        raise ValueError(
+            "round(x, n): n must be an integer literal, not a column")
+    return pc.round(x, ndigits=int(n))
+
+
 _MATH_FNS = {
-    "round": _mathfn(
-        lambda x, n=0: pc.round(x, ndigits=int(n) if not isinstance(
-            n, pads.Expression) else 0), _py_round),
+    "round": _mathfn(_round_expr, _py_round),
     "floor": _mathfn(pc.floor, _math.floor),
     "ceil": _mathfn(pc.ceil, _math.ceil),
     "sqrt": _mathfn(pc.sqrt, _math.sqrt),
@@ -492,6 +497,22 @@ class Filter:
         if self.residual is not None and batch.num_rows:
             batch = batch.filter(pa.array(self.residual(batch)))
         return batch
+
+    def widen_projection(self, columns, available=None):
+        """The residual-projection contract shared by every filtered
+        reader: a residual mask evaluates AFTER projection, so the scan
+        must include the columns it references — return ``(scan_cols,
+        drop_after)`` where ``drop_after`` are the extra columns to
+        drop post-filter. ``available`` (optional) bounds the widening
+        to columns that actually exist in the source."""
+        if self.residual is None or not columns:
+            return columns, []
+        extra = sorted(self.residual_refs - set(columns))
+        if available is not None:
+            extra = [c for c in extra if c in available]
+        if not extra:
+            return columns, []
+        return list(columns) + extra, extra
 
 
 def _split_and(node: ast.expr) -> list[ast.expr]:

@@ -47,19 +47,15 @@ def read_parquet(paths, columns: list[str] | None = None, filter_expr: str | Non
             kwargs["filter"] = f.pushdown
         residual = f.residual
         if residual is not None and columns:
-            # a residual conjunct (CIDR membership etc.) evaluates AFTER
-            # projection — widen the read to the columns it references,
-            # then drop them again post-filter (pushdown conjuncts don't
-            # need this: the dataset scan filters on unprojected columns)
-            extra = sorted(f.residual_refs - set(columns))
-            if extra and isinstance(paths, str) and os.path.isfile(paths):
+            # residual conjuncts evaluate AFTER projection — widen the
+            # scan to what they reference (pushdown conjuncts don't need
+            # this: the dataset scan filters on unprojected columns)
+            avail = None
+            if isinstance(paths, str) and os.path.isfile(paths):
                 import pyarrow.parquet as pq
 
                 avail = set(pq.read_schema(paths).names)
-                extra = [c for c in extra if c in avail]
-            if extra:
-                columns = list(columns) + extra
-                drop_after = extra
+            columns, drop_after = f.widen_projection(columns, avail)
     if ("schema" not in kwargs and "filter" not in kwargs
             and isinstance(paths, str) and os.path.isfile(paths)):
         # a pushed-down filter may reference columns OUTSIDE the

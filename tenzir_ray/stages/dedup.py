@@ -494,12 +494,12 @@ class _SpanGrams:
         self.column, self.id_col, self.k = column, id_col, k
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         k = self.k
+        id_type = t.schema.field(self.id_col).type
         ids = t.column(self.id_col).to_pylist()
         texts = t.column(self.column).to_pylist()
-        h1s, h2s, out_ids, out_pos = [], [], [], []
+        h1s, h2s, out_pos = [], [], []
+        id_vals: list = []  # any id type (int, string/uuid, ...)
         for did, s in zip(ids, texts):
             if did is None or s is None or len(s) < k:
                 continue
@@ -510,19 +510,19 @@ class _SpanGrams:
             h1s.append(_rolling_hashes(codes, k, _SPAN_BASES[0], _SPAN_INV[0]))
             h2s.append(_rolling_hashes(codes, k, _SPAN_BASES[1], _SPAN_INV[1]))
             m = codes.size - k + 1
-            out_ids.append(np.full(m, did, dtype=np.int64))
+            id_vals.extend([did] * m)
             out_pos.append(np.arange(1, m + 1, dtype=np.int64))
         if not h1s:
             return pa.table({
                 "h1": pa.array([], pa.uint64()),
                 "h2": pa.array([], pa.uint64()),
-                self.id_col: pa.array([], pa.int64()),
+                self.id_col: pa.array([], id_type),
                 "pos": pa.array([], pa.int64()),
             })
         return pa.table({
             "h1": np.concatenate(h1s),
             "h2": np.concatenate(h2s),
-            self.id_col: np.concatenate(out_ids),
+            self.id_col: pa.array(id_vals, id_type),
             "pos": np.concatenate(out_pos),
         })
 
@@ -595,7 +595,8 @@ def duplicate_spans(ds, column: str = "text", id_col: str = "doc_id",
 
     def _merge_spans(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
-            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+            return pd.DataFrame({id_col: df[id_col] if id_col in df
+                                 else pd.Series([], dtype="object"),
                                  "dup_spans": pd.Series([], dtype="int64"),
                                  "dup_chars": pd.Series([], dtype="int64")})
         sp = _merge_islands(df, id_col, k)
@@ -603,8 +604,7 @@ def duplicate_spans(ds, column: str = "text", id_col: str = "doc_id",
         out = sp.groupby("_doc", sort=False).agg(
             dup_spans=("_len", "size"), dup_chars=("_len", "sum"))
         out = out.reset_index().rename(columns={"_doc": id_col})
-        return out.astype({id_col: "int64", "dup_spans": "int64",
-                           "dup_chars": "int64"})
+        return out.astype({"dup_spans": "int64", "dup_chars": "int64"})
 
     return grouped_apply(hits, [id_col], _merge_spans, num_buckets=buckets,
                          tag="dupspan2")
@@ -642,8 +642,11 @@ def clip_duplicate_spans(ds, column: str = "text", id_col: str = "doc_id",
 
     def _span_lists(df: pd.DataFrame) -> pa.Table:
         if not len(df):
-            return pa.table({id_col: pa.array([], pa.int64()),
-                             "_spans": pa.array([], pa.string())})
+            return pa.table({
+                id_col: pa.Array.from_pandas(
+                    df[id_col] if id_col in df
+                    else pd.Series([], dtype="object")),
+                "_spans": pa.array([], pa.string())})
         sp = _merge_islands(df, id_col, k)
         out = sp.groupby("_doc", sort=False).apply(
             lambda g: _json.dumps(
@@ -651,7 +654,8 @@ def clip_duplicate_spans(ds, column: str = "text", id_col: str = "doc_id",
             include_groups=False,
         )
         return pa.table({
-            id_col: pa.array(out.index.astype("int64"), pa.int64()),
+            id_col: pa.Array.from_pandas(out.index.to_series()
+                                         .reset_index(drop=True)),
             "_spans": pa.array(out.to_numpy(dtype=object), pa.string()),
         })
 

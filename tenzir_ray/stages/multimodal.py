@@ -152,6 +152,11 @@ def decode_png(data: bytes) -> np.ndarray:
     rows = raw[:, 1:].astype(np.int32)
     out = np.zeros((h, stride), dtype=np.int32)
     prev = np.zeros(stride, dtype=np.int32)
+    bad = filters[filters > 4]
+    if bad.size:
+        raise ValueError(
+            f"invalid PNG scanline filter byte {int(bad[0])} (spec "
+            "defines 0-4) — corrupt stream")
     for y in range(h):
         f, row = filters[y], rows[y]
         if f == 0:

@@ -174,7 +174,8 @@ def stratified_sample(ds, by, n: int, key: str,
         if not len(df):
             return df.drop(columns=["_f"], errors="ignore")
         df = df.sort_values(["_f", key], kind="mergesort")
-        return df.groupby(bycols, sort=False).head(n).drop(columns=["_f"])
+        return (df.groupby(bycols, sort=False, dropna=False)
+          .head(n).drop(columns=["_f"]))
 
     from tenzir_ray.stages.exchange import grouped_apply
 

@@ -252,6 +252,10 @@ def pivot(ds, by, key: str, value: str, agg: str = "sum",
     if keys is None:
         import pyarrow.compute as pc2
 
+        # materialize ONCE: the distinct-key scan below fully executes
+        # the input, and the grouped exchange would otherwise re-execute
+        # the whole upstream pipeline a second time
+        ds = ds.materialize()
         vals: set = set()
         uniq = ds.select_columns([key]).map_batches(
             lambda t: pa.table({key: pc2.unique(t.column(key))}),
@@ -267,11 +271,14 @@ def pivot(ds, by, key: str, value: str, agg: str = "sum",
             return pd.DataFrame({
                 **{c: pd.Series([], dtype="object") for c in bycols},
                 **{n: pd.Series([], dtype="float64") for n in names}})
-        out = df.pivot_table(index=bycols, columns=key, values=value,
-                             aggfunc=agg, dropna=False)
-        out = out.reindex(columns=keys)
-        out.columns = names
-        return out.reset_index()
+        # dropna=False: null GROUP values form their own row (SQL GROUP
+        # BY semantics); null KEY values unstack into a NaN column that
+        # the reindex on the known key list discards
+        g = df.groupby(bycols + [key], sort=False, dropna=False)[value]
+        wide = g.agg(agg).unstack(key)
+        wide = wide.reindex(columns=keys)
+        wide.columns = names
+        return wide.reset_index()
 
     from tenzir_ray.stages.exchange import grouped_apply
 

@@ -155,7 +155,7 @@ def window_shift(ds, by, order_by: str, column: str, periods: int = 1,
             df[name] = pd.Series([], dtype="object")
             return df
         df = df.sort_values(bycols + [order_by], kind="mergesort")
-        df[name] = df.groupby(bycols, sort=False)[column].shift(periods)
+        df[name] = df.groupby(bycols, sort=False, dropna=False)[column].shift(periods)
         return df
 
     from tenzir_ray.stages.exchange import grouped_apply
@@ -185,7 +185,7 @@ def window_rank(ds, by, order_by: str, method: str = "rank",
         if not len(df):
             df[out] = pd.Series([], dtype="int64")
             return df
-        r = df.groupby(bycols, sort=False)[order_by].rank(
+        r = df.groupby(bycols, sort=False, dropna=False)[order_by].rank(
             method=methods[method], ascending=not descending)
         df[out] = r.astype("int64")
         return df
@@ -220,10 +220,11 @@ def window_cum(ds, by, order_by: str, column: str, fn: str = "sum",
             df[name] = pd.Series([], dtype="float64")
             return df
         df = df.sort_values(bycols + [order_by], kind="mergesort")
-        g = df.groupby(bycols, sort=False)[column]
+        g = df.groupby(bycols, sort=False, dropna=False)[column]
         if fn == "count":
             df[name] = df[column].notna().groupby(
-                [df[c] for c in bycols], sort=False).cumsum().astype("int64")
+                [df[c] for c in bycols], sort=False, dropna=False
+            ).cumsum().astype("int64")
         else:
             df[name] = getattr(g, _CUM_FNS[fn])()
         return df

@@ -1360,22 +1360,24 @@ def test_sqs_fifo_broker_dedups_retried_produce():
     b.produce_many("chat", vals, keys=keys)
     n1 = sum(len(q) for q in cli.queues.values())
     assert n1 == 4
-    # a RETRY of the same batch cannot double-enqueue (deterministic
-    # MessageDeduplicationId per (partition, index, payload))
+    # DEFAULT ids are salted per call: a separate call with identical
+    # payloads is a NEW set of events and must NOT be deduplicated (a
+    # content-only id would silently drop legitimate repeats)
     b.produce_many("chat", vals, keys=keys)
-    assert sum(len(q) for q in cli.queues.values()) == 4
-    # logical-id hook: same lsn → same id across different batches
+    assert sum(len(q) for q in cli.queues.values()) == 8
+    # logical-id hook: same lsn → same id across different calls →
+    # cross-call retry dedup (the exactly-once enqueue path)
     b2 = SqsFifoBroker(client=cli,
                        dedup_id_of=lambda i, v: f"lsn-{17 + i}")
     b2.produce_many("chat", [b"x0"], keys=[b"k0"])
     b2.produce_many("chat", [b"x0"], keys=[b"k0"])  # same lsn-17 → dedup
-    assert sum(len(q) for q in cli.queues.values()) == 5
+    assert sum(len(q) for q in cli.queues.values()) == 9
     # FIFO order within a partition is arrival order
     p0 = [v for (_o, _k, v) in b.read("chat", 0, 0)]
     p1 = [v for (_o, _k, v) in b.read("chat", 1, 0)]
-    assert sorted(p0 + p1) == sorted(vals + [b"x0"])
-    assert [v for v in p0 if v in (b"m0", b"m1")] == [b"m0", b"m1"] or \
-           [v for v in p1 if v in (b"m0", b"m1")] == [b"m0", b"m1"]
+    assert sorted(p0 + p1) == sorted(vals * 2 + [b"x0"])
+    first_two = [v for v in (p0 if b"m0" in p0 else p1)][:2]
+    assert first_two == [b"m0", b"m1"]
 
 
 def test_hash_join_full_and_right_outer(ray_session):
@@ -1505,3 +1507,95 @@ def test_window_rank_methods(ray_session):
         "SELECT id, row_number() OVER (PARTITION BY g ORDER BY id) rn "
         "FROM T ORDER BY id").df()
     assert got["rn"].tolist() == want["rn"].astype("int64").tolist()
+
+
+def test_window_and_sample_null_group_keys(ray_session):
+    """Null partition-key values form their own group (SQL PARTITION BY
+    semantics) instead of crashing or silently vanishing."""
+    import duckdb
+
+    from tenzir_ray.stages.splits import stratified_sample
+    from tenzir_ray.stages.window import window_cum, window_rank
+
+    T = pa.table({
+        "id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "g": pa.array(["a", None, "a", None, "b", None], pa.string()),
+        "v": pa.array([10, 20, 30, 40, 50, 60], pa.int64()),
+    })
+    r = (window_rank(_ds(T), by="g", order_by="v", method="rank", out="r")
+         .to_pandas().sort_values("id", ignore_index=True))
+    want = duckdb.sql(
+        "SELECT id, rank() OVER (PARTITION BY g ORDER BY v) r "
+        "FROM T ORDER BY id").df()
+    assert r["r"].tolist() == want["r"].astype("int64").tolist()
+
+    c = (window_cum(_ds(T), by="g", order_by="id", column="v", fn="count")
+         .to_pandas().sort_values("id", ignore_index=True))
+    assert c[c["g"].isna()]["v_cumcount"].tolist() == [1, 2, 3]
+
+    s = (stratified_sample(_ds(T), by="g", n=2, key="id")
+         .to_pandas())
+    assert s["g"].isna().sum() == 2  # null stratum sampled, not dropped
+
+
+def test_pivot_null_group_row(ray_session):
+    from tenzir_ray.stages.transforms import pivot
+
+    T = pa.table({
+        "g": pa.array(["a", None, "a", None], pa.string()),
+        "k": ["x", "x", "y", "y"],
+        "v": pa.array([1, 2, 3, 4], pa.int64()),
+    })
+    wide = pivot(_ds(T), by="g", key="k", value="v", agg="sum").to_pandas()
+    assert len(wide) == 2  # 'a' row and the null-group row
+    nullrow = wide[wide["g"].isna()].iloc[0]
+    assert nullrow["x"] == 2 and nullrow["y"] == 4
+
+
+def test_duplicate_spans_string_ids(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages import dedup as D
+
+    shared = "the quick brown fox jumps over the lazy dog again" * 2
+    docs = pa.table({
+        "doc_id": ["uuid-aaa", "uuid-bbb", "uuid-ccc"],
+        "text": ["X " + shared, "Y " + shared,
+                 "entirely different content with no repeats at all ok"],
+    })
+    out = (D.duplicate_spans(ray.data.from_arrow(docs), k=40)
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    assert out["doc_id"].tolist() == ["uuid-aaa", "uuid-bbb"]
+    # the duplicated run includes the identical space before `shared`
+    assert (out["dup_chars"] == len(shared) + 1).all()
+    clipped = D.clip_duplicate_spans(
+        ray.data.from_arrow(docs), k=40).to_pandas()
+    m = dict(zip(clipped["doc_id"], clipped["text"]))
+    assert m["uuid-aaa"] == "X" and m["uuid-bbb"] == "Y"
+    assert m["uuid-ccc"].startswith("entirely")
+
+
+def test_round_column_ndigits_rejected(ray_session):
+    from tenzir_ray.stages import transforms as T
+
+    ds = _ds(pa.table({"x": [1.5], "n": [2]}))
+    with pytest.raises(Exception, match="integer literal"):
+        T.put(ds, y="round(x, n)").to_pandas()
+
+
+def test_png_invalid_filter_byte_rejected():
+    import struct
+    import zlib
+
+    from tenzir_ray.stages.multimodal import _PNG_SIG, decode_png
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)
+    scan = b"\x07" + b"\x00" * 6  # filter byte 7: not in the spec
+    bad = (_PNG_SIG + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="filter byte"):
+        decode_png(bad)
