@@ -468,6 +468,13 @@ class Pipeline:
 
         return cls(yaml.safe_load(text))
 
+    def explain(self) -> "tuple[list[dict], list[dict]]":
+        """(parsed steps, optimized steps) — the reference's AST/plan
+        introspection (`show pipelines` / exec --dump): see exactly what
+        the pushdown optimizer fused (where→scan filter, select→scan
+        projection, head→limit) before paying to execute it."""
+        return self.steps, optimize_steps(list(self.steps))
+
     def run(self, ds=None, optimize: bool = True):
         """Execute the steps; source steps ignore ``ds``, every other step
         threads the Dataset through (the generator-chain analog,

@@ -259,3 +259,27 @@ def parse_pipeline(text: str) -> Pipeline:
 def run_pipeline(text: str, ds=None, optimize: bool = True):
     """Parse and execute a pipeline string (the `tenzir "<...>"` analog)."""
     return parse_pipeline(text).run(ds, optimize=optimize)
+
+
+def explain_pipeline(text: str):
+    """Parse-and-plan WITHOUT executing: one ``(stage, op, spec)`` row
+    per step, parsed vs optimized (the reference's plan introspection).
+    Returns a pyarrow Table so it drops into notebooks/CLIs directly."""
+    import json as _json
+
+    import pyarrow as pa
+
+    parsed, optimized = parse_pipeline(text).explain()
+    rows = [("parsed", s["op"],
+             _json.dumps({k: v for k, v in s.items() if k != "op"},
+                         default=str))
+            for s in parsed]
+    rows += [("optimized", s["op"],
+              _json.dumps({k: v for k, v in s.items() if k != "op"},
+                          default=str))
+             for s in optimized]
+    return pa.table({
+        "stage": pa.array([r[0] for r in rows], pa.string()),
+        "op": pa.array([r[1] for r in rows], pa.string()),
+        "spec": pa.array([r[2] for r in rows], pa.string()),
+    })

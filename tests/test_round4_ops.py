@@ -1599,3 +1599,19 @@ def test_png_invalid_filter_byte_rejected():
            + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="filter byte"):
         decode_png(bad)
+
+
+def test_explain_pipeline_shows_fusion():
+    from tenzir_ray.pipelines.tql import explain_pipeline
+
+    t = explain_pipeline(
+        "read_parquet /tmp/x.parquet | where a > 5 | select a, b | head 3"
+    ).to_pandas()
+    parsed = t[t["stage"] == "parsed"]["op"].tolist()
+    optimized = t[t["stage"] == "optimized"]["op"].tolist()
+    assert parsed == ["read_parquet", "where", "select", "head"]
+    # the optimizer fused where+select into the scan
+    assert "where" not in optimized and "select" not in optimized
+    scan_spec = t[(t["stage"] == "optimized")
+                  & (t["op"] == "read_parquet")]["spec"].iloc[0]
+    assert "a > 5" in scan_spec and '"columns"' in scan_spec
