@@ -533,11 +533,15 @@ def _dup_hit_filter(id_col: str, min_docs: int):
     keep (id, pos) rows whose (h1, h2) window hash occurs in >= min_docs
     DISTINCT documents."""
 
-    def _dup_hits(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return df[[id_col, "pos"]]
-        nd = df.groupby(["h1", "h2"], sort=False)[id_col].transform("nunique")
-        return df.loc[nd >= min_docs, [id_col, "pos"]]
+    def _dup_hits(df: pd.DataFrame) -> pa.Table:
+        if len(df):
+            nd = df.groupby(["h1", "h2"], sort=False)[id_col].transform(
+                "nunique")
+            df = df.loc[nd >= min_docs]
+        # typed Arrow out: an empty pandas block would drop its schema
+        # (the engine-wide Ray trap), breaking the all-unique corpus case
+        return pa.Table.from_pandas(df[[id_col, "pos"]],
+                                    preserve_index=False)
 
     return _dup_hits
 
@@ -593,18 +597,21 @@ def duplicate_spans(ds, column: str = "text", id_col: str = "doc_id",
                          _dup_hit_filter(id_col, min_docs),
                          num_buckets=buckets, tag="dupspan")
 
-    def _merge_spans(df: pd.DataFrame) -> pd.DataFrame:
+    def _merge_spans(df: pd.DataFrame) -> pa.Table:
         if not len(df):
-            return pd.DataFrame({id_col: df[id_col] if id_col in df
-                                 else pd.Series([], dtype="object"),
-                                 "dup_spans": pd.Series([], dtype="int64"),
-                                 "dup_chars": pd.Series([], dtype="int64")})
+            return pa.Table.from_pandas(
+                pd.DataFrame({id_col: df[id_col] if id_col in df
+                              else pd.Series([], dtype="object"),
+                              "dup_spans": pd.Series([], dtype="int64"),
+                              "dup_chars": pd.Series([], dtype="int64")}),
+                preserve_index=False)
         sp = _merge_islands(df, id_col, k)
         sp["_len"] = sp["_e"] - sp["_s"]
         out = sp.groupby("_doc", sort=False).agg(
             dup_spans=("_len", "size"), dup_chars=("_len", "sum"))
         out = out.reset_index().rename(columns={"_doc": id_col})
-        return out.astype({"dup_spans": "int64", "dup_chars": "int64"})
+        out = out.astype({"dup_spans": "int64", "dup_chars": "int64"})
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     return grouped_apply(hits, [id_col], _merge_spans, num_buckets=buckets,
                          tag="dupspan2")

@@ -185,8 +185,12 @@ def window_rank(ds, by, order_by: str, method: str = "rank",
         if not len(df):
             df[out] = pd.Series([], dtype="int64")
             return df
+        # na_option="bottom": null order keys sort NULLS LAST (DuckDB's
+        # default null ordering) and tie among themselves, instead of
+        # producing NaN ranks that crash the int cast
         r = df.groupby(bycols, sort=False, dropna=False)[order_by].rank(
-            method=methods[method], ascending=not descending)
+            method=methods[method], ascending=not descending,
+            na_option="bottom")
         df[out] = r.astype("int64")
         return df
 
@@ -220,13 +224,23 @@ def window_cum(ds, by, order_by: str, column: str, fn: str = "sum",
             df[name] = pd.Series([], dtype="float64")
             return df
         df = df.sort_values(bycols + [order_by], kind="mergesort")
-        g = df.groupby(bycols, sort=False, dropna=False)[column]
+        keys = [df[c] for c in bycols]
+        # SQL frame semantics over nulls: a null value contributes
+        # nothing but the row still observes the running aggregate
+        # (pandas' cumsum/cummin would emit NaN at the null row); the
+        # result is NULL only while the frame has seen no non-null value
+        cnt = (df[column].notna()
+               .groupby(keys, sort=False, dropna=False).cumsum())
         if fn == "count":
-            df[name] = df[column].notna().groupby(
-                [df[c] for c in bycols], sort=False, dropna=False
-            ).cumsum().astype("int64")
+            df[name] = cnt.astype("int64")
         else:
-            df[name] = getattr(g, _CUM_FNS[fn])()
+            fill = {"sum": 0, "min": float("inf"),
+                    "max": float("-inf")}[fn]
+            filled = df[column].fillna(fill)
+            agg = getattr(
+                filled.groupby(keys, sort=False, dropna=False),
+                _CUM_FNS[fn])()
+            df[name] = agg.where(cnt > 0)
         return df
 
     from tenzir_ray.stages.exchange import grouped_apply

@@ -186,3 +186,117 @@ def test_range_joiner_matches_bruteforce(ray_session, intervals, values):
         if lo[ri] <= v < hi[ri]
     )
     assert got_pairs == want
+
+
+@st.composite
+def _grouped_frame(draw):
+    n = draw(st.integers(1, 120))
+    groups = draw(st.lists(
+        st.one_of(st.integers(0, 5).map(lambda i: f"g{i}"), st.none()),
+        min_size=n, max_size=n))
+    vals = draw(st.lists(
+        st.one_of(st.integers(-50, 50), st.none()),
+        min_size=n, max_size=n))
+    return groups, vals
+
+
+@given(_grouped_frame())
+@settings(max_examples=5, deadline=None)
+def test_window_family_matches_duckdb_random(ray_session, gf):
+    """Random frames with NULL group keys and NULL values: lag, running
+    sum/count, and rank must agree with DuckDB row-for-row."""
+    import duckdb
+    import ray.data
+
+    from tenzir_ray.stages.window import window_cum, window_rank, window_shift
+
+    groups, vals = gf
+    n = len(groups)
+    T = pa.table({
+        "id": pa.array(list(range(n)), pa.int64()),
+        "g": pa.array(groups, pa.string()),
+        "v": pa.array(vals, pa.int64()),
+    })
+    ds = ray.data.from_arrow(T)
+
+    lag = (window_shift(ds, by="g", order_by="id", column="v", out="x")
+           .to_pandas().sort_values("id", ignore_index=True))
+    want = duckdb.sql(
+        "SELECT id, lag(v) OVER (PARTITION BY g ORDER BY id) x "
+        "FROM T ORDER BY id").df()
+    assert lag["x"].fillna(-999).tolist() == want["x"].fillna(-999).tolist()
+
+    cs = (window_cum(ds, by="g", order_by="id", column="v", fn="sum",
+                     out="x")
+          .to_pandas().sort_values("id", ignore_index=True))
+    want = duckdb.sql(
+        "SELECT id, sum(v) OVER (PARTITION BY g ORDER BY id "
+        "ROWS UNBOUNDED PRECEDING) x FROM T ORDER BY id").df()
+    assert cs["x"].fillna(-999).tolist() == want["x"].fillna(-999).tolist()
+
+    rk = (window_rank(ds, by="g", order_by="v", method="rank", out="x")
+          .to_pandas().sort_values("id", ignore_index=True))
+    want = duckdb.sql(
+        "SELECT id, rank() OVER (PARTITION BY g ORDER BY v) x "
+        "FROM T ORDER BY id").df()
+    assert rk["x"].tolist() == want["x"].astype("int64").tolist()
+
+
+@st.composite
+def _dup_corpus(draw):
+    """Small corpora with planted shared substrings."""
+    alphabet = "abcdefg "
+    n_docs = draw(st.integers(2, 6))
+    shared = draw(st.text(alphabet, min_size=12, max_size=30))
+    docs = []
+    for i in range(n_docs):
+        pre = draw(st.text(alphabet, min_size=0, max_size=20))
+        post = draw(st.text(alphabet, min_size=0, max_size=20))
+        use = draw(st.booleans())
+        docs.append(pre + (shared if use else "") + post)
+    return docs
+
+
+@given(_dup_corpus(), st.integers(6, 10))
+@settings(max_examples=6, deadline=None)
+def test_duplicate_spans_matches_naive_random(ray_session, docs, k):
+    """duplicate_spans vs a direct substring-counting oracle on random
+    corpora with planted shared runs."""
+    import ray.data
+
+    from tenzir_ray.stages.dedup import duplicate_spans
+
+    T = pa.table({"doc_id": list(range(len(docs))), "text": docs})
+    got = duplicate_spans(ray.data.from_arrow(T), k=k).to_pandas()
+
+    # naive oracle: char-level gram -> set of docs; duplicated positions
+    # are those whose k-gram appears in >= 2 distinct docs; merge spans
+    from collections import defaultdict
+
+    gram_docs = defaultdict(set)
+    for d, s in enumerate(docs):
+        for i in range(len(s) - k + 1):
+            gram_docs[s[i:i + k]].add(d)
+    want = {}
+    for d, s in enumerate(docs):
+        hits = [i for i in range(len(s) - k + 1)
+                if len(gram_docs[s[i:i + k]]) >= 2]
+        if not hits:
+            continue
+        spans = []
+        start = prev = hits[0]
+        for p in hits[1:]:
+            if p - prev > k:
+                spans.append((start, prev + k))
+                start = p
+            prev = p
+        spans.append((start, prev + k))
+        want[d] = (len(spans), sum(e - s0 for s0, e in spans))
+    if not len(got):
+        # Ray's empty-Dataset to_pandas drops the schema (known trap) —
+        # an empty result can only be compared by emptiness
+        assert want == {}
+        return
+    got_map = {r["doc_id"]: (r["dup_spans"], r["dup_chars"])
+               for r in got.to_dict("records")}
+    assert got_map == want
