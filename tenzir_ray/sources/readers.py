@@ -29,12 +29,142 @@ def _bare_schema(path: str, columns: list[str] | None):
     return sch
 
 
+#: observability for the last file-level prune performed by
+#: ``read_parquet`` (tests + `ds.stats()`-style introspection):
+#: {"listed": N, "kept": K, "skipped": N-K} — None until a prune ran.
+last_prune: "dict | None" = None
+
+#: listing larger than this skips driver-side footer pruning (footers
+#: are ~KB each, but a million-file listing would serialize the driver;
+#: the row-group pushdown inside each read task still applies in full)
+PRUNE_MAX_FILES = int(os.environ.get("TENZIR_RAY_PRUNE_MAX_FILES", "100000"))
+
+
+def _list_parquet_files(paths) -> "list[str] | None":
+    """Expand local paths to a flat parquet file list, or None when the
+    listing isn't prunable (remote URIs, hive-partitioned layouts —
+    passing an explicit file list to ray would drop hive column
+    inference, so those keep the directory read)."""
+    stack = list(paths) if isinstance(paths, (list, tuple)) else [paths]
+    out: list[str] = []
+    while stack:
+        p = stack.pop()
+        if not isinstance(p, str) or "://" in p:
+            return None
+        if os.path.isdir(p):
+            for name in os.listdir(p):
+                if "=" in name:  # hive-style partition dir
+                    return None
+                if name.startswith((".", "_")):
+                    continue
+                stack.append(os.path.join(p, name))
+        elif p.endswith((".parquet", ".pq")):
+            out.append(p)
+        else:
+            return None
+        if len(out) > PRUNE_MAX_FILES:
+            return None
+    return sorted(out)
+
+
+def _footer_zone(path: str, cols: "set[str]") -> dict:
+    """Per-file {col: [min, max]} from parquet footer row-group
+    statistics, only for the requested flat top-level columns. A column
+    with any row group lacking stats is omitted (no pruning claim)."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(path)
+    pqs = md.schema
+    leaf = {pqs.column(i).path: i for i in range(len(pqs.names))
+            if pqs.column(i).path in cols}
+    zone: dict = {}
+    for name, li in leaf.items():
+        mn = mx = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(li).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes) or lo is None or hi is None:
+                ok = False  # physical byte stats / empty: no claim
+                break
+            mn = lo if mn is None or lo < mn else mn
+            mx = hi if mx is None or hi > mx else mx
+        if ok and mn is not None:
+            zone[name] = [mn, mx]
+    return zone
+
+
+def _zone_excludes(zone: dict, conjuncts: list) -> bool:
+    """True iff the footer bounds provably exclude every row for the
+    AND-ed ``(col, op, literal)`` conjuncts (the lake's manifest
+    zone-map test, here over parquet footer stats — reference catalog
+    synopsis pruning, libtenzir/include/tenzir/catalog.hpp:90)."""
+    from datetime import date, datetime
+
+    for col, op, v in conjuncts:
+        mm = zone.get(col)
+        if not mm:
+            continue
+        mn, mx = mm
+        if isinstance(mn, (datetime, date)) and isinstance(v, str):
+            try:
+                v = datetime.fromisoformat(v)
+                if isinstance(mn, date) and not isinstance(mn, datetime):
+                    mn = datetime(mn.year, mn.month, mn.day)
+                    mx = datetime(mx.year, mx.month, mx.day)
+            except ValueError:
+                continue
+        try:
+            if ((op == "==" and (v < mn or v > mx))
+                    or (op == "<" and not (mn < v))
+                    or (op == "<=" and not (mn <= v))
+                    or (op == ">" and not (mx > v))
+                    or (op == ">=" and not (mx >= v))
+                    or (op == "!=" and mn == mx == v)):
+                return True
+        except TypeError:
+            continue  # incomparable literal/stat types: keep the file
+    return False
+
+
+def _prune_paths(paths, filter_text: str):
+    """File-level zone-map prune: returns (possibly reduced) paths. The
+    driver reads only footers (threaded), so a 10k-file table prunes in
+    well under a second; read tasks are never scheduled for files whose
+    min/max provably exclude the filter's simple conjuncts."""
+    global last_prune
+    from tenzir_ray.expr import prune_conjuncts
+
+    conjuncts = prune_conjuncts(filter_text)
+    if not conjuncts:
+        return paths
+    files = _list_parquet_files(paths)
+    if not files or len(files) < 2:
+        return paths
+    cols = {c for c, _, _ in conjuncts}
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(32, len(files))) as ex:
+        zones = list(ex.map(lambda p: _footer_zone(p, cols), files))
+    kept = [p for p, z in zip(files, zones)
+            if not _zone_excludes(z, conjuncts)]
+    last_prune = {"listed": len(files), "kept": len(kept),
+                  "skipped": len(files) - len(kept)}
+    return kept if kept else [files[0]]  # keep one: schema survives
+
+
 def read_parquet(paths, columns: list[str] | None = None, filter_expr: str | None = None,
-                 **kwargs: Any):
+                 prune_files: bool = True, **kwargs: Any):
     """Parquet read with projection + predicate pushdown.
 
     ``filter_expr`` is our expression-language string; it compiles to a
-    pyarrow dataset expression evaluated at the row-group level."""
+    pyarrow dataset expression evaluated at the row-group level. On
+    local multi-file layouts the simple comparison conjuncts also prune
+    whole FILES from the footer statistics before any read task is
+    scheduled (``prune_files=False`` opts out)."""
     import ray.data
 
     residual = None
@@ -42,6 +172,11 @@ def read_parquet(paths, columns: list[str] | None = None, filter_expr: str | Non
     if filter_expr is not None:
         from tenzir_ray.expr import compile_filter
 
+        if prune_files:
+            try:
+                paths = _prune_paths(paths, filter_expr)
+            except Exception:
+                pass  # pruning is best-effort; the scan filter is total
         f = compile_filter(filter_expr)
         if f.pushdown is not None:
             kwargs["filter"] = f.pushdown

@@ -1615,3 +1615,57 @@ def test_explain_pipeline_shows_fusion():
     scan_spec = t[(t["stage"] == "optimized")
                   & (t["op"] == "read_parquet")]["spec"].iloc[0]
     assert "a > 5" in scan_spec and '"columns"' in scan_spec
+
+
+# ---------------------------------------------------------------------------
+# file-level zone-map pruning on the plain read_parquet path
+
+
+def test_read_parquet_prunes_files_from_footer_stats(ray_session, tmp_path):
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.sources import readers
+
+    for i in range(6):
+        pq.write_table(pa.table({
+            "x": pa.array(range(i * 10, i * 10 + 10), pa.int64()),
+            "ts": pa.array([dt.datetime(2025, 1, 1 + i, h) for h in range(10)]),
+        }), str(tmp_path / f"f{i}.parquet"))
+
+    readers.last_prune = None
+    ds = readers.read_parquet(str(tmp_path), filter_expr="x >= 25 and x < 45")
+    assert ds.count() == 20
+    assert readers.last_prune == {"listed": 6, "kept": 3, "skipped": 3}
+
+    # ISO timestamp literal vs datetime footer stats
+    readers.last_prune = None
+    ds = readers.read_parquet(str(tmp_path), filter_expr='ts >= "2025-01-05"')
+    assert ds.count() == 20
+    assert readers.last_prune["kept"] == 2
+
+    # all files excluded: zero rows but the schema survives
+    ds = readers.read_parquet(str(tmp_path), filter_expr="x > 999")
+    assert ds.count() == 0
+    assert set(ds.schema().names) == {"x", "ts"}
+
+    # opt-out leaves the listing alone (results identical)
+    readers.last_prune = None
+    ds = readers.read_parquet(str(tmp_path), filter_expr="x >= 25 and x < 45",
+                              prune_files=False)
+    assert ds.count() == 20 and readers.last_prune is None
+
+
+def test_read_parquet_prune_bails_on_hive_layout(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.sources import readers
+
+    (tmp_path / "part=0").mkdir()
+    (tmp_path / "part=1").mkdir()
+    pq.write_table(pa.table({"x": [1, 2]}), str(tmp_path / "part=0" / "a.parquet"))
+    pq.write_table(pa.table({"x": [5, 6]}), str(tmp_path / "part=1" / "a.parquet"))
+    readers.last_prune = None
+    ds = readers.read_parquet(str(tmp_path), filter_expr="x >= 5")
+    assert ds.count() == 2 and readers.last_prune is None
