@@ -761,6 +761,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return streaming_deduplicate(ds, by=["event_type"], limit=3, ordered=True)
 
+    def _arrival_stream(sf, columns):
+        """Deterministic out-of-order event stream: arrival position is
+        event_id locally scrambled by a fixed jitter, so event time runs
+        behind the watermark for a nontrivial fraction of rows."""
+        import pandas as pd
+
+        def _arr(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["arr"] = df["event_id"] + (df["event_id"] * 37) % 41
+            return df
+
+        return (
+            _read(sf, "events", columns=columns)
+            .map_batches(_arr, batch_format="pandas")
+            .sort(["arr", "event_id"])
+        )
+
+    def watermark_late_drop(sf):
+        from tenzir_ray.stages.streaming import watermark
+
+        ds = _arrival_stream(sf, ["event_id", "ts"])
+        out = watermark(ds, "ts", lateness_s=3600, mode="drop")
+        return T.select(out, ["event_id", "ts"])
+
+    def watermark_windows(sf):
+        import ray.data
+
+        from tenzir_ray.stages.streaming import watermark_summarize
+
+        ds = _arrival_stream(sf, ["event_id", "ts", "event_type", "value"])
+        out = watermark_summarize(
+            ds, "ts", size_s=86400, by="event_type", lateness_s=3600,
+            n="count(*)", total="sum(value)",
+        )
+        return T.scale_int_cols(ray.data.from_arrow(out), ["total"])
+
     def pseudonymize_ips(sf):
         import pandas as pd
 
@@ -2287,6 +2323,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "slice_stride_orders": slice_stride_orders,
         "syslog_parse": syslog_parse,
         "streaming_dedup_types": streaming_dedup_types,
+        "watermark_late_drop": watermark_late_drop,
+        "watermark_windows": watermark_windows,
         "pseudonymize_ips": pseudonymize_ips,
         "q1_pricing_summary": q1_pricing_summary,
         "where_project": where_project,
@@ -2853,6 +2891,37 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_id, event_type,
                        row_number() OVER (PARTITION BY event_type ORDER BY event_id) rn
                 FROM events) WHERE rn <= 3
+        """,
+        "watermark_late_drop": """
+            WITH s AS (
+                SELECT event_id, ts,
+                       max(ts) OVER (ORDER BY event_id + (event_id*37) % 41,
+                                              event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                           AS pmax
+                FROM events)
+            SELECT event_id, ts FROM s
+            WHERE pmax IS NULL
+               OR (ts IS NOT NULL AND ts >= pmax - INTERVAL '1 hour')
+        """,
+        "watermark_windows": """
+            WITH s AS (
+                SELECT ts, event_type, value,
+                       max(ts) OVER (ORDER BY event_id + (event_id*37) % 41,
+                                              event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                           AS pmax
+                FROM events)
+            SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+                   event_type,
+                   count(*) AS n,
+                   CAST(round(sum(value) * 1000000) AS BIGINT) AS total
+            FROM s
+            WHERE ts IS NOT NULL
+              AND (pmax IS NULL OR
+                   time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day'
+                       > pmax - INTERVAL '1 hour')
+            GROUP BY 1, 2
         """,
         "sliding_windows": """
             SELECT time_bucket(INTERVAL '6 hours', ts) - k * INTERVAL '6 hours'

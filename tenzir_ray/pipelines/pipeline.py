@@ -145,6 +145,11 @@ def _register_builtins() -> None:
         streaming_deduplicate=streaming.streaming_deduplicate,
         adjacent_unique=streaming.adjacent_unique,
         measure=streaming.measure,
+        watermark=streaming.watermark,
+        watermark_summarize=lambda ds, ts_column, size_s, aggs=None, **kw:
+            streaming.watermark_summarize(
+                ds, ts_column, size_s, **(aggs or {}), **kw
+            ),
         streaming_summarize=lambda ds, by, aggs=None, **kw: streaming.streaming_summarize(
             ds, by, **(aggs or {}), **kw
         ),

@@ -332,6 +332,193 @@ def streaming_summarize(ds, by: str | list[str],
     )
 
 
+_NO_WM = np.iinfo(np.int64).min
+
+
+class EventTimeWatermark:
+    """Event-time watermark over an ordered stream (late-event drop/tag).
+
+    Beyond the reference: its stream operators know only wall-clock
+    timeouts (summarize.cpp:548-580, deduplicate.cpp timeouts); this adds
+    event-time semantics. The watermark ahead of row *i* is
+    ``max(ts of rows 0..i-1) - allowed_lateness``; a row is LATE when its
+    ``ts`` is strictly behind that watermark at arrival. ``mode="drop"``
+    removes late rows, ``mode="tag"`` appends a boolean ``late`` column.
+    Null timestamps are late whenever a watermark exists and never
+    advance it.
+
+    Vectorized: one shifted running max per batch plus a single carried
+    scalar — no per-row Python. Stream semantics are inherently serial
+    (single actor, ordered blocks), like the rest of this module.
+    """
+
+    def __init__(self, ts_column: str, lateness_s: float, mode: str = "drop"):
+        if mode not in ("drop", "tag"):
+            raise ValueError(f"mode must be drop|tag, got {mode!r}")
+        self.ts = ts_column
+        self.lateness_ns = int(lateness_s * 1e9)
+        self.mode = mode
+        self.max_ns = _NO_WM  # max event ts seen so far (int64 ns)
+
+    def _late_mask(self, df: pd.DataFrame, ends_ns: np.ndarray | None = None,
+                   inclusive: bool = False):
+        """Boolean late mask for a batch; advances the carried max.
+
+        ``ends_ns`` overrides the per-row comparison point (used by the
+        windowed variant: a row is late when its WINDOW END has already
+        been passed by the watermark, not its own ts). ``inclusive``
+        makes equality late — the windowed variant needs it so the mask
+        agrees exactly with its ``end <= wm`` emission rule.
+        """
+        isnat = pd.isna(df[self.ts]).to_numpy()
+        # parquet timestamps surface as datetime64[us] in pandas>=2 —
+        # force ns so the int64 view matches lateness_ns units
+        ts = (
+            pd.to_datetime(df[self.ts])
+            .astype("datetime64[ns]")
+            .astype("int64")
+            .to_numpy()
+            .copy()
+        )
+        ts[isnat] = _NO_WM
+        run = np.maximum.accumulate(np.maximum(ts, self.max_ns))
+        prior = np.empty_like(run)
+        prior[0] = self.max_ns
+        prior[1:] = run[:-1]
+        has_wm = prior != _NO_WM
+        cmp = ts if ends_ns is None else ends_ns
+        # prior - lateness underflows where has_wm is False; the mask
+        # discards those lanes, so the wrap is harmless
+        wm = prior - self.lateness_ns
+        late = has_wm & ((cmp <= wm) if inclusive else (cmp < wm))
+        late[isnat] = has_wm[isnat]
+        self.max_ns = int(run[-1])
+        return late
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        late = self._late_mask(df)
+        if self.mode == "tag":
+            out = df.copy()
+            out["late"] = late
+            return out
+        return df[~late]
+
+
+def watermark(ds, ts_column: str, lateness_s: float, mode: str = "drop",
+              batch_size: int = 8192, ordered: bool = True):
+    """Ordered single-actor watermark stage (see
+    :class:`EventTimeWatermark`). Sort upstream for a deterministic
+    stream; the SQL twin is a shifted running ``max(ts)`` window."""
+    def _build(d):
+        return d.map_batches(
+            EventTimeWatermark,
+            fn_constructor_args=(ts_column, lateness_s, mode),
+            batch_format="pandas",
+            batch_size=batch_size,
+            concurrency=1,
+        )
+
+    if not ordered:
+        return _build(ds)
+    from ray.data import DataContext
+
+    opts = DataContext.get_current().execution_options
+    prev = opts.preserve_order
+    opts.preserve_order = True
+    try:
+        return _build(ds).materialize()
+    finally:
+        opts.preserve_order = prev
+
+
+class WatermarkSummarize:
+    """Tumbling event-time windows finalized by the watermark.
+
+    A window ``[start, start+size)`` becomes FINAL once the watermark
+    (``max prior ts - lateness``) reaches its end: it is emitted and any
+    row for it arriving later is dropped as late (counted in
+    ``late_dropped``). Remaining open windows emit at :meth:`flush`.
+    Because finalized windows can never receive rows again, the combined
+    output equals a plain groupby over the non-late rows — which is the
+    SQL oracle form (shifted running-max window + filter + GROUP BY).
+
+    Aggregates are the combiner family of :class:`StreamingSummarize`
+    (whose partial/merge machinery this reuses); per-batch work is one
+    vectorized pandas groupby ∝ distinct (window, key) pairs.
+    """
+
+    def __init__(self, ts_column: str, size_s: float,
+                 aggs: dict[str, str], by: str | list[str] | None = None,
+                 lateness_s: float = 0.0):
+        self.wm = EventTimeWatermark(ts_column, lateness_s)
+        self.size_ns = int(size_s * 1e9)
+        keys = ([by] if isinstance(by, str) else list(by or []))
+        self.inner = StreamingSummarize(["window_start", *keys], aggs)
+        self.emitted: set[tuple] = set()
+        self.late_dropped = 0
+
+    def feed(self, df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        isnat = pd.isna(df[self.wm.ts]).to_numpy()
+        ts = (
+            pd.to_datetime(df[self.wm.ts])
+            .astype("datetime64[ns]")
+            .astype("int64")
+            .to_numpy()
+        )
+        starts = (ts // self.size_ns) * self.size_ns
+        ends = starts + self.size_ns
+        late = self.wm._late_mask(df, ends_ns=ends, inclusive=True)
+        late = late | isnat  # no event time → no window
+        self.late_dropped += int(late.sum())
+        kept = df[~late].copy()
+        kept["window_start"] = pd.to_datetime(starts[~late])
+        self.inner.feed(kept)
+        # emit windows the new watermark has passed
+        wm_ns = self.wm.max_ns - self.wm.lateness_ns
+        due = [
+            k for k in self.inner.state
+            if k[0] is not None and k[0].value + self.size_ns <= wm_ns
+        ]
+        self.emitted.update(due)
+        return self.inner._emit(due)
+
+    def flush(self) -> pd.DataFrame:
+        return self.inner._emit(list(self.inner.state))
+
+
+def watermark_summarize(ds, ts_column: str, size_s: float,
+                        by: str | list[str] | None = None,
+                        lateness_s: float = 0.0,
+                        batch_size: int = 8192, **aggs: str):
+    """Ordered driver-side consumer for :class:`WatermarkSummarize`
+    (serial stream semantics, like :func:`streaming_summarize`)."""
+    agg = WatermarkSummarize(ts_column, size_s, aggs, by, lateness_s)
+    outs = []
+    # arrival order defines which rows are late — iterate in dataset order
+    from ray.data import DataContext
+
+    opts = DataContext.get_current().execution_options
+    prev = opts.preserve_order
+    opts.preserve_order = True
+    try:
+        for df in ds.iter_batches(batch_size=batch_size, batch_format="pandas"):
+            out = agg.feed(df)
+            if len(out):
+                outs.append(out)
+    finally:
+        opts.preserve_order = prev
+    outs.append(agg.flush())
+    # keep dtypes (empty frames degrade datetime64 keys to object)
+    non_empty = [o for o in outs if len(o)] or outs[-1:]
+    return pa.Table.from_pandas(
+        pd.concat(non_empty, ignore_index=True), preserve_index=False
+    )
+
+
 class Measure:
     """Replace data with per-batch count/byte metrics (reference
     measure.cpp:163)."""

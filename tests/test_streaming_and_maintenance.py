@@ -163,3 +163,151 @@ def test_pseudonymizer_table_and_direct_paths_agree():
     assert (a_big[:5] == a_small).all()
     # tiny batch must not have paid for deep tables
     assert all((1 << lvl) <= 10 for lvl in p2._tables)
+
+
+# ---------------------------------------------------------------------------
+# event-time watermark family
+
+
+def _wm_frame():
+    import numpy as np
+    import pandas as pd
+
+    # arrival order = row order; ts deliberately out of order
+    return pd.DataFrame(
+        {
+            "i": np.arange(8, dtype=np.int64),
+            "ts": pd.to_datetime(
+                [
+                    "2025-01-01 00:00",
+                    "2025-01-01 10:00",
+                    "2025-01-01 01:00",  # 9h behind max → late at 2h lateness
+                    "2025-01-01 09:00",  # 1h behind → on time
+                    None,                # NaT with live watermark → late
+                    "2025-01-02 00:00",
+                    "2025-01-01 21:00",  # 3h behind → late
+                    "2025-01-02 05:00",
+                ]
+            ),
+        }
+    )
+
+
+def test_watermark_drop_and_tag(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages.streaming import watermark
+
+    df = _wm_frame()
+    ds = ray.data.from_pandas(df)
+    kept = watermark(ds, "ts", lateness_s=7200, mode="drop").to_pandas()
+    assert kept["i"].tolist() == [0, 1, 3, 5, 7]
+    tagged = watermark(ds, "ts", lateness_s=7200, mode="tag").to_pandas()
+    assert tagged["late"].tolist() == [
+        False, False, True, False, True, False, True, False,
+    ]
+
+
+def test_watermark_state_spans_batches(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages.streaming import watermark
+
+    df = _wm_frame()
+    # tiny batches force the carried max across many __call__ invocations
+    kept = watermark(
+        ray.data.from_pandas(df).repartition(4), "ts",
+        lateness_s=7200, batch_size=1,
+    ).to_pandas()
+    assert kept["i"].tolist() == [0, 1, 3, 5, 7]
+
+
+def test_watermark_summarize_matches_groupby_on_kept(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from tenzir_ray.stages.streaming import WatermarkSummarize, watermark_summarize
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    base = pd.Timestamp("2025-06-01").value
+    df = pd.DataFrame(
+        {
+            "i": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(
+                base + rng.integers(0, 86400 * 10, n) * 1_000_000_000
+            ),
+            "g": rng.integers(0, 3, n).astype(np.int64),
+            "v": rng.random(n),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(6).sort("i")
+    out = watermark_summarize(
+        ds, "ts", size_s=86400, by="g", lateness_s=3600,
+        n="count(*)", total="sum(v)",
+    ).to_pandas()
+
+    # oracle: sequential replay row by row with the same rule
+    agg = WatermarkSummarize("ts", 86400, {"n": "count(*)"}, by="g")
+    size_ns = 86400 * 10**9
+    lateness_ns = 3600 * 10**9
+    seen_max = None
+    kept_rows = []
+    for _, row in df.iterrows():
+        end = (row["ts"].value // size_ns) * size_ns + size_ns
+        wm = None if seen_max is None else seen_max - lateness_ns
+        if wm is None or end > wm:
+            kept_rows.append(row)
+        seen_max = (
+            row["ts"].value
+            if seen_max is None
+            else max(seen_max, row["ts"].value)
+        )
+    kdf = pd.DataFrame(kept_rows)
+    kdf["window_start"] = pd.to_datetime(
+        (kdf["ts"].astype("datetime64[ns]").astype("int64") // size_ns) * size_ns
+    )
+    exp = (
+        kdf.groupby(["window_start", "g"], as_index=False)
+        .agg(n=("i", "size"), total=("v", "sum"))
+    )
+    got = out.sort_values(["window_start", "g"]).reset_index(drop=True)
+    exp = exp.sort_values(["window_start", "g"]).reset_index(drop=True)
+    assert got["n"].tolist() == exp["n"].tolist()
+    assert np.allclose(got["total"].to_numpy(), exp["total"].to_numpy())
+
+
+def test_watermark_summarize_emits_before_flush():
+    import pandas as pd
+
+    from tenzir_ray.stages.streaming import WatermarkSummarize
+
+    agg = WatermarkSummarize("ts", 3600, {"n": "count(*)"}, lateness_s=0)
+    b1 = pd.DataFrame({"ts": pd.to_datetime(["2025-01-01 00:10",
+                                             "2025-01-01 00:20"])})
+    assert len(agg.feed(b1)) == 0  # window still open
+    b2 = pd.DataFrame({"ts": pd.to_datetime(["2025-01-01 02:05"])})
+    early = agg.feed(b2)  # watermark passed 01:00 → first window emits
+    assert early["n"].tolist() == [2]
+    # a late straggler for the emitted window is dropped, not re-opened
+    b3 = pd.DataFrame({"ts": pd.to_datetime(["2025-01-01 00:30"])})
+    assert len(agg.feed(b3)) == 0
+    assert agg.late_dropped == 1
+    final = agg.flush()
+    assert final["n"].tolist() == [1]
+
+
+def test_watermark_registry(ray_session):
+    import ray.data
+
+    from tenzir_ray.pipelines.pipeline import Pipeline
+
+    df = _wm_frame()
+    out = Pipeline(
+        [
+            {"op": "watermark", "ts_column": "ts", "lateness_s": 7200},
+            {"op": "select", "columns": ["i"]},
+        ]
+    ).run(ray.data.from_pandas(df))
+    assert out.to_pandas()["i"].tolist() == [0, 1, 3, 5, 7]
