@@ -1755,6 +1755,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = ds.map_batches(DecodeImage(), batch_format="pyarrow", batch_size=64)
         return T.select(out, ["doc_id", "height", "width", "channels"])
 
+    def media_jpeg_decode(sf):
+        # REAL baseline-JPEG decode (stages/jpeg.py, ITU-T T.81),
+        # hash-gated: dimensions are SQL-predicted from the columns, and
+        # `close` asserts the decoded pixels reconstruct the encoded
+        # constant color within JPEG quantization error. Alternating
+        # 4:4:4/4:2:0 and restart intervals exercise every decoder path.
+        import pandas as pd
+
+        from tenzir_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+        def _mk(df: pd.DataFrame) -> pd.DataFrame:
+            payloads = []
+            for did, nc in zip(df["doc_id"], df["n_chars"]):
+                h = 8 + int(nc) % 32
+                w = 8 + int(did) % 16
+                color = np.array(
+                    [int(did) % 251, (int(did) * 7) % 251,
+                     (int(did) * 13) % 251], dtype=np.uint8)
+                img = np.broadcast_to(color, (h, w, 3)).copy()
+                payloads.append(encode_jpeg(
+                    img, quality=92, subsample=bool(did % 2),
+                    restart_interval=int(did) % 3))
+            return pd.DataFrame({"doc_id": df["doc_id"], "payload": payloads})
+
+        def _dec(df: pd.DataFrame) -> pd.DataFrame:
+            hs, ws, cs, ok = [], [], [], []
+            for did, payload in zip(df["doc_id"], df["payload"]):
+                img = decode_jpeg(payload)
+                color = np.array(
+                    [int(did) % 251, (int(did) * 7) % 251,
+                     (int(did) * 13) % 251], dtype=np.float64)
+                mae = np.abs(img.astype(np.float64) - color).mean()
+                hs.append(img.shape[0]); ws.append(img.shape[1])
+                cs.append(img.shape[2]); ok.append(bool(mae < 4.0))
+            return pd.DataFrame({
+                "doc_id": df["doc_id"], "height": hs, "width": ws,
+                "channels": cs, "close": ok,
+            })
+
+        ds = _read(sf, "documents", columns=["doc_id", "n_chars"]).map_batches(
+            _mk, batch_format="pandas"
+        )
+        return ds.map_batches(_dec, batch_format="pandas", batch_size=64)
+
     def media_audio_decode(sf):
         # REAL WAV decode, hash-gated: sample count derived from doc_id
         import pandas as pd
@@ -2407,6 +2451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extractor_filter": extractor_filter,
         "shell_upper": shell_upper,
         "media_image_decode": media_image_decode,
+        "media_jpeg_decode": media_jpeg_decode,
         "media_audio_decode": media_audio_decode,
         "asof_forward": asof_forward,
         "hash_join_left_outer": hash_join_left_outer,
@@ -3379,6 +3424,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(8 + n_chars % 32 AS INTEGER) AS height,
                    CAST(8 + doc_id % 16 AS INTEGER) AS width,
                    3 AS channels
+            FROM documents
+        """,
+        "media_jpeg_decode": """
+            SELECT doc_id,
+                   CAST(8 + n_chars % 32 AS INTEGER) AS height,
+                   CAST(8 + doc_id % 16 AS INTEGER) AS width,
+                   3 AS channels,
+                   true AS close
             FROM documents
         """,
         "media_audio_decode": """

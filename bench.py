@@ -349,6 +349,11 @@ if __name__ == "__main__":
         compact["queries_sec_total"] = round(
             sum(res.get("queries", {}).values()), 2)
         compact["queries_n"] = len(res.get("queries", {}))
+        # the driver's required record shape carries per-query seconds —
+        # keep them on the final line too (a few KB, still one line)
+        compact["queries"] = {
+            k: round(v, 3) for k, v in res.get("queries", {}).items()
+        }
         if os.environ.get("BENCH_SKIP_SCALING") != "1":
             try:
                 sc = run_scaling()

@@ -4,13 +4,15 @@ typed metadata; decode/feature/resize stages as actor-pool map_batches.
 Decode is REAL for the dependency-free formats this container can
 handle end-to-end:
 
-- images: uncompressed 24-bit **BMP**, binary **PPM (P6)**, and real
+- images: uncompressed 24-bit **BMP**, binary **PPM (P6)**, real
   **PNG** (stdlib zlib inflate + all five scanline filters per the
-  public spec; 8-bit gray/RGB/GA/RGBA, non-interlaced) — parsed
-  straight out of the payload bytes with numpy (no PIL/opencv needed);
+  public spec; 8-bit gray/RGB/GA/RGBA, non-interlaced), and real
+  baseline **JPEG** (SOF0 huffman + IDCT codec in stages/jpeg.py,
+  ITU-T T.81) — parsed straight out of the payload bytes with numpy
+  (no PIL/opencv needed);
 - audio: **WAV** (PCM) via the stdlib ``wave`` module + numpy features
   (RMS, zero-crossing rate, duration);
-- the remaining compressed formats (jpeg/mp3/video) are STUBBED behind
+- the remaining compressed formats (mp3/video) are STUBBED behind
   ``NotImplementedError`` unless ``fake=True`` (deterministic fake keyed
   on the content hash) — the decode libraries are not in this container,
   but the Ray-side plumbing (schema, batch sizing, actor signature,
@@ -34,6 +36,11 @@ import numpy as np
 import pyarrow as pa
 
 from tenzir_ray._ship import ship_by_value
+# top-level (not lazy-in-worker) import: the jpeg module is registered
+# for by-value pickling, so stage callables referencing these ship the
+# codec inside the task spec — a worker-side `import tenzir_ray` would
+# fail off-repo (see _ship.py)
+from tenzir_ray.stages.jpeg import decode_jpeg, encode_jpeg
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -318,6 +325,11 @@ class DecodeImage:
             img = decode_png(payload)
             h, w, c = img.shape
             return h, w, c, self._features(_as_rgb(img))
+        elif payload[:2] == b"\xff\xd8":
+            img = decode_jpeg(payload)
+            if img.ndim == 2:
+                img = np.repeat(img[:, :, None], 3, axis=2)
+            return img.shape[0], img.shape[1], img.shape[2], self._features(img)
         elif self.fake:
             digest = hashlib.sha256(payload).digest()
             h = 16 + digest[0] % 64
@@ -328,9 +340,9 @@ class DecodeImage:
             return h, w, 3, feats
         else:
             raise NotImplementedError(
-                "jpeg decode requires PIL/opencv, not present in this "
-                "container — BMP/PPM/PNG decode for real, or construct "
-                "with fake=True for plumbing tests"
+                "unknown image container — BMP/PPM/PNG/baseline-JPEG "
+                "decode for real, or construct with fake=True for "
+                "plumbing tests"
             )
         return img.shape[0], img.shape[1], img.shape[2], self._features(img)
 
@@ -384,9 +396,18 @@ class ResizeImage:
                 # PNG in → PNG out (alpha and gray planes survive)
                 out.append(encode_png(self._resize(decode_png(payload))))
                 continue
+            elif payload[:2] == b"\xff\xd8":
+                # JPEG in → JPEG out (stays in the compressed domain)
+                img = decode_jpeg(payload)
+                if img.ndim == 2:
+                    img = img[:, :, None]
+                rs = self._resize(img)
+                out.append(encode_jpeg(rs[:, :, 0] if rs.shape[2] == 1
+                                       else rs))
+                continue
             else:
                 raise NotImplementedError(
-                    "resize supports BMP/PPM/PNG payloads")
+                    "resize supports BMP/PPM/PNG/baseline-JPEG payloads")
             out.append(encode_bmp(self._resize(img)))
         i = batch.schema.get_field_index("payload")
         return batch.set_column(i, "payload", pa.array(out, pa.binary()))

@@ -1669,3 +1669,104 @@ def test_read_parquet_prune_bails_on_hive_layout(ray_session, tmp_path):
     readers.last_prune = None
     ds = readers.read_parquet(str(tmp_path), filter_expr="x >= 5")
     assert ds.count() == 2 and readers.last_prune is None
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG codec (stages/jpeg.py)
+
+
+def _smooth_rgb(h=45, w=62):
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([
+        128 + 80 * np.sin(xx / 9.0) + 30 * np.cos(yy / 7.0),
+        100 + 0.8 * xx + 0.5 * yy,
+        200 - 60 * np.sin((xx + yy) / 11.0),
+    ], axis=-1).clip(0, 255).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_444_and_420():
+    import numpy as np
+
+    from tenzir_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+    img = _smooth_rgb()
+    for sub, tol in ((False, 4.0), (True, 8.0)):
+        out = decode_jpeg(encode_jpeg(img, quality=92, subsample=sub))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).mean() < tol
+
+
+def test_jpeg_grayscale_and_restart_markers():
+    import numpy as np
+
+    from tenzir_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:37, 0:53]
+    g = (128 + 90 * np.sin(xx / 6.0) * np.cos(yy / 8.0)).clip(0, 255).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(g, quality=90))
+    assert base.shape == g.shape and base.ndim == 2
+    assert np.abs(base.astype(int) - g.astype(int)).mean() < 4
+    # restart intervals must not change the decoded pixels
+    for ri in (2, 5):
+        with_rst = decode_jpeg(encode_jpeg(g, quality=90, restart_interval=ri))
+        assert np.array_equal(with_rst, base)
+    img = _smooth_rgb(33, 49)
+    a = decode_jpeg(encode_jpeg(img, quality=92, subsample=True))
+    b = decode_jpeg(encode_jpeg(img, quality=92, subsample=True, restart_interval=3))
+    assert np.array_equal(a, b)
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    import pytest as _pytest
+
+    from tenzir_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+    data = bytearray(encode_jpeg(_smooth_rgb(16, 16)))
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with _pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(data))
+
+
+def test_jpeg_constant_color_is_near_exact():
+    import numpy as np
+
+    from tenzir_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.full((24, 17, 3), (200, 30, 90), dtype=np.uint8)
+    for sub in (False, True):
+        out = decode_jpeg(encode_jpeg(img, quality=92, subsample=sub))
+        assert np.abs(out.astype(float) - img.astype(float)).mean() < 2.0
+
+
+def test_decode_images_stage_handles_jpeg(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from tenzir_ray.stages.jpeg import encode_jpeg
+    from tenzir_ray.stages.multimodal import decode_images, resize_images
+
+    imgs = [_smooth_rgb(20 + i, 30 - i) for i in range(4)]
+    tbl = pa.table({
+        "media_id": pa.array(range(4), pa.int64()),
+        "payload": pa.array([encode_jpeg(im, subsample=bool(i % 2))
+                             for i, im in enumerate(imgs)], pa.binary()),
+    })
+    out = decode_images(ray.data.from_arrow(tbl)).to_pandas()
+    out = out.sort_values("media_id")
+    assert out["height"].tolist() == [20, 21, 22, 23]
+    assert out["width"].tolist() == [30, 29, 28, 27]
+    assert out["channels"].tolist() == [3, 3, 3, 3]
+    # resize keeps JPEG in the compressed domain
+    rs = resize_images(ray.data.from_arrow(tbl), 12, 12).to_pandas()
+    assert all(p[:2] == b"\xff\xd8" for p in rs["payload"])
+    dec = decode_images(ray.data.from_arrow(
+        pa.table({"media_id": pa.array(range(4), pa.int64()),
+                  "payload": pa.array(list(rs.sort_values("media_id")["payload"]),
+                                      pa.binary())}))).to_pandas()
+    assert dec["height"].tolist() == [12] * 4 and dec["width"].tolist() == [12] * 4
