@@ -415,6 +415,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
                             column="text")
         return T.select(out, ["doc_id"])
 
+    def bm25_docs(sf):
+        # Okapi BM25 vs a fixed query — two streaming passes (query-term
+        # stats, then vectorized scoring); SQL oracle recomputes the
+        # Lucene-style idf + dl normalization with identical double
+        # expressions, compared as micro-ints
+        from tenzir_ray.stages.text import bm25_score
+
+        docs = _read(sf, "documents", columns=["doc_id", "text"])
+        out = bm25_score(docs, "table merge stream")
+        return T.scale_int_cols(out, ["score"])
+
+    def tfidf_top_terms_docs(sf):
+        # per-doc most-distinctive term (tf*ln(N/df), lexicographic
+        # ties); SQL oracle is a row_number window over the same score
+        from tenzir_ray.stages.text import tfidf_top_terms
+
+        docs = _read(sf, "documents", columns=["doc_id", "text"])
+        out = tfidf_top_terms(docs)
+        return T.scale_int_cols(out, ["tfidf"])
+
     def doc_quality(sf):
         # every component of the heuristic is SQL-expressible; float
         # ratios compare as scaled micro-ints (cross-engine ulp guard)
@@ -2451,6 +2471,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extractor_filter": extractor_filter,
         "shell_upper": shell_upper,
         "media_image_decode": media_image_decode,
+        "bm25_docs": bm25_docs,
+        "tfidf_top_terms_docs": tfidf_top_terms_docs,
         "media_jpeg_decode": media_jpeg_decode,
         "media_audio_decode": media_audio_decode,
         "asof_forward": asof_forward,
@@ -3425,6 +3447,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(8 + doc_id % 16 AS INTEGER) AS width,
                    3 AS channels
             FROM documents
+        """,
+        "bm25_docs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                           AS tok
+                FROM documents),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+            df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks
+                   WHERE tok IN ('table','merge','stream') GROUP BY tok),
+            tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+                   WHERE tok IN ('table','merge','stream')
+                   GROUP BY doc_id, tok)
+            SELECT tf.doc_id,
+                   CAST(round(sum(
+                       ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                       * tf.tf * (1.2 + 1)
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))
+                   ) * 1000000) AS BIGINT) AS score
+            FROM tf JOIN df USING (tok)
+                    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+            GROUP BY tf.doc_id
+        """,
+        "tfidf_top_terms_docs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                           AS tok
+                FROM documents),
+            df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks
+                   GROUP BY tok),
+            n AS (SELECT count(DISTINCT doc_id) AS n FROM toks),
+            tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+                   GROUP BY doc_id, tok),
+            scored AS (
+                SELECT tf.doc_id, tf.tok,
+                       tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS s
+                FROM tf JOIN df USING (tok) CROSS JOIN n),
+            r AS (SELECT doc_id, tok, s,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY s DESC, tok) rn
+                  FROM scored)
+            SELECT doc_id, tok AS top_term,
+                   CAST(round(s * 1000000) AS BIGINT) AS tfidf
+            FROM r WHERE rn = 1
         """,
         "media_jpeg_decode": """
             SELECT doc_id,

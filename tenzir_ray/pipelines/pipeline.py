@@ -97,6 +97,8 @@ def _register_builtins() -> None:
         token_count=text.token_count,
         fingerprint=text.fingerprint,
         repetition_score=text.repetition_score,
+        bm25_score=text.bm25_score,
+        tfidf_top_terms=text.tfidf_top_terms,
         redact=text.redact,
         strip_html=text.strip_html,
         ngram_counts=text.ngram_counts,

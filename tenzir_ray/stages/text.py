@@ -348,4 +348,157 @@ def strip_html(ds, column: str = "text", out=None, batch_size: int = 8192):
     )
 
 
+# --- corpus relevance: BM25 and TF-IDF --------------------------------------
+
+#: SQL-reproducible tokenizer: lowercase alnum runs (DuckDB
+#: ``regexp_extract_all(lower(text), '[a-z0-9]+')``)
+_WORD_RE = re.compile(r"[a-z0-9]+")
+
+
+def _explode_tokens(df: pd.DataFrame, column: str) -> pd.Series:
+    """Lowercased alnum tokens, index = originating row position."""
+    return df[column].fillna("").str.lower().str.findall(_WORD_RE).explode().dropna()
+
+
+def corpus_stats(ds, terms: list[str] | None = None, column: str = "text",
+                 batch_size: int = 4096) -> dict:
+    """ONE streaming pass → tiny driver reduce: total docs-with-tokens,
+    total token count, and document frequency per term (for ``terms``,
+    or the full vocabulary when None). Per-batch output is a handful of
+    partial rows (∝ distinct terms in the batch), so the reduce is a
+    bounded ``to_pandas`` — no shuffle. At 100 TB with an unbounded
+    vocabulary, pass ``terms`` (query-sized) or post-filter with a
+    ``min_df`` before broadcasting."""
+    term_set = set(terms) if terms is not None else None
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = _explode_tokens(df, column)
+        if not len(ex):
+            return pd.DataFrame({"term": pd.Series([], dtype=str),
+                                 "df": pd.Series([], dtype=np.int64),
+                                 "docs": pd.Series([], dtype=np.int64),
+                                 "tokens": pd.Series([], dtype=np.int64)})
+        docs = int(ex.index.nunique())
+        tokens = len(ex)
+        pairs = ex.reset_index()
+        pairs.columns = ["doc", "term"]
+        if term_set is not None:
+            pairs = pairs[pairs["term"].isin(term_set)]
+        dfc = pairs.drop_duplicates().groupby("term", sort=False).size()
+        out = pd.DataFrame({"term": dfc.index.astype(str),
+                            "df": dfc.to_numpy(np.int64)})
+        out["docs"] = np.int64(0)
+        out["tokens"] = np.int64(0)
+        stats = pd.DataFrame({"term": [""], "df": [np.int64(0)],
+                              "docs": [np.int64(docs)],
+                              "tokens": [np.int64(tokens)]})
+        return pd.concat([out, stats], ignore_index=True)
+
+    parts = ds.map_batches(
+        _partial, batch_format="pandas", batch_size=batch_size
+    ).to_pandas()
+    df_map = (
+        parts[parts["term"] != ""].groupby("term")["df"].sum().to_dict()
+    )
+    return {
+        "n_docs": int(parts["docs"].sum()),
+        "n_tokens": int(parts["tokens"].sum()),
+        "df": {k: int(v) for k, v in df_map.items()},
+    }
+
+
+def bm25_score(ds, query: str, column: str = "text",
+               id_column: str = "doc_id", k1: float = 1.2, b: float = 0.75,
+               batch_size: int = 4096):
+    """Okapi BM25 of every document against ``query`` — the standard
+    two-streaming-pass shape: pass 1 collects corpus stats for the QUERY
+    terms only (tiny — no full-vocab state), pass 2 scores each batch
+    vectorized against the broadcast stats. Uses the Lucene-style
+    non-negative idf ``ln((N - df + 0.5)/(df + 0.5) + 1)``. Emits
+    ``(id_column, score)`` for documents containing ≥1 query term."""
+    terms = sorted(set(_WORD_RE.findall(query.lower())))
+    if not terms:
+        raise ValueError("query has no tokens")
+    stats = corpus_stats(ds, terms=terms, column=column,
+                         batch_size=batch_size)
+    n = stats["n_docs"]
+    avgdl = stats["n_tokens"] / max(n, 1)
+    idf = {
+        t: float(np.log((n - d + 0.5) / (d + 0.5) + 1))
+        for t, d in stats["df"].items()
+    }
+
+    def _score(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({id_column: pd.Series([], dtype=df[id_column].dtype
+                                                   if len(df) else np.int64),
+                              "score": pd.Series([], dtype=np.float64)})
+        if not len(df):
+            return empty
+        df = df.reset_index(drop=True)  # labels == positions for iloc below
+        ex = _explode_tokens(df, column)
+        dl = ex.groupby(level=0).size()
+        hits = ex[ex.isin(idf)]
+        if not len(hits):
+            return empty
+        tf = hits.groupby([hits.index, hits]).size()
+        tf.index.names = ["row", "term"]
+        s = tf.reset_index(name="tf")
+        s["idf"] = s["term"].map(idf)
+        s["dl"] = s["row"].map(dl).astype(np.float64)
+        denom = s["tf"] + k1 * (1 - b + b * s["dl"] / avgdl)
+        s["part"] = s["idf"] * (s["tf"] * (k1 + 1)) / denom
+        agg = s.groupby("row", sort=False)["part"].sum()
+        return pd.DataFrame({
+            id_column: df[id_column].iloc[agg.index].to_numpy(),
+            "score": agg.to_numpy(np.float64),
+        })
+
+    return ds.map_batches(_score, batch_format="pandas",
+                          batch_size=batch_size)
+
+
+def tfidf_top_terms(ds, column: str = "text", id_column: str = "doc_id",
+                    min_df: int = 1, batch_size: int = 4096):
+    """Per-document most-distinctive term by TF-IDF
+    (``tf * ln(N/df)``), ties broken lexicographically. Pass 1 builds
+    the document-frequency map (bounded partials, driver reduce —
+    ``min_df`` bounds the broadcast at web scale); pass 2 is a
+    vectorized per-batch argmax against the broadcast map. Emits
+    ``(id_column, top_term, tfidf)``."""
+    stats = corpus_stats(ds, terms=None, column=column,
+                         batch_size=batch_size)
+    n = stats["n_docs"]
+    df_map = {t: d for t, d in stats["df"].items() if d >= min_df}
+
+    def _top(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({id_column: pd.Series([], dtype=df[id_column].dtype
+                                                   if len(df) else np.int64),
+                              "top_term": pd.Series([], dtype=str),
+                              "tfidf": pd.Series([], dtype=np.float64)})
+        if not len(df):
+            return empty
+        df = df.reset_index(drop=True)  # labels == positions for iloc below
+        ex = _explode_tokens(df, column)
+        ex = ex[ex.isin(df_map)]
+        if not len(ex):
+            return empty
+        tf = ex.groupby([ex.index, ex]).size()
+        tf.index.names = ["row", "term"]
+        s = tf.reset_index(name="tf")
+        s["idf"] = np.log(float(n) / s["term"].map(df_map).to_numpy(np.float64))
+        s["s"] = s["tf"] * s["idf"]
+        # argmax per row: sort by (score desc, term asc) and keep first
+        s = s.sort_values(["row", "s", "term"],
+                          ascending=[True, False, True], kind="mergesort")
+        best = s.drop_duplicates("row", keep="first")
+        return pd.DataFrame({
+            id_column: df[id_column].iloc[best["row"]].to_numpy(),
+            "top_term": best["term"].to_numpy(dtype=object),
+            "tfidf": best["s"].to_numpy(np.float64),
+        })
+
+    return ds.map_batches(_top, batch_format="pandas",
+                          batch_size=batch_size)
+
+
 ship_by_value(sys.modules[__name__])

@@ -511,3 +511,72 @@ def test_png_through_decode_and_resize_stages(ray_session):
     for i, p in enumerate(rs["payload"]):
         dec = decode_png(bytes(p))
         assert dec.shape == (8, 8, imgs[i].shape[2])
+
+
+# ---------------------------------------------------------------------------
+# corpus relevance: BM25 / TF-IDF
+
+
+def test_corpus_stats_and_bm25(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from tenzir_ray.stages.text import bm25_score, corpus_stats
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "the cat sat on the mat",
+            "the dog chased the cat",
+            "a bird flew over",
+            None,
+        ],
+    })
+    ds = ray.data.from_pandas(df).repartition(3)
+    st = corpus_stats(ds, terms=["cat", "bird"])
+    assert st["n_docs"] == 3  # null-text doc has no tokens
+    assert st["df"] == {"cat": 2, "bird": 1}
+    assert st["n_tokens"] == 6 + 5 + 4
+
+    out = bm25_score(ds, "cat bird").to_pandas().set_index("doc_id")
+    assert sorted(out.index.tolist()) == [1, 2, 3]
+    # doc 3 matches the rarer term and is shortest → highest score
+    assert out.loc[3, "score"] > out.loc[1, "score"]
+    # manual check for doc 1: tf(cat)=1, df=2, N=3, dl=6, avgdl=5
+    idf = np.log((3 - 2 + 0.5) / (2 + 0.5) + 1)
+    expect = idf * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 6 / 5))
+    assert abs(out.loc[1, "score"] - expect) < 1e-12
+
+
+def test_tfidf_top_terms(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from tenzir_ray.stages.text import tfidf_top_terms
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "common common zebra",     # zebra unique → top despite tf=1? no: tf(common)=2 but ln(3/3)=0
+            "common yak yak",
+            "common",                  # only ubiquitous terms → score 0, lexicographic pick
+        ],
+    })
+    out = tfidf_top_terms(ray.data.from_pandas(df)).to_pandas()
+    got = out.set_index("doc_id")["top_term"].to_dict()
+    assert got == {1: "zebra", 2: "yak", 3: "common"}
+    assert out.set_index("doc_id").loc[3, "tfidf"] == 0.0
+
+
+def test_bm25_registry(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from tenzir_ray.pipelines.pipeline import Pipeline
+
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["alpha beta", "beta beta"]})
+    out = Pipeline([
+        {"op": "bm25_score", "query": "alpha"},
+    ]).run(ray.data.from_pandas(df)).to_pandas()
+    assert out["doc_id"].tolist() == [1]
