@@ -435,6 +435,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = tfidf_top_terms(docs)
         return T.scale_int_cols(out, ["tfidf"])
 
+    def lm_score_docs(sf):
+        # corpus bigram-LM quality score (CCNet-style importance filter):
+        # the SQL oracle rebuilds the same add-alpha bigram model with
+        # CTEs and compares mean log-probabilities as micro-ints
+        from tenzir_ray.stages.text import bigram_lm_score
+
+        docs = _read(sf, "documents", columns=["doc_id", "text"])
+        out = bigram_lm_score(docs, alpha=0.1)
+        return T.scale_int_cols(out, ["lm_score"])
+
     def doc_quality(sf):
         # every component of the heuristic is SQL-expressible; float
         # ratios compare as scaled micro-ints (cross-engine ulp guard)
@@ -2472,6 +2482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shell_upper": shell_upper,
         "media_image_decode": media_image_decode,
         "bm25_docs": bm25_docs,
+        "lm_score_docs": lm_score_docs,
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
         "media_jpeg_decode": media_jpeg_decode,
         "media_audio_decode": media_audio_decode,
@@ -3447,6 +3458,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(8 + doc_id % 16 AS INTEGER) AS width,
                    3 AS channels
             FROM documents
+        """,
+        "lm_score_docs": """
+            WITH d AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                FROM documents),
+            toksall AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+            uni AS (SELECT tok, count(*) AS c FROM toksall GROUP BY tok),
+            v AS (SELECT count(*) AS vocab FROM uni),
+            bg AS (
+                SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+                FROM (SELECT doc_id, toks,
+                             unnest(range(1, len(toks))) AS i FROM d)),
+            bic AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2)
+            SELECT bg.doc_id,
+                   count(*) AS n_bigrams,
+                   CAST(round(avg(ln((bic.c + 0.1) / (uni.c + 0.1 * v.vocab)))
+                        * 1000000) AS BIGINT) AS lm_score
+            FROM bg JOIN bic USING (w1, w2)
+                    JOIN uni ON bg.w1 = uni.tok CROSS JOIN v
+            GROUP BY bg.doc_id
         """,
         "bm25_docs": """
             WITH toks AS (

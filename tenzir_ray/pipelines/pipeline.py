@@ -98,6 +98,7 @@ def _register_builtins() -> None:
         fingerprint=text.fingerprint,
         repetition_score=text.repetition_score,
         bm25_score=text.bm25_score,
+        bigram_lm_score=text.bigram_lm_score,
         tfidf_top_terms=text.tfidf_top_terms,
         redact=text.redact,
         strip_html=text.strip_html,
@@ -196,6 +197,9 @@ def _register_builtins() -> None:
         read_ftp=remote_mod.read_ftp,
         write_email=remote_mod.write_email,
     )
+    from tenzir_ray.sources import velociraptor as velo_mod
+    OPERATORS["read_velociraptor"] = velo_mod.read_velociraptor
+    SOURCE_OPS.add("read_velociraptor")
     from tenzir_ray.sources import zmtp as zmtp_mod
     OPERATORS.update(
         read_zmq=zmtp_mod.read_zmq_pull,

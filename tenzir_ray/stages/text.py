@@ -457,6 +457,94 @@ def bm25_score(ds, query: str, column: str = "text",
                           batch_size=batch_size)
 
 
+def bigram_lm_score(ds, column: str = "text", id_column: str = "doc_id",
+                    alpha: float = 0.1, min_count: int = 1,
+                    batch_size: int = 4096):
+    """Corpus-LM quality score (CCNet-style importance filtering shape):
+    per document, the mean ``ln P(w_i | w_{i-1})`` under an add-alpha
+    smoothed bigram model estimated from the corpus ITSELF —
+    ``P(w2|w1) = (c(w1,w2) + alpha) / (c(w1) + alpha * V)``.
+
+    Degenerate/boilerplate docs score high (their bigrams dominate the
+    corpus), rare-garbage docs score very low; filtering the tails is
+    the classic LM-based cleaning step. Two streaming passes: pass 1
+    builds unigram+bigram counts with per-batch combiners (bounded by
+    ``min_count`` at web scale before the broadcast), pass 2 scores each
+    batch vectorized against the broadcast maps. Emits ``(id_column,
+    n_bigrams, lm_score)`` for docs with ≥2 tokens."""
+
+    def _counts(df: pd.DataFrame) -> pd.DataFrame:
+        ex = _explode_tokens(df, column)
+        empty = pd.DataFrame({"w1": pd.Series([], dtype=str),
+                              "w2": pd.Series([], dtype=str),
+                              "count": pd.Series([], dtype=np.int64)})
+        if not len(ex):
+            return empty
+        w = ex.astype(str).to_numpy(dtype=object)
+        doc = ex.index.to_numpy()
+        uni = pd.Series(w).value_counts()
+        frames = [pd.DataFrame({"w1": uni.index.astype(str), "w2": "",
+                                "count": uni.to_numpy(np.int64)})]
+        if len(w) > 1:
+            same = doc[1:] == doc[:-1]
+            if same.any():
+                bg = pd.DataFrame({"w1": w[:-1][same], "w2": w[1:][same]})
+                bgc = bg.value_counts()
+                idx = bgc.index.to_frame(index=False)
+                frames.append(pd.DataFrame({
+                    "w1": idx["w1"].astype(str),
+                    "w2": idx["w2"].astype(str),
+                    "count": bgc.to_numpy(np.int64)}))
+        return pd.concat(frames, ignore_index=True)
+
+    parts = ds.map_batches(_counts, batch_format="pandas",
+                           batch_size=batch_size).to_pandas()
+    agg = parts.groupby(["w1", "w2"], sort=False)["count"].sum()
+    uni_map = {k[0]: int(v) for k, v in agg.items() if k[1] == ""}
+    bi_map = {k: int(v) for k, v in agg.items()
+              if k[1] != "" and v >= min_count}
+    vocab = len(uni_map)
+    # MultiIndex series → vectorized reindex lookup inside _score
+    bi_ser = pd.Series(bi_map, dtype=np.float64) if bi_map else pd.Series(
+        dtype=np.float64,
+        index=pd.MultiIndex.from_arrays([[], []]),
+    )
+
+    def _score(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({id_column: pd.Series([], dtype=df[id_column].dtype
+                                                   if len(df) else np.int64),
+                              "n_bigrams": pd.Series([], dtype=np.int64),
+                              "lm_score": pd.Series([], dtype=np.float64)})
+        if not len(df):
+            return empty
+        df = df.reset_index(drop=True)
+        ex = _explode_tokens(df, column)
+        if len(ex) < 2:
+            return empty
+        w = ex.astype(str).to_numpy(dtype=object)
+        doc = ex.index.to_numpy()
+        same = doc[1:] == doc[:-1]
+        if not same.any():
+            return empty
+        s = pd.DataFrame({"row": doc[:-1][same],
+                          "w1": w[:-1][same], "w2": w[1:][same]})
+        c_bi = bi_ser.reindex(
+            pd.MultiIndex.from_arrays([s["w1"], s["w2"]])
+        ).fillna(0.0).to_numpy(np.float64)
+        c_uni = s["w1"].map(uni_map).fillna(0).to_numpy(np.float64)
+        logp = np.log((c_bi + alpha) / (c_uni + alpha * vocab))
+        g = pd.DataFrame({"row": s["row"], "logp": logp}).groupby(
+            "row", sort=False)["logp"].agg(["mean", "size"])
+        return pd.DataFrame({
+            id_column: df[id_column].iloc[g.index].to_numpy(),
+            "n_bigrams": g["size"].to_numpy(np.int64),
+            "lm_score": g["mean"].to_numpy(np.float64),
+        })
+
+    return ds.map_batches(_score, batch_format="pandas",
+                          batch_size=batch_size)
+
+
 def tfidf_top_terms(ds, column: str = "text", id_column: str = "doc_id",
                     min_df: int = 1, batch_size: int = 4096):
     """Per-document most-distinctive term by TF-IDF

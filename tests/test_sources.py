@@ -260,3 +260,66 @@ def test_pipeline_join_subpipeline(ray_session):
     ).run()
     df = out.to_pandas()
     assert df["n"].sum() == 6000 and len(df) == 5
+
+
+# ---------------------------------------------------------------------------
+# velociraptor source (injected-transport adapter)
+
+
+def test_velociraptor_query_and_logs(ray_session):
+    import json
+
+    from tenzir_ray.sources.velociraptor import (
+        FakeVelociraptorClient,
+        read_velociraptor,
+    )
+
+    client = FakeVelociraptorClient(n_parts=2, rows_per_part=3)
+    out = read_velociraptor("SELECT * FROM pslist()", client=client).to_pandas()
+    assert len(out) == 6
+    assert set(out["part"]) == {0, 1}
+    assert out["query_vql"].iloc[0] == "SELECT * FROM pslist()"
+    first = json.loads(out["response"].iloc[0])
+    assert first == {"ClientId": "C.0-0", "Pid": 0}
+    assert str(out["timestamp"].dtype).startswith("datetime64")
+    # the adapter recorded exactly one request with our name
+    assert client.requests == [("tenzir_ray", "SELECT * FROM pslist()", "")]
+
+    logs = read_velociraptor(
+        "SELECT 1", client=FakeVelociraptorClient(), logs=True
+    ).to_pandas()
+    assert logs["log"].tolist() == ["query completed"]
+
+
+def test_velociraptor_subscribe_and_guards(ray_session):
+    import pytest as _pytest
+
+    from tenzir_ray.sources.velociraptor import (
+        FakeVelociraptorClient,
+        make_subscribe_query,
+        read_velociraptor,
+    )
+
+    client = FakeVelociraptorClient()
+    out = read_velociraptor(
+        artifact="Windows.Sys.Processes", client=client, max_rows=4
+    ).to_pandas()
+    assert len(out) == 4  # max_rows bound
+    assert "Windows.Sys.Processes" in client.requests[0][1]
+    assert "watch_monitoring" in make_subscribe_query("X.Y")
+    with _pytest.raises(ValueError, match="exactly one"):
+        read_velociraptor("SELECT 1", artifact="A", client=client)
+    with _pytest.raises(ValueError, match="client="):
+        read_velociraptor("SELECT 1")
+
+
+def test_velociraptor_registry(ray_session):
+    from tenzir_ray.pipelines.pipeline import Pipeline
+    from tenzir_ray.sources.velociraptor import FakeVelociraptorClient
+
+    out = Pipeline([
+        {"op": "read_velociraptor", "vql": "SELECT 1",
+         "client": FakeVelociraptorClient(n_parts=1, rows_per_part=2)},
+        {"op": "select", "columns": ["part", "response"]},
+    ]).run()
+    assert out.count() == 2

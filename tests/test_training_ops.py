@@ -580,3 +580,29 @@ def test_bm25_registry(ray_session):
         {"op": "bm25_score", "query": "alpha"},
     ]).run(ray.data.from_pandas(df)).to_pandas()
     assert out["doc_id"].tolist() == [1]
+
+
+def test_bigram_lm_score(ray_session):
+    import math
+
+    import pandas as pd
+    import ray.data
+
+    from tenzir_ray.stages.text import bigram_lm_score
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b a b", "a b", "z"],  # doc 3: <2 tokens → excluded
+    })
+    out = bigram_lm_score(ray.data.from_pandas(df), alpha=0.5).to_pandas()
+    out = out.set_index("doc_id")
+    assert sorted(out.index.tolist()) == [1, 2]
+    assert out.loc[1, "n_bigrams"] == 3 and out.loc[2, "n_bigrams"] == 1
+    # corpus: tokens a=3 b=3 z=1 (V=3); bigrams ab=3 (2 in doc1 + doc2), ba=1
+    p_ab = (3 + 0.5) / (3 + 0.5 * 3)
+    p_ba = (1 + 0.5) / (3 + 0.5 * 3)
+    exp1 = (2 * math.log(p_ab) + math.log(p_ba)) / 3
+    assert abs(out.loc[1, "lm_score"] - exp1) < 1e-12
+    assert abs(out.loc[2, "lm_score"] - math.log(p_ab)) < 1e-12
+    # the common-phrase doc scores higher than the one-off pair
+    assert out.loc[1, "lm_score"] < out.loc[2, "lm_score"]
