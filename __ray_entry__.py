@@ -1829,6 +1829,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ds.map_batches(_dec, batch_format="pandas", batch_size=64)
 
+    def media_mjpeg_frames(sf):
+        # REAL MJPEG frame sampling: per doc, a concatenated-JPEG stream
+        # with an SQL-predictable frame count/size; every 2nd frame is
+        # decoded and must report exact dims + a luma close to the
+        # encoded constant color (quantization-robust boolean)
+        import pandas as pd
+
+        from tenzir_ray.stages.jpeg import encode_jpeg
+        from tenzir_ray.stages.multimodal import sample_frames
+
+        def _mk(df: pd.DataFrame) -> pd.DataFrame:
+            payloads = []
+            for did in df["doc_id"]:
+                nf = 1 + int(did) % 4
+                h = 8 + int(did) % 8
+                stream = b"".join(
+                    encode_jpeg(
+                        np.full((h, 12, 3),
+                                ((int(did) + 40 * i) % 200 + 20, 60, 120),
+                                dtype=np.uint8),
+                        quality=92)
+                    for i in range(nf))
+                payloads.append(stream)
+            return pd.DataFrame({"media_id": df["doc_id"],
+                                 "payload": payloads})
+
+        ds = _read(sf, "documents", columns=["doc_id"]).map_batches(
+            _mk, batch_format="pandas"
+        )
+        out = sample_frames(ds, every_n=2, fake=False)
+
+        def _props(df: pd.DataFrame) -> pd.DataFrame:
+            did = df["media_id"].astype("int64")
+            expect = (0.299 * ((did + 40 * df["frame_idx"]) % 200 + 20)
+                      + 0.587 * 60 + 0.114 * 120)
+            return pd.DataFrame({
+                "doc_id": did,
+                "frame_idx": df["frame_idx"].astype("int32"),
+                "height": df["height"].astype("int32"),
+                "width": df["width"].astype("int32"),
+                "luma_close": (df["mean_luma"] - expect).abs() < 2.0,
+            })
+
+        return out.map_batches(_props, batch_format="pandas")
+
     def media_audio_decode(sf):
         # REAL WAV decode, hash-gated: sample count derived from doc_id
         import pandas as pd
@@ -2485,6 +2530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_score_docs": lm_score_docs,
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
         "media_jpeg_decode": media_jpeg_decode,
+        "media_mjpeg_frames": media_mjpeg_frames,
         "media_audio_decode": media_audio_decode,
         "asof_forward": asof_forward,
         "hash_join_left_outer": hash_join_left_outer,
@@ -3533,6 +3579,16 @@ def oracle_sql() -> dict[str, str]:
                    3 AS channels,
                    true AS close
             FROM documents
+        """,
+        "media_mjpeg_frames": """
+            SELECT doc_id,
+                   CAST(f.i AS INTEGER) AS frame_idx,
+                   CAST(8 + doc_id % 8 AS INTEGER) AS height,
+                   CAST(12 AS INTEGER) AS width,
+                   true AS luma_close
+            FROM documents
+            CROSS JOIN (VALUES (0), (2)) f(i)
+            WHERE f.i < 1 + doc_id % 4
         """,
         "media_audio_decode": """
             SELECT doc_id, 16000 AS sample_rate, 1 AS channels,

@@ -477,29 +477,75 @@ def decode_audio(ds, fake: bool = False, concurrency=(1, 2), batch_size: int = 6
     )
 
 
+def split_mjpeg(payload: bytes) -> list[bytes]:
+    """Split an MJPEG stream (concatenated baseline JPEGs) into frames.
+
+    Inside JPEG entropy data every 0xFF is stuffed (followed by 0x00 or
+    an RSTn marker), so a literal ``FF D9`` is a true end-of-image —
+    scanning for EOI boundaries is exact for scan data; headers our
+    encoder emits never contain FF D9 either."""
+    frames = []
+    start = 0
+    while True:
+        soi = payload.find(b"\xff\xd8", start)
+        if soi < 0:
+            break
+        eoi = payload.find(b"\xff\xd9", soi + 2)
+        if eoi < 0:
+            break
+        frames.append(payload[soi:eoi + 2])
+        start = eoi + 2
+    return frames
+
+
 class FrameSampler:
-    """Video frame-sample stage (stub): emits one row per sampled frame
-    index — the explode plumbing is real, frame extraction is fake
-    (video codecs are not in this container)."""
+    """Video frame-sample stage: REAL for MJPEG payloads (concatenated
+    baseline JPEGs — split on exact EOI boundaries, every Nth frame
+    decoded through stages/jpeg.py, one row per sampled frame with dims
+    + mean luma). Other containers (mp4/h264…) stay stubbed behind
+    ``fake=True`` (codecs not in this container) with the same explode
+    plumbing and output shape."""
 
     def __init__(self, every_n: int = 10, fake: bool = True):
         self.every_n = every_n
         self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError("video decode not available in container")
-        ids, frames = [], []
+        ids, frames, hs, ws, lumas = [], [], [], [], []
         for mid, payload in zip(
             batch.column("media_id").to_pylist(), batch.column("payload").to_pylist()
         ):
-            n_frames = max(1, len(payload or b"") // 256)
+            payload = payload or b""
+            if payload[:2] == b"\xff\xd8":
+                parts = split_mjpeg(payload)
+                for i in range(0, len(parts), self.every_n):
+                    img = decode_jpeg(parts[i])
+                    ids.append(mid)
+                    frames.append(i)
+                    hs.append(img.shape[0])
+                    ws.append(img.shape[1])
+                    lumas.append(float(
+                        img.mean() if img.ndim == 2
+                        else (0.299 * img[..., 0] + 0.587 * img[..., 1]
+                              + 0.114 * img[..., 2]).mean()))
+                continue
+            if not self.fake:
+                raise NotImplementedError(
+                    "only MJPEG decodes for real; other video codecs are "
+                    "not in this container — construct with fake=True for "
+                    "plumbing tests")
+            n_frames = max(1, len(payload) // 256)
             for i in range(0, n_frames, self.every_n):
                 ids.append(mid)
                 frames.append(i)
-        return pa.table(
-            {"media_id": pa.array(ids, pa.int64()), "frame_idx": pa.array(frames, pa.int32())}
-        )
+                hs.append(0); ws.append(0); lumas.append(0.0)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(frames, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+            "width": pa.array(ws, pa.int32()),
+            "mean_luma": pa.array(lumas, pa.float64()),
+        })
 
 
 def sample_frames(ds, every_n: int = 10, fake: bool = True,

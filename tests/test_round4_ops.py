@@ -1770,3 +1770,50 @@ def test_decode_images_stage_handles_jpeg(ray_session):
                   "payload": pa.array(list(rs.sort_values("media_id")["payload"]),
                                       pa.binary())}))).to_pandas()
     assert dec["height"].tolist() == [12] * 4 and dec["width"].tolist() == [12] * 4
+
+
+def test_mjpeg_split_and_sample_frames(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from tenzir_ray.stages.jpeg import encode_jpeg
+    from tenzir_ray.stages.multimodal import sample_frames, split_mjpeg
+
+    frames = [
+        np.full((16, 12, 3), (10 * i, 20, 30), dtype=np.uint8)
+        for i in range(5)
+    ]
+    stream = b"".join(encode_jpeg(f, quality=92) for f in frames)
+    assert len(split_mjpeg(stream)) == 5
+
+    tbl = pa.table({
+        "media_id": pa.array([7], pa.int64()),
+        "payload": pa.array([stream], pa.binary()),
+    })
+    out = sample_frames(ray.data.from_arrow(tbl), every_n=2,
+                        fake=False).to_pandas()
+    assert out["frame_idx"].tolist() == [0, 2, 4]
+    assert out["height"].tolist() == [16] * 3
+    assert out["width"].tolist() == [12] * 3
+    # constant-color frames: luma recovers the encoded value closely
+    expect = [0.299 * 10 * i + 0.587 * 20 + 0.114 * 30 for i in (0, 2, 4)]
+    assert np.abs(out["mean_luma"].to_numpy() - expect).max() < 2.0
+
+
+def test_sample_frames_non_mjpeg_still_stubbed(ray_session):
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data
+
+    from tenzir_ray.stages.multimodal import sample_frames
+
+    tbl = pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "payload": pa.array([b"\x00\x00\x01\xba fake mpeg" * 100], pa.binary()),
+    })
+    # fake path keeps the old explode plumbing
+    out = sample_frames(ray.data.from_arrow(tbl), every_n=10, fake=True).to_pandas()
+    assert (out["frame_idx"] % 10 == 0).all()
+    with _pytest.raises(Exception):
+        sample_frames(ray.data.from_arrow(tbl), fake=False).materialize()
