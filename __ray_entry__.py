@@ -435,6 +435,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = tfidf_top_terms(docs)
         return T.scale_int_cols(out, ["tfidf"])
 
+    def assemble_convs(sf):
+        # transcripts-native conversation assembly COMPOSED with the CDC
+        # lake: replay the SQL-derived change log exactly-once, then
+        # render each conversation's LWW-surviving turns in turn order;
+        # the oracle re-derives the winners and string_aggs them
+        from tenzir_ray.stages.chunk import assemble_conversations
+
+        lake = _build_sql_lake(sf, "assemble")
+        final = lake.read(columns=["conv_id", "turn_idx", "text"])
+        return assemble_conversations(final)
+
     def lm_score_docs(sf):
         # corpus bigram-LM quality score (CCNet-style importance filter):
         # the SQL oracle rebuilds the same add-alpha bigram model with
@@ -2528,6 +2539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_image_decode": media_image_decode,
         "bm25_docs": bm25_docs,
         "lm_score_docs": lm_score_docs,
+        "assemble_convs": assemble_convs,
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
         "media_jpeg_decode": media_jpeg_decode,
         "media_mjpeg_frames": media_mjpeg_frames,
@@ -3504,6 +3516,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(8 + doc_id % 16 AS INTEGER) AS width,
                    3 AS channels
             FROM documents
+        """,
+        "assemble_convs": """
+            WITH ch AS (
+                SELECT event_id AS lsn,
+                       CASE WHEN event_id % 10 = 9 THEN 'delete'
+                            WHEN event_id % 10 >= 6 THEN 'update'
+                            ELSE 'insert' END AS op,
+                       'c' || CAST(user_id % 50 AS VARCHAR) AS conv_id,
+                       CAST((event_id // 7) % 20 AS INTEGER) AS turn_idx,
+                       event_type || '-' || CAST(event_id AS VARCHAR) AS text
+                FROM events),
+            w AS (SELECT *, row_number() OVER (
+                      PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) rn
+                  FROM ch),
+            live AS (SELECT conv_id, turn_idx, text FROM w
+                     WHERE rn = 1 AND op != 'delete')
+            SELECT conv_id,
+                   count(*) AS n_turns,
+                   string_agg(text, chr(10) ORDER BY turn_idx) AS transcript
+            FROM live GROUP BY conv_id
         """,
         "lm_score_docs": """
             WITH d AS (

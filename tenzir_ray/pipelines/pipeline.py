@@ -110,6 +110,7 @@ def _register_builtins() -> None:
         stratified_sample=splits.stratified_sample,
         decontaminate=splits.decontaminate,
         chunk_documents=chunk.chunk_documents,
+        assemble_conversations=chunk.assemble_conversations,
         pack_sequences=chunk.pack_sequences,
         minhash=dedup.minhash,
         minhash_lsh_dedup=dedup.minhash_lsh_dedup,

@@ -143,4 +143,38 @@ def pack_sequences(ds, order_by: str, target_tokens: int,
                                  batch_size=None)
 
 
+def assemble_conversations(ds, conv_col: str = "conv_id",
+                           turn_col: str = "turn_idx",
+                           text_col: str = "text",
+                           role_col: str | None = None,
+                           sep: str = "\n", buckets: int | None = None):
+    """Render each conversation's turns into ONE ordered document — the
+    transcripts-native inverse of :func:`chunk_documents`: turns sorted
+    by ``turn_col`` within ``conv_col`` and joined with ``sep``
+    (prefixed ``role: `` when ``role_col`` is given). Emits
+    ``(conv_col, n_turns, transcript)``.
+
+    Scale shape: one exchange-backed :func:`grouped_apply` hash-
+    partitioned by conversation (fine buckets, byte-coalesced tasks), a
+    vectorized per-bucket sort + C groupby; per-group join cost is the
+    conversation length, never the corpus."""
+    import pandas as pd
+
+    from tenzir_ray.stages.exchange import grouped_apply
+
+    def _render(bucket: pd.DataFrame) -> pd.DataFrame:
+        bucket = bucket.sort_values([conv_col, turn_col], kind="mergesort")
+        txt = bucket[text_col].fillna("")
+        if role_col is not None:
+            txt = bucket[role_col].fillna("") + ": " + txt
+        return (
+            bucket.assign(_t=txt)
+            .groupby(conv_col, as_index=False, sort=False)
+            .agg(n_turns=(turn_col, "size"), transcript=("_t", sep.join))
+        )
+
+    return grouped_apply(ds, [conv_col], _render, num_buckets=buckets,
+                         tag="assemble")
+
+
 ship_by_value(sys.modules[__name__])

@@ -606,3 +606,29 @@ def test_bigram_lm_score(ray_session):
     assert abs(out.loc[2, "lm_score"] - math.log(p_ab)) < 1e-12
     # the common-phrase doc scores higher than the one-off pair
     assert out.loc[1, "lm_score"] < out.loc[2, "lm_score"]
+
+
+def test_assemble_conversations(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from tenzir_ray.stages.chunk import assemble_conversations
+
+    df = pd.DataFrame({
+        "conv_id": ["a", "b", "a", "a", "b"],
+        "turn_idx": [2, 0, 0, 1, 1],
+        "role": ["user", "assistant", "user", "assistant", "user"],
+        "text": ["three", "hello", "one", "two", None],
+    })
+    ds = ray.data.from_pandas(df).repartition(3)
+    out = assemble_conversations(ds).to_pandas().set_index("conv_id")
+    assert out.loc["a", "n_turns"] == 3
+    assert out.loc["a", "transcript"] == "one\ntwo\nthree"
+    assert out.loc["b", "transcript"] == "hello\n"  # null text → empty
+
+    with_roles = assemble_conversations(
+        ds, role_col="role", sep=" | "
+    ).to_pandas().set_index("conv_id")
+    assert with_roles.loc["a", "transcript"] == (
+        "user: one | assistant: two | user: three"
+    )
