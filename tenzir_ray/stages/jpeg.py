@@ -290,6 +290,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF0")
             ns = seg[0]
+            if ns < len(frame["comps"]):
+                raise ValueError(
+                    "jpeg: non-interleaved (multi-scan) baseline files "
+                    "unsupported — one interleaved scan per image only")
             scan = []
             for i in range(ns):
                 cid = seg[1 + 2 * i]

@@ -397,6 +397,9 @@ class EventTimeWatermark:
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
+            if self.mode == "tag":  # stable schema for empty blocks
+                df = df.copy()
+                df["late"] = pd.Series([], dtype=bool)
             return df
         late = self._late_mask(df)
         if self.mode == "tag":

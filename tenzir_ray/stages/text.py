@@ -497,8 +497,23 @@ def bigram_lm_score(ds, column: str = "text", id_column: str = "doc_id",
                     "count": bgc.to_numpy(np.int64)}))
         return pd.concat(frames, ignore_index=True)
 
-    parts = ds.map_batches(_counts, batch_format="pandas",
-                           batch_size=batch_size).to_pandas()
+    pre = ds.map_batches(_counts, batch_format="pandas",
+                         batch_size=batch_size)
+    if min_count > 1:
+        # the broadcast bound must apply BEFORE the driver collect:
+        # sum counts distributed (exchange-backed), filter the bigram
+        # tail there, and only pull the surviving model to the driver
+        from tenzir_ray.stages.exchange import grouped_apply
+
+        def _sum(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.groupby(["w1", "w2"], as_index=False,
+                            sort=False)["count"].sum()
+            return out[(out["w2"] == "") | (out["count"] >= min_count)]
+
+        parts = grouped_apply(pre, ["w1", "w2"], _sum,
+                              tag="bigram_lm").to_pandas()
+    else:
+        parts = pre.to_pandas()
     agg = parts.groupby(["w1", "w2"], sort=False)["count"].sum()
     uni_map = {k[0]: int(v) for k, v in agg.items() if k[1] == ""}
     bi_map = {k: int(v) for k, v in agg.items()
