@@ -168,6 +168,58 @@ def _build_sql_lake(sf: str, tag: str, **apply_kwargs):
     return lake
 
 
+# Deterministic transcripts-shaped table (the BASELINE input_hint schema:
+# conv_id, turn_idx, role, text, tool, ts) derived from `events` by
+# SQL-mirrorable rules; _TRANSCRIPTS_CTE is the DuckDB twin. conv_id has
+# fixed cardinality 150 at every sf (turns per conversation grow with
+# scale), (conv_id, turn_idx) is a bijection of event_id, and roles cycle
+# all residues of 7 within a conversation (150 ≡ 3 mod 7 generates Z7) so
+# alternation stats are non-degenerate.
+_TRANSCRIPTS_CTE = """
+    tr AS (
+        SELECT 'c' || CAST(event_id % 150 AS VARCHAR) AS conv_id,
+               CAST(event_id // 150 AS INTEGER) AS turn_idx,
+               CASE WHEN event_id % 7 < 3 THEN 'user'
+                    WHEN event_id % 7 = 6 THEN 'tool'
+                    ELSE 'assistant' END AS role,
+               repeat(event_type || ' ', CAST(1 + event_id % 5 AS INTEGER)) AS text,
+               CASE WHEN event_id % 7 = 6
+                    THEN 'tool_' || CAST(event_id % 23 AS VARCHAR) END AS tool,
+               ts
+        FROM events)
+"""
+
+
+def _transcripts_ds(sf_dir: str):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    def _mk(df: pd.DataFrame) -> pa.Table:
+        i = df["event_id"].to_numpy()
+        m7 = i % 7
+        out = pd.DataFrame({
+            "conv_id": "c" + pd.Series(i % 150).astype(str),
+            "turn_idx": (i // 150).astype(np.int32),
+            "role": np.where(m7 < 3, "user",
+                             np.where(m7 == 6, "tool", "assistant")),
+            "text": (df["event_type"] + " ").str.repeat(1 + i % 5),
+            "tool": pd.Series(
+                np.where(m7 == 6,
+                         ("tool_" + pd.Series(i % 23).astype(str)).to_numpy(),
+                         None)),
+            "ts": df["ts"].values,
+        })
+        # metadata-free schema: pandas metadata makes pa.Schema unhashable
+        # in this pyarrow, breaking Ray's schema-dedup fast path
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "ts"]
+    ).map_batches(_mk, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # queries
 
@@ -445,6 +497,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         lake = _build_sql_lake(sf, "assemble")
         final = lake.read(columns=["conv_id", "turn_idx", "text"])
         return assemble_conversations(final)
+
+    def conv_stats(sf):
+        # transcripts-native per-conversation profile (shuffle-free
+        # partial-summarize path) over the input_hint-shaped table
+        from tenzir_ray.stages.transcripts import conversation_stats
+
+        return conversation_stats(_transcripts_ds(sf))
+
+    def tool_seqs(sf):
+        # ordered agent tool-call chain per conversation (grouped
+        # exchange); oracle is an ordered string_agg
+        from tenzir_ray.stages.transcripts import tool_sequences
+
+        return tool_sequences(_transcripts_ds(sf))
+
+    def filter_convs(sf):
+        # drop WHOLE conversations containing a flagged tool call —
+        # expressed as an anti hash join against per-batch-deduped
+        # conversation ids (never a driver-side id set)
+        from tenzir_ray.stages.transcripts import filter_conversations
+
+        return filter_conversations(
+            _transcripts_ds(sf), "tool == 'tool_3'", keep=False)
+
+    def pack_convs(sf):
+        # conversation-boundary sequence packing: whole conversations
+        # into fixed-token training windows by the deterministic
+        # cum-before/target rule (SQL window-reconstructable)
+        from tenzir_ray.stages.transcripts import pack_conversations
+
+        return pack_conversations(_transcripts_ds(sf), 400)
+
+    def conv_alternation(sf):
+        # role-alternation dialog-quality profile: per-group ordered lag
+        # + partial summarize; milli-int ratio keeps the compare exact
+        from tenzir_ray.stages.transcripts import alternation_stats
+
+        return alternation_stats(_transcripts_ds(sf))
 
     def lm_score_docs(sf):
         # corpus bigram-LM quality score (CCNet-style importance filter):
@@ -2540,6 +2630,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_docs": bm25_docs,
         "lm_score_docs": lm_score_docs,
         "assemble_convs": assemble_convs,
+        "conv_stats": conv_stats,
+        "tool_seqs": tool_seqs,
+        "filter_convs": filter_convs,
+        "pack_convs": pack_convs,
+        "conv_alternation": conv_alternation,
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
         "media_jpeg_decode": media_jpeg_decode,
         "media_mjpeg_frames": media_mjpeg_frames,
@@ -3536,6 +3631,64 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_turns,
                    string_agg(text, chr(10) ORDER BY turn_idx) AS transcript
             FROM live GROUP BY conv_id
+        """,
+        "conv_stats": f"""
+            WITH {_TRANSCRIPTS_CTE}
+            SELECT conv_id,
+                   count(*) AS n_turns,
+                   count(tool) AS n_tool_calls,
+                   sum(length(text)) AS total_chars,
+                   min(ts) AS first_ts,
+                   max(ts) AS last_ts,
+                   max(turn_idx) AS max_turn
+            FROM tr GROUP BY conv_id
+        """,
+        "tool_seqs": f"""
+            WITH {_TRANSCRIPTS_CTE}
+            SELECT conv_id,
+                   count(*) AS n_calls,
+                   string_agg(tool, '->' ORDER BY turn_idx) AS tool_chain
+            FROM tr WHERE tool IS NOT NULL
+            GROUP BY conv_id
+        """,
+        "filter_convs": f"""
+            WITH {_TRANSCRIPTS_CTE}
+            SELECT * FROM tr
+            WHERE conv_id NOT IN
+                  (SELECT conv_id FROM tr WHERE tool = 'tool_3')
+        """,
+        "pack_convs": rf"""
+            WITH {_TRANSCRIPTS_CTE},
+            per AS (
+                SELECT conv_id,
+                       CAST(sum(len(regexp_extract_all(text, '\S+')))
+                            AS BIGINT) AS conv_tokens
+                FROM tr GROUP BY conv_id),
+            cum AS (
+                SELECT conv_id, conv_tokens,
+                       coalesce(sum(conv_tokens) OVER (ORDER BY conv_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS cb
+                FROM per)
+            SELECT conv_id, conv_tokens,
+                   CAST(cb // 400 AS BIGINT) AS seq_id
+            FROM cum
+        """,
+        "conv_alternation": f"""
+            WITH {_TRANSCRIPTS_CTE},
+            w AS (SELECT conv_id, role,
+                         lag(role) OVER (PARTITION BY conv_id
+                                         ORDER BY turn_idx) AS prev
+                  FROM tr),
+            a AS (SELECT conv_id, count(*) AS n_turns,
+                         count(*) FILTER (WHERE prev IS NOT NULL
+                                          AND role != prev) AS n_alt
+                  FROM w GROUP BY conv_id)
+            SELECT conv_id, n_turns, n_alt,
+                   CASE WHEN n_turns > 1
+                        THEN CAST((1000 * n_alt) // (n_turns - 1) AS BIGINT)
+                   END AS alt_milli
+            FROM a
         """,
         "lm_score_docs": """
             WITH d AS (

@@ -52,6 +52,7 @@ def _register_builtins() -> None:
         splits,
         summarize,
         text,
+        transcripts,
         transforms,
     )
     from tenzir_ray.sources import parsers
@@ -112,6 +113,12 @@ def _register_builtins() -> None:
         chunk_documents=chunk.chunk_documents,
         assemble_conversations=chunk.assemble_conversations,
         pack_sequences=chunk.pack_sequences,
+        pack_by_count=chunk.pack_by_count,
+        conversation_stats=transcripts.conversation_stats,
+        tool_sequences=transcripts.tool_sequences,
+        filter_conversations=transcripts.filter_conversations,
+        pack_conversations=transcripts.pack_conversations,
+        alternation_stats=transcripts.alternation_stats,
         minhash=dedup.minhash,
         minhash_lsh_dedup=dedup.minhash_lsh_dedup,
         simhash=dedup.simhash,

@@ -96,10 +96,30 @@ def pack_sequences(ds, order_by: str, target_tokens: int,
     vectorized cumsum + broadcast offset. The order key must be UNIQUE
     (the same contract SQL row_number relies on)."""
 
-    def _tok(series: pd.Series) -> np.ndarray:
-        return (series.fillna("").str.split().str.len().fillna(0)
+    def _tok(df: pd.DataFrame) -> np.ndarray:
+        return (df[column].fillna("").str.split().str.len().fillna(0)
                 .to_numpy().astype(np.int64))
 
+    return _pack_by_counts(ds, order_by, target_tokens, _tok, out)
+
+
+def pack_by_count(ds, order_by: str, count_col: str, target: int,
+                  out: str = "seq_id"):
+    """:func:`pack_sequences` with a precomputed integer cost column
+    instead of whitespace tokenization: ``out = floor(cum(count_col)
+    before this row / target)`` over ``order_by`` order. Used by
+    conversation-boundary packing, where the unit being packed is an
+    already-aggregated row (one per conversation)."""
+
+    def _counts(df: pd.DataFrame) -> np.ndarray:
+        return df[count_col].fillna(0).to_numpy().astype(np.int64)
+
+    return _pack_by_counts(ds, order_by, target, _counts, out)
+
+
+def _pack_by_counts(ds, order_by: str, target_tokens: int, counts_fn,
+                    out: str):
+    _tok = counts_fn
     # materialize the sorted layout so both the block-sum pass and the
     # assign pass see the IDENTICAL block boundaries
     sorted_ds = ds.sort(order_by).materialize()
@@ -107,7 +127,7 @@ def pack_sequences(ds, order_by: str, target_tokens: int,
     def _blocksum(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "k0": [df[order_by].iloc[0] if len(df) else None],
-            "t": [int(_tok(df[column]).sum())],
+            "t": [int(_tok(df).sum())],
             "n": [len(df)],
         })
 
@@ -132,7 +152,7 @@ def pack_sequences(ds, order_by: str, target_tokens: int,
         if not len(df):
             return df.assign(**{out: np.zeros(0, dtype=np.int64)})
         df = df.sort_values(order_by, kind="mergesort")
-        t = _tok(df[column])
+        t = _tok(df)
         first = df[order_by].iloc[0]
         bi = np.searchsorted(block_first, first, side="left")
         base = int(block_prefix[min(bi, len(block_prefix) - 1)])

@@ -1,0 +1,209 @@
+"""Conversation-level operators over transcript tables — the payload this
+engine's CDC lake ingests (columns ``conv_id, turn_idx, role, text, tool,
+ts``; see BASELINE input_hint). The reference's unit of work is the event
+and it has no conversation verbs (closest analog: ``summarize`` grouping,
+``libtenzir/builtins/operators/summarize.cpp``); these compose the
+engine's scale primitives — partial-aggregate summarize, the grouped
+exchange, semi/anti hash join, per-group ordered windows — into the
+conversation-shaped operations a training-data pipeline over transcripts
+runs between ingest and tokenization:
+
+- :func:`conversation_stats` — per-conversation shape/volume profile
+  (turn count, tool-call count, char volume, time span). Shuffle-free:
+  per-batch derived columns + the combiner-decomposable summarize path.
+- :func:`tool_sequences` — the ordered tool-call chain per conversation
+  (agent-trace analysis). One grouped exchange on ``conv_id``.
+- :func:`filter_conversations` — keep/drop WHOLE conversations by a
+  turn-level predicate (any/all semantics): the flagged-turn removal
+  shape. Expressed as a semi/anti hash join against the (per-batch
+  deduplicated) matching conversation ids, so it never materializes the
+  id set on the driver and survives an arbitrarily large match set.
+- :func:`pack_conversations` — assign conversations to fixed-token
+  training windows WITHOUT splitting a conversation across windows
+  (conversation-boundary sequence packing; same deterministic rule as
+  :func:`~tenzir_ray.stages.chunk.pack_sequences`).
+- :func:`alternation_stats` — per-conversation role-alternation profile
+  (dialog-quality heuristic: a healthy multi-turn conversation switches
+  speakers; long single-role runs signal scraped or degenerate data).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from tenzir_ray._ship import ship_by_value
+
+
+def conversation_stats(ds, conv_col: str = "conv_id",
+                       turn_col: str = "turn_idx", text_col: str = "text",
+                       tool_col: str = "tool", ts_col: str = "ts"):
+    """Per-conversation profile: ``n_turns``, ``n_tool_calls`` (non-null
+    ``tool``), ``total_chars`` (unicode chars of ``text``), ``first_ts``
+    / ``last_ts``, ``max_turn``. All aggregates are combiner-decomposable
+    so this runs the shuffle-free partial-summarize path: one vectorized
+    derive per batch, per-batch combine, tiny final merge."""
+    from tenzir_ray.stages.summarize import summarize
+
+    def _derive(t: pa.Table) -> pa.Table:
+        chars = pc.fill_null(pc.utf8_length(t.column(text_col)), 0)
+        return pa.table({
+            conv_col: t.column(conv_col),
+            "_turn": t.column(turn_col),
+            "_ts": t.column(ts_col),
+            "_chars": pc.cast(chars, pa.int64()),
+            "_tool": pc.cast(pc.is_valid(t.column(tool_col)), pa.int64()),
+        })
+
+    return summarize(
+        ds.map_batches(_derive, batch_format="pyarrow"),
+        by=conv_col,
+        n_turns="count(*)",
+        n_tool_calls="sum(_tool)",
+        total_chars="sum(_chars)",
+        first_ts="min(_ts)",
+        last_ts="max(_ts)",
+        max_turn="max(_turn)",
+    )
+
+
+def tool_sequences(ds, conv_col: str = "conv_id", turn_col: str = "turn_idx",
+                   tool_col: str = "tool", sep: str = "->",
+                   buckets: int | None = None):
+    """Ordered tool-call chain per conversation: drop non-tool turns,
+    then render ``tool_chain`` = the ``tool`` values joined by ``sep``
+    in ``turn_col`` order, plus ``n_calls``. Conversations with no tool
+    calls are absent (same as a SQL inner GROUP BY after the filter).
+
+    Scale shape: the projection+filter shrinks the exchange payload to
+    three columns of tool turns only; one grouped exchange on
+    ``conv_col``; per-task vectorized sort + C groupby join."""
+    import pandas as pd
+
+    from tenzir_ray.stages.exchange import grouped_apply
+
+    def _prune(t: pa.Table) -> pa.Table:
+        t = t.select([conv_col, turn_col, tool_col])
+        return t.filter(pc.is_valid(t.column(tool_col)))
+
+    def _render(bucket: pd.DataFrame) -> pd.DataFrame:
+        bucket = bucket.sort_values([conv_col, turn_col], kind="mergesort")
+        return (
+            bucket.groupby(conv_col, as_index=False, sort=False)
+            .agg(n_calls=(turn_col, "size"), tool_chain=(tool_col, sep.join))
+        )
+
+    pruned = ds.map_batches(_prune, batch_format="pyarrow")
+    return grouped_apply(pruned, [conv_col], _render, num_buckets=buckets,
+                         tag="toolseq")
+
+
+def filter_conversations(ds, predicate: str, conv_col: str = "conv_id",
+                         mode: str = "any", keep: bool = True, **join_kw):
+    """Keep or drop WHOLE conversations by a turn-level predicate
+    (expression-language string, same grammar as ``where``).
+
+    ``mode="any", keep=True``  → keep conversations where ANY turn
+    matches (semi join); ``keep=False`` drops them (anti join — the
+    flagged-turn removal shape). ``mode="all", keep=True`` → keep
+    conversations where EVERY turn matches (anti join against the
+    conversations owning a counter-example); ``keep=False`` inverts.
+    Null predicate results count as non-matching, like SQL WHERE.
+
+    Scale shape: the matching turn stream is projected to ``conv_col``
+    and deduplicated per batch, then a semi/anti hash join over the
+    packed exchange co-partitions it with the input — the id set never
+    lands on the driver, so a 100 TB corpus with a billion flagged
+    conversations costs one exchange, not a broadcast."""
+    from tenzir_ray.stages.join import hash_join
+    from tenzir_ray.stages.transforms import where
+
+    if mode not in ("any", "all"):
+        raise ValueError(f"filter_conversations: mode {mode!r} not in any/all")
+    pred = predicate if mode == "any" else f"not ({predicate})"
+    semi = keep if mode == "any" else not keep
+
+    def _keys(t: pa.Table) -> pa.Table:
+        # per-batch dedup shrinks the exchange; semi/anti joins are
+        # correct under duplicate right keys regardless
+        return t.select([conv_col]).group_by(conv_col).aggregate([])
+
+    flagged = where(ds, pred).map_batches(_keys, batch_format="pyarrow")
+    return hash_join(ds, flagged, on=conv_col,
+                     how="semi" if semi else "anti", **join_kw)
+
+
+def pack_conversations(ds, target_tokens: int, conv_col: str = "conv_id",
+                       text_col: str = "text", out: str = "seq_id"):
+    """Conversation-boundary sequence packing: sum whitespace-token
+    counts per conversation, then assign each WHOLE conversation to a
+    training window by the sequential packing rule ``seq_id =
+    floor(cum_tokens_before / target_tokens)`` over ``conv_col`` order
+    (the same deterministic, SQL-reconstructable rule as
+    :func:`~tenzir_ray.stages.chunk.pack_sequences`, at conversation
+    granularity — a conversation never splits across windows).
+    Returns one row per conversation: ``(conv_col, conv_tokens, out)``.
+
+    Scale shape: token counting + per-conv totals run the shuffle-free
+    partial-summarize path; the packing pass then operates on the
+    one-row-per-conversation table (range sort + per-block prefix sums,
+    no driver data pass)."""
+    from tenzir_ray.stages.chunk import pack_by_count
+    from tenzir_ray.stages.summarize import summarize
+
+    def _tokens(t: pa.Table) -> pa.Table:
+        n = pc.fill_null(pc.count_substring_regex(t.column(text_col), r"\S+"), 0)
+        return pa.table({conv_col: t.column(conv_col),
+                         "_tok": pc.cast(n, pa.int64())})
+
+    per = summarize(ds.map_batches(_tokens, batch_format="pyarrow"),
+                    by=conv_col, conv_tokens="sum(_tok)")
+    return pack_by_count(per, order_by=conv_col, count_col="conv_tokens",
+                         target=target_tokens, out=out)
+
+
+def alternation_stats(ds, conv_col: str = "conv_id",
+                      turn_col: str = "turn_idx", role_col: str = "role"):
+    """Per-conversation role-alternation profile: ``n_turns``, ``n_alt``
+    (turns whose role differs from the previous turn's, in ``turn_col``
+    order), and ``alt_milli`` = ``floor(1000 * n_alt / (n_turns - 1))``
+    (null for single-turn conversations) — the dialog-quality heuristic
+    that separates real multi-turn exchanges from single-role dumps.
+
+    Scale shape: one per-group ordered lag (grouped exchange via
+    ``window_shift``), a vectorized compare, then the shuffle-free
+    partial-summarize merge."""
+    from tenzir_ray.stages.summarize import summarize
+    from tenzir_ray.stages.window import window_shift
+
+    sel = ds.select_columns([conv_col, turn_col, role_col])
+    sh = window_shift(sel, by=conv_col, order_by=turn_col, column=role_col,
+                      periods=1, out="_prev")
+
+    def _alt(t: pa.Table) -> pa.Table:
+        alt = pc.and_kleene(pc.is_valid(t.column("_prev")),
+                            pc.not_equal(t.column(role_col), t.column("_prev")))
+        return pa.table({
+            conv_col: t.column(conv_col),
+            "_alt": pc.cast(pc.fill_null(alt, False), pa.int64()),
+        })
+
+    agg = summarize(sh.map_batches(_alt, batch_format="pyarrow"),
+                    by=conv_col, n_turns="count(*)", n_alt="sum(_alt)")
+
+    def _ratio(t: pa.Table) -> pa.Table:
+        n = t.column("n_turns")
+        a = pc.cast(t.column("n_alt"), pa.int64())
+        denom = pc.max_element_wise(pc.subtract(pc.cast(n, pa.int64()), 1),
+                                    pa.scalar(1, pa.int64()))
+        milli = pc.divide(pc.multiply(a, 1000), denom)
+        milli = pc.if_else(pc.greater(n, 1), milli, pa.scalar(None, pa.int64()))
+        return t.append_column("alt_milli", milli)
+
+    return agg.map_batches(_ratio, batch_format="pyarrow")
+
+
+ship_by_value(sys.modules[__name__])
