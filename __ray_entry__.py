@@ -1649,6 +1649,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         writers.write_feather(ds, out)
         return readers.read_feather(sorted(_glob.glob(f"{out}/*.feather")))
 
+    def orc_roundtrip(sf):
+        import glob as _glob
+        import uuid as _uuid
+
+        from tenzir_ray.sources import readers, writers
+
+        out = _scratch("tenzir_ray_sink", f"orc-{_uuid.uuid4().hex[:8]}")
+        ds = _read(sf, "events", columns=["event_id", "ts", "value"])
+        writers.write_orc(ds, out)
+        return readers.read_orc(sorted(_glob.glob(f"{out}/*.orc")))
+
     def taste_lineitem_high_card(sf):
         # high-cardinality gate for the bucketed taste path: one group
         # per order (~15k at sf0.1)
@@ -2622,6 +2633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_roundtrip": csv_roundtrip,
         "json_roundtrip": json_roundtrip,
         "feather_roundtrip": feather_roundtrip,
+        "orc_roundtrip": orc_roundtrip,
         "taste_lineitem_high_card": taste_lineitem_high_card,
         "geo_enrich": geo_enrich,
         "extractor_filter": extractor_filter,
@@ -3593,6 +3605,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, event_type, value FROM events
         """,
         "feather_roundtrip": """
+            SELECT event_id, ts, value FROM events
+        """,
+        "orc_roundtrip": """
             SELECT event_id, ts, value FROM events
         """,
         "taste_lineitem_high_card": """

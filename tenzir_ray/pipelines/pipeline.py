@@ -58,7 +58,8 @@ def _register_builtins() -> None:
     from tenzir_ray.sources import parsers
 
     # sources (take no dataset input)
-    for n in ("read_parquet", "read_csv", "read_json", "read_lines", "read_feather"):
+    for n in ("read_parquet", "read_csv", "read_json", "read_lines",
+              "read_feather", "read_orc"):
         OPERATORS[n] = getattr(readers, n)
     # transforms
     OPERATORS.update(

@@ -278,6 +278,27 @@ def read_feather(paths, columns: list[str] | None = None):
     return ds.map_batches(_load, batch_format="pandas", batch_size=1)
 
 
+def read_orc(paths, columns: list[str] | None = None):
+    """ORC files (beyond the reference's format set — its lake peers all
+    speak ORC, so a migrating user needs it). Ray has no native ORC
+    reader in this version; read via pyarrow.orc inside
+    read_binary_files — one block per file, column-pruned at the stripe
+    reader."""
+    import pyarrow as pa
+    import pyarrow.orc as orc
+    import ray.data
+
+    def _load(batch):
+        out = []
+        for data in batch["bytes"]:
+            f = orc.ORCFile(pa.BufferReader(data))
+            out.append(f.read(columns=columns) if columns else f.read())
+        return pa.concat_tables(out, promote_options="permissive")
+
+    ds = ray.data.read_binary_files(paths)
+    return ds.map_batches(_load, batch_format="pandas", batch_size=1)
+
+
 def follow_lines(path, poll_s: float = 0.5, idle_limit: int | None = None,
                  sleep=None, from_start: bool = True):
     """Tail a growing text file (the reference `file --follow`,

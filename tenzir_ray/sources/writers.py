@@ -86,6 +86,36 @@ def write_feather(ds, path: str, compression: str = "lz4",
     return stats
 
 
+class _OrcWriter:
+    def __init__(self, path: str, compression: str):
+        self.path = path
+        self.compression = compression
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.orc as orc
+
+        rel = f"part-{uuid.uuid4().hex[:12]}.orc"
+        dest = os.path.join(self.path, rel)
+        tmp = dest + ".tmp"
+        orc.write_table(batch, tmp, compression=self.compression)
+        os.replace(tmp, dest)
+        return pa.table(
+            {"path": pa.array([rel]), "rows": pa.array([batch.num_rows], pa.int64())}
+        )
+
+
+def write_orc(ds, path: str, compression: str = "zstd",
+              batch_size: int | None = None):
+    """ORC sink (companion to :func:`~tenzir_ray.sources.readers.read_orc`).
+    Executes eagerly (like Ray's write_*); returns per-file stats."""
+    os.makedirs(path, exist_ok=True)
+    return ds.map_batches(
+        _OrcWriter(path, compression),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    ).to_pandas()
+
+
 class _BitzWriter:
     def __init__(self, path: str):
         self.path = path

@@ -22,7 +22,7 @@ def _ds(tbl: pa.Table):
 # write sinks
 
 
-@pytest.mark.parametrize("fmt", ["csv", "json", "feather"])
+@pytest.mark.parametrize("fmt", ["csv", "json", "feather", "orc"])
 def test_write_sinks_roundtrip(ray_session, tmp_path, fmt):
     import ray.data
 
@@ -39,6 +39,12 @@ def test_write_sinks_roundtrip(ray_session, tmp_path, fmt):
     elif fmt == "json":
         writers.write_json(ds, out)
         back = ray.data.read_json(out)
+    elif fmt == "orc":
+        writers.write_orc(ds, out)
+        import glob
+
+        back = readers.read_orc(sorted(glob.glob(f"{out}/*.orc")),
+                                columns=["a", "b"])
     else:
         writers.write_feather(ds, out)
         import glob

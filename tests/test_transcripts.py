@@ -143,6 +143,21 @@ def test_pack_by_count_matches_manual(ray_session):
     assert list(out["seq_id"]) == list(before // 9)
 
 
+def test_tql_transcript_ops(ray_session):
+    from tenzir_ray.pipelines.tql import run_pipeline
+
+    ds, rows = _transcripts(ray_session)
+    df = pd.DataFrame(rows)
+    out = run_pipeline("conversation_stats | where n_turns > 1 | sort conv_id",
+                       ds=ds).to_pandas()
+    assert list(out["conv_id"]) == sorted(df["conv_id"].unique())
+    survivors = run_pipeline(
+        "filter_conversations predicate=\"tool == 'tool_1'\" keep=false",
+        ds=ds).to_pandas()
+    flagged = set(df.loc[df["tool"] == "tool_1", "conv_id"])
+    assert set(survivors["conv_id"]) == set(df["conv_id"]) - flagged
+
+
 def test_registry_exposes_transcript_ops():
     from tenzir_ray.pipelines.pipeline import OPERATORS, _register_builtins
 
