@@ -1025,6 +1025,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return enrich_subnet(ds, SubnetTable(cidrs, "net"), field="ip")
 
+    def ann_pq_topk(sf):
+        # product-quantized ADC top-k recall gate (TRUE-oracle accuracy
+        # pattern, like hll_accuracy): PQ is lossy by construction, so
+        # the gate asserts per-query recall@10 vs exact brute force
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        q_tbl = pq.read_table(
+            f"{sf}/embeddings.parquet", columns=["embedding"]
+        ).slice(0, 4)
+        queries_m = np.stack(
+            [np.asarray(v) for v in q_tbl.column("embedding").to_pylist()]
+        )
+        ds = _read(sf, "embeddings", columns=["vec_id", "embedding"])
+        exact = SIM.brute_force_topk(ds, queries_m, k=10).to_pandas()
+        approx = SIM.pq_build_topk(ds, queries_m, k=10, m=16).to_pandas()
+        oks = []
+        for qi in range(len(queries_m)):
+            e = set(exact.loc[exact["query_idx"] == qi, "vec_id"])
+            a = set(approx.loc[approx["query_idx"] == qi, "vec_id"])
+            oks.append(len(e & a) / max(len(e), 1) >= 0.6)
+        return pa.table({
+            "query_idx": pa.array(range(len(queries_m)), pa.int64()),
+            "pq_ok": pa.array(oks, pa.bool_()),
+        })
+
     def ann_ivf_topk(sf):
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -2535,6 +2561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_docs": repetition_docs,
         "bigram_counts_docs": bigram_counts_docs,
         "ann_ivf_topk": ann_ivf_topk,
+        "ann_pq_topk": ann_pq_topk,
         "ann_ivf_persisted": ann_ivf_persisted,
         "dedup_components": dedup_components,
         "session_windows": session_windows,
@@ -3511,6 +3538,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hll_accuracy": """
             SELECT event_type, TRUE AS hll_ok FROM events GROUP BY event_type
+        """,
+        "ann_pq_topk": """
+            SELECT CAST(i AS BIGINT) AS query_idx, TRUE AS pq_ok
+            FROM generate_series(0, 3) AS t(i)
         """,
         "pctl_sketch_accuracy": """
             SELECT event_type, TRUE AS ok50, TRUE AS ok95, TRUE AS ok99

@@ -265,6 +265,179 @@ def ivf_topk(ds, queries: np.ndarray, id_column: str = "vec_id",
 
 
 # ---------------------------------------------------------------------------
+# product quantization: the memory-bound ANN path. At 100 TB an
+# embedding corpus (float32, d=768) is ~3 KB/row; 8-byte PQ codes cut
+# candidate I/O and resident memory ~384x, so probes scan codes in the
+# page cache instead of re-reading raw vectors. Vectors are
+# L2-normalized before encoding, so ADC L2 distance ranks like cosine
+# (||q-x||^2 = 2 - 2*cos for unit vectors).
+
+
+def pq_train(sample: np.ndarray, m: int = 8, nbits: int = 8,
+             iters: int = 10, seed: int = 11) -> np.ndarray:
+    """Train product-quantizer codebooks on a driver-side sample:
+    dimensions split into ``m`` contiguous subspaces, per-subspace Lloyd
+    k-means with ``2**nbits`` centroids (seeded, numpy-only — same
+    quantizer family as the IVF coarse step). Returns
+    ``(m, 2**nbits, d/m)`` float32. The sample is normalized here; feed
+    raw vectors."""
+    sample = _normalize(np.asarray(sample, np.float32))
+    n, d = sample.shape
+    if d % m:
+        raise ValueError(f"pq_train: dim {d} not divisible by m={m}")
+    dsub, ks = d // m, 1 << nbits
+    books = np.empty((m, ks, dsub), np.float32)
+    for s in range(m):
+        cent = _kmeans(sample[:, s * dsub:(s + 1) * dsub], ks,
+                       iters=iters, seed=seed + s)
+        if len(cent) < ks:  # tiny sample: tile (dup centroids never win argmin twice)
+            cent = np.resize(cent, (ks, dsub))
+        books[s] = cent
+    return books
+
+
+def _codes_to_numpy(col, m: int) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    buf = np.frombuffer(arr.buffers()[1], dtype=np.uint8)
+    return buf[arr.offset * m:(arr.offset + len(arr)) * m].reshape(-1, m)
+
+
+class _PqEncoder:
+    """Replace the embedding column with ``m``-byte PQ codes
+    (fixed_size_binary) — one GEMM per subspace per batch."""
+
+    def __init__(self, books_ref, column: str, out: str, keep_vectors: bool):
+        import ray
+
+        self.books = ray.get(books_ref)
+        self.column = column
+        self.out = out
+        self.keep = keep_vectors
+        # ||c||^2 per subspace, precomputed once per actor
+        self.c2 = (self.books ** 2).sum(axis=2)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m, ks, dsub = self.books.shape
+        x = _normalize(_to_matrix(batch.column(self.column)))
+        codes = np.empty((len(x), m), np.uint8)
+        for s in range(m):
+            xs = x[:, s * dsub:(s + 1) * dsub]
+            d2 = self.c2[s][None, :] - 2.0 * (xs @ self.books[s].T)
+            codes[:, s] = d2.argmin(axis=1)
+        code_arr = pa.Array.from_buffers(
+            pa.binary(m), len(x), [None, pa.py_buffer(codes.tobytes())])
+        if not self.keep:
+            batch = batch.drop_columns([self.column])
+        return batch.append_column(self.out, code_arr)
+
+
+def pq_encode(ds, codebooks: np.ndarray, column: str = "embedding",
+              out: str = "pq_code", keep_vectors: bool = False,
+              concurrency=(1, 4)):
+    """Encode an embedding column to PQ codes (broadcast codebooks via
+    ``ray.put``; vectorized per batch). With ``keep_vectors=False`` the
+    raw vectors are dropped — the compressed dataset is what you persist
+    and scan."""
+    import ray
+
+    bref = ray.put(np.asarray(codebooks, np.float32))
+    return ds.map_batches(
+        _PqEncoder, fn_constructor_args=(bref, column, out, keep_vectors),
+        batch_format="pyarrow", concurrency=concurrency,
+    )
+
+
+class _PqAdcTopK:
+    """Per-batch ADC top-k over a PQ-code column: one (m, 256) lookup
+    table per query (built once per actor), then candidate distance =
+    sum of table lookups over its code bytes — no float vectors read."""
+
+    def __init__(self, books_ref, queries_ref, id_column: str, code_column: str,
+                 k: int):
+        import ray
+
+        books = ray.get(books_ref)  # (m, ks, dsub)
+        q = _normalize(np.asarray(ray.get(queries_ref), np.float32))
+        m, ks, dsub = books.shape
+        self.m = m
+        self.id_column = id_column
+        self.code_column = code_column
+        self.k = k
+        # lut[qi, s, c] = ||q_s - books[s, c]||^2
+        qs = q.reshape(len(q), m, dsub)
+        self.lut = (
+            (qs ** 2).sum(axis=2)[:, :, None]
+            - 2.0 * np.einsum("qsd,scd->qsc", qs, books)
+            + (books ** 2).sum(axis=2)[None, :, :]
+        ).astype(np.float32)
+        self._rows = np.arange(m)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        codes = _codes_to_numpy(batch.column(self.code_column), self.m)
+        ids = batch.column(self.id_column).to_numpy(zero_copy_only=False)
+        k = min(self.k, len(ids))
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(len(self.lut)):
+            d2 = self.lut[qi][self._rows[None, :], codes].sum(axis=1)
+            top = np.argpartition(d2, k - 1)[:k]
+            out_q.extend([qi] * k)
+            out_id.extend(ids[top])
+            # unit vectors: ||q-x||^2 = 2 - 2 cos  →  cos = 1 - d2/2
+            out_sim.extend((1.0 - d2[top] / 2.0).astype(np.float64))
+        return pa.table({
+            "query_idx": pa.array(out_q, pa.int32()),
+            self.id_column: pa.array(out_id),
+            "similarity": pa.array(out_sim, pa.float64()),
+        })
+
+
+def pq_topk(ds, queries: np.ndarray, codebooks: np.ndarray,
+            id_column: str = "vec_id", code_column: str = "pq_code",
+            k: int = 10, concurrency=(1, 4), batch_size: int = 8192) -> pa.Table:
+    """Approximate cosine top-k over a PQ-ENCODED dataset (asymmetric
+    distance computation): same two-stage shape as
+    :func:`brute_force_topk` — per-batch ADC top-k, tiny driver merge —
+    but each candidate costs ``m`` byte lookups instead of a ``d``-dim
+    GEMM row and the scan reads codes only."""
+    import ray
+
+    bref = ray.put(np.asarray(codebooks, np.float32))
+    qref = ray.put(np.asarray(queries, np.float32))
+    partial = ds.map_batches(
+        _PqAdcTopK,
+        fn_constructor_args=(bref, qref, id_column, code_column, k),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    merged = partial.to_pandas()
+    out = (
+        merged.sort_values(["query_idx", "similarity", id_column],
+                           ascending=[True, False, True], kind="mergesort")
+        .groupby("query_idx", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def pq_build_topk(ds, queries: np.ndarray, id_column: str = "vec_id",
+                  column: str = "embedding", k: int = 10, m: int = 8,
+                  nbits: int = 8, train_sample: int = 2048,
+                  concurrency=(1, 4)) -> pa.Table:
+    """One-shot convenience: sample → :func:`pq_train` →
+    :func:`pq_encode` (vectors dropped) → :func:`pq_topk`. For repeated
+    queries, persist the encoded dataset and call :func:`pq_topk`
+    directly."""
+    rows = ds.take(train_sample)
+    sample = np.stack([np.asarray(r[column]) for r in rows]).astype(np.float32)
+    books = pq_train(sample, m=m, nbits=nbits)
+    codes = pq_encode(ds, books, column=column, keep_vectors=False,
+                      concurrency=concurrency)
+    return pq_topk(codes, queries, books, id_column=id_column, k=k,
+                   concurrency=concurrency)
+
+
+# ---------------------------------------------------------------------------
 # persistent IVF layout: the scale path for REPEATED queries
 
 

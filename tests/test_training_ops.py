@@ -228,6 +228,57 @@ def test_ivf_topk_recall(embeddings):
     assert sum(recalls) / len(recalls) >= 0.5
 
 
+def test_pq_encode_and_adc_recall(embeddings):
+    import pyarrow.parquet as pq
+
+    q_tbl = pq.read_table(
+        f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).slice(0, 4)
+    queries = np.stack([np.asarray(v) for v in q_tbl.column("embedding").to_pylist()])
+    sample = np.stack([
+        np.asarray(r["embedding"]) for r in embeddings.take(512)
+    ]).astype(np.float32)
+    books = SIM.pq_train(sample, m=16)
+    assert books.shape == (16, 256, 4)  # d=64 split into 16 subspaces
+    codes = SIM.pq_encode(embeddings, books)
+    ct = codes.to_pandas()
+    assert "embedding" not in ct.columns  # vectors dropped: 16 B/row codes
+    assert all(len(c) == 16 for c in ct["pq_code"])
+    exact = SIM.brute_force_topk(embeddings, queries, k=10).to_pandas()
+    approx = SIM.pq_topk(codes, queries, books, k=10).to_pandas()
+    recalls = []
+    for qi in range(4):
+        te = set(exact[exact["query_idx"] == qi]["vec_id"])
+        ta = set(approx[approx["query_idx"] == qi]["vec_id"])
+        recalls.append(len(te & ta) / len(te))
+    assert sum(recalls) / len(recalls) >= 0.6
+    # each query's own row survives quantization at rank 1
+    for qi, vid in enumerate(q_tbl.column("vec_id").to_pylist()):
+        sub = approx[approx["query_idx"] == qi].sort_values(
+            "similarity", ascending=False)
+        assert sub.iloc[0]["vec_id"] == vid
+
+
+def test_pq_codes_parquet_roundtrip(embeddings, tmp_path):
+    import glob
+
+    import ray.data
+
+    sample = np.stack([
+        np.asarray(r["embedding"]) for r in embeddings.take(512)
+    ]).astype(np.float32)
+    books = SIM.pq_train(sample, m=8)
+    codes = SIM.pq_encode(embeddings, books)
+    out = str(tmp_path / "codes")
+    codes.write_parquet(out)
+    back = ray.data.read_parquet(sorted(glob.glob(f"{out}/*.parquet")))
+    q = np.stack([np.asarray(r["embedding"]) for r in embeddings.take(2)])
+    a = SIM.pq_topk(codes, q, books, k=5).to_pandas()
+    b = SIM.pq_topk(back, q, books, k=5).to_pandas()
+    # persisted codes answer identically to in-flight codes
+    assert list(a["vec_id"]) == list(b["vec_id"])
+
+
 def test_connected_components_transitive(ray_session):
     import ray.data
 
