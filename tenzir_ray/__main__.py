@@ -12,19 +12,24 @@ ending in a sink op prints only that sink's stats.
 from __future__ import annotations
 
 import argparse
-import json
 import sys
 
 
+from tenzir_ray._cli import init_ray
+
+
 def _print_dataset(ds, fmt: str, limit: int | None) -> None:
+    import pandas as pd
     import pyarrow as pa
 
     from tenzir_ray.stages.transforms import print_ndjson
 
+    if isinstance(ds, pd.DataFrame):
+        ds = pa.Table.from_pandas(ds, preserve_index=False)
     if isinstance(ds, pa.Table):
         import ray.data
 
-        ds = ray.data.from_arrow(ds)
+        ds = ray.data.from_arrow(ds.replace_schema_metadata(None))
     if limit is not None:
         ds = ds.limit(limit)
     if fmt == "ndjson":
@@ -68,21 +73,19 @@ def main(argv: list[str] | None = None) -> int:
 
     import ray
 
-    if not ray.is_initialized():
-        kw = {"include_dashboard": False, "logging_level": "ERROR"}
-        if args.num_cpus:
-            kw["num_cpus"] = args.num_cpus
-        ray.init(**kw)
-    from ray.data import DataContext
-
-    DataContext.get_current().enable_progress_bars = False
+    init_ray(args.num_cpus)
 
     try:
         if args.explain:
             from tenzir_ray.pipelines.tql import explain_pipeline
 
-            _print_dataset(explain_pipeline(args.pipeline), args.format,
-                           args.limit)
+            parser = None
+            if args.tql2:
+                from tenzir_ray.pipelines.tql2 import parse_pipeline2
+
+                parser = parse_pipeline2
+            _print_dataset(explain_pipeline(args.pipeline, parser=parser),
+                           args.format, args.limit)
             return 0
         if args.tql2:
             from tenzir_ray.pipelines.tql2 import run_pipeline2
@@ -93,12 +96,6 @@ def main(argv: list[str] | None = None) -> int:
 
             out = run_pipeline(args.pipeline)
         if out is None:
-            return 0
-        import pandas as pd
-
-        if isinstance(out, pd.DataFrame):
-            for rec in out.to_dict(orient="records"):
-                sys.stdout.write(json.dumps(rec, default=str) + "\n")
             return 0
         _print_dataset(out, args.format, args.limit)
         return 0

@@ -498,6 +498,21 @@ class Filter:
             batch = batch.filter(pa.array(self.residual(batch)))
         return batch
 
+    def mask(self, batch) -> "np.ndarray":
+        """Combined pushdown+residual boolean mask over ``batch``
+        (null → False — identical row-keep semantics to :meth:`apply`).
+        For callers that need the COMPLEMENT row set under SQL WHERE
+        null rules (e.g. counter-example streams: a null predicate is
+        non-matching, so it belongs to the complement)."""
+        import numpy as np
+
+        m = np.ones(batch.num_rows, dtype=bool)
+        if self.pushdown is not None:
+            m &= _eval_mask(self.pushdown, batch)
+        if self.residual is not None and batch.num_rows:
+            m &= np.asarray(self.residual(batch), dtype=bool)
+        return m
+
     def widen_projection(self, columns, available=None):
         """The residual-projection contract shared by every filtered
         reader: a residual mask evaluates AFTER projection, so the scan

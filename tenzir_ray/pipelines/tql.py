@@ -261,15 +261,16 @@ def run_pipeline(text: str, ds=None, optimize: bool = True):
     return parse_pipeline(text).run(ds, optimize=optimize)
 
 
-def explain_pipeline(text: str):
+def explain_pipeline(text: str, parser=None):
     """Parse-and-plan WITHOUT executing: one ``(stage, op, spec)`` row
     per step, parsed vs optimized (the reference's plan introspection).
-    Returns a pyarrow Table so it drops into notebooks/CLIs directly."""
+    Returns a pyarrow Table so it drops into notebooks/CLIs directly.
+    ``parser`` overrides the front-end (e.g. tql2's parse_pipeline2)."""
     import json as _json
 
     import pyarrow as pa
 
-    parsed, optimized = parse_pipeline(text).explain()
+    parsed, optimized = (parser or parse_pipeline)(text).explain()
     rows = [("parsed", s["op"],
              _json.dumps({k: v for k, v in s.items() if k != "op"},
                          default=str))

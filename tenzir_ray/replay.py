@@ -49,16 +49,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="only for standalone runs; ray job drivers attach")
     args = ap.parse_args(argv)
 
-    import ray
+    from tenzir_ray._cli import init_ray
 
-    if not ray.is_initialized():
-        kw = {"include_dashboard": False, "logging_level": "ERROR"}
-        if args.num_cpus:
-            kw["num_cpus"] = args.num_cpus
-        ray.init(**kw)
-    from ray.data import DataContext
-
-    DataContext.get_current().enable_progress_bars = False
+    init_ray(args.num_cpus)
 
     import ray.data
 

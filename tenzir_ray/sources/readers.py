@@ -256,47 +256,45 @@ def read_lines(paths, **kwargs: Any):
     return ray.data.read_text(paths, **kwargs)
 
 
-def read_feather(paths, columns: list[str] | None = None):
-    """Arrow IPC / Feather files (reference formats/feather.cpp). Ray has
-    no native feather reader; read via pyarrow inside read_binary_files —
-    each file becomes one block (feather files are already partition-
-    sized in our layouts)."""
+def _read_binary_tables(paths, read_one):
+    """Shared scaffold for formats Ray has no native reader for
+    (feather/orc): read_binary_files → one decoded Arrow table per file
+    (files are already partition-sized in our layouts)."""
     import pyarrow as pa
-    import pyarrow.feather as feather
     import ray.data
 
     def _load(batch):
-        out = []
-        for data in batch["bytes"]:
-            tbl = feather.read_table(pa.BufferReader(data))
-            if columns:
-                tbl = tbl.select(columns)
-            out.append(tbl)
-        return pa.concat_tables(out, promote_options="permissive")
+        return pa.concat_tables(
+            [read_one(pa.BufferReader(data)) for data in batch["bytes"]],
+            promote_options="permissive",
+        )
 
     ds = ray.data.read_binary_files(paths)
     return ds.map_batches(_load, batch_format="pandas", batch_size=1)
+
+
+def read_feather(paths, columns: list[str] | None = None):
+    """Arrow IPC / Feather files (reference formats/feather.cpp)."""
+    import pyarrow.feather as feather
+
+    def _one(buf):
+        tbl = feather.read_table(buf)
+        return tbl.select(columns) if columns else tbl
+
+    return _read_binary_tables(paths, _one)
 
 
 def read_orc(paths, columns: list[str] | None = None):
     """ORC files (beyond the reference's format set — its lake peers all
-    speak ORC, so a migrating user needs it). Ray has no native ORC
-    reader in this version; read via pyarrow.orc inside
-    read_binary_files — one block per file, column-pruned at the stripe
-    reader."""
-    import pyarrow as pa
+    speak ORC, so a migrating user needs it); column-pruned at the
+    stripe reader."""
     import pyarrow.orc as orc
-    import ray.data
 
-    def _load(batch):
-        out = []
-        for data in batch["bytes"]:
-            f = orc.ORCFile(pa.BufferReader(data))
-            out.append(f.read(columns=columns) if columns else f.read())
-        return pa.concat_tables(out, promote_options="permissive")
+    def _one(buf):
+        f = orc.ORCFile(buf)
+        return f.read(columns=columns) if columns else f.read()
 
-    ds = ray.data.read_binary_files(paths)
-    return ds.map_batches(_load, batch_format="pandas", batch_size=1)
+    return _read_binary_tables(paths, _one)
 
 
 def follow_lines(path, poll_s: float = 0.5, idle_limit: int | None = None,

@@ -54,9 +54,15 @@ class _BatchTopK:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_column).to_numpy(zero_copy_only=False)
+        if not len(ids):  # empty block: typed empty partial
+            return pa.table({
+                "query_idx": pa.array([], pa.int32()),
+                self.id_column: batch.column(self.id_column).slice(0, 0),
+                "similarity": pa.array([], pa.float64()),
+            })
         m = _normalize(_to_matrix(batch.column(self.column), self.dtype))
         sims = m @ self.q.T  # (B, Q)
-        ids = batch.column(self.id_column).to_numpy(zero_copy_only=False)
         k = min(self.k, len(ids))
         out_q, out_id, out_sim = [], [], []
         for qi in range(sims.shape[1]):
@@ -373,8 +379,14 @@ class _PqAdcTopK:
         self._rows = np.arange(m)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        codes = _codes_to_numpy(batch.column(self.code_column), self.m)
         ids = batch.column(self.id_column).to_numpy(zero_copy_only=False)
+        if not len(ids):  # empty block: typed empty partial
+            return pa.table({
+                "query_idx": pa.array([], pa.int32()),
+                self.id_column: batch.column(self.id_column).slice(0, 0),
+                "similarity": pa.array([], pa.float64()),
+            })
+        codes = _codes_to_numpy(batch.column(self.code_column), self.m)
         k = min(self.k, len(ids))
         out_q, out_id, out_sim = [], [], []
         for qi in range(len(self.lut)):

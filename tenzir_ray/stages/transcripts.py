@@ -111,7 +111,10 @@ def filter_conversations(ds, predicate: str, conv_col: str = "conv_id",
     flagged-turn removal shape). ``mode="all", keep=True`` → keep
     conversations where EVERY turn matches (anti join against the
     conversations owning a counter-example); ``keep=False`` inverts.
-    Null predicate results count as non-matching, like SQL WHERE.
+    Null predicate results count as non-matching, like SQL WHERE — in
+    all-mode a null-predicate turn is therefore a counter-example (the
+    complement mask, NOT ``where(not pred)``, which would drop nulls
+    from both sides).
 
     Scale shape: the matching turn stream is projected to ``conv_col``
     and deduplicated per batch, then a semi/anti hash join over the
@@ -123,7 +126,6 @@ def filter_conversations(ds, predicate: str, conv_col: str = "conv_id",
 
     if mode not in ("any", "all"):
         raise ValueError(f"filter_conversations: mode {mode!r} not in any/all")
-    pred = predicate if mode == "any" else f"not ({predicate})"
     semi = keep if mode == "any" else not keep
 
     def _keys(t: pa.Table) -> pa.Table:
@@ -131,7 +133,20 @@ def filter_conversations(ds, predicate: str, conv_col: str = "conv_id",
         # correct under duplicate right keys regardless
         return t.select([conv_col]).group_by(conv_col).aggregate([])
 
-    flagged = where(ds, pred).map_batches(_keys, batch_format="pyarrow")
+    if mode == "any":
+        flagged = where(ds, predicate)
+    else:
+        # counter-examples = rows NOT kept by the predicate, INCLUDING
+        # null-predicate rows (SQL WHERE: null is non-matching)
+        from tenzir_ray.expr import compile_filter
+
+        compiled = compile_filter(predicate)
+
+        def _counter(t: pa.Table) -> pa.Table:
+            return t.filter(pa.array(~compiled.mask(t)))
+
+        flagged = ds.map_batches(_counter, batch_format="pyarrow")
+    flagged = flagged.map_batches(_keys, batch_format="pyarrow")
     return hash_join(ds, flagged, on=conv_col,
                      how="semi" if semi else "anti", **join_kw)
 

@@ -85,6 +85,27 @@ def test_filter_conversations_modes(ray_session, mode, keep):
     assert len(out) == sum(n_per[c] for c in want)
 
 
+def test_filter_conversations_all_mode_null_is_counterexample(ray_session):
+    import ray
+
+    from tenzir_ray.stages.transcripts import filter_conversations
+
+    # conv "a": every turn has tool='x'; conv "b": one NULL tool turn.
+    # SQL WHERE semantics: NULL is non-matching, so "all turns match"
+    # must REJECT conv b (not-pred with null-dropping would keep it).
+    tbl = pa.table({
+        "conv_id": ["a", "a", "b", "b"],
+        "turn_idx": pa.array([0, 1, 0, 1], pa.int32()),
+        "tool": ["x", "x", "x", None],
+    })
+    out = filter_conversations(ray.data.from_arrow(tbl), "tool == 'x'",
+                               mode="all", keep=True).to_pandas()
+    assert set(out["conv_id"]) == {"a"}
+    dropped = filter_conversations(ray.data.from_arrow(tbl), "tool == 'x'",
+                                   mode="all", keep=False).to_pandas()
+    assert set(dropped["conv_id"]) == {"b"}
+
+
 def test_pack_conversations_rule(ray_session):
     from tenzir_ray.stages.transcripts import pack_conversations
 
