@@ -301,7 +301,10 @@ def _preprocess(text: str) -> str:
 
     skeleton = _PAT_RE.sub(_lift_pat, skeleton)
 
-    # 3. operator sugar: `!in` → `not in`; `A ni B` → `B in A` (contains)
+    # 3. operator sugar: `!in` → `not in`; `A ni B` → `B in A` (contains);
+    #    the reference's `null` keyword → None (a field can't be named
+    #    null in this grammar — same reservation the reference makes)
+    skeleton = re.sub(r"\bnull\b", "None", skeleton)
     skeleton = re.sub(r"\s+!in\s+", " not in ", skeleton)
     skeleton = _NI_RE.sub(
         lambda m: f"{'not ' if m.group(2) else ''}{m.group(3)} in {m.group(1)}",
@@ -422,10 +425,18 @@ def _compile(node: ast.expr):
                 term = pc.match_substring_regex(left, pat.pattern)
                 if isinstance(op, ast.NotEq):
                     term = ~term
-            elif isinstance(op, (ast.Is, ast.IsNot)):
+            elif isinstance(op, (ast.Is, ast.IsNot)) or (
+                isinstance(op, (ast.Eq, ast.NotEq))
+                and isinstance(comp, ast.Constant) and comp.value is None
+            ):
+                # `x is [not] None` and the reference's `x == null` /
+                # `x != null` (expression.md: equality with null is a
+                # null TEST, not SQL's always-null comparison)
                 if not (isinstance(comp, ast.Constant) and comp.value is None):
                     raise ValueError("`is` only supported with None")
-                term = left.is_null() if isinstance(op, ast.Is) else left.is_valid()
+                term = (left.is_null()
+                        if isinstance(op, (ast.Is, ast.Eq))
+                        else left.is_valid())
             else:
                 rhs = _date_literal(_compile(comp))
                 if isinstance(rhs, SubnetLiteral) or isinstance(left, SubnetLiteral):

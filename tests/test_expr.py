@@ -268,3 +268,23 @@ def test_math_functions(ray_session):
     from tenzir_ray.expr import referenced_columns
 
     assert referenced_columns("sqrt(y) > floor(x)") == {"x", "y"}
+
+
+def test_null_keyword_equality(ray_session):
+    # the reference's `x == null` / `x != null` are null TESTS
+    # (expression.md), not SQL's always-null comparison
+    import pyarrow as pa
+
+    from tenzir_ray.expr import compile_filter
+
+    t = pa.table({"x": pa.array([1, None, 3], pa.int64()),
+                  "tool": pa.array(["a", None, "b"])})
+    assert compile_filter("x == null").apply(t).num_rows == 1
+    assert compile_filter("x != null").apply(t).num_rows == 2
+    # composes under negation and conjunction, both apply and mask paths
+    f = compile_filter("not (tool == null) and x != null")
+    assert f.apply(t).to_pydict()["x"] == [1, 3]
+    assert list(f.mask(t)) == [True, False, True]
+    # a string literal containing the word null is untouched
+    t2 = pa.table({"s": ["null", "x"]})
+    assert compile_filter("s == 'null'").apply(t2).num_rows == 1

@@ -22,6 +22,39 @@ def _events(draw):
     return np.array(lsns, np.int64), np.array(convs, np.int64), np.array(turns, np.int64)
 
 
+@st.composite
+def _pred_tables(draw):
+    n = draw(st.integers(0, 60))
+    vals = draw(st.lists(st.one_of(st.none(), st.integers(-5, 5)),
+                         min_size=n, max_size=n))
+    tools = draw(st.lists(st.one_of(st.none(), st.sampled_from(["a", "b"])),
+                          min_size=n, max_size=n))
+    return pa.table({
+        "x": pa.array(vals, pa.int64()),
+        "tool": pa.array(tools, pa.string()),
+    })
+
+
+@given(_pred_tables(),
+       st.sampled_from(["x > 2", "tool == 'a'", "x > 0 and tool == 'b'",
+                        "tool != 'a'", "x == null"]))
+@settings(max_examples=150, deadline=None)
+def test_filter_mask_complement_partitions_rows(tbl, pred):
+    """Filter.mask must agree with Filter.apply row-for-row, and its
+    complement must be exactly the rows apply drops — the contract
+    filter_conversations' all-mode counter-example stream relies on
+    (null predicates land in the complement)."""
+    from tenzir_ray.expr import compile_filter
+
+    f = compile_filter(pred)
+    kept = f.apply(tbl)
+    mask = f.mask(tbl)
+    assert int(mask.sum()) == kept.num_rows
+    assert tbl.filter(pa.array(mask)).equals(kept)
+    comp = tbl.filter(pa.array(~mask))
+    assert comp.num_rows + kept.num_rows == tbl.num_rows
+
+
 @given(_events())
 @settings(max_examples=200, deadline=None)
 def test_lww_mask_matches_naive(ev):
