@@ -529,6 +529,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return pack_conversations(_transcripts_ds(sf), 400)
 
+    def clean_transcripts(sf):
+        # end-to-end transcript preparation as ONE hash-verified
+        # composition (the transcripts twin of clean_corpus_chunks):
+        # drop conversations containing a flagged tool call (anti hash
+        # join) → assemble each survivor into an ordered transcript
+        # (grouped exchange) → pack whole transcripts into fixed-token
+        # training windows (range sort + block prefix sums)
+        from tenzir_ray.stages.chunk import (assemble_conversations,
+                                             pack_sequences)
+        from tenzir_ray.stages.transcripts import filter_conversations
+
+        keep = filter_conversations(
+            _transcripts_ds(sf), "tool == 'tool_3'", keep=False)
+        asm = assemble_conversations(keep)
+        return pack_sequences(asm, order_by="conv_id", target_tokens=400,
+                              column="transcript")
+
     def conv_alternation(sf):
         # role-alternation dialog-quality profile: per-group ordered lag
         # + partial summarize; milli-int ratio keeps the compare exact
@@ -2674,6 +2691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_convs": filter_convs,
         "pack_convs": pack_convs,
         "conv_alternation": conv_alternation,
+        "clean_transcripts": clean_transcripts,
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
         "media_jpeg_decode": media_jpeg_decode,
         "media_mjpeg_frames": media_mjpeg_frames,
@@ -3717,6 +3735,29 @@ def oracle_sql() -> dict[str, str]:
                            AND 1 PRECEDING), 0) AS cb
                 FROM per)
             SELECT conv_id, conv_tokens,
+                   CAST(cb // 400 AS BIGINT) AS seq_id
+            FROM cum
+        """,
+        "clean_transcripts": rf"""
+            WITH {_TRANSCRIPTS_CTE},
+            live AS (
+                SELECT * FROM tr
+                WHERE conv_id NOT IN
+                      (SELECT conv_id FROM tr WHERE tool = 'tool_3')),
+            asm AS (
+                SELECT conv_id, count(*) AS n_turns,
+                       string_agg(text, chr(10) ORDER BY turn_idx)
+                           AS transcript
+                FROM live GROUP BY conv_id),
+            tok AS (
+                SELECT *, len(regexp_extract_all(transcript, '\S+')) AS t
+                FROM asm),
+            cum AS (
+                SELECT *, coalesce(sum(t) OVER (ORDER BY conv_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS cb
+                FROM tok)
+            SELECT conv_id, n_turns, transcript,
                    CAST(cb // 400 AS BIGINT) AS seq_id
             FROM cum
         """,

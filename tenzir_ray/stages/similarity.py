@@ -499,10 +499,18 @@ class IvfIndex:
     def build(cls, ds, root: str, id_column: str = "vec_id",
               column: str = "embedding", nlist: int = 64,
               train_sample: int = 2048, seed: int = 11,
-              concurrency=(1, 4)) -> "IvfIndex":
+              concurrency=(1, 4), pq_m: int | None = None,
+              pq_nbits: int = 8) -> "IvfIndex":
         """Train the coarse quantizer on a driver-side sample, assign
         list ids in one distributed pass, write the corpus partitioned
-        by list id. ``root`` must not already hold an index."""
+        by list id. ``root`` must not already hold an index.
+
+        ``pq_m`` additionally trains product-quantizer codebooks on the
+        same sample and stores an ``pq_code`` column (m bytes/row)
+        alongside the vectors — the IVFADC layout (Jégou et al.,
+        TPAMI'11): ``search(mode="pq")`` then column-prunes the probed
+        files down to (id, code), so a probe's scan bytes are the code
+        bytes, not the raw vectors."""
         import json
         import os
 
@@ -521,20 +529,42 @@ class IvfIndex:
             batch_format="pyarrow", concurrency=concurrency,
         )
         os.makedirs(root, exist_ok=True)
+        meta = {"nlist": int(len(centroids)),
+                "dim": int(centroids.shape[1]),
+                "id_column": id_column, "column": column,
+                "lists_dir": "lists",
+                "centroids_file": "centroids.json"}
+        if pq_m is not None:
+            books = pq_train(sample, m=pq_m, nbits=pq_nbits, seed=seed)
+            assigned = pq_encode(assigned, books, column=column,
+                                 keep_vectors=True, concurrency=concurrency)
+            with open(os.path.join(root, "codebooks.json"), "w") as f:
+                json.dump(books.tolist(), f)
+            meta["pq"] = {"m": int(pq_m), "nbits": int(pq_nbits),
+                          "codebooks_file": "codebooks.json"}
         assigned.write_parquet(
             os.path.join(root, "lists"), partition_cols=["ivf_list"]
         )
         with open(os.path.join(root, "centroids.json"), "w") as f:
             json.dump(centroids.tolist(), f)
-        n = sum(info["rows"] for info in cls._scan_lists(root).values())
+        meta["num_rows"] = sum(
+            info["rows"] for info in cls._scan_lists(root).values())
         with open(os.path.join(root, "meta.json"), "w") as f:
-            json.dump({"nlist": int(len(centroids)),
-                       "dim": int(centroids.shape[1]),
-                       "id_column": id_column, "column": column,
-                       "num_rows": n,
-                       "lists_dir": "lists",
-                       "centroids_file": "centroids.json"}, f)
+            json.dump(meta, f)
         return cls(root)
+
+    def _codebooks(self) -> np.ndarray:
+        import json
+        import os
+
+        pq_meta = self.meta.get("pq")
+        if not pq_meta:
+            raise ValueError("index was built without pq_m — no PQ codes")
+        if getattr(self, "_books", None) is None:
+            with open(os.path.join(
+                    self.root, pq_meta["codebooks_file"])) as f:
+                self._books = np.asarray(json.load(f), dtype=np.float32)
+        return self._books
 
     @staticmethod
     def _scan_lists(root: str, lists_dir: str = "lists") -> dict[int, dict]:
@@ -578,8 +608,13 @@ class IvfIndex:
         return files, nbytes
 
     def search(self, queries: np.ndarray, k: int = 10, nprobe: int = 8,
-               dtype=np.float32, concurrency=(1, 4)) -> pa.Table:
-        """Cosine top-k over the probed lists only."""
+               dtype=np.float32, concurrency=(1, 4),
+               mode: str = "exact") -> pa.Table:
+        """Top-k over the probed lists only. ``mode="exact"`` reads the
+        raw vectors and scores cosine; ``mode="pq"`` (requires a
+        ``pq_m`` build) column-prunes the same files to (id, pq_code)
+        and scores by ADC — the scan bytes per probe drop from 4·d to
+        m per row."""
         import ray.data
 
         files, _ = self.probe_files(self.probe_lists(queries, nprobe))
@@ -587,6 +622,13 @@ class IvfIndex:
             return pa.table({"query_idx": pa.array([], pa.int32()),
                              self.meta["id_column"]: pa.array([], pa.int64()),
                              "similarity": pa.array([], pa.float64())})
+        if mode == "pq":
+            books = self._codebooks()
+            cand = ray.data.read_parquet(
+                files, columns=[self.meta["id_column"], "pq_code"])
+            return pq_topk(cand, np.asarray(queries), books,
+                           id_column=self.meta["id_column"], k=k,
+                           concurrency=concurrency)
         cand = ray.data.read_parquet(
             files, columns=[self.meta["id_column"], self.meta["column"]]
         )
@@ -622,6 +664,12 @@ class IvfIndex:
             _IvfAssigner, fn_constructor_args=(cref, self.meta["column"]),
             batch_format="pyarrow", concurrency=concurrency,
         )
+        if self.meta.get("pq"):
+            # appended files must carry codes too, or a pq-mode search
+            # over mixed lists would miss the pq_code column
+            assigned = pq_encode(assigned, self._codebooks(),
+                                 column=self.meta["column"],
+                                 keep_vectors=True, concurrency=concurrency)
         assigned.write_parquet(self._lists_path(), partition_cols=["ivf_list"])
         self._layout = None  # lists changed — drop the probe cache
         n = sum(i["rows"] for i in self._scan_lists(

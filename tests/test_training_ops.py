@@ -279,6 +279,46 @@ def test_pq_codes_parquet_roundtrip(embeddings, tmp_path):
     assert list(a["vec_id"]) == list(b["vec_id"])
 
 
+def test_ivf_pq_index_adc_search(ray_session, tmp_path):
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    n, d = 1500, 32
+    # clustered corpus so coarse lists are meaningful
+    centers = rng.standard_normal((8, d)).astype(np.float32) * 4
+    emb = (centers[rng.integers(0, 8, n)]
+           + rng.standard_normal((n, d)).astype(np.float32) * 0.3)
+    t = pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                  "embedding": pa.array(emb.tolist(), pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t).repartition(6)
+    root = str(tmp_path / "ivfpq")
+    idx = SIM.IvfIndex.build(ds, root, nlist=8, train_sample=512, pq_m=8)
+    assert idx.meta["pq"]["m"] == 8
+    q = emb[:3]
+    exact = SIM.brute_force_topk(ds, q, k=10, dtype=np.float64).to_pandas()
+    adc = idx.search(q, k=10, nprobe=8, mode="pq").to_pandas()
+    # ADC from the persisted codes: rank-1 self-retrieval + real recall
+    for qi in range(3):
+        sub = adc[adc["query_idx"] == qi].sort_values(
+            "similarity", ascending=False)
+        assert sub.iloc[0]["vec_id"] == qi
+    ex = {(r.query_idx, r.vec_id) for r in exact.itertuples()}
+    pt = {(r.query_idx, r.vec_id) for r in adc.itertuples()}
+    assert len(ex & pt) / len(ex) >= 0.6
+    # append re-encodes: pq search still works over mixed files
+    extra = pa.table({
+        "vec_id": pa.array(range(n, n + 50), pa.int64()),
+        "embedding": pa.array(emb[:50].tolist(), pa.list_(pa.float32()))})
+    idx.append(rd.from_arrow(extra))
+    adc2 = idx.search(q, k=10, nprobe=8, mode="pq").to_pandas()
+    assert len(adc2) == 30
+    # pq mode on a non-pq index refuses loudly
+    root2 = str(tmp_path / "ivfplain")
+    idx2 = SIM.IvfIndex.build(ds, root2, nlist=8, train_sample=256)
+    with pytest.raises(ValueError):
+        idx2.search(q, k=5, mode="pq")
+
+
 def test_connected_components_transitive(ray_session):
     import ray.data
 
