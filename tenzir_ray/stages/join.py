@@ -79,6 +79,21 @@ def _task_buckets(batch: pa.Table) -> list[int]:
     return [int(x) for x in batch.column("buckets").to_pylist()[0]]
 
 
+
+def _require_schemas(left, right, op: str):
+    """Both sides must expose a schema: Ray returns None for an
+    all-empty pipeline (the documented empty-Dataset trap) — fail with
+    the cause instead of an AttributeError deep in the rename logic."""
+    ls, rs = left.schema(), right.schema()
+    if ls is None or rs is None:
+        side = "left" if ls is None else "right"
+        raise ValueError(
+            f"{op}: the {side} side has no schema (empty dataset whose "
+            "schema Ray dropped); handle emptiness upstream or seed a "
+            "typed empty block")
+    return ls, rs
+
+
 class _HashJoinReducer:
     def __init__(self, read_l, read_r, lkeys, rkeys, how, out_cols):
         self.read_l = read_l
@@ -130,7 +145,7 @@ def hash_join(left, right, on: str | list[str], right_on: str | list[str] | None
     rkeys = lkeys if right_on is None else (
         [right_on] if isinstance(right_on, str) else list(right_on)
     )
-    lschema, rschema = left.schema(), right.schema()
+    lschema, rschema = _require_schemas(left, right, "hash_join")
     lcols = lschema.names
     key_partner = dict(zip(rkeys, lkeys))
     rename_r = {}
@@ -289,7 +304,7 @@ def asof_join(left, right, by: str | list[str], on: str,
     import ray.data
 
     keys = [by] if isinstance(by, str) else list(by)
-    lschema, rschema = left.schema(), right.schema()
+    lschema, rschema = _require_schemas(left, right, "asof_join")
     lcols = lschema.names
     rename_r = {
         c: (c + right_suffix if c in lcols and c not in keys and c != on else c)

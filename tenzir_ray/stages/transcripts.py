@@ -147,6 +147,11 @@ def filter_conversations(ds, predicate: str, conv_col: str = "conv_id",
 
         flagged = ds.map_batches(_counter, batch_format="pyarrow")
     flagged = flagged.map_batches(_keys, batch_format="pyarrow")
+    if flagged.schema() is None:
+        # Ray drops the schema of an all-empty pipeline: no turn matched
+        # anywhere, so the semi result is empty and the anti result is
+        # the input unchanged (cheaper than special-casing the join)
+        return ds.limit(0) if semi else ds
     return hash_join(ds, flagged, on=conv_col,
                      how="semi" if semi else "anti", **join_kw)
 

@@ -333,3 +333,87 @@ def test_duplicate_spans_matches_naive_random(ray_session, docs, k):
     got_map = {r["doc_id"]: (r["dup_spans"], r["dup_chars"])
                for r in got.to_dict("records")}
     assert got_map == want
+
+
+@st.composite
+def _transcript_frame(draw):
+    n = draw(st.integers(1, 100))
+    convs = draw(st.lists(st.integers(0, 6).map(lambda i: f"c{i}"),
+                          min_size=n, max_size=n))
+    roles = draw(st.lists(st.sampled_from(["user", "assistant", "tool"]),
+                          min_size=n, max_size=n))
+    tools = draw(st.lists(st.one_of(st.none(), st.sampled_from(["a", "b"])),
+                          min_size=n, max_size=n))
+    texts = draw(st.lists(st.text(alphabet="ab x", max_size=8),
+                          min_size=n, max_size=n))
+    return convs, roles, tools, texts
+
+
+@given(_transcript_frame())
+@settings(max_examples=5, deadline=None)
+def test_transcript_family_matches_duckdb_random(ray_session, tf):
+    """Random transcript tables (NULL tools, empty/whitespace texts):
+    conversation_stats, tool_sequences and filter_conversations must
+    agree with DuckDB row-for-row."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from tenzir_ray.stages.transcripts import (conversation_stats,
+                                               filter_conversations,
+                                               tool_sequences)
+
+    convs, roles, tools, texts = tf
+    n = len(convs)
+    T = pa.table({
+        "conv_id": pa.array(convs, pa.string()),
+        "turn_idx": pa.array(list(range(n)), pa.int32()),
+        "role": pa.array(roles, pa.string()),
+        "text": pa.array(texts, pa.string()),
+        "tool": pa.array(tools, pa.string()),
+        "ts": pa.array([1000 + i for i in range(n)], pa.timestamp("us")),
+    })
+    ds = ray.data.from_arrow(T).repartition(3)
+
+    got = (conversation_stats(ds).to_pandas()
+           .sort_values("conv_id", ignore_index=True))
+    want = duckdb.sql("""
+        SELECT conv_id, count(*) AS n_turns, count(tool) AS n_tool_calls,
+               sum(length(text)) AS total_chars,
+               min(ts) AS first_ts, max(ts) AS last_ts,
+               max(turn_idx) AS max_turn
+        FROM T GROUP BY conv_id ORDER BY conv_id""").df()
+    for c in ("n_turns", "n_tool_calls", "total_chars", "max_turn"):
+        assert got[c].astype("int64").tolist() == \
+            want[c].astype("int64").tolist(), c
+    assert got["first_ts"].astype("datetime64[us]").tolist() == \
+        want["first_ts"].astype("datetime64[us]").tolist()
+
+    seq = tool_sequences(ds).to_pandas()
+    wseq = duckdb.sql("""
+        SELECT conv_id, count(*) AS n_calls,
+               string_agg(tool, '->' ORDER BY turn_idx) AS tool_chain
+        FROM T WHERE tool IS NOT NULL GROUP BY conv_id ORDER BY conv_id
+    """).df()
+    if len(wseq):
+        seq = seq.sort_values("conv_id", ignore_index=True)
+        assert seq["tool_chain"].tolist() == wseq["tool_chain"].tolist()
+    else:
+        assert len(seq) == 0
+
+    kept = filter_conversations(ds, "tool == 'a'", mode="any",
+                                keep=False).to_pandas()
+    wkeep = duckdb.sql("""
+        SELECT * FROM T WHERE conv_id NOT IN
+            (SELECT conv_id FROM T WHERE tool = 'a')""").df()
+    got_ids = sorted(kept["turn_idx"].tolist()) if len(kept) else []
+    assert got_ids == sorted(wkeep["turn_idx"].tolist())
+
+    # all-mode with a nullable predicate column (the null-semantics fix)
+    alk = filter_conversations(ds, "tool != null", mode="all",
+                               keep=True).to_pandas()
+    walk = duckdb.sql("""
+        SELECT * FROM T WHERE conv_id NOT IN
+            (SELECT conv_id FROM T WHERE tool IS NULL)""").df()
+    got_ids = sorted(alk["turn_idx"].tolist()) if len(alk) else []
+    assert got_ids == sorted(walk["turn_idx"].tolist())
