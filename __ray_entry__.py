@@ -529,6 +529,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return pack_conversations(_transcripts_ds(sf), 400)
 
+    def dedup_turns(sf):
+        # exact turn-text dedup ACROSS conversations (boilerplate-turn
+        # removal — greetings/templates repeat across transcripts);
+        # deterministic winner = min global event order (turn_idx alone
+        # TIES across conversations — reconstruct the unique event id)
+        from tenzir_ray.stages.dedup import exact_dedup
+
+        def _sel(t):
+            import pyarrow.compute as pc
+
+            conv_n = pc.cast(pc.utf8_slice_codeunits(
+                t.column("conv_id"), 1, 32), pa.int64())
+            ordk = pc.add(pc.multiply(pc.cast(t.column("turn_idx"),
+                                              pa.int64()), 150), conv_n)
+            return pa.table({
+                "conv_id": t.column("conv_id"),
+                "turn_idx": t.column("turn_idx"),
+                "text": t.column("text"),
+                "_ord": ordk,
+            })
+
+        import pyarrow as pa
+
+        tr = _transcripts_ds(sf).map_batches(_sel, batch_format="pyarrow")
+        out = exact_dedup(tr, "text", keep_order_by="_ord")
+        return out.drop_columns(["_ord"])
+
     def clean_transcripts(sf):
         # end-to-end transcript preparation as ONE hash-verified
         # composition (the transcripts twin of clean_corpus_chunks):
@@ -2692,6 +2719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_convs": pack_convs,
         "conv_alternation": conv_alternation,
         "clean_transcripts": clean_transcripts,
+        "dedup_turns": dedup_turns,
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
         "media_jpeg_decode": media_jpeg_decode,
         "media_mjpeg_frames": media_mjpeg_frames,
@@ -3737,6 +3765,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, conv_tokens,
                    CAST(cb // 400 AS BIGINT) AS seq_id
             FROM cum
+        """,
+        "dedup_turns": f"""
+            WITH {_TRANSCRIPTS_CTE},
+            w AS (SELECT conv_id, turn_idx, text, row_number() OVER (
+                      PARTITION BY text
+                      ORDER BY CAST(turn_idx AS BIGINT) * 150
+                               + CAST(substr(conv_id, 2) AS BIGINT)) AS rn
+                  FROM tr)
+            SELECT conv_id, turn_idx, text FROM w WHERE rn = 1
         """,
         "clean_transcripts": rf"""
             WITH {_TRANSCRIPTS_CTE},
