@@ -2037,9 +2037,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             return pd.DataFrame({"media_id": df["doc_id"],
                                  "payload": payloads})
 
-        ds = _read(sf, "documents", columns=["doc_id"]).map_batches(
-            _mk, batch_format="pandas"
-        )
+        # cap the synthetic corpus: the pure-Python JPEG codec costs
+        # ~ms/frame, and 2000 docs already exercise every (nf, h, color)
+        # residue class — an uncapped sf0.1 run spent 15 s re-proving
+        # the same codec paths
+        from tenzir_ray.stages.transforms import where as _where
+
+        ds = _where(_read(sf, "documents", columns=["doc_id"]),
+                    "doc_id < 2000").map_batches(_mk, batch_format="pandas")
         out = sample_frames(ds, every_n=2, fake=False)
 
         def _props(df: pd.DataFrame) -> pd.DataFrame:
@@ -3897,7 +3902,7 @@ def oracle_sql() -> dict[str, str]:
                    true AS luma_close
             FROM documents
             CROSS JOIN (VALUES (0), (2)) f(i)
-            WHERE f.i < 1 + doc_id % 4
+            WHERE f.i < 1 + doc_id % 4 AND doc_id < 2000
         """,
         "media_audio_decode": """
             SELECT doc_id, 16000 AS sample_rate, 1 AS channels,
