@@ -175,10 +175,15 @@ def _build_sql_lake(sf: str, tag: str, **apply_kwargs):
 # scale), (conv_id, turn_idx) is a bijection of event_id, and roles cycle
 # all residues of 7 within a conversation (150 ≡ 3 mod 7 generates Z7) so
 # alternation stats are non-degenerate.
-_TRANSCRIPTS_CTE = """
+# conversation count of the derivation — shared by the Ray builder, the
+# SQL CTE, and dedup_turns' event-order reconstruction (turn_idx *
+# _TRANSCRIPTS_CONVS + conv_n == event_id)
+_TRANSCRIPTS_CONVS = 150
+
+_TRANSCRIPTS_CTE = f"""
     tr AS (
-        SELECT 'c' || CAST(event_id % 150 AS VARCHAR) AS conv_id,
-               CAST(event_id // 150 AS INTEGER) AS turn_idx,
+        SELECT 'c' || CAST(event_id % {_TRANSCRIPTS_CONVS} AS VARCHAR) AS conv_id,
+               CAST(event_id // {_TRANSCRIPTS_CONVS} AS INTEGER) AS turn_idx,
                CASE WHEN event_id % 7 < 3 THEN 'user'
                     WHEN event_id % 7 = 6 THEN 'tool'
                     ELSE 'assistant' END AS role,
@@ -199,8 +204,8 @@ def _transcripts_ds(sf_dir: str):
         i = df["event_id"].to_numpy()
         m7 = i % 7
         out = pd.DataFrame({
-            "conv_id": "c" + pd.Series(i % 150).astype(str),
-            "turn_idx": (i // 150).astype(np.int32),
+            "conv_id": "c" + pd.Series(i % _TRANSCRIPTS_CONVS).astype(str),
+            "turn_idx": (i // _TRANSCRIPTS_CONVS).astype(np.int32),
             "role": np.where(m7 < 3, "user",
                              np.where(m7 == 6, "tool", "assistant")),
             "text": (df["event_type"] + " ").str.repeat(1 + i % 5),
@@ -542,7 +547,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             conv_n = pc.cast(pc.utf8_slice_codeunits(
                 t.column("conv_id"), 1, 32), pa.int64())
             ordk = pc.add(pc.multiply(pc.cast(t.column("turn_idx"),
-                                              pa.int64()), 150), conv_n)
+                                              pa.int64()),
+                                      _TRANSCRIPTS_CONVS), conv_n)
             return pa.table({
                 "conv_id": t.column("conv_id"),
                 "turn_idx": t.column("turn_idx"),
@@ -3775,7 +3781,8 @@ def oracle_sql() -> dict[str, str]:
             WITH {_TRANSCRIPTS_CTE},
             w AS (SELECT conv_id, turn_idx, text, row_number() OVER (
                       PARTITION BY text
-                      ORDER BY CAST(turn_idx AS BIGINT) * 150
+                      ORDER BY CAST(turn_idx AS BIGINT)
+                               * {_TRANSCRIPTS_CONVS}
                                + CAST(substr(conv_id, 2) AS BIGINT)) AS rn
                   FROM tr)
             SELECT conv_id, turn_idx, text FROM w WHERE rn = 1

@@ -383,6 +383,10 @@ def _as_pred(node: ast.expr):
     return _compile(node)
 
 
+def _is_none_const(node: ast.expr) -> bool:
+    return isinstance(node, ast.Constant) and node.value is None
+
+
 def _compile(node: ast.expr):
     if isinstance(node, ast.BoolOp):
         parts = [_as_pred(v) for v in node.values]
@@ -427,16 +431,21 @@ def _compile(node: ast.expr):
                     term = ~term
             elif isinstance(op, (ast.Is, ast.IsNot)) or (
                 isinstance(op, (ast.Eq, ast.NotEq))
-                and isinstance(comp, ast.Constant) and comp.value is None
+                and (_is_none_const(comp) or _is_none_const(left_node))
             ):
                 # `x is [not] None` and the reference's `x == null` /
-                # `x != null` (expression.md: equality with null is a
-                # null TEST, not SQL's always-null comparison)
-                if not (isinstance(comp, ast.Constant) and comp.value is None):
+                # `null == x` (expression.md: equality with null is a
+                # null TEST, not SQL's always-null comparison —
+                # symmetric, either operand may be the null literal)
+                if not (_is_none_const(comp) or _is_none_const(left_node)):
                     raise ValueError("`is` only supported with None")
-                term = (left.is_null()
+                if _is_none_const(comp) and _is_none_const(left_node):
+                    raise ValueError(
+                        "null == null is a constant — write the boolean")
+                subj = _compile(comp) if _is_none_const(left_node) else left
+                term = (subj.is_null()
                         if isinstance(op, (ast.Is, ast.Eq))
-                        else left.is_valid())
+                        else subj.is_valid())
             else:
                 rhs = _date_literal(_compile(comp))
                 if isinstance(rhs, SubnetLiteral) or isinstance(left, SubnetLiteral):

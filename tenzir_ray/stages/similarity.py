@@ -291,6 +291,10 @@ def pq_train(sample: np.ndarray, m: int = 8, nbits: int = 8,
     n, d = sample.shape
     if d % m:
         raise ValueError(f"pq_train: dim {d} not divisible by m={m}")
+    if not 1 <= nbits <= 8:
+        # codes are stored as one uint8 per subspace — more than 256
+        # centroids would silently wrap on encode
+        raise ValueError(f"pq_train: nbits must be in [1, 8], got {nbits}")
     dsub, ks = d // m, 1 << nbits
     books = np.empty((m, ks, dsub), np.float32)
     for s in range(m):
@@ -629,6 +633,9 @@ class IvfIndex:
             return pq_topk(cand, np.asarray(queries), books,
                            id_column=self.meta["id_column"], k=k,
                            concurrency=concurrency)
+        if mode != "exact":
+            # a typo must not silently fall back to the 4·d-bytes scan
+            raise ValueError(f"search: mode {mode!r} not in ('exact', 'pq')")
         cand = ray.data.read_parquet(
             files, columns=[self.meta["id_column"], self.meta["column"]]
         )
