@@ -881,6 +881,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "| sort o_orderpriority"
         )
 
+    def tql2_if_branches(sf):
+        # TQL2 `if` statement blocks (tql2/parser.cpp parse_if_stmt):
+        # events route by the predicate — null = false → else branch —
+        # branch sub-pipelines transform, outputs union; oracle is the
+        # equivalent CASE projection
+        from tenzir_ray.pipelines.tql2 import run_pipeline2
+
+        return run_pipeline2(f"""
+            from "{sf}/events.parquet"
+            if value >= 0.5 {{
+                bucket = "high"
+                boosted = value * 2
+            }} else {{
+                bucket = "low"
+                boosted = value
+            }}
+            select event_id, bucket, boosted
+        """)
+
     def tql2_revenue(sf):
         # TQL2-flavored front-end (tql2/parser.cpp subset): newline
         # statements, assignment sugar, from-with-loader-inference,
@@ -2731,6 +2750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_alternation": conv_alternation,
         "clean_transcripts": clean_transcripts,
         "dedup_turns": dedup_turns,
+        "tql2_if_branches": tql2_if_branches,
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
         "media_jpeg_decode": media_jpeg_decode,
         "media_mjpeg_frames": media_mjpeg_frames,
@@ -3776,6 +3796,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, conv_tokens,
                    CAST(cb // 400 AS BIGINT) AS seq_id
             FROM cum
+        """,
+        "tql2_if_branches": """
+            SELECT event_id,
+                   CASE WHEN value >= 0.5 THEN 'high' ELSE 'low' END
+                       AS bucket,
+                   CASE WHEN value >= 0.5 THEN value * 2 ELSE value END
+                       AS boosted
+            FROM events
         """,
         "dedup_turns": f"""
             WITH {_TRANSCRIPTS_CTE},

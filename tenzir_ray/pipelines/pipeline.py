@@ -514,6 +514,36 @@ class Pipeline:
                 else:
                     ds = Pipeline(step["pipeline"]).run(ds, optimize=optimize)
                 continue
+            if name == "if":
+                # TQL2 conditional (tql2/parser.cpp parse_if_stmt):
+                # events route by the predicate — SQL-null counts as
+                # false, so the complement MASK (not `where not pred`)
+                # sends null rows to the else branch; outputs union.
+                # Branches must keep a union-compatible schema.
+                import pyarrow as pa_mod
+
+                from tenzir_ray.expr import compile_filter
+
+                if ds is None:
+                    raise ValueError("`if` needs an upstream dataset")
+                compiled = compile_filter(step["expr"])
+
+                def _take(match: bool, _c=compiled):
+                    def f(t):
+                        m = _c.mask(t)
+                        return t.filter(pa_mod.array(m if match else ~m))
+
+                    return f
+
+                then_ds = Pipeline(step["then"]).run(
+                    ds.map_batches(_take(True), batch_format="pyarrow"),
+                    optimize=optimize)
+                else_ds = ds.map_batches(_take(False), batch_format="pyarrow")
+                if step.get("else"):
+                    else_ds = Pipeline(step["else"]).run(
+                        else_ds, optimize=optimize)
+                ds = then_ds.union(else_ds)
+                continue
             if name in ("hash_join", "asof_join", "range_join",
                         "range_join_partitioned"):
                 from tenzir_ray.stages import join as join_mod

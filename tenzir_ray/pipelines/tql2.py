@@ -13,15 +13,19 @@ TQL1 at this snapshot (parser.cpp:83-230):
   (parse_let_stmt — ``$``-prefixed, constant);
 - invocations take COMMA-separated arguments: ``select a, b``,
   ``from "file.parquet"``;
-- ``from <string>`` infers the loader from the path/extension.
+- ``from <string>`` infers the loader from the path/extension;
+- ``if <expr> { stmts } [else { … } | else if …]`` statement blocks
+  (parse_if_stmt): events route by the predicate (SQL-null = false →
+  else branch), branch sub-pipelines transform their slice, outputs
+  union (branches must keep union-compatible schemas).
 
 This module implements exactly that statement layer on top of the same
 operator registry the TQL1 front-end drives; expressions inside
 statements reuse the engine expression language (expr.py). NOT
-implemented from TQL2 (parser.cpp): ``if``/``match`` statement blocks
-and record/lambda literals — those raise with a pointer to this
-docstring. That keeps the subset honest: everything accepted executes
-with reference-shaped semantics; nothing parses to a silent guess.
+implemented from TQL2 (parser.cpp): ``match`` statement blocks and
+record/lambda literals — those raise with a pointer to this docstring.
+That keeps the subset honest: everything accepted executes with
+reference-shaped semantics; nothing parses to a silent guess.
 """
 
 from __future__ import annotations
@@ -142,12 +146,84 @@ def _from_step(arg: str) -> dict:
     return step
 
 
+def _match_brace(text: str, open_idx: int) -> int:
+    """Index of the ``}`` matching ``text[open_idx] == '{'``,
+    quote-aware."""
+    depth = 0
+    quote: str | None = None
+    for i in range(open_idx, len(text)):
+        ch = text[i]
+        if quote:
+            if ch == quote and text[i - 1] != "\\":
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+        elif ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise ValueError("non-terminated { block")
+
+
+def _first_brace(text: str) -> int:
+    """Index of the first ``{`` outside quotes."""
+    quote: str | None = None
+    for i, ch in enumerate(text):
+        if quote:
+            if ch == quote and text[i - 1] != "\\":
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+        elif ch == "{":
+            return i
+    raise ValueError("if: missing { block }")
+
+
+def _parse_if(stmt: str) -> dict:
+    """``if <expr> { stmts } [else { stmts } | else if <expr> { … }]``
+    (parser.cpp parse_if_stmt). Branch bodies are nested statement
+    lists over the same grammar; events route by the predicate
+    (SQL-null = false → else branch), outputs union."""
+    body_open = _first_brace(stmt)
+    cond = stmt[2:body_open].strip()
+    if not cond:
+        raise ValueError("if: empty condition")
+    body_close = _match_brace(stmt, body_open)
+    then_steps = [parse_statement(s) for s in
+                  split_statements(stmt[body_open + 1:body_close])]
+    rest = stmt[body_close + 1:].strip()
+    else_steps: list[dict] | None = None
+    if rest:
+        if not rest.startswith("else"):
+            raise ValueError(f"if: unexpected trailer {rest!r}")
+        rest = rest[4:].strip()
+        if rest.startswith("if"):
+            else_steps = [_parse_if(rest)]  # else-if chain
+        else:
+            if not rest.startswith("{"):
+                raise ValueError("if: `else` needs a { block } or `if`")
+            close = _match_brace(rest, 0)
+            if rest[close + 1:].strip():
+                raise ValueError(
+                    f"if: unexpected trailer {rest[close + 1:].strip()!r}")
+            else_steps = [parse_statement(s)
+                          for s in split_statements(rest[1:close])]
+    step = {"op": "if", "expr": cond, "then": then_steps}
+    if else_steps is not None:
+        step["else"] = else_steps
+    return step
+
+
 def parse_statement(stmt: str) -> dict:
     stmt = stmt.strip()
     head = stmt.split(None, 1)[0] if stmt else ""
-    if head in ("if", "match"):
+    if head == "if":
+        return _parse_if(stmt)
+    if head == "match":
         raise NotImplementedError(
-            f"TQL2 `{head}` statement blocks are not in this subset "
+            "TQL2 `match` statement blocks are not in this subset "
             "(see tenzir_ray/pipelines/tql2.py docstring)"
         )
     # assignment statement: `path = expr` (but `==` is a comparison and

@@ -280,12 +280,51 @@ def test_tql2_front_end_subset(ray_session, tmp_path):
     assert out["total"].tolist() == [10.0, 90.0]
 
     # unsupported statements fail loudly, not silently
-    with pytest.raises(NotImplementedError, match="if"):
-        parse_pipeline2('from "x.parquet"\nif k == 1 { head 1 }')
+    with pytest.raises(NotImplementedError, match="match"):
+        parse_pipeline2('from "x.parquet"\nmatch k { 1 => {} }')
     with pytest.raises(ValueError, match="loader"):
         parse_pipeline2('from "plain.xyz"')
     with pytest.raises(ValueError, match="unbound"):
         parse_pipeline2('from "x.parquet"\nwhere k == $nope')
+
+
+def test_tql2_if_blocks(ray_session, tmp_path):
+    """TQL2 `if` statement blocks (parse_if_stmt): predicate routing
+    with SQL-null → else, else-if chains, union of branch outputs."""
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.pipelines.tql2 import parse_pipeline2, run_pipeline2
+
+    p = str(tmp_path / "t2.parquet")
+    pq.write_table(pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "v": pa.array([10.0, None, 30.0, 40.0]),
+    }), p)
+
+    out = run_pipeline2(f'''
+        from "{p}"
+        if v >= 30 {{
+            tier = "hot"
+        }} else if v >= 5 {{
+            tier = "warm"
+        }} else {{
+            tier = "unknown"   // null v routes here
+        }}
+        sort k
+    ''').to_pandas()
+    assert out["tier"].tolist() == ["warm", "unknown", "hot", "hot"]
+
+    # branch sub-pipelines may filter: if without else keeps the
+    # complement unchanged
+    out2 = run_pipeline2(f'from "{p}"\nif v >= 30 {{ head 1 }}\nsort k'
+                         ).to_pandas()
+    assert len(out2) == 3  # one of the two hot rows + both others
+
+    # malformed blocks fail loudly
+    with pytest.raises(ValueError, match="non-terminated"):
+        parse_pipeline2(f'from "{p}"\nif v >= 30 {{ tier = "x"')
+    with pytest.raises(ValueError, match="trailer"):
+        parse_pipeline2(f'from "{p}"\nif v >= 1 {{ k = 1 }} nonsense')
 
 
 def test_read_parquet_filter_on_unprojected_column(ray_session, tmp_path):
