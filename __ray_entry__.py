@@ -900,6 +900,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             select event_id, bucket, boosted
         """)
 
+    def tql2_match_arms(sf):
+        # TQL2 `match` statement (parser.cpp:150 — the reference parses
+        # this shape but leaves execution TODO; we desugar to the
+        # nested-if chain: first arm wins, `_` catch-all)
+        from tenzir_ray.pipelines.tql2 import run_pipeline2
+
+        return run_pipeline2(f"""
+            from "{sf}/events.parquet"
+            match event_type {{
+                "click", "view" => {{ kind = "browse" }}
+                "purchase" => {{ kind = "conversion" }}
+                _ => {{ kind = "other" }}
+            }}
+            select event_id, event_type, kind
+        """)
+
     def tql2_revenue(sf):
         # TQL2-flavored front-end (tql2/parser.cpp subset): newline
         # statements, assignment sugar, from-with-loader-inference,
@@ -2751,6 +2767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_transcripts": clean_transcripts,
         "dedup_turns": dedup_turns,
         "tql2_if_branches": tql2_if_branches,
+        "tql2_match_arms": tql2_match_arms,
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
         "media_jpeg_decode": media_jpeg_decode,
         "media_mjpeg_frames": media_mjpeg_frames,
@@ -3796,6 +3813,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, conv_tokens,
                    CAST(cb // 400 AS BIGINT) AS seq_id
             FROM cum
+        """,
+        "tql2_match_arms": """
+            SELECT event_id, event_type,
+                   CASE WHEN event_type IN ('click', 'view') THEN 'browse'
+                        WHEN event_type = 'purchase' THEN 'conversion'
+                        ELSE 'other' END AS kind
+            FROM events
         """,
         "tql2_if_branches": """
             SELECT event_id,

@@ -17,15 +17,19 @@ TQL1 at this snapshot (parser.cpp:83-230):
 - ``if <expr> { stmts } [else { … } | else if …]`` statement blocks
   (parse_if_stmt): events route by the predicate (SQL-null = false →
   else branch), branch sub-pipelines transform their slice, outputs
-  union (branches must keep union-compatible schemas).
+  union (branches must keep union-compatible schemas);
+- ``match <expr> { v1[, v2…] => { stmts } … [_ => { … }] }``
+  (parse_match_stmt — the reference parses this shape but leaves
+  execution TODO, parser.cpp:151; here it desugars to the nested-if
+  chain: first matching arm wins, ``_`` catch-all, unmatched rows pass
+  through unchanged).
 
 This module implements exactly that statement layer on top of the same
 operator registry the TQL1 front-end drives; expressions inside
 statements reuse the engine expression language (expr.py). NOT
-implemented from TQL2 (parser.cpp): ``match`` statement blocks and
-record/lambda literals — those raise with a pointer to this docstring.
-That keeps the subset honest: everything accepted executes with
-reference-shaped semantics; nothing parses to a silent guess.
+implemented from TQL2 (parser.cpp): record/lambda literals — those
+fail to parse rather than guess. Everything accepted executes with
+reference-shaped (or, for match, documented-extension) semantics.
 """
 
 from __future__ import annotations
@@ -216,16 +220,67 @@ def _parse_if(stmt: str) -> dict:
     return step
 
 
+def _parse_match(stmt: str) -> dict:
+    """``match <expr> { v1[, v2…] => { stmts } … [_ => { stmts }] }``
+    (parser.cpp:150 parse_match_stmt — the reference PARSES this shape
+    but leaves execution semantics TODO, parser.cpp:151-155; here it
+    desugars to the nested-``if`` chain with the natural semantics:
+    first matching arm wins, ``_`` is the catch-all, rows matching no
+    arm pass through unchanged)."""
+    body_open = _first_brace(stmt)
+    subject = stmt[5:body_open].strip()
+    if not subject:
+        raise ValueError("match: empty subject expression")
+    body_close = _match_brace(stmt, body_open)
+    if stmt[body_close + 1:].strip():
+        raise ValueError(
+            f"match: unexpected trailer {stmt[body_close + 1:].strip()!r}")
+    body = stmt[body_open + 1:body_close].strip()
+    arms: list[tuple[list[str] | None, list[dict]]] = []
+    while body:
+        arrow = body.find("=>")
+        if arrow < 0:
+            raise ValueError(f"match: arm without `=>`: {body!r}")
+        values = [v.strip() for v in
+                  split_segments(body[:arrow], ",") if v.strip()]
+        if not values:
+            raise ValueError("match: arm needs at least one value")
+        open_i = _first_brace(body[arrow:]) + arrow
+        close_i = _match_brace(body, open_i)
+        steps = [parse_statement(s)
+                 for s in split_statements(body[open_i + 1:close_i])]
+        arms.append((None if values == ["_"] else values, steps))
+        body = body[close_i + 1:].strip().lstrip(",").strip()
+    if not arms:
+        raise ValueError("match: no arms")
+    # desugar right-to-left into the nested if chain
+    step: dict | None = None
+    tail: list[dict] | None = None
+    for values, steps in reversed(arms):
+        if values is None:  # `_` catch-all
+            if step is not None or tail is not None:
+                raise ValueError("match: `_` must be the last arm")
+            tail = steps
+            continue
+        pred = " or ".join(f"({subject}) == ({v})" for v in values)
+        node: dict = {"op": "if", "expr": pred, "then": steps}
+        if step is not None:
+            node["else"] = [step]
+        elif tail is not None:
+            node["else"] = tail
+        step = node
+    if step is None:  # only a `_` arm: unconditional sub-pipeline
+        return {"op": "apply", "pipeline": tail}
+    return step
+
+
 def parse_statement(stmt: str) -> dict:
     stmt = stmt.strip()
     head = stmt.split(None, 1)[0] if stmt else ""
     if head == "if":
         return _parse_if(stmt)
     if head == "match":
-        raise NotImplementedError(
-            "TQL2 `match` statement blocks are not in this subset "
-            "(see tenzir_ray/pipelines/tql2.py docstring)"
-        )
+        return _parse_match(stmt)
     # assignment statement: `path = expr` (but `==` is a comparison and
     # verbs like `where x = 1` never reach here — verbs are idents
     # followed by args, assignments start with the TARGET)

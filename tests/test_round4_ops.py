@@ -279,9 +279,7 @@ def test_tql2_front_end_subset(ray_session, tmp_path):
     assert out["n"].tolist() == [1, 3]
     assert out["total"].tolist() == [10.0, 90.0]
 
-    # unsupported statements fail loudly, not silently
-    with pytest.raises(NotImplementedError, match="match"):
-        parse_pipeline2('from "x.parquet"\nmatch k { 1 => {} }')
+    # malformed inputs fail loudly, not silently
     with pytest.raises(ValueError, match="loader"):
         parse_pipeline2('from "plain.xyz"')
     with pytest.raises(ValueError, match="unbound"):
@@ -325,6 +323,47 @@ def test_tql2_if_blocks(ray_session, tmp_path):
         parse_pipeline2(f'from "{p}"\nif v >= 30 {{ tier = "x"')
     with pytest.raises(ValueError, match="trailer"):
         parse_pipeline2(f'from "{p}"\nif v >= 1 {{ k = 1 }} nonsense')
+
+
+def test_tql2_match_blocks(ray_session, tmp_path):
+    """TQL2 `match` statements (parser.cpp:150 parses the shape; exec
+    semantics are the documented desugar: first arm wins, `_`
+    catch-all, no-arm rows pass through)."""
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.pipelines.tql2 import parse_pipeline2, run_pipeline2
+
+    p = str(tmp_path / "m.parquet")
+    pq.write_table(pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "ev": ["click", "view", "buy", "ping"],
+    }), p)
+
+    out = run_pipeline2(f'''
+        from "{p}"
+        match ev {{
+            "click", "view" => {{ kind = "browse" }}
+            "buy" => {{ kind = "conversion" }}
+            _ => {{ kind = "other" }}
+        }}
+        sort k
+    ''').to_pandas()
+    assert out["kind"].tolist() == ["browse", "browse", "conversion", "other"]
+
+    # first matching arm wins; no catch-all → pass-through (null kind)
+    out2 = run_pipeline2(f'''
+        from "{p}"
+        match ev {{ "click" => {{ kind = "a" }}, "click" => {{ kind = "b" }} }}
+        sort k
+    ''').to_pandas()
+    assert out2["kind"].tolist()[0] == "a"
+    assert out2["kind"].isna().sum() == 3
+
+    with pytest.raises(ValueError, match="last arm"):
+        parse_pipeline2(
+            f'from "{p}"\nmatch ev {{ _ => {{ k = 1 }} "x" => {{ k = 2 }} }}')
+    with pytest.raises(ValueError, match="=>"):
+        parse_pipeline2(f'from "{p}"\nmatch ev {{ "x" {{ k = 2 }} }}')
 
 
 def test_read_parquet_filter_on_unprojected_column(ray_session, tmp_path):
