@@ -2283,6 +2283,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DuckDB's last-writer-wins over the same derivation
         return _build_sql_lake(sf, "replay").final_table()
 
+    def cdc_clone_read(sf):
+        # shallow clone (Delta CLONE analog): hardlink-fork the replayed
+        # lake, apply a DIVERGING epoch to the ORIGINAL (deletes every
+        # live row — would zero the table), then read the CLONE: it must
+        # still equal the pre-divergence LWW oracle, proving the clone
+        # shares immutable files but not future state
+        import pyarrow as pa
+
+        lake = _build_sql_lake(sf, "clone")
+        dest = _scratch("tenzir_ray_cdc_sql",
+                        f"clone-dst-{os.path.basename(os.path.normpath(sf))}")
+        shutil.rmtree(dest, ignore_errors=True)
+        cloned = lake.clone(dest)
+        live = lake.final_table()
+        n = live.num_rows
+        wipe = pa.table({
+            "lsn": pa.array(range(10**9, 10**9 + n), pa.int64()),
+            "op": pa.array(["delete"] * n),
+            "conv_id": live.column("conv_id"),
+            "turn_idx": live.column("turn_idx"),
+            "text": pa.nulls(n, pa.string()),
+        })
+        lake.apply_changes(wipe, epoch_id="diverge")
+        assert lake.final_table().num_rows == 0, "wipe epoch must empty src"
+        return cloned.final_table()
+
     def cdc_append_pruned(sf):
         # append-only ingest (reference import semantics: pure inserts,
         # per-epoch files, fast path preserved) + zone-map FILE pruning
@@ -2706,6 +2732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": embedding_near_dups,
         "cdc_replay": cdc_replay,
         "cdc_replay_sql": cdc_replay_sql,
+        "cdc_clone_read": cdc_clone_read,
         "cdc_append_pruned": cdc_append_pruned,
         "cdc_time_travel": cdc_time_travel,
         "cdc_change_feed": cdc_change_feed,
@@ -3350,6 +3377,21 @@ def oracle_sql() -> dict[str, str]:
                    event_type || '-' || CAST(event_id AS VARCHAR) AS text
             FROM events
             WHERE event_id >= 2 * ((SELECT count(*) FROM events) // 3)
+        """,
+        "cdc_clone_read": """
+            WITH ch AS (
+                SELECT event_id AS lsn,
+                       CASE WHEN event_id % 10 = 9 THEN 'delete'
+                            WHEN event_id % 10 >= 6 THEN 'update'
+                            ELSE 'insert' END AS op,
+                       'c' || CAST(user_id % 50 AS VARCHAR) AS conv_id,
+                       CAST((event_id // 7) % 20 AS INTEGER) AS turn_idx,
+                       event_type || '-' || CAST(event_id AS VARCHAR) AS text
+                FROM events),
+            w AS (SELECT *, row_number() OVER (
+                      PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) rn
+                  FROM ch)
+            SELECT conv_id, turn_idx, text FROM w WHERE rn = 1 AND op != 'delete'
         """,
         "cdc_replay_sql": """
             WITH ch AS (

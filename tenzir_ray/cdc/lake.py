@@ -68,7 +68,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from tenzir_ray.cdc.manifest import Manifest, REGISTRY_NAME
+from tenzir_ray.cdc.manifest import MANIFEST_NAME, Manifest, REGISTRY_NAME
 from tenzir_ray.cdc.registry import SchemaRegistry
 from tenzir_ray.stages.exchange import pack_by_partition
 
@@ -1533,6 +1533,40 @@ class LakeTable:
                 )
             )
         return results
+
+    def clone(self, dest_root: str) -> "LakeTable":
+        """Shallow clone (Delta-Lake ``CLONE`` analog): hardlink every
+        file under the root — live partitions, historical epoch file
+        sets (time travel works in the clone), delta/``_cdf`` feed
+        files — plus the manifest and schema registry. Zero data bytes
+        copied on the same filesystem (cross-FS falls back to copy).
+
+        Correct because data files are IMMUTABLE (uuid-named; an apply
+        replaces a partition's file SET, never rewrites a file in
+        place): writes to either table create new files under its own
+        root, and ``gc()``/``optimize()`` only unlink their own root's
+        names — the shared inode survives until the last name dies.
+        In-flight ``_staging`` is skipped (transient exchange state)."""
+        import shutil
+
+        if os.path.exists(os.path.join(dest_root, MANIFEST_NAME)):
+            raise FileExistsError(f"clone target already a lake: {dest_root}")
+        os.makedirs(dest_root, exist_ok=True)
+        for dirpath, dirnames, filenames in os.walk(self.root):
+            rel = os.path.relpath(dirpath, self.root)
+            if rel.split(os.sep)[0] == "_staging":
+                dirnames[:] = []
+                continue
+            for fn in filenames:
+                src = os.path.join(dirpath, fn)
+                dst = (os.path.join(dest_root, fn) if rel == "."
+                       else os.path.join(dest_root, rel, fn))
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                try:
+                    os.link(src, dst)
+                except OSError:  # cross-filesystem / FS without links
+                    shutil.copy2(src, dst)
+        return LakeTable(dest_root)
 
     # -- maintenance (reference: rebuild.cpp compaction + disk_monitor) --
     def gc(self) -> dict:

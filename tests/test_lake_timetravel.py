@@ -384,3 +384,45 @@ def test_zone_map_timestamp_pruning(ray_session, tmp_path):
         filter_expr='ts >= "2025-02-01" and ts < "2025-02-15"').to_pandas()
     assert lake._last_read_pruned == 2
     assert len(mid) == 50
+
+
+def test_clone_shallow_fork(ray_session, tmp_path):
+    """clone(): hardlink fork — reads equal, future writes diverge,
+    gc on either side never breaks the other (shared inodes survive
+    until the last name dies), and time travel works in the clone."""
+    src_root = str(tmp_path / "src")
+    ch = gen_changes(4000, seed=9)
+    lake = LakeTable(src_root, num_partitions=8)
+    lsn = ch.column("lsn")
+    lake.apply_changes(ch.filter(pc.less(lsn, 2000)), epoch_id="e1")
+    lake.apply_changes(ch.filter(pc.greater_equal(lsn, 2000)), epoch_id="e2")
+    want = lake.final_table()
+
+    dst_root = str(tmp_path / "dst")
+    clone = lake.clone(dst_root)
+    _eq(clone.final_table(), want)
+    # a second clone into an existing lake refuses
+    with pytest.raises(FileExistsError):
+        lake.clone(dst_root)
+    # hardlinks, not copies: same inode for a live file
+    rel = next(iter(lake.manifest.partitions.values()))["files"][0]
+    assert os.stat(os.path.join(src_root, rel)).st_ino == \
+        os.stat(os.path.join(dst_root, rel)).st_ino
+
+    # divergence: new epoch on the clone only
+    extra = gen_changes(500, seed=10)
+    clone.apply_changes(extra, epoch_id="e3-clone")
+    assert LakeTable(src_root).manifest.epochs[-1]["epoch_id"] == "e2"
+    _eq(LakeTable(src_root).final_table(), want)
+
+    # gc + optimize on the SOURCE must not invalidate the clone's reads
+    lake.optimize()
+    lake.gc()
+    clone2 = LakeTable(dst_root)
+    got = clone2.final_table()
+    # clone has e3 applied — compare against the naive oracle over all
+    both = pa.concat_tables([ch, extra], promote_options="permissive")
+    _eq(got, naive_apply(both))
+    # time travel inside the clone reaches the pre-divergence snapshot
+    snap = clone2.final_table(as_of="e2")
+    _eq(snap, want)
