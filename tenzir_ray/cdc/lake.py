@@ -1549,6 +1549,17 @@ class LakeTable:
         In-flight ``_staging`` is skipped (transient exchange state)."""
         import shutil
 
+        src_real = os.path.realpath(self.root)
+        dst_real = os.path.realpath(dest_root)
+        if (dst_real == src_real
+                or dst_real.startswith(src_real + os.sep)
+                or src_real.startswith(dst_real + os.sep)):
+            # a nested dest would be walked mid-clone AND its files,
+            # unreferenced by the source manifest, would be gc()'d as
+            # orphans — silently destroying the clone
+            raise ValueError(
+                f"clone target {dest_root!r} must not nest with the "
+                f"source root {self.root!r}")
         if os.path.exists(os.path.join(dest_root, MANIFEST_NAME)):
             raise FileExistsError(f"clone target already a lake: {dest_root}")
         os.makedirs(dest_root, exist_ok=True)

@@ -519,13 +519,20 @@ class Pipeline:
                 # events route by the predicate — SQL-null counts as
                 # false, so the complement MASK (not `where not pred`)
                 # sends null rows to the else branch; outputs union.
-                # Branches must keep a union-compatible schema.
+                # Branches must keep a union-compatible schema, and the
+                # union does NOT preserve inter-branch event order (a
+                # batch engine's conditional — follow with `sort` before
+                # order-sensitive steps).
                 import pyarrow as pa_mod
 
                 from tenzir_ray.expr import compile_filter
 
                 if ds is None:
                     raise ValueError("`if` needs an upstream dataset")
+                # both branch pipelines consume ds: materialize once so
+                # the upstream lineage (reads, transforms) does not
+                # execute twice per conditional level
+                ds = ds.materialize()
                 compiled = compile_filter(step["expr"])
 
                 def _take(match: bool, _c=compiled):

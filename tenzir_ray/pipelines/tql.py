@@ -69,12 +69,24 @@ def split_segments(text: str, sep: str = "|") -> list[str]:
     while i < len(text):
         ch = text[i]
         if quote:
+            # escapes consume the NEXT char too, so a string ending in
+            # an escaped backslash ("a\\") closes its quote correctly
+            if ch == "\\" and i + 1 < len(text):
+                buf.append(ch)
+                buf.append(text[i + 1])
+                i += 2
+                continue
             buf.append(ch)
-            if ch == quote and text[i - 1] != "\\":
+            if ch == quote:
                 quote = None
         elif in_pattern:
+            if ch == "\\" and i + 1 < len(text):
+                buf.append(ch)
+                buf.append(text[i + 1])
+                i += 2
+                continue
             buf.append(ch)
-            if ch == "/" and text[i - 1] != "\\":
+            if ch == "/":
                 in_pattern = False
         elif ch == "/" and _PAT_OPENER.search("".join(buf[-8:])):
             in_pattern = True

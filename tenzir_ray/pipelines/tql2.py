@@ -38,6 +38,7 @@ import re
 
 from tenzir_ray.pipelines.pipeline import Pipeline
 from tenzir_ray.pipelines.tql import (
+    _PAT_OPENER,
     _literal,
     parse_segment,
     split_segments,
@@ -61,8 +62,13 @@ def strip_comments(text: str) -> str:
     while i < n:
         ch = text[i]
         if quote:
+            if ch == "\\" and i + 1 < n:  # escape consumes the next char
+                out.append(ch)
+                out.append(text[i + 1])
+                i += 2
+                continue
             out.append(ch)
-            if ch == quote and text[i - 1] != "\\":
+            if ch == quote:
                 quote = None
             i += 1
         elif ch in ("'", '"'):
@@ -85,11 +91,22 @@ def strip_comments(text: str) -> str:
 
 def split_statements(text: str) -> list[str]:
     """Statements separate on top-level newlines AND ``|``
-    (parser.cpp:87 accepts either token between statements)."""
+    (parser.cpp:87 accepts either token between statements). A
+    statement starting with ``else`` re-joins its preceding ``if`` —
+    the token-based reference parser accepts the K&R-alternative
+    newline-before-else layout, so the line splitter must too."""
     stmts: list[str] = []
     for line in split_segments(text, "\n"):
         stmts.extend(split_segments(line, "|"))
-    return [s for s in (x.strip() for x in stmts) if s]
+    out: list[str] = []
+    for s in (x.strip() for x in stmts):
+        if not s:
+            continue
+        if re.match(r"else\b", s) and out:
+            out[-1] += " " + s
+        else:
+            out.append(s)
+    return out
 
 
 def _subst_lets(stmt: str, env: dict[str, str]) -> str:
@@ -108,8 +125,13 @@ def _subst_lets(stmt: str, env: dict[str, str]) -> str:
     while i < len(stmt):
         ch = stmt[i]
         if quote:
+            if ch == "\\" and i + 1 < len(stmt):  # escape eats next char
+                out.append(ch)
+                out.append(stmt[i + 1])
+                i += 2
+                continue
             out.append(ch)
-            if ch == quote and stmt[i - 1] != "\\":
+            if ch == quote:
                 quote = None
             i += 1
         elif ch in ("'", '"'):
@@ -150,19 +172,56 @@ def _from_step(arg: str) -> dict:
     return step
 
 
-def _match_brace(text: str, open_idx: int) -> int:
-    """Index of the ``}`` matching ``text[open_idx] == '{'``,
-    quote-aware."""
-    depth = 0
+def _code_chars(text: str, start: int = 0):
+    """Yield ``(i, ch)`` for characters OUTSIDE quotes and ``/pattern/``
+    literals (the ONE scanner behind the brace/arrow helpers — replaces
+    hand-rolled quote loops that diverged on regex literals and
+    escaped-backslash runs). Escapes skip the next char, so a string
+    ending in a literal backslash closes correctly; a ``/`` opens a
+    pattern only directly after ``==``/``!=``/``in`` (same rule as
+    ``split_segments``). ``start`` must sit at top-level code (e.g. a
+    brace found by a previous scan)."""
     quote: str | None = None
-    for i in range(open_idx, len(text)):
+    in_pat = False
+    tail = ""
+    i, n = start, len(text)
+    while i < n:
         ch = text[i]
         if quote:
-            if ch == quote and text[i - 1] != "\\":
+            if ch == "\\":
+                i += 2
+                continue
+            if ch == quote:
                 quote = None
-        elif ch in ("'", '"'):
+            i += 1
+            continue
+        if in_pat:
+            if ch == "\\":
+                i += 2
+                continue
+            if ch == "/":
+                in_pat = False
+            i += 1
+            continue
+        if ch in ("'", '"'):
             quote = ch
-        elif ch == "{":
+            i += 1
+            continue
+        if ch == "/" and _PAT_OPENER.search(tail):
+            in_pat = True
+            i += 1
+            continue
+        yield i, ch
+        tail = (tail + ch)[-8:]
+        i += 1
+
+
+def _match_brace(text: str, open_idx: int) -> int:
+    """Index of the ``}`` matching ``text[open_idx] == '{'``
+    (quote/pattern-aware)."""
+    depth = 0
+    for i, ch in _code_chars(text, open_idx):
+        if ch == "{":
             depth += 1
         elif ch == "}":
             depth -= 1
@@ -171,18 +230,21 @@ def _match_brace(text: str, open_idx: int) -> int:
     raise ValueError("non-terminated { block")
 
 
-def _first_brace(text: str) -> int:
-    """Index of the first ``{`` outside quotes."""
-    quote: str | None = None
-    for i, ch in enumerate(text):
-        if quote:
-            if ch == quote and text[i - 1] != "\\":
-                quote = None
-        elif ch in ("'", '"'):
-            quote = ch
-        elif ch == "{":
+def _first_brace(text: str, what: str = "if") -> int:
+    """Index of the first top-level ``{``."""
+    for i, ch in _code_chars(text):
+        if ch == "{":
             return i
-    raise ValueError("if: missing { block }")
+    raise ValueError(f"{what}: missing {{ block }}")
+
+
+def _find_code(text: str, needle: str, start: int = 0) -> int:
+    """First top-level occurrence of ``needle`` (anchored on its first
+    char being code; used for the match-arm ``=>``)."""
+    for i, ch in _code_chars(text, start):
+        if ch == needle[0] and text.startswith(needle, i):
+            return i
+    return -1
 
 
 def _parse_if(stmt: str) -> dict:
@@ -200,10 +262,10 @@ def _parse_if(stmt: str) -> dict:
     rest = stmt[body_close + 1:].strip()
     else_steps: list[dict] | None = None
     if rest:
-        if not rest.startswith("else"):
+        if not re.match(r"else\b", rest):
             raise ValueError(f"if: unexpected trailer {rest!r}")
         rest = rest[4:].strip()
-        if rest.startswith("if"):
+        if re.match(r"if\b", rest):
             else_steps = [_parse_if(rest)]  # else-if chain
         else:
             if not rest.startswith("{"):
@@ -227,7 +289,7 @@ def _parse_match(stmt: str) -> dict:
     desugars to the nested-``if`` chain with the natural semantics:
     first matching arm wins, ``_`` is the catch-all, rows matching no
     arm pass through unchanged)."""
-    body_open = _first_brace(stmt)
+    body_open = _first_brace(stmt, "match")
     subject = stmt[5:body_open].strip()
     if not subject:
         raise ValueError("match: empty subject expression")
@@ -238,14 +300,14 @@ def _parse_match(stmt: str) -> dict:
     body = stmt[body_open + 1:body_close].strip()
     arms: list[tuple[list[str] | None, list[dict]]] = []
     while body:
-        arrow = body.find("=>")
+        arrow = _find_code(body, "=>")
         if arrow < 0:
             raise ValueError(f"match: arm without `=>`: {body!r}")
         values = [v.strip() for v in
                   split_segments(body[:arrow], ",") if v.strip()]
         if not values:
             raise ValueError("match: arm needs at least one value")
-        open_i = _first_brace(body[arrow:]) + arrow
+        open_i = _first_brace(body[arrow:], "match") + arrow
         close_i = _match_brace(body, open_i)
         steps = [parse_statement(s)
                  for s in split_statements(body[open_i + 1:close_i])]

@@ -366,6 +366,74 @@ def test_tql2_match_blocks(ray_session, tmp_path):
         parse_pipeline2(f'from "{p}"\nmatch ev {{ "x" {{ k = 2 }} }}')
 
 
+def test_tql2_block_parser_edges(ray_session, tmp_path):
+    """Scanner edges the review falsified: regex-literal braces in
+    conditions, quoted `=>` in arm values, strings ending in an escaped
+    backslash, newline-before-else layout, and identifier-prefixed
+    trailers."""
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.pipelines.tql2 import parse_pipeline2, run_pipeline2
+
+    p = str(tmp_path / "e.parquet")
+    pq.write_table(pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "s": ["abbc", "a=>b", "a\\"],
+    }), p)
+
+    # {2} inside a /regex/ condition is NOT a block opener
+    out = run_pipeline2(f'''
+        from "{p}"
+        if s == /ab{{2}}c/ {{ hit = 1 }} else {{ hit = 0 }}
+        sort k
+    ''').to_pandas()
+    assert out["hit"].tolist() == [1, 0, 0]
+
+    # quoted => inside a match arm value
+    out2 = run_pipeline2(f'''
+        from "{p}"
+        match s {{ "a=>b" => {{ kind = "arrow" }} _ => {{ kind = "plain" }} }}
+        sort k
+    ''').to_pandas()
+    assert out2["kind"].tolist() == ["plain", "arrow", "plain"]
+
+    # string literal ending in an escaped backslash closes correctly
+    out3 = run_pipeline2(
+        f'from "{p}"\nif s == "a\\\\" {{ hit = 1 }} else {{ hit = 0 }}\nsort k'
+    ).to_pandas()
+    assert out3["hit"].tolist() == [0, 0, 1]
+
+    # newline-before-else (K&R alternative) parses
+    out4 = run_pipeline2(f'''
+        from "{p}"
+        if k == 1 {{
+            m = 1
+        }}
+        else {{
+            m = 2
+        }}
+        sort k
+    ''').to_pandas()
+    assert out4["m"].tolist() == [1, 2, 2]
+
+    # identifier-prefixed trailer is rejected, not mis-dispatched
+    with pytest.raises(ValueError, match="trailer"):
+        parse_pipeline2(f'from "{p}"\nif k == 1 {{ m = 1 }} elsewhere')
+
+
+def test_lake_clone_rejects_nested_dest(ray_session, tmp_path):
+    from tenzir_ray.cdc.generate import gen_changes
+    from tenzir_ray.cdc.lake import LakeTable
+
+    lake = LakeTable(str(tmp_path / "src"), num_partitions=2)
+    lake.apply_changes(gen_changes(100, seed=1), epoch_id="e1")
+    with pytest.raises(ValueError, match="nest"):
+        lake.clone(str(tmp_path / "src" / "backup"))
+    with pytest.raises(ValueError, match="nest"):
+        LakeTable(str(tmp_path / "src" / "inner"), num_partitions=2)
+        lake.clone(str(tmp_path))
+
+
 def test_read_parquet_filter_on_unprojected_column(ray_session, tmp_path):
     """filter_expr referencing a column OUTSIDE columns= must still work
     (review r4: the bare-schema injection projected it away)."""
