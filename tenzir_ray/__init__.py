@@ -17,7 +17,7 @@ SURVEY.md), re-expressed Ray-Data-first:
   libtenzir/include/tenzir/catalog.hpp:83, generalized).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"
 
 # Ray worker processes unpickle our stage classes by module reference; make
 # the package importable in workers regardless of the driver's cwd by

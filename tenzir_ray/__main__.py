@@ -58,7 +58,12 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="python -m tenzir_ray",
         description="Run a TQL pipeline string (the `tenzir` CLI analog).")
-    ap.add_argument("pipeline", help="pipeline string, ops joined by |")
+    ap.add_argument("pipeline", nargs="?", default=None,
+                    help="pipeline string, ops joined by |")
+    ap.add_argument("--show", metavar="ASPECT", default=None,
+                    help="print an introspection aspect (operators, "
+                         "aggregations, version, …) instead of running "
+                         "a pipeline; empty for all aspects")
     ap.add_argument("--tql2", action="store_true",
                     help="parse with the TQL2-flavored front-end")
     ap.add_argument("--explain", action="store_true",
@@ -70,6 +75,17 @@ def main(argv: list[str] | None = None) -> int:
                          "unaffected)")
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
+
+    if args.show is not None:
+        import json
+
+        from tenzir_ray.pipelines.pipeline import show
+
+        sys.stdout.write(json.dumps(
+            show(args.show or None), default=str) + "\n")
+        return 0
+    if args.pipeline is None:
+        ap.error("a pipeline string is required (or use --show)")
 
     import ray
 

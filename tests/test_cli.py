@@ -66,3 +66,15 @@ def test_replay_job_checkpoint_and_exactly_once(tmp_path):
     r3 = _run(base + ["--changes", str(logf), "--epoch-id", "e2"])
     m3 = json.loads(r3.stdout.strip().splitlines()[-1])
     assert m3["skipped"] is True and m3["resume_lsn"] == 4000
+
+
+def test_cli_show_aspects():
+    r = _run(["-m", "tenzir_ray", "--show", "operators"])
+    assert r.returncode == 0, r.stderr[-500:]
+    ops = json.loads(r.stdout)
+    assert "conversation_stats" in ops and "summarize" in ops
+    r2 = _run(["-m", "tenzir_ray", "--show", "version"])
+    assert json.loads(r2.stdout) == "0.4.0"
+    # no pipeline and no --show: usage error
+    r3 = _run(["-m", "tenzir_ray"])
+    assert r3.returncode == 2
