@@ -470,6 +470,104 @@ def optimize_steps(steps: list[dict[str, Any]]) -> list[dict[str, Any]]:
     return out
 
 
+def _vectorized_if_fn(step: dict):
+    """Compile an ``if`` step whose branches — recursively through
+    else-if chains (so desugared ``match`` statements qualify) —
+    contain ONLY ``set`` assignments into one per-batch CASE kernel:
+    first-true-branch-wins masks, ``pc.if_else`` per assigned column,
+    pass-through rows keep their existing value (new columns null).
+    Order-preserving and single-pass, unlike the split+union fallback.
+    Returns None when any branch holds other operators. Branch value
+    types for the same column unify through the registry's widening
+    lattice; incompatible types raise with the column named."""
+    branches: list[tuple[str | None, dict[str, str]]] = []
+    cur = step
+    while True:
+        assigns: dict[str, str] = {}
+        for sub in cur["then"]:
+            if sub.get("op") != "set":
+                return None
+            assigns.update({k: v for k, v in sub.items() if k != "op"})
+        branches.append((cur["expr"], assigns))
+        els = cur.get("else")
+        if not els:
+            break
+        if len(els) == 1 and els[0].get("op") == "if":
+            cur = els[0]
+            continue
+        assigns = {}
+        for sub in els:
+            if sub.get("op") != "set":
+                return None
+            assigns.update({k: v for k, v in sub.items() if k != "op"})
+        branches.append((None, assigns))
+        break
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from tenzir_ray.cdc.registry import widen
+    from tenzir_ray.expr import compile_expr, compile_filter
+    from tenzir_ray.stages.transforms import _eval_on_batch
+
+    preds = [compile_filter(p) if p is not None else None
+             for p, _ in branches]
+    exprs = [{c: compile_expr(e) for c, e in a.items()} for _, a in branches]
+    cols = sorted({c for _, a in branches for c in a})
+
+    def _as_col(val, n):
+        if isinstance(val, pa.ChunkedArray):
+            return val.combine_chunks()
+        if isinstance(val, pa.Array):
+            return val
+        return pa.array([val] * n)
+
+    def _unify(a, b, col):
+        if a.type.equals(b.type):
+            return a, b
+        try:
+            t = widen(a.type, b.type)
+        except TypeError:
+            raise TypeError(
+                f"if: column {col!r} gets incompatible types across "
+                f"branches ({a.type} vs {b.type})") from None
+        return a.cast(t), b.cast(t)
+
+    def f(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        remaining = np.ones(n, dtype=bool)
+        eff = []
+        for p in preds:
+            if p is None:
+                eff.append(remaining.copy())
+                remaining = np.zeros(n, dtype=bool)
+            else:
+                m = p.mask(t) & remaining
+                eff.append(m)
+                remaining = remaining & ~m
+        for c in cols:
+            out = t.column(c).combine_chunks() if c in t.column_names else None
+            for bi, em in enumerate(eff):
+                e = exprs[bi].get(c)
+                if e is None:
+                    continue
+                val = _as_col(_eval_on_batch(e, t), n)
+                if out is None:
+                    out = pc.if_else(pa.array(em), val,
+                                     pa.nulls(n, val.type))
+                else:
+                    val, out = _unify(val, out, c)
+                    out = pc.if_else(pa.array(em), val, out)
+            if c in t.column_names:
+                t = t.set_column(t.schema.get_field_index(c), c, out)
+            else:
+                t = t.append_column(c, out)
+        return t
+
+    return f
+
+
 class Pipeline:
     """An ordered list of operator steps over a ray.data.Dataset."""
 
@@ -518,17 +616,24 @@ class Pipeline:
                 # TQL2 conditional (tql2/parser.cpp parse_if_stmt):
                 # events route by the predicate — SQL-null counts as
                 # false, so the complement MASK (not `where not pred`)
-                # sends null rows to the else branch; outputs union.
-                # Branches must keep a union-compatible schema, and the
-                # union does NOT preserve inter-branch event order (a
-                # batch engine's conditional — follow with `sort` before
-                # order-sensitive steps).
+                # sends null rows to the else branch. Assignment-only
+                # branches (incl. nested else-if / desugared match)
+                # compile to ONE vectorized CASE kernel: single pass,
+                # order-preserving, no materialization. General
+                # branches fall back to split + sub-pipelines + union;
+                # that union does NOT preserve inter-branch order (a
+                # batch engine's conditional — follow with `sort`
+                # before order-sensitive steps).
                 import pyarrow as pa_mod
 
                 from tenzir_ray.expr import compile_filter
 
                 if ds is None:
                     raise ValueError("`if` needs an upstream dataset")
+                fn = _vectorized_if_fn(step)
+                if fn is not None:
+                    ds = ds.map_batches(fn, batch_format="pyarrow")
+                    continue
                 # both branch pipelines consume ds: materialize once so
                 # the upstream lineage (reads, transforms) does not
                 # execute twice per conditional level

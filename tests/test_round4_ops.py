@@ -421,6 +421,59 @@ def test_tql2_block_parser_edges(ray_session, tmp_path):
         parse_pipeline2(f'from "{p}"\nif k == 1 {{ m = 1 }} elsewhere')
 
 
+def test_tql2_if_assignment_branches_vectorize(ray_session, tmp_path):
+    """Assignment-only if/match blocks compile to one order-preserving
+    CASE kernel (no union, no materialize): row order survives without
+    a sort, existing columns overwrite in place, and incompatible
+    cross-branch types fail with the column named."""
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.pipelines.pipeline import _vectorized_if_fn
+    from tenzir_ray.pipelines.tql2 import parse_pipeline2, run_pipeline2
+
+    p = str(tmp_path / "v.parquet")
+    pq.write_table(pa.table({
+        "k": pa.array(list(range(8)), pa.int64()),
+        "v": pa.array([10.0, None, 30.0, 40.0, 1.0, 2.0, 35.0, None]),
+    }), p)
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    prev = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
+    try:
+        out = run_pipeline2(f'''
+            from "{p}"
+            if v >= 30 {{ tier = "hot" }} else if v >= 5 {{ tier = "warm" }}
+            else {{ tier = "cold" }}
+        ''').to_pandas()
+    finally:
+        ctx.execution_options.preserve_order = prev
+    # one row-preserving map stage: under preserve_order the rows come
+    # back in file order WITHOUT a sort (the union fallback interleaves
+    # whole branches and cannot honor preserve_order)
+    assert out["k"].tolist() == list(range(8))
+    assert out["tier"].tolist() == ["warm", "cold", "hot", "hot",
+                                    "cold", "cold", "hot", "cold"]
+
+    # the compile probe: assignment-only → kernel; other ops → None
+    steps = parse_pipeline2(
+        f'from "{p}"\nif v >= 30 {{ t = 1 }} else {{ t = 2 }}').steps
+    assert _vectorized_if_fn(steps[1]) is not None
+    steps2 = parse_pipeline2(f'from "{p}"\nif v >= 30 {{ head 1 }}').steps
+    assert _vectorized_if_fn(steps2[1]) is None
+
+    # int-vs-float branches widen; string-vs-int raises with the column
+    ok = run_pipeline2(
+        f'from "{p}"\nif v >= 30 {{ x = 1 }} else {{ x = 2.5 }}').to_pandas()
+    assert ok["x"].tolist()[:4] == [2.5, 2.5, 1.0, 1.0]
+    with pytest.raises(Exception, match="incompatible types"):
+        # Ray wraps the worker's TypeError in RayTaskError
+        run_pipeline2(
+            f'from "{p}"\nif v >= 30 {{ x = "s" }} else {{ x = 2 }}'
+        ).to_pandas()
+
+
 def test_lake_clone_rejects_nested_dest(ray_session, tmp_path):
     from tenzir_ray.cdc.generate import gen_changes
     from tenzir_ray.cdc.lake import LakeTable
