@@ -60,10 +60,11 @@ def main(argv: list[str] | None = None) -> int:
         description="Run a TQL pipeline string (the `tenzir` CLI analog).")
     ap.add_argument("pipeline", nargs="?", default=None,
                     help="pipeline string, ops joined by |")
-    ap.add_argument("--show", metavar="ASPECT", default=None,
-                    help="print an introspection aspect (operators, "
-                         "aggregations, version, …) instead of running "
-                         "a pipeline; empty for all aspects")
+    ap.add_argument("--show", metavar="ASPECT", nargs="?", default=None,
+                    const="", help="print an introspection aspect "
+                         "(operators, aggregations, version, …) instead "
+                         "of running a pipeline; bare --show prints all "
+                         "aspects")
     ap.add_argument("--tql2", action="store_true",
                     help="parse with the TQL2-flavored front-end")
     ap.add_argument("--explain", action="store_true",
@@ -81,8 +82,11 @@ def main(argv: list[str] | None = None) -> int:
 
         from tenzir_ray.pipelines.pipeline import show
 
-        sys.stdout.write(json.dumps(
-            show(args.show or None), default=str) + "\n")
+        try:
+            aspect = show(args.show or None)
+        except (KeyError, ValueError) as e:
+            ap.error(f"unknown --show aspect: {e}")
+        sys.stdout.write(json.dumps(aspect, default=str) + "\n")
         return 0
     if args.pipeline is None:
         ap.error("a pipeline string is required (or use --show)")

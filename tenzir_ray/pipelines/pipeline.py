@@ -470,24 +470,60 @@ def optimize_steps(steps: list[dict[str, Any]]) -> list[dict[str, Any]]:
     return out
 
 
+def _expr_refs(expr_text: str) -> set[str]:
+    """Root identifiers an expression references (conservative: function
+    names count too — a false positive only costs the fast path)."""
+    import ast as _ast
+
+    from tenzir_ray.expr import _preprocess
+
+    tree = _ast.parse(_preprocess(expr_text), mode="eval")
+    return {n.id for n in _ast.walk(tree)
+            if isinstance(n, _ast.Name) and not n.id.startswith("__")}
+
+
+def _collect_assigns(steps: list[dict]) -> dict[str, str] | None:
+    """``set``-only branch body → {target: expr}; None when any step is
+    another operator OR a target repeats (sequential re-assignment can't
+    be expressed as one parallel CASE)."""
+    assigns: dict[str, str] = {}
+    for sub in steps:
+        if sub.get("op") != "set":
+            return None
+        for k, v in sub.items():
+            if k == "op":
+                continue
+            if k in assigns:
+                return None  # a = a+1; a = a+1 needs sequential order
+            assigns[k] = v
+    return assigns
+
+
 def _vectorized_if_fn(step: dict):
     """Compile an ``if`` step whose branches — recursively through
     else-if chains (so desugared ``match`` statements qualify) —
-    contain ONLY ``set`` assignments into one per-batch CASE kernel:
-    first-true-branch-wins masks, ``pc.if_else`` per assigned column,
-    pass-through rows keep their existing value (new columns null).
-    Order-preserving and single-pass, unlike the split+union fallback.
-    Returns None when any branch holds other operators. Branch value
-    types for the same column unify through the registry's widening
-    lattice; incompatible types raise with the column named."""
+    contain ONLY ``set`` assignments into one per-batch CASE kernel.
+    Semantics match the split+sub-pipeline fallback exactly:
+
+    - each branch's expressions evaluate on that branch's ROW SLICE
+      (the predicate guards them — ``if d != 0 { r = n / d }`` never
+      divides by zero on else rows), then scatter back with
+      ``pc.replace_with_mask``;
+    - the fast path BAILS (returns None) when a branch re-assigns a
+      target or any expression references a column assigned anywhere in
+      the chain — those depend on sequential evaluation order, which
+      only the fallback provides;
+    - pass-through rows keep their value (new columns null elsewhere);
+      value types unify through the registry widening lattice,
+      incompatible pairs raise naming the column.
+
+    Single-pass and order-preserving, unlike the split+union fallback."""
     branches: list[tuple[str | None, dict[str, str]]] = []
     cur = step
     while True:
-        assigns: dict[str, str] = {}
-        for sub in cur["then"]:
-            if sub.get("op") != "set":
-                return None
-            assigns.update({k: v for k, v in sub.items() if k != "op"})
+        assigns = _collect_assigns(cur["then"])
+        if assigns is None:
+            return None
         branches.append((cur["expr"], assigns))
         els = cur.get("else")
         if not els:
@@ -495,13 +531,17 @@ def _vectorized_if_fn(step: dict):
         if len(els) == 1 and els[0].get("op") == "if":
             cur = els[0]
             continue
-        assigns = {}
-        for sub in els:
-            if sub.get("op") != "set":
-                return None
-            assigns.update({k: v for k, v in sub.items() if k != "op"})
+        assigns = _collect_assigns(els)
+        if assigns is None:
+            return None
         branches.append((None, assigns))
         break
+
+    targets = {c for _, a in branches for c in a}
+    for _, a in branches:
+        for e in a.values():
+            if _expr_refs(e) & targets:
+                return None  # cross-assignment dependency → sequential
 
     import numpy as np
     import pyarrow as pa
@@ -514,25 +554,29 @@ def _vectorized_if_fn(step: dict):
     preds = [compile_filter(p) if p is not None else None
              for p, _ in branches]
     exprs = [{c: compile_expr(e) for c, e in a.items()} for _, a in branches]
-    cols = sorted({c for _, a in branches for c in a})
+    cols = sorted(targets)
 
     def _as_col(val, n):
+        # compile_expr returns plain literals for constant expressions
+        # (same contract transforms.set_ relies on) — broadcast those.
+        # The type comes from a ONE-element probe, never from the
+        # broadcast length: pa.array([] ) would infer null type on an
+        # empty slice, and null-typed inputs ABORT (not raise) inside
+        # Arrow's replace_with_mask.
         if isinstance(val, pa.ChunkedArray):
             return val.combine_chunks()
         if isinstance(val, pa.Array):
             return val
-        return pa.array([val] * n)
+        return pa.array([val] * n, type=pa.array([val]).type)
 
-    def _unify(a, b, col):
-        if a.type.equals(b.type):
-            return a, b
+    def _widen_to(val, out, col):
         try:
-            t = widen(a.type, b.type)
+            wt = widen(val.type, out.type)
         except TypeError:
             raise TypeError(
                 f"if: column {col!r} gets incompatible types across "
-                f"branches ({a.type} vs {b.type})") from None
-        return a.cast(t), b.cast(t)
+                f"branches ({val.type} vs {out.type})") from None
+        return val.cast(wt), out.cast(wt)
 
     def f(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -546,19 +590,28 @@ def _vectorized_if_fn(step: dict):
                 m = p.mask(t) & remaining
                 eff.append(m)
                 remaining = remaining & ~m
+        # empty slices still evaluate (cost: nothing) so every batch
+        # sees every branch's VALUE TYPE — a new column's type cannot
+        # flip-flop with which branches happen to match a batch
+        slices = [t.filter(pa.array(em)) for em in eff]
         for c in cols:
             out = t.column(c).combine_chunks() if c in t.column_names else None
             for bi, em in enumerate(eff):
                 e = exprs[bi].get(c)
                 if e is None:
                     continue
-                val = _as_col(_eval_on_batch(e, t), n)
+                # evaluate on the branch SLICE: the predicate guards the
+                # expression, exactly like the sub-pipeline fallback
+                val = _as_col(_eval_on_batch(e, slices[bi]),
+                              slices[bi].num_rows)
+                m_arr = pa.array(em)
                 if out is None:
-                    out = pc.if_else(pa.array(em), val,
-                                     pa.nulls(n, val.type))
+                    out = pc.replace_with_mask(
+                        pa.nulls(n, val.type), m_arr, val)
                 else:
-                    val, out = _unify(val, out, c)
-                    out = pc.if_else(pa.array(em), val, out)
+                    if not val.type.equals(out.type):
+                        val, out = _widen_to(val, out, c)
+                    out = pc.replace_with_mask(out, m_arr, val)
             if c in t.column_names:
                 t = t.set_column(t.schema.get_field_index(c), c, out)
             else:

@@ -473,6 +473,45 @@ def test_tql2_if_assignment_branches_vectorize(ray_session, tmp_path):
             f'from "{p}"\nif v >= 30 {{ x = "s" }} else {{ x = 2 }}'
         ).to_pandas()
 
+    # SEMANTIC bails: sequential-order dependents take the fallback
+    # (duplicate target in a branch; expr referencing an assigned col)
+    sdup = parse_pipeline2(
+        f'from "{p}"\nif v >= 30 {{ a = k + 1\na = a + 1 }}').steps
+    assert _vectorized_if_fn(sdup[1]) is None
+    sdep = parse_pipeline2(
+        f'from "{p}"\nif v >= 30 {{ z = 1\ny = z + 1 }}').steps
+    assert _vectorized_if_fn(sdep[1]) is None
+    # ...and the fallback produces the sequential result
+    seq = run_pipeline2(
+        f'from "{p}"\nif v >= 30 {{ z = 1\ny = z + 1 }}\nsort k'
+    ).to_pandas()
+    hot = seq[seq["v"] >= 30]
+    assert hot["z"].tolist() == [1, 1, 1] and hot["y"].tolist() == [2, 2, 2]
+
+    # predicate GUARDS the branch expression (evaluated on the slice):
+    # no divide-by-zero from else rows
+    import pyarrow.parquet as pq2
+
+    p2 = str(tmp_path / "g.parquet")
+    pq2.write_table(pa.table({
+        "n": pa.array([10.0, 8.0, 6.0]),
+        "d": pa.array([2.0, 0.0, 3.0]),
+    }), p2)
+    g = run_pipeline2(
+        f'from "{p2}"\nif d != 0 {{ r = n / d }} else {{ r = 0 }}\nsort n'
+    ).to_pandas()
+    assert g.sort_values("n")["r"].tolist() == [2.0, 0.0, 5.0]
+
+    # fully-empty batches keep a stable typed schema (null-typed
+    # constants used to hard-crash Arrow's replace_with_mask)
+    from tenzir_ray.pipelines.pipeline import _vectorized_if_fn as _vf
+    st = parse_pipeline2(
+        f'from "{p2}"\nif d != 0 {{ tag = "y" }} else {{ tag = "n" }}').steps
+    fe = _vf(st[1])
+    et = pa.table({"n": pa.array([], pa.float64()),
+                   "d": pa.array([], pa.float64())})
+    assert fe(et).schema.field("tag").type == pa.string()
+
 
 def test_lake_clone_rejects_nested_dest(ray_session, tmp_path):
     from tenzir_ray.cdc.generate import gen_changes
