@@ -579,6 +579,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pack_sequences(asm, order_by="conv_id", target_tokens=400,
                               column="transcript")
 
+    def conv_near_dups(sf):
+        # conversation-level near-dup detection (planted-clone pattern,
+        # like minhash_dedup_groups): assemble each conversation into a
+        # transcript, plant an exact clone per conversation, and LSH
+        # must co-group every (original, clone) pair
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from tenzir_ray.stages.chunk import assemble_conversations
+        from tenzir_ray.stages.summarize import summarize_hash
+
+        asm = assemble_conversations(_transcripts_ds(sf)).drop_columns(
+            ["n_turns"])
+
+        def _clone(t: pa.Table) -> pa.Table:
+            return t.set_column(
+                t.schema.get_field_index("conv_id"), "conv_id",
+                pc.binary_join_element_wise(t.column("conv_id"), "_c", ""))
+
+        both = asm.union(asm.map_batches(_clone, batch_format="pyarrow"))
+        groups = D.minhash_lsh_dedup(both, "conv_id", "transcript")
+
+        def _base(t: pa.Table) -> pa.Table:
+            return t.append_column("base", pc.replace_substring_regex(
+                t.column("conv_id"), "_c$", ""))
+
+        per = summarize_hash(
+            groups.map_batches(_base, batch_format="pyarrow"),
+            by="base", n="count(*)", nc="count_distinct(dup_group)")
+        return T.put(per, conv_id="base", same_group="nc == 1 and n == 2")
+
     def conv_alternation(sf):
         # role-alternation dialog-quality profile: per-group ordered lag
         # + partial summarize; milli-int ratio keeps the compare exact
@@ -2791,6 +2822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_convs": filter_convs,
         "pack_convs": pack_convs,
         "conv_alternation": conv_alternation,
+        "conv_near_dups": conv_near_dups,
         "clean_transcripts": clean_transcripts,
         "dedup_turns": dedup_turns,
         "tql2_if_branches": tql2_if_branches,
@@ -3903,6 +3935,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, n_turns, transcript,
                    CAST(cb // 400 AS BIGINT) AS seq_id
             FROM cum
+        """,
+        "conv_near_dups": f"""
+            SELECT DISTINCT 'c' || CAST(event_id % {_TRANSCRIPTS_CONVS}
+                       AS VARCHAR) AS conv_id,
+                   TRUE AS same_group
+            FROM events
         """,
         "conv_alternation": f"""
             WITH {_TRANSCRIPTS_CTE},
