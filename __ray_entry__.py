@@ -947,6 +947,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
             select event_id, event_type, kind
         """)
 
+    def record_literal_struct(sf):
+        # TQL2 record literal (tql2/parser.cpp record expressions): a
+        # `{field: expr, …}` assignment builds one StructArray per
+        # batch; flatten exposes the fields for the SQL oracle
+        from tenzir_ray.pipelines.tql2 import run_pipeline2
+
+        return run_pipeline2(f"""
+            from "{sf}/events.parquet"
+            dims = {{qty: value * 2, who: user_id}}
+            select event_id, dims
+            flatten
+        """)
+
+    def list_map_lambda(sf):
+        # TQL2 lambda list function `map(xs, v => e)` — vectorized
+        # flatten → elementwise kernel → offset rebuild; unrolled so
+        # DuckDB list_transform+unnest is the oracle (float32 math on
+        # both sides — bit-identical)
+        from tenzir_ray.pipelines.tql2 import run_pipeline2
+
+        return run_pipeline2(f"""
+            from "{sf}/embeddings.parquet"
+            where vec_id < 20
+            scaled = map(embedding, v => v * 2.0 + 1.0)
+            select vec_id, scaled
+            unroll scaled
+        """)
+
+    def list_where_lambda(sf):
+        # TQL2 lambda list filter `where(xs, v => p)` — element values
+        # pass through unchanged (hash-exact), offsets rebuilt from the
+        # predicate mask
+        from tenzir_ray.pipelines.tql2 import run_pipeline2
+
+        return run_pipeline2(f"""
+            from "{sf}/embeddings.parquet"
+            where vec_id < 20
+            kept = where(embedding, v => v > 0.0)
+            select vec_id, kept
+            unroll kept
+        """)
+
     def tql2_revenue(sf):
         # TQL2-flavored front-end (tql2/parser.cpp subset): newline
         # statements, assignment sugar, from-with-loader-inference,
@@ -2827,6 +2869,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_turns": dedup_turns,
         "tql2_if_branches": tql2_if_branches,
         "tql2_match_arms": tql2_match_arms,
+        "record_literal_struct": record_literal_struct,
+        "list_map_lambda": list_map_lambda,
+        "list_where_lambda": list_where_lambda,
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
         "media_jpeg_decode": media_jpeg_decode,
         "media_mjpeg_frames": media_mjpeg_frames,
@@ -3902,6 +3947,22 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN value >= 0.5 THEN value * 2 ELSE value END
                        AS boosted
             FROM events
+        """,
+        "record_literal_struct": """
+            SELECT event_id, value * 2 AS "dims.qty",
+                   user_id AS "dims.who"
+            FROM events
+        """,
+        "list_map_lambda": """
+            SELECT vec_id,
+                   unnest(list_transform(embedding,
+                                         v -> v * 2.0 + 1.0)) AS scaled
+            FROM embeddings WHERE vec_id < 20
+        """,
+        "list_where_lambda": """
+            SELECT vec_id,
+                   unnest(list_filter(embedding, v -> v > 0.0)) AS kept
+            FROM embeddings WHERE vec_id < 20
         """,
         "dedup_turns": f"""
             WITH {_TRANSCRIPTS_CTE},

@@ -314,6 +314,9 @@ def _preprocess(text: str) -> str:
     # `__dur__("2h") ago`)
     skeleton = _AGO_RE.sub(r'__ago__("\1 \2")', skeleton)
     skeleton = _NOW_RE.sub('__now__("0")', skeleton)
+    # TQL2 lambda arrows (`x => x + 1`, tql2/parser.cpp lambda
+    # literals) → Python lambda syntax so ast can parse them
+    skeleton = re.sub(r"\b([A-Za-z_]\w*)\s*=>", r"lambda \1:", skeleton)
 
     # 4. ip/subnet/duration literal rewrites (pattern bodies are gone)
     skeleton = others(skeleton)
@@ -339,6 +342,19 @@ def compile_expr(text: str) -> pads.Expression:
     return _compile(tree.body)
 
 
+def eval_expr(expr, batch):
+    """Evaluate a compiled value expression against a ``pa.Table``:
+    pads Expressions run through a one-table dataset scan (no copy,
+    nested refs work); :class:`RecordExpr` / :class:`ListLambda` use
+    their batch kernels; plain literals return as-is (callers
+    broadcast)."""
+    if getattr(expr, "_tz_batch_expr", False):
+        return expr.evaluate(batch)
+    if isinstance(expr, pads.Expression):
+        return pads.dataset(batch).to_table(columns={"_": expr}).column("_")
+    return expr
+
+
 def _field_path(node: ast.expr) -> tuple[str, ...] | None:
     if isinstance(node, ast.Name):
         return (node.id,)
@@ -353,6 +369,179 @@ class _Residual(Exception):
     """Raised when a subtree needs the batch-kernel path (subnet
     membership) and cannot become a pads expression; compile_filter
     catches it and compiles that conjunct as a residual mask."""
+
+
+def _broadcast_scalar(v, n: int):
+    """Literal → n-row Array. The type comes from a one-element probe,
+    never the broadcast itself (``pa.array([])`` on an empty slice would
+    infer null type, which poisons downstream kernels)."""
+    import pyarrow as pa
+
+    if v is None:
+        return pa.nulls(n)
+    v = _date_literal(v)
+    return pa.array([v] * n, type=pa.array([v]).type)
+
+
+class RecordExpr:
+    """Compiled TQL2 record literal ``{a: 1, b: x + 1}``
+    (tql2/parser.cpp record expressions): evaluates each field
+    expression per batch and assembles one StructArray. Only valid in
+    VALUE position (assignments / ``set``); cannot become a pads
+    Expression, so it takes the batch-kernel path via
+    :func:`eval_expr`."""
+
+    #: duck-type marker — eval_expr dispatches on this, NOT isinstance:
+    #: by-value pickling (ship_by_value) can put a copy of this class in
+    #: a worker closure while the worker's own import holds another
+    _tz_batch_expr = True
+
+    def __init__(self, fields: "list[tuple[str, object]]"):
+        names = [n for n, _ in fields]
+        if len(set(names)) != len(names):
+            raise ValueError(f"record literal repeats a field: {names}")
+        self.fields = fields
+
+    def evaluate(self, batch):
+        import pyarrow as pa
+
+        n = batch.num_rows
+        names, arrays = [], []
+        for name, sub in self.fields:
+            v = eval_expr(sub, batch)
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            if not isinstance(v, pa.Array):
+                v = _broadcast_scalar(v, n)
+            names.append(name)
+            arrays.append(v)
+        return pa.StructArray.from_arrays(arrays, names=names)
+
+    def __repr__(self):
+        return "{" + ", ".join(f"{n}: …" for n, _ in self.fields) + "}"
+
+
+class ListLambda:
+    """Compiled TQL2 list-lambda call ``map(xs, x => x * 2)`` /
+    ``where(xs, x => x > 0)`` (tql2 list functions). Vectorized
+    evaluation: flatten the list column once, run the body expression
+    over the FLAT element vector (outer row fields gathered by parent
+    index — one ``take`` per referenced field), then rebuild list
+    offsets. Null lists stay null; for ``where``, elements whose
+    predicate is null are dropped (SQL filter semantics)."""
+
+    _tz_batch_expr = True  # duck-type marker (see RecordExpr)
+
+    def __init__(self, kind: str, source, param: str, body,
+                 outer_refs: "set[str]"):
+        if kind not in ("map", "where"):
+            raise ValueError(f"unknown list lambda kind {kind!r}")
+        self.kind = kind
+        self.source = source
+        self.param = param
+        self.body = body
+        self.outer_refs = outer_refs
+
+    def evaluate(self, batch):
+        import numpy as np
+        import pyarrow as pa
+
+        src = eval_expr(self.source, batch)
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        if not isinstance(src, pa.Array) or not (
+            pa.types.is_list(src.type)
+            or pa.types.is_large_list(src.type)
+            or pa.types.is_fixed_size_list(src.type)
+        ):
+            raise TypeError(
+                f"{self.kind}(): first argument must be a list column, "
+                f"got {getattr(src, 'type', type(src))}")
+        n = len(src)
+        lens = pc.list_value_length(src)
+        lens_np = lens.fill_null(0).to_numpy(zero_copy_only=False)
+        lens_np = lens_np.astype(np.int64, copy=False)
+        flat = pc.list_flatten(src)
+        null_mask = pc.is_null(src)
+
+        env_cols: dict = {self.param: flat}
+        parent = None
+        for r in sorted(self.outer_refs):
+            if r == self.param or r not in batch.column_names:
+                continue
+            if parent is None:
+                parent = pa.array(np.repeat(np.arange(n), lens_np))
+            env_cols[r] = batch.column(r).take(parent)
+        env = pa.table(env_cols)
+        val = eval_expr(self.body, env)
+        if isinstance(val, pa.ChunkedArray):
+            val = val.combine_chunks()
+        if not isinstance(val, pa.Array):
+            val = _broadcast_scalar(val, len(flat))
+
+        if self.kind == "map":
+            off = np.concatenate(
+                ([0], np.cumsum(lens_np))).astype(np.int32)
+            return pa.ListArray.from_arrays(
+                pa.array(off, type=pa.int32()), val, mask=null_mask)
+        # where: boolean mask over flat elements, null → drop
+        if not pa.types.is_boolean(val.type):
+            raise TypeError(
+                f"where(): lambda must return booleans, got {val.type}")
+        keep = np.asarray(val.fill_null(False))
+        if parent is None:
+            parent = np.repeat(np.arange(n), lens_np)
+        else:
+            parent = np.asarray(parent)
+        new_lens = np.bincount(
+            parent[keep], minlength=n).astype(np.int64)
+        off = np.concatenate(([0], np.cumsum(new_lens))).astype(np.int32)
+        return pa.ListArray.from_arrays(
+            pa.array(off, type=pa.int32()),
+            flat.filter(pa.array(keep)), mask=null_mask)
+
+    def __repr__(self):
+        return f"{self.kind}(…, {self.param} => …)"
+
+
+#: names that appear as Call funcs / markers, never row-field refs
+_NON_FIELD_NAMES = frozenset(
+    {"abs", "map", "where", "lambda"}
+    | set(_MATH_FNS)
+)
+
+
+def _lambda_outer_refs(body: ast.expr, param: str) -> set[str]:
+    """Root identifiers the lambda body references besides its param
+    (conservative; a false positive only costs a skipped/absent column
+    at eval time)."""
+    return {
+        n.id for n in ast.walk(body)
+        if isinstance(n, ast.Name)
+        and n.id != param
+        and n.id not in _NON_FIELD_NAMES
+        and not n.id.startswith("__")
+    }
+
+
+def _compile_list_lambda(node: ast.Call):
+    """``map(xs, x => e)`` / ``where(xs, x => p)`` → :class:`ListLambda`
+    (the `=>` arrow was rewritten to a Python lambda by _preprocess)."""
+    kind = node.func.id
+    if len(node.args) != 2:
+        raise ValueError(f"{kind}() takes (list, lambda), "
+                         f"got {len(node.args)} args")
+    lam = node.args[1]
+    assert isinstance(lam, ast.Lambda)
+    params = lam.args
+    if (len(params.args) != 1 or params.vararg or params.kwarg
+            or params.kwonlyargs or params.defaults):
+        raise ValueError(f"{kind}(): lambda takes exactly one parameter")
+    param = params.args[0].arg
+    source = _compile(node.args[0])
+    body = _compile(lam.body)
+    return ListLambda(kind, source, param, body,
+                      _lambda_outer_refs(lam.body, param))
 
 
 _MARKER_FNS = {
@@ -479,6 +668,11 @@ def _compile(node: ast.expr):
             if not (isinstance(arg, ast.Constant) and isinstance(arg.value, str)):
                 raise ValueError(f"{node.func.id}() takes one string literal")
             return _MARKER_FNS[node.func.id](arg.value)
+        if (isinstance(node.func, ast.Name)
+                and node.func.id in ("map", "where")
+                and len(node.args) == 2
+                and isinstance(node.args[1], ast.Lambda)):
+            return _compile_list_lambda(node)
         raise ValueError(f"unsupported call: {ast.dump(node)}")
     path = _field_path(node)
     if path is not None:
@@ -487,6 +681,20 @@ def _compile(node: ast.expr):
         return node.value
     if isinstance(node, (ast.List, ast.Tuple)):
         return [_compile(e) for e in node.elts]
+    if isinstance(node, ast.Dict):
+        # TQL2 record literal `{a: 1, b: x + 1}` — keys are bare field
+        # names (ast.Name) or quoted strings
+        fields: list[tuple[str, object]] = []
+        for k, v in zip(node.keys, node.values):
+            if isinstance(k, ast.Name):
+                name = k.id
+            elif isinstance(k, ast.Constant) and isinstance(k.value, str):
+                name = k.value
+            else:
+                raise ValueError(
+                    "record literal keys must be field names or strings")
+            fields.append((name, _compile(v)))
+        return RecordExpr(fields)
     raise ValueError(f"unsupported expression node: {ast.dump(node)}")
 
 

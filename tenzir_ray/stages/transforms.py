@@ -35,18 +35,16 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from tenzir_ray._ship import ship_by_value
-from tenzir_ray.expr import compile_expr
+from tenzir_ray.expr import compile_expr, eval_expr
 
 
 def _eval_on_batch(expr, batch: pa.Table):
-    """Evaluate a pyarrow.dataset Expression against a record batch."""
-    import pyarrow.dataset as pads
-
-    if not isinstance(expr, pads.Expression):
-        return expr
-    # dataset expressions evaluate via a one-table in-memory dataset scan —
-    # cheap (no copy) and supports nested field refs
-    return pads.dataset(batch).to_table(columns={"_": expr}).column("_")
+    """Evaluate a compiled expression against a record batch (pads
+    Expression, RecordExpr/ListLambda batch kernels, or a literal —
+    see expr.eval_expr). eval_expr is bound at IMPORT time: a runtime
+    `from tenzir_ray…` inside a shipped-by-value closure fails on
+    workers whose sys.path lacks the repo."""
+    return eval_expr(expr, batch)
 
 
 # ---------------------------------------------------------------------------
@@ -91,6 +89,19 @@ def set_(ds, **exprs: str):
     def _set(batch: pa.Table) -> pa.Table:
         for name, e in compiled.items():
             col = _eval_on_batch(e, batch)
+            if name == "this":
+                # TQL2 `this = {record}`: the record REPLACES the event
+                # (tql2 assignment to `this`) — struct fields become the
+                # new top-level columns
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                if not (isinstance(col, pa.StructArray)
+                        and pa.types.is_struct(col.type)):
+                    raise TypeError(
+                        "set this = …: value must be a record literal")
+                batch = pa.Table.from_arrays(
+                    col.flatten(), names=[f.name for f in col.type])
+                continue
             if not isinstance(col, (pa.Array, pa.ChunkedArray)):
                 col = pa.array([col] * batch.num_rows)
             if name in batch.column_names:
