@@ -2356,6 +2356,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DuckDB's last-writer-wins over the same derivation
         return _build_sql_lake(sf, "replay").final_table()
 
+    def cdc_multi_writer(sf):
+        # multi-writer optimistic concurrency (Delta commit-protocol
+        # analog, cdc/manifest.py): TWO LakeTable instances on the same
+        # root apply interleaved epochs — each instance is stale when its
+        # turn comes (the other committed meanwhile), so every apply goes
+        # through the versioned commit log's reload/CAS path. The final
+        # state must equal the same single-writer LWW oracle as
+        # cdc_replay_sql; threads-level race coverage is in
+        # tests/test_occ.py.
+        import pandas as pd
+        import ray.data
+
+        from tenzir_ray.cdc import LakeTable
+
+        def _mk(df: pd.DataFrame) -> pd.DataFrame:
+            i = df["event_id"].to_numpy()
+            u = df["user_id"].to_numpy()
+            op = np.where(
+                i % 10 == 9, "delete",
+                np.where(i % 10 >= 6, "update", "insert"))
+            return pd.DataFrame({
+                "lsn": i.astype(np.int64),
+                "op": op,
+                "conv_id": "c" + pd.Series(u % 50).astype(str),
+                "turn_idx": ((i // 7) % 20).astype(np.int32),
+                "text": df["event_type"] + "-" + pd.Series(i).astype(str),
+            })
+
+        changes = ray.data.read_parquet(
+            f"{sf}/events.parquet",
+            columns=["event_id", "user_id", "event_type"],
+        ).map_batches(_mk, batch_format="pandas")
+        root = _scratch("tenzir_ray_cdc_sql",
+                        f"mw-{os.path.basename(os.path.normpath(sf))}")
+        shutil.rmtree(root, ignore_errors=True)
+        writer_a = LakeTable(root, num_partitions=16)
+        writer_b = LakeTable(root, num_partitions=16)
+
+        def _mod4(want: int):
+            def f(t):
+                import pyarrow.compute as pc
+
+                lsn = t.column("lsn")
+                return t.filter(
+                    pc.equal(pc.subtract(lsn, pc.multiply(
+                        pc.divide(lsn, 4), 4)), want))
+
+            return f
+
+        # interleave: A commits residues 1,3; B commits 0,2 — B never
+        # sees A's commits except through the commit log (and vice versa)
+        for eid, (writer, residue) in enumerate(
+                [(writer_a, 1), (writer_b, 0), (writer_a, 3), (writer_b, 2)]):
+            writer.apply_changes(
+                changes.map_batches(_mod4(residue), batch_format="pyarrow"),
+                epoch_id=f"mw-e{eid}")
+        fresh = LakeTable(root)
+        assert len(fresh.manifest.epochs) == 4
+        return fresh.final_table()
+
     def cdc_clone_read(sf):
         # shallow clone (Delta CLONE analog): hardlink-fork the replayed
         # lake, apply a DIVERGING epoch to the ORIGINAL (deletes every
@@ -2805,6 +2865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": embedding_near_dups,
         "cdc_replay": cdc_replay,
         "cdc_replay_sql": cdc_replay_sql,
+        "cdc_multi_writer": cdc_multi_writer,
         "cdc_clone_read": cdc_clone_read,
         "cdc_append_pruned": cdc_append_pruned,
         "cdc_time_travel": cdc_time_travel,
@@ -3471,6 +3532,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, text FROM w WHERE rn = 1 AND op != 'delete'
         """,
         "cdc_replay_sql": """
+            WITH ch AS (
+                SELECT event_id AS lsn,
+                       CASE WHEN event_id % 10 = 9 THEN 'delete'
+                            WHEN event_id % 10 >= 6 THEN 'update'
+                            ELSE 'insert' END AS op,
+                       'c' || CAST(user_id % 50 AS VARCHAR) AS conv_id,
+                       CAST((event_id // 7) % 20 AS INTEGER) AS turn_idx,
+                       event_type || '-' || CAST(event_id AS VARCHAR) AS text
+                FROM events),
+            w AS (SELECT *, row_number() OVER (
+                      PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) rn
+                  FROM ch)
+            SELECT conv_id, turn_idx, text FROM w WHERE rn = 1 AND op != 'delete'
+        """,
+        "cdc_multi_writer": """
             WITH ch AS (
                 SELECT event_id AS lsn,
                        CASE WHEN event_id % 10 = 9 THEN 'delete'

@@ -68,7 +68,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from tenzir_ray.cdc.manifest import MANIFEST_NAME, Manifest, REGISTRY_NAME
+from tenzir_ray.cdc.manifest import (
+    MANIFEST_NAME,
+    REGISTRY_NAME,
+    ConcurrentModificationError,
+    Manifest,
+)
 from tenzir_ray.cdc.registry import SchemaRegistry
 from tenzir_ray.stages.exchange import pack_by_partition
 
@@ -832,6 +837,27 @@ class LakeTable:
                 self.registry = SchemaRegistry.from_json(f.read())
         else:
             self.registry = SchemaRegistry()
+        self._sync_registry()
+
+    def refresh(self) -> None:
+        """Resync this instance with the published state — pick up commits
+        made by OTHER writers (processes/instances) since construction.
+        ``apply_changes``/``optimize`` refresh automatically; reads are
+        snapshot-consistent against the state last seen (call this to see
+        newer commits)."""
+        self.manifest.reload()
+        self._sync_registry()
+
+    def _sync_registry(self) -> None:
+        """Fold the manifest's commit-log registry (the multi-writer
+        authority) into this instance's registry — evolve is a lattice
+        join, so folding in any order converges."""
+        if self.manifest.registry_json:
+            other = SchemaRegistry.from_json(self.manifest.registry_json)
+            if self.registry.schema is None:
+                self.registry = other
+            else:
+                self.registry.evolve(other.schema)
 
     # ------------------------------------------------------------------
     def apply_changes(
@@ -890,6 +916,12 @@ class LakeTable:
         """
         import ray.data
 
+        # resync with the published state: another writer (process or
+        # instance) may have committed since this instance loaded — the
+        # commit log makes their epochs visible here, and makes the
+        # committed-epoch idempotence check hold ACROSS processes
+        self.manifest.reload()
+        self._sync_registry()
         if epoch_id in self.manifest.committed_epoch_ids():
             return {"epoch_id": epoch_id, "skipped": True}
 
@@ -1046,7 +1078,8 @@ class LakeTable:
         if not touched:
             # zero-row epoch (e.g. an empty binlog segment): commit an
             # empty lineage record so resume never re-crashes on it
-            self.manifest.commit_epoch(epoch_id, -1, -1, {}, meta=empty_meta)
+            self.manifest.commit_epoch(epoch_id, -1, -1, {}, meta=empty_meta,
+                                       registry_json=reg_json)
             shutil.rmtree(staging, ignore_errors=True)
             return {"epoch_id": epoch_id, "lsn_min": -1, "lsn_max": -1,
                     "partitions_touched": 0, "rows_live": 0,
@@ -1122,48 +1155,54 @@ class LakeTable:
         _t2 = _time.perf_counter()
 
         # -- two-phase commit -------------------------------------------
-        part_results = {}
-        for r in lineage.itertuples():
-            k = str(int(r.part))
-            prev = self.manifest.partitions.get(k, {})
-            fstats = _json.loads(r.stats) if r.stats else {}
-            if r.mode == "append":
-                part_results[k] = {
-                    "files": list(prev.get("files", [])) + [r.file],
-                    "rows": (prev.get("rows", 0) or 0) + int(r.rows),
-                    "delta_rows": prev.get("delta_rows", 0) or 0,
-                    "tombstones": prev.get("tombstones", 0) or 0,
-                    "lsn_high": max(int(r.lsn_high), prev.get("lsn_high", -1)),
-                    "checksum": int(r.checksum),
-                    "file_stats": {**(prev.get("file_stats") or {}),
-                                   r.file: fstats},
-                }
-            elif r.mode == "delta":
-                part_results[k] = {
-                    "files": list(prev.get("files", [])) + [r.file],
-                    "rows": prev.get("rows", 0),
-                    "delta_rows": (prev.get("delta_rows", 0) or 0) + int(r.rows),
-                    "tombstones": (prev.get("tombstones", 0) or 0) + int(r.tombstones),
-                    "lsn_high": max(int(r.lsn_high), prev.get("lsn_high", -1)),
-                    "checksum": int(r.checksum),
-                    "file_stats": {**(prev.get("file_stats") or {}),
-                                   r.file: fstats},
-                }
-            else:
-                part_results[k] = {
-                    "files": [r.file],
-                    "rows": int(r.rows),
-                    "delta_rows": 0,
-                    "tombstones": int(r.tombstones),
-                    "lsn_high": int(r.lsn_high),
-                    "checksum": int(r.checksum),
-                    "file_stats": {r.file: fstats},
-                }
-            # lineage-only fields (time travel + change feed)
-            part_results[k]["mode"] = str(r.mode)
-            part_results[k]["new_file"] = r.file
-            if r.cdf_file is not None:
-                part_results[k]["cdf_file"] = r.cdf_file
+        def _build_part_results() -> dict:
+            """Per-partition replacement records against the CURRENT base
+            (re-run on OCC rebase: append/delta epochs recompute their
+            cumulative counters on top of a concurrent writer's commit)."""
+            out = {}
+            for r in lineage.itertuples():
+                k = str(int(r.part))
+                prev = self.manifest.partitions.get(k, {})
+                fstats = _json.loads(r.stats) if r.stats else {}
+                if r.mode == "append":
+                    out[k] = {
+                        "files": list(prev.get("files", [])) + [r.file],
+                        "rows": (prev.get("rows", 0) or 0) + int(r.rows),
+                        "delta_rows": prev.get("delta_rows", 0) or 0,
+                        "tombstones": prev.get("tombstones", 0) or 0,
+                        "lsn_high": max(int(r.lsn_high), prev.get("lsn_high", -1)),
+                        "checksum": int(r.checksum),
+                        "file_stats": {**(prev.get("file_stats") or {}),
+                                       r.file: fstats},
+                    }
+                elif r.mode == "delta":
+                    out[k] = {
+                        "files": list(prev.get("files", [])) + [r.file],
+                        "rows": prev.get("rows", 0),
+                        "delta_rows": (prev.get("delta_rows", 0) or 0) + int(r.rows),
+                        "tombstones": (prev.get("tombstones", 0) or 0) + int(r.tombstones),
+                        "lsn_high": max(int(r.lsn_high), prev.get("lsn_high", -1)),
+                        "checksum": int(r.checksum),
+                        "file_stats": {**(prev.get("file_stats") or {}),
+                                       r.file: fstats},
+                    }
+                else:
+                    out[k] = {
+                        "files": [r.file],
+                        "rows": int(r.rows),
+                        "delta_rows": 0,
+                        "tombstones": int(r.tombstones),
+                        "lsn_high": int(r.lsn_high),
+                        "checksum": int(r.checksum),
+                        "file_stats": {r.file: fstats},
+                    }
+                # lineage-only fields (time travel + change feed)
+                out[k]["mode"] = str(r.mode)
+                out[k]["new_file"] = r.file
+                if r.cdf_file is not None:
+                    out[k]["cdf_file"] = r.cdf_file
+            return out
+
         lsn_min = int(lineage["lsn_lo"].min())
         lsn_max = int(lineage["lsn_hi"].max())
         # exchange stats ride the lineage record (same atomic write):
@@ -1182,8 +1221,43 @@ class LakeTable:
                 "num_salts": int(num_salts),
             },
         }
-        self.manifest.commit_epoch(epoch_id, lsn_min, lsn_max, part_results,
-                                   meta=commit_meta)
+        # OCC commit loop (multi-writer; see manifest.py): append/delta
+        # epochs COMPOSE with concurrent commits under LWW-by-lsn (their
+        # new files don't depend on the base), so a lost CAS just rebases
+        # the cumulative counters and retries; a full rewrite computed
+        # from a base another writer has since replaced must NOT win —
+        # its file silently drops the interloper's changes — so it raises.
+        touched_keys = {str(int(r.part)) for r in lineage.itertuples()}
+        while True:
+            base_version = self.manifest.version
+            part_results = _build_part_results()
+            if self.manifest.try_commit_epoch(
+                    epoch_id, lsn_min, lsn_max, part_results,
+                    meta=commit_meta, registry_json=reg_json):
+                break
+            # lost the race — try_commit_epoch reloaded the manifest
+            self._sync_registry()
+            if epoch_id in self.manifest.committed_epoch_ids():
+                # another process applied this very epoch (exactly-once):
+                # our uuid-named output files are orphans for gc()
+                shutil.rmtree(staging, ignore_errors=True)
+                if reduced_dir is not None:
+                    shutil.rmtree(reduced_dir, ignore_errors=True)
+                return {"epoch_id": epoch_id, "skipped": True,
+                        "concurrent": True}
+            overlap = self.manifest.touched_since(base_version) & touched_keys
+            conflicted = sorted(
+                k for k in overlap
+                if modes.get(int(k)) not in ("append", "delta"))
+            if conflicted:
+                shutil.rmtree(staging, ignore_errors=True)
+                if reduced_dir is not None:
+                    shutil.rmtree(reduced_dir, ignore_errors=True)
+                raise ConcurrentModificationError(
+                    f"epoch {epoch_id!r}: partitions {conflicted} were "
+                    "rewritten from a base a concurrent writer has since "
+                    "replaced; re-run apply_changes (idempotent by epoch "
+                    "id) to recompute against the new base")
         # exchange fragments are transient: GC after the commit
         shutil.rmtree(staging, ignore_errors=True)
         if reduced_dir is not None:
@@ -1580,21 +1654,43 @@ class LakeTable:
         return LakeTable(dest_root)
 
     # -- maintenance (reference: rebuild.cpp compaction + disk_monitor) --
-    def gc(self) -> dict:
+    def gc(self, min_age_s: float = 0.0) -> dict:
         """Remove orphan data files (crashed attempts, superseded epochs)
-        and leftover staging dirs. Safe anytime: live data is exactly the
-        manifest's file set (catalog-gated reads, catalog.hpp:83)."""
+        and leftover staging dirs. Live data is exactly the manifest's
+        file set (catalog-gated reads, catalog.hpp:83).
+
+        Multi-writer caveat: a CONCURRENT writer's freshly-written but
+        not-yet-committed partition files look like orphans — pass
+        ``min_age_s`` (e.g. 3600) to only collect files older than the
+        longest plausible in-flight epoch, or run gc without concurrent
+        writers."""
         import glob as globmod
         import shutil
 
+        self.manifest.reload()
+        now = time.time()
         live = set(self.manifest.live_files())
+        # historical epochs' file sets stay collectible (time-travel
+        # snapshots die at gc — VACUUM semantics, documented in read())
         removed_files = 0
         for f in globmod.glob(os.path.join(self.root, "part=*", "*.parquet")):
             if f not in live:
+                if min_age_s > 0:
+                    try:
+                        if now - os.path.getmtime(f) < min_age_s:
+                            continue
+                    except FileNotFoundError:
+                        continue
                 os.remove(f)
                 removed_files += 1
         removed_staging = 0
         for d in globmod.glob(os.path.join(self.root, "_staging", "*")):
+            if min_age_s > 0:
+                try:
+                    if now - os.path.getmtime(d) < min_age_s:
+                        continue
+                except FileNotFoundError:
+                    continue
             shutil.rmtree(d, ignore_errors=True)
             removed_staging += 1
         return {"files_removed": removed_files, "staging_removed": removed_staging}
@@ -1607,9 +1703,16 @@ class LakeTable:
         task per partition (never a driver loop); write-then-rename per
         file, then one atomic manifest swap; superseded files become
         orphans for gc(). ``parts`` limits compaction to the given
-        partition ids (selective rebuild)."""
+        partition ids (selective rebuild).
+
+        Multi-writer: a compaction is a full rewrite of its partitions, so
+        a concurrent apply to the same partitions raises
+        :class:`ConcurrentModificationError` (re-run optimize); appends to
+        OTHER partitions interleave freely."""
         import ray as ray_core
 
+        self.manifest.reload()
+        self._sync_registry()
         todo = {
             k: info
             for k, info in self.manifest.partitions.items()
@@ -1681,7 +1784,15 @@ class LakeTable:
         most recent ``keep_epochs`` records; live state is unaffected.
         Change-feed files owned by dropped epochs are deleted (the feed's
         retention IS the lineage retention); time-travel snapshots older
-        than the horizon become unreachable."""
+        than the horizon become unreachable.
+
+        Admin operation: run WITHOUT concurrent writers (like VACUUM) — it
+        rewrites the lineage prefix in the snapshot and compacts the
+        commit log. A very stale concurrent writer re-claiming a compacted
+        log version is detected and undone by the manifest's
+        folded-history guard (manifest.py try_commit_epoch), but its
+        snapshot write could still resurrect dropped lineage records."""
+        self.manifest.reload()
         dropped = max(0, len(self.manifest.epochs) - keep_epochs)
         if dropped:
             prefix = self.manifest.epochs[:dropped]
@@ -1718,11 +1829,40 @@ class LakeTable:
             }
             self.manifest.epochs = [base] + self.manifest.epochs[dropped:]
             self.manifest._atomic_write()
+            # the snapshot just written folds every log record ≤ version:
+            # compact the commit log so it stays bounded by the lineage
+            # retention (a stale writer re-claiming a compacted number is
+            # caught by the manifest's folded-history guard)
+            logd = self.manifest.log_dir
+            if os.path.isdir(logd):
+                for fn in os.listdir(logd):
+                    if fn.startswith("v") and fn.endswith(".json"):
+                        try:
+                            v = int(fn[1:-5])
+                        except ValueError:
+                            continue
+                        if v <= self.manifest.version:
+                            try:
+                                os.remove(os.path.join(logd, fn))
+                            except FileNotFoundError:
+                                pass
         return dropped
 
     def _persist_registry(self) -> None:
+        """Write the registry cache file, folding in whatever is already
+        on disk first (evolve is a lattice join) so concurrent writers
+        adding different columns don't clobber each other's entries. The
+        AUTHORITATIVE registry rides the commit log (manifest.py); this
+        file is a convenience cache for fresh instances and legacy roots."""
         p = os.path.join(self.root, REGISTRY_NAME)
-        tmp = p + ".tmp"
+        try:
+            with open(p) as f:
+                on_disk = SchemaRegistry.from_json(f.read())
+            if on_disk.schema is not None:
+                self.registry.evolve(on_disk.schema)
+        except FileNotFoundError:
+            pass
+        tmp = p + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             f.write(self.registry.to_json())
         os.replace(tmp, p)
