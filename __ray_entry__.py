@@ -2488,6 +2488,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
         assert lake._last_read_pruned > 0  # the pruning actually engaged
         return out
 
+    def cdc_point_lookup(sf):
+        # per-file key blooms + lookup(): the O(1)-per-conversation read
+        # path. Three append-only epochs carry DISJOINT conv ranges, so
+        # every partition accumulates files the blooms can prove
+        # irrelevant to a given conversation; three point lookups must
+        # (a) skip files via the blooms and (b) hash-match the SQL
+        # filter over the same derivation.
+        import pandas as pd
+
+        from tenzir_ray.cdc import LakeTable
+
+        ev = _read(sf, "events", columns=["event_id", "event_type"])
+
+        def _mk(df: pd.DataFrame) -> pd.DataFrame:
+            i = df["event_id"].to_numpy()
+            return pd.DataFrame({
+                "lsn": i.astype(np.int64),
+                "op": "insert",
+                "conv_id": "c" + pd.Series(i % 97).astype(str),
+                "turn_idx": i.astype(np.int32),
+                "text": df["event_type"] + "-" + pd.Series(i).astype(str),
+            })
+
+        changes = ev.map_batches(_mk, batch_format="pandas")
+        root = _scratch("tenzir_ray_cdc_sql",
+                        f"lookup-{os.path.basename(os.path.normpath(sf))}")
+        shutil.rmtree(root, ignore_errors=True)
+        lake = LakeTable(root, num_partitions=8)
+        for e in range(3):
+            def _grp(t, _e=e):
+                import pyarrow.compute as pc
+
+                cnum = pc.subtract(
+                    t.column("lsn"),
+                    pc.multiply(pc.divide(t.column("lsn"), 97), 97))
+                lo, hi = _e * 33, (_e + 1) * 33
+                return t.filter(pc.and_(pc.greater_equal(cnum, lo),
+                                        pc.less(cnum, hi)))
+
+            lake.apply_changes(
+                changes.map_batches(_grp, batch_format="pyarrow"),
+                epoch_id=f"e{e}", append_only=True)
+        import pyarrow as _pa
+
+        pruned = 0
+        out = []
+        for conv in ("c5", "c40", "c80"):
+            out.append(lake.lookup(conv))
+            pruned += lake._last_lookup_pruned
+        assert pruned > 0, "blooms never skipped a file"
+        return _pa.concat_tables(out)
+
     def cdc_schema_evolution(sf):
         # schema evolution end-to-end vs SQL: epoch 1 (odd lsns) carries
         # NO `extra` column and int32 turn_idx; epoch 2 (even lsns) adds
@@ -2866,6 +2918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replay": cdc_replay,
         "cdc_replay_sql": cdc_replay_sql,
         "cdc_multi_writer": cdc_multi_writer,
+        "cdc_point_lookup": cdc_point_lookup,
         "cdc_clone_read": cdc_clone_read,
         "cdc_append_pruned": cdc_append_pruned,
         "cdc_time_travel": cdc_time_travel,
@@ -3545,6 +3598,15 @@ def oracle_sql() -> dict[str, str]:
                       PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) rn
                   FROM ch)
             SELECT conv_id, turn_idx, text FROM w WHERE rn = 1 AND op != 'delete'
+        """,
+        "cdc_point_lookup": """
+            WITH ch AS (
+                SELECT 'c' || CAST(event_id % 97 AS VARCHAR) AS conv_id,
+                       CAST(event_id AS INTEGER) AS turn_idx,
+                       event_type || '-' || CAST(event_id AS VARCHAR) AS text
+                FROM events)
+            SELECT conv_id, turn_idx, text FROM ch
+            WHERE conv_id IN ('c5', 'c40', 'c80')
         """,
         "cdc_multi_writer": """
             WITH ch AS (

@@ -210,10 +210,15 @@ def _sorted_by_key(tbl: pa.Table) -> pa.Table:
     return tbl.take(pa.array(np.lexsort((turn, rank_of[codes]))))
 
 
-def _load_stored(root: str, rel: str, registry: SchemaRegistry) -> pa.Table:
+def _load_stored(root: str, rel: str, registry: SchemaRegistry,
+                 filters=None) -> pa.Table:
     """Load a lake file (base or delta) → conformed payload + lsn + op.
-    Base files carry implicit op=insert; delta files persist OP_COL."""
-    stored = pq.read_table(os.path.join(root, rel))
+    Base files carry implicit op=insert; delta files persist OP_COL.
+    ``filters`` (pyarrow.parquet DNF) push into the scan — only safe for
+    predicates that commute with the LWW merge, i.e. equality on the
+    group-key prefix (conv_id): filtering keeps whole (conv, turn)
+    groups, so merge-then-filter ≡ filter-then-merge."""
+    stored = pq.read_table(os.path.join(root, rel), filters=filters)
     lsn_col = stored.column(LSN_COL).cast(pa.int64())
     if OP_COL in stored.column_names:
         op_col = stored.column(OP_COL).cast(pa.string())
@@ -417,6 +422,59 @@ def _pack_block_cdc(block: pa.Table, registry_json: str,
     return pack_by_partition(out, part, num_partitions, drop=["_part"])
 
 
+#: per-file key bloom: bits are sized at ~10 per distinct conv (≈1% false
+#: positives) and capped so one file's filter stays small in the manifest
+#: JSON; override the cap with $TENZIR_RAY_BLOOM_MAX_BYTES (0 disables).
+BLOOM_MAX_BYTES_ENV = "TENZIR_RAY_BLOOM_MAX_BYTES"
+DEFAULT_BLOOM_MAX_BYTES = 8192
+
+
+def _bloom_build(uniq: list) -> dict | None:
+    """Bloom filter over a file's distinct key values (Kirsch-Mitzenmacher
+    double hashing: h_i = h1 + i·h2). Built once per written file from the
+    dictionary of uniques — hashing cost is per distinct conv, not per
+    row — and carried in the manifest's file_stats so equality reads can
+    skip whole files (the point-lookup analog of the zone maps; reference
+    synopsis: sketch part of partition_synopsis.hpp)."""
+    n = len(uniq)
+    if n == 0:
+        return None
+    import base64
+
+    max_bits = int(os.environ.get(BLOOM_MAX_BYTES_ENV,
+                                  DEFAULT_BLOOM_MAX_BYTES)) * 8
+    if max_bits <= 0:
+        return None
+    m = int(min(max(256, n * 10), max_bits))
+    k = max(1, min(8, round(0.693 * m / n)))
+    h1 = np.fromiter((zlib.crc32(str(u).encode()) for u in uniq),
+                     np.uint64, n)
+    h2 = np.fromiter((zlib.crc32(b"\x9e\x37" + str(u).encode()) for u in uniq),
+                     np.uint64, n) | np.uint64(1)
+    bits = np.zeros(m, dtype=bool)
+    for i in range(k):
+        bits[((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)] = True
+    return {"m": m, "k": k,
+            "b64": base64.b64encode(np.packbits(bits).tobytes()).decode()}
+
+
+def _bloom_maybe_contains(bl: dict, value) -> bool:
+    """Definitely-absent test (False = provably not in the file). Tests
+    bytes in place — no full unpack per call (packbits is MSB-first)."""
+    import base64
+
+    buf = base64.b64decode(bl["b64"])
+    v = str(value).encode()
+    h1 = zlib.crc32(v)
+    h2 = zlib.crc32(b"\x9e\x37" + v) | 1
+    m = bl["m"]
+    for i in range(bl["k"]):
+        pos = (h1 + i * h2) % m
+        if not (buf[pos >> 3] >> (7 - (pos & 7))) & 1:
+            return False
+    return True
+
+
 def _zone_stats(tbl: pa.Table) -> dict:
     """Per-file zone map: ``{col: [min, max]}`` over the payload's
     numeric/boolean columns and string keys (truncated to 64 chars) —
@@ -456,6 +514,18 @@ def _zone_stats(tbl: pa.Table) -> dict:
             if len(mx) > 64:
                 mx = mx[:64] + "\U0010ffff"
         out[name] = [mn, mx]
+    # key bloom: conv_id ranges of sibling files almost always overlap
+    # (zone maps can't prune equality on a hashed-in key), so point
+    # lookups get a membership sketch instead
+    if KEY_COLS[0] in tbl.column_names and tbl.num_rows:
+        col = tbl.column(KEY_COLS[0])
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            uniq = [u for u in pc.unique(
+                col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+                else col).to_pylist() if u is not None]
+            bl = _bloom_build(uniq)
+            if bl is not None:
+                out[f"_bloom:{KEY_COLS[0]}"] = bl
     return out
 
 
@@ -492,6 +562,10 @@ def _zone_skip(stats: "dict | None", conjuncts: list) -> bool:
     if not stats:
         return False
     for col, op, v in conjuncts:
+        if op == "==" and isinstance(v, str):
+            bl = stats.get(f"_bloom:{col}")
+            if bl is not None and not _bloom_maybe_contains(bl, v):
+                return True
         mm = stats.get(col)
         if not mm:
             continue
@@ -1455,6 +1529,50 @@ class LakeTable:
 
             ds = ds.map_batches(_post, batch_format="pyarrow")
         return ds
+
+    def lookup(self, conv_id, columns: list[str] | None = None) -> pa.Table:
+        """Point lookup: the live rows of ONE conversation, LWW-merged.
+
+        The 100 TB read path this layout exists for — cost is
+        O(one partition's surviving files), independent of table size:
+        the key hash selects the single partition, per-file key BLOOMS
+        (built at write time, carried in the manifest) skip files that
+        provably don't contain the conversation, and the survivors are
+        scanned with a pushed-down ``conv_id ==`` filter so only the
+        conversation's own row groups decode. Equality on conv_id
+        commutes with the LWW merge (it's the group-key prefix), so
+        filter-then-merge is exact even across delta files and
+        tombstones. ``self._last_lookup_pruned`` records how many files
+        the blooms skipped (observability + tests)."""
+        key = str(conv_id)
+        part = int(stable_part_of_uniques([key], self.num_partitions)[0])
+        payload_cols = (list(self.registry.schema.names)
+                        if self.registry.schema else list(KEY_COLS))
+        empty = pa.table({c: pa.array([], (self.registry.schema.field(c).type
+                                           if self.registry.schema else pa.string()))
+                          for c in payload_cols})
+        info = self.manifest.partitions.get(str(part))
+        pruned = 0
+        tables = []
+        if info is not None:
+            fstats = info.get("file_stats") or {}
+            probe = [(KEY_COLS[0], "==", key)]
+            for rel in info["files"]:
+                if _zone_skip(fstats.get(rel), probe):
+                    pruned += 1
+                    continue
+                t = _load_stored(self.root, rel, self.registry,
+                                 filters=[(KEY_COLS[0], "==", key)])
+                if t.num_rows:
+                    tables.append(t)
+        self._last_lookup_pruned = pruned
+        if not tables:
+            out = empty
+        else:
+            out = _merge_live(tables).drop_columns(["lsn", "op"])
+        if columns is not None:
+            out = out.select(columns)
+        return out
 
     def final_table(self, as_of: "str | int | None" = None) -> pa.Table:
         """Driver-side full read, sorted by (conv_id, turn_idx) — for
