@@ -2540,6 +2540,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         assert pruned > 0, "blooms never skipped a file"
         return _pa.concat_tables(out)
 
+    def cdc_zorder_pruned(sf):
+        # Z-order clustered compaction (Delta OPTIMIZE ZORDER BY analog):
+        # after optimize(cluster_by=["x","y"]) each partition is chunked
+        # along the Morton curve, so range reads on EITHER clustered
+        # column must skip whole chunk files via their zone maps — both
+        # probe reads assert pruning engaged, and the returned x∧y
+        # band query hash-matches the SQL oracle.
+        import pandas as pd
+
+        from tenzir_ray.cdc import LakeTable
+
+        ev = _read(sf, "events", columns=["event_id", "event_type"])
+
+        def _mk(df: pd.DataFrame) -> pd.DataFrame:
+            i = df["event_id"].to_numpy()
+            return pd.DataFrame({
+                "lsn": i.astype(np.int64),
+                "op": "insert",
+                "conv_id": "c" + pd.Series(i % 50).astype(str),
+                "turn_idx": i.astype(np.int32),
+                "x": (i % 997).astype(np.int64),
+                "y": ((i * 7919) % 997).astype(np.int64),
+                "text": df["event_type"] + "-" + pd.Series(i).astype(str),
+            })
+
+        root = _scratch("tenzir_ray_cdc_sql",
+                        f"zorder-{os.path.basename(os.path.normpath(sf))}")
+        shutil.rmtree(root, ignore_errors=True)
+        lake = LakeTable(root, num_partitions=4)
+        lake.apply_changes(ev.map_batches(_mk, batch_format="pandas"),
+                           epoch_id="e0")
+        lake.optimize(cluster_by=["x", "y"], target_files=8)
+        lake.read(filter_expr="x >= 900").count()
+        assert lake._last_read_pruned > 0, "no pruning on x"
+        lake.read(filter_expr="y >= 900").count()
+        assert lake._last_read_pruned > 0, "no pruning on y"
+        return lake.read(filter_expr="x >= 600 and y >= 600",
+                         columns=["conv_id", "turn_idx", "x", "y", "text"])
+
     def cdc_schema_evolution(sf):
         # schema evolution end-to-end vs SQL: epoch 1 (odd lsns) carries
         # NO `extra` column and int32 turn_idx; epoch 2 (even lsns) adds
@@ -2919,6 +2958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replay_sql": cdc_replay_sql,
         "cdc_multi_writer": cdc_multi_writer,
         "cdc_point_lookup": cdc_point_lookup,
+        "cdc_zorder_pruned": cdc_zorder_pruned,
         "cdc_clone_read": cdc_clone_read,
         "cdc_append_pruned": cdc_append_pruned,
         "cdc_time_travel": cdc_time_travel,
@@ -3598,6 +3638,17 @@ def oracle_sql() -> dict[str, str]:
                       PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) rn
                   FROM ch)
             SELECT conv_id, turn_idx, text FROM w WHERE rn = 1 AND op != 'delete'
+        """,
+        "cdc_zorder_pruned": """
+            WITH ch AS (
+                SELECT 'c' || CAST(event_id % 50 AS VARCHAR) AS conv_id,
+                       CAST(event_id AS INTEGER) AS turn_idx,
+                       event_id % 997 AS x,
+                       (event_id * 7919) % 997 AS y,
+                       event_type || '-' || CAST(event_id AS VARCHAR) AS text
+                FROM events)
+            SELECT conv_id, turn_idx, x, y, text FROM ch
+            WHERE x >= 600 AND y >= 600
         """,
         "cdc_point_lookup": """
             WITH ch AS (

@@ -589,6 +589,58 @@ def _zone_skip(stats: "dict | None", conjuncts: list) -> bool:
     return False
 
 
+def _rank_quantize(col, bits: int) -> np.ndarray:
+    """Per-row rank of a column, scaled to ``[0, 2^bits)`` — rank (not
+    min-max) quantization spreads codes uniformly regardless of value
+    distribution, so Z-order chunking stays balanced under skew. Strings
+    rank via their dictionary's sort order (no per-row string compares);
+    nulls/NaNs sort last (deterministic)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    t = arr.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        d = arr.dictionary_encode()
+        idx = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dict_order = pc.sort_indices(d.dictionary).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        inv = np.empty(len(dict_order), dtype=np.int64)
+        inv[dict_order] = np.arange(len(dict_order))
+        idx = np.where(idx < 0, len(dict_order), idx)  # nulls last
+        val_rank = np.append(inv, len(dict_order))[idx]
+        order = np.argsort(val_rank, kind="stable")
+    else:
+        v = arr.to_numpy(zero_copy_only=False)
+        order = np.argsort(v, kind="stable")  # NaN (nulls) sort last
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n)
+    return (rank.astype(np.uint64) * np.uint64((1 << bits) - 1)
+            // np.uint64(max(n - 1, 1)))
+
+
+def _zorder_argsort(tbl: pa.Table, cols: list[str]) -> np.ndarray:
+    """Row order by Morton code: interleave the bits of each clustered
+    column's rank-quantized value (bit budget split evenly, ≤64 total).
+    Chunking a Morton-sorted table bounds EVERY dimension's min-max
+    spread per chunk, which is what makes the per-chunk zone maps prune
+    on any clustered column (the Z-order curve's locality property)."""
+    present = [c for c in cols if c in tbl.column_names]
+    n = tbl.num_rows
+    if not present or n == 0:
+        return np.arange(n)
+    # ≤16 bits/column keeps the rank·scale product inside uint64 and 16
+    # bits already separates 65k chunk boundaries per dimension
+    bits = max(1, min(16, 64 // len(present)))
+    codes = [_rank_quantize(tbl.column(c), bits) for c in present]
+    z = np.zeros(n, dtype=np.uint64)
+    nc = len(codes)
+    for b in range(bits):
+        for j, code in enumerate(codes):
+            z |= ((code >> np.uint64(b)) & np.uint64(1)) << np.uint64(b * nc + j)
+    return np.argsort(z, kind="stable")
+
+
 class _PartitionReducer:
     """Stage 2: one task per touched partition — read the partition's
     exchange fragments, merge with its live base rows, final LWW by lsn,
@@ -1039,6 +1091,13 @@ class LakeTable:
 
         # -- schema evolution: merge the incoming payload schema ---------
         incoming = changes.schema()
+        if incoming is not None and any(
+                not isinstance(t, pa.DataType) for t in incoming.types):
+            # pandas-block datasets report numpy/Python types; route
+            # through a zero-copy arrow identity so the registry sees the
+            # real Arrow schema (the exchange stages read arrow anyway)
+            changes = changes.map_batches(lambda b: b, batch_format="pyarrow")
+            incoming = changes.schema()
         payload_fields = [
             pa.field(n, t)
             for n, t in zip(incoming.names, incoming.types)
@@ -1475,13 +1534,27 @@ class LakeTable:
         if not has_deltas:
             # partitioning=None: part=<k>/ is physical layout, not a hive
             # column — inference would graft a spurious `part` column
-            kwargs = {"filter": filter, "partitioning": None} \
-                if filter is not None else {"partitioning": None}
+            kwargs = {"filter": filter} if filter is not None else {}
             scan_cols, drop_after = columns, []
             if flt_obj is not None and columns:
                 # shared residual-projection contract (expr.Filter)
                 scan_cols, drop_after = flt_obj.widen_projection(columns)
+            if scan_cols is None or "part" in scan_cols:
+                # Ray 2.49's parquet reader raises UnboundLocalError when
+                # partitioning=None is combined with an explicit column
+                # list, so None is only safe projection-free; an explicit
+                # list that doesn't name `part` excludes the grafted hive
+                # column anyway. A payload column literally named `part`
+                # would collide with the hive guess → unpruned fallback.
+                kwargs["partitioning"] = None
+                if scan_cols is not None:
+                    drop_after = list(drop_after)  # select post-scan below
+                    kwargs["_post_select"] = scan_cols
+                    scan_cols = None
+            post_select = kwargs.pop("_post_select", None)
             ds = ray.data.read_parquet(files, columns=scan_cols, **kwargs)
+            if post_select is not None:
+                ds = ds.select_columns(post_select)
             if residual is not None:
                 _res = residual
 
@@ -1814,14 +1887,27 @@ class LakeTable:
         return {"files_removed": removed_files, "staging_removed": removed_staging}
 
     def optimize(self, compression_level: int = 10,
-                 parts: list | None = None) -> int:
+                 parts: list | None = None,
+                 cluster_by: list[str] | None = None,
+                 target_files: int = 8) -> int:
         """Compact partitions: merge base + delta files (LWW, drop
-        tombstones) into ONE file at a higher zstd level — the reference's
-        partition rebuild (builtins/commands/rebuild.cpp:26). One Ray
-        task per partition (never a driver loop); write-then-rename per
-        file, then one atomic manifest swap; superseded files become
-        orphans for gc(). ``parts`` limits compaction to the given
-        partition ids (selective rebuild).
+        tombstones) at a higher zstd level — the reference's partition
+        rebuild (builtins/commands/rebuild.cpp:26). One Ray task per
+        partition (never a driver loop); write-then-rename per file, then
+        one atomic manifest swap; superseded files become orphans for
+        gc(). ``parts`` limits compaction to the given partition ids
+        (selective rebuild).
+
+        ``cluster_by=[c1, c2, ...]`` Z-ORDER-clusters each partition
+        (Delta-Lake ``OPTIMIZE ZORDER BY`` analog): rows sort by the
+        interleaved-bit Morton code of the columns' rank-quantized values
+        and split into ``target_files`` chunk files, each with its own
+        zone map + key bloom — so ``read(filter_expr=)`` range predicates
+        on ANY clustered column prune whole chunks, not just the leading
+        sort column (a linear sort gives tight zones on one dimension;
+        Morton interleave bounds every dimension's spread per chunk).
+        Without ``cluster_by`` each partition compacts to ONE key-sorted
+        file (unchanged fast path).
 
         Multi-writer: a compaction is a full rewrite of its partitions, so
         a concurrent apply to the same partitions raises
@@ -1840,6 +1926,7 @@ class LakeTable:
             return 0
         root = self.root
         reg_json = self.registry.to_json()
+        n_chunks = max(1, int(target_files)) if cluster_by else 1
 
         @ray_core.remote
         def _compact(k: str, rels: list[str]) -> dict:
@@ -1849,14 +1936,24 @@ class LakeTable:
             out = merged.select(payload_cols).append_column(
                 LSN_COL, merged.column("lsn")
             )
-            new_rel = f"part={k}/compact-{uuid.uuid4().hex[:8]}.parquet"
-            dst = os.path.join(root, new_rel)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            pq.write_table(out, dst + ".tmp", compression="zstd",
-                           compression_level=compression_level)
-            os.replace(dst + ".tmp", dst)
-            return {"part": k, "file": new_rel, "rows": out.num_rows,
-                    "stats": _json.dumps(_zone_stats(out))}
+            if cluster_by:
+                out = out.take(pa.array(_zorder_argsort(out, cluster_by)))
+            files, stats = [], []
+            bounds = np.linspace(0, out.num_rows, n_chunks + 1).astype(np.int64)
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                if hi <= lo:
+                    continue
+                chunk = out.slice(int(lo), int(hi - lo))
+                new_rel = f"part={k}/compact-{uuid.uuid4().hex[:8]}.parquet"
+                dst = os.path.join(root, new_rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                pq.write_table(chunk, dst + ".tmp", compression="zstd",
+                               compression_level=compression_level)
+                os.replace(dst + ".tmp", dst)
+                files.append(new_rel)
+                stats.append(_zone_stats(chunk))
+            return {"part": k, "files": files, "rows": out.num_rows,
+                    "stats": _json.dumps(stats)}
 
         results = ray_core.get(
             [_compact.remote(k, info["files"]) for k, info in todo.items()]
@@ -1867,15 +1964,16 @@ class LakeTable:
         part_results = {}
         for r in results:
             info = self.manifest.partitions[r["part"]]
+            fstats = dict(zip(r["files"], _json.loads(r["stats"])))
             part_results[r["part"]] = {
                 **info,
-                "files": [r["file"]],
+                "files": list(r["files"]),
                 "rows": r["rows"],
                 "delta_rows": 0,
                 "tombstones": 0,
                 "mode": "compact",
-                "new_file": r["file"],
-                "file_stats": {r["file"]: _json.loads(r["stats"])},
+                "new_file": r["files"][0] if r["files"] else None,
+                "file_stats": fstats,
             }
         self.manifest.commit_epoch(
             f"_optimize-{uuid.uuid4().hex[:8]}", -1, -1, part_results,
