@@ -977,6 +977,12 @@ def resolve_extractor(schema, extractor: str) -> list[str]:
     semantics (``z`` ≡ ``*.z`` over dotted flattened names)."""
     import pyarrow as pa
 
+    # engine-internal columns (e.g. the `if` fallback's row-order tag)
+    # are invisible to type/suffix extractors — a `:int` disjunction must
+    # not bind plumbing the user never created
+    if any(n.startswith("__tz_") for n in schema.names):
+        schema = pa.schema([f for f in schema
+                            if not f.name.startswith("__tz_")])
     names = schema.names
     if extractor.startswith("#"):
         meta = "_" + extractor[1:]

@@ -629,6 +629,56 @@ def _vectorized_if_fn(step: dict):
     return f
 
 
+def _tag_rows(ds) -> "tuple[Any, str]":
+    """Tag a MATERIALIZED dataset's rows with their global position
+    (block-offset prefix sums + per-block arange — two rounds of tiny
+    tasks over the existing blocks, no shuffle). The tag lets the `if`
+    fallback's union restore input order afterwards. The tag name is
+    unique per conditional so nested fallback ``if``s don't collide."""
+    import uuid as _uuid
+
+    import numpy as np
+    import pyarrow as pa_mod
+    import ray as ray_core
+    import ray.data as rd
+
+    tag = f"__tz_if_tag_{_uuid.uuid4().hex[:6]}"
+    refs = ds.to_arrow_refs()
+
+    @ray_core.remote
+    def _nrows(t) -> int:
+        return t.num_rows
+
+    counts = ray_core.get([_nrows.remote(r) for r in refs])
+    offsets = np.cumsum([0] + counts)
+
+    @ray_core.remote
+    def _tag(t, off: int):
+        return t.append_column(
+            tag, pa_mod.array(np.arange(off, off + t.num_rows),
+                              pa_mod.int64()))
+
+    return rd.from_arrow_refs(
+        [_tag.remote(r, int(o)) for r, o in zip(refs, offsets)]), tag
+
+
+def _union_by_tag(then_ds, else_ds, tag: str):
+    """Union the two branch outputs; when BOTH still carry the row tag
+    (row-wise branches), range-sort by it to restore input order and
+    strip it — otherwise (a branch aggregated or projected the tag away)
+    strip where present and keep the classic unordered union."""
+    def _has_tag(d) -> bool:
+        s = d.schema()
+        return s is not None and tag in s.names
+
+    def _strip(d):
+        return d.drop_columns([tag]) if _has_tag(d) else d
+
+    if _has_tag(then_ds) and _has_tag(else_ds):
+        return then_ds.union(else_ds).sort(tag).drop_columns([tag])
+    return _strip(then_ds).union(_strip(else_ds))
+
+
 class Pipeline:
     """An ordered list of operator steps over a ray.data.Dataset."""
 
@@ -681,10 +731,13 @@ class Pipeline:
                 # branches (incl. nested else-if / desugared match)
                 # compile to ONE vectorized CASE kernel: single pass,
                 # order-preserving, no materialization. General
-                # branches fall back to split + sub-pipelines + union;
-                # that union does NOT preserve inter-branch order (a
-                # batch engine's conditional — follow with `sort`
-                # before order-sensitive steps).
+                # branches split + run sub-pipelines + union; rows are
+                # tagged with their input position first, so when both
+                # branch outputs still carry the tag (row-wise branches:
+                # filters/sets/renames) the union re-sorts into INPUT
+                # order — a branch that aggregates or projects the tag
+                # away degrades to the unordered union (order after an
+                # aggregate is meaningless anyway).
                 import pyarrow as pa_mod
 
                 from tenzir_ray.expr import compile_filter
@@ -698,7 +751,7 @@ class Pipeline:
                 # both branch pipelines consume ds: materialize once so
                 # the upstream lineage (reads, transforms) does not
                 # execute twice per conditional level
-                ds = ds.materialize()
+                ds, row_tag = _tag_rows(ds.materialize())
                 compiled = compile_filter(step["expr"])
 
                 def _take(match: bool, _c=compiled):
@@ -715,7 +768,7 @@ class Pipeline:
                 if step.get("else"):
                     else_ds = Pipeline(step["else"]).run(
                         else_ds, optimize=optimize)
-                ds = then_ds.union(else_ds)
+                ds = _union_by_tag(then_ds, else_ds, row_tag)
                 continue
             if name in ("hash_join", "asof_join", "range_join",
                         "range_join_partitioned"):
