@@ -2197,6 +2197,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = T.select(out, ["doc_id", "sample_rate", "channels", "duration_s"])
         return T.scale_int_cols(out, ["duration_s"])
 
+    def media_mp3_meta(sf):
+        # REAL MP3 frame-level parse (stages/mp3.py, ISO 11172-3 header
+        # walk): SQL-predictable frame counts; doc_id%3==0 streams are
+        # VBR (second bitrate appended) and doc_id%4==0 carry an ID3v2
+        # prefix — duration must still be the exact per-frame sum
+        import pandas as pd
+
+        from tenzir_ray.stages.mp3 import build_frames
+        from tenzir_ray.stages.multimodal import DecodeAudio
+
+        def _mk(df: pd.DataFrame) -> pd.DataFrame:
+            payloads = []
+            for did in df["doc_id"]:
+                did = int(did)
+                nf = 3 + did % 5
+                ch = 1 if did % 2 else 2
+                s = build_frames(nf, 128, 44100, ch)
+                if did % 3 == 0:
+                    s += build_frames(2, 192, 44100, ch)
+                if did % 4 == 0:
+                    s = b"ID3" + bytes([3, 0, 0]) \
+                        + bytes([0, 0, 1, 4]) + b"\x00" * 132 + s
+                payloads.append(s)
+            return pd.DataFrame({"doc_id": df["doc_id"], "payload": payloads})
+
+        ds = _read(sf, "documents", columns=["doc_id"]).map_batches(
+            _mk, batch_format="pandas"
+        )
+        out = ds.map_batches(DecodeAudio(), batch_format="pyarrow", batch_size=64)
+        out = T.select(out, ["doc_id", "sample_rate", "channels", "duration_s"])
+        return T.scale_int_cols(out, ["duration_s"])
+
     def shell_upper(sf):
         # the shell operator (reference operators/shell.cpp): pipe the
         # text column through `tr` — SQL oracle = upper()
@@ -3030,6 +3062,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_jpeg_decode": media_jpeg_decode,
         "media_mjpeg_frames": media_mjpeg_frames,
         "media_audio_decode": media_audio_decode,
+        "media_mp3_meta": media_mp3_meta,
         "asof_forward": asof_forward,
         "hash_join_left_outer": hash_join_left_outer,
         "full_outer_join_orders": full_outer_join_orders,
@@ -4296,6 +4329,16 @@ def oracle_sql() -> dict[str, str]:
         "media_audio_decode": """
             SELECT doc_id, 16000 AS sample_rate, 1 AS channels,
                    CAST(round((1600 + doc_id % 3200) / 16000.0 * 1000000)
+                        AS BIGINT) AS duration_s
+            FROM documents
+        """,
+        "media_mp3_meta": """
+            SELECT doc_id, 44100 AS sample_rate,
+                   CAST(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END
+                        AS INTEGER) AS channels,
+                   CAST(round((3 + doc_id % 5
+                               + CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 0 END)
+                              * 1152.0 / 44100.0 * 1000000)
                         AS BIGINT) AS duration_s
             FROM documents
         """,

@@ -41,6 +41,7 @@ from tenzir_ray._ship import ship_by_value
 # codec inside the task spec — a worker-side `import tenzir_ray` would
 # fail off-repo (see _ship.py)
 from tenzir_ray.stages.jpeg import decode_jpeg, encode_jpeg
+from tenzir_ray.stages.mp3 import mp3_info
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -426,7 +427,11 @@ def resize_images(ds, out_h: int, out_w: int, concurrency=(1, 2),
 
 class DecodeAudio:
     """Real WAV (PCM16) decode + features: sample rate, channels,
-    duration, RMS, zero-crossing rate."""
+    duration, RMS, zero-crossing rate. MP3 payloads parse for real at
+    the FRAME level (stages/mp3.py — spec header walk: exact
+    sample-accurate duration incl. VBR, rate/channels/bitrate); their
+    sample-domain features (rms/zcr) are null — PCM synthesis needs
+    codecs this container doesn't have and stays an honest stub."""
 
     def __init__(self, fake: bool = False):
         self.fake = fake
@@ -435,6 +440,7 @@ class DecodeAudio:
         rates, chans, durs, rms, zcr = [], [], [], [], []
         for payload in batch.column("payload").to_pylist():
             payload = payload or b""
+            info = None
             if payload[:4] == b"RIFF":
                 rate, ch, samples = decode_wav(payload)
                 x = samples[:, 0].astype(np.float64)
@@ -446,6 +452,15 @@ class DecodeAudio:
                     float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean())
                     if len(x) > 1 else 0.0
                 )
+            elif (payload[:3] == b"ID3"
+                  or (len(payload) > 1 and payload[0] == 0xFF
+                      and (payload[1] & 0xE0) == 0xE0)) \
+                    and (info := mp3_info(payload)) is not None:
+                rates.append(info["sample_rate"])
+                chans.append(info["channels"])
+                durs.append(info["duration_s"])
+                rms.append(None)   # sample-domain features need PCM
+                zcr.append(None)
             elif self.fake:
                 digest = hashlib.sha256(payload).digest()
                 rates.append(16000)
@@ -455,8 +470,9 @@ class DecodeAudio:
                 zcr.append(digest[2] / 255.0)
             else:
                 raise NotImplementedError(
-                    "compressed audio (mp3/ogg) needs external codecs; WAV "
-                    "decodes for real, or construct with fake=True"
+                    "ogg/aac audio needs external codecs; WAV decodes for "
+                    "real, MP3 parses at frame level (metadata), or "
+                    "construct with fake=True"
                 )
         return batch.drop_columns(["payload"]).append_column(
             "sample_rate", pa.array(rates, pa.int32())

@@ -2055,3 +2055,89 @@ def test_sample_frames_non_mjpeg_still_stubbed(ray_session):
     assert (out["frame_idx"] % 10 == 0).all()
     with _pytest.raises(Exception):
         sample_frames(ray.data.from_arrow(tbl), fake=False).materialize()
+
+
+# ---------------------------------------------------------------- mp3
+
+
+def test_mp3_frame_walk_cbr_vbr_id3():
+    from tenzir_ray.stages.mp3 import build_frames, mp3_info, parse_frames
+
+    # CBR stereo: exact frame count + sample-accurate duration
+    s = build_frames(5, 128, 44100, 2)
+    info = mp3_info(s)
+    assert info["frames"] == 5 and info["channels"] == 2
+    assert not info["vbr"] and info["bitrate_kbps"] == 128.0
+    assert abs(info["duration_s"] - 5 * 1152 / 44100) < 1e-12
+
+    # VBR = mixed per-frame bitrates; duration sums real frame samples
+    vbr = mp3_info(build_frames(3, 96) + build_frames(2, 192))
+    assert vbr["vbr"] and vbr["frames"] == 5
+    assert abs(vbr["duration_s"] - 5 * 1152 / 44100) < 1e-12
+
+    # ID3v2 prefix (syncsafe size) is skipped, ID3v1 trailer stops the walk
+    tag = b"ID3" + bytes([4, 0, 0]) + bytes([0, 0, 0, 20]) + b"x" * 20
+    body = build_frames(2, 128, 44100, 1)
+    assert mp3_info(tag + body)["frames"] == 2
+    assert mp3_info(body + b"TAG" + b"\x00" * 125)["frames"] == 2
+
+    # resync across junk between frames (broadcast-stream reality)
+    s4 = build_frames(1, 128) + b"\x00" * 37 + build_frames(1, 128)
+    assert mp3_info(s4)["frames"] == 2
+
+    # garbage and empty decline as None, not an exception
+    assert mp3_info(b"not audio at all") is None
+    assert mp3_info(b"") is None
+
+    # offsets are real byte positions
+    frames = parse_frames(s)
+    assert frames[0]["offset"] == 0
+    assert frames[1]["offset"] == frames[0]["size"]
+
+
+def test_mp3_mpeg2_layer3_frame_size():
+    from tenzir_ray.stages.mp3 import _parse_header
+
+    # MPEG-2 Layer III, 32 kbps, 22050 Hz, mono: 576 samples/frame and
+    # the 72*bitrate/rate size formula (not MPEG-1's 144)
+    b1 = 0xE0 | (2 << 3) | (1 << 1)          # version 10 = MPEG-2, layer III
+    b2 = (4 << 4) | (0 << 2)                  # bitrate idx 4 = 32k, 22050 Hz
+    h = _parse_header(bytes([0xFF, b1, b2, 0xC0]), 0)
+    assert h["version"] == "2" and h["layer"] == 3
+    assert h["samples"] == 576 and h["channels"] == 1
+    assert h["size"] == 72 * 32000 // 22050
+    assert h["sample_rate"] == 22050 and h["bitrate"] == 32000
+
+    # free-format (idx 0) and reserved (15) decline
+    assert _parse_header(bytes([0xFF, b1, 0x00, 0xC0]), 0) is None
+    assert _parse_header(bytes([0xFF, b1, 0xF0, 0xC0]), 0) is None
+
+
+def test_decode_audio_mp3_stage(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages import multimodal as M
+    from tenzir_ray.stages.mp3 import build_frames
+
+    wav = M.encode_wav(
+        (np.sin(np.arange(1600) / 9.0) * 9000).astype(np.int16), rate=16000)
+    mp3 = build_frames(4, 128, 44100, 2)
+    tagged = b"ID3" + bytes([3, 0, 0]) + bytes([0, 0, 0, 8]) + b"\x00" * 8 \
+        + build_frames(3, 96, 44100, 1)
+    tbl = pa.table({"media_id": [0, 1, 2],
+                    "payload": pa.array([wav, mp3, tagged], pa.binary())})
+    out = M.decode_audio(ray.data.from_arrow(tbl)).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    # WAV row: full sample-domain features
+    assert out.loc[0, "sample_rate"] == 16000 and out.loc[0, "rms"] > 0
+    # MP3 rows: real header metadata, null sample-domain features
+    assert out.loc[1, "sample_rate"] == 44100 and out.loc[1, "channels"] == 2
+    assert abs(out.loc[1, "duration_s"] - 4 * 1152 / 44100) < 1e-9
+    assert pd.isna(out.loc[1, "rms"]) and pd.isna(out.loc[1, "zcr"])
+    assert out.loc[2, "channels"] == 1
+    assert abs(out.loc[2, "duration_s"] - 3 * 1152 / 44100) < 1e-9
+
+    # non-audio garbage still raises without fake=True
+    bad = pa.table({"media_id": [0], "payload": pa.array([b"oggS??"], pa.binary())})
+    with pytest.raises(Exception):
+        M.decode_audio(ray.data.from_arrow(bad)).materialize()
