@@ -2197,6 +2197,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = T.select(out, ["doc_id", "sample_rate", "channels", "duration_s"])
         return T.scale_int_cols(out, ["duration_s"])
 
+    def media_mp4_frames(sf):
+        # REAL MP4 demux (stages/mp4.py stsz/stsc/stco sample-table
+        # resolution) + Motion-JPEG sample decode via stages/jpeg.py:
+        # muxed corpora with SQL-predictable frame counts/dims/colors
+        import pandas as pd
+
+        from tenzir_ray.stages.jpeg import encode_jpeg
+        from tenzir_ray.stages.mp4 import build_mp4
+        from tenzir_ray.stages.multimodal import sample_frames
+
+        def _mk(df: pd.DataFrame) -> pd.DataFrame:
+            payloads = []
+            for did in df["doc_id"]:
+                did = int(did)
+                nf = 2 + did % 3
+                h = 8 + did % 6
+                frames = [
+                    encode_jpeg(
+                        np.full((h, 16, 3),
+                                ((did + 50 * i) % 200 + 25, 80, 100),
+                                dtype=np.uint8),
+                        quality=92)
+                    for i in range(nf)]
+                payloads.append(build_mp4(frames, fps=5, width=16, height=h))
+            return pd.DataFrame({"media_id": df["doc_id"],
+                                 "payload": payloads})
+
+        # cap like media_mjpeg_frames: the pure-Python JPEG codec costs
+        # ~ms/frame and 1500 docs cover every (nf, h, color) residue
+        from tenzir_ray.stages.transforms import where as _where
+
+        ds = _where(_read(sf, "documents", columns=["doc_id"]),
+                    "doc_id < 1500").map_batches(_mk, batch_format="pandas")
+        out = sample_frames(ds, every_n=2, fake=False)
+
+        def _props(df: pd.DataFrame) -> pd.DataFrame:
+            did = df["media_id"].astype("int64")
+            expect = (0.299 * ((did + 50 * df["frame_idx"]) % 200 + 25)
+                      + 0.587 * 80 + 0.114 * 100)
+            return pd.DataFrame({
+                "doc_id": did,
+                "frame_idx": df["frame_idx"].astype("int32"),
+                "height": df["height"].astype("int32"),
+                "width": df["width"].astype("int32"),
+                "luma_close": (df["mean_luma"] - expect).abs() < 2.0,
+            })
+
+        return out.map_batches(_props, batch_format="pandas")
+
     def media_mp3_meta(sf):
         # REAL MP3 frame-level parse (stages/mp3.py, ISO 11172-3 header
         # walk): SQL-predictable frame counts; doc_id%3==0 streams are
@@ -3063,6 +3112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_mjpeg_frames": media_mjpeg_frames,
         "media_audio_decode": media_audio_decode,
         "media_mp3_meta": media_mp3_meta,
+        "media_mp4_frames": media_mp4_frames,
         "asof_forward": asof_forward,
         "hash_join_left_outer": hash_join_left_outer,
         "full_outer_join_orders": full_outer_join_orders,
@@ -4331,6 +4381,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round((1600 + doc_id % 3200) / 16000.0 * 1000000)
                         AS BIGINT) AS duration_s
             FROM documents
+        """,
+        "media_mp4_frames": """
+            SELECT doc_id,
+                   CAST(f.i AS INTEGER) AS frame_idx,
+                   CAST(8 + doc_id % 6 AS INTEGER) AS height,
+                   CAST(16 AS INTEGER) AS width,
+                   true AS luma_close
+            FROM documents
+            CROSS JOIN (VALUES (0), (2)) f(i)
+            WHERE f.i < 2 + doc_id % 3 AND doc_id < 1500
         """,
         "media_mp3_meta": """
             SELECT doc_id, 44100 AS sample_rate,

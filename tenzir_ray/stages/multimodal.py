@@ -42,6 +42,7 @@ from tenzir_ray._ship import ship_by_value
 # fail off-repo (see _ship.py)
 from tenzir_ray.stages.jpeg import decode_jpeg, encode_jpeg
 from tenzir_ray.stages.mp3 import mp3_info
+from tenzir_ray.stages.mp4 import MJPEG_CODECS, mp4_video_samples
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -518,9 +519,11 @@ class FrameSampler:
     """Video frame-sample stage: REAL for MJPEG payloads (concatenated
     baseline JPEGs — split on exact EOI boundaries, every Nth frame
     decoded through stages/jpeg.py, one row per sampled frame with dims
-    + mean luma). Other containers (mp4/h264…) stay stubbed behind
-    ``fake=True`` (codecs not in this container) with the same explode
-    plumbing and output shape."""
+    + mean luma) and for MP4 files whose video track carries Motion-JPEG
+    samples (stages/mp4.py demuxes the full stsz/stsc/stco sample table;
+    each sample is a baseline JPEG). MP4 with h264/h265 tracks and other
+    containers stay stubbed behind ``fake=True`` (no H.26x codec in this
+    container) with the same explode plumbing and output shape."""
 
     def __init__(self, every_n: int = 10, fake: bool = True):
         self.every_n = every_n
@@ -532,8 +535,20 @@ class FrameSampler:
             batch.column("media_id").to_pylist(), batch.column("payload").to_pylist()
         ):
             payload = payload or b""
+            parts = None
             if payload[:2] == b"\xff\xd8":
                 parts = split_mjpeg(payload)
+            elif payload[4:8] == b"ftyp":
+                demux = mp4_video_samples(payload)
+                if demux is not None and demux[0]["codec"] in MJPEG_CODECS:
+                    parts = demux[1]
+                elif not self.fake:
+                    codec = demux[0]["codec"] if demux else "none"
+                    raise NotImplementedError(
+                        f"mp4 video track codec {codec!r} needs external "
+                        "codecs; Motion-JPEG tracks decode for real, or "
+                        "construct with fake=True")
+            if parts is not None:
                 for i in range(0, len(parts), self.every_n):
                     img = decode_jpeg(parts[i])
                     ids.append(mid)
@@ -547,9 +562,9 @@ class FrameSampler:
                 continue
             if not self.fake:
                 raise NotImplementedError(
-                    "only MJPEG decodes for real; other video codecs are "
-                    "not in this container — construct with fake=True for "
-                    "plumbing tests")
+                    "only MJPEG and Motion-JPEG-in-MP4 decode for real; "
+                    "other video codecs are not in this container — "
+                    "construct with fake=True for plumbing tests")
             n_frames = max(1, len(payload) // 256)
             for i in range(0, n_frames, self.every_n):
                 ids.append(mid)

@@ -2141,3 +2141,62 @@ def test_decode_audio_mp3_stage(ray_session):
     bad = pa.table({"media_id": [0], "payload": pa.array([b"oggS??"], pa.binary())})
     with pytest.raises(Exception):
         M.decode_audio(ray.data.from_arrow(bad)).materialize()
+
+
+# ---------------------------------------------------------------- mp4
+
+
+def test_mp4_mux_demux_roundtrip():
+    from tenzir_ray.stages.jpeg import decode_jpeg, encode_jpeg
+    from tenzir_ray.stages.mp4 import build_mp4, mp4_info, mp4_video_samples
+
+    frames = [encode_jpeg(np.full((16, 24, 3), (i * 30 + 20, 60, 120),
+                                  dtype=np.uint8), quality=92)
+              for i in range(5)]
+    mp4 = build_mp4(frames, fps=10, width=24, height=16)
+    info = mp4_info(mp4)
+    assert info["brand"] == "isom" and abs(info["duration_s"] - 0.5) < 1e-9
+    tr = info["tracks"][0]
+    assert tr["kind"] == "video" and tr["codec"] == "jpeg"
+    assert tr["width"] == 24 and tr["height"] == 16 and tr["n_samples"] == 5
+    # demuxed samples are byte-identical to the muxed frames and decode
+    _, samples = mp4_video_samples(mp4)
+    assert samples == frames
+    assert decode_jpeg(samples[3]).shape == (16, 24, 3)
+
+    # non-MP4 and truncated input decline as None, not an exception
+    assert mp4_info(b"garbage not a video") is None
+    assert mp4_video_samples(b"\xff\xd8\xff") is None
+    assert mp4_info(mp4[:40]) is None
+
+
+def test_mp4_frame_sampler_stage(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages import multimodal as M
+    from tenzir_ray.stages.jpeg import encode_jpeg
+    from tenzir_ray.stages.mp4 import build_mp4
+
+    frames = [encode_jpeg(np.full((8, 12, 3), (40 + 60 * i, 70, 110),
+                                  dtype=np.uint8), quality=92)
+              for i in range(4)]
+    mp4 = build_mp4(frames, fps=4, width=12, height=8)
+    tbl = pa.table({"media_id": pa.array([7], pa.int64()),
+                    "payload": pa.array([mp4], pa.binary())})
+    out = M.sample_frames(ray.data.from_arrow(tbl), every_n=2,
+                          fake=False).to_pandas().sort_values("frame_idx")
+    assert list(out["frame_idx"]) == [0, 2]
+    assert (out["height"] == 8).all() and (out["width"] == 12).all()
+    expect0 = 0.299 * 40 + 0.587 * 70 + 0.114 * 110
+    assert abs(out.iloc[0]["mean_luma"] - expect0) < 3.0
+
+    # an MP4 whose video track is a codec we can't decode raises loudly
+    avc = build_mp4(frames, fps=4, width=12, height=8, codec=b"avc1")
+    bad = pa.table({"media_id": pa.array([1], pa.int64()),
+                    "payload": pa.array([avc], pa.binary())})
+    with pytest.raises(Exception, match="avc1"):
+        M.sample_frames(ray.data.from_arrow(bad), fake=False).materialize()
+    # ... but fake=True keeps the plumbing shape
+    fk = M.sample_frames(ray.data.from_arrow(bad), every_n=10,
+                         fake=True).to_pandas()
+    assert (fk["frame_idx"] % 10 == 0).all()
