@@ -2523,6 +2523,79 @@ def queries() -> dict[str, Callable[[str], Any]]:
         assert lake.final_table().num_rows == 0, "wipe epoch must empty src"
         return cloned.final_table()
 
+    def _quarantined_lake(sf):
+        # shared by the two quarantine gates: same change-log derivation
+        # as cdc_replay_sql, but guarded by an ingest CHECK constraint —
+        # inserts/updates with turn_idx >= 18 divert to the dead-letter
+        # dir instead of reaching the lake (cdc/quality.py)
+        import pandas as pd
+        import ray.data
+
+        from tenzir_ray.cdc import LakeTable, quarantine_changes
+
+        def _mk(df: pd.DataFrame) -> pd.DataFrame:
+            i = df["event_id"].to_numpy()
+            u = df["user_id"].to_numpy()
+            op = np.where(
+                i % 10 == 9, "delete",
+                np.where(i % 10 >= 6, "update", "insert"))
+            return pd.DataFrame({
+                "lsn": i.astype(np.int64),
+                "op": op,
+                "conv_id": "c" + pd.Series(u % 50).astype(str),
+                "turn_idx": ((i // 7) % 20).astype(np.int32),
+                "text": df["event_type"] + "-" + pd.Series(i).astype(str),
+            })
+
+        changes = ray.data.read_parquet(
+            f"{sf}/events.parquet",
+            columns=["event_id", "user_id", "event_type"],
+        ).map_batches(_mk, batch_format="pandas")
+        root = _scratch("tenzir_ray_cdc_sql",
+                        f"quar-{os.path.basename(os.path.normpath(sf))}")
+        shutil.rmtree(root, ignore_errors=True)
+        dlq = os.path.join(root, "dlq")
+        lake = LakeTable(os.path.join(root, "lake"), num_partitions=16)
+        passed = quarantine_changes(
+            changes, {"turn_ok": "turn_idx < 18"}, dlq, "e1")
+        lake.apply_changes(passed, epoch_id="e1")
+        return lake, dlq
+
+    def cdc_quarantine_sql(sf):
+        # the PASS side: the lake must equal LWW over only the rows that
+        # satisfied the constraint (deletes are op-exempt — a delete
+        # legitimately nulls payload columns)
+        lake, _dlq = _quarantined_lake(sf)
+        return lake.final_table()
+
+    def cdc_quarantine_dlq(sf):
+        # the DIVERT side: the dead-letter table must hold exactly the
+        # violating rows, tagged with which rule failed
+        from tenzir_ray.cdc import read_quarantine
+
+        _lake, dlq = _quarantined_lake(sf)
+        return read_quarantine(dlq).select_columns(
+            ["lsn", "conv_id", "turn_idx", "text", "_violated"])
+
+    def cdc_restore_sql(sf):
+        # RESTORE TO VERSION (Delta analog, cdc/lake.py restore()): apply
+        # odd then even epochs, roll back to the odd snapshot — the final
+        # table must equal LWW over the odd-lsn half only, via a
+        # metadata-only epoch (no data bytes rewritten)
+        lake = _build_sql_lake(sf, "restore")
+        rec = lake.restore("odd")
+        assert rec["skipped"] is False
+        return lake.final_table()
+
+    def cdc_expire_sql(sf):
+        # row-TTL retention delete (cdc/lake.py expire()): expire every
+        # live row with turn_idx >= 15 as ONE exactly-once delete epoch;
+        # the remainder must equal the LWW oracle filtered to < 15
+        lake = _build_sql_lake(sf, "expire")
+        rec = lake.expire("turn_idx >= 15")
+        assert rec["skipped"] is False
+        return lake.final_table()
+
     def cdc_append_pruned(sf):
         # append-only ingest (reference import semantics: pure inserts,
         # per-epoch files, fast path preserved) + zone-map FILE pruning
@@ -3041,6 +3114,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_point_lookup": cdc_point_lookup,
         "cdc_zorder_pruned": cdc_zorder_pruned,
         "cdc_clone_read": cdc_clone_read,
+        "cdc_quarantine_sql": cdc_quarantine_sql,
+        "cdc_quarantine_dlq": cdc_quarantine_dlq,
+        "cdc_restore_sql": cdc_restore_sql,
+        "cdc_expire_sql": cdc_expire_sql,
         "cdc_append_pruned": cdc_append_pruned,
         "cdc_time_travel": cdc_time_travel,
         "cdc_change_feed": cdc_change_feed,
@@ -3721,6 +3798,68 @@ def oracle_sql() -> dict[str, str]:
                       PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) rn
                   FROM ch)
             SELECT conv_id, turn_idx, text FROM w WHERE rn = 1 AND op != 'delete'
+        """,
+        "cdc_quarantine_sql": """
+            WITH ch AS (
+                SELECT event_id AS lsn,
+                       CASE WHEN event_id % 10 = 9 THEN 'delete'
+                            WHEN event_id % 10 >= 6 THEN 'update'
+                            ELSE 'insert' END AS op,
+                       'c' || CAST(user_id % 50 AS VARCHAR) AS conv_id,
+                       CAST((event_id // 7) % 20 AS INTEGER) AS turn_idx,
+                       event_type || '-' || CAST(event_id AS VARCHAR) AS text
+                FROM events),
+            kept AS (SELECT * FROM ch
+                     WHERE op NOT IN ('insert', 'update') OR turn_idx < 18),
+            w AS (SELECT *, row_number() OVER (
+                      PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) rn
+                  FROM kept)
+            SELECT conv_id, turn_idx, text FROM w WHERE rn = 1 AND op != 'delete'
+        """,
+        "cdc_quarantine_dlq": """
+            WITH ch AS (
+                SELECT event_id AS lsn,
+                       CASE WHEN event_id % 10 = 9 THEN 'delete'
+                            WHEN event_id % 10 >= 6 THEN 'update'
+                            ELSE 'insert' END AS op,
+                       'c' || CAST(user_id % 50 AS VARCHAR) AS conv_id,
+                       CAST((event_id // 7) % 20 AS INTEGER) AS turn_idx,
+                       event_type || '-' || CAST(event_id AS VARCHAR) AS text
+                FROM events)
+            SELECT lsn, conv_id, turn_idx, text, 'turn_ok' AS _violated
+            FROM ch WHERE op IN ('insert', 'update') AND turn_idx >= 18
+        """,
+        "cdc_restore_sql": """
+            WITH ch AS (
+                SELECT event_id AS lsn,
+                       CASE WHEN event_id % 10 = 9 THEN 'delete'
+                            WHEN event_id % 10 >= 6 THEN 'update'
+                            ELSE 'insert' END AS op,
+                       'c' || CAST(user_id % 50 AS VARCHAR) AS conv_id,
+                       CAST((event_id // 7) % 20 AS INTEGER) AS turn_idx,
+                       event_type || '-' || CAST(event_id AS VARCHAR) AS text
+                FROM events
+                WHERE event_id % 2 = 1),
+            w AS (SELECT *, row_number() OVER (
+                      PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) rn
+                  FROM ch)
+            SELECT conv_id, turn_idx, text FROM w WHERE rn = 1 AND op != 'delete'
+        """,
+        "cdc_expire_sql": """
+            WITH ch AS (
+                SELECT event_id AS lsn,
+                       CASE WHEN event_id % 10 = 9 THEN 'delete'
+                            WHEN event_id % 10 >= 6 THEN 'update'
+                            ELSE 'insert' END AS op,
+                       'c' || CAST(user_id % 50 AS VARCHAR) AS conv_id,
+                       CAST((event_id // 7) % 20 AS INTEGER) AS turn_idx,
+                       event_type || '-' || CAST(event_id AS VARCHAR) AS text
+                FROM events),
+            w AS (SELECT *, row_number() OVER (
+                      PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) rn
+                  FROM ch)
+            SELECT conv_id, turn_idx, text FROM w
+            WHERE rn = 1 AND op != 'delete' AND turn_idx < 15
         """,
         "cdc_zorder_pruned": """
             WITH ch AS (

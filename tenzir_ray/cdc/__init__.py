@@ -5,6 +5,8 @@ from tenzir_ray.cdc.oracle import naive_apply
 from tenzir_ray.cdc.lake import LakeTable
 from tenzir_ray.cdc.replicate import replicate_stream
 from tenzir_ray.cdc.derived import DerivedView
+from tenzir_ray.cdc.quality import quarantine_changes, read_quarantine
 
 __all__ = ["gen_changes", "gen_transcripts", "naive_apply", "LakeTable",
-           "replicate_stream", "DerivedView"]
+           "replicate_stream", "DerivedView", "quarantine_changes",
+           "read_quarantine"]

@@ -55,6 +55,7 @@ reference's partition rebuild, builtins/commands/rebuild.cpp:26).
 
 from __future__ import annotations
 
+import hashlib
 import json as _json
 import os
 import time
@@ -1843,6 +1844,120 @@ class LakeTable:
                 except OSError:  # cross-filesystem / FS without links
                     shutil.copy2(src, dst)
         return LakeTable(dest_root)
+
+    def restore(self, as_of: "str | int",
+                epoch_id: "str | None" = None) -> dict:
+        """Roll the table back to a lineage snapshot (Delta-Lake
+        ``RESTORE TABLE ... TO VERSION AS OF`` analog): publish ONE new
+        epoch whose state replaces every current partition's file set
+        with the snapshot's as of ``as_of`` (epoch id, or positional
+        index — negatives from the end). Metadata-only and O(partitions):
+        no data bytes move — data files are immutable and uuid-named, so
+        pointing the manifest back at the old set IS the rollback.
+
+        History stays monotonic: the restore is itself a lineage-tracked,
+        exactly-once epoch (replaying the same ``epoch_id`` skips), so a
+        later ``restore`` can roll FORWARD again and time travel across
+        the rollback keeps working. The schema registry is additive-only
+        and stays at its current (widest) version — restored rows read
+        with nulls in later-added columns, the same contract as any old
+        file under evolution.
+
+        Fails loudly (nothing published) if the snapshot references
+        files already collected by ``gc()``/``optimize()`` — VACUUM
+        bounds how far back a restore can reach, exactly as in Delta.
+
+        The restore does NOT rewind the source-offset checkpoint:
+        ``resume_lsn()`` still reflects the binlog high watermark (max
+        over all lineage). For a rewind-and-replay flow, re-apply from
+        the returned record's ``restored_lsn_high`` + 1; replayed epoch
+        ids that were committed BEFORE the restore point are new epochs
+        again only if given fresh ids (the idempotence registry is
+        append-only by design — it records "this chunk was applied",
+        which remains true)."""
+        self.manifest.reload()
+        self._sync_registry()
+        eid = epoch_id or f"restore-{as_of}"
+        if eid in self.manifest.committed_epoch_ids():
+            return {"epoch_id": eid, "skipped": True}
+        snap = self.manifest.state_as_of(as_of)
+        missing = [
+            f for info in snap.values() for f in info["files"]
+            if not os.path.exists(os.path.join(self.root, f))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"restore({as_of!r}): {len(missing)} snapshot file(s) were "
+                f"collected by gc()/optimize() (first: {missing[0]!r}); "
+                "this snapshot is no longer restorable")
+        restored_lsn = max(
+            (e["lsn_max"] for e in
+             self.manifest.epochs[: self.manifest.resolve_epoch(as_of) + 1]),
+            default=-1)
+        part_results: dict = {}
+        for k in set(self.manifest.partitions) | set(snap):
+            info = snap.get(k)
+            rec = (dict(info) if info
+                   else {"files": [], "rows": 0, "tombstones": 0})
+            rec["lsn_high"] = restored_lsn
+            part_results[k] = rec
+        self.manifest.commit_epoch(
+            eid, -1, -1, part_results,
+            meta={"restore_of": as_of, "restored_lsn_high": restored_lsn})
+        return {"epoch_id": eid, "skipped": False,
+                "restored_lsn_high": restored_lsn,
+                "partitions_touched": len(part_results)}
+
+    def expire(self, filter_expr: str,
+               epoch_id: "str | None" = None,
+               batch_size: int = 262144) -> dict:
+        """Retention delete (row-TTL): scan live rows matching
+        ``filter_expr`` (the engine expression language, e.g.
+        ``"ts < 2024-01-01T00:00:00"``), turn each matched key into a
+        DELETE change, and apply them as one normal exactly-once epoch.
+
+        Distribution: the scan is the streaming :meth:`read` with the
+        predicate pushed into the parquet scan (zone maps + row groups
+        prune untouched files); only the matched KEYS (conv_id,
+        turn_idx) flow into the epoch. All deletes carry the same fresh
+        LSN (``resume_lsn()``) — they happen-at the expiry point, after
+        every applied change; keys are unique post-LWW so no intra-epoch
+        tie exists. Lineage-tracked like any epoch: time travel to
+        before the expiry still sees the rows until ``gc()`` collects
+        them — retention and VACUUM compose exactly as in Delta."""
+        self.manifest.reload()
+        eid = epoch_id or (
+            "ttl-" + hashlib.sha1(filter_expr.encode()).hexdigest()[:12])
+        if eid in self.manifest.committed_epoch_ids():
+            return {"epoch_id": eid, "skipped": True}
+        ttl_lsn = self.resume_lsn()
+        matched = self.read(columns=["conv_id", "turn_idx"],
+                            filter_expr=filter_expr)
+        # no-match probe (early-stopped, pruned scan): an all-pass filter
+        # must still commit an idempotence epoch, but an empty Dataset has
+        # no schema for apply_changes to conform
+        if not matched.limit(1).take(1):
+            self.manifest.commit_epoch(
+                eid, ttl_lsn, ttl_lsn, {},
+                meta={"ttl_filter": filter_expr, "ttl_matches": 0})
+            return {"epoch_id": eid, "skipped": False, "ttl_lsn": ttl_lsn,
+                    "rows": 0}
+
+        def _to_deletes(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table({
+                "lsn": pa.array(np.full(n, ttl_lsn, dtype=np.int64)),
+                "op": pa.array(["delete"] * n, pa.string()),
+                "conv_id": batch.column("conv_id"),
+                "turn_idx": batch.column("turn_idx"),
+            })
+
+        deletes = matched.map_batches(_to_deletes, batch_format="pyarrow")
+        rec = self.apply_changes(deletes, eid, batch_size=batch_size,
+                                 epoch_meta={"ttl_filter": filter_expr})
+        rec["ttl_lsn"] = ttl_lsn
+        rec.setdefault("skipped", False)
+        return rec
 
     # -- maintenance (reference: rebuild.cpp compaction + disk_monitor) --
     def gc(self, min_age_s: float = 0.0) -> dict:
