@@ -742,6 +742,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return pairs.map_batches(_clones, batch_format="pandas")
 
+    def kmeans_profile_embeddings(sf):
+        # rows-only gate (cluster sizes aren't SQL-derivable): k rows,
+        # deterministic across runs/partitionings (seeded k-means++ on a
+        # bounded head sample + argmin ties to the lowest cluster id)
+        from tenzir_ray.stages import cluster as CL
+
+        return CL.kmeans_profile(
+            _read(sf, "embeddings", columns=["vec_id", "embedding"]),
+            k=8, iters=5,
+        )
+
+    def semdedup_embeddings(sf):
+        # SemDeDup (arXiv:2303.09540) with planted exact clones: the
+        # corpus max natural cosine is ~0.51 (measured), so at threshold
+        # 0.9 the kept set must be EXACTLY the original ids (clone of i
+        # lands in i's cluster, i wins the ascending-id greedy) — which
+        # IS SQL-expressible, so this gate is hash-checked.
+        from tenzir_ray.stages import cluster as CL
+
+        ds = _read(sf, "embeddings", columns=["vec_id", "embedding"])
+        shifted = T.set_(ds, vec_id="vec_id + 1000000")
+        kept = CL.semdedup(
+            ds.union(shifted), threshold=0.9, k=8, iters=5
+        )
+        return kept.select_columns(["vec_id"])
+
     def cdc_replay(sf):
         return _cdc_replay(sf)
 
@@ -3108,6 +3134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_docs": simhash_docs,
         "ann_cosine_topk": ann_cosine_topk,
         "embedding_near_dups": embedding_near_dups,
+        "kmeans_profile_embeddings": kmeans_profile_embeddings,
+        "semdedup_embeddings": semdedup_embeddings,
         "cdc_replay": cdc_replay,
         "cdc_replay_sql": cdc_replay_sql,
         "cdc_multi_writer": cdc_multi_writer,
@@ -3607,6 +3635,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_near_dups": """
             SELECT vec_id, TRUE AS clone_found FROM embeddings
+        """,
+        "semdedup_embeddings": """
+            SELECT vec_id FROM embeddings
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_idx,

@@ -47,6 +47,7 @@ def _register_builtins() -> None:
     from tenzir_ray.sources import readers
     from tenzir_ray.stages import (
         chunk,
+        cluster,
         dedup,
         similarity,
         splits,
@@ -124,6 +125,8 @@ def _register_builtins() -> None:
         minhash_lsh_dedup=dedup.minhash_lsh_dedup,
         simhash=dedup.simhash,
         lsh_bucket=similarity.lsh_bucket,
+        semdedup=cluster.semdedup,
+        kmeans_cluster=cluster.kmeans_cluster,
         parse_ndjson=parsers.parse_ndjson,
         parse_kv=parsers.parse_kv,
         parse_syslog=parsers.parse_syslog,

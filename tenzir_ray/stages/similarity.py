@@ -28,6 +28,10 @@ def _to_matrix(col, dtype=np.float32) -> np.ndarray:
     oracles at 2x the memory — the gate queries use it; production scans
     stay float32."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if not hasattr(arr, "flatten"):  # Ray ArrowTensorArray (pandas-origin
+        # datasets store list columns as fixed-shape tensors)
+        return np.asarray(arr.to_numpy(zero_copy_only=False)).astype(
+            dtype, copy=False).reshape(len(arr), -1)
     flat = arr.flatten().to_numpy(zero_copy_only=False).astype(dtype, copy=False)
     n = len(arr)
     return flat.reshape(n, -1)
