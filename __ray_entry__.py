@@ -742,6 +742,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return pairs.map_batches(_clones, batch_format="pandas")
 
+    def dsir_affinity_docs(sf):
+        # DSIR (arXiv:2302.03169) hashed-ngram importance: the integer
+        # affinity variant is bit-exact across engines (md5 bucketing =
+        # DuckDB md5_number_lower; integer // weights; int64 sums)
+        from tenzir_ray.stages import dsir as DSR
+
+        ds = _read(sf, "documents", columns=["doc_id", "text", "lang"])
+        out = DSR.dsir_weights(ds, "lang == 'en'", buckets=1024)
+        return out.select_columns(["doc_id", "affinity"])
+
+    def dsir_top_affinity(sf):
+        from tenzir_ray.stages import dsir as DSR
+
+        ds = _read(sf, "documents", columns=["doc_id", "text", "lang"])
+        out = DSR.dsir_weights(ds, "lang == 'en'", buckets=1024)
+        top = out.sort(["affinity", "doc_id"],
+                       descending=[True, False]).limit(50)
+        return top.select_columns(["doc_id", "affinity"])
+
     def kmeans_profile_embeddings(sf):
         # rows-only gate (cluster sizes aren't SQL-derivable): k rows,
         # deterministic across runs/partitionings (seeded k-means++ on a
@@ -3136,6 +3155,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": embedding_near_dups,
         "kmeans_profile_embeddings": kmeans_profile_embeddings,
         "semdedup_embeddings": semdedup_embeddings,
+        "dsir_affinity_docs": dsir_affinity_docs,
+        "dsir_top_affinity": dsir_top_affinity,
         "cdc_replay": cdc_replay,
         "cdc_replay_sql": cdc_replay_sql,
         "cdc_multi_writer": cdc_multi_writer,
@@ -3638,6 +3659,42 @@ def oracle_sql() -> dict[str, str]:
         """,
         "semdedup_embeddings": """
             SELECT vec_id FROM embeddings
+        """,
+        "dsir_affinity_docs": """
+            WITH tok AS (
+              SELECT doc_id, lang, md5_number_lower(t) % 1024 AS b
+              FROM (SELECT doc_id, lang,
+                           unnest(regexp_split_to_array(text, '\\s+')) AS t
+                    FROM documents)
+              WHERE t <> ''),
+            raw AS (SELECT b, count(*) AS cr FROM tok GROUP BY b),
+            tgt AS (SELECT b, count(*) AS ct FROM tok
+                    WHERE lang = 'en' GROUP BY b),
+            w AS (SELECT raw.b, (coalesce(ct, 0) * 1000000) // cr AS wt
+                  FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+            sc AS (SELECT tok.doc_id, SUM(w.wt) AS affinity
+                   FROM tok JOIN w ON tok.b = w.b GROUP BY tok.doc_id)
+            SELECT d.doc_id, CAST(coalesce(sc.affinity, 0) AS BIGINT) AS affinity
+            FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        """,
+        "dsir_top_affinity": """
+            WITH tok AS (
+              SELECT doc_id, lang, md5_number_lower(t) % 1024 AS b
+              FROM (SELECT doc_id, lang,
+                           unnest(regexp_split_to_array(text, '\\s+')) AS t
+                    FROM documents)
+              WHERE t <> ''),
+            raw AS (SELECT b, count(*) AS cr FROM tok GROUP BY b),
+            tgt AS (SELECT b, count(*) AS ct FROM tok
+                    WHERE lang = 'en' GROUP BY b),
+            w AS (SELECT raw.b, (coalesce(ct, 0) * 1000000) // cr AS wt
+                  FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+            sc AS (SELECT tok.doc_id, SUM(w.wt) AS affinity
+                   FROM tok JOIN w ON tok.b = w.b GROUP BY tok.doc_id)
+            SELECT doc_id, CAST(coalesce(affinity, 0) AS BIGINT) AS affinity
+            FROM (SELECT d.doc_id, sc.affinity
+                  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id)
+            ORDER BY affinity DESC, doc_id LIMIT 50
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_idx,

@@ -49,6 +49,7 @@ def _register_builtins() -> None:
         chunk,
         cluster,
         dedup,
+        dsir,
         similarity,
         splits,
         summarize,
@@ -127,6 +128,8 @@ def _register_builtins() -> None:
         lsh_bucket=similarity.lsh_bucket,
         semdedup=cluster.semdedup,
         kmeans_cluster=cluster.kmeans_cluster,
+        dsir_weights=dsir.dsir_weights,
+        dsir_select=dsir.dsir_select,
         parse_ndjson=parsers.parse_ndjson,
         parse_kv=parsers.parse_kv,
         parse_syslog=parsers.parse_syslog,
