@@ -2632,6 +2632,81 @@ def queries() -> dict[str, Callable[[str], Any]]:
         assert rec["skipped"] is False
         return lake.final_table()
 
+    def _merge_base_lake(sf, tag):
+        # base lake = transcripts rows with turn_idx % 3 != 2, pure inserts
+        import pyarrow as pa
+
+        from tenzir_ray.cdc import LakeTable
+
+        def _ins(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            t = t.filter(pc.not_equal(
+                pc.subtract(t.column("turn_idx"),
+                            pc.multiply(pc.divide(t.column("turn_idx"), 3), 3)),
+                2))
+            t = t.append_column("lsn", pa.array(
+                np.zeros(t.num_rows, np.int64)))
+            return t.append_column("op", pa.array(["insert"] * t.num_rows))
+
+        base = _transcripts_ds(sf).map_batches(_ins, batch_format="pyarrow")
+        root = _scratch("tenzir_ray_cdc_sql",
+                        f"{tag}-{os.path.basename(os.path.normpath(sf))}")
+        shutil.rmtree(root, ignore_errors=True)
+        lake = LakeTable(root, num_partitions=16)
+        lake.apply_changes(base, epoch_id="base")
+        return lake
+
+    def lake_merge_into(sf):
+        # Delta-style MERGE INTO (cdc/lake.py merge()): source = even
+        # turns with rewritten text; matched non-tool rows update,
+        # matched tool rows stay, unmatched rows insert — one
+        # exactly-once epoch, key-only semi-join classification
+        import pyarrow as pa
+
+        lake = _merge_base_lake(sf, "merge")
+
+        def _src(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            t = t.filter(pc.equal(
+                pc.subtract(t.column("turn_idx"),
+                            pc.multiply(pc.divide(t.column("turn_idx"), 2), 2)),
+                0))
+            i = t.schema.get_field_index("text")
+            new = pc.binary_join_element_wise(
+                pa.scalar("m:"), t.column("text").combine_chunks(),
+                pa.scalar(""))
+            return t.set_column(i, "text", new)
+
+        src = _transcripts_ds(sf).map_batches(_src, batch_format="pyarrow")
+        rec = lake.merge(src, "m1", when_matched="update",
+                         matched_condition="role != 'tool'",
+                         when_not_matched="insert")
+        assert not rec.get("skipped")
+        return lake.final_table()
+
+    def lake_merge_delete(sf):
+        # MERGE with when_matched=delete / when_not_matched=ignore:
+        # tombstone every live key whose turn_idx % 5 == 0
+        import pyarrow as pa
+
+        lake = _merge_base_lake(sf, "mergedel")
+
+        def _src(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(pc.equal(
+                pc.subtract(t.column("turn_idx"),
+                            pc.multiply(pc.divide(t.column("turn_idx"), 5), 5)),
+                0))
+
+        src = _transcripts_ds(sf).map_batches(_src, batch_format="pyarrow")
+        rec = lake.merge(src, "m1", when_matched="delete",
+                         when_not_matched="ignore")
+        assert not rec.get("skipped")
+        return lake.final_table()
+
     def cdc_expire_sql(sf):
         # row-TTL retention delete (cdc/lake.py expire()): expire every
         # live row with turn_idx >= 15 as ONE exactly-once delete epoch;
@@ -3167,6 +3242,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_quarantine_dlq": cdc_quarantine_dlq,
         "cdc_restore_sql": cdc_restore_sql,
         "cdc_expire_sql": cdc_expire_sql,
+        "lake_merge_into": lake_merge_into,
+        "lake_merge_delete": lake_merge_delete,
         "cdc_append_pruned": cdc_append_pruned,
         "cdc_time_travel": cdc_time_travel,
         "cdc_change_feed": cdc_change_feed,
@@ -3948,6 +4025,28 @@ def oracle_sql() -> dict[str, str]:
                   FROM ch)
             SELECT conv_id, turn_idx, text FROM w
             WHERE rn = 1 AND op != 'delete' AND turn_idx < 15
+        """,
+        "lake_merge_into": f"""
+            WITH {_TRANSCRIPTS_CTE},
+            base AS (SELECT * FROM tr WHERE turn_idx % 3 <> 2),
+            src AS (SELECT conv_id, turn_idx, role, 'm:' || text AS text,
+                           tool, ts
+                    FROM tr WHERE turn_idx % 2 = 0),
+            applied AS (SELECT s.* FROM src s
+                        SEMI JOIN base b USING (conv_id, turn_idx)
+                        WHERE s.role <> 'tool'),
+            inserted AS (SELECT s.* FROM src s
+                         ANTI JOIN base b USING (conv_id, turn_idx))
+            SELECT b.* FROM base b
+              ANTI JOIN applied a USING (conv_id, turn_idx)
+            UNION ALL SELECT * FROM applied
+            UNION ALL SELECT * FROM inserted
+        """,
+        "lake_merge_delete": f"""
+            WITH {_TRANSCRIPTS_CTE},
+            base AS (SELECT * FROM tr WHERE turn_idx % 3 <> 2),
+            src AS (SELECT conv_id, turn_idx FROM tr WHERE turn_idx % 5 = 0)
+            SELECT b.* FROM base b ANTI JOIN src s USING (conv_id, turn_idx)
         """,
         "cdc_zorder_pruned": """
             WITH ch AS (

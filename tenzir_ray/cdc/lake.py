@@ -1648,6 +1648,126 @@ class LakeTable:
             out = out.select(columns)
         return out
 
+    def merge(self, source, epoch_id: str, *,
+              when_matched: str = "update",
+              matched_condition: str | None = None,
+              when_not_matched: str = "insert",
+              validate_unique: bool = True,
+              **apply_kwargs) -> dict:
+        """Delta-style ``MERGE INTO``: reconcile an arbitrary source
+        Dataset against the live table in ONE exactly-once epoch.
+
+        ``source`` carries the table key (conv_id, turn_idx) plus any
+        payload columns. Row classification is a key-only semi-join:
+        the live key set streams out of a column-pruned scan and meets
+        the source over the packed exchange (no driver materialization,
+        no full-payload shuffle). Actions:
+
+        - matched rows (key live in the table):
+          ``when_matched`` = "update" (replace the row with the source
+          row), "delete" (tombstone the key), or "ignore".
+          ``matched_condition`` (expression-language string over SOURCE
+          columns, e.g. ``"role == 'assistant'"``) restricts the action;
+          matched rows failing it are left untouched.
+        - unmatched rows: ``when_not_matched`` = "insert" or "ignore".
+
+        All resulting change events share one lsn (``resume_lsn()``), so
+        the merge wins LWW against everything already applied; source
+        keys must therefore be UNIQUE — like Delta, a multi-row match is
+        an error (``validate_unique=True`` enforces it with a key-only
+        grouped pass; disable only if the producer guarantees it).
+        Downstream (exchange → LWW reduce → manifest commit, idempotent
+        replay by ``epoch_id``) is exactly :meth:`apply_changes` —
+        re-merging a committed epoch id is a no-op.
+
+        Reference analog: the reference's `import` only appends
+        (importer.cpp); conditional reconciliation is part of this
+        engine's lake surface (Delta MERGE, Iceberg MERGE INTO).
+        """
+        import ray.data
+
+        from tenzir_ray.expr import compile_filter
+
+        if when_matched not in ("update", "delete", "ignore"):
+            raise ValueError(f"when_matched={when_matched!r}")
+        if when_not_matched not in ("insert", "ignore"):
+            raise ValueError(f"when_not_matched={when_not_matched!r}")
+        self.manifest.reload()
+        if epoch_id in self.manifest.committed_epoch_ids():
+            return {"epoch_id": epoch_id, "skipped": True}
+        if isinstance(source, pa.Table):
+            source = ray.data.from_arrow(source)
+
+        if validate_unique:
+            from tenzir_ray.stages.exchange import grouped_apply
+
+            def _dups(t: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                g = t.group_by(list(KEY_COLS)).aggregate([([], "count_all")])
+                bad = g.filter(pc.greater(g.column("count_all"), 1))
+                return pa.table({
+                    "conv_id": bad.column("conv_id").cast(pa.string()),
+                    "n": bad.column("count_all").cast(pa.int64()),
+                })
+
+            dup = grouped_apply(
+                source.select_columns(list(KEY_COLS)), list(KEY_COLS),
+                _dups, fn_format="pyarrow", tag="merge-dupcheck",
+            ).limit(1).take_all()
+            if dup:
+                raise ValueError(
+                    f"merge: source has duplicate keys (e.g. conv_id="
+                    f"{dup[0]['conv_id']!r} x{dup[0]['n']}); a multi-row "
+                    "match is ambiguous — dedupe the source first")
+
+        live_any = any(info.get("files")
+                       for info in self.manifest.partitions.values())
+        if live_any:
+            from tenzir_ray.stages.join import hash_join
+
+            def _mark(t: pa.Table) -> pa.Table:
+                return t.append_column(
+                    "__hit", pa.array(np.ones(t.num_rows, np.int8)))
+
+            marked = self.read(columns=list(KEY_COLS)).map_batches(
+                _mark, batch_format="pyarrow")
+            joined = hash_join(source, marked, on=list(KEY_COLS), how="left")
+        else:  # empty table: everything is unmatched
+            def _miss(t: pa.Table) -> pa.Table:
+                return t.append_column(
+                    "__hit", pa.array(np.zeros(t.num_rows, np.int8)))
+
+            joined = source.map_batches(_miss, batch_format="pyarrow")
+
+        base_lsn = self.resume_lsn()
+        cond = matched_condition
+
+        def _classify(t: pa.Table) -> pa.Table:
+            hit = t.column("__hit").to_numpy(zero_copy_only=False)
+            matched = ~pd.isna(hit) & (np.nan_to_num(
+                hit.astype(np.float64), nan=0.0) > 0)
+            if cond is not None:
+                cmask = compile_filter(cond).mask(t)
+                act_matched = matched & cmask
+            else:
+                act_matched = matched
+            op = np.full(t.num_rows, "", dtype=object)
+            if when_matched != "ignore":
+                op[act_matched] = when_matched
+            if when_not_matched == "insert":
+                op[~matched] = "insert"
+            keep = op != ""
+            out = t.drop_columns(["__hit"]).filter(pa.array(keep))
+            n = out.num_rows
+            out = out.append_column("op", pa.array(op[keep], pa.string()))
+            return out.append_column(
+                "lsn", pa.array(np.full(n, base_lsn, np.int64)))
+
+        events = joined.map_batches(_classify, batch_format="pyarrow")
+        rec = self.apply_changes(events, epoch_id, **apply_kwargs)
+        return rec
+
     def final_table(self, as_of: "str | int | None" = None) -> pa.Table:
         """Driver-side full read, sorted by (conv_id, turn_idx) — for
         verification at test scale only (materializes). ``as_of`` reads a
