@@ -2707,6 +2707,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         assert not rec.get("skipped")
         return lake.final_table()
 
+    def lake_search_pruned(sf):
+        # token-bloom full-text search (cdc/lake.py search()): marker
+        # token planted in convs c0..c9 only; partitions whose files'
+        # token blooms reject the term are never opened — assert pruning
+        # engaged AND the result hash-matches the SQL token-contains
+        # oracle (partition-granular pruning commutes with LWW)
+        import pyarrow as pa
+
+        from tenzir_ray.cdc import LakeTable
+
+        def _mk(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            conv_n = pc.cast(pc.utf8_slice_codeunits(
+                t.column("conv_id"), 1, 99), pa.int64())
+            ti = pc.cast(t.column("turn_idx"), pa.int64())
+            mark = pc.and_(
+                pc.less(conv_n, 10),
+                pc.equal(pc.subtract(ti, pc.multiply(
+                    pc.divide(ti, 7), 7)), 0))
+            text = t.column("text").combine_chunks()
+            marked = pc.binary_join_element_wise(
+                pa.scalar("zqmarker "), text, pa.scalar(""))
+            new = pc.if_else(mark, marked, text)
+            i = t.schema.get_field_index("text")
+            t = t.set_column(i, "text", new)
+            t = t.append_column("lsn", pa.array(
+                np.zeros(t.num_rows, np.int64)))
+            return t.append_column("op", pa.array(["insert"] * t.num_rows))
+
+        changes = _transcripts_ds(sf).map_batches(_mk, batch_format="pyarrow")
+        root = _scratch("tenzir_ray_cdc_sql",
+                        f"search-{os.path.basename(os.path.normpath(sf))}")
+        shutil.rmtree(root, ignore_errors=True)
+        lake = LakeTable(root, num_partitions=16, token_bloom_cols=("text",))
+        lake.apply_changes(changes, epoch_id="base")
+        out = lake.search("zqmarker", columns=["conv_id", "turn_idx", "text"])
+        res = out.to_pandas()
+        assert lake._last_search_pruned > 0, "bloom pruning did not engage"
+        return res
+
     def cdc_expire_sql(sf):
         # row-TTL retention delete (cdc/lake.py expire()): expire every
         # live row with turn_idx >= 15 as ONE exactly-once delete epoch;
@@ -3244,6 +3285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_expire_sql": cdc_expire_sql,
         "lake_merge_into": lake_merge_into,
         "lake_merge_delete": lake_merge_delete,
+        "lake_search_pruned": lake_search_pruned,
         "cdc_append_pruned": cdc_append_pruned,
         "cdc_time_travel": cdc_time_travel,
         "cdc_change_feed": cdc_change_feed,
@@ -4047,6 +4089,17 @@ def oracle_sql() -> dict[str, str]:
             base AS (SELECT * FROM tr WHERE turn_idx % 3 <> 2),
             src AS (SELECT conv_id, turn_idx FROM tr WHERE turn_idx % 5 = 0)
             SELECT b.* FROM base b ANTI JOIN src s USING (conv_id, turn_idx)
+        """,
+        "lake_search_pruned": f"""
+            WITH {_TRANSCRIPTS_CTE},
+            m AS (SELECT conv_id, turn_idx,
+                    CASE WHEN CAST(substr(conv_id, 2) AS INT) < 10
+                              AND turn_idx % 7 = 0
+                         THEN 'zqmarker ' || text ELSE text END AS text
+                  FROM tr)
+            SELECT conv_id, turn_idx, text FROM m
+            WHERE list_contains(regexp_split_to_array(text, '\\s+'),
+                                'zqmarker')
         """,
         "cdc_zorder_pruned": """
             WITH ch AS (

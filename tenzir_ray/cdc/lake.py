@@ -476,7 +476,25 @@ def _bloom_maybe_contains(bl: dict, value) -> bool:
     return True
 
 
-def _zone_stats(tbl: pa.Table) -> dict:
+def _token_bloom(col, cap: int = 65536) -> "dict | None":
+    """Bloom over a string column's distinct whitespace TOKENS — the
+    full-text point-search analog of the key bloom: ``search(term)``
+    can skip a whole partition when every file's token bloom rejects
+    the term. ``cap`` bounds the distinct-token set fed to the sizing
+    formula (beyond it the filter saturates gracefully — pruning power
+    degrades, correctness doesn't: a bloom only ever proves ABSENCE)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    try:
+        toks = pc.split_pattern_regex(arr, pattern=r"\s+")
+        flat = toks.flatten()
+        uniq = pc.unique(flat)
+    except Exception:
+        return None
+    vals = [u for u in uniq.to_pylist()[:cap] if u]
+    return _bloom_build(vals)
+
+
+def _zone_stats(tbl: pa.Table, token_cols: "tuple | list" = ()) -> dict:
     """Per-file zone map: ``{col: [min, max]}`` over the payload's
     numeric/boolean columns and string keys (truncated to 64 chars) —
     the reference's partition-synopsis min-max sketch
@@ -527,6 +545,13 @@ def _zone_stats(tbl: pa.Table) -> dict:
             bl = _bloom_build(uniq)
             if bl is not None:
                 out[f"_bloom:{KEY_COLS[0]}"] = bl
+    for tc in token_cols:
+        if tc in tbl.column_names and tbl.num_rows:
+            col = tbl.column(tc)
+            if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                bl = _token_bloom(col)
+                if bl is not None:
+                    out[f"_bloom:tok:{tc}"] = bl
     return out
 
 
@@ -656,7 +681,9 @@ class _PartitionReducer:
                  modes: dict[int, str] | None = None,
                  frag_index: dict[int, list] | None = None,
                  salted_dir: str | None = None,
-                 change_feed: bool = False):
+                 change_feed: bool = False,
+                 token_cols: "tuple | list" = ()):
+        self.token_cols = tuple(token_cols)
         self.change_feed = change_feed
         self.root = root
         self.staging = staging
@@ -908,7 +935,7 @@ class _PartitionReducer:
             "mode": mode,
             # JSON string: heterogeneous min/max types don't survive the
             # Arrow struct inference of the lineage result block
-            "stats": _json.dumps(_zone_stats(out)),
+            "stats": _json.dumps(_zone_stats(out, self.token_cols)),
             # applied-LSN watermark (resume checkpoint)
             "lsn_high": lsn_high,
             # this epoch's change-lsn range (lineage)
@@ -950,7 +977,13 @@ class _PartitionLoader:
 class LakeTable:
     """A partitioned Parquet lake table with exactly-once CDC apply."""
 
-    def __init__(self, root: str, num_partitions: int = 16):
+    def __init__(self, root: str, num_partitions: int = 16,
+                 token_bloom_cols: "tuple | list" = ()):
+        #: string columns to carry per-file token BLOOMS for (written at
+        #: every apply/optimize by this instance; files written without
+        #: them are simply never pruned by search() — correctness is
+        #: unaffected, pruning is best-effort)
+        self._token_bloom_cols = tuple(token_bloom_cols)
         self.root = root
         os.makedirs(root, exist_ok=True)
         m = Manifest.load(root)
@@ -1255,6 +1288,7 @@ class LakeTable:
             frag_index=frag_index,
             salted_dir=reduced_dir,
             change_feed=change_feed,
+            token_cols=self._token_bloom_cols,
         )
         # stage 2 runs as plain Ray tasks, not a Dataset pipeline: the
         # reduce is a FIXED fan-out of independent per-partition tasks
@@ -1455,7 +1489,8 @@ class LakeTable:
 
     def read(self, columns: list[str] | None = None,
              filter=None, as_of: "str | int | None" = None,
-             filter_expr: str | None = None) -> "ray.data.Dataset":
+             filter_expr: str | None = None,
+             parts: "list[int] | None" = None) -> "ray.data.Dataset":
         """Streaming Dataset over the live table (payload columns only).
 
         Compacted partitions stream straight from parquet (fast path);
@@ -1500,6 +1535,18 @@ class LakeTable:
                 or (info.get("tombstones", 0) or 0) > 0
                 for info in state.values()
             )
+        if parts is not None:
+            # partition-subset read (e.g. search()'s bloom pruning).
+            # Subsetting whole PARTITIONS is always LWW-sound — every
+            # version and tombstone of a key lives in its key's partition
+            keep = {int(p) for p in parts}
+            state = {k: v for k, v in state.items() if int(k) in keep}
+            if as_of is None:  # mirror _has_deltas over the subset
+                has_deltas = any(
+                    (info.get("delta_rows", 0) or 0) > 0
+                    or (info.get("tombstones", 0) or 0) > 0
+                    for info in state.values()
+                )
 
         residual = None
         flt_obj = None
@@ -1647,6 +1694,72 @@ class LakeTable:
         if columns is not None:
             out = out.select(columns)
         return out
+
+    def search(self, term: str, column: str = "text",
+               columns: list[str] | None = None) -> "ray.data.Dataset":
+        """Full-text token search over the live table with bloom-backed
+        partition pruning.
+
+        Matches rows whose ``column`` contains ``term`` as a whole
+        whitespace token (DuckDB analog:
+        ``list_contains(regexp_split_to_array(col, '\\s+'), term)``).
+
+        Pruning: files written by a :class:`LakeTable` constructed with
+        ``token_bloom_cols=(column,)`` carry a per-file token bloom in
+        the manifest; a PARTITION is skipped when every one of its files
+        provably lacks the token. Pruning is partition-granular on
+        purpose — a key's every version and tombstone lives in its
+        partition, so skipping whole partitions commutes with the LWW
+        merge (skipping single files would not: an old matching version
+        could resurrect past a pruned newer file). Files without blooms
+        are conservatively scanned. ``self._last_search_pruned`` records
+        skipped partitions (observability + tests)."""
+        token = str(term)
+        blkey = f"_bloom:tok:{column}"
+        keep: list[int] = []
+        pruned = 0
+        for k, info in self.manifest.partitions.items():
+            files = info.get("files") or []
+            if not files:
+                continue
+            fstats = info.get("file_stats") or {}
+            rejected = all(
+                (fstats.get(rel) or {}).get(blkey) is not None
+                and not _bloom_maybe_contains(fstats[rel][blkey], token)
+                for rel in files
+            )
+            if rejected:
+                pruned += 1
+            else:
+                keep.append(int(k))
+        self._last_search_pruned = pruned
+        scan_cols = columns
+        if scan_cols is not None and column not in scan_cols:
+            scan_cols = list(scan_cols) + [column]
+        ds = self.read(columns=scan_cols, parts=keep)
+
+        def _contains(t: pa.Table) -> pa.Table:
+            if not t.num_rows:
+                return t if columns is None else t.select(
+                    [c for c in columns if c in t.column_names])
+            col = t.column(column)
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            toks = pc.split_pattern_regex(arr, pattern=r"\s+")
+            lens = pc.list_value_length(toks).fill_null(0) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            flat_eq = pc.equal(toks.flatten(), token)
+            eq = flat_eq.to_numpy(zero_copy_only=False)
+            eq = np.where(pd.isna(eq), False, eq).astype(bool)
+            hit = np.zeros(len(lens), bool)
+            if eq.any():
+                doc = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+                hit[np.unique(doc[eq])] = True
+            out = t.filter(pa.array(hit))
+            if columns is not None:
+                out = out.select([c for c in columns if c in out.column_names])
+            return out
+
+        return ds.map_batches(_contains, batch_format="pyarrow")
 
     def merge(self, source, epoch_id: str, *,
               when_matched: str = "update",
@@ -2162,6 +2275,7 @@ class LakeTable:
         root = self.root
         reg_json = self.registry.to_json()
         n_chunks = max(1, int(target_files)) if cluster_by else 1
+        token_cols = self._token_bloom_cols
 
         @ray_core.remote
         def _compact(k: str, rels: list[str]) -> dict:
@@ -2186,7 +2300,7 @@ class LakeTable:
                                compression_level=compression_level)
                 os.replace(dst + ".tmp", dst)
                 files.append(new_rel)
-                stats.append(_zone_stats(chunk))
+                stats.append(_zone_stats(chunk, token_cols))
             return {"part": k, "files": files, "rows": out.num_rows,
                     "stats": _json.dumps(stats)}
 
