@@ -2707,6 +2707,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         assert not rec.get("skipped")
         return lake.final_table()
 
+    def cdc_reshard(sf):
+        # partition re-sharding (cdc/lake.py reshard()): the standard
+        # SQL-oracled lake rebuilt 16 -> 5 partitions via one
+        # exactly-once epoch per source partition; the resharded table
+        # must equal the same LWW oracle (and does so after a kill at
+        # any boundary — the epoch ids make the loop resumable)
+        lake = _build_sql_lake(sf, "reshard")
+        dest_root = _scratch("tenzir_ray_cdc_sql",
+                             f"reshard-dst-{os.path.basename(os.path.normpath(sf))}")
+        shutil.rmtree(dest_root, ignore_errors=True)
+        dest = lake.reshard(dest_root, 5)
+        assert dest.num_partitions == 5
+        return dest.final_table()
+
     def lake_search_pruned(sf):
         # token-bloom full-text search (cdc/lake.py search()): marker
         # token planted in convs c0..c9 only; partitions whose files'
@@ -3286,6 +3300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_merge_into": lake_merge_into,
         "lake_merge_delete": lake_merge_delete,
         "lake_search_pruned": lake_search_pruned,
+        "cdc_reshard": cdc_reshard,
         "cdc_append_pruned": cdc_append_pruned,
         "cdc_time_travel": cdc_time_travel,
         "cdc_change_feed": cdc_change_feed,
@@ -3992,6 +4007,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, text FROM w WHERE rn = 1 AND op != 'delete'
         """,
         "cdc_replay_sql": """
+            WITH ch AS (
+                SELECT event_id AS lsn,
+                       CASE WHEN event_id % 10 = 9 THEN 'delete'
+                            WHEN event_id % 10 >= 6 THEN 'update'
+                            ELSE 'insert' END AS op,
+                       'c' || CAST(user_id % 50 AS VARCHAR) AS conv_id,
+                       CAST((event_id // 7) % 20 AS INTEGER) AS turn_idx,
+                       event_type || '-' || CAST(event_id AS VARCHAR) AS text
+                FROM events),
+            w AS (SELECT *, row_number() OVER (
+                      PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) rn
+                  FROM ch)
+            SELECT conv_id, turn_idx, text FROM w WHERE rn = 1 AND op != 'delete'
+        """,
+        "cdc_reshard": """
             WITH ch AS (
                 SELECT event_id AS lsn,
                        CASE WHEN event_id % 10 = 9 THEN 'delete'

@@ -2033,6 +2033,56 @@ class LakeTable:
             )
         return results
 
+    def reshard(self, dest_root: str, num_partitions: int,
+                **apply_kwargs) -> "LakeTable":
+        """Rebuild the table under a different partition count — the
+        maintenance op a growing table eventually needs (16 partitions
+        at 1 TB becomes 256 at 100 TB). Streams each SOURCE partition's
+        LWW-merged live rows through the normal apply pipeline into a
+        fresh table at ``dest_root``, as ONE exactly-once epoch per
+        source partition — so a killed reshard RESUMES where it stopped
+        (committed ``reshard-<k>`` epochs skip; the unfinished one
+        re-runs deterministically).
+
+        Every row lands with ``lsn = source partition's lsn_high``: a
+        stale replay of an already-applied change (lsn ≤ high) loses LWW
+        against the resharded row, while genuinely new events win, and
+        ``resume_lsn()`` carries over — a broker resuming from its
+        checkpoint continues cleanly against the new table. Tombstones
+        are compacted away (exactly like :meth:`optimize`): a deleted
+        key is simply absent, so replay protection for DELETED keys is
+        the epoch/checkpoint layer's job (epoch-id idempotence +
+        ``since_lsn``), not per-row LWW — the same contract the rest of
+        the engine already has post-compaction. Token-bloom columns
+        propagate."""
+        if int(num_partitions) < 1:
+            raise ValueError("num_partitions must be >= 1")
+        dest = LakeTable(dest_root, num_partitions=int(num_partitions),
+                         token_bloom_cols=self._token_bloom_cols)
+
+        def _as_inserts(lsn_high: int):
+            def f(t: pa.Table) -> pa.Table:
+                t = t.append_column("lsn", pa.array(
+                    np.full(t.num_rows, lsn_high, np.int64)))
+                return t.append_column(
+                    "op", pa.array(["insert"] * t.num_rows))
+            return f
+
+        for k in sorted(self.manifest.partitions, key=int):
+            info = self.manifest.partitions[k]
+            if not info.get("files"):
+                continue
+            epoch = f"reshard-{int(k):05d}"
+            if epoch in dest.manifest.committed_epoch_ids():
+                continue  # resume: this source partition already moved
+            src = self.read(parts=[int(k)])
+            lsn_high = int(info.get("lsn_high", 0) or 0)
+            dest.apply_changes(
+                src.map_batches(_as_inserts(lsn_high),
+                                batch_format="pyarrow"),
+                epoch_id=epoch, **apply_kwargs)
+        return dest
+
     def clone(self, dest_root: str) -> "LakeTable":
         """Shallow clone (Delta-Lake ``CLONE`` analog): hardlink every
         file under the root — live partitions, historical epoch file
