@@ -119,6 +119,17 @@ def test_dsir_select_topn(documents):
     assert n == len(full)
 
 
+def test_tql_string_pipeline(ray_session):
+    from tenzir_ray.pipelines.tql import run_pipeline
+
+    out = run_pipeline(
+        f'read_parquet {SF}/documents.parquet '
+        '| dsir_weights target="lang == \'en\'" buckets=256 '
+        '| select doc_id, affinity | sort affinity desc | head 5')
+    df = out.to_pandas()
+    assert len(df) == 5 and (df["affinity"] > 0).all()
+
+
 def test_registry_op(documents):
     from tenzir_ray.pipelines.pipeline import Pipeline
 
