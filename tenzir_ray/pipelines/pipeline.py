@@ -256,12 +256,19 @@ def _register_builtins() -> None:
         return LakeTable(root).changes(
             since_lsn=since_lsn, epochs=epochs, with_epoch_id=with_epoch_id)
 
+    def _lake_search(root: str, term: str, column: str = "text",
+                     columns=None):
+        from tenzir_ray.cdc import LakeTable
+
+        return LakeTable(root).search(term, column=column, columns=columns)
+
     OPERATORS.update(read_lake=_read_lake, write_lake=_write_lake,
-                     read_lake_changes=_read_lake_changes)
+                     read_lake_changes=_read_lake_changes,
+                     lake_search=_lake_search)
     SOURCE_OPS.update(
         n for n in OPERATORS if n.startswith("read_")
     )
-    SOURCE_OPS.update({"files", "processes", "sockets"})
+    SOURCE_OPS.update({"files", "processes", "sockets", "lake_search"})
     from tenzir_ray.stages import window as window_mod
     OPERATORS.update(
         sliding_window=window_mod.sliding_window,

@@ -36,6 +36,7 @@ _POSITIONAL = {
     "read_parquet": "paths", "read_csv": "paths", "read_json": "paths",
     "read_lines": "paths", "read_feather": "paths", "read_bitz": "path",
     "read_lake": "root", "write_lake": "root", "read_lake_changes": "root",
+    "lake_search": "root",
     "write_parquet": "path", "write_csv": "path", "write_tsv": "path",
     "write_json": "path", "write_feather": "path", "write_bitz": "path",
     "head": "n", "limit": "n", "taste": "n", "repeat": "n", "tail": "n",

@@ -96,6 +96,15 @@ def test_search_after_optimize_keeps_blooms(ray_session, tmp_path):
     assert lake._last_search_pruned > 0  # compaction rebuilt the blooms
 
 
+def test_tql_lake_search_source(ray_session, tmp_path):
+    from tenzir_ray.pipelines.tql import run_pipeline
+
+    lake, expected = _lake(tmp_path)
+    out = run_pipeline(
+        f"lake_search {lake.root} term=needle | select conv_id, turn_idx")
+    assert out.count() == expected
+
+
 def test_read_parts_subset(ray_session, tmp_path):
     lake, _ = _lake(tmp_path)
     total = lake.read().count()
