@@ -418,6 +418,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             by="event_type", n=5, key="event_id",
         )
 
+    def bpe_word_counts_docs(sf):
+        from tenzir_ray.stages.bpe import word_counts
+
+        return word_counts(
+            _read(sf, "documents", columns=["text"]), min_count=5)
+
+    def bpe_token_count_docs(sf):
+        # rows-only by design: the BPE merge loop is not SQL-expressible
+        # (tests/test_round5_ops.py cross-checks training against a
+        # naive recount-everything reference implementation)
+        from tenzir_ray.stages import bpe
+
+        docs = _read(sf, "documents", columns=["doc_id", "text"])
+        model = bpe.bpe_train(docs, num_merges=150, min_count=2)
+        out = bpe.bpe_encode(docs, model, mode="count", out="bpe_n")
+        return T.select(out, ["doc_id", "bpe_n"])
+
+    def temperature_sample_docs(sf):
+        from tenzir_ray.stages.splits import temperature_sample
+
+        return temperature_sample(
+            _read(sf, "documents", columns=["doc_id", "source"]),
+            by="source", key="doc_id", total=2000, alpha=0.5,
+        )
+
     def dup_span_stats(sf):
         return D.duplicate_spans(
             _read(sf, "documents", columns=["doc_id", "text"]), k=40
@@ -2170,6 +2195,89 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ds.map_batches(_dec, batch_format="pandas", batch_size=64)
 
+    def media_gif_decode(sf):
+        # REAL GIF decode (stages/gif.py: LZW + palette), hash-gated:
+        # dims SQL-predicted, and `exact` asserts bit-identical pixel
+        # reconstruction — GIF is lossless at <=256 colors, so unlike
+        # the JPEG gate this is exact equality, not a tolerance
+        import pandas as pd
+
+        from tenzir_ray.stages.gif import decode_gif, encode_gif
+        from tenzir_ray.stages.transforms import where as _where
+
+        def _img(did: int, nc: int) -> np.ndarray:
+            h = 8 + int(nc) % 32
+            w = 8 + int(did) % 16
+            c1 = np.array([int(did) % 251, (int(did) * 7) % 251,
+                           (int(did) * 13) % 251], dtype=np.uint8)
+            c2 = (255 - c1).astype(np.uint8)
+            yy, xx = np.mgrid[0:h, 0:w]
+            return np.where(((yy + xx) % 2 == 0)[..., None], c1, c2)
+
+        def _mk(df: pd.DataFrame) -> pd.DataFrame:
+            payloads = [encode_gif(_img(did, nc))
+                        for did, nc in zip(df["doc_id"], df["n_chars"])]
+            return pd.DataFrame({"doc_id": df["doc_id"],
+                                 "n_chars": df["n_chars"],
+                                 "payload": payloads})
+
+        def _dec(df: pd.DataFrame) -> pd.DataFrame:
+            hs, ws, ok = [], [], []
+            for did, nc, payload in zip(df["doc_id"], df["n_chars"],
+                                        df["payload"]):
+                img = decode_gif(payload)
+                hs.append(img.shape[0])
+                ws.append(img.shape[1])
+                ok.append(bool(np.array_equal(img, _img(did, nc))))
+            return pd.DataFrame({
+                "doc_id": df["doc_id"], "height": hs, "width": ws,
+                "exact": ok,
+            })
+
+        ds = _where(_read(sf, "documents", columns=["doc_id", "n_chars"]),
+                    "doc_id < 2000").map_batches(_mk, batch_format="pandas")
+        return ds.map_batches(_dec, batch_format="pandas", batch_size=64)
+
+    def media_gif_frames(sf):
+        # REAL animated-GIF frame sampling through FrameSampler: per doc
+        # an SQL-predictable frame count; every 2nd composited frame
+        # reports exact dims (pixel exactness is media_gif_decode's job)
+        import pandas as pd
+
+        from tenzir_ray.stages.gif import encode_gif
+        from tenzir_ray.stages.multimodal import sample_frames
+        from tenzir_ray.stages.transforms import where as _where
+
+        def _mk(df: pd.DataFrame) -> pd.DataFrame:
+            payloads = []
+            for did in df["doc_id"]:
+                nf = 1 + int(did) % 4
+                h = 8 + int(did) % 8
+                frames = [
+                    np.full((h, 12, 3),
+                            ((int(did) + 40 * i) % 200 + 20, 60, 120),
+                            dtype=np.uint8)
+                    for i in range(nf)
+                ]
+                payloads.append(encode_gif(frames) if nf > 1
+                                else encode_gif(frames[0]))
+            return pd.DataFrame({"media_id": df["doc_id"],
+                                 "payload": payloads})
+
+        ds = _where(_read(sf, "documents", columns=["doc_id"]),
+                    "doc_id < 2000").map_batches(_mk, batch_format="pandas")
+        out = sample_frames(ds, every_n=2, fake=False)
+
+        def _props(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "doc_id": df["media_id"].astype("int64"),
+                "frame_idx": df["frame_idx"].astype("int32"),
+                "height": df["height"].astype("int32"),
+                "width": df["width"].astype("int32"),
+            })
+
+        return out.map_batches(_props, batch_format="pandas")
+
     def media_mjpeg_frames(sf):
         # REAL MJPEG frame sampling: per doc, a concatenated-JPEG stream
         # with an SQL-predictable frame count/size; every 2nd frame is
@@ -3270,6 +3378,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_documents_exact": dedup_documents_exact,
         "dup_span_stats": dup_span_stats,
         "stratified_sample_events": stratified_sample_events,
+        "temperature_sample_docs": temperature_sample_docs,
+        "bpe_word_counts_docs": bpe_word_counts_docs,
+        "bpe_token_count_docs": bpe_token_count_docs,
+        "media_gif_decode": media_gif_decode,
+        "media_gif_frames": media_gif_frames,
         "clip_dup_spans": clip_dup_spans,
         "taste_per_type": taste_per_type,
         "dedup_limit2_per_type": dedup_limit2_per_type,
@@ -3514,6 +3627,33 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY (event_id * 2654435761) % 4294967296,
                                     event_id) rn
                 FROM events) WHERE rn <= 5
+        """,
+        "bpe_word_counts_docs": """
+            WITH toks AS (
+              SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+              FROM documents
+            )
+            SELECT word, count(*) AS "count" FROM toks
+            WHERE word <> '' GROUP BY word HAVING count(*) >= 5
+        """,
+        "temperature_sample_docs": """
+            WITH c AS (
+              SELECT source, count(*) AS c FROM documents GROUP BY source
+            ), n AS (
+              SELECT source,
+                     least(c, CAST(floor(2000 * pow(c, 0.5) /
+                         sum(pow(c, 0.5)) OVER ()) AS BIGINT)) AS n_g
+              FROM c
+            ), r AS (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                         PARTITION BY source
+                         ORDER BY (doc_id * 2654435761) % 4294967296,
+                                  doc_id) AS rn
+              FROM documents
+            )
+            SELECT r.doc_id, r.source FROM r
+            JOIN n ON r.source = n.source WHERE r.rn <= n.n_g
         """,
         "dup_span_stats": """
             WITH grams AS (
@@ -4774,6 +4914,22 @@ def oracle_sql() -> dict[str, str]:
                    3 AS channels,
                    true AS close
             FROM documents
+        """,
+        "media_gif_decode": """
+            SELECT doc_id,
+                   CAST(8 + n_chars % 32 AS INTEGER) AS height,
+                   CAST(8 + doc_id % 16 AS INTEGER) AS width,
+                   true AS exact
+            FROM documents WHERE doc_id < 2000
+        """,
+        "media_gif_frames": """
+            SELECT doc_id,
+                   CAST(f.i AS INTEGER) AS frame_idx,
+                   CAST(8 + doc_id % 8 AS INTEGER) AS height,
+                   CAST(12 AS INTEGER) AS width
+            FROM documents
+            CROSS JOIN (VALUES (0), (2)) f(i)
+            WHERE f.i < 1 + doc_id % 4 AND doc_id < 2000
         """,
         "media_mjpeg_frames": """
             SELECT doc_id,

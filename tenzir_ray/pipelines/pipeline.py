@@ -46,6 +46,7 @@ def register(name: str, fn: Callable | None = None):
 def _register_builtins() -> None:
     from tenzir_ray.sources import readers
     from tenzir_ray.stages import (
+        bpe,
         chunk,
         cluster,
         dedup,
@@ -112,6 +113,9 @@ def _register_builtins() -> None:
         clip_duplicate_spans=dedup.clip_duplicate_spans,
         hash_split=splits.hash_split,
         stratified_sample=splits.stratified_sample,
+        temperature_sample=splits.temperature_sample,
+        bpe_word_counts=bpe.word_counts,
+        bpe_encode=bpe.bpe_encode_op,
         decontaminate=splits.decontaminate,
         chunk_documents=chunk.chunk_documents,
         assemble_conversations=chunk.assemble_conversations,

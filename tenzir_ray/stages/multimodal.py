@@ -8,8 +8,10 @@ handle end-to-end:
   **PNG** (stdlib zlib inflate + all five scanline filters per the
   public spec; 8-bit gray/RGB/GA/RGBA, non-interlaced), and real
   baseline **JPEG** (SOF0 huffman + IDCT codec in stages/jpeg.py,
-  ITU-T T.81) — parsed straight out of the payload bytes with numpy
-  (no PIL/opencv needed);
+  ITU-T T.81), and real **GIF** (LZW + palettes + interlace +
+  multi-frame disposal compositing in stages/gif.py; animated GIFs
+  also feed the FrameSampler) — parsed straight out of the payload
+  bytes with numpy (no PIL/opencv needed);
 - audio: **WAV** (PCM) via the stdlib ``wave`` module + numpy features
   (RMS, zero-crossing rate, duration);
 - the remaining compressed formats (mp3/video) are STUBBED behind
@@ -40,6 +42,7 @@ from tenzir_ray._ship import ship_by_value
 # for by-value pickling, so stage callables referencing these ship the
 # codec inside the task spec — a worker-side `import tenzir_ray` would
 # fail off-repo (see _ship.py)
+from tenzir_ray.stages.gif import GIF_SIGS, decode_gif, encode_gif, gif_frames
 from tenzir_ray.stages.jpeg import decode_jpeg, encode_jpeg
 from tenzir_ray.stages.mp3 import mp3_info
 from tenzir_ray.stages.mp4 import MJPEG_CODECS, mp4_video_samples
@@ -332,6 +335,8 @@ class DecodeImage:
             if img.ndim == 2:
                 img = np.repeat(img[:, :, None], 3, axis=2)
             return img.shape[0], img.shape[1], img.shape[2], self._features(img)
+        elif payload[:6] in GIF_SIGS:
+            img = decode_gif(payload)
         elif self.fake:
             digest = hashlib.sha256(payload).digest()
             h = 16 + digest[0] % 64
@@ -342,7 +347,7 @@ class DecodeImage:
             return h, w, 3, feats
         else:
             raise NotImplementedError(
-                "unknown image container — BMP/PPM/PNG/baseline-JPEG "
+                "unknown image container — BMP/PPM/PNG/GIF/baseline-JPEG "
                 "decode for real, or construct with fake=True for "
                 "plumbing tests"
             )
@@ -407,9 +412,13 @@ class ResizeImage:
                 out.append(encode_jpeg(rs[:, :, 0] if rs.shape[2] == 1
                                        else rs))
                 continue
+            elif payload[:6] in GIF_SIGS:
+                # GIF in → GIF out (palette re-derived from the resample)
+                out.append(encode_gif(self._resize(decode_gif(payload))))
+                continue
             else:
                 raise NotImplementedError(
-                    "resize supports BMP/PPM/PNG/baseline-JPEG payloads")
+                    "resize supports BMP/PPM/PNG/GIF/baseline-JPEG payloads")
             out.append(encode_bmp(self._resize(img)))
         i = batch.schema.get_field_index("payload")
         return batch.set_column(i, "payload", pa.array(out, pa.binary()))
@@ -538,6 +547,19 @@ class FrameSampler:
             parts = None
             if payload[:2] == b"\xff\xd8":
                 parts = split_mjpeg(payload)
+            elif payload[:6] in GIF_SIGS:
+                # animated GIF: frames composite per disposal; sample Nth
+                for i, img in enumerate(gif_frames(payload)):
+                    if i % self.every_n:
+                        continue
+                    ids.append(mid)
+                    frames.append(i)
+                    hs.append(img.shape[0])
+                    ws.append(img.shape[1])
+                    lumas.append(float(
+                        (0.299 * img[..., 0] + 0.587 * img[..., 1]
+                         + 0.114 * img[..., 2]).mean()))
+                continue
             elif payload[4:8] == b"ftyp":
                 demux = mp4_video_samples(payload)
                 if demux is not None and demux[0]["codec"] in MJPEG_CODECS:

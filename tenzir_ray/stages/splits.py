@@ -183,4 +183,69 @@ def stratified_sample(ds, by, n: int, key: str,
                          tag="strat")
 
 
+def temperature_sample(ds, by: str, key: str, total: int,
+                       alpha: float = 0.5, buckets: int | None = None):
+    """Temperature-based domain re-mixing (the GPT-3 / multilingual-LM
+    sampling rule): keep about ``total`` rows overall, with group ``g``
+    contributing ``n_g = min(c_g, floor(total * c_g**alpha / sum_h
+    c_h**alpha))`` rows. ``alpha < 1`` flattens the domain distribution
+    (up-weights rare sources, caps dominant ones); ``alpha = 1``
+    preserves it; ``alpha = 0`` is uniform-per-group.
+
+    Selection within a group is the same deterministic hash-rank as
+    :func:`stratified_sample`, so the output is a pure function of the
+    data — stable across runs, cluster sizes, partitionings, and
+    engines; the SQL oracle reproduces it row-for-row.
+
+    Scale shape: the input is materialized once (two logical passes are
+    inherent — global group counts gate the per-row filter — and the
+    rank-head's grouped exchange is a barrier anyway; Ray spills blocks
+    as needed). The count pass is per-batch ``value_counts`` partials
+    summed on the driver — O(#groups) driver state, never corpus-sized.
+    The select pass is one grouped exchange + a vectorized cumcount
+    filter per task.
+
+    Caveat (documented, negligible in practice): ``n_g`` involves a
+    float sum over per-group ``pow(c, alpha)`` terms whose summation
+    order differs between engines; a mismatch needs the true ratio to
+    sit within ~1 ulp of an integer."""
+    if total < 0:
+        raise ValueError("temperature_sample: total must be >= 0")
+    ds = ds.materialize()
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[by].value_counts(dropna=False)
+        return pd.DataFrame({by: vc.index, "_c": vc.to_numpy()})
+
+    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    if not len(parts):
+        return ds
+    counts = parts.groupby(by, sort=True, dropna=False)["_c"].sum()
+    w = np.power(counts.to_numpy(dtype=np.float64), float(alpha))
+    s = float(w.sum())
+    n_for = {
+        g: min(int(c), int(np.floor(total * wi / s)))
+        for g, c, wi in zip(counts.index, counts.to_numpy(), w)
+    }
+
+    def _frac(batch: pa.Table) -> pa.Table:
+        f = _key_fractions(batch.column(key))
+        return batch.append_column("_f", pa.array(f, pa.float64()))
+
+    with_f = ds.map_batches(_frac, batch_format="pyarrow")
+
+    def _take(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df.drop(columns=["_f"], errors="ignore")
+        df = df.sort_values(["_f", key], kind="mergesort")
+        rn = df.groupby(by, sort=False, dropna=False).cumcount().to_numpy()
+        lim = df[by].map(n_for).fillna(0).to_numpy(dtype=np.int64)
+        return df[rn < lim].drop(columns=["_f"])
+
+    from tenzir_ray.stages.exchange import grouped_apply
+
+    return grouped_apply(with_f, [by], _take, num_buckets=buckets,
+                         tag="tsamp")
+
+
 ship_by_value(sys.modules[__name__])
