@@ -435,6 +435,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = bpe.bpe_encode(docs, model, mode="count", out="bpe_n")
         return T.select(out, ["doc_id", "bpe_n"])
 
+    def nb_class_counts_docs(sf):
+        # Naive-Bayes training counts for one class, bit-reproducible in
+        # SQL (md5 hash buckets) — the oracle gate pinning nb_train
+        from tenzir_ray.stages.classify import nb_class_counts
+
+        return nb_class_counts(
+            _read(sf, "documents", columns=["lang", "text"]),
+            label_col="lang", label="en", buckets=1024)
+
+    def nb_predict_lang(sf):
+        # rows-only by design: the argmax over float log-posteriors has
+        # no SQL twin (tests/test_round5_ops.py pins accuracy and
+        # partitioning independence on a separable corpus)
+        from tenzir_ray.stages.classify import nb_train_classify
+
+        ds = nb_train_classify(
+            _read(sf, "documents", columns=["doc_id", "lang", "text"]),
+            label_col="lang", buckets=2048)
+        return T.select(ds, ["doc_id", "pred"])
+
+    def rollup_orders_status(sf):
+        # one-pass multi-granularity aggregation (GROUP BY ROLLUP):
+        # partials computed once at the finest level, re-aggregated per
+        # prefix; sums over INT columns + min/max stay engine-exact
+        from tenzir_ray.stages.summarize import rollup
+
+        return rollup(
+            _read(sf, "orders", columns=[
+                "o_orderstatus", "o_orderpriority", "o_custkey",
+                "o_totalprice"]),
+            ["o_orderstatus", "o_orderpriority"], grouping_id="gid",
+            n="count(*)", cust="sum(o_custkey)",
+            pmin="min(o_totalprice)", pmax="max(o_totalprice)",
+        )
+
+    def cube_events_type_bucket(sf):
+        from tenzir_ray.stages.summarize import cube
+
+        ds = T.set_(
+            _read(sf, "events", columns=["event_type", "user_id"]),
+            uid_mod="user_id % 3")
+        return cube(ds, ["event_type", "uid_mod"], grouping_id="gid",
+                    n="count(*)", usum="sum(user_id)")
+
     def temperature_sample_docs(sf):
         from tenzir_ray.stages.splits import temperature_sample
 
@@ -527,6 +571,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         lake = _build_sql_lake(sf, "assemble")
         final = lake.read(columns=["conv_id", "turn_idx", "text"])
         return assemble_conversations(final)
+
+    def context_windows_convs(sf):
+        # SFT context assembly: previous-k-turn window per turn; the
+        # oracle is a windowed string_agg with the same frame
+        from tenzir_ray.stages.transcripts import context_windows
+
+        ds = context_windows(_transcripts_ds(sf), k=2, sep="\n")
+        return T.select(ds, ["conv_id", "turn_idx", "context"])
 
     def conv_stats(sf):
         # transcripts-native per-conversation profile (shuffle-free
@@ -3379,6 +3431,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_stats": dup_span_stats,
         "stratified_sample_events": stratified_sample_events,
         "temperature_sample_docs": temperature_sample_docs,
+        "rollup_orders_status": rollup_orders_status,
+        "cube_events_type_bucket": cube_events_type_bucket,
+        "nb_class_counts_docs": nb_class_counts_docs,
+        "nb_predict_lang": nb_predict_lang,
         "bpe_word_counts_docs": bpe_word_counts_docs,
         "bpe_token_count_docs": bpe_token_count_docs,
         "media_gif_decode": media_gif_decode,
@@ -3468,6 +3524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_score_docs": lm_score_docs,
         "assemble_convs": assemble_convs,
         "conv_stats": conv_stats,
+        "context_windows_convs": context_windows_convs,
         "tool_seqs": tool_seqs,
         "filter_convs": filter_convs,
         "pack_convs": pack_convs,
@@ -3627,6 +3684,32 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY (event_id * 2654435761) % 4294967296,
                                     event_id) rn
                 FROM events) WHERE rn <= 5
+        """,
+        "nb_class_counts_docs": """
+            WITH tok AS (
+              SELECT md5_number_lower(t) % 1024 AS b
+              FROM (SELECT lang,
+                           unnest(regexp_split_to_array(text, '\\s+')) AS t
+                    FROM documents)
+              WHERE t <> '' AND lang = 'en')
+            SELECT b, count(*) AS cnt FROM tok GROUP BY b
+        """,
+        "rollup_orders_status": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(GROUPING_ID(o_orderstatus, o_orderpriority)
+                        AS BIGINT) AS gid,
+                   count(*) AS n, sum(o_custkey) AS cust,
+                   min(o_totalprice) AS pmin, max(o_totalprice) AS pmax
+            FROM orders
+            GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "cube_events_type_bucket": """
+            SELECT event_type, user_id % 3 AS uid_mod,
+                   CAST(GROUPING_ID(event_type, user_id % 3)
+                        AS BIGINT) AS gid,
+                   count(*) AS n, sum(user_id) AS usum
+            FROM events
+            GROUP BY CUBE(event_type, user_id % 3)
         """,
         "bpe_word_counts_docs": """
             WITH toks AS (
@@ -4711,6 +4794,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_turns,
                    string_agg(text, chr(10) ORDER BY turn_idx) AS transcript
             FROM live GROUP BY conv_id
+        """,
+        "context_windows_convs": f"""
+            WITH {_TRANSCRIPTS_CTE}
+            SELECT conv_id, turn_idx,
+                   string_agg(text, chr(10)) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS context
+            FROM tr
         """,
         "conv_stats": f"""
             WITH {_TRANSCRIPTS_CTE}

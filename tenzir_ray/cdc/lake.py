@@ -1895,6 +1895,10 @@ class LakeTable:
             )
             tables.append(merged.drop_columns(["lsn", "op"]))
         if not tables:
+            # empty lake: preserve the registered schema (a 0-row epoch
+            # still registers it) so callers can project/sort columns
+            if self.registry.schema is not None:
+                return self.registry.schema.empty_table()
             return pa.table({})
         tbl = pa.concat_tables(tables, promote_options="permissive")
         return tbl.take(

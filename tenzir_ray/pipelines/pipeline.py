@@ -48,6 +48,7 @@ def _register_builtins() -> None:
     from tenzir_ray.stages import (
         bpe,
         chunk,
+        classify,
         cluster,
         dedup,
         dsir,
@@ -116,6 +117,11 @@ def _register_builtins() -> None:
         temperature_sample=splits.temperature_sample,
         bpe_word_counts=bpe.word_counts,
         bpe_encode=bpe.bpe_encode_op,
+        grouping_sets=summarize.grouping_sets,
+        rollup=summarize.rollup,
+        cube=summarize.cube,
+        nb_classify=classify.nb_train_classify,
+        nb_class_counts=classify.nb_class_counts,
         decontaminate=splits.decontaminate,
         chunk_documents=chunk.chunk_documents,
         assemble_conversations=chunk.assemble_conversations,
@@ -126,6 +132,7 @@ def _register_builtins() -> None:
         filter_conversations=transcripts.filter_conversations,
         pack_conversations=transcripts.pack_conversations,
         alternation_stats=transcripts.alternation_stats,
+        context_windows=transcripts.context_windows,
         minhash=dedup.minhash,
         minhash_lsh_dedup=dedup.minhash_lsh_dedup,
         simhash=dedup.simhash,

@@ -27,6 +27,7 @@ import re
 import sys
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data.aggregate import (
@@ -481,19 +482,10 @@ _PARTIAL_FNS = {
 }
 
 
-def _partial_summarize(ds, keys: list[str], parsed: list[tuple[str, str, str]]):
-    """Shuffle-free grouped aggregation for decomposable functions:
-    every batch pre-aggregates to ≤|groups| partial rows inside
-    ``map_batches`` (C pandas groupby), the tiny partials stream to the
-    driver, and one final vectorized merge finishes. No groupby shuffle
-    at all — the right shape for low-cardinality keys (the driver holds
-    blocks × |groups| partial rows; use :func:`summarize_hash` for
-    millions of groups)."""
-    import pandas as pd
-    import ray.data
-
-    # build the per-batch partial aggregation plan
-    partial_aggs: dict[str, tuple[str, str]] = {}  # pcol -> (src col, fn)
+def _partial_plan(keys: list[str], parsed: list[tuple[str, str, str]]):
+    """Per-batch partial-aggregation plan for the decomposable
+    functions: pcol → (source column, pandas aggfunc)."""
+    partial_aggs: dict[str, tuple[str, str]] = {}
     for alias, fn, col in parsed:
         if fn in ("sum",):
             partial_aggs[f"{alias}__s"] = (col, "sum")
@@ -520,29 +512,29 @@ def _partial_summarize(ds, keys: list[str], parsed: list[tuple[str, str, str]]):
     sq_cols = sorted(
         {c[4:] for c, _f in partial_aggs.values() if c.startswith("_sq_")}
     )
+    return partial_aggs, sq_cols
 
-    named = {p: pd.NamedAgg(column=c, aggfunc=f) for p, (c, f) in partial_aggs.items()}
 
-    def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        for c in sq_cols:
-            df = df.assign(**{f"_sq_{c}": df[c].astype(np.float64) ** 2})
-        return df.groupby(keys, as_index=False, sort=False, dropna=False).agg(**named)
+_PARTIAL_MERGE = {"sum": "sum", "count": "sum", "size": "sum",
+                  "min": "min", "max": "max"}
 
-    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
-    if not len(parts):
-        cols = {k: [] for k in keys}
-        cols.update({alias: [] for alias, _, _ in parsed})
-        return ray.data.from_arrow(pa.table(cols))
-    merge_fn = {}
-    for p, (c, f) in partial_aggs.items():
-        merge_fn[p] = {
-            "sum": "sum", "count": "sum", "size": "sum",
-            "min": "min", "max": "max",
-        }[f]
-    merged = parts.groupby(keys, as_index=False, sort=False, dropna=False).agg(
-        **{p: pd.NamedAgg(column=p, aggfunc=m) for p, m in merge_fn.items()}
-    )
-    out = merged[keys].copy()
+
+def _merge_partials(parts, keys: list[str], partial_aggs: dict):
+    """Re-aggregate partial rows by ``keys`` (``[]`` = global). Partials
+    are algebraic, so this is valid at ANY coarser grouping — the basis
+    of the rollup/cube single-pass optimization."""
+    named = {p: pd.NamedAgg(column=p, aggfunc=_PARTIAL_MERGE[f])
+             for p, (_c, f) in partial_aggs.items()}
+    if keys:
+        return parts.groupby(keys, as_index=False, sort=False,
+                             dropna=False).agg(**named)
+    return pd.DataFrame({
+        p: [getattr(parts[p], _PARTIAL_MERGE[f])()]
+        for p, (_c, f) in partial_aggs.items()
+    })
+
+
+def _finalize_partials(merged, out, parsed: list[tuple[str, str, str]]):
     for alias, fn, col in parsed:
         if fn == "sum":
             out[alias] = merged[f"{alias}__s"]
@@ -568,7 +560,146 @@ def _partial_summarize(ds, keys: list[str], parsed: list[tuple[str, str, str]]):
             q = merged[f"{alias}__q"].astype(np.float64)
             var = (q - s * s / n) / n
             out[alias] = np.sqrt(var) if fn.startswith("stddev") else var
+    return out
+
+
+def _run_partials(ds, keys: list[str], partial_aggs: dict, sq_cols: list):
+    """Stream per-batch partial rows to the driver (blocks × |groups|
+    rows — never the corpus)."""
+    named = {p: pd.NamedAgg(column=c, aggfunc=f)
+             for p, (c, f) in partial_aggs.items()}
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        for c in sq_cols:
+            df = df.assign(**{f"_sq_{c}": df[c].astype(np.float64) ** 2})
+        return df.groupby(keys, as_index=False, sort=False,
+                          dropna=False).agg(**named)
+
+    return ds.map_batches(_partial, batch_format="pandas").to_pandas()
+
+
+def _partial_summarize(ds, keys: list[str], parsed: list[tuple[str, str, str]]):
+    """Shuffle-free grouped aggregation for decomposable functions:
+    every batch pre-aggregates to ≤|groups| partial rows inside
+    ``map_batches`` (C pandas groupby), the tiny partials stream to the
+    driver, and one final vectorized merge finishes. No groupby shuffle
+    at all — the right shape for low-cardinality keys (the driver holds
+    blocks × |groups| partial rows; use :func:`summarize_hash` for
+    millions of groups)."""
+    import ray.data
+
+    partial_aggs, sq_cols = _partial_plan(keys, parsed)
+    parts = _run_partials(ds, keys, partial_aggs, sq_cols)
+    if not len(parts):
+        cols = {k: [] for k in keys}
+        cols.update({alias: [] for alias, _, _ in parsed})
+        return ray.data.from_arrow(pa.table(cols))
+    merged = _merge_partials(parts, keys, partial_aggs)
+    out = _finalize_partials(merged, merged[keys].copy(), parsed)
     return ray.data.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+
+
+def grouping_sets(ds, sets: list[list[str]], grouping_id: str | None = None,
+                  **aggs: str):
+    """SQL ``GROUP BY GROUPING SETS`` (:func:`rollup` / :func:`cube` are
+    the standard sugar): aggregate the same input at several
+    granularities in ONE pass over the data.
+
+    The classic optimization: per-batch partials are computed once at
+    the union-of-all-keys granularity inside ``map_batches``; every
+    requested set is then a re-aggregation of those algebraic partials
+    (sum/count re-sum, min/max re-extremize, mean/variance recombine
+    from (s, c, q)) — the corpus is never re-read per level. Keys absent
+    from a set come back NULL, exactly like SQL; ``grouping_id`` adds
+    DuckDB's ``GROUPING_ID(union...)`` bitmask (MSB = first union key)
+    to disambiguate rollup-NULLs from data-NULLs.
+
+    Driver state is O(blocks × |finest groups|) partial rows — the
+    :func:`summarize` low-cardinality contract. For million-group
+    dimensions run :func:`summarize_hash` per level instead.
+
+    Supported aggregates: the decomposable set (sum/count/min/max/mean/
+    avg/any/all/variance/stddev)."""
+    import ray.data
+
+    parsed: list[tuple[str, str, str]] = []
+    for alias, spec in aggs.items():
+        m = _SPEC_RE.match(spec)
+        if not m:
+            raise ValueError(f"bad aggregate spec {spec!r} (want 'func(col)')")
+        parsed.append((alias, m.group(1).lower(), m.group(2)))
+    bad = [fn for _, fn, _ in parsed if fn not in _PARTIAL_FNS]
+    if bad:
+        raise ValueError(
+            f"grouping_sets supports decomposable aggregates only, got "
+            f"{bad}; run summarize() once per grouping set for holistic "
+            "functions")
+    sets = [list(s) for s in sets]
+    ukeys: list[str] = []
+    for s in sets:
+        for k in s:
+            if k not in ukeys:
+                ukeys.append(k)
+    if not ukeys:
+        raise ValueError("grouping_sets: at least one non-empty set")
+
+    partial_aggs, sq_cols = _partial_plan(ukeys, parsed)
+    parts = _run_partials(ds, ukeys, partial_aggs, sq_cols)
+    if not len(parts):
+        cols = {k: [] for k in ukeys}
+        if grouping_id:
+            cols[grouping_id] = []
+        cols.update({alias: [] for alias, _, _ in parsed})
+        return ray.data.from_arrow(pa.table(cols))
+    key_types = {
+        k: pa.Table.from_pandas(parts[[k]], preserve_index=False)
+             .schema.field(k).type
+        for k in ukeys
+    }
+
+    levels = []
+    for s in sets:
+        merged = _merge_partials(parts, s, partial_aggs)
+        base = merged[s].copy() if s else pd.DataFrame(index=merged.index)
+        out = _finalize_partials(merged, base, parsed)
+        tbl = pa.Table.from_pandas(out, preserve_index=False)
+        arrays, names = [], []
+        for k in ukeys:
+            if k in s:
+                arrays.append(tbl.column(k).cast(key_types[k]))
+            else:
+                arrays.append(pa.nulls(len(tbl), key_types[k]))
+            names.append(k)
+        if grouping_id:
+            gid = sum(1 << (len(ukeys) - 1 - i)
+                      for i, k in enumerate(ukeys) if k not in s)
+            arrays.append(pa.array([gid] * len(tbl), pa.int64()))
+            names.append(grouping_id)
+        for alias, _fn, _col in parsed:
+            arrays.append(tbl.column(alias))
+            names.append(alias)
+        levels.append(pa.table(dict(zip(names, arrays))))
+    # unify aggregate dtypes across levels (e.g. int min at one level,
+    # null-free float at another) against the finest level's schema
+    widest = max(levels, key=lambda t: t.num_rows)
+    levels = [t.cast(widest.schema) for t in levels]
+    return ray.data.from_arrow(pa.concat_tables(levels))
+
+
+def rollup(ds, by: list[str], grouping_id: str | None = None, **aggs: str):
+    """``GROUP BY ROLLUP(by...)``: every prefix of ``by`` plus the grand
+    total, in one pass (see :func:`grouping_sets`)."""
+    by = [by] if isinstance(by, str) else list(by)
+    sets = [by[:i] for i in range(len(by), -1, -1)]
+    return grouping_sets(ds, sets, grouping_id=grouping_id, **aggs)
+
+
+def cube(ds, by: list[str], grouping_id: str | None = None, **aggs: str):
+    """``GROUP BY CUBE(by...)``: all 2^n subsets, one pass."""
+    by = [by] if isinstance(by, str) else list(by)
+    sets = [[k for j, k in enumerate(by) if mask & (1 << j)]
+            for mask in range((1 << len(by)) - 1, -1, -1)]
+    return grouping_sets(ds, sets, grouping_id=grouping_id, **aggs)
 
 
 def summarize(ds, by: str | list[str] | None = None, **aggs: str):

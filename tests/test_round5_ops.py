@@ -298,3 +298,174 @@ def test_gif_through_multimodal_stages(ray_session):
           .to_pandas())
     assert fr["frame_idx"].tolist() == [0, 2, 4]
     assert fr["height"].tolist() == [6, 6, 6]
+
+
+# ------------------------------------------------------- rollup / cube
+
+
+def test_grouping_sets_levels_match_summarize(ray_session):
+    """Every level of a grouping_sets result equals an independent
+    summarize at that grouping; the grand total row aggregates all."""
+    import ray.data
+
+    from tenzir_ray.stages.summarize import grouping_sets, summarize
+
+    rng = np.random.default_rng(2)
+    n = 4000
+    tbl = pa.table({
+        "a": rng.choice(["x", "y", "z"], size=n),
+        "b": rng.integers(0, 4, size=n).astype(np.int64),
+        "v": rng.integers(0, 100, size=n).astype(np.int64),
+    })
+    ds = ray.data.from_arrow(tbl)
+    out = grouping_sets(
+        ds, [["a", "b"], ["a"], []], grouping_id="gid",
+        n="count(*)", s="sum(v)", mn="min(v)", m="mean(v)",
+    ).to_pandas()
+
+    fine = summarize(ray.data.from_arrow(tbl), by=["a", "b"],
+                     n="count(*)", s="sum(v)", mn="min(v)",
+                     m="mean(v)").to_pandas()
+    lvl0 = out[out.gid == 0].drop(columns=["gid"]).sort_values(
+        ["a", "b"], ignore_index=True)
+    fine = fine.sort_values(["a", "b"], ignore_index=True)
+    pd.testing.assert_frame_equal(
+        lvl0.astype({"b": "int64"}), fine, check_dtype=False)
+
+    lvl1 = out[out.gid == 1]
+    assert lvl1["b"].isna().all() and len(lvl1) == 3
+    total = out[out.gid == 3]
+    assert len(total) == 1
+    assert int(total["n"].iloc[0]) == n
+    assert int(total["s"].iloc[0]) == int(tbl["v"].to_pandas().sum())
+    assert abs(float(total["m"].iloc[0])
+               - tbl["v"].to_pandas().mean()) < 1e-9
+
+
+def test_rollup_and_cube_set_shapes(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages.summarize import cube, rollup
+
+    tbl = pa.table({
+        "a": ["p", "p", "q", "q"],
+        "b": [1, 2, 1, 2],
+        "v": [10, 20, 30, 40],
+    })
+    ds = ray.data.from_arrow(tbl)
+    r = rollup(ds, ["a", "b"], grouping_id="g", s="sum(v)").to_pandas()
+    # 4 detail + 2 per-a + 1 total
+    assert sorted(r["g"].tolist()) == [0, 0, 0, 0, 1, 1, 3]
+    assert int(r.loc[r.g == 3, "s"].iloc[0]) == 100
+
+    c = cube(ray.data.from_arrow(tbl), ["a", "b"], grouping_id="g",
+             s="sum(v)").to_pandas()
+    # 4 detail + 2 per-a + 2 per-b + 1 total
+    assert sorted(c["g"].tolist()) == [0, 0, 0, 0, 1, 1, 2, 2, 3]
+    per_b = c[c.g == 2].set_index("b")["s"]
+    assert int(per_b[1]) == 40 and int(per_b[2]) == 60
+
+    with pytest.raises(ValueError):
+        rollup(ds, ["a"], med="median(v)")
+
+
+# ------------------------------------------------------ context windows
+
+
+def test_context_windows_matches_pandas_reference(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages.transcripts import context_windows
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for c in range(30):
+        for t in range(int(rng.integers(1, 9))):
+            rows.append((f"c{c}", t, f"text-{c}-{t}"))
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"])
+    # shuffle input: encounter order must not matter
+    shuffled = df.sample(frac=1.0, random_state=1, ignore_index=True)
+    ds = ray.data.from_pandas(shuffled).repartition(7)
+    out = (context_windows(ds, k=3, sep="|")
+           .to_pandas().sort_values(["conv_id", "turn_idx"],
+                                    ignore_index=True))
+
+    def ref(group):
+        texts = group["text"].tolist()
+        ctxs = []
+        for i in range(len(texts)):
+            window = texts[max(0, i - 3):i]
+            ctxs.append("|".join(window) if window else None)
+        return pd.Series(ctxs, index=group.index)
+
+    expect = df.sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    expect["context"] = (expect.groupby("conv_id", group_keys=False)
+                         .apply(ref, include_groups=False))
+    assert out["context"].tolist() == expect["context"].tolist()
+    # first turn of every conversation has no context
+    firsts = out[out.turn_idx == 0]
+    assert firsts["context"].isna().all()
+
+
+# --------------------------------------------------------- naive bayes
+
+
+def _nb_corpus(n=600, seed=8):
+    rng = np.random.default_rng(seed)
+    vocab = {
+        "sport": ["goal", "match", "team", "score", "league", "coach"],
+        "tech": ["code", "server", "model", "data", "deploy", "bug"],
+        "food": ["bake", "salt", "oven", "flour", "taste", "sauce"],
+    }
+    shared = ["the", "a", "of", "and"]
+    rows = []
+    for i in range(n):
+        lab = ["sport", "tech", "food"][i % 3]
+        words = list(rng.choice(vocab[lab], size=8)) + list(
+            rng.choice(shared, size=4))
+        rng.shuffle(words)
+        rows.append((i, lab, " ".join(words)))
+    return pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
+
+
+def test_nb_train_classify_accuracy_and_stability(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages.classify import nb_classify, nb_train
+
+    df = _nb_corpus()
+
+    def run(parts):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        model = nb_train(ds, "lang", buckets=512)
+        out = (nb_classify(ds, model, score_col="conf")
+               .to_pandas().sort_values("doc_id", ignore_index=True))
+        return model, out
+
+    m1, o1 = run(2)
+    m2, o2 = run(9)
+    assert m1.classes == m2.classes == ["food", "sport", "tech"]
+    assert np.array_equal(m1.counts, m2.counts)  # partition-independent
+    assert o1["pred"].tolist() == o2["pred"].tolist()
+    acc = (o1["pred"] == df.sort_values("doc_id")["lang"]).mean()
+    assert acc > 0.95, acc
+    assert (m1.doc_counts == 200).all()
+
+
+def test_nb_model_roundtrip_and_empty_text(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages.classify import NbModel, nb_classify, nb_train
+
+    df = _nb_corpus(90)
+    ds = ray.data.from_pandas(df)
+    model = nb_train(ds, "lang", buckets=256)
+    again = NbModel.from_dict(model.to_dict())
+    assert np.allclose(model.logw, again.logw)
+
+    weird = pd.DataFrame({"doc_id": [0, 1], "text": ["", "goal match"]})
+    out = (nb_classify(ray.data.from_pandas(weird), model)
+           .to_pandas().sort_values("doc_id"))
+    # empty text falls back to the prior argmax (uniform → first class)
+    assert out["pred"].iloc[0] == "food"
+    assert out["pred"].iloc[1] == "sport"
