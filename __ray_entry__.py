@@ -435,6 +435,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = bpe.bpe_encode(docs, model, mode="count", out="bpe_n")
         return T.select(out, ["doc_id", "bpe_n"])
 
+    def conditional_expr_events(sf):
+        # iif()/coalesce()/ternary in the expression language (Arrow
+        # if_else/coalesce kernels, pushdown-composable) vs SQL CASE
+        ds = T.set_(
+            _read(sf, "events", columns=["event_id", "value"]),
+            band="iif(value > 50.0, 'hi', 'lo')",
+            v2="coalesce(value, 0.0) * 2",
+        )
+        return T.select(ds, ["event_id", "band", "v2"])
+
+    def quantiles_by_type(sf):
+        # EXACT per-group discrete quantiles (quantile_disc semantics —
+        # actual data elements, bit-equal across engines), complementing
+        # the approximate sketch family
+        from tenzir_ray.stages.summarize import group_quantiles
+
+        return group_quantiles(
+            _read(sf, "events", columns=["event_type", "value"]),
+            by="event_type", column="value",
+            quantiles={"p25": 0.25, "p50": 0.5, "p90": 0.9})
+
     def nb_class_counts_docs(sf):
         # Naive-Bayes training counts for one class, bit-reproducible in
         # SQL (md5 hash buckets) — the oracle gate pinning nb_train
@@ -3435,6 +3456,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_events_type_bucket": cube_events_type_bucket,
         "nb_class_counts_docs": nb_class_counts_docs,
         "nb_predict_lang": nb_predict_lang,
+        "quantiles_by_type": quantiles_by_type,
+        "conditional_expr_events": conditional_expr_events,
         "bpe_word_counts_docs": bpe_word_counts_docs,
         "bpe_token_count_docs": bpe_token_count_docs,
         "media_gif_decode": media_gif_decode,
@@ -3684,6 +3707,19 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY (event_id * 2654435761) % 4294967296,
                                     event_id) rn
                 FROM events) WHERE rn <= 5
+        """,
+        "conditional_expr_events": """
+            SELECT event_id,
+                   CASE WHEN value > 50.0 THEN 'hi' ELSE 'lo' END AS band,
+                   coalesce(value, 0.0) * 2 AS v2
+            FROM events
+        """,
+        "quantiles_by_type": """
+            SELECT event_type,
+                   quantile_disc(value, 0.25) AS p25,
+                   quantile_disc(value, 0.5) AS p50,
+                   quantile_disc(value, 0.9) AS p90
+            FROM events GROUP BY event_type
         """,
         "nb_class_counts_docs": """
             WITH tok AS (

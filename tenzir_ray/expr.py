@@ -651,6 +651,10 @@ def _compile(node: ast.expr):
         return out
     if isinstance(node, ast.BinOp) and type(node.op) in _BINOP:
         return _BINOP[type(node.op)](_compile(node.left), _compile(node.right))
+    if isinstance(node, ast.IfExp):
+        # Python ternary `a if cond else b` → SQL CASE WHEN
+        return pc.if_else(_compile(node.test), _compile(node.body),
+                          _compile(node.orelse))
     if isinstance(node, ast.Call):
         if isinstance(node.func, ast.Attribute):
             path = _field_path(node.func.value)
@@ -663,6 +667,14 @@ def _compile(node: ast.expr):
         if isinstance(node.func, ast.Name) and node.func.id in _MATH_FNS:
             return _MATH_FNS[node.func.id](
                 *[_compile(a) for a in node.args])
+        if isinstance(node.func, ast.Name) and node.func.id == "iif":
+            if len(node.args) != 3:
+                raise ValueError("iif(cond, then, else) takes 3 arguments")
+            return pc.if_else(*[_compile(a) for a in node.args])
+        if isinstance(node.func, ast.Name) and node.func.id == "coalesce":
+            if len(node.args) < 2:
+                raise ValueError("coalesce() takes at least 2 arguments")
+            return pc.coalesce(*[_compile(a) for a in node.args])
         if isinstance(node.func, ast.Name) and node.func.id in _MARKER_FNS:
             arg = node.args[0]
             if not (isinstance(arg, ast.Constant) and isinstance(arg.value, str)):

@@ -122,6 +122,7 @@ def _register_builtins() -> None:
         cube=summarize.cube,
         nb_classify=classify.nb_train_classify,
         nb_class_counts=classify.nb_class_counts,
+        group_quantiles=summarize.group_quantiles,
         decontaminate=splits.decontaminate,
         chunk_documents=chunk.chunk_documents,
         assemble_conversations=chunk.assemble_conversations,

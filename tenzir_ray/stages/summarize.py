@@ -702,6 +702,53 @@ def cube(ds, by: list[str], grouping_id: str | None = None, **aggs: str):
     return grouping_sets(ds, sets, grouping_id=grouping_id, **aggs)
 
 
+def group_quantiles(ds, by: str | list[str], column: str,
+                    quantiles: dict[str, float],
+                    buckets: int | None = None):
+    """EXACT per-group discrete quantiles (SQL ``quantile_disc``
+    semantics: the element at index ``ceil(q·n) − 1`` of the sorted
+    non-null values — an actual data value, so results are bit-equal
+    across engines; verified against DuckDB). One output row per group,
+    one column per ``quantiles`` entry (alias → q).
+
+    Complements the streaming sketches (`approximate_median`, DDSketch
+    percentiles): those are one-pass and corpus-scale but approximate;
+    this is exact and costs one grouped exchange — per task a single
+    vectorized sort over its groups' values. Use it when groups fit a
+    worker (the grouped-apply contract); sketches when they don't."""
+    keys = [by] if isinstance(by, str) else list(by)
+    for alias, q in quantiles.items():
+        if not 0.0 <= float(q) <= 1.0:
+            raise ValueError(f"group_quantiles: {alias}={q} outside [0,1]")
+
+    def _q(g: pd.DataFrame) -> pd.DataFrame:
+        # nulls sort last WITHIN each group, so the first ns values of a
+        # group are its sorted non-null values; an all-null group still
+        # emits a row (NULL quantiles), matching SQL GROUP BY
+        g = g.sort_values(keys + [column], kind="mergesort",
+                          na_position="last")
+        gid = g.groupby(keys, sort=False, dropna=False).ngroup().to_numpy()
+        starts = np.unique(gid, return_index=True)[1]
+        starts.sort()
+        ends = np.append(starts[1:], len(g))
+        vals = g[column].to_numpy()
+        nn = (~pd.isna(vals)).astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(nn)])
+        ns = cum[ends] - cum[starts]
+        out = g[keys].iloc[starts].reset_index(drop=True)
+        for alias, q in quantiles.items():
+            idx = np.ceil(float(q) * ns).astype(np.int64) - 1
+            idx = np.clip(idx, 0, np.maximum(ns - 1, 0))
+            col = pd.Series(vals[starts + idx])
+            col[ns == 0] = None
+            out[alias] = col.to_numpy()
+        return out
+
+    from tenzir_ray.stages.exchange import grouped_apply
+
+    return grouped_apply(ds, keys, _q, num_buckets=buckets, tag="gq")
+
+
 def summarize(ds, by: str | list[str] | None = None, **aggs: str):
     """``summarize(ds, by=["k"], total="sum(x)", n="count(*)")``.
 

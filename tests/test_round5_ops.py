@@ -407,6 +407,64 @@ def test_context_windows_matches_pandas_reference(ray_session):
     assert firsts["context"].isna().all()
 
 
+# -------------------------------------------------- conditional exprs
+
+
+def test_iif_coalesce_ternary_exprs(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages.transforms import select, set_
+
+    tbl = pa.table({"id": [1, 2, 3],
+                    "v": pa.array([10.0, None, 30.0], pa.float64())})
+    ds = set_(ray.data.from_arrow(tbl),
+              band="iif(v > 15.0, 'hi', 'lo')",
+              filled="coalesce(v, 0.0)",
+              tern="v * 2 if v > 15.0 else 0.0")
+    out = select(ds, ["id", "band", "filled", "tern"]).to_pandas()
+    out = out.sort_values("id", ignore_index=True)
+    assert out["band"].tolist() == ["lo", None, "hi"]  # if_else null-in
+    assert out["filled"].tolist() == [10.0, 0.0, 30.0]
+    assert out["tern"].tolist()[0] == 0.0
+    assert out["tern"].tolist()[2] == 60.0
+
+
+# ----------------------------------------------------- exact quantiles
+
+
+def test_group_quantiles_matches_duckdb_and_null_groups(ray_session):
+    import duckdb
+    import ray.data
+
+    from tenzir_ray.stages.summarize import group_quantiles
+
+    rng = np.random.default_rng(6)
+    n = 3000
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c", "d"], size=n),
+        "v": rng.normal(size=n),
+    })
+    df.loc[df.sample(frac=0.05, random_state=0).index, "v"] = np.nan
+    allnull = pd.DataFrame({"g": ["z"] * 5, "v": [np.nan] * 5})
+    df = pd.concat([df, allnull], ignore_index=True)
+
+    out = (group_quantiles(ray.data.from_pandas(df).repartition(5),
+                           by="g", column="v",
+                           quantiles={"p10": 0.1, "p50": 0.5, "p99": 0.99})
+           .to_pandas().sort_values("g", ignore_index=True))
+    want = duckdb.sql("""
+        SELECT g, quantile_disc(v, 0.1) p10, quantile_disc(v, 0.5) p50,
+               quantile_disc(v, 0.99) p99
+        FROM df GROUP BY g ORDER BY g""").df()
+    assert out["g"].tolist() == want["g"].tolist()
+    for c in ("p10", "p50", "p99"):
+        a, b = out[c].to_numpy(), want[c].to_numpy()
+        both_nan = pd.isna(a) & pd.isna(b)
+        assert np.all(both_nan | (a == b)), c
+    # the all-null group survives with NULL quantiles
+    assert pd.isna(out.loc[out.g == "z", "p50"]).all()
+
+
 # --------------------------------------------------------- naive bayes
 
 
