@@ -1352,6 +1352,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "pq_ok": pa.array(oks, pa.bool_()),
         })
 
+    def ann_hnsw_topk(sf):
+        # sharded HNSW graph search (stages/hnsw.py, arXiv:1603.09320):
+        # TRUE-oracle recall gate like ann_pq_topk — HNSW is approximate
+        # by construction, so the gate asserts per-query recall@10 vs
+        # exact brute force (>= 0.8; pytest covers recall and
+        # insertion-order independence in depth)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from tenzir_ray.stages.hnsw import hnsw_topk
+
+        q_tbl = pq.read_table(
+            f"{sf}/embeddings.parquet", columns=["embedding"]
+        ).slice(0, 4)
+        queries_m = np.stack(
+            [np.asarray(v) for v in q_tbl.column("embedding").to_pylist()]
+        )
+        ds = _read(sf, "embeddings", columns=["vec_id", "embedding"])
+        exact = SIM.brute_force_topk(ds, queries_m, k=10).to_pandas()
+        approx = hnsw_topk(ds, queries_m, k=10, ef_search=128).to_pandas()
+        oks = []
+        for qi in range(len(queries_m)):
+            e = set(exact.loc[exact["query_idx"] == qi, "vec_id"])
+            a = set(approx.loc[approx["query_idx"] == qi, "vec_id"])
+            oks.append(len(e & a) / max(len(e), 1) >= 0.8)
+        return pa.table({
+            "query_idx": pa.array(range(len(queries_m)), pa.int64()),
+            "hnsw_ok": pa.array(oks, pa.bool_()),
+        })
+
     def ann_ivf_topk(sf):
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -3412,6 +3442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_counts_docs": bigram_counts_docs,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_pq_topk": ann_pq_topk,
+        "ann_hnsw_topk": ann_hnsw_topk,
         "ann_ivf_persisted": ann_ivf_persisted,
         "dedup_components": dedup_components,
         "session_windows": session_windows,
@@ -4694,6 +4725,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_pq_topk": """
             SELECT CAST(i AS BIGINT) AS query_idx, TRUE AS pq_ok
+            FROM generate_series(0, 3) AS t(i)
+        """,
+        "ann_hnsw_topk": """
+            SELECT CAST(i AS BIGINT) AS query_idx, TRUE AS hnsw_ok
             FROM generate_series(0, 3) AS t(i)
         """,
         "pctl_sketch_accuracy": """
