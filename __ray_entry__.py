@@ -1475,6 +1475,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return T.put(per_base, doc_id="doc_id", chain_connected="nc == 1 and n == 3")
 
+    def skew_join_events_customer(sf):
+        # skew-aware join (stages/join.py skew_join): heavy-hitter user
+        # ids join against a ray.put-broadcast customer slice inside
+        # map_batches (no shuffle of hot rows); the cold remainder takes
+        # the packed-exchange hash_join; the union must equal a plain
+        # SQL left join bit-for-bit. hot_frac=0.05 makes several users
+        # hot at every sf (top user holds ~9% of events), so BOTH
+        # streams carry rows
+        from tenzir_ray.stages.join import skew_join
+
+        ev = _read(sf, "events", columns=["event_id", "user_id", "value"])
+        cust = _read(sf, "customer",
+                     columns=["c_custkey", "c_name", "c_acctbal"])
+        return skew_join(
+            ev, cust, on="user_id", right_on="c_custkey", how="left",
+            hot_frac=0.05,
+        )
+
     def join_revenue_by_priority(sf):
         import pyarrow as pa
         import pyarrow.compute as pc
@@ -3436,6 +3454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ip_typed_roundtrip": ip_typed_roundtrip,
         "asof_status": asof_status,
         "join_revenue_by_priority": join_revenue_by_priority,
+        "skew_join_events_customer": skew_join_events_customer,
         "tql_hash_join_revenue": tql_hash_join_revenue,
         "regional_part_revenue": regional_part_revenue,
         "repetition_docs": repetition_docs,
@@ -3946,6 +3965,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(rev_dm) AS DOUBLE) / 10000.0 AS revenue,
                    count(*) AS n
             FROM j GROUP BY o_orderpriority
+        """,
+        "skew_join_events_customer": """
+            SELECT e.event_id, e.user_id, e.value,
+                   c.c_custkey, c.c_name, c.c_acctbal
+            FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         """,
         "session_windows": """
             WITH marked AS (

@@ -120,32 +120,20 @@ class _HashJoinReducer:
         return joined.select(self.out_cols).combine_chunks()
 
 
-def hash_join(left, right, on: str | list[str], right_on: str | list[str] | None = None,
-              how: str = "inner", right_suffix: str = "_r",
-              num_buckets: int | None = None,
-              target_task_bytes: int = 128 << 20,
-              batch_size: int | None = 65536,
-              transport: str | None = None,
-              staging_root: str | None = None):
-    """Co-partitioned hash join of two Datasets via the packed exchange.
+class _JoinPlan:
+    """Shared rename/widen/output plan for the exchange and broadcast
+    joins — one source of truth so :func:`skew_join`'s two streams emit
+    byte-identical schemas."""
 
-    ``on``/``right_on`` name the key columns; overlapping non-key columns
-    from the right get ``right_suffix``. Supported ``how``: inner, left,
-    right, full (both-side outer; key columns coalesce when same-named),
-    semi, anti (Arrow left-semi/left-anti — output is the left columns).
-    When the two sides' key names differ, both key columns appear in the
-    output (pandas-merge convention); identical names coalesce into one.
-    ``transport``: "fs" (packed-IPC staging; needs shared storage
-    multi-node — configure via ``staging_root`` / $TENZIR_RAY_EXCHANGE_ROOT)
-    or "object" (Ray object store, no shared-FS requirement).
-    """
-    import ray.data
+    __slots__ = ("lkeys", "rkeys", "r_key_names", "rename_r", "l_casts",
+                 "r_casts", "l_arrow", "r_arrow", "out_cols", "coalesce")
 
+
+def _plan_join(lschema, rschema, on, right_on, how, right_suffix) -> _JoinPlan:
     lkeys = [on] if isinstance(on, str) else list(on)
     rkeys = lkeys if right_on is None else (
         [right_on] if isinstance(right_on, str) else list(right_on)
     )
-    lschema, rschema = _require_schemas(left, right, "hash_join")
     lcols = lschema.names
     key_partner = dict(zip(rkeys, lkeys))
     rename_r = {}
@@ -190,30 +178,71 @@ def hash_join(left, right, on: str | list[str], right_on: str | list[str] | None
             c for c in r_arrow.names
             if not (coalesce and c in lkeys) and c not in lcols
         ]
+    p = _JoinPlan()
+    p.lkeys, p.rkeys, p.r_key_names = lkeys, rkeys, r_key_names
+    p.rename_r, p.l_casts, p.r_casts = rename_r, l_casts, r_casts
+    p.l_arrow, p.r_arrow = l_arrow, r_arrow
+    p.out_cols, p.coalesce = out_cols, coalesce
+    return p
+
+
+def _cast_cols(casts: dict):
+    def f(b: pa.Table) -> pa.Table:
+        for name, t in casts.items():
+            i = b.schema.get_field_index(name)
+            b = b.set_column(i, name, b.column(name).cast(t))
+        return b
+
+    return f
+
+
+def _rename_right(plan: _JoinPlan):
+    def f(b: pa.Table) -> pa.Table:
+        b = b.rename_columns(
+            [plan.rename_r.get(c, c) for c in b.column_names]
+        )
+        return _cast_cols(plan.r_casts)(b)
+
+    return f
+
+
+def hash_join(left, right, on: str | list[str], right_on: str | list[str] | None = None,
+              how: str = "inner", right_suffix: str = "_r",
+              num_buckets: int | None = None,
+              target_task_bytes: int = 128 << 20,
+              batch_size: int | None = 65536,
+              transport: str | None = None,
+              staging_root: str | None = None):
+    """Co-partitioned hash join of two Datasets via the packed exchange.
+
+    ``on``/``right_on`` name the key columns; overlapping non-key columns
+    from the right get ``right_suffix``. Supported ``how``: inner, left,
+    right, full (both-side outer; key columns coalesce when same-named),
+    semi, anti (Arrow left-semi/left-anti — output is the left columns).
+    When the two sides' key names differ, both key columns appear in the
+    output (pandas-merge convention); identical names coalesce into one.
+    ``transport``: "fs" (packed-IPC staging; needs shared storage
+    multi-node — configure via ``staging_root`` / $TENZIR_RAY_EXCHANGE_ROOT)
+    or "object" (Ray object store, no shared-FS requirement).
+    """
+    import ray.data
+
+    lschema, rschema = _require_schemas(left, right, "hash_join")
+    plan = _plan_join(lschema, rschema, on, right_on, how, right_suffix)
+    lkeys, r_key_names = plan.lkeys, plan.r_key_names
+    l_arrow, r_arrow, out_cols = plan.l_arrow, plan.r_arrow, plan.out_cols
 
     B = num_buckets or default_buckets()
     ex = Exchange("join", transport, staging_root)
 
-    def _cast_cols(casts: dict):
-        def f(b: pa.Table) -> pa.Table:
-            for name, t in casts.items():
-                i = b.schema.get_field_index(name)
-                b = b.set_column(i, name, b.column(name).cast(t))
-            return b
-
-        return f
-
-    def _ren(b: pa.Table) -> pa.Table:
-        b = b.rename_columns([rename_r.get(c, c) for c in b.column_names])
-        return _cast_cols(r_casts)(b)
-
     lidx, lbytes = ex.run(
         left, lkeys, B, "l",
-        transform=_cast_cols(l_casts) if l_casts else None,
+        transform=_cast_cols(plan.l_casts) if plan.l_casts else None,
         batch_size=batch_size,
     )
     ridx, rbytes = ex.run(
-        right, r_key_names, B, "r", transform=_ren, batch_size=batch_size
+        right, r_key_names, B, "r", transform=_rename_right(plan),
+        batch_size=batch_size,
     )
     # semi keeps only matched left rows, so right-empty buckets emit
     # nothing; anti and left must still visit every left bucket; the
@@ -236,6 +265,190 @@ def hash_join(left, right, on: str | list[str], right_on: str | list[str] | None
     return ray.data.from_items([{"buckets": t} for t in tasks]).map_batches(
         reducer, batch_format="pyarrow", batch_size=1
     )
+
+
+def _heavy_keys(ds, key: str, capacity: int):
+    """Space-saving heavy-hitter pass over one key column: per-batch
+    ``value_counts`` truncated to the top ``capacity`` entries, merged on
+    the driver with a bounded counter. Returns ``(counts, total_rows)``
+    where counts maps key value -> (under-)estimated frequency. One
+    column-pruned scan; driver state is O(capacity)."""
+    import pyarrow.compute as pc
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(key).combine_chunks()
+        vc = col.drop_null().value_counts()
+        vals, cnts = vc.field("values"), vc.field("counts")
+        if len(vals) > capacity:
+            keep = pc.array_sort_indices(cnts, order="descending")[:capacity]
+            vals, cnts = vals.take(keep), cnts.take(keep)
+        # sentinel null row carries this batch's TOTAL row count, so the
+        # driver learns the table size in the same single pass
+        return pa.table({
+            "k": pa.concat_arrays([vals, pa.nulls(1, vals.type)]),
+            "n": pa.concat_arrays([
+                cnts.cast(pa.int64()),
+                pa.array([batch.num_rows], pa.int64()),
+            ]),
+        })
+
+    parts = ds.select_columns([key]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    counts: dict = {}
+    total = 0
+    for ref in parts.to_arrow_refs():
+        t = ray.get(ref)
+        for v, n in zip(t.column("k").to_pylist(), t.column("n").to_pylist()):
+            if v is None:
+                total += n
+            else:
+                counts[v] = counts.get(v, 0) + n
+        if len(counts) > 8 * capacity:
+            counts = dict(
+                sorted(counts.items(), key=lambda kv: -kv[1])[: 4 * capacity]
+            )
+    return counts, total
+
+
+class _BroadcastJoinStage:
+    """skew_join's hot stream: Arrow-join each left batch against the
+    broadcast right-hot table. The hot rows never shuffle — the right
+    slice travels ONCE via ray.put and every task reads it zero-copy."""
+
+    def __init__(self, rtbl_ref, plan: _JoinPlan, how: str):
+        self.rtbl_ref = rtbl_ref
+        self.plan = plan
+        self.how = how
+        self._rtbl = None
+
+    __name__ = "_BroadcastJoinStage"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        if self._rtbl is None:
+            r = self.rtbl_ref
+            self._rtbl = r if isinstance(r, pa.Table) else ray.get(r)
+        p = self.plan
+        b = _cast_cols(p.l_casts)(batch) if p.l_casts else batch
+        join_type = {"inner": "inner", "left": "left outer",
+                     "semi": "left semi", "anti": "left anti"}[self.how]
+        out = b.join(
+            self._rtbl, keys=p.lkeys, right_keys=p.r_key_names,
+            join_type=join_type, coalesce_keys=p.coalesce,
+        )
+        return out.select(p.out_cols).combine_chunks()
+
+
+def _key_membership_filter(ds, key: str, value_set: pa.Array, keep_in: bool):
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        m = pc.fill_null(pc.is_in(batch.column(key), value_set=value_set),
+                         False)
+        # null keys can never be hot -> they route to the exchange side,
+        # which already implements the engine's null-key join semantics
+        return batch.filter(m if keep_in else pc.invert(m))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def skew_join(left, right, on: str, right_on: str | None = None,
+              how: str = "inner", right_suffix: str = "_r",
+              hot_keys: list | None = None, hot_frac: float = 0.01,
+              max_hot: int = 64, max_broadcast_bytes: int = 256 << 20,
+              num_buckets: int | None = None,
+              target_task_bytes: int = 128 << 20,
+              batch_size: int | None = 65536,
+              transport: str | None = None,
+              staging_root: str | None = None):
+    """Skew-aware hash join: heavy-hitter keys bypass the exchange.
+
+    A hot key (a key holding more than ``hot_frac`` of the left rows,
+    top ``max_hot`` of them; or the explicit ``hot_keys`` list) would
+    otherwise concentrate its entire row population in one exchange
+    bucket → one oversized reduce task. Here the RIGHT side's hot-key
+    rows are gathered once (size-gated by ``max_broadcast_bytes``),
+    ``ray.put``-broadcast, and the left's hot rows join against them
+    inside plain ``map_batches`` — embarrassingly parallel, no shuffle.
+    Everything else takes the regular packed-exchange
+    :func:`hash_join`; the two streams union (same `_JoinPlan`, so
+    schemas are identical).
+
+    Supported ``how``: inner/left/semi/anti (one output row per left
+    batch row — broadcast-safe). right/full would emit unmatched RIGHT
+    rows from every replica; use :func:`hash_join` for those.
+
+    Cost note: detection is one column-pruned scan of the left and the
+    split is one extra scan of each side vs plain ``hash_join`` — worth
+    it only under real skew, which is exactly when you reach for this.
+    """
+    if not isinstance(on, str):
+        if len(on) != 1:
+            raise ValueError(
+                "skew_join handles single-column keys; composite keys "
+                "rarely skew — use hash_join"
+            )
+        on = on[0]
+    if right_on is not None and not isinstance(right_on, str):
+        right_on = right_on[0]
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(
+            f"skew_join: how={how!r} unsupported (broadcast replicas would "
+            "duplicate unmatched right rows) — use hash_join"
+        )
+    import ray
+    import ray.data
+
+    lschema, rschema = _require_schemas(left, right, "skew_join")
+    plan = _plan_join(lschema, rschema, on, right_on, how, right_suffix)
+    rkey_orig = right_on or on
+
+    if hot_keys is None:
+        counts, total = _heavy_keys(left, on, capacity=max(256, 8 * max_hot))
+        floor = max(1, int(total * hot_frac))
+        hot_keys = [
+            k for k, n in sorted(counts.items(), key=lambda kv: -kv[1])
+            if n >= floor
+        ][:max_hot]
+    if not hot_keys:
+        return hash_join(
+            left, right, on, right_on, how, right_suffix, num_buckets,
+            target_task_bytes, batch_size, transport, staging_root,
+        )
+
+    ktype = _arrow_schema(lschema).field(on).type
+    vset = pa.array(hot_keys, type=ktype)
+    rktype = _arrow_schema(rschema).field(rkey_orig).type
+    rvset = vset if rktype.equals(ktype) else pa.array(hot_keys, type=rktype)
+
+    # gather + broadcast the right side's hot slice (bounded by the gate)
+    r_hot = _key_membership_filter(right, rkey_orig, rvset, keep_in=True)
+    rtbls = [t for t in ray.get(r_hot.to_arrow_refs()) if t.num_rows]
+    rtbl = (_rename_right(plan)(pa.concat_tables(rtbls))
+            if rtbls else _rename_right(plan)(
+                pa.Table.from_batches([], schema=_arrow_schema(rschema))))
+    if rtbl.nbytes > max_broadcast_bytes:
+        raise ValueError(
+            f"skew_join: hot right slice is {rtbl.nbytes >> 20} MiB "
+            f"(> {max_broadcast_bytes >> 20} MiB) — the 'small' side of "
+            "the hot keys isn't small; raise max_broadcast_bytes or use "
+            "hash_join"
+        )
+    rref = ray.put(rtbl)
+
+    hot_out = _key_membership_filter(left, on, vset, keep_in=True).map_batches(
+        _BroadcastJoinStage(rref, plan, how), batch_format="pyarrow"
+    )
+    cold_out = hash_join(
+        _key_membership_filter(left, on, vset, keep_in=False),
+        _key_membership_filter(right, rkey_orig, rvset, keep_in=False),
+        on, right_on, how, right_suffix, num_buckets,
+        target_task_bytes, batch_size, transport, staging_root,
+    )
+    return cold_out.union(hot_out)
 
 
 class _AsofReducer:
