@@ -410,6 +410,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ds
 
+    def line_dedup_docs(sf):
+        # corpus-wide exact LINE dedup (RefinedWeb recipe, dedup.line_dedup).
+        # planted-truth design: the corpus has no newlines, so the gate
+        # synthesizes deterministic 6-word lines per doc, plants an exact
+        # clone of every doc at doc_id+100000, and asserts the dedup keeps
+        # each distinct line exactly once at its first (doc_id, line_idx)
+        # occurrence — SQL-reproducible end to end. The per-row Python
+        # below is input SYNTHESIS, not the operator under test.
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def _mk_lines(t: pa.Table) -> pa.Table:
+            texts = t.column("text").to_pylist()
+            out = []
+            for s in texts:
+                ws = (s or "").split(" ")
+                out.append("\n".join(
+                    " ".join(ws[i:i + 6]) for i in range(0, len(ws), 6)
+                ))
+            return pa.table({
+                "doc_id": t.column("doc_id"),
+                "text": pa.array(out, pa.string()),
+            })
+
+        base = _read(sf, "documents", columns=["doc_id", "text"]).map_batches(
+            _mk_lines, batch_format="pyarrow"
+        )
+
+        def _clone(t: pa.Table) -> pa.Table:
+            return t.set_column(
+                0, "doc_id", pc.add(t.column("doc_id"), 100000)
+            )
+
+        both = base.union(base.map_batches(_clone, batch_format="pyarrow"))
+        return D.line_dedup(both)
+
     def stratified_sample_events(sf):
         from tenzir_ray.stages.splits import stratified_sample
 
@@ -3499,6 +3535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_documents": hash_documents,
         "parse_json_props": parse_json_props,
         "dedup_documents_exact": dedup_documents_exact,
+        "line_dedup_docs": line_dedup_docs,
         "dup_span_stats": dup_span_stats,
         "stratified_sample_events": stratified_sample_events,
         "temperature_sample_docs": temperature_sample_docs,
@@ -3748,6 +3785,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_documents_exact": """
             SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+        """,
+        "line_dedup_docs": """
+            WITH planted AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000, text FROM documents),
+            w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM planted),
+            g AS (SELECT doc_id,
+                         unnest(generate_series(
+                             0, CAST(ceil(len(ws) / 6.0) AS BIGINT) - 1)) AS gi,
+                         ws
+                  FROM w),
+            l AS (SELECT doc_id, gi AS line_idx,
+                         array_to_string(ws[gi*6+1 : gi*6+6], ' ') AS line
+                  FROM g),
+            k AS (SELECT doc_id, line_idx, line FROM (
+                      SELECT *, row_number() OVER (
+                          PARTITION BY line
+                          ORDER BY doc_id, line_idx) AS rn
+                      FROM l) WHERE rn = 1)
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY line_idx) AS text
+            FROM k GROUP BY doc_id
         """,
         "stratified_sample_events": """
             SELECT event_id, event_type FROM (

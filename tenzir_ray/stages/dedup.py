@@ -61,6 +61,77 @@ def exact_dedup(ds, column: str = "text", keep_order_by: str | None = None,
 
 
 # ---------------------------------------------------------------------------
+# line-level exact dedup (RefinedWeb-style)
+
+
+def split_lines(ds, id_column: str = "doc_id", column: str = "text",
+                sep: str = "\n"):
+    """Explode documents into (id, line_idx, line) rows — fully
+    vectorized (Arrow split + list_flatten; line indices from one
+    cumsum, no per-row Python)."""
+    import pyarrow.compute as pc
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        col = batch.column(column).combine_chunks()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        parts = pc.split_pattern(pc.fill_null(col, ""), pattern=sep)
+        flat = pc.list_flatten(parts)
+        parent = pc.list_parent_indices(parts)
+        lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        offsets = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        idx = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
+            offsets, lens
+        )
+        return pa.table({
+            id_column: batch.column(id_column).take(parent),
+            "line_idx": pa.array(idx, pa.int64()),
+            "line": flat,
+        })
+
+    return ds.map_batches(_explode, batch_format="pyarrow")
+
+
+def line_dedup(ds, id_column: str = "doc_id", column: str = "text",
+               sep: str = "\n", buckets: int | None = None):
+    """Corpus-wide exact LINE dedup (the RefinedWeb/MassiveText recipe,
+    arXiv:2306.01116 §3: repeated boilerplate lines — headers, nav bars,
+    license blurbs — are removed across documents, keeping only the
+    first occurrence by (id, line_idx)):
+
+    1. explode documents into lines (vectorized, :func:`split_lines`),
+    2. keep the globally-first copy of each distinct line — the line
+       TEXT is only the shuffle key of one packed exchange
+       (grouped_apply: fine buckets, byte-coalesced tasks); the winner
+       is a vectorized idxmin per bucket,
+    3. reassemble each surviving document from its kept lines in
+       original order (second grouped exchange keyed by id).
+
+    Documents whose every line was a duplicate disappear (their text
+    would be empty). Two shuffles total, both over (id, idx, line)
+    triples — never the full document payload twice."""
+
+    lines = split_lines(ds, id_column, column, sep)
+
+    def _first(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([id_column, "line_idx"], kind="mergesort")
+        return df.drop_duplicates(subset=["line"], keep="first")
+
+    from tenzir_ray.stages.exchange import grouped_apply
+
+    kept = grouped_apply(lines, ["line"], _first, num_buckets=buckets)
+
+    def _reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([id_column, "line_idx"], kind="mergesort")
+        out = df.groupby(id_column, sort=True)["line"].agg(sep.join)
+        return out.rename(column).reset_index()
+
+    return grouped_apply(kept, [id_column], _reassemble,
+                         num_buckets=buckets)
+
+
+# ---------------------------------------------------------------------------
 # minhash + LSH
 
 
