@@ -110,6 +110,8 @@ def _register_builtins() -> None:
         strip_html=text.strip_html,
         ngram_counts=text.ngram_counts,
         exact_dedup=dedup.exact_dedup,
+        line_dedup=dedup.line_dedup,
+        split_lines=dedup.split_lines,
         duplicate_spans=dedup.duplicate_spans,
         clip_duplicate_spans=dedup.clip_duplicate_spans,
         hash_split=splits.hash_split,
@@ -796,7 +798,7 @@ class Pipeline:
                 ds = _union_by_tag(then_ds, else_ds, row_tag)
                 continue
             if name in ("hash_join", "asof_join", "range_join",
-                        "range_join_partitioned"):
+                        "range_join_partitioned", "skew_join"):
                 from tenzir_ray.stages import join as join_mod
 
                 right = Pipeline(step.pop("right")).run()

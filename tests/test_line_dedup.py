@@ -84,3 +84,18 @@ def test_line_dedup_custom_separator(ray_session):
     got = (line_dedup(ray.data.from_arrow(docs), sep=". ").to_pandas()
            .sort_values("doc_id").reset_index(drop=True))
     assert got["text"].tolist() == ["a. b. c", "d"]
+
+
+def test_line_dedup_registry_op(ray_session):
+    import ray.data
+
+    from tenzir_ray.pipelines.pipeline import Pipeline
+
+    ds = ray.data.from_arrow(_docs())
+    got = (Pipeline([{"op": "line_dedup"}]).run(ds).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    direct = __import__(
+        "tenzir_ray.stages.dedup", fromlist=["line_dedup"]
+    ).line_dedup(ray.data.from_arrow(_docs())).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert got.equals(direct)

@@ -104,3 +104,24 @@ def test_heavy_keys_finds_hot_and_total(ray_session):
     assert top == 7
     # the hot key's estimate is close to its true 30% share
     assert counts[7] >= 2500
+
+
+def test_skew_join_tql_string(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.pipelines.tql import run_pipeline
+
+    ltbl, rtbl = _skewed(n=2000)
+    lp, rp = str(tmp_path / "l.parquet"), str(tmp_path / "r.parquet")
+    pq.write_table(ltbl, lp)
+    pq.write_table(rtbl, rp)
+    out = run_pipeline(
+        f"read_parquet {lp} "
+        f"| skew_join on=k how=inner hot_keys=[7] "
+        f"right=( read_parquet {rp} )"
+    ).to_pandas()
+    want = hash_join(
+        __import__("ray").data.from_arrow(ltbl),
+        __import__("ray").data.from_arrow(rtbl), "k", how="inner",
+    ).to_pandas()
+    assert _canon(out).equals(_canon(want))
