@@ -446,6 +446,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         both = base.union(base.map_batches(_clone, batch_format="pyarrow"))
         return D.line_dedup(both)
 
+    def unimax_sample_docs(sf):
+        # UniMax epoch-capped mixing (splits.unimax_sample,
+        # arXiv:2304.09151): budget 900 over the skewed lang domains with
+        # max_epochs=2 — low-resource langs saturate at 2 full epochs
+        # (every row repeated), the dominant lang gets the leftover as a
+        # hash-rank head; the waterfall allocation is reproduced in SQL
+        # by a recursive CTE
+        from tenzir_ray.stages.splits import unimax_sample
+
+        ds = _read(sf, "documents", columns=["doc_id", "lang"])
+        return unimax_sample(ds, by="lang", key="doc_id", total=900,
+                             max_epochs=2)
+
     def stratified_sample_events(sf):
         from tenzir_ray.stages.splits import stratified_sample
 
@@ -3536,6 +3549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parse_json_props": parse_json_props,
         "dedup_documents_exact": dedup_documents_exact,
         "line_dedup_docs": line_dedup_docs,
+        "unimax_sample_docs": unimax_sample_docs,
         "dup_span_stats": dup_span_stats,
         "stratified_sample_events": stratified_sample_events,
         "temperature_sample_docs": temperature_sample_docs,
@@ -3864,6 +3878,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT word, count(*) AS "count" FROM toks
             WHERE word <> '' GROUP BY word HAVING count(*) >= 5
+        """,
+        "unimax_sample_docs": """
+            WITH RECURSIVE c AS (
+              SELECT lang, count(*) AS c FROM documents GROUP BY lang
+            ), o AS (
+              SELECT lang, c, c * 2 AS cap,
+                     CAST(row_number() OVER (ORDER BY c * 2, lang) AS BIGINT) AS i,
+                     CAST(count(*) OVER () AS BIGINT) AS L
+              FROM c
+            ), alloc AS (
+              SELECT i, L, lang, c, cap,
+                     least(cap, 900 // L) AS take,
+                     900 - least(cap, 900 // L) AS rem
+              FROM o WHERE i = 1
+              UNION ALL
+              SELECT o.i, o.L, o.lang, o.c, o.cap,
+                     least(o.cap, a.rem // (o.L - o.i + 1)),
+                     a.rem - least(o.cap, a.rem // (o.L - o.i + 1))
+              FROM o JOIN alloc a ON o.i = a.i + 1
+            ), r AS (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                         PARTITION BY lang
+                         ORDER BY (doc_id * 2654435761) % 4294967296,
+                                  doc_id) - 1 AS rn
+              FROM documents
+            )
+            SELECT r.doc_id, r.lang, CAST(t.e AS BIGINT) AS epoch
+            FROM r JOIN alloc a ON r.lang = a.lang,
+                 unnest(generate_series(0,
+                     a.take // a.c - 1
+                     + CASE WHEN r.rn < a.take % a.c THEN 1 ELSE 0 END)) AS t(e)
         """,
         "temperature_sample_docs": """
             WITH c AS (

@@ -248,4 +248,90 @@ def temperature_sample(ds, by: str, key: str, total: int,
                          tag="tsamp")
 
 
+def unimax_allocation(counts: dict, total: int,
+                      max_epochs: int = 1) -> dict:
+    """UniMax budget waterfall (Chung et al. 2023, arXiv:2304.09151,
+    Algorithm 1): process groups in ascending capacity order
+    (capacity = c_g * max_epochs); each takes
+    ``min(capacity, floor(remaining_budget / remaining_groups))``.
+    Low-resource groups saturate at their epoch cap, the freed budget
+    flows to larger groups — the 'uniform up to N epochs' mixture.
+    Deterministic: ties break on the group value itself, matching the
+    SQL oracle's ``ORDER BY capacity, group``."""
+    items = sorted(counts.items(), key=lambda kv: (kv[1] * max_epochs, kv[0]))
+    out: dict = {}
+    budget = int(total)
+    for i, (g, c) in enumerate(items):
+        remaining_groups = len(items) - i
+        share = budget // remaining_groups
+        take = min(int(c) * int(max_epochs), share)
+        out[g] = take
+        budget -= take
+    return out
+
+
+def unimax_sample(ds, by: str, key: str, total: int, max_epochs: int = 1,
+                  epoch_col: str = "epoch", buckets: int | None = None):
+    """UniMax domain mixing WITH repetition: keep about ``total`` rows,
+    allocated by :func:`unimax_allocation`; a group whose allocation
+    exceeds its row count emits full extra epochs (every row repeated,
+    ``epoch_col`` = 0,1,...) plus a deterministic hash-rank head for the
+    remainder epoch — so low-resource domains are up-sampled up to
+    ``max_epochs`` times while dominant domains are capped, the
+    complement of :func:`temperature_sample`'s down-only mixing.
+
+    Scale shape is temperature_sample's: one O(#groups) count pass
+    (per-batch value_counts partials), then one grouped exchange whose
+    per-task work is a vectorized rank + ``np.repeat`` — no driver data
+    pass, no per-row Python."""
+    if total < 0:
+        raise ValueError("unimax_sample: total must be >= 0")
+    if max_epochs < 1:
+        raise ValueError("unimax_sample: max_epochs must be >= 1")
+    ds = ds.materialize()
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[by].value_counts(dropna=False)
+        return pd.DataFrame({by: vc.index, "_c": vc.to_numpy()})
+
+    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    if not len(parts):
+        return ds
+    counts = parts.groupby(by, sort=True, dropna=False)["_c"].sum()
+    n_for = unimax_allocation(dict(counts.items()), total, max_epochs)
+    c_for = dict(counts.items())
+
+    def _frac(batch: pa.Table) -> pa.Table:
+        f = _key_fractions(batch.column(key))
+        return batch.append_column("_f", pa.array(f, pa.float64()))
+
+    with_f = ds.map_batches(_frac, batch_format="pyarrow")
+
+    def _take(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df.drop(columns=["_f"], errors="ignore").assign(
+                **{epoch_col: pd.Series([], dtype=np.int64)})
+        df = df.sort_values(["_f", key], kind="mergesort")
+        rn = df.groupby(by, sort=False, dropna=False).cumcount().to_numpy()
+        take = df[by].map(n_for).fillna(0).to_numpy(dtype=np.int64)
+        size = df[by].map(c_for).fillna(1).to_numpy(dtype=np.int64)
+        full = take // size
+        rem = take % size
+        reps = full + (rn < rem)
+        df = df.drop(columns=["_f"])
+        idx = np.repeat(np.arange(len(df)), reps)
+        ends = np.cumsum(reps)
+        epoch = np.arange(int(ends[-1]) if len(ends) else 0) - np.repeat(
+            ends - reps, reps
+        )
+        out = df.iloc[idx].copy()
+        out[epoch_col] = epoch.astype(np.int64)
+        return out
+
+    from tenzir_ray.stages.exchange import grouped_apply
+
+    return grouped_apply(with_f, [by], _take, num_buckets=buckets,
+                         tag="unimax")
+
+
 ship_by_value(sys.modules[__name__])
