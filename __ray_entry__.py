@@ -1486,6 +1486,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def ann_hnsw_persisted(sf):
+        # HNSW as a SERVICE (hnsw.HnswIndex): segment-graph files built
+        # once, searches fan shard files across tasks. TRUE-oracle
+        # recall gate (approximate by construction); append
+        # cold-shard-untouched semantics are pytest-covered
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from tenzir_ray.stages.hnsw import HnswIndex
+
+        q_tbl = pq.read_table(
+            f"{sf}/embeddings.parquet", columns=["embedding"]
+        ).slice(0, 4)
+        queries_m = np.stack(
+            [np.asarray(v) for v in q_tbl.column("embedding").to_pylist()]
+        )
+        ds = _read(sf, "embeddings", columns=["vec_id", "embedding"])
+        exact = SIM.brute_force_topk(ds, queries_m, k=10).to_pandas()
+        root = _scratch("tenzir_ray_hnsw",
+                        os.path.basename(os.path.normpath(sf)))
+        shutil.rmtree(root, ignore_errors=True)
+        idx = HnswIndex.build(ds, root, shards=8)
+        approx = idx.search(queries_m, k=10, ef_search=128).to_pandas()
+        oks = []
+        for qi in range(len(queries_m)):
+            e = set(exact.loc[exact["query_idx"] == qi, "vec_id"])
+            a = set(approx.loc[approx["query_idx"] == qi, "vec_id"])
+            oks.append(len(e & a) / max(len(e), 1) >= 0.8)
+        return pa.table({
+            "query_idx": pa.array(range(len(queries_m)), pa.int64()),
+            "hnsw_ok": pa.array(oks, pa.bool_()),
+        })
+
     def dedup_components(sf):
         # planted transitive chain: TWO clone generations of every doc
         # (orig—c1—c2) must land in ONE connected component — the
@@ -3511,6 +3544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": ann_ivf_topk,
         "ann_pq_topk": ann_pq_topk,
         "ann_hnsw_topk": ann_hnsw_topk,
+        "ann_hnsw_persisted": ann_hnsw_persisted,
         "ann_ivf_persisted": ann_ivf_persisted,
         "dedup_components": dedup_components,
         "session_windows": session_windows,
@@ -4858,6 +4892,10 @@ def oracle_sql() -> dict[str, str]:
             FROM generate_series(0, 3) AS t(i)
         """,
         "ann_hnsw_topk": """
+            SELECT CAST(i AS BIGINT) AS query_idx, TRUE AS hnsw_ok
+            FROM generate_series(0, 3) AS t(i)
+        """,
+        "ann_hnsw_persisted": """
             SELECT CAST(i AS BIGINT) AS query_idx, TRUE AS hnsw_ok
             FROM generate_series(0, 3) AS t(i)
         """,

@@ -199,6 +199,277 @@ class HnswGraph:
         return g
 
 
+def _graph_to_arrays(g: HnswGraph) -> dict:
+    """Flatten a graph into dense numpy arrays (ragged adjacency becomes
+    per-level (nodes, offsets, flat) triples) for one-file persistence."""
+    out = {
+        "vecs": np.stack(g._vecs) if g._vecs else np.zeros((0, g.dim), np.float32),
+        "ids": np.asarray(g._ids, np.int64),
+        "levels": np.asarray(g._levels, np.int32),
+        "entry": np.asarray([g._entry], np.int64),
+        "params": np.asarray([g.dim, g.M, g.ef_construction], np.int64),
+        "nlevels": np.asarray([len(g._nbrs)], np.int64),
+    }
+    for l, layer in enumerate(g._nbrs):
+        nodes = np.asarray(sorted(layer), np.int64)
+        flat = np.concatenate(
+            [np.asarray(layer[n], np.int64) for n in nodes]
+        ) if len(nodes) else np.zeros(0, np.int64)
+        lens = np.asarray([len(layer[n]) for n in nodes], np.int64)
+        out[f"l{l}_nodes"] = nodes
+        out[f"l{l}_lens"] = lens
+        out[f"l{l}_flat"] = flat
+    return out
+
+
+def _graph_from_arrays(d: dict) -> HnswGraph:
+    dim, M, efc = (int(x) for x in d["params"])
+    g = HnswGraph(dim, M=M, ef_construction=efc)
+    g._vecs = [v for v in np.asarray(d["vecs"], np.float32)]
+    g._ids = [int(x) for x in d["ids"]]
+    g._levels = [int(x) for x in d["levels"]]
+    g._entry = int(d["entry"][0])
+    g._nbrs = []
+    for l in range(int(d["nlevels"][0])):
+        layer: dict[int, list[int]] = {}
+        nodes = d[f"l{l}_nodes"]
+        lens = d[f"l{l}_lens"]
+        flat = d[f"l{l}_flat"]
+        pos = 0
+        for n, ln in zip(nodes, lens):
+            layer[int(n)] = [int(x) for x in flat[pos:pos + int(ln)]]
+            pos += int(ln)
+        g._nbrs.append(layer)
+    return g
+
+
+def _shard_of(ids: np.ndarray, shards: int) -> np.ndarray:
+    z = (ids.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))
+    with np.errstate(over="ignore"):
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    return (z % np.uint64(shards)).astype(np.int64)
+
+
+class _ShardGraphWriter:
+    """grouped_apply reduce fn for HnswIndex.build/append: one graph file
+    per shard, written atomically (tmp + rename)."""
+
+    def __init__(self, root: str, id_column: str, column: str,
+                 M: int, efc: int, append: bool):
+        self.root = root
+        self.id_column = id_column
+        self.column = column
+        self.M = M
+        self.efc = efc
+        self.append = append
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        import os
+
+        if tbl.num_rows == 0:
+            return pa.table({"shard": pa.array([], pa.int64()),
+                             "rows": pa.array([], pa.int64()),
+                             "prev": pa.array([], pa.int64())})
+        ids_all = np.asarray(
+            tbl.column(self.id_column).to_numpy(zero_copy_only=False))
+        shard_all = np.asarray(
+            tbl.column("_hnsw_shard").to_numpy(zero_copy_only=False))
+        vecs_all = _normalize(_to_matrix(tbl.column(self.column)))
+        out_s, out_n, out_p = [], [], []
+        for s in np.unique(shard_all):
+            m = shard_all == s
+            ids, vecs = ids_all[m], vecs_all[m]
+            path = os.path.join(self.root, "shards", f"shard-{int(s)}.npz")
+            prev = 0
+            if self.append and os.path.exists(path):
+                with np.load(path) as z:
+                    g = _graph_from_arrays(dict(z))
+                prev = len(g._ids)
+                for i in np.argsort(ids, kind="stable"):
+                    g.insert(vecs[i], int(ids[i]))
+            else:
+                g = HnswGraph.build(vecs, ids, M=self.M,
+                                    ef_construction=self.efc)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = path + f".{os.getpid()}.tmp.npz"
+            np.savez(tmp, **_graph_to_arrays(g))
+            os.replace(tmp, path)
+            out_s.append(int(s))
+            out_n.append(len(g._ids))
+            out_p.append(prev)
+        return pa.table({"shard": pa.array(out_s, pa.int64()),
+                         "rows": pa.array(out_n, pa.int64()),
+                         "prev": pa.array(out_p, pa.int64())})
+
+
+class _ShardFileSearcher:
+    """map_batches fn over shard paths: load one graph file, search the
+    broadcast queries, emit shard-local top-k."""
+
+    def __init__(self, queries_ref, id_column: str, k: int, ef: int):
+        self.queries_ref = queries_ref
+        self.id_column = id_column
+        self.k = k
+        self.ef = ef
+
+    __name__ = "_ShardFileSearcher"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        queries = (self.queries_ref if isinstance(self.queries_ref, np.ndarray)
+                   else ray.get(self.queries_ref))
+        qi, ids, score = [], [], []
+        for path in batch.column("path").to_pylist():
+            with np.load(path) as z:
+                g = _graph_from_arrays(dict(z))
+            a, b, c = g.search_many(queries, self.k, self.ef)
+            qi += a
+            ids += b
+            score += c
+        return pa.table({
+            "query_idx": pa.array(qi, pa.int64()),
+            self.id_column: pa.array(ids, pa.int64()),
+            "score": pa.array(score, pa.float64()),
+        })
+
+
+class HnswIndex:
+    """HNSW as a persisted SERVICE: segment-graph files, one per
+    hash-shard of the id space::
+
+        root/meta.json                # shards, dim, M, ef, columns, rows
+        root/shards/shard-<s>.npz     # serialized HnswGraph per shard
+
+    ``build`` writes every shard's graph once through one grouped
+    exchange; ``search`` fans shard files across tasks (queries
+    broadcast once) and merges the bounded ``shards*k`` candidates;
+    ``append`` re-opens ONLY the touched shards, inserts, and atomically
+    replaces those files — cold shards are never read or written (the
+    IvfIndex.split_hot_lists discipline). Unlike IVF, every shard must
+    be probed per search — the trade is build-once O(log n) insert/query
+    graphs vs IVF's probe-proportional scans; both live side by side.
+
+    Shard files live under ``root`` which must be shared storage on a
+    multi-node cluster (same contract as the fs exchange transport).
+    Single-writer per append epoch, like IvfIndex.append."""
+
+    def __init__(self, root: str):
+        import json
+        import os
+
+        with open(os.path.join(root, "meta.json")) as f:
+            self.meta = json.load(f)
+        self.root = root
+
+    @classmethod
+    def build(cls, ds, root: str, id_column: str = "vec_id",
+              column: str = "embedding", shards: int | None = None,
+              M: int = 16, ef_construction: int = 100) -> "HnswIndex":
+        import json
+        import os
+
+        from tenzir_ray.stages.exchange import default_buckets, grouped_apply
+
+        if os.path.exists(os.path.join(root, "meta.json")):
+            raise FileExistsError(f"index already exists at {root}")
+        S = int(shards or max(8, default_buckets() // 8))
+        tagged = ds.map_batches(
+            _ShardTagger(id_column, S), batch_format="pyarrow"
+        )
+        os.makedirs(os.path.join(root, "shards"), exist_ok=True)
+        stats = grouped_apply(
+            tagged, ["_hnsw_shard"],
+            _ShardGraphWriter(root, id_column, column, M, ef_construction,
+                              append=False),
+            fn_format="pyarrow", tag="hnsw_build",
+        ).to_pandas()
+        meta = {"shards": S, "M": int(M),
+                "ef_construction": int(ef_construction),
+                "id_column": id_column, "column": column,
+                "num_rows": int(stats["rows"].sum())}
+        tmp = os.path.join(root, "meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(root, "meta.json"))
+        return cls(root)
+
+    def append(self, ds) -> None:
+        """Insert new rows; only the touched shards' files are re-read
+        and atomically replaced."""
+        import json
+        import os
+
+        from tenzir_ray.stages.exchange import grouped_apply
+
+        tagged = ds.map_batches(
+            _ShardTagger(self.meta["id_column"], self.meta["shards"]),
+            batch_format="pyarrow",
+        )
+        stats = grouped_apply(
+            tagged, ["_hnsw_shard"],
+            _ShardGraphWriter(self.root, self.meta["id_column"],
+                              self.meta["column"], self.meta["M"],
+                              self.meta["ef_construction"], append=True),
+            fn_format="pyarrow", tag="hnsw_append",
+        ).to_pandas()
+        # writers report pre- and post-insert counts per touched shard,
+        # so the delta is exact without re-reading untouched files
+        self.meta["num_rows"] += int((stats["rows"] - stats["prev"]).sum())
+        tmp = os.path.join(self.root, "meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(self.meta, f)
+        os.replace(tmp, os.path.join(self.root, "meta.json"))
+
+    def search(self, queries: np.ndarray, k: int = 10,
+               ef_search: int = 64) -> pa.Table:
+        import glob
+        import os
+
+        import ray
+        import ray.data
+
+        paths = sorted(glob.glob(
+            os.path.join(self.root, "shards", "shard-*.npz")))
+        queries_m = _normalize(np.asarray(queries, np.float32))
+        qref = ray.put(queries_m)
+        id_col = self.meta["id_column"]
+        if not paths:
+            return pa.table({"query_idx": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        out = ray.data.from_items([{"path": p} for p in paths]).map_batches(
+            _ShardFileSearcher(qref, id_col, k, ef_search),
+            batch_format="pyarrow", batch_size=1,
+        )
+        cand = pa.concat_tables(ray.get(out.to_arrow_refs()))
+        df = cand.to_pandas().sort_values(
+            ["query_idx", "score", id_col],
+            ascending=[True, False, True], kind="stable",
+        )
+        df = df.groupby("query_idx", sort=True).head(k).reset_index(drop=True)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+
+class _ShardTagger:
+    """Adds the deterministic _hnsw_shard column (SplitMix64 of the id)."""
+
+    def __init__(self, id_column: str, shards: int):
+        self.id_column = id_column
+        self.shards = int(shards)
+
+    __name__ = "_ShardTagger"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            batch.column(self.id_column).to_numpy(zero_copy_only=False))
+        return batch.append_column(
+            "_hnsw_shard", pa.array(_shard_of(ids, self.shards), pa.int64())
+        )
+
+
 class _ShardSearcher:
     """grouped_apply reduce fn: build this shard's graph, search the
     broadcast queries, emit the shard-local top-k."""

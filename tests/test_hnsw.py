@@ -106,3 +106,69 @@ def test_hnsw_topk_empty(ray_session):
     q = np.ones((1, 32), np.float32)
     out = hnsw_topk(ds, q, k=3).to_pandas()
     assert len(out) == 0
+
+
+def test_index_build_search_append(ray_session, tmp_path):
+    import os
+
+    import ray.data
+
+    from tenzir_ray.stages.hnsw import HnswIndex
+
+    rng = np.random.default_rng(17)
+    v = _unit(rng, 400, 16)
+    tbl = {"vec_id": list(range(400)),
+           "embedding": [row.tolist() for row in v]}
+    import pyarrow as pa
+    ds = ray.data.from_arrow(pa.table(tbl))
+    root = str(tmp_path / "hnsw")
+    idx = HnswIndex.build(ds, root, shards=4, M=12, ef_construction=80)
+    assert idx.meta["num_rows"] == 400
+    # recall vs brute force
+    q = v[:5]
+    got = idx.search(q, k=10, ef_search=100).to_pandas()
+    hits = 0
+    for i in range(5):
+        true = set(np.argsort(-(q[i] @ v.T))[:10].tolist())
+        a = set(got.loc[got["query_idx"] == i, "vec_id"])
+        hits += len(true & a)
+    assert hits / 50 >= 0.9
+    # self-hit
+    top = got[got["query_idx"] == 0].sort_values("score", ascending=False)
+    assert top.iloc[0]["vec_id"] == 0
+
+    # append: only touched shard files change
+    before = {f: os.path.getmtime(os.path.join(root, "shards", f))
+              for f in os.listdir(os.path.join(root, "shards"))}
+    w = _unit(rng, 3, 16)
+    new = ray.data.from_arrow(pa.table({
+        "vec_id": [1000, 1001, 1002],
+        "embedding": [row.tolist() for row in w],
+    }))
+    idx.append(new)
+    assert idx.meta["num_rows"] == 403
+    after = {f: os.path.getmtime(os.path.join(root, "shards", f))
+             for f in os.listdir(os.path.join(root, "shards"))}
+    from tenzir_ray.stages.hnsw import _shard_of
+    touched = {f"shard-{s}.npz"
+               for s in _shard_of(np.array([1000, 1001, 1002]), 4)}
+    for f, t in before.items():
+        if f not in touched:
+            assert after[f] == t, f"cold shard {f} was rewritten"
+    # appended vectors are findable
+    got2 = HnswIndex(root).search(w[:1], k=1, ef_search=50).to_pandas()
+    assert got2.iloc[0]["vec_id"] == 1000
+
+    with pytest.raises(FileExistsError):
+        HnswIndex.build(ds, root)
+
+
+def test_graph_serialization_roundtrip():
+    from tenzir_ray.stages.hnsw import _graph_from_arrays, _graph_to_arrays
+
+    rng = np.random.default_rng(23)
+    v = _unit(rng, 120, 8)
+    g = HnswGraph.build(v, np.arange(120), M=6, ef_construction=40)
+    g2 = _graph_from_arrays(_graph_to_arrays(g))
+    for i in range(5):
+        assert g.search(v[i], 5, ef=40) == g2.search(v[i], 5, ef=40)
