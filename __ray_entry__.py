@@ -459,6 +459,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return unimax_sample(ds, by="lang", key="doc_id", total=900,
                              max_epochs=2)
 
+    def mixture_pipeline_docs(sf):
+        # capstone composite of the session's training-data ops: 6-word
+        # line synthesis → corpus-wide line dedup → hash_join lang back
+        # → length filter → UniMax epoch-capped mixing. Every stage is
+        # SQL-expressible, so ONE hash gate covers the composition
+        # end to end (the clean_corpus_chunks pattern)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from tenzir_ray.stages.join import hash_join
+        from tenzir_ray.stages.splits import unimax_sample
+
+        def _mk_lines(t: pa.Table) -> pa.Table:
+            texts = t.column("text").to_pylist()
+            out = []
+            for s in texts:
+                ws = (s or "").split(" ")
+                out.append("\n".join(
+                    " ".join(ws[i:i + 6]) for i in range(0, len(ws), 6)
+                ))
+            return pa.table({
+                "doc_id": t.column("doc_id"),
+                "text": pa.array(out, pa.string()),
+            })
+
+        base = _read(sf, "documents", columns=["doc_id", "text"]).map_batches(
+            _mk_lines, batch_format="pyarrow"
+        )
+        deduped = D.line_dedup(base)
+        langs = _read(sf, "documents", columns=["doc_id", "lang"])
+        joined = hash_join(deduped, langs, on="doc_id", how="inner")
+
+        def _len_filter(t: pa.Table) -> pa.Table:
+            return t.filter(
+                pc.greater_equal(pc.utf8_length(t.column("text")), 200)
+            ).select(["doc_id", "lang"])
+
+        kept = joined.map_batches(_len_filter, batch_format="pyarrow")
+        return unimax_sample(kept, by="lang", key="doc_id", total=300,
+                             max_epochs=2)
+
     def stratified_sample_events(sf):
         from tenzir_ray.stages.splits import stratified_sample
 
@@ -3584,6 +3625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_documents_exact": dedup_documents_exact,
         "line_dedup_docs": line_dedup_docs,
         "unimax_sample_docs": unimax_sample_docs,
+        "mixture_pipeline_docs": mixture_pipeline_docs,
         "dup_span_stats": dup_span_stats,
         "stratified_sample_events": stratified_sample_events,
         "temperature_sample_docs": temperature_sample_docs,
@@ -3912,6 +3954,63 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT word, count(*) AS "count" FROM toks
             WHERE word <> '' GROUP BY word HAVING count(*) >= 5
+        """,
+        "mixture_pipeline_docs": """
+            WITH RECURSIVE w0 AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ), g0 AS (
+              SELECT doc_id,
+                     unnest(generate_series(
+                         0, CAST(ceil(len(ws) / 6.0) AS BIGINT) - 1)) AS gi,
+                     ws
+              FROM w0
+            ), l0 AS (
+              SELECT doc_id, gi AS line_idx,
+                     array_to_string(ws[gi*6+1 : gi*6+6], ' ') AS line
+              FROM g0
+            ), k0 AS (
+              SELECT doc_id, line_idx, line FROM (
+                  SELECT *, row_number() OVER (
+                      PARTITION BY line ORDER BY doc_id, line_idx) AS rn
+                  FROM l0) WHERE rn = 1
+            ), dedup AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY line_idx) AS text
+              FROM k0 GROUP BY doc_id
+            ), kept AS (
+              SELECT d.doc_id, m.lang
+              FROM dedup d JOIN documents m ON d.doc_id = m.doc_id
+              WHERE length(d.text) >= 200
+            ), c AS (
+              SELECT lang, count(*) AS c FROM kept GROUP BY lang
+            ), o AS (
+              SELECT lang, c, c * 2 AS cap,
+                     CAST(row_number() OVER (ORDER BY c * 2, lang) AS BIGINT) AS i,
+                     CAST(count(*) OVER () AS BIGINT) AS L
+              FROM c
+            ), alloc AS (
+              SELECT i, L, lang, c, cap,
+                     least(cap, 300 // L) AS take,
+                     300 - least(cap, 300 // L) AS rem
+              FROM o WHERE i = 1
+              UNION ALL
+              SELECT o.i, o.L, o.lang, o.c, o.cap,
+                     least(o.cap, a.rem // (o.L - o.i + 1)),
+                     a.rem - least(o.cap, a.rem // (o.L - o.i + 1))
+              FROM o JOIN alloc a ON o.i = a.i + 1
+            ), r AS (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                         PARTITION BY lang
+                         ORDER BY (doc_id * 2654435761) % 4294967296,
+                                  doc_id) - 1 AS rn
+              FROM kept
+            )
+            SELECT r.doc_id, r.lang, CAST(t.e AS BIGINT) AS epoch
+            FROM r JOIN alloc a ON r.lang = a.lang,
+                 unnest(generate_series(0,
+                     a.take // a.c - 1
+                     + CASE WHEN r.rn < a.take % a.c THEN 1 ELSE 0 END)) AS t(e)
         """,
         "unimax_sample_docs": """
             WITH RECURSIVE c AS (

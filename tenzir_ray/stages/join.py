@@ -83,7 +83,9 @@ def _task_buckets(batch: pa.Table) -> list[int]:
 def _require_schemas(left, right, op: str):
     """Both sides must expose a schema: Ray returns None for an
     all-empty pipeline (the documented empty-Dataset trap) — fail with
-    the cause instead of an AttributeError deep in the rename logic."""
+    the cause instead of an AttributeError deep in the rename logic.
+    Returns ARROW schemas: pandas-block datasets report numpy dtypes
+    (object is ambiguous), which _dataset_arrow_schema resolves."""
     ls, rs = left.schema(), right.schema()
     if ls is None or rs is None:
         side = "left" if ls is None else "right"
@@ -91,7 +93,7 @@ def _require_schemas(left, right, op: str):
             f"{op}: the {side} side has no schema (empty dataset whose "
             "schema Ray dropped); handle emptiness upstream or seed a "
             "typed empty block")
-    return ls, rs
+    return _dataset_arrow_schema(left), _dataset_arrow_schema(right)
 
 
 class _HashJoinReducer:
