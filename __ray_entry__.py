@@ -1560,6 +1560,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "hnsw_ok": pa.array(oks, pa.bool_()),
         })
 
+    def pagerank_orders(sf):
+        # distributed PageRank (stages/graph.py) — the link-graph
+        # quality signal corpus filters use. Edge list derived
+        # deterministically from orders; 4 synchronous iterations with
+        # uniform dangling redistribution; the oracle unrolls the same
+        # 4 iterations in SQL. Ranks compare at ppm resolution (float
+        # reassociation across engines is ~1e-15 relative)
+        import pyarrow as pa
+
+        from tenzir_ray.stages.graph import pagerank
+
+        orders = _read(sf, "orders", columns=["o_orderkey", "o_custkey"])
+
+        def _edges(t: pa.Table) -> pa.Table:
+            ok = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+            ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "src": pa.array(ck % 40, pa.int64()),
+                "dst": pa.array(ok % 40, pa.int64()),
+            })
+
+        ranks = pagerank(
+            orders.map_batches(_edges, batch_format="pyarrow"), iters=4
+        )
+
+        def _ppm(t: pa.Table) -> pa.Table:
+            r = t.column("rank").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "node": t.column("node"),
+                "rank_ppm": pa.array(
+                    np.round(r * 1_000_000).astype(np.int64), pa.int64()
+                ),
+            })
+
+        return ranks.map_batches(_ppm, batch_format="pyarrow")
+
     def dedup_components(sf):
         # planted transitive chain: TWO clone generations of every doc
         # (orig—c1—c2) must land in ONE connected component — the
@@ -3626,6 +3662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_docs": line_dedup_docs,
         "unimax_sample_docs": unimax_sample_docs,
         "mixture_pipeline_docs": mixture_pipeline_docs,
+        "pagerank_orders": pagerank_orders,
         "dup_span_stats": dup_span_stats,
         "stratified_sample_events": stratified_sample_events,
         "temperature_sample_docs": temperature_sample_docs,
@@ -3954,6 +3991,66 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT word, count(*) AS "count" FROM toks
             WHERE word <> '' GROUP BY word HAVING count(*) >= 5
+        """,
+        "pagerank_orders": """
+            WITH e AS (
+              SELECT o_custkey % 40 AS src, o_orderkey % 40 AS dst
+              FROM orders
+            ), nodes AS (
+              SELECT DISTINCT v AS node FROM (
+                SELECT src AS v FROM e UNION ALL SELECT dst FROM e)
+            ), nn AS (SELECT CAST(count(*) AS DOUBLE) AS N FROM nodes),
+            deg AS (
+              SELECT src, CAST(count(*) AS DOUBLE) AS deg
+              FROM e GROUP BY src
+            ),
+            r0 AS (SELECT node, 1.0 / N AS r FROM nodes, nn),
+            d1 AS (SELECT (SELECT sum(r) FROM r0)
+                        - COALESCE((SELECT sum(r0.r) FROM r0
+                                    JOIN deg ON r0.node = deg.src), 0) AS dang),
+            c1 AS (SELECT e.dst AS node, sum(r0.r / deg.deg) AS c
+                   FROM e JOIN deg ON e.src = deg.src
+                        JOIN r0 ON r0.node = e.src
+                   GROUP BY e.dst),
+            r1 AS (SELECT n.node,
+                          0.15 / N + 0.85 * (COALESCE(c1.c, 0) + d1.dang / N) AS r
+                   FROM nodes n CROSS JOIN nn CROSS JOIN d1
+                        LEFT JOIN c1 ON n.node = c1.node),
+            d2 AS (SELECT (SELECT sum(r) FROM r1)
+                        - COALESCE((SELECT sum(r1.r) FROM r1
+                                    JOIN deg ON r1.node = deg.src), 0) AS dang),
+            c2 AS (SELECT e.dst AS node, sum(r1.r / deg.deg) AS c
+                   FROM e JOIN deg ON e.src = deg.src
+                        JOIN r1 ON r1.node = e.src
+                   GROUP BY e.dst),
+            r2 AS (SELECT n.node,
+                          0.15 / N + 0.85 * (COALESCE(c2.c, 0) + d2.dang / N) AS r
+                   FROM nodes n CROSS JOIN nn CROSS JOIN d2
+                        LEFT JOIN c2 ON n.node = c2.node),
+            d3 AS (SELECT (SELECT sum(r) FROM r2)
+                        - COALESCE((SELECT sum(r2.r) FROM r2
+                                    JOIN deg ON r2.node = deg.src), 0) AS dang),
+            c3 AS (SELECT e.dst AS node, sum(r2.r / deg.deg) AS c
+                   FROM e JOIN deg ON e.src = deg.src
+                        JOIN r2 ON r2.node = e.src
+                   GROUP BY e.dst),
+            r3 AS (SELECT n.node,
+                          0.15 / N + 0.85 * (COALESCE(c3.c, 0) + d3.dang / N) AS r
+                   FROM nodes n CROSS JOIN nn CROSS JOIN d3
+                        LEFT JOIN c3 ON n.node = c3.node),
+            d4 AS (SELECT (SELECT sum(r) FROM r3)
+                        - COALESCE((SELECT sum(r3.r) FROM r3
+                                    JOIN deg ON r3.node = deg.src), 0) AS dang),
+            c4 AS (SELECT e.dst AS node, sum(r3.r / deg.deg) AS c
+                   FROM e JOIN deg ON e.src = deg.src
+                        JOIN r3 ON r3.node = e.src
+                   GROUP BY e.dst),
+            r4 AS (SELECT n.node,
+                          0.15 / N + 0.85 * (COALESCE(c4.c, 0) + d4.dang / N) AS r
+                   FROM nodes n CROSS JOIN nn CROSS JOIN d4
+                        LEFT JOIN c4 ON n.node = c4.node)
+            SELECT node, CAST(round(r * 1000000) AS BIGINT) AS rank_ppm
+            FROM r4
         """,
         "mixture_pipeline_docs": """
             WITH RECURSIVE w0 AS (

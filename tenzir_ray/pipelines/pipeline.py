@@ -52,6 +52,7 @@ def _register_builtins() -> None:
         cluster,
         dedup,
         dsir,
+        graph,
         similarity,
         splits,
         summarize,
@@ -142,6 +143,7 @@ def _register_builtins() -> None:
         simhash=dedup.simhash,
         lsh_bucket=similarity.lsh_bucket,
         semdedup=cluster.semdedup,
+        pagerank=graph.pagerank,
         kmeans_cluster=cluster.kmeans_cluster,
         dsir_weights=dsir.dsir_weights,
         dsir_select=dsir.dsir_select,

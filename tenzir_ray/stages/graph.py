@@ -1,0 +1,135 @@
+"""Graph analytics over edge tables.
+
+PageRank (Page et al. 1999) as a Ray-Data dataflow — the web-graph
+quality signal corpus pipelines use for source weighting (the
+Common-Crawl-derived corpora filter on link-graph centrality). The
+reference has no graph operators; this extends the engine's
+training-data surface next to :func:`tenzir_ray.stages.dedup.connected_components`.
+
+Semantics (fixed so a SQL oracle can reproduce it bit-for-bit after
+1e-6 rounding):
+
+- nodes = distinct(src) ∪ distinct(dst); N = |nodes|
+- out-degree counts PARALLEL edges (each edge row carries rank)
+- per iteration: r'(v) = (1-d)/N + d * (Σ_{(u,v)∈E} r(u)/deg(u) + D/N)
+  where D = Σ r(u) over dangling nodes (no out-edges) — the standard
+  uniform dangling-mass redistribution
+- initial rank 1/N; exactly ``iters`` synchronous iterations (no
+  convergence test, so engine and oracle run the same computation)
+
+Scale shape: ranks stay a ``ray.data.Dataset`` end-to-end; one
+iteration is one co-partitioned hash join (ranks ⋈ edges on src) + one
+grouped sum + one left join back onto the node table — all over the
+packed exchange. Driver state per iteration is two scalars (dangling
+mass, total nodes). Rounds are the only serial dimension, as in any
+synchronous Pregel step.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from tenzir_ray._ship import ship_by_value
+
+
+def pagerank(edges, src: str = "src", dst: str = "dst",
+             damping: float = 0.85, iters: int = 5,
+             node_col: str = "node", rank_col: str = "rank"):
+    """PageRank over an edge Dataset; returns (node, rank) with exactly
+    ``iters`` iterations of the semantics documented in the module
+    docstring. Node ids must be integers."""
+    import ray.data
+
+    from tenzir_ray.stages.join import hash_join
+    from tenzir_ray.stages.summarize import summarize_hash
+
+    if iters < 0:
+        raise ValueError("pagerank: iters must be >= 0")
+    d = float(damping)
+
+    def _sym(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            node_col: pd.concat(
+                [df[src], df[dst]], ignore_index=True
+            ).astype(np.int64),
+        })
+
+    nodes = (
+        edges.map_batches(_sym, batch_format="pandas")
+        .groupby(node_col).count().select_columns([node_col])
+        .materialize()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return ray.data.from_arrow(pa.table({
+            node_col: pa.array([], pa.int64()),
+            rank_col: pa.array([], pa.float64()),
+        }))
+
+    # out-degree (parallel edges count), joined onto the edge list ONCE
+    deg = summarize_hash(
+        edges.map_batches(
+            lambda t: t.select([src]), batch_format="pyarrow"
+        ),
+        by=src, _deg="count(*)",
+    )
+    edges_deg = hash_join(
+        edges.map_batches(lambda t: t.select([src, dst]),
+                          batch_format="pyarrow"),
+        deg, on=src,
+    ).materialize()
+
+    def _init(df: pd.DataFrame) -> pd.DataFrame:
+        df[rank_col] = 1.0 / n_nodes
+        return df
+
+    ranks = nodes.map_batches(_init, batch_format="pandas").materialize()
+    # nodes with out-edges, for the dangling-mass scalar
+    out_nodes = deg.map_batches(
+        lambda t: t.rename_columns([node_col, "_deg"]),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(int(iters)):
+        # dangling mass: total rank minus rank held by nodes with
+        # out-edges (two tiny driver scalars, no row materialization)
+        total = ranks.sum(rank_col, ignore_nulls=True) or 0.0
+        with_out = hash_join(ranks, out_nodes, on=node_col, how="semi")
+        out_mass = with_out.sum(rank_col, ignore_nulls=True) or 0.0
+        dangling = total - out_mass
+
+        contrib_in = hash_join(ranks, edges_deg, on=node_col,
+                               right_on=src)
+
+        def _contrib(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                node_col: df[dst].astype(np.int64),
+                "_c": df[rank_col].to_numpy() / df["_deg"].to_numpy(),
+            })
+
+        sums = summarize_hash(
+            contrib_in.map_batches(_contrib, batch_format="pandas"),
+            by=node_col, _c="sum(_c)",
+        )
+        joined = hash_join(nodes, sums, on=node_col, how="left")
+        base = (1.0 - d) / n_nodes + d * dangling / n_nodes
+
+        def _apply(df: pd.DataFrame) -> pd.DataFrame:
+            c = df["_c"].fillna(0.0).to_numpy(dtype=np.float64)
+            return pd.DataFrame({
+                node_col: df[node_col].astype(np.int64),
+                rank_col: base + d * c,
+            })
+
+        ranks = joined.map_batches(
+            _apply, batch_format="pandas"
+        ).materialize()
+
+    return ranks
+
+
+ship_by_value(sys.modules[__name__])
