@@ -1560,6 +1560,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "hnsw_ok": pa.array(oks, pa.bool_()),
         })
 
+    def tql_ann_topk(sf):
+        # similarity search from a PURE TQL string: the query vectors
+        # arrive through the two-input right=( ... ) sub-pipeline
+        # (similarity.ann_topk) — hash twin of ann_cosine_topk
+        from tenzir_ray.pipelines.tql import run_pipeline
+
+        return run_pipeline(
+            f"read_parquet {sf}/embeddings.parquet "
+            "| select vec_id, embedding "
+            "| ann_topk k=5 mode=brute precision=f64 "
+            f"right=( read_parquet {sf}/embeddings.parquet "
+            "| where vec_id < 2 | select embedding ) "
+            "| select query_idx, vec_id"
+        )
+
     def pagerank_orders(sf):
         # distributed PageRank (stages/graph.py) — the link-graph
         # quality signal corpus filters use. Edge list derived
@@ -3663,6 +3678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unimax_sample_docs": unimax_sample_docs,
         "mixture_pipeline_docs": mixture_pipeline_docs,
         "pagerank_orders": pagerank_orders,
+        "tql_ann_topk": tql_ann_topk,
         "dup_span_stats": dup_span_stats,
         "stratified_sample_events": stratified_sample_events,
         "temperature_sample_docs": temperature_sample_docs,
@@ -4481,6 +4497,18 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY affinity DESC, doc_id LIMIT 50
         """,
         "ann_cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_idx,
+                              CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 2),
+                 s AS (SELECT q.query_idx, e.vec_id,
+                              list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS score
+                       FROM embeddings e CROSS JOIN q)
+            SELECT query_idx, vec_id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_idx ORDER BY score DESC, vec_id) rn
+                FROM s) WHERE rn <= 5
+        """,
+        "tql_ann_topk": """
             WITH q AS (SELECT vec_id AS query_idx,
                               CAST(embedding AS DOUBLE[]) AS qv
                        FROM embeddings WHERE vec_id < 2),

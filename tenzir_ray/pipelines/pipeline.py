@@ -801,15 +801,22 @@ class Pipeline:
                 ds = _union_by_tag(then_ds, else_ds, row_tag)
                 continue
             if name in ("hash_join", "asof_join", "range_join",
-                        "range_join_partitioned", "skew_join"):
-                from tenzir_ray.stages import join as join_mod
-
+                        "range_join_partitioned", "skew_join", "ann_topk"):
                 right = Pipeline(step.pop("right")).run()
                 if right is None:
                     raise ValueError(
                         f"{name}: `right` sub-pipeline produced no dataset "
                         "(it must start with a read_* source step)"
                     )
+                if name == "ann_topk":
+                    import ray.data as _rd
+
+                    from tenzir_ray.stages.similarity import ann_topk
+
+                    ds = _rd.from_arrow(ann_topk(ds, right, **step))
+                    continue
+                from tenzir_ray.stages import join as join_mod
+
                 fn2 = getattr(join_mod, name)
                 ds = fn2(ds, right, **step)
                 continue

@@ -894,6 +894,64 @@ class IvfIndex:
                 "skew_after": round(self._skew_of(new_layout), 3)}
 
 
+def ann_topk(left, right, k: int = 10, mode: str = "brute",
+             id_column: str = "vec_id", column: str = "embedding",
+             query_column: str | None = None, max_queries: int = 10_000,
+             precision: str = "f32", **kwargs):
+    """Two-input ANN search: the RIGHT dataset supplies the query
+    vectors (its ``query_column``, default = ``column``); the LEFT is
+    the corpus. Gives similarity search the same pipeline surface as
+    the joins (`right=( read_parquet queries.parquet | ... )` in TQL).
+
+    The query side is gathered to the driver (searches are
+    few-queries-vs-big-corpus by construction; ``max_queries`` fails
+    loud otherwise) and broadcast once via the underlying engine —
+    ``mode``: "brute" (exact GEMM), "hnsw" (sharded graphs), "ivf"
+    (one-shot IVF-Flat; pass nlist/nprobe through kwargs)."""
+    import ray
+
+    qcol = query_column or column
+    head = right.limit(max_queries + 1)
+    tbls = [t for t in ray.get(head.to_arrow_refs()) if t.num_rows]
+    n = sum(t.num_rows for t in tbls)
+    if n > max_queries:
+        raise ValueError(
+            f"ann_topk: query side has more than {max_queries} rows — "
+            "that is a similarity JOIN, not a search; raise max_queries "
+            "only if the query set genuinely fits on the driver"
+        )
+    if n == 0:
+        return pa.table({
+            "query_idx": pa.array([], pa.int64()),
+            id_column: pa.array([], pa.int64()),
+            "similarity" if mode == "brute" else "score":
+                pa.array([], pa.float64()),
+        })
+    queries = np.concatenate(
+        [_to_matrix(t.column(qcol)) for t in tbls], axis=0
+    )
+    if precision not in ("f32", "f64"):
+        raise ValueError("ann_topk: precision must be 'f32' or 'f64'")
+    dtype = np.float64 if precision == "f64" else np.float32
+    if mode == "brute":
+        out = brute_force_topk(left, queries, id_column=id_column,
+                               column=column, k=k, dtype=dtype, **kwargs)
+    elif mode == "hnsw":
+        from tenzir_ray.stages.hnsw import hnsw_topk
+
+        out = hnsw_topk(left, queries, k=k, id_column=id_column,
+                        column=column, **kwargs)
+    elif mode == "ivf":
+        out = ivf_topk(left, queries, k=k, id_column=id_column,
+                       column=column, dtype=dtype, **kwargs)
+    else:
+        raise ValueError(f"ann_topk: unknown mode {mode!r} "
+                         "(brute | hnsw | ivf)")
+    i = out.schema.get_field_index("query_idx")
+    return out.set_column(i, "query_idx",
+                          out.column("query_idx").cast(pa.int64()))
+
+
 def ann_index_build(ds, root: str, **kwargs) -> IvfIndex:
     """Build (or open, if already built at ``root``) a persistent IVF
     index — see :class:`IvfIndex`."""

@@ -172,3 +172,29 @@ def test_graph_serialization_roundtrip():
     g2 = _graph_from_arrays(_graph_to_arrays(g))
     for i in range(5):
         assert g.search(v[i], 5, ef=40) == g2.search(v[i], 5, ef=40)
+
+
+def test_ann_topk_two_input_modes(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages.similarity import ann_topk
+
+    ds = ray.data.read_parquet(
+        f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    right = ds.filter(expr="vec_id < 2")
+    brute = ann_topk(ds, right, k=5, mode="brute",
+                     precision="f64").to_pandas()
+    hnsw = ann_topk(ds, right, k=5, mode="hnsw",
+                    ef_search=128).to_pandas()
+    assert brute["query_idx"].dtype == "int64"
+    for qi in range(2):
+        b = set(brute.loc[brute["query_idx"] == qi, "vec_id"])
+        h = set(hnsw.loc[hnsw["query_idx"] == qi, "vec_id"])
+        assert len(b & h) / 5 >= 0.8
+    with pytest.raises(ValueError, match="max_queries"):
+        ann_topk(ds, ds, k=3, max_queries=10)
+    with pytest.raises(ValueError, match="unknown mode"):
+        ann_topk(ds, right, mode="nope")
+    with pytest.raises(ValueError, match="precision"):
+        ann_topk(ds, right, precision="f16")
