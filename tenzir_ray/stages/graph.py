@@ -36,12 +36,48 @@ import pyarrow as pa
 from tenzir_ray._ship import ship_by_value
 
 
+def _pagerank_local(pairs: pd.DataFrame, src: str, dst: str,
+                    d: float, iters: int,
+                    node_col: str, rank_col: str) -> pa.Table:
+    """Driver fast path over the (src, dst, weight) aggregate: identical
+    semantics, vectorized numpy iterations."""
+    nodes = np.unique(np.concatenate([
+        pairs[src].to_numpy(np.int64), pairs[dst].to_numpy(np.int64)
+    ]))
+    idx = {int(v): i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    si = np.fromiter((idx[int(v)] for v in pairs[src]), np.int64,
+                     len(pairs))
+    di = np.fromiter((idx[int(v)] for v in pairs[dst]), np.int64,
+                     len(pairs))
+    w = pairs["_w"].to_numpy(np.float64)
+    deg = np.zeros(n)
+    np.add.at(deg, si, w)
+    has_out = deg > 0
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dang = float(r[~has_out].sum())
+        c = np.zeros(n)
+        np.add.at(c, di, r[si] / deg[si] * w)
+        r = (1.0 - d) / n + d * (c + dang / n)
+    return pa.table({node_col: pa.array(nodes, pa.int64()),
+                     rank_col: pa.array(r, pa.float64())})
+
+
 def pagerank(edges, src: str = "src", dst: str = "dst",
              damping: float = 0.85, iters: int = 5,
-             node_col: str = "node", rank_col: str = "rank"):
+             node_col: str = "node", rank_col: str = "rank",
+             driver_threshold: int = 2_000_000):
     """PageRank over an edge Dataset; returns (node, rank) with exactly
     ``iters`` iterations of the semantics documented in the module
-    docstring. Node ids must be integers."""
+    docstring. Node ids must be integers.
+
+    Size-gated hybrid (the connected_components discipline): edge
+    multiplicities are first collapsed to (src, dst, weight) in ONE
+    grouped aggregation — when that aggregate PROVABLY fits on the
+    driver (≤ ``driver_threshold`` pairs ≈ 48 MB of int64 triples) the
+    iterations run as vectorized numpy locally, skipping 6 Ray stages
+    per round; larger graphs run the fully distributed loop below."""
     import ray.data
 
     from tenzir_ray.stages.join import hash_join
@@ -50,6 +86,19 @@ def pagerank(edges, src: str = "src", dst: str = "dst",
     if iters < 0:
         raise ValueError("pagerank: iters must be >= 0")
     d = float(damping)
+
+    pairs_ds = summarize_hash(edges, by=[src, dst], _w="count(*)")
+    if pairs_ds.count() <= driver_threshold:
+        pairs = pairs_ds.to_pandas()
+        if not len(pairs):
+            return ray.data.from_arrow(pa.table({
+                node_col: pa.array([], pa.int64()),
+                rank_col: pa.array([], pa.float64()),
+            }))
+        return ray.data.from_arrow(
+            _pagerank_local(pairs, src, dst, d, int(iters),
+                            node_col, rank_col)
+        )
 
     def _sym(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({

@@ -65,19 +65,25 @@ class HnswGraph:
         self.M0 = 2 * int(M)  # layer-0 degree bound (paper Sec. 4.1)
         self.mL = 1.0 / np.log(M)
         self.ef_construction = int(ef_construction)
-        self._vecs: list[np.ndarray] = []   # normalized, float32
+        # contiguous vector store (doubling growth): one fancy-indexed
+        # GEMV per beam hop instead of an np.stack of list items — the
+        # single hottest line of graph construction
+        self._mat = np.zeros((256, dim), np.float32)
+        self._n = 0
         self._ids: list[int] = []
         # neighbors[level][node] -> list[int] (internal indices)
         self._nbrs: list[dict[int, list[int]]] = []
         self._levels: list[int] = []
         self._entry: int = -1
-        self._matrix: np.ndarray | None = None  # rebuilt lazily
 
     # -- internals ---------------------------------------------------
 
+    @property
+    def _vecs(self):
+        return self._mat[: self._n]
+
     def _dist(self, q: np.ndarray, nodes: list[int]) -> np.ndarray:
-        m = np.stack([self._vecs[i] for i in nodes])
-        return 1.0 - m @ q
+        return 1.0 - self._mat[nodes] @ q
 
     def _level_for(self, node_id: int) -> int:
         u = (_splitmix64(node_id & _U64) + 1) / 2.0**64
@@ -126,17 +132,20 @@ class HnswGraph:
         lst = self._nbrs[level][node]
         if len(lst) <= cap:
             return
-        d = self._dist(self._vecs[node], lst)
+        d = self._dist(self._mat[node], lst)
         order = np.argsort(d, kind="stable")[:cap]
         self._nbrs[level][node] = [lst[i] for i in order]
 
     # -- public ------------------------------------------------------
 
     def insert(self, vec: np.ndarray, node_id: int) -> None:
-        idx = len(self._vecs)
-        self._vecs.append(np.asarray(vec, np.float32))
+        idx = self._n
+        if idx == len(self._mat):
+            self._mat = np.concatenate(
+                [self._mat, np.zeros_like(self._mat)])
+        self._mat[idx] = np.asarray(vec, np.float32)
+        self._n = idx + 1
         self._ids.append(int(node_id))
-        self._matrix = None
         lvl = self._level_for(node_id)
         self._levels.append(lvl)
         while len(self._nbrs) <= lvl:
@@ -146,7 +155,7 @@ class HnswGraph:
         if self._entry < 0:
             self._entry = idx
             return
-        q = self._vecs[idx]
+        q = self._mat[idx]
         ep = [self._entry]
         top = self._levels[self._entry]
         # greedy descent above the node's level (ef=1)
@@ -203,7 +212,7 @@ def _graph_to_arrays(g: HnswGraph) -> dict:
     """Flatten a graph into dense numpy arrays (ragged adjacency becomes
     per-level (nodes, offsets, flat) triples) for one-file persistence."""
     out = {
-        "vecs": np.stack(g._vecs) if g._vecs else np.zeros((0, g.dim), np.float32),
+        "vecs": np.ascontiguousarray(g._vecs),
         "ids": np.asarray(g._ids, np.int64),
         "levels": np.asarray(g._levels, np.int32),
         "entry": np.asarray([g._entry], np.int64),
@@ -225,7 +234,9 @@ def _graph_to_arrays(g: HnswGraph) -> dict:
 def _graph_from_arrays(d: dict) -> HnswGraph:
     dim, M, efc = (int(x) for x in d["params"])
     g = HnswGraph(dim, M=M, ef_construction=efc)
-    g._vecs = [v for v in np.asarray(d["vecs"], np.float32)]
+    vecs = np.asarray(d["vecs"], np.float32).reshape(-1, dim)
+    g._mat = vecs.copy() if len(vecs) else np.zeros((256, dim), np.float32)
+    g._n = len(vecs)
     g._ids = [int(x) for x in d["ids"]]
     g._levels = [int(x) for x in d["levels"]]
     g._entry = int(d["entry"][0])
@@ -385,6 +396,7 @@ class HnswIndex:
             _ShardGraphWriter(root, id_column, column, M, ef_construction,
                               append=False),
             fn_format="pyarrow", tag="hnsw_build",
+            target_task_bytes=1 << 20,
         ).to_pandas()
         meta = {"shards": S, "M": int(M),
                 "ef_construction": int(ef_construction),
@@ -414,6 +426,7 @@ class HnswIndex:
                               self.meta["column"], self.meta["M"],
                               self.meta["ef_construction"], append=True),
             fn_format="pyarrow", tag="hnsw_append",
+            target_task_bytes=1 << 20,
         ).to_pandas()
         # writers report pre- and post-insert counts per touched shard,
         # so the delta is exact without re-reading untouched files
@@ -511,10 +524,17 @@ def hnsw_topk(ds, queries: np.ndarray, k: int = 10,
               id_column: str = "vec_id", column: str = "embedding",
               M: int = 16, ef_construction: int = 100, ef_search: int = 64,
               num_buckets: int | None = None,
-              target_task_bytes: int = 128 << 20) -> pa.Table:
+              target_task_bytes: int = 1 << 20) -> pa.Table:
     """Distributed HNSW cosine top-k: hash-shard by ``id_column`` via the
     packed exchange, one independent graph + search per reduce task,
-    global top-k merged from the bounded ``shards * k`` candidates."""
+    global top-k merged from the bounded ``shards * k`` candidates.
+
+    ``target_task_bytes`` defaults far below the exchange's 128 MiB:
+    graph INSERTION cost per byte dwarfs any columnar kernel, so
+    byte-coalescing at the usual grain packs every CPU-bound build into
+    one task. 1 MiB effectively gives every fine bucket its own task
+    (parallelism = the exchange's 8x-CPU bucket count), which is the
+    right grain when cost scales with rows inserted, not bytes moved."""
     import ray
 
     from tenzir_ray.stages.exchange import grouped_apply

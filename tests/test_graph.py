@@ -79,3 +79,16 @@ def test_pagerank_empty(ray_session):
     }))
     out = pagerank(empty, iters=3).to_pandas()
     assert len(out) == 0
+
+
+def test_pagerank_distributed_matches_local(ray_session):
+    # force the distributed loop (driver_threshold=0) and compare to the
+    # driver fast path on the same graph
+    rng = np.random.default_rng(11)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 30, (200, 2))]
+    local = pagerank(_to_ds(edges), iters=3).to_pandas().sort_values("node")
+    dist = pagerank(_to_ds(edges), iters=3,
+                    driver_threshold=0).to_pandas().sort_values("node")
+    assert local["node"].tolist() == dist["node"].tolist()
+    assert np.allclose(local["rank"].to_numpy(), dist["rank"].to_numpy(),
+                       atol=1e-12)
