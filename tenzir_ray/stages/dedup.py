@@ -72,9 +72,8 @@ def split_lines(ds, id_column: str = "doc_id", column: str = "text",
     import pyarrow.compute as pc
 
     def _explode(batch: pa.Table) -> pa.Table:
+        # single-chunk required for list_parent_indices below
         col = batch.column(column).combine_chunks()
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
         parts = pc.split_pattern(pc.fill_null(col, ""), pattern=sep)
         flat = pc.list_flatten(parts)
         parent = pc.list_parent_indices(parts)

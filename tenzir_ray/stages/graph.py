@@ -44,12 +44,10 @@ def _pagerank_local(pairs: pd.DataFrame, src: str, dst: str,
     nodes = np.unique(np.concatenate([
         pairs[src].to_numpy(np.int64), pairs[dst].to_numpy(np.int64)
     ]))
-    idx = {int(v): i for i, v in enumerate(nodes)}
     n = len(nodes)
-    si = np.fromiter((idx[int(v)] for v in pairs[src]), np.int64,
-                     len(pairs))
-    di = np.fromiter((idx[int(v)] for v in pairs[dst]), np.int64,
-                     len(pairs))
+    # nodes is sorted (np.unique) — index by binary search, no Python dict
+    si = np.searchsorted(nodes, pairs[src].to_numpy(np.int64))
+    di = np.searchsorted(nodes, pairs[dst].to_numpy(np.int64))
     w = pairs["_w"].to_numpy(np.float64)
     deg = np.zeros(n)
     np.add.at(deg, si, w)
@@ -88,6 +86,7 @@ def pagerank(edges, src: str = "src", dst: str = "dst",
     d = float(damping)
 
     pairs_ds = summarize_hash(edges, by=[src, dst], _w="count(*)")
+    pairs_ds = pairs_ds.materialize()  # count() then read: one execution
     if pairs_ds.count() <= driver_threshold:
         pairs = pairs_ds.to_pandas()
         if not len(pairs):

@@ -426,19 +426,28 @@ def skew_join(left, right, on: str, right_on: str | None = None,
     rktype = _arrow_schema(rschema).field(rkey_orig).type
     rvset = vset if rktype.equals(ktype) else pa.array(hot_keys, type=rktype)
 
-    # gather + broadcast the right side's hot slice (bounded by the gate)
+    # gather + broadcast the right side's hot slice, enforcing the size
+    # gate INCREMENTALLY so an unexpectedly large slice raises before
+    # the driver has materialized all of it
     r_hot = _key_membership_filter(right, rkey_orig, rvset, keep_in=True)
-    rtbls = [t for t in ray.get(r_hot.to_arrow_refs()) if t.num_rows]
+    rtbls: list[pa.Table] = []
+    gathered = 0
+    for ref in r_hot.to_arrow_refs():
+        t = ray.get(ref)
+        if not t.num_rows:
+            continue
+        gathered += t.nbytes
+        if gathered > max_broadcast_bytes:
+            raise ValueError(
+                f"skew_join: hot right slice exceeds "
+                f"{max_broadcast_bytes >> 20} MiB — the 'small' side of "
+                "the hot keys isn't small; raise max_broadcast_bytes or "
+                "use hash_join"
+            )
+        rtbls.append(t)
     rtbl = (_rename_right(plan)(pa.concat_tables(rtbls))
             if rtbls else _rename_right(plan)(
                 pa.Table.from_batches([], schema=_arrow_schema(rschema))))
-    if rtbl.nbytes > max_broadcast_bytes:
-        raise ValueError(
-            f"skew_join: hot right slice is {rtbl.nbytes >> 20} MiB "
-            f"(> {max_broadcast_bytes >> 20} MiB) — the 'small' side of "
-            "the hot keys isn't small; raise max_broadcast_bytes or use "
-            "hash_join"
-        )
     rref = ray.put(rtbl)
 
     hot_out = _key_membership_filter(left, on, vset, keep_in=True).map_batches(

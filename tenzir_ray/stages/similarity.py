@@ -927,12 +927,12 @@ def ann_topk(left, right, k: int = 10, mode: str = "brute",
             "similarity" if mode == "brute" else "score":
                 pa.array([], pa.float64()),
         })
-    queries = np.concatenate(
-        [_to_matrix(t.column(qcol)) for t in tbls], axis=0
-    )
     if precision not in ("f32", "f64"):
         raise ValueError("ann_topk: precision must be 'f32' or 'f64'")
     dtype = np.float64 if precision == "f64" else np.float32
+    queries = np.concatenate(
+        [_to_matrix(t.column(qcol), dtype) for t in tbls], axis=0
+    )
     if mode == "brute":
         out = brute_force_topk(left, queries, id_column=id_column,
                                column=column, k=k, dtype=dtype, **kwargs)

@@ -183,6 +183,48 @@ def stratified_sample(ds, by, n: int, key: str,
                          tag="strat")
 
 
+def _group_counts(ds, by: str) -> pd.Series:
+    """Global per-group row counts via per-batch value_counts partials
+    summed on the driver — O(#groups) driver state. Null keys count as
+    their own group (dropna=False end to end)."""
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[by].value_counts(dropna=False)
+        return pd.DataFrame({by: vc.index, "_c": vc.to_numpy()})
+
+    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    if not len(parts):
+        return pd.Series(dtype=np.int64)
+    return parts.groupby(by, sort=True, dropna=False)["_c"].sum()
+
+
+def _append_fractions(ds, key: str):
+    """Adds the deterministic per-row hash fraction column ``_f``."""
+
+    def _frac(batch: pa.Table) -> pa.Table:
+        f = _key_fractions(batch.column(key))
+        return batch.append_column("_f", pa.array(f, pa.float64()))
+
+    return ds.map_batches(_frac, batch_format="pyarrow")
+
+
+def _group_lookup(col: pd.Series, table: dict, default=0) -> np.ndarray:
+    """Vectorized dict lookup that ALSO resolves the null group:
+    ``Series.map(dict)`` never matches a NaN key, so the null group's
+    entry (stored under NaN by the counts index) is applied via the
+    isna mask instead of silently falling to ``default``."""
+    out = col.map(table).to_numpy(dtype=np.float64, na_value=np.nan)
+    nan_entry = default
+    for k, v in table.items():
+        if isinstance(k, float) and np.isnan(k):
+            nan_entry = v
+            break
+    isna = col.isna().to_numpy()
+    out[isna] = nan_entry
+    out = np.nan_to_num(out, nan=default)
+    return out.astype(np.int64)
+
+
 def temperature_sample(ds, by: str, key: str, total: int,
                        alpha: float = 0.5, buckets: int | None = None):
     """Temperature-based domain re-mixing (the GPT-3 / multilingual-LM
@@ -213,14 +255,9 @@ def temperature_sample(ds, by: str, key: str, total: int,
         raise ValueError("temperature_sample: total must be >= 0")
     ds = ds.materialize()
 
-    def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        vc = df[by].value_counts(dropna=False)
-        return pd.DataFrame({by: vc.index, "_c": vc.to_numpy()})
-
-    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
-    if not len(parts):
+    counts = _group_counts(ds, by)
+    if not len(counts):
         return ds
-    counts = parts.groupby(by, sort=True, dropna=False)["_c"].sum()
     w = np.power(counts.to_numpy(dtype=np.float64), float(alpha))
     s = float(w.sum())
     n_for = {
@@ -228,18 +265,14 @@ def temperature_sample(ds, by: str, key: str, total: int,
         for g, c, wi in zip(counts.index, counts.to_numpy(), w)
     }
 
-    def _frac(batch: pa.Table) -> pa.Table:
-        f = _key_fractions(batch.column(key))
-        return batch.append_column("_f", pa.array(f, pa.float64()))
-
-    with_f = ds.map_batches(_frac, batch_format="pyarrow")
+    with_f = _append_fractions(ds, key)
 
     def _take(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
             return df.drop(columns=["_f"], errors="ignore")
         df = df.sort_values(["_f", key], kind="mergesort")
         rn = df.groupby(by, sort=False, dropna=False).cumcount().to_numpy()
-        lim = df[by].map(n_for).fillna(0).to_numpy(dtype=np.int64)
+        lim = _group_lookup(df[by], n_for)
         return df[rn < lim].drop(columns=["_f"])
 
     from tenzir_ray.stages.exchange import grouped_apply
@@ -257,8 +290,15 @@ def unimax_allocation(counts: dict, total: int,
     Low-resource groups saturate at their epoch cap, the freed budget
     flows to larger groups — the 'uniform up to N epochs' mixture.
     Deterministic: ties break on the group value itself, matching the
-    SQL oracle's ``ORDER BY capacity, group``."""
-    items = sorted(counts.items(), key=lambda kv: (kv[1] * max_epochs, kv[0]))
+    SQL oracle's ``ORDER BY capacity, group`` (a null group sorts after
+    equal-capacity groups, DuckDB's NULLS-LAST default)."""
+
+    def _order(kv):
+        g = kv[0]
+        is_null = isinstance(g, float) and np.isnan(g)
+        return (kv[1] * max_epochs, is_null, "" if is_null else g)
+
+    items = sorted(counts.items(), key=_order)
     out: dict = {}
     budget = int(total)
     for i, (g, c) in enumerate(items):
@@ -290,22 +330,21 @@ def unimax_sample(ds, by: str, key: str, total: int, max_epochs: int = 1,
         raise ValueError("unimax_sample: max_epochs must be >= 1")
     ds = ds.materialize()
 
-    def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        vc = df[by].value_counts(dropna=False)
-        return pd.DataFrame({by: vc.index, "_c": vc.to_numpy()})
+    counts = _group_counts(ds, by)
+    if not len(counts):
+        # typed empty output: same schema as every non-empty result
+        # (input columns + the epoch column)
+        import ray.data
 
-    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
-    if not len(parts):
-        return ds
-    counts = parts.groupby(by, sort=True, dropna=False)["_c"].sum()
+        from tenzir_ray.stages.join import _dataset_arrow_schema
+
+        sch = _dataset_arrow_schema(ds).append(
+            pa.field(epoch_col, pa.int64()))
+        return ray.data.from_arrow(pa.Table.from_batches([], schema=sch))
     n_for = unimax_allocation(dict(counts.items()), total, max_epochs)
     c_for = dict(counts.items())
 
-    def _frac(batch: pa.Table) -> pa.Table:
-        f = _key_fractions(batch.column(key))
-        return batch.append_column("_f", pa.array(f, pa.float64()))
-
-    with_f = ds.map_batches(_frac, batch_format="pyarrow")
+    with_f = _append_fractions(ds, key)
 
     def _take(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -313,8 +352,8 @@ def unimax_sample(ds, by: str, key: str, total: int, max_epochs: int = 1,
                 **{epoch_col: pd.Series([], dtype=np.int64)})
         df = df.sort_values(["_f", key], kind="mergesort")
         rn = df.groupby(by, sort=False, dropna=False).cumcount().to_numpy()
-        take = df[by].map(n_for).fillna(0).to_numpy(dtype=np.int64)
-        size = df[by].map(c_for).fillna(1).to_numpy(dtype=np.int64)
+        take = _group_lookup(df[by], n_for)
+        size = _group_lookup(df[by], c_for, default=1)
         full = take // size
         rem = take % size
         reps = full + (rn < rem)

@@ -77,3 +77,56 @@ def test_unimax_sample_validation(ray_session):
         unimax_sample(ds, "lang", "doc_id", total=-1)
     with pytest.raises(ValueError, match="max_epochs"):
         unimax_sample(ds, "lang", "doc_id", total=10, max_epochs=0)
+
+
+def test_unimax_sample_null_group(ray_session):
+    # null keys form a real group: they receive and use their allocation
+    import ray.data
+
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(40)), pa.int64()),
+        "lang": pa.array((["en"] * 30) + ([None] * 10)),
+    })
+    ds = ray.data.from_arrow(tbl)
+    out = unimax_sample(ds, by="lang", key="doc_id", total=30,
+                        max_epochs=2).to_pandas()
+    # waterfall: null cap 20 vs en cap 60 -> null takes 15, en takes 15
+    nulls = out[out["lang"].isna()]
+    ens = out[out["lang"] == "en"]
+    assert len(nulls) == 15 and len(ens) == 15
+    assert unimax_allocation({"en": 30, float("nan"): 10}, 30,
+                             max_epochs=2)["en"] == 15
+
+
+def test_unimax_sample_empty_input_has_epoch(ray_session):
+    import ray.data
+
+    empty = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "lang": pa.array([], pa.string()),
+    }))
+    out = unimax_sample(empty, by="lang", key="doc_id", total=10)
+    # Dataset-level schema carries the epoch column (Ray's to_pandas
+    # drops columns from zero-row datasets, so assert on schema())
+    assert out.schema().names == ["doc_id", "lang", "epoch"]
+    assert out.count() == 0
+
+
+def test_temperature_sample_null_group(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages.splits import temperature_sample
+
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(40)), pa.int64()),
+        "lang": pa.array((["en"] * 30) + ([None] * 10)),
+    })
+    out = temperature_sample(
+        ray.data.from_arrow(tbl), by="lang", key="doc_id", total=20,
+        alpha=0.5,
+    ).to_pandas()
+    # w = sqrt(30), sqrt(10); null group's share must be TAKEN, not dropped
+    import numpy as _np
+    s = _np.sqrt(30) + _np.sqrt(10)
+    want_null = min(10, int(_np.floor(20 * _np.sqrt(10) / s)))
+    assert len(out[out["lang"].isna()]) == want_null
