@@ -410,6 +410,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ds
 
+    def fuzzy_decontaminate_docs(sf):
+        # NEAR-duplicate eval-set decontamination (dedup.fuzzy_decontaminate,
+        # MinHash-LSH band match against a broadcast blocklist).
+        # planted-truth design over SQL-reproducible md5 texts (the real
+        # corpus carries planted near-dup groups whose membership SQL
+        # cannot derive): blocklist = exact copies of ids<20 plus
+        # "x "-prefixed near-clones of ids 20..39 — the kept set must be
+        # exactly ids>=40. Banding is deterministic (seeded hash
+        # family), so the outcome is a fixed function of the data
+        import hashlib
+
+        import pyarrow as pa
+
+        def _synth(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_pylist()
+            return pa.table({
+                "doc_id": t.column("doc_id"),
+                "text": pa.array([
+                    hashlib.md5(str(i).encode()).hexdigest()
+                    + hashlib.md5(str(i * 7).encode()).hexdigest()
+                    + hashlib.md5(str(i * 13).encode()).hexdigest()
+                    for i in ids
+                ], pa.string()),
+            })
+
+        corpus = _read(sf, "documents", columns=["doc_id"]).map_batches(
+            _synth, batch_format="pyarrow"
+        )
+
+        def _blockify(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_pylist()
+            txt = t.column("text").to_pylist()
+            out = [s if i < 20 else "x " + s for i, s in zip(ids, txt)]
+            return pa.table({"text": pa.array(out, pa.string())})
+
+        block = corpus.filter(expr="doc_id < 40").map_batches(
+            _blockify, batch_format="pyarrow"
+        )
+        return D.fuzzy_decontaminate(corpus, block, bands=4,
+                                     num_hashes=64, shingle=5)
+
     def line_dedup_docs(sf):
         # corpus-wide exact LINE dedup (RefinedWeb recipe, dedup.line_dedup).
         # planted-truth design: the corpus has no newlines, so the gate
@@ -3675,6 +3716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parse_json_props": parse_json_props,
         "dedup_documents_exact": dedup_documents_exact,
         "line_dedup_docs": line_dedup_docs,
+        "fuzzy_decontaminate_docs": fuzzy_decontaminate_docs,
         "unimax_sample_docs": unimax_sample_docs,
         "mixture_pipeline_docs": mixture_pipeline_docs,
         "pagerank_orders": pagerank_orders,
@@ -3928,6 +3970,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_documents_exact": """
             SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+        """,
+        "fuzzy_decontaminate_docs": """
+            WITH synth AS (
+              SELECT doc_id,
+                     md5(CAST(doc_id AS VARCHAR))
+                     || md5(CAST(doc_id * 7 AS VARCHAR))
+                     || md5(CAST(doc_id * 13 AS VARCHAR)) AS text
+              FROM documents)
+            SELECT doc_id, text FROM synth WHERE doc_id >= 40
         """,
         "line_dedup_docs": """
             WITH planted AS (

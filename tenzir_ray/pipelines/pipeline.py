@@ -801,7 +801,8 @@ class Pipeline:
                 ds = _union_by_tag(then_ds, else_ds, row_tag)
                 continue
             if name in ("hash_join", "asof_join", "range_join",
-                        "range_join_partitioned", "skew_join", "ann_topk"):
+                        "range_join_partitioned", "skew_join", "ann_topk",
+                        "fuzzy_decontaminate"):
                 right = Pipeline(step.pop("right")).run()
                 if right is None:
                     raise ValueError(
@@ -814,6 +815,11 @@ class Pipeline:
                     from tenzir_ray.stages.similarity import ann_topk
 
                     ds = _rd.from_arrow(ann_topk(ds, right, **step))
+                    continue
+                if name == "fuzzy_decontaminate":
+                    from tenzir_ray.stages.dedup import fuzzy_decontaminate
+
+                    ds = fuzzy_decontaminate(ds, right, **step)
                     continue
                 from tenzir_ray.stages import join as join_mod
 

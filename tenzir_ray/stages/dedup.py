@@ -188,12 +188,12 @@ class MinHasher:
 
 
 def minhash(ds, column: str = "text", num_hashes: int = 64, shingle: int = 5,
-            concurrency=None, batch_size: int = 1024):
+            concurrency=None, batch_size: int = 1024, seed: int = 1234):
     """Attach a `minhash` list<uint64> signature column. Hash parameters
     are small seeded arrays — built once on the driver and shipped to
     stateless tasks (no actor-pool spin-up)."""
     return ds.map_batches(
-        MinHasher(column, num_hashes, shingle),
+        MinHasher(column, num_hashes, shingle, seed),
         batch_format="pandas", batch_size=batch_size,
     )
 
@@ -264,6 +264,106 @@ def minhash_lsh_dedup(ds, id_column: str, column: str = "text",
         labels.map_batches(_bucket, batch_format="pandas")
         .groupby("_b")
         .map_groups(_min_per_bucket, batch_format="pandas")
+    )
+
+
+def _band_keys(sigs: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:
+    """(rows, bands) combined band keys: deterministic polynomial hash of
+    each band's signature slice, folded with the band index (so band 0's
+    bucket space never collides with band 1's)."""
+    pows = np.power(np.uint64(1_000_003),
+                    np.arange(rows_per_band, dtype=np.uint64),
+                    dtype=np.uint64)
+    usable = bands * rows_per_band
+    chunks = sigs[:, :usable].reshape(len(sigs), bands, rows_per_band)
+    h = (chunks * pows[None, None, :]).sum(axis=2) % np.uint64(_MERSENNE)
+    band_ids = np.arange(bands, dtype=np.uint64)[None, :]
+    return (h * np.uint64(1_000_003) + band_ids) % np.uint64(_MERSENNE)
+
+
+class _FuzzyBlockFilter:
+    """Actor stage for fuzzy_decontaminate: hash params + the broadcast
+    blocklist key array load once per actor; each batch's band keys are
+    matched with one vectorized np.isin."""
+
+    def __init__(self, keys_ref, column: str, num_hashes: int, bands: int,
+                 shingle: int, seed: int, invert: bool):
+        import ray
+
+        self.mh = MinHasher(column, num_hashes, shingle, seed)
+        self.keys = (keys_ref if isinstance(keys_ref, np.ndarray)
+                     else ray.get(keys_ref))
+        self.bands = bands
+        self.rpb = num_hashes // bands
+        self.invert = invert
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        df = self.mh(df.copy())
+        sigs = np.stack([np.asarray(s, np.uint64) for s in df["minhash"]])
+        keys = _band_keys(sigs, self.bands, self.rpb)
+        hit = np.isin(keys, self.keys).any(axis=1)
+        keep = hit if self.invert else ~hit
+        return df[keep].drop(columns=["minhash"])
+
+
+def fuzzy_decontaminate(corpus, blocklist, column: str = "text",
+                        block_column: str | None = None,
+                        num_hashes: int = 64, bands: int = 16,
+                        shingle: int = 5, seed: int = 1234,
+                        max_blocklist_keys: int = 50_000_000,
+                        invert: bool = False):
+    """NEAR-duplicate test-set decontamination — the fuzzy complement of
+    :func:`tenzir_ray.stages.splits.decontaminate`'s exact-substring
+    filter (the corpus-hygiene step training pipelines run against eval
+    sets): drop every corpus row whose ``column`` shares ANY MinHash-LSH
+    band bucket with a blocklist row (same banding math as
+    :func:`minhash_lsh_dedup`; both sides use the same seeded hash
+    family, so an exact copy ALWAYS matches and near-copies match with
+    the standard S-curve probability in the (bands, rows-per-band)
+    knobs). ``invert=True`` keeps only the matches (audit mode).
+
+    Scale shape: the blocklist (an eval/test set — small by definition)
+    is reduced to its DISTINCT band keys (≤ rows x bands uint64s,
+    size-gated by ``max_blocklist_keys``), broadcast once via
+    ``ray.put``, and the corpus streams through a stateless filter with
+    one vectorized ``np.isin`` per batch — the corpus is never shuffled,
+    joined, or materialized."""
+    import ray
+
+    qcol = block_column or column
+    rpb = num_hashes // bands
+    sig_b = minhash(blocklist, qcol, num_hashes, shingle, seed=seed)
+
+    def _keys_only(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"_k": np.array([], np.uint64)})
+        sigs = np.stack([np.asarray(s, np.uint64) for s in df["minhash"]])
+        return pd.DataFrame(
+            {"_k": _band_keys(sigs, bands, rpb).reshape(-1)})
+
+    parts = sig_b.map_batches(_keys_only, batch_format="pandas")
+    # an all-empty blocklist yields blocks that kept the INPUT schema
+    # (Ray skips the transform on empty blocks) — filter by column
+    arrs = [
+        t.column("_k").to_numpy(zero_copy_only=False).astype(np.uint64)
+        for t in ray.get(parts.to_arrow_refs())
+        if "_k" in t.column_names and t.num_rows
+    ]
+    keys = np.unique(np.concatenate(arrs or [np.array([], np.uint64)]))
+    if len(keys) > max_blocklist_keys:
+        raise ValueError(
+            f"fuzzy_decontaminate: blocklist produced {len(keys)} band "
+            f"keys (> {max_blocklist_keys}) — that side should be the "
+            "small eval set; raise max_blocklist_keys deliberately if so"
+        )
+    kref = ray.put(keys)
+    return corpus.map_batches(
+        _FuzzyBlockFilter,
+        fn_constructor_args=(kref, column, num_hashes, bands, shingle,
+                             seed, invert),
+        batch_format="pandas", concurrency=(1, 8),
     )
 
 

@@ -99,3 +99,54 @@ def test_line_dedup_registry_op(ray_session):
     ).line_dedup(ray.data.from_arrow(_docs())).to_pandas().sort_values(
         "doc_id").reset_index(drop=True)
     assert got.equals(direct)
+
+
+def test_fuzzy_decontaminate_exact_near_and_invert(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages.dedup import fuzzy_decontaminate
+
+    block = pa.table({"text": pa.array([
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs every single day",
+    ])})
+    corpus = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([
+            "the quick brown fox jumps over the lazy dog again and again",
+            "the quick brown fox jumps over the lazy dog again and again x",
+            "completely different content about data processing engines",
+            "pack my box with five dozen liquor jugs every single day",
+            "unrelated text mentioning neither foxes nor boxes anywhere",
+        ]),
+    })
+    kept = fuzzy_decontaminate(
+        ray.data.from_arrow(corpus), ray.data.from_arrow(block)
+    ).to_pandas()
+    assert sorted(kept["doc_id"]) == [3, 5]
+    assert "minhash" not in kept.columns
+    hits = fuzzy_decontaminate(
+        ray.data.from_arrow(corpus), ray.data.from_arrow(block),
+        invert=True,
+    ).to_pandas()
+    assert sorted(hits["doc_id"]) == [1, 2, 4]
+
+
+def test_fuzzy_decontaminate_key_gate_and_empty_block(ray_session):
+    import pytest as _pytest
+    import ray.data
+
+    from tenzir_ray.stages.dedup import fuzzy_decontaminate
+
+    corpus = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["alpha beta gamma delta", "epsilon zeta eta"]),
+    }))
+    block = ray.data.from_arrow(pa.table({
+        "text": pa.array(["alpha beta gamma delta"])}))
+    with _pytest.raises(ValueError, match="max_blocklist_keys"):
+        fuzzy_decontaminate(corpus, block, max_blocklist_keys=1)
+    # empty blocklist keeps everything
+    none = ray.data.from_arrow(pa.table({"text": pa.array([], pa.string())}))
+    out = fuzzy_decontaminate(corpus, none).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2]
