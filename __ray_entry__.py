@@ -487,6 +487,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         both = base.union(base.map_batches(_clone, batch_format="pyarrow"))
         return D.line_dedup(both)
 
+    def weighted_sample_orders(sf):
+        # deterministic weighted sampling without replacement
+        # (splits.weighted_sample, Efraimidis-Spirakis): score
+        # u^(1/weight) from the key's hash fraction, top-n — inclusion
+        # tracks o_totalprice, outcome is SQL-reproducible
+        from tenzir_ray.stages.splits import weighted_sample
+
+        ds = _read(sf, "orders", columns=["o_orderkey", "o_totalprice"])
+        return weighted_sample(ds, key="o_orderkey",
+                               weight="o_totalprice", n=100)
+
     def unimax_sample_docs(sf):
         # UniMax epoch-capped mixing (splits.unimax_sample,
         # arXiv:2304.09151): budget 900 over the skewed lang domains with
@@ -3718,6 +3729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_docs": line_dedup_docs,
         "fuzzy_decontaminate_docs": fuzzy_decontaminate_docs,
         "unimax_sample_docs": unimax_sample_docs,
+        "weighted_sample_orders": weighted_sample_orders,
         "mixture_pipeline_docs": mixture_pipeline_docs,
         "pagerank_orders": pagerank_orders,
         "tql_ann_topk": tql_ann_topk,
@@ -4175,6 +4187,16 @@ def oracle_sql() -> dict[str, str]:
                  unnest(generate_series(0,
                      a.take // a.c - 1
                      + CASE WHEN r.rn < a.take % a.c THEN 1 ELSE 0 END)) AS t(e)
+        """,
+        "weighted_sample_orders": """
+            SELECT o_orderkey, o_totalprice FROM (
+                SELECT o_orderkey, o_totalprice,
+                       pow(((o_orderkey * 2654435761) % 4294967296)
+                           / 4294967296.0,
+                           1.0 / o_totalprice) AS s
+                FROM orders
+                WHERE o_totalprice > 0
+                ORDER BY s DESC, o_orderkey LIMIT 100)
         """,
         "unimax_sample_docs": """
             WITH RECURSIVE c AS (

@@ -119,6 +119,7 @@ def _register_builtins() -> None:
         stratified_sample=splits.stratified_sample,
         temperature_sample=splits.temperature_sample,
         unimax_sample=splits.unimax_sample,
+        weighted_sample=splits.weighted_sample,
         bpe_word_counts=bpe.word_counts,
         bpe_encode=bpe.bpe_encode_op,
         grouping_sets=summarize.grouping_sets,

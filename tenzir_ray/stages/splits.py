@@ -281,6 +281,56 @@ def temperature_sample(ds, by: str, key: str, total: int,
                          tag="tsamp")
 
 
+def weighted_sample(ds, key: str, weight: str, n: int):
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): each row draws ``u`` from the key's hash fraction
+    and scores ``u ** (1/w)``; the n LARGEST scores win. Inclusion
+    probability is proportional to weight, yet the outcome is a pure
+    function of the data — same selection on any partitioning, cluster
+    size, or engine (the SQL oracle reproduces it with ``pow``).
+
+    Rows with null/non-positive weight never qualify (their score is 0).
+    Scale shape: one stateless scoring pass with a per-batch top-n
+    partial; the driver merges <= n * num_batches candidate rows —
+    ``n`` is a driver-bounded result size by contract, like any top-k.
+
+    Caveat (same class as temperature_sample's): two rows whose float
+    scores agree to the last ulp could rank differently across engines;
+    ties on the exact score break by key."""
+    import ray
+
+    if n < 0:
+        raise ValueError("weighted_sample: n must be >= 0")
+
+    def _score(batch: pa.Table) -> pa.Table:
+        u = _key_fractions(batch.column(key))
+        w = np.asarray(batch.column(weight).to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            s = np.where(np.isfinite(w) & (w > 0), u ** (1.0 / w), 0.0)
+        batch = batch.append_column("_s", pa.array(s, pa.float64()))
+        if batch.num_rows <= n:
+            return batch
+        # per-batch partial top-n (argpartition, then exact order later)
+        keep = np.argpartition(s, len(s) - n)[len(s) - n:]
+        return batch.take(np.sort(keep))
+
+    parts = ds.map_batches(_score, batch_format="pyarrow")
+    tbls = [t for t in ray.get(parts.to_arrow_refs())
+            if t.num_rows and "_s" in t.column_names]
+    if not tbls:
+        return ds.limit(0)
+    import ray.data
+
+    cand = pa.concat_tables(tbls)
+    df = cand.to_pandas().sort_values(
+        ["_s", key], ascending=[False, True], kind="mergesort"
+    ).head(n)
+    return ray.data.from_arrow(
+        pa.Table.from_pandas(df.drop(columns=["_s"]), preserve_index=False)
+    )
+
+
 def unimax_allocation(counts: dict, total: int,
                       max_epochs: int = 1) -> dict:
     """UniMax budget waterfall (Chung et al. 2023, arXiv:2304.09151,

@@ -130,3 +130,44 @@ def test_temperature_sample_null_group(ray_session):
     s = _np.sqrt(30) + _np.sqrt(10)
     want_null = min(10, int(_np.floor(20 * _np.sqrt(10) / s)))
     assert len(out[out["lang"].isna()]) == want_null
+
+
+def test_weighted_sample_proportional_and_deterministic(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages.splits import weighted_sample
+
+    n = 5000
+    rng = np.random.default_rng(4)
+    keys = rng.permutation(n)
+    w = np.where(np.arange(n) % 10 == 0, 100.0, 1.0)  # 10% heavy rows
+    tbl = pa.table({
+        "k": pa.array([int(x) for x in keys], pa.int64()),
+        "w": pa.array(w[keys], pa.float64()),
+    })
+    ds = ray.data.from_arrow(tbl)
+    out = weighted_sample(ds, key="k", weight="w", n=500).to_pandas()
+    assert len(out) == 500
+    heavy = (out["w"] == 100.0).mean()
+    # heavy rows are 10% of the population but ~10x more likely
+    assert heavy > 0.4
+    # deterministic under repartitioning
+    out2 = weighted_sample(ds.repartition(13), key="k", weight="w",
+                           n=500).to_pandas()
+    assert sorted(out["k"]) == sorted(out2["k"])
+
+
+def test_weighted_sample_edge_weights(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages.splits import weighted_sample
+
+    tbl = pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "w": pa.array([1.0, 0.0, -5.0, None], pa.float64()),
+    })
+    out = weighted_sample(ray.data.from_arrow(tbl), "k", "w",
+                          n=4).to_pandas()
+    # zero/negative/null weights can never be selected ahead of w>0...
+    # only row k=1 has positive score; others score 0 and fill the tail
+    assert out.iloc[0]["k"] == 1
