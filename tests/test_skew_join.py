@@ -125,3 +125,53 @@ def test_skew_join_tql_string(ray_session, tmp_path):
         __import__("ray").data.from_arrow(rtbl), "k", how="inner",
     ).to_pandas()
     assert _canon(out).equals(_canon(want))
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_rows = st.lists(
+    st.tuples(st.one_of(st.none(), st.integers(0, 6)), st.integers(0, 99)),
+    min_size=0, max_size=40,
+)
+_hows = st.sampled_from(["inner", "left", "semi", "anti"])
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(lrows=_rows, rrows=_rows, how=_hows,
+       hot=st.lists(st.integers(0, 6), max_size=3, unique=True))
+def test_skew_join_random_vs_duckdb(ray_session, lrows, rrows, how, hot):
+    """Randomized parity: tiny key domain forces dense collisions, null
+    keys, empty sides, and hot sets that cover none/some/all keys."""
+    import ray.data
+
+    ltbl = pa.table({
+        "k": pa.array([a for a, _ in lrows], pa.int64()),
+        "lv": pa.array([b for _, b in lrows], pa.int64()),
+    })
+    rtbl = pa.table({
+        "k": pa.array([a for a, _ in rrows], pa.int64()),
+        "rv": pa.array([b for _, b in rrows], pa.int64()),
+    })
+    if ltbl.num_rows == 0 or rtbl.num_rows == 0:
+        return  # joins require a schema-bearing side; covered elsewhere
+    con = duckdb.connect()
+    con.register("l", ltbl.to_pandas())
+    con.register("r", rtbl.to_pandas())
+    sql = {
+        "inner": "SELECT l.k, lv, rv FROM l JOIN r USING (k)",
+        "left": "SELECT l.k, lv, rv FROM l LEFT JOIN r USING (k)",
+        "semi": "SELECT k, lv FROM l SEMI JOIN r USING (k)",
+        "anti": "SELECT k, lv FROM l ANTI JOIN r USING (k)",
+    }[how]
+    got = _canon(
+        skew_join(ray.data.from_arrow(ltbl), ray.data.from_arrow(rtbl),
+                  "k", how=how, hot_keys=list(hot) or None,
+                  hot_frac=0.2).to_pandas()
+    )
+    want = _canon(con.sql(sql).df())
+    assert len(got) == len(want)
+    if len(got):
+        assert np.allclose(got.to_numpy(), want.to_numpy())
