@@ -487,6 +487,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         both = base.union(base.map_batches(_clone, batch_format="pyarrow"))
         return D.line_dedup(both)
 
+    def profile_events(sf):
+        # one-pass dataset profiling (stages/profile.py, the
+        # SUMMARIZE/DESCRIBE analog): exact fields (counts, nulls, typed
+        # min/max) hash-gate against per-column SQL aggregates; the
+        # sketch fields (HLL distinct, Misra-Gries mode) are
+        # pytest-covered and dropped here
+        from tenzir_ray.stages.profile import profile
+
+        out = profile(
+            _read(sf, "events",
+                  columns=["event_id", "user_id", "event_type"]),
+            columns=["event_id", "user_id", "event_type"],
+        )
+        return out.select(["column", "n", "nulls", "min", "max"])
+
     def weighted_sample_orders(sf):
         # deterministic weighted sampling without replacement
         # (splits.weighted_sample, Efraimidis-Spirakis): score
@@ -3730,6 +3745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_decontaminate_docs": fuzzy_decontaminate_docs,
         "unimax_sample_docs": unimax_sample_docs,
         "weighted_sample_orders": weighted_sample_orders,
+        "profile_events": profile_events,
         "mixture_pipeline_docs": mixture_pipeline_docs,
         "pagerank_orders": pagerank_orders,
         "tql_ann_topk": tql_ann_topk,
@@ -4187,6 +4203,22 @@ def oracle_sql() -> dict[str, str]:
                  unnest(generate_series(0,
                      a.take // a.c - 1
                      + CASE WHEN r.rn < a.take % a.c THEN 1 ELSE 0 END)) AS t(e)
+        """,
+        "profile_events": """
+            SELECT 'event_id' AS "column", count(*) AS n,
+                   count(*) - count(event_id) AS nulls,
+                   CAST(min(event_id) AS VARCHAR) AS min,
+                   CAST(max(event_id) AS VARCHAR) AS max
+            FROM events
+            UNION ALL
+            SELECT 'user_id', count(*), count(*) - count(user_id),
+                   CAST(min(user_id) AS VARCHAR),
+                   CAST(max(user_id) AS VARCHAR)
+            FROM events
+            UNION ALL
+            SELECT 'event_type', count(*), count(*) - count(event_type),
+                   min(event_type), max(event_type)
+            FROM events
         """,
         "weighted_sample_orders": """
             SELECT o_orderkey, o_totalprice FROM (

@@ -53,6 +53,7 @@ def _register_builtins() -> None:
         dedup,
         dsir,
         graph,
+        profile as profile_mod,
         similarity,
         splits,
         summarize,
@@ -145,6 +146,7 @@ def _register_builtins() -> None:
         lsh_bucket=similarity.lsh_bucket,
         semdedup=cluster.semdedup,
         pagerank=graph.pagerank,
+        profile=profile_mod.profile,
         kmeans_cluster=cluster.kmeans_cluster,
         dsir_weights=dsir.dsir_weights,
         dsir_select=dsir.dsir_select,
