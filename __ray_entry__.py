@@ -2409,6 +2409,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                       "price_rank"]),
                        "price_rank <= 10")
 
+    def ntile_orders(sf):
+        from tenzir_ray.stages.window import window_ntile
+
+        orders = _read(sf, "orders",
+                       columns=["o_orderkey", "o_orderpriority"])
+        out = window_ntile(orders, by="o_orderpriority",
+                           order_by="o_orderkey", n=4, out="quartile")
+        return T.select(out, ["o_orderkey", "o_orderpriority", "quartile"])
+
+    def percent_rank_events(sf):
+        from tenzir_ray.stages.window import window_percent
+
+        ev = _read(sf, "events", columns=["event_id", "user_id"])
+        out = window_percent(ev, by="user_id", order_by="event_id",
+                             method="percent_rank", out="pr")
+        out = window_percent(out, by="user_id", order_by="event_id",
+                             method="cume_dist", out="cd")
+        return T.select(out, ["event_id", "user_id", "pr", "cd"])
+
+    def first_last_value_events(sf):
+        from tenzir_ray.stages.window import window_value
+
+        ev = _read(sf, "events",
+                   columns=["event_id", "user_id", "value"])
+        out = window_value(ev, by="user_id", order_by="event_id",
+                           column="value", which="first", out="fv")
+        out = window_value(out, by="user_id", order_by="event_id",
+                           column="value", which="last", out="lv")
+        return T.select(out, ["event_id", "user_id", "fv", "lv"])
+
+    def moving_avg_events(sf):
+        from tenzir_ray.stages.window import window_frame
+
+        # integer cents before the frame: int sums are exact in double
+        # below 2^53, so the avg (one int/int division) matches DuckDB
+        ev = _read(sf, "events",
+                   columns=["event_id", "user_id", "value"]).map_batches(
+            _value_cents, batch_format="pyarrow")
+        out = window_frame(ev, by="user_id", order_by="event_id",
+                           column="value", fn="mean", preceding=3,
+                           following=2, out="mv")
+        return T.select(out, ["event_id", "user_id", "mv"])
+
     def anti_join_orders(sf):
         # exchange anti join (Arrow left-anti): orders whose customer is
         # NOT in the small filtered set — output is the left columns
@@ -3878,6 +3921,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_orders": anti_join_orders,
         "range_join_value_bands": range_join_value_bands,
         "range_join_partitioned_bands": range_join_partitioned_bands,
+        "ntile_orders": ntile_orders,
+        "percent_rank_events": percent_rank_events,
+        "first_last_value_events": first_last_value_events,
+        "moving_avg_events": moving_avg_events,
     }
 
 
@@ -5739,6 +5786,37 @@ def oracle_sql() -> dict[str, str]:
                        n_nationkey * 18.0 + 30.0 AS hi
                 FROM nation) r
             ON e.value >= r.lo AND e.value < r.hi
+        """,
+        "ntile_orders": """
+            SELECT o_orderkey, o_orderpriority,
+                   ntile(4) OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_orderkey) AS quartile
+            FROM orders
+        """,
+        "percent_rank_events": """
+            SELECT event_id, user_id,
+                   percent_rank() OVER (PARTITION BY user_id
+                                        ORDER BY event_id) AS pr,
+                   cume_dist() OVER (PARTITION BY user_id
+                                     ORDER BY event_id) AS cd
+            FROM events
+        """,
+        "first_last_value_events": """
+            SELECT event_id, user_id,
+                   first_value(value) OVER w AS fv,
+                   last_value(value) OVER w AS lv
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING)
+        """,
+        "moving_avg_events": """
+            SELECT event_id, user_id,
+                   avg(CAST(round(value * 100) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY event_id
+                             ROWS BETWEEN 3 PRECEDING AND 2 FOLLOWING)
+                       AS mv
+            FROM events
         """,
         # cdc_replay (generator-seeded log): rows-only — its hash-gated
         # twin is cdc_replay_sql, which derives the log from `events` so

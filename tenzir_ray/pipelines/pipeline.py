@@ -296,6 +296,10 @@ def _register_builtins() -> None:
         window_shift=window_mod.window_shift,
         window_cum=window_mod.window_cum,
         window_rank=window_mod.window_rank,
+        window_ntile=window_mod.window_ntile,
+        window_percent=window_mod.window_percent,
+        window_value=window_mod.window_value,
+        window_frame=window_mod.window_frame,
     )
     from tenzir_ray.stages import join as join_mod
     OPERATORS["yield"] = transforms.yield_

@@ -249,4 +249,223 @@ def window_cum(ds, by, order_by: str, column: str, fn: str = "sum",
                          tag="wcum")
 
 
+def window_ntile(ds, by, order_by: str, n: int, out: str = "ntile",
+                 buckets: int | None = None):
+    """Per-group ``ntile(n)``: SQL's ``ntile(n) OVER (PARTITION BY by
+    ORDER BY order_by)`` — rows split into ``n`` buckets whose sizes
+    differ by at most one, earlier buckets larger (the SQL tile rule:
+    the first ``count %% n`` tiles get ``ceil(count/n)`` rows).
+
+    Determinism contract (same as SQL): ties in ``order_by`` are broken
+    by arrival order, so only unique order keys are reproducible across
+    shuffles. Scale shape: one grouped exchange on ``by``; per task a
+    vectorized sort + cumcount/size arithmetic (no per-group Python)."""
+    if n < 1:
+        raise ValueError(f"ntile: n must be >= 1, got {n}")
+    bycols = [by] if isinstance(by, str) else list(by)
+
+    def _ntile(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            df[out] = pd.Series([], dtype="int64")
+            return df
+        df = df.sort_values(bycols + [order_by], kind="mergesort")
+        g = df.groupby(bycols, sort=False, dropna=False)[order_by]
+        pos = g.cumcount().to_numpy()
+        cnt = g.transform("size").to_numpy()
+        q, r = cnt // n, cnt % n
+        big = r * (q + 1)  # rows in the (q+1)-sized leading tiles
+        in_big = pos < big
+        tile = np.where(
+            in_big,
+            pos // np.maximum(q + 1, 1),
+            # guard q == 0 (more tiles than rows: every row its own tile)
+            r + (pos - big) // np.maximum(q, 1),
+        )
+        df[out] = (tile + 1).astype(np.int64)
+        return df
+
+    from tenzir_ray.stages.exchange import grouped_apply
+
+    return grouped_apply(ds, bycols, _ntile, num_buckets=buckets,
+                         tag="wntile")
+
+
+def window_percent(ds, by, order_by: str, method: str = "percent_rank",
+                   out: str | None = None, descending: bool = False,
+                   buckets: int | None = None):
+    """Per-group relative rank: SQL's ``percent_rank()`` =
+    ``(rank - 1) / (count - 1)`` (0.0 for single-row groups) or
+    ``cume_dist()`` = ``peers_at_or_before / count``. Null order keys
+    sort NULLS LAST (DuckDB's ASC default) and tie among themselves.
+    Same grouped-exchange shape as :func:`window_rank`."""
+    if method not in ("percent_rank", "cume_dist"):
+        raise ValueError(
+            f"method must be percent_rank or cume_dist, got {method!r}")
+    name = out or method
+    bycols = [by] if isinstance(by, str) else list(by)
+
+    def _pct(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            df[name] = pd.Series([], dtype="float64")
+            return df
+        g = df.groupby(bycols, sort=False, dropna=False)[order_by]
+        cnt = g.transform("size").to_numpy(dtype=np.float64)
+        if method == "percent_rank":
+            r = g.rank(method="min", ascending=not descending,
+                       na_option="bottom").to_numpy(dtype=np.float64)
+            denom = np.maximum(cnt - 1.0, 1.0)
+            df[name] = (r - 1.0) / denom
+        else:  # cume_dist: max-rank of the peer group / count
+            r = g.rank(method="max", ascending=not descending,
+                       na_option="bottom").to_numpy(dtype=np.float64)
+            df[name] = r / cnt
+        return df
+
+    from tenzir_ray.stages.exchange import grouped_apply
+
+    return grouped_apply(ds, bycols, _pct, num_buckets=buckets,
+                         tag="wpct")
+
+
+def window_value(ds, by, order_by: str, column: str, which: str = "first",
+                 nth: int = 1, out: str | None = None,
+                 buckets: int | None = None):
+    """Per-group positional value over the WHOLE partition: SQL's
+    ``first_value / last_value / nth_value(column, n) OVER (PARTITION BY
+    by ORDER BY order_by ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+    FOLLOWING)``. The frame is pinned to the full partition on purpose —
+    SQL's default RANGE..CURRENT ROW frame makes ``last_value`` a
+    per-peer-group surprise; pin the frame in oracle SQL the same way.
+    Nulls in ``column`` count as values (SQL default, no IGNORE NULLS).
+    ``nth`` is 1-based; rows of groups shorter than ``nth`` get null.
+    Same determinism contract and scale shape as :func:`window_shift`."""
+    if which not in ("first", "last", "nth"):
+        raise ValueError(f"which must be first|last|nth, got {which!r}")
+    if nth < 1:
+        raise ValueError(f"nth is 1-based, got {nth}")
+    name = out or (f"{column}_{which}" if which != "nth"
+                   else f"{column}_nth{nth}")
+    bycols = [by] if isinstance(by, str) else list(by)
+
+    def _val(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            df[name] = pd.Series([], dtype="object")
+            return df
+        df = df.sort_values(bycols + [order_by], kind="mergesort")
+        g = df.groupby(bycols, sort=False, dropna=False)
+        if which == "first":
+            df[name] = g[column].transform("first")
+        elif which == "last":
+            df[name] = g[column].transform("last")
+        else:
+            # broadcast the nth row's value across its group via a
+            # group-id indexed scatter/gather (no per-group Python)
+            pos = g[order_by].cumcount().to_numpy()
+            gid = g.ngroup().to_numpy()
+            picked = np.full(int(gid.max()) + 1, None, dtype=object)
+            rows = np.flatnonzero(pos == nth - 1)
+            picked[gid[rows]] = df[column].to_numpy()[rows]
+            df[name] = picked[gid]
+        return df
+
+    from tenzir_ray.stages.exchange import grouped_apply
+
+    return grouped_apply(ds, bycols, _val, num_buckets=buckets,
+                         tag="wval")
+
+
+_FRAME_FNS = ("sum", "mean", "avg", "min", "max", "count")
+
+
+def window_frame(ds, by, order_by: str, column: str, fn: str = "sum",
+                 preceding: int = 0, following: int = 0,
+                 out: str | None = None, buckets: int | None = None):
+    """Per-group moving-frame aggregate: SQL's ``fn(column) OVER
+    (PARTITION BY by ORDER BY order_by ROWS BETWEEN p PRECEDING AND f
+    FOLLOWING)``. ``fn`` ∈ sum | mean | min | max | count (count skips
+    nulls like SQL's count(col)); frames clip at partition edges.
+
+    Fully vectorized decomposition: the frame splits into a trailing
+    part (rows i-p..i — one C rolling pass) and a leading part (rows
+    i..i+f — one rolling pass over the group REVERSED); sum/count
+    combine additively minus the double-counted current row, min/max
+    combine idempotently. No per-group Python, no per-row loops — the
+    same grouped-exchange shape as :func:`window_shift`."""
+    if fn not in _FRAME_FNS:
+        raise ValueError(f"fn must be one of {_FRAME_FNS}, got {fn!r}")
+    if preceding < 0 or following < 0:
+        raise ValueError("preceding/following must be >= 0")
+    name = out or f"{column}_{fn}_p{preceding}f{following}"
+    bycols = [by] if isinstance(by, str) else list(by)
+
+    def _frame(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            df[name] = pd.Series([], dtype="float64")
+            return df
+        df = df.sort_values(bycols + [order_by],
+                            kind="mergesort").reset_index(drop=True)
+        gb = df.groupby(bycols, sort=False, dropna=False)[column]
+
+        def _roll(series_gb, window, agg):
+            # grouped rolling returns a (group_keys..., row_pos)
+            # MultiIndex; drop the key levels and realign by position
+            r = series_gb.rolling(window=window, min_periods=1).agg(agg)
+            if r.index.nlevels > 1:
+                r = r.droplevel(list(range(r.index.nlevels - 1)))
+            return r.sort_index().to_numpy(dtype=np.float64)
+
+        x = df[column].to_numpy(dtype=np.float64, na_value=np.nan)
+        xvalid = (~np.isnan(x)).astype(np.float64)
+        need_counts = fn in ("sum", "mean", "avg", "count")
+
+        # trailing part: rows (i-p .. i)
+        a_sum = _roll(gb, preceding + 1, "sum") if need_counts else None
+        a_cnt = _roll(gb, preceding + 1, "count") if need_counts else None
+        a_min = _roll(gb, preceding + 1, "min") if fn == "min" else None
+        a_max = _roll(gb, preceding + 1, "max") if fn == "max" else None
+
+        if following > 0:
+            # leading part: reverse each group, trailing window covers
+            # (i .. i+f) of the original order, then un-reverse
+            rev = df.iloc[::-1]
+            gbr = rev.groupby(bycols, sort=False, dropna=False)[column]
+
+            def _rroll(agg):
+                return _roll(gbr, following + 1, agg)
+
+            b_sum = _rroll("sum") if need_counts else None
+            b_cnt = _rroll("count") if need_counts else None
+            b_min = _rroll("min") if fn == "min" else None
+            b_max = _rroll("max") if fn == "max" else None
+        else:
+            b_sum = b_cnt = b_min = b_max = None
+
+        if fn in ("sum", "mean", "avg", "count"):
+            # a rolling sum over an all-null part is NaN — zero it and
+            # let the combined COUNT decide overall nullness
+            s = a_sum if b_sum is None else (
+                np.nan_to_num(a_sum, nan=0.0)
+                + np.nan_to_num(b_sum, nan=0.0)
+                - np.nan_to_num(x, nan=0.0))
+            c = a_cnt if b_cnt is None else (a_cnt + b_cnt - xvalid)
+            if fn == "count":
+                df[name] = c.astype(np.int64)
+            elif fn == "sum":
+                df[name] = np.where(c > 0, s, np.nan)
+            else:
+                df[name] = np.where(c > 0, s / np.maximum(c, 1), np.nan)
+        elif fn == "min":
+            m = a_min if b_min is None else np.fmin(a_min, b_min)
+            df[name] = m
+        else:
+            m = a_max if b_max is None else np.fmax(a_max, b_max)
+            df[name] = m
+        return df
+
+    from tenzir_ray.stages.exchange import grouped_apply
+
+    return grouped_apply(ds, bycols, _frame, num_buckets=buckets,
+                         tag="wframe")
+
+
 ship_by_value(sys.modules[__name__])
