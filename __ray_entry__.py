@@ -2452,6 +2452,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            following=2, out="mv")
         return T.select(out, ["event_id", "user_id", "mv"])
 
+    def intersect_click_purchase_users(sf):
+        from tenzir_ray.stages.setops import intersect
+
+        ev = _read(sf, "events", columns=["user_id", "event_type"])
+        clicks = T.select(T.where(ev, 'event_type == "click"'),
+                          ["user_id"])
+        buys = T.select(T.where(ev, 'event_type == "purchase"'),
+                        ["user_id"])
+        return intersect(clicks, buys)
+
+    def except_all_order_custkeys(sf):
+        # bag semantics: each order keeps one copy per unmatched
+        # duplicate (customers appear once, orders many times)
+        from tenzir_ray.stages.setops import except_
+
+        orders = _read(sf, "orders", columns=["o_custkey"])
+        cust = T.rename(
+            _read(sf, "customer", columns=["c_custkey"]),
+            {"c_custkey": "o_custkey"})
+        return except_(orders, cust, all_rows=True)
+
     def anti_join_orders(sf):
         # exchange anti join (Arrow left-anti): orders whose customer is
         # NOT in the small filtered set — output is the left columns
@@ -3922,6 +3943,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_value_bands": range_join_value_bands,
         "range_join_partitioned_bands": range_join_partitioned_bands,
         "ntile_orders": ntile_orders,
+        "intersect_click_purchase_users": intersect_click_purchase_users,
+        "except_all_order_custkeys": except_all_order_custkeys,
         "percent_rank_events": percent_rank_events,
         "first_last_value_events": first_last_value_events,
         "moving_avg_events": moving_avg_events,
@@ -5786,6 +5809,16 @@ def oracle_sql() -> dict[str, str]:
                        n_nationkey * 18.0 + 30.0 AS hi
                 FROM nation) r
             ON e.value >= r.lo AND e.value < r.hi
+        """,
+        "intersect_click_purchase_users": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "except_all_order_custkeys": """
+            SELECT o_custkey FROM orders
+            EXCEPT ALL
+            SELECT c_custkey FROM customer
         """,
         "ntile_orders": """
             SELECT o_orderkey, o_orderpriority,

@@ -809,7 +809,7 @@ class Pipeline:
                 continue
             if name in ("hash_join", "asof_join", "range_join",
                         "range_join_partitioned", "skew_join", "ann_topk",
-                        "fuzzy_decontaminate"):
+                        "fuzzy_decontaminate", "intersect", "except"):
                 right = Pipeline(step.pop("right")).run()
                 if right is None:
                     raise ValueError(
@@ -827,6 +827,13 @@ class Pipeline:
                     from tenzir_ray.stages.dedup import fuzzy_decontaminate
 
                     ds = fuzzy_decontaminate(ds, right, **step)
+                    continue
+                if name in ("intersect", "except"):
+                    from tenzir_ray.stages import setops
+
+                    fn2 = (setops.intersect if name == "intersect"
+                           else setops.except_)
+                    ds = fn2(ds, right, **step)
                     continue
                 from tenzir_ray.stages import join as join_mod
 
