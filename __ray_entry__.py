@@ -2452,6 +2452,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            following=2, out="mv")
         return T.select(out, ["event_id", "user_id", "mv"])
 
+    def argminmax_orders(sf):
+        # value-at-extreme-key aggregates: price of the earliest /
+        # latest order per priority (unique key -> deterministic)
+        orders = _read(sf, "orders",
+                       columns=["o_orderkey", "o_orderpriority",
+                                "o_totalprice"])
+        return S.summarize(
+            orders, by="o_orderpriority",
+            first_price="arg_min(o_totalprice, o_orderkey)",
+            last_price="arg_max(o_totalprice, o_orderkey)",
+            n="count(*)",
+        )
+
+    def moments_by_type(sf):
+        ev = _read(sf, "events",
+                   columns=["event_type", "user_id", "value"])
+        ds = S.summarize(
+            ev, by="event_type",
+            sk="skewness(value)", ku="kurtosis(value)",
+            co="corr(value, user_id)", cvp="covar_pop(value, user_id)",
+        )
+        return T.scale_int_cols(ds, ["sk", "ku", "co", "cvp"])
+
+    def mode_entropy_orders(sf):
+        orders = _read(sf, "orders",
+                       columns=["o_orderkey", "o_orderpriority",
+                                "o_orderstatus"])
+        ds = S.summarize(
+            orders, by="o_orderpriority",
+            md="mode(o_orderstatus)", en="entropy(o_orderstatus)",
+            ba="bit_and(o_orderkey)", bo="bit_or(o_orderkey)",
+            bx="bit_xor(o_orderkey)",
+        )
+        return T.scale_int_cols(ds, ["en"])
+
+    def string_agg_nations(sf):
+        nation = _read(sf, "nation",
+                       columns=["n_nationkey", "n_regionkey", "n_name"])
+        nation = T.put(nation, n_nationkey="n_nationkey",
+                       n_regionkey="n_regionkey", n_name="n_name",
+                       nk1="n_nationkey + 1")
+        return S.summarize(
+            nation, by="n_regionkey",
+            names="string_agg(n_name)", pr="product(nk1)",
+        )
+
     def intersect_click_purchase_users(sf):
         from tenzir_ray.stages.setops import intersect
 
@@ -3944,6 +3990,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_partitioned_bands": range_join_partitioned_bands,
         "ntile_orders": ntile_orders,
         "intersect_click_purchase_users": intersect_click_purchase_users,
+        "argminmax_orders": argminmax_orders,
+        "moments_by_type": moments_by_type,
+        "mode_entropy_orders": mode_entropy_orders,
+        "string_agg_nations": string_agg_nations,
         "except_all_order_custkeys": except_all_order_custkeys,
         "percent_rank_events": percent_rank_events,
         "first_last_value_events": first_last_value_events,
@@ -5809,6 +5859,47 @@ def oracle_sql() -> dict[str, str]:
                        n_nationkey * 18.0 + 30.0 AS hi
                 FROM nation) r
             ON e.value >= r.lo AND e.value < r.hi
+        """,
+        "argminmax_orders": """
+            SELECT o_orderpriority,
+                   arg_min(o_totalprice, o_orderkey) AS first_price,
+                   arg_max(o_totalprice, o_orderkey) AS last_price,
+                   count(*) AS n
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "moments_by_type": """
+            SELECT event_type,
+                   CAST(round(skewness(value) * 1000000) AS BIGINT) AS sk,
+                   CAST(round(kurtosis(value) * 1000000) AS BIGINT) AS ku,
+                   CAST(round(corr(value, user_id) * 1000000) AS BIGINT)
+                       AS co,
+                   CAST(round(covar_pop(value, user_id) * 1000000)
+                        AS BIGINT) AS cvp
+            FROM events GROUP BY event_type
+        """,
+        "mode_entropy_orders": """
+            WITH vc AS (SELECT o_orderpriority p, o_orderstatus s,
+                               count(*) cnt
+                        FROM orders GROUP BY 1, 2),
+            md AS (SELECT p, min(s) md FROM vc
+                   WHERE cnt = (SELECT max(cnt) FROM vc v2
+                                WHERE v2.p = vc.p)
+                   GROUP BY p)
+            SELECT o.o_orderpriority,
+                   any_value(md.md) AS md,
+                   CAST(round(entropy(o_orderstatus) * 1000000) AS BIGINT)
+                       AS en,
+                   bit_and(o_orderkey) AS ba,
+                   bit_or(o_orderkey) AS bo,
+                   bit_xor(o_orderkey) AS bx
+            FROM orders o JOIN md ON md.p = o.o_orderpriority
+            GROUP BY o.o_orderpriority
+        """,
+        "string_agg_nations": """
+            SELECT n_regionkey,
+                   string_agg(n_name, ',' ORDER BY n_name) AS names,
+                   product(n_nationkey + 1) AS pr
+            FROM nation GROUP BY n_regionkey
         """,
         "intersect_click_purchase_users": """
             SELECT user_id FROM events WHERE event_type = 'click'

@@ -43,7 +43,10 @@ from ray.data.aggregate import (
 
 from tenzir_ray._ship import ship_by_value
 
-_SPEC_RE = re.compile(r"^\s*(\w+)\s*\(\s*([\w.*]*)\s*\)\s*$")
+#: `func(col)` or `func(col_a, col_b)` (two-column aggregates:
+#: arg_min/arg_max/corr/covar_*)
+_SPEC_RE = re.compile(
+    r"^\s*(\w+)\s*\(\s*([\w.*]*(?:\s*,\s*[\w.*]+)?)\s*\)\s*$")
 
 
 # NOTE: accumulators round-trip through Arrow blocks between the partial
@@ -195,6 +198,287 @@ def _stddev(col: str, alias: str, ddof: int = 0) -> AggregateFn:
     )
 
 
+
+
+def _arg_extreme(cols: str, alias: str, is_min: bool) -> AggregateFn:
+    """``arg_min(val, key)`` / ``arg_max(val, key)`` (DuckDB argument
+    order): the value of ``val`` on the row where ``key`` is minimal /
+    maximal. Rows where EITHER column is NULL are skipped (DuckDB
+    rule). Ties break toward the side already held — deterministic only
+    for unique keys, same as SQL. Accumulator: one (key, val) pair."""
+    val_col, key_col = _two_cols(cols, "arg_min/arg_max")
+
+    def _acc(acc, block):
+        keys = _col(block, key_col)
+        vals = _col(block, val_col)
+        mask = pc.and_(pc.is_valid(keys), pc.is_valid(vals))
+        if not pc.any(mask).as_py():
+            return acc
+        keys = keys.filter(mask)
+        vals = vals.filter(mask)
+        idx = (pc.index(keys, pc.min(keys)) if is_min
+               else pc.index(keys, pc.max(keys))).as_py()
+        k, v = keys[idx].as_py(), vals[idx].as_py()
+        if acc is None or acc[0] is None:
+            return [k, v]
+        if (k < acc[0]) if is_min else (k > acc[0]):
+            return [k, v]
+        return acc
+
+    def _merge(a, b):
+        if a is None or a[0] is None:
+            return b
+        if b is None or b[0] is None:
+            return a
+        better = (b[0] < a[0]) if is_min else (b[0] > a[0])
+        return b if better else a
+
+    return AggregateFn(
+        init=lambda k: None,
+        accumulate_block=_acc,
+        merge=_merge,
+        finalize=lambda a: None if a is None else a[1],
+        name=alias,
+    )
+
+
+def _two_cols(cols: str, what: str) -> tuple[str, str]:
+    parts = [c.strip() for c in cols.split(",")]
+    if len(parts) != 2 or not all(parts):
+        raise ValueError(f"{what} takes exactly two columns, got {cols!r}")
+    return parts[0], parts[1]
+
+
+def _product(col: str, alias: str) -> AggregateFn:
+    """DuckDB-style ``product()``: double product over non-null values;
+    all-null group → NULL. Partials multiply — fully mergeable."""
+
+    def _acc(acc, block):
+        arr = pc.drop_null(_col(block, col)).to_numpy(zero_copy_only=False)
+        if not len(arr):
+            return acc
+        p = float(np.prod(arr.astype(np.float64)))
+        return [acc[0] + len(arr), acc[1] * p]
+
+    return AggregateFn(
+        init=lambda k: [0, 1.0],
+        accumulate_block=_acc,
+        merge=lambda a, b: [a[0] + b[0], a[1] * b[1]],
+        finalize=lambda a: a[1] if a[0] else None,
+        name=alias,
+    )
+
+
+def _bit_agg(col: str, alias: str, op: str) -> AggregateFn:
+    """``bit_and`` / ``bit_or`` / ``bit_xor`` over non-null integers
+    (all-null group → NULL). Mergeable by the same bit op."""
+    fns = {"and": (lambda a, b: a & b, np.bitwise_and),
+           "or": (lambda a, b: a | b, np.bitwise_or),
+           "xor": (lambda a, b: a ^ b, np.bitwise_xor)}
+    pyop, npop = fns[op]
+
+    def _acc(acc, block):
+        arr = pc.drop_null(_col(block, col)).to_numpy(zero_copy_only=False)
+        if not len(arr):
+            return acc
+        v = int(npop.reduce(arr.astype(np.int64)))
+        return v if acc is None else pyop(acc, v)
+
+    return AggregateFn(
+        init=lambda k: None,
+        accumulate_block=_acc,
+        merge=lambda a, b: (b if a is None
+                            else a if b is None else pyop(a, b)),
+        finalize=lambda a: a,
+        name=alias,
+    )
+
+
+#: value-count accumulators (mode/entropy) hold one counter per unique
+#: value of a group — same bound rationale as DISTINCT_LIMIT. The
+#: counter dict crosses block boundaries as pickle bytes (an
+#: Arrow-representable scalar; mixed-type nested lists are not).
+def _value_counts_agg(col: str):
+    import pickle
+
+    def _load(acc) -> dict:
+        return pickle.loads(acc) if acc else {}
+
+    def _acc(acc, block):
+        vc = pc.value_counts(pc.drop_null(_col(block, col)))
+        if not len(vc):
+            return acc
+        merged = _load(acc)
+        for item in vc.to_pylist():
+            v = item["values"]
+            merged[v] = merged.get(v, 0) + item["counts"]
+        _guard_distinct(list(merged))
+        return pickle.dumps(merged)
+
+    def _merge(a, b):
+        if not a:
+            return b
+        if not b:
+            return a
+        merged = _load(a)
+        for v, c in _load(b).items():
+            merged[v] = merged.get(v, 0) + c
+        _guard_distinct(list(merged))
+        return pickle.dumps(merged)
+
+    return _load, _acc, _merge
+
+
+def _mode(col: str, alias: str) -> AggregateFn:
+    """Exact mode: the most frequent non-null value; ties break to the
+    SMALLEST value (deterministic, unlike DuckDB's arbitrary pick —
+    write oracles as `min value among max counts`). Bounded by
+    DISTINCT_LIMIT per group."""
+    _load, _acc, _merge = _value_counts_agg(col)
+
+    def _fin(acc):
+        counts = _load(acc)
+        if not counts:
+            return None
+        best = max(counts.values())
+        return min(v for v, c in counts.items() if c == best)
+
+    return AggregateFn(init=lambda k: b"", accumulate_block=_acc,
+                       merge=_merge, finalize=_fin, name=alias)
+
+
+def _entropy(col: str, alias: str) -> AggregateFn:
+    """Shannon entropy (log base 2) of the value distribution over
+    non-null values — DuckDB's ``entropy()``. Empty group → 0.0."""
+    _load, _acc, _merge = _value_counts_agg(col)
+
+    def _fin(acc):
+        counts = np.asarray(list(_load(acc).values()), dtype=np.float64)
+        if not len(counts):
+            return 0.0
+        p = counts / counts.sum()
+        return float(-(p * np.log2(p)).sum())
+
+    return AggregateFn(init=lambda k: b"", accumulate_block=_acc,
+                       merge=_merge, finalize=_fin, name=alias)
+
+
+def _moments(col: str, alias: str, kind: str) -> AggregateFn:
+    """Higher central moments from mergeable raw power sums
+    (n, Σx, Σx², Σx³, Σx⁴):
+
+    - ``skewness``: DuckDB/Excel sample skewness
+      g1·√(n(n−1))/(n−2) with g1 = m3/m2^1.5 (needs n ≥ 3 and m2 > 0).
+    - ``kurtosis``: DuckDB/Excel sample excess kurtosis
+      ((n+1)·g2 + 6)·(n−1)/((n−2)(n−3)) with g2 = m4/m2² − 3
+      (needs n ≥ 4 and m2 > 0).
+    - ``skewness_pop`` / ``kurtosis_pop``: the population forms
+      m3/m2^1.5 and m4/m2² − 3 (oracle-friendly closed SQL)."""
+
+    def _acc(acc, block):
+        x = pc.drop_null(_col(block, col)).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        if not len(x):
+            return acc
+        return [acc[0] + len(x), acc[1] + float(x.sum()),
+                acc[2] + float((x ** 2).sum()),
+                acc[3] + float((x ** 3).sum()),
+                acc[4] + float((x ** 4).sum())]
+
+    def _fin(acc):
+        n, s1, s2, s3, s4 = acc
+        if n == 0:
+            return None
+        mu = s1 / n
+        m2 = s2 / n - mu * mu
+        m3 = s3 / n - 3 * mu * s2 / n + 2 * mu ** 3
+        m4 = (s4 / n - 4 * mu * s3 / n + 6 * mu * mu * s2 / n
+              - 3 * mu ** 4)
+        if kind == "skewness_pop":
+            return m3 / m2 ** 1.5 if m2 > 0 else None
+        if kind == "kurtosis_pop":
+            return m4 / (m2 * m2) - 3.0 if m2 > 0 else None
+        if kind == "skewness":
+            if n < 3 or m2 <= 0:
+                return None
+            g1 = m3 / m2 ** 1.5
+            return g1 * np.sqrt(n * (n - 1.0)) / (n - 2.0)
+        # kurtosis (sample excess)
+        if n < 4 or m2 <= 0:
+            return None
+        g2 = m4 / (m2 * m2) - 3.0
+        return ((n + 1.0) * g2 + 6.0) * (n - 1.0) / ((n - 2.0) * (n - 3.0))
+
+    return AggregateFn(
+        init=lambda k: [0, 0.0, 0.0, 0.0, 0.0],
+        accumulate_block=_acc,
+        merge=lambda a, b: [a[i] + b[i] for i in range(5)],
+        finalize=_fin,
+        name=alias,
+    )
+
+
+def _covar(cols: str, alias: str, kind: str) -> AggregateFn:
+    """``covar_pop(y, x)`` / ``covar_samp`` / ``corr`` from mergeable
+    co-moment sums (n, Σx, Σy, Σxy, Σx², Σy²) over rows where BOTH
+    columns are non-null (the SQL pairwise rule)."""
+    ycol, xcol = _two_cols(cols, "corr/covar")
+
+    def _acc(acc, block):
+        ya = _col(block, ycol)
+        xa = _col(block, xcol)
+        mask = pc.and_(pc.is_valid(ya), pc.is_valid(xa))
+        y = ya.filter(mask).to_numpy(zero_copy_only=False).astype(np.float64)
+        x = xa.filter(mask).to_numpy(zero_copy_only=False).astype(np.float64)
+        if not len(x):
+            return acc
+        return [acc[0] + len(x), acc[1] + float(x.sum()),
+                acc[2] + float(y.sum()), acc[3] + float((x * y).sum()),
+                acc[4] + float((x * x).sum()),
+                acc[5] + float((y * y).sum())]
+
+    def _fin(acc):
+        n, sx, sy, sxy, sxx, syy = acc
+        if n == 0 or (kind == "covar_samp" and n < 2):
+            return None
+        cov = sxy / n - (sx / n) * (sy / n)
+        if kind == "covar_pop":
+            return cov
+        if kind == "covar_samp":
+            return cov * n / (n - 1.0)
+        vx = sxx / n - (sx / n) ** 2
+        vy = syy / n - (sy / n) ** 2
+        if vx <= 0 or vy <= 0:
+            return None
+        return cov / float(np.sqrt(vx * vy))
+
+    return AggregateFn(
+        init=lambda k: [0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        accumulate_block=_acc,
+        merge=lambda a, b: [a[i] + b[i] for i in range(6)],
+        finalize=_fin,
+        name=alias,
+    )
+
+
+def _string_agg(col: str, alias: str, sep: str = ",") -> AggregateFn:
+    """Ordered ``string_agg(col, ',' ORDER BY col)``: collect non-null
+    values, sort, join — the only deterministic form on a parallel
+    engine (arrival-order string_agg is not reproducible). Bounded by
+    DISTINCT_LIMIT like collect."""
+
+    def _acc(acc, block):
+        return _guard_distinct(
+            acc + [str(v) for v in
+                   pc.drop_null(_col(block, col)).to_pylist()])
+
+    return AggregateFn(
+        init=lambda k: [],
+        accumulate_block=_acc,
+        merge=lambda a, b: _guard_distinct(a + b),
+        finalize=lambda acc: sep.join(sorted(acc)) if acc else None,
+        name=alias,
+    )
 
 
 def _hll(col: str, alias: str, p: int = 12) -> AggregateFn:
@@ -456,6 +740,28 @@ def make_agg(func: str, col: str, alias: str):
         return Quantile(col, alias_name=alias)
     if func in ("heavy_hitters", "top_values"):
         return _heavy_hitters(col, alias)
+    if func in ("arg_min", "min_by"):
+        return _arg_extreme(col, alias, is_min=True)
+    if func in ("arg_max", "max_by"):
+        return _arg_extreme(col, alias, is_min=False)
+    if func == "product":
+        return _product(col, alias)
+    if func in ("bit_and", "bit_or", "bit_xor"):
+        return _bit_agg(col, alias, func[4:])
+    if func == "mode":
+        return _mode(col, alias)
+    if func == "entropy":
+        return _entropy(col, alias)
+    if func in ("skewness", "kurtosis", "skewness_pop", "kurtosis_pop"):
+        return _moments(col, alias, func)
+    if func in ("corr", "covar_pop", "covar_samp"):
+        return _covar(col, alias, func)
+    if func == "string_agg":
+        return _string_agg(col, alias)
+    if func in ("bool_and",):
+        return _all(col, alias)
+    if func in ("bool_or",):
+        return _any(col, alias)
     m = _PCTL_RE.match(func)
     if m:  # p50 / p95 / p99 / p999 → DDSketch approximate percentile
         d = m.group(1)  # 1-2 digits = percent; 3 digits = per-mille

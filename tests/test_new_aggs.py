@@ -1,0 +1,120 @@
+"""New aggregation functions (arg_min/arg_max, product, bit ops, mode,
+entropy, skewness/kurtosis, corr/covar, string_agg) vs DuckDB."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _ds(tbl):
+    import ray.data
+
+    return ray.data.from_arrow(tbl)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(9)
+    n = 20_000
+    vals = rng.normal(10, 3, n)
+    vals[rng.random(n) < 0.1] = np.nan
+    y = 2.5 * np.nan_to_num(vals) + rng.normal(0, 1, n)
+    return pa.table({
+        "g": rng.integers(0, 8, n),
+        "k": np.arange(n, dtype=np.int64),
+        "v": pa.array(vals, from_pandas=True),
+        "y": y,
+        "b": rng.integers(0, 1 << 20, n),
+        "s": rng.choice(np.array(["aa", "bb", "cc", "dd", "ee"]), n),
+    })
+
+
+def test_new_aggs_match_duckdb(ray_session, corpus):
+    import duckdb
+
+    from tenzir_ray.stages.summarize import summarize
+
+    got = summarize(
+        _ds(corpus), by="g",
+        am="arg_max(v, k)", an="arg_min(v, k)",
+        ba="bit_and(b)", bo="bit_or(b)", bx="bit_xor(b)",
+        en="entropy(s)", sk="skewness(v)", ku="kurtosis(v)",
+        co="corr(y, v)", cvp="covar_pop(y, v)", cvs="covar_samp(y, v)",
+        sa="string_agg(s)", pr="product(b)",
+    ).to_pandas().sort_values("g", ignore_index=True)
+    T = corpus.to_pandas()  # noqa: F841 — duckdb reads the local
+    want = duckdb.sql("""
+        SELECT g, arg_max(v, k) am, arg_min(v, k) an,
+               bit_and(b) ba, bit_or(b) bo, bit_xor(b) bx,
+               entropy(s) en, skewness(v) sk, kurtosis(v) ku,
+               corr(y, v) co, covar_pop(y, v) cvp, covar_samp(y, v) cvs,
+               string_agg(s, ',' ORDER BY s) sa, product(b) pr
+        FROM T GROUP BY g ORDER BY g""").df()
+    for c in ["ba", "bo", "bx", "sa"]:
+        assert got[c].tolist() == want[c].tolist(), c
+    for c in ["am", "an"]:  # the picked value itself may be NaN
+        a = got[c].to_numpy(dtype=np.float64)
+        b = want[c].to_numpy(dtype=np.float64)
+        assert np.array_equal(np.isnan(a), np.isnan(b)), c
+        assert np.array_equal(a[~np.isnan(a)], b[~np.isnan(b)]), c
+    for c in ["en", "sk", "ku", "co", "cvp", "cvs"]:
+        assert np.allclose(got[c], want[c], rtol=1e-7), c
+    assert np.allclose(got["pr"], want["pr"], rtol=1e-6)
+
+
+def test_mode_deterministic_tiebreak(ray_session):
+    from tenzir_ray.stages.summarize import summarize
+
+    T = pa.table({"g": [0, 0, 0, 0], "s": ["b", "b", "a", "a"]})
+    got = summarize(_ds(T), by="g", m="mode(s)").to_pandas()
+    assert got["m"].tolist() == ["a"]  # tie -> smallest value
+
+
+def test_new_aggs_null_and_empty_groups(ray_session):
+    from tenzir_ray.stages.summarize import summarize
+
+    T = pa.table({
+        "g": pa.array([0, 0, 1], pa.int64()),
+        "v": pa.array([None, None, 2.0], pa.float64()),
+        "k": pa.array([1, None, 3], pa.int64()),
+    })
+    got = summarize(
+        _ds(T), by="g", am="arg_max(v, k)", pr="product(v)",
+        md="mode(v)", sk="skewness(v)",
+        ba="bit_and(k)",
+    ).to_pandas().sort_values("g", ignore_index=True)
+    # group 0: v all-null -> product/mode NULL; arg_max picks the only
+    # non-null key row (k=1, v=null -> the VALUE is null)
+    import pandas as pd
+
+    assert pd.isna(got.loc[0, "am"])
+    assert pd.isna(got.loc[0, "pr"]) and pd.isna(got.loc[0, "md"])
+    assert pd.isna(got.loc[0, "sk"])  # n < 3
+    assert got.loc[0, "ba"] == 1  # null k ignored
+    assert got.loc[1, "pr"] == 2.0 and got.loc[1, "md"] == 2.0
+
+
+def test_new_aggs_global(ray_session, corpus):
+    import duckdb
+
+    from tenzir_ray.stages.summarize import summarize
+
+    got = summarize(_ds(corpus), co="corr(y, v)", md="mode(s)",
+                    am="arg_min(v, k)")
+    T = corpus.to_pandas()  # noqa: F841
+    want = duckdb.sql(
+        "SELECT corr(y, v) co, arg_min(v, k) am FROM T").df()
+    row = got.to_pandas().iloc[0]
+    assert abs(row["co"] - want["co"][0]) < 1e-9
+    assert row["am"] == want["am"][0]
+    assert row["md"] in ("aa", "bb", "cc", "dd", "ee")
+
+
+def test_two_col_spec_validation(ray_session):
+    from tenzir_ray.stages.summarize import summarize
+
+    T = pa.table({"g": [0], "v": [1.0]})
+    with pytest.raises(ValueError, match="exactly two columns"):
+        summarize(_ds(T), by="g", x="arg_min(v)").to_pandas()
+    with pytest.raises(ValueError, match="bad aggregate spec"):
+        summarize(_ds(T), by="g", x="corr(a, b, c)").to_pandas()
