@@ -2452,6 +2452,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            following=2, out="mv")
         return T.select(out, ["event_id", "user_id", "mv"])
 
+    def theta_join_nation_region(sf):
+        # broadcast cross join pruned by a non-equi condition the
+        # hash/asof/range family cannot express
+        from tenzir_ray.stages.join import cross_join
+
+        nation = _read(sf, "nation",
+                       columns=["n_nationkey", "n_name", "n_regionkey"])
+        region = _read(sf, "region", columns=["r_regionkey", "r_name"])
+        return cross_join(nation, region,
+                          condition="n_regionkey != r_regionkey")
+
+    def string_fns_docs(sf):
+        # vectorized Arrow string kernels via the expression language
+        # (engine substr is 0-based/codepoints; SQL substr is 1-based)
+        docs = _read(sf, "documents", columns=["doc_id", "text", "lang"])
+        return T.put(
+            docs, doc_id="doc_id",
+            head='text.substr(0, 40)',
+            fixed='lang.replace("e", "3")',
+            tail_vowels='text.substr(0, 60).regex_replace("[aeiou]", "")',
+            lpos='text.find("the")',
+            n_the='text.count("the")',
+            shout="lang.upper()",
+        )
+
     def argminmax_orders(sf):
         # value-at-extreme-key aggregates: price of the earliest /
         # latest order per priority (unique key -> deterministic)
@@ -3990,6 +4015,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_partitioned_bands": range_join_partitioned_bands,
         "ntile_orders": ntile_orders,
         "intersect_click_purchase_users": intersect_click_purchase_users,
+        "string_fns_docs": string_fns_docs,
+        "theta_join_nation_region": theta_join_nation_region,
         "argminmax_orders": argminmax_orders,
         "moments_by_type": moments_by_type,
         "mode_entropy_orders": mode_entropy_orders,
@@ -5859,6 +5886,24 @@ def oracle_sql() -> dict[str, str]:
                        n_nationkey * 18.0 + 30.0 AS hi
                 FROM nation) r
             ON e.value >= r.lo AND e.value < r.hi
+        """,
+        "theta_join_nation_region": """
+            SELECT n.n_nationkey, n.n_name, n.n_regionkey,
+                   r.r_regionkey, r.r_name
+            FROM nation n, region r
+            WHERE n.n_regionkey <> r.r_regionkey
+        """,
+        "string_fns_docs": """
+            SELECT doc_id,
+                   substr(text, 1, 40) AS head,
+                   replace(lang, 'e', '3') AS fixed,
+                   regexp_replace(substr(text, 1, 60), '[aeiou]', '', 'g')
+                       AS tail_vowels,
+                   CAST(strpos(text, 'the') - 1 AS INTEGER) AS lpos,
+                   CAST((length(text) - length(replace(text, 'the', '')))
+                        / 3 AS INTEGER) AS n_the,
+                   upper(lang) AS shout
+            FROM documents
         """,
         "argminmax_orders": """
             SELECT o_orderpriority,

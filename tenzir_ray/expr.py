@@ -37,7 +37,27 @@ _METHOD_MAP = {
     "lower": lambda col: pc.utf8_lower(col),
     "upper": lambda col: pc.utf8_upper(col),
     "strip": lambda col: pc.utf8_trim_whitespace(col),
+    "lstrip": lambda col: pc.utf8_ltrim_whitespace(col),
+    "rstrip": lambda col: pc.utf8_rtrim_whitespace(col),
+    "title": lambda col: pc.utf8_title(col),
+    "capitalize": lambda col: pc.utf8_capitalize(col),
+    "reverse": lambda col: pc.utf8_reverse(col),
     "length": lambda col: pc.utf8_length(col),
+    # Python-style 0-based substring by codepoints (SQL substr is
+    # 1-based — adjust in oracle SQL)
+    "substr": lambda col, start, length=None: pc.utf8_slice_codeunits(
+        col, start, None if length is None else start + length),
+    "replace": lambda col, old, new: pc.replace_substring(
+        col, pattern=old, replacement=new),
+    "regex_replace": lambda col, pat, new: pc.replace_substring_regex(
+        col, pattern=pat, replacement=new),
+    "find": lambda col, sub: pc.find_substring(col, sub),
+    "count": lambda col, sub: pc.count_substring(col, sub),
+    "lpad": lambda col, width, pad=" ": pc.utf8_lpad(
+        col, width=width, padding=pad),
+    "rpad": lambda col, width, pad=" ": pc.utf8_rpad(
+        col, width=width, padding=pad),
+    "split": lambda col, sep: pc.split_pattern(col, pattern=sep),
     "isin": lambda col, values: col.isin(values),
 }
 
@@ -657,9 +677,10 @@ def _compile(node: ast.expr):
                           _compile(node.orelse))
     if isinstance(node, ast.Call):
         if isinstance(node.func, ast.Attribute):
-            path = _field_path(node.func.value)
-            if path is not None and node.func.attr in _METHOD_MAP:
-                col = pc.field(*path)
+            if node.func.attr in _METHOD_MAP:
+                # receiver compiles recursively, so methods CHAIN:
+                # `text.substr(0, 60).regex_replace("[aeiou]", "")`
+                col = _compile(node.func.value)
                 args = [_compile(a) for a in node.args]
                 return _METHOD_MAP[node.func.attr](col, *args)
         if isinstance(node.func, ast.Name) and node.func.id == "abs":

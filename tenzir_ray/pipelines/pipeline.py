@@ -809,7 +809,8 @@ class Pipeline:
                 continue
             if name in ("hash_join", "asof_join", "range_join",
                         "range_join_partitioned", "skew_join", "ann_topk",
-                        "fuzzy_decontaminate", "intersect", "except"):
+                        "fuzzy_decontaminate", "intersect", "except",
+                        "cross_join"):
                 right = Pipeline(step.pop("right")).run()
                 if right is None:
                     raise ValueError(

@@ -215,7 +215,8 @@ def parse_segment(seg: str) -> dict:
         return {"op": "apply", "name": rest.strip()}
     if name in ("hash_join", "asof_join", "range_join",
                 "range_join_partitioned", "skew_join", "ann_topk",
-                "fuzzy_decontaminate", "intersect", "except"):
+                "fuzzy_decontaminate", "intersect", "except",
+                "cross_join"):
         # two-input operators: `right=( read_* ... | where ... )` is a
         # nested sub-pipeline (the textual analog of the dict form's
         # right: [steps]; reference pipelines compose the same way,

@@ -979,4 +979,92 @@ def range_join_partitioned(left, right, on: str, lo: str = "lo",
     )
 
 
+class _CrossJoinStage:
+    """Per left batch: repeat-left × tile-right, then (optionally) prune
+    by the compiled theta condition. The right table travels ONCE via
+    ray.put and is read zero-copy by every task."""
+
+    def __init__(self, rtbl_ref, out_names: list[str], condition):
+        self.rtbl_ref = rtbl_ref
+        self.out_names = out_names
+        self.condition = condition
+        self._rtbl = None
+
+    __name__ = "_CrossJoinStage"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        if self._rtbl is None:
+            r = self.rtbl_ref
+            self._rtbl = r if isinstance(r, pa.Table) else ray.get(r)
+        nl, nr = batch.num_rows, self._rtbl.num_rows
+        if nl == 0 or nr == 0:
+            lt, rt = batch.slice(0, 0), self._rtbl.slice(0, 0)
+        else:
+            li = np.repeat(np.arange(nl, dtype=np.int64), nr)
+            ri = np.tile(np.arange(nr, dtype=np.int64), nl)
+            lt, rt = batch.take(pa.array(li)), self._rtbl.take(pa.array(ri))
+        combined = pa.table(
+            {c: lt.column(i) for i, c in enumerate(lt.column_names)}
+            | {c: rt.column(i) for i, c in enumerate(rt.column_names)}
+        ).rename_columns(self.out_names)
+        if self.condition is not None:
+            combined = self.condition.apply(combined)
+        return combined.combine_chunks()
+
+
+def cross_join(left, right, condition: str | None = None,
+               right_suffix: str = "_r",
+               max_broadcast_bytes: int = 256 << 20,
+               batch_size: int | None = 4096):
+    """Broadcast cross join (Cartesian product), optionally pruned by a
+    theta ``condition`` — the generic inequality/expression join the
+    hash/asof/range family can't express (e.g.
+    ``"l_quantity > threshold and l_partkey != p_blockkey"``). The
+    reference has no cross join; this completes the two-input algebra
+    for dimension-style small right sides.
+
+    Scale shape: the RIGHT side must be small — it is materialized once,
+    size-gated by ``max_broadcast_bytes``, ``ray.put``-broadcast, and
+    every left batch expands to ``len(batch) × len(right)`` rows before
+    the condition mask prunes (that expansion is the cost model: keep
+    ``batch_size`` small for wide rights). The left streams — no
+    shuffle, no driver materialization of the product.
+
+    Overlapping right column names get ``right_suffix``. The condition
+    sees post-rename names."""
+    import ray
+
+    lschema, rschema = _require_schemas(left, right, "cross_join")
+    rename = {c: (c + right_suffix if c in lschema.names else c)
+              for c in rschema.names}
+    out_names = list(lschema.names) + [rename[c] for c in rschema.names]
+    if len(set(out_names)) != len(out_names):
+        raise ValueError(
+            f"cross_join: output columns collide after suffixing: "
+            f"{out_names}")
+
+    rtbl = pa.concat_tables(
+        [ray.get(ref) for ref in right.to_arrow_refs()],
+        promote_options="default",
+    )
+    rtbl = rtbl.rename_columns(
+        [rename[c] for c in rtbl.column_names]).combine_chunks()
+    if rtbl.nbytes > max_broadcast_bytes:
+        raise ValueError(
+            f"cross_join: right side is {rtbl.nbytes >> 20} MiB — over "
+            f"the {max_broadcast_bytes >> 20} MiB broadcast gate. A "
+            "large-large Cartesian product is almost always a bug; if "
+            "intended, raise max_broadcast_bytes explicitly.")
+    compiled = None
+    if condition is not None:
+        from tenzir_ray.expr import compile_filter
+
+        compiled = compile_filter(condition)
+    stage = _CrossJoinStage(ray.put(rtbl), out_names, compiled)
+    return left.map_batches(stage, batch_format="pyarrow",
+                            batch_size=batch_size)
+
+
 ship_by_value(sys.modules[__name__])

@@ -288,3 +288,44 @@ def test_null_keyword_equality(ray_session):
     # a string literal containing the word null is untouched
     t2 = pa.table({"s": ["null", "x"]})
     assert compile_filter("s == 'null'").apply(t2).num_rows == 1
+
+
+def test_string_transform_methods():
+    # value-position string kernels via the batch path (no Ray needed)
+    import pyarrow as pa
+
+    from tenzir_ray.expr import compile_expr, eval_expr
+
+    t = pa.table({"s": ["Hello World", "abc", None, "xyzxyz"]})
+    cases = [
+        ("s.substr(1, 3)", ["ell", "bc", None, "yzx"]),
+        ("s.substr(2)", ["llo World", "c", None, "zxyz"]),
+        ('s.replace("l", "L")', ["HeLLo WorLd", "abc", None, "xyzxyz"]),
+        ('s.regex_replace("[aeiou]", "_")',
+         ["H_ll_ W_rld", "_bc", None, "xyzxyz"]),
+        ('s.find("l")', [2, -1, None, -1]),
+        ('s.count("xyz")', [0, 0, None, 2]),
+        ('s.lpad(5, ".")', ["Hello World", "..abc", None, "xyzxyz"]),
+        ('s.rpad(5, ".")', ["Hello World", "abc..", None, "xyzxyz"]),
+        ("s.title()", ["Hello World", "Abc", None, "Xyzxyz"]),
+        ("s.capitalize()", ["Hello world", "Abc", None, "Xyzxyz"]),
+        ("s.reverse()", ["dlroW olleH", "cba", None, "zyxzyx"]),
+        ("s.lstrip()", ["Hello World", "abc", None, "xyzxyz"]),
+        ('s.split("l")',
+         [["He", "", "o Wor", "d"], ["abc"], None, ["xyzxyz"]]),
+        # methods chain: receiver compiles recursively
+        ('s.substr(0, 5).upper().replace("L", "!")',
+         ["HE!!O", "ABC", None, "XYZXY"]),
+    ]
+    for ex, want in cases:
+        got = eval_expr(compile_expr(ex), t)
+        got = got.to_pylist() if hasattr(got, "to_pylist") else got
+        assert got == want, ex
+
+
+def test_string_methods_in_put(ray_session, tbl_ds):
+    out = T.put(tbl_ds, s="s", head="s.substr(0, 2)",
+                fixed='s.replace("o", "0")').to_pandas()
+    by_s = out.dropna(subset=["s"]).set_index("s")
+    assert by_s.loc["foo", "head"] == "fo"
+    assert by_s.loc["foo", "fixed"] == "f00"
