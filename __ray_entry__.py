@@ -2452,6 +2452,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            following=2, out="mv")
         return T.select(out, ["event_id", "user_id", "mv"])
 
+    def union_by_name_mixed(sf):
+        # schema-evolving UNION ALL BY NAME: absent columns fill with
+        # typed nulls, same-named columns widen
+        from tenzir_ray.stages.transforms import union_by_name
+
+        ev = T.rename(
+            _read(sf, "events", columns=["event_id", "value"]),
+            {"event_id": "id"})
+        orders = T.rename(
+            _read(sf, "orders", columns=["o_orderkey", "o_totalprice"]),
+            {"o_orderkey": "id", "o_totalprice": "price"})
+        return union_by_name(ev, orders)
+
     def theta_join_nation_region(sf):
         # broadcast cross join pruned by a non-equi condition the
         # hash/asof/range family cannot express
@@ -4017,6 +4030,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intersect_click_purchase_users": intersect_click_purchase_users,
         "string_fns_docs": string_fns_docs,
         "theta_join_nation_region": theta_join_nation_region,
+        "union_by_name_mixed": union_by_name_mixed,
         "argminmax_orders": argminmax_orders,
         "moments_by_type": moments_by_type,
         "mode_entropy_orders": mode_entropy_orders,
@@ -5886,6 +5900,11 @@ def oracle_sql() -> dict[str, str]:
                        n_nationkey * 18.0 + 30.0 AS hi
                 FROM nation) r
             ON e.value >= r.lo AND e.value < r.hi
+        """,
+        "union_by_name_mixed": """
+            SELECT event_id AS id, value FROM events
+            UNION ALL BY NAME
+            SELECT o_orderkey AS id, o_totalprice AS price FROM orders
         """,
         "theta_join_nation_region": """
             SELECT n.n_nationkey, n.n_name, n.n_regionkey,

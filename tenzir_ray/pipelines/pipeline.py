@@ -810,7 +810,7 @@ class Pipeline:
             if name in ("hash_join", "asof_join", "range_join",
                         "range_join_partitioned", "skew_join", "ann_topk",
                         "fuzzy_decontaminate", "intersect", "except",
-                        "cross_join"):
+                        "cross_join", "union_by_name"):
                 right = Pipeline(step.pop("right")).run()
                 if right is None:
                     raise ValueError(
@@ -835,6 +835,11 @@ class Pipeline:
                     fn2 = (setops.intersect if name == "intersect"
                            else setops.except_)
                     ds = fn2(ds, right, **step)
+                    continue
+                if name == "union_by_name":
+                    from tenzir_ray.stages.transforms import union_by_name
+
+                    ds = union_by_name(ds, right, **step)
                     continue
                 from tenzir_ray.stages import join as join_mod
 

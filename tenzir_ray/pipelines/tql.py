@@ -216,7 +216,7 @@ def parse_segment(seg: str) -> dict:
     if name in ("hash_join", "asof_join", "range_join",
                 "range_join_partitioned", "skew_join", "ann_topk",
                 "fuzzy_decontaminate", "intersect", "except",
-                "cross_join"):
+                "cross_join", "union_by_name"):
         # two-input operators: `right=( read_* ... | where ... )` is a
         # nested sub-pipeline (the textual analog of the dict form's
         # right: [steps]; reference pipelines compose the same way,

@@ -1313,4 +1313,61 @@ def parse_time(ds, column: str, fmt: str, out: str | None = None,
     return ds.map_batches(_parse, batch_format="pyarrow")
 
 
+def union_by_name(*datasets, strict: bool = False):
+    """Schema-evolving union (DuckDB's ``UNION ALL BY NAME``): align
+    every input to the UNION of all column names, filling absent
+    columns with typed nulls and widening same-named columns via the
+    lake's widening lattice (additive columns + numeric/temporal
+    widening — the same evolution rule the CDC registry enforces).
+    ``strict=True`` instead requires identical column sets (plain
+    ``UNION ALL`` with reordering allowed).
+
+    Scale shape: pure streaming — one ``map_batches`` cast per input,
+    then Ray's zero-copy union; no shuffle, no materialization."""
+    if len(datasets) < 2:
+        raise ValueError("union_by_name needs at least two datasets")
+    from tenzir_ray.cdc.registry import widen
+    from tenzir_ray.stages.join import _require_schemas
+
+    schemas = []
+    for i, ds in enumerate(datasets[1:], 1):
+        a, b = _require_schemas(datasets[0], ds, "union_by_name")
+        if not schemas:
+            schemas.append(a)
+        schemas.append(b)
+    names: list[str] = []
+    types: dict[str, pa.DataType] = {}
+    for sch in schemas:
+        for f in sch:
+            if f.name not in types:
+                names.append(f.name)
+                types[f.name] = f.type
+            else:
+                types[f.name] = widen(types[f.name], f.type)
+    if strict:
+        for sch in schemas:
+            if set(sch.names) != set(names):
+                raise ValueError(
+                    f"union_by_name(strict): column sets differ — "
+                    f"{sorted(names)} vs {sorted(sch.names)}")
+    target = pa.schema([pa.field(n, types[n]) for n in names])
+
+    def _conform(batch: pa.Table) -> pa.Table:
+        cols = []
+        for n in names:
+            if n in batch.column_names:
+                c = batch.column(n)
+                if c.type != types[n]:
+                    c = c.cast(types[n])
+            else:
+                c = pa.nulls(batch.num_rows, type=types[n])
+            cols.append(c)
+        return pa.Table.from_arrays(cols, schema=target)
+
+    out = datasets[0].map_batches(_conform, batch_format="pyarrow")
+    for ds in datasets[1:]:
+        out = out.union(ds.map_batches(_conform, batch_format="pyarrow"))
+    return out
+
+
 ship_by_value(sys.modules[__name__])

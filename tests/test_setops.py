@@ -113,3 +113,29 @@ def test_setops_tql_string(ray_session, tmp_path):
         f'| intersect right=( read_parquet "{tmp_path}/b.parquet" )'
     ).to_pandas()
     assert sorted(out["k"]) == [3]
+
+
+def test_union_by_name(ray_session):
+    import duckdb
+    import pyarrow as pa
+
+    from tenzir_ray.stages.transforms import union_by_name
+
+    A = pa.table({"id": pa.array([1, 2], pa.int32()), "v": [1.5, 2.5]})
+    B = pa.table({"id": pa.array([3], pa.int64()), "name": ["x"]})
+    C = pa.table({"name": ["y"], "v": [9.0]})
+    out = union_by_name(_ds(A), _ds(B), _ds(C)).to_pandas()
+    TA, TB, TC = A.to_pandas(), B.to_pandas(), C.to_pandas()  # noqa: F841
+    want = duckdb.sql(
+        "SELECT * FROM TA UNION ALL BY NAME SELECT * FROM TB "
+        "UNION ALL BY NAME SELECT * FROM TC").df()
+    g = _canon(out)
+    w = _canon(want)
+    assert g.shape == w.shape
+    for c in g.columns:
+        assert g[c].fillna("<N>").astype(str).tolist() \
+            == w[c].fillna("<N>").astype(str).tolist(), c
+    with pytest.raises(ValueError, match="column sets differ"):
+        union_by_name(_ds(A), _ds(B), strict=True)
+    with pytest.raises(ValueError, match="at least two"):
+        union_by_name(_ds(A))
