@@ -2452,6 +2452,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            following=2, out="mv")
         return T.select(out, ["event_id", "user_id", "mv"])
 
+    def resample_user_value(sf):
+        # per-user 6h grid with forward fill (gap densification)
+        from tenzir_ray.stages.window import resample
+
+        ev = _read(sf, "events", columns=["user_id", "ts", "value"])
+        out = resample(ev, "ts", "6h", by="user_id", value_col="value",
+                       agg="mean", fill="ffill", out="v")
+        return T.scale_int_cols(out, ["v"])
+
     def union_by_name_mixed(sf):
         # schema-evolving UNION ALL BY NAME: absent columns fill with
         # typed nulls, same-named columns widen
@@ -4031,6 +4040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "string_fns_docs": string_fns_docs,
         "theta_join_nation_region": theta_join_nation_region,
         "union_by_name_mixed": union_by_name_mixed,
+        "resample_user_value": resample_user_value,
         "argminmax_orders": argminmax_orders,
         "moments_by_type": moments_by_type,
         "mode_entropy_orders": mode_entropy_orders,
@@ -5900,6 +5910,24 @@ def oracle_sql() -> dict[str, str]:
                        n_nationkey * 18.0 + 30.0 AS hi
                 FROM nation) r
             ON e.value >= r.lo AND e.value < r.hi
+        """,
+        "resample_user_value": """
+            WITH b AS (SELECT user_id,
+                              time_bucket(INTERVAL '6 hours', ts) bk,
+                              avg(value) v
+                       FROM events GROUP BY 1, 2),
+            r AS (SELECT user_id, min(bk) mn, max(bk) mx FROM b
+                  GROUP BY user_id),
+            g AS (SELECT user_id,
+                         unnest(generate_series(mn, mx,
+                                                INTERVAL '6 hours')) bk
+                  FROM r)
+            SELECT g.user_id, g.bk AS ts,
+                   CAST(round(last_value(b.v IGNORE NULLS)
+                              OVER (PARTITION BY g.user_id
+                                    ORDER BY g.bk) * 1000000) AS BIGINT)
+                       AS v
+            FROM g LEFT JOIN b ON b.user_id = g.user_id AND b.bk = g.bk
         """,
         "union_by_name_mixed": """
             SELECT event_id AS id, value FROM events

@@ -374,6 +374,105 @@ def window_value(ds, by, order_by: str, column: str, which: str = "first",
                          tag="wval")
 
 
+_RESAMPLE_AGGS = ("mean", "sum", "min", "max", "count")
+_RESAMPLE_FILLS = ("null", "zero", "ffill", "interpolate")
+
+
+def resample(ds, ts_column: str, every: str, by, value_col: str,
+             agg: str = "mean", fill: str = "ffill",
+             out: str | None = None, buckets: int | None = None):
+    """Per-key time-series resampling with gap fill: bucket events to a
+    fixed ``every`` grid (epoch-aligned floor — the same convention as
+    ``summarize.time_bucket`` / DuckDB's ``time_bucket``), aggregate
+    ``value_col`` per (key, bucket), then DENSIFY each key's grid from
+    its first to its last bucket and fill the gaps:
+
+    - ``fill="null"``  — leave missing buckets NULL
+    - ``fill="zero"``  — 0 (natural for count/sum)
+    - ``fill="ffill"`` — carry the last seen aggregate forward
+    - ``fill="interpolate"`` — linear between the neighboring known
+      buckets (no extrapolation: leading/trailing gaps stay NULL)
+
+    Output: key columns + ``ts_column`` (the bucket timestamp) + ``out``
+    (default ``{value_col}_{agg}``), one row per key × grid step.
+
+    Scale shape: one grouped exchange on the key; per task everything is
+    numpy/pandas C kernels — bucketing, groupby-agg, grid construction
+    (repeat/arange), merge, and the fills (groupby-ffill / vectorized
+    prev-next interpolation with per-key resets). A key's dense grid
+    must fit its reduce task — keys with year-long spans at 1 s steps
+    want a coarser ``every``."""
+    if agg not in _RESAMPLE_AGGS:
+        raise ValueError(f"agg must be one of {_RESAMPLE_AGGS}, got {agg!r}")
+    if fill not in _RESAMPLE_FILLS:
+        raise ValueError(
+            f"fill must be one of {_RESAMPLE_FILLS}, got {fill!r}")
+    width = _to_ns(every)
+    bycols = [by] if isinstance(by, str) else list(by)
+    name = out or f"{value_col}_{agg}"
+
+    def _resample(df: pd.DataFrame) -> pd.DataFrame:
+        cols = bycols + [ts_column, name]
+        if not len(df):
+            return pd.DataFrame({c: pd.Series(dtype="object")
+                                 for c in cols})
+        ns = df[ts_column].to_numpy().astype("datetime64[ns]").astype(
+            np.int64)
+        df = df.assign(_bk=(ns // width) * width)
+        aggd = (df.groupby(bycols + ["_bk"], sort=True, dropna=False)
+                [value_col].agg(agg).reset_index())
+        # dense grid per key: mn..mx inclusive, step = width
+        spans = (aggd.groupby(bycols, sort=True, dropna=False)["_bk"]
+                 .agg(["min", "max"]).reset_index())
+        counts = ((spans["max"].to_numpy() - spans["min"].to_numpy())
+                  // width + 1).astype(np.int64)
+        gkeys = spans[bycols].loc[spans.index.repeat(counts)] \
+            .reset_index(drop=True)
+        # offset within each key's grid (0,1,2,... per key)
+        cum = np.concatenate(([0], np.cumsum(counts)))
+        pos = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
+            cum[:-1], counts)
+        grid_bk = np.repeat(spans["min"].to_numpy(), counts) + pos * width
+        grid = gkeys.assign(_bk=grid_bk)
+        merged = grid.merge(aggd, on=bycols + ["_bk"], how="left")
+        vals = merged[value_col].to_numpy(dtype=np.float64,
+                                          na_value=np.nan)
+        valid = ~np.isnan(vals)
+        if fill == "zero":
+            vals = np.nan_to_num(vals, nan=0.0)
+        elif fill == "ffill":
+            n = len(vals)
+            idx = np.arange(n)
+            pv = np.maximum.accumulate(np.where(valid, idx, -1))
+            gstart = np.repeat(cum[:-1], counts)
+            ok = pv >= gstart  # don't carry across key boundaries
+            vals = np.where(ok, vals[np.maximum(pv, 0)], np.nan)
+        elif fill == "interpolate":
+            n = len(vals)
+            idx = np.arange(n)
+            gstart = np.repeat(cum[:-1], counts)
+            gend = np.repeat(cum[1:] - 1, counts)
+            pv = np.maximum.accumulate(np.where(valid, idx, -1))
+            nv = np.minimum.accumulate(
+                np.where(valid, idx, n)[::-1])[::-1]
+            fillable = (~valid & (pv >= gstart) & (nv <= gend))
+            if fillable.any():
+                p, nx = pv[fillable], nv[fillable]
+                w = (idx[fillable] - p) / (nx - p)
+                vals = vals.copy()
+                vals[fillable] = vals[p] + (vals[nx] - vals[p]) * w
+        out_df = grid[bycols].copy()
+        out_df[ts_column] = grid["_bk"].to_numpy().astype(
+            "datetime64[ns]")
+        out_df[name] = vals
+        return out_df
+
+    from tenzir_ray.stages.exchange import grouped_apply
+
+    return grouped_apply(ds, bycols, _resample, num_buckets=buckets,
+                         tag="resample")
+
+
 _FRAME_FNS = ("sum", "mean", "avg", "min", "max", "count")
 
 

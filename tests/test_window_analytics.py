@@ -4,6 +4,7 @@ window executor on randomized inputs."""
 
 import numpy as np
 import pyarrow as pa
+import pytest
 
 
 def _ds(tbl):
@@ -167,3 +168,56 @@ def test_window_analytics_registry(ray_session):
     ]).run(_ds(T)).to_pandas()
     assert {"ntile", "mv", "fv", "cume_dist"} <= set(out.columns)
     assert len(out) == 500
+
+
+def test_resample_fills_match_reference(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from tenzir_ray.stages.window import resample
+
+    rng = np.random.default_rng(31)
+    n = 4_000
+    base = np.datetime64("2026-01-01", "us")
+    ts = base + (rng.integers(0, 40, n) * 3600 * 6 * 10**6).astype(
+        "timedelta64[us]")
+    T = pa.table({
+        "k": rng.integers(0, 12, n),
+        "ts": ts,
+        "v": rng.normal(size=n),
+    })
+
+    def run(fill):
+        return (resample(_ds(T), "ts", "6h", by="k", value_col="v",
+                         agg="mean", fill=fill, out="v")
+                .to_pandas().sort_values(["k", "ts"], ignore_index=True))
+
+    got = run("ffill")
+    want = duckdb.sql("""
+        WITH b AS (SELECT k, time_bucket(INTERVAL '6 hours', ts) bk,
+                          avg(v) v FROM T GROUP BY 1, 2),
+        r AS (SELECT k, min(bk) mn, max(bk) mx FROM b GROUP BY k),
+        g AS (SELECT k, unnest(generate_series(mn, mx,
+                                               INTERVAL '6 hours')) bk
+              FROM r)
+        SELECT g.k, g.bk ts,
+               last_value(b.v IGNORE NULLS)
+                   OVER (PARTITION BY g.k ORDER BY g.bk) v
+        FROM g LEFT JOIN b ON b.k = g.k AND b.bk = g.bk
+        ORDER BY g.k, g.bk""").df()
+    assert got.shape == want.shape
+    assert np.allclose(got["v"].fillna(-9), want["v"].fillna(-9))
+    assert (got["ts"].astype("datetime64[us]").to_numpy()
+            == want["ts"].astype("datetime64[us]").to_numpy()).all()
+
+    # interpolate: pandas per-group linear reference, inside-only
+    nullv = run("null")
+    interp = run("interpolate")
+    ref = nullv.groupby("k")["v"].transform(
+        lambda s: s.interpolate(limit_area="inside"))
+    a, b = interp["v"].to_numpy(), ref.to_numpy()
+    assert np.all((np.isnan(a) & np.isnan(b)) | np.isclose(a, b))
+    # zero fill has no NaN
+    assert not run("zero")["v"].isna().any()
+    with pytest.raises(ValueError, match="fill must be"):
+        resample(_ds(T), "ts", "6h", by="k", value_col="v", fill="pad")
