@@ -2452,6 +2452,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            following=2, out="mv")
         return T.select(out, ["event_id", "user_id", "mv"])
 
+    def range_frame_events(sf):
+        # interval RANGE frames: trailing 1h sum + centered ±30m min per
+        # user over event time (boundary peers included, per SQL RANGE)
+        from tenzir_ray.stages.window import window_range
+
+        ev = _read(sf, "events",
+                   columns=["event_id", "user_id", "ts", "value"]).map_batches(
+            _value_cents, batch_format="pyarrow")
+        out = window_range(ev, by="user_id", order_by="ts", column="value",
+                           fn="sum", preceding="1h", following="0s",
+                           out="sv")
+        out = window_range(out, by="user_id", order_by="ts", column="value",
+                           fn="min", preceding="30m", following="30m",
+                           out="mn")
+        return T.select(out, ["event_id", "user_id", "sv", "mn"])
+
     def resample_user_value(sf):
         # per-user 6h grid with forward fill (gap densification)
         from tenzir_ray.stages.window import resample
@@ -2521,6 +2537,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             co="corr(value, user_id)", cvp="covar_pop(value, user_id)",
         )
         return T.scale_int_cols(ds, ["sk", "ku", "co", "cvp"])
+
+    def regr_events(sf):
+        # SQL linear-regression aggregates over an exact-int derived
+        # pair: x = value cents, y = x + 7*user_id (both < 2^53, so the
+        # co-moment sums are exact in double on both engines)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def _xy(t):
+            x = pc.cast(pc.round(pc.multiply(t.column("value"), 100)),
+                        pa.int64())
+            y = pc.add(x, pc.multiply(pc.cast(t.column("user_id"),
+                                              pa.int64()), 7))
+            return t.append_column("x", x).append_column("y", y)
+
+        ev = _read(sf, "events",
+                   columns=["event_type", "user_id", "value"]).map_batches(
+            _xy, batch_format="pyarrow")
+        ds = S.summarize(
+            ev, by="event_type",
+            sl="regr_slope(y, x)", ic="regr_intercept(y, x)",
+            r2="regr_r2(y, x)", rc="regr_count(y, x)",
+            ax="regr_avgx(y, x)", ay="regr_avgy(y, x)",
+        )
+        return T.scale_int_cols(ds, ["sl", "ic", "r2", "ax", "ay"],
+                                factor=1000)
 
     def mode_entropy_orders(sf):
         orders = _read(sf, "orders",
@@ -4049,6 +4091,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percent_rank_events": percent_rank_events,
         "first_last_value_events": first_last_value_events,
         "moving_avg_events": moving_avg_events,
+        "range_frame_events": range_frame_events,
+        "regr_events": regr_events,
     }
 
 
@@ -6033,6 +6077,35 @@ def oracle_sql() -> dict[str, str]:
                              ROWS BETWEEN 3 PRECEDING AND 2 FOLLOWING)
                        AS mv
             FROM events
+        """,
+        "regr_events": """
+            WITH c AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS x,
+                              CAST(round(value * 100) AS BIGINT)
+                                  + user_id * 7 AS y
+                       FROM events)
+            SELECT event_type,
+                   CAST(round(regr_slope(y, x) * 1000) AS BIGINT) AS sl,
+                   CAST(round(regr_intercept(y, x) * 1000) AS BIGINT) AS ic,
+                   CAST(round(regr_r2(y, x) * 1000) AS BIGINT) AS r2,
+                   regr_count(y, x) AS rc,
+                   CAST(round(regr_avgx(y, x) * 1000) AS BIGINT) AS ax,
+                   CAST(round(regr_avgy(y, x) * 1000) AS BIGINT) AS ay
+            FROM c GROUP BY event_type
+        """,
+        "range_frame_events": """
+            WITH c AS (SELECT event_id, user_id, ts,
+                              CAST(round(value * 100) AS BIGINT) AS value
+                       FROM events)
+            SELECT event_id, user_id,
+                   CAST(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                             AND CURRENT ROW) AS DOUBLE) AS sv,
+                   CAST(min(value) OVER (PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING
+                             AND INTERVAL 30 MINUTE FOLLOWING)
+                        AS DOUBLE) AS mn
+            FROM c
         """,
         # cdc_replay (generator-seeded log): rows-only — its hash-gated
         # twin is cdc_replay_sql, which derives the log from `events` so

@@ -300,6 +300,7 @@ def _register_builtins() -> None:
         window_percent=window_mod.window_percent,
         window_value=window_mod.window_value,
         window_frame=window_mod.window_frame,
+        window_range=window_mod.window_range,
         resample=window_mod.resample,
     )
     from tenzir_ray.stages import join as join_mod

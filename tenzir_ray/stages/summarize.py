@@ -419,9 +419,12 @@ def _moments(col: str, alias: str, kind: str) -> AggregateFn:
 
 
 def _covar(cols: str, alias: str, kind: str) -> AggregateFn:
-    """``covar_pop(y, x)`` / ``covar_samp`` / ``corr`` from mergeable
-    co-moment sums (n, Σx, Σy, Σxy, Σx², Σy²) over rows where BOTH
-    columns are non-null (the SQL pairwise rule)."""
+    """``covar_pop(y, x)`` / ``covar_samp`` / ``corr`` and the SQL
+    linear-regression family ``regr_slope/intercept/r2/count/avgx/avgy/
+    sxx/syy/sxy(y, x)`` — all from the same mergeable co-moment sums
+    (n, Σx, Σy, Σxy, Σx², Σy²) over rows where BOTH columns are
+    non-null (the SQL pairwise rule; PostgreSQL ordered-set aggregate
+    definitions, matched by DuckDB)."""
     ycol, xcol = _two_cols(cols, "corr/covar")
 
     def _acc(acc, block):
@@ -439,6 +442,8 @@ def _covar(cols: str, alias: str, kind: str) -> AggregateFn:
 
     def _fin(acc):
         n, sx, sy, sxy, sxx, syy = acc
+        if kind == "regr_count":
+            return int(n)
         if n == 0 or (kind == "covar_samp" and n < 2):
             return None
         cov = sxy / n - (sx / n) * (sy / n)
@@ -446,6 +451,34 @@ def _covar(cols: str, alias: str, kind: str) -> AggregateFn:
             return cov
         if kind == "covar_samp":
             return cov * n / (n - 1.0)
+        if kind == "regr_avgx":
+            return sx / n
+        if kind == "regr_avgy":
+            return sy / n
+        # centered sums (Sxx = Σ(x-x̄)², Syy, Sxy) — clamp tiny negative
+        # float residue so a constant column is exactly zero-variance
+        cxx = max(sxx - sx * sx / n, 0.0)
+        cyy = max(syy - sy * sy / n, 0.0)
+        cxy = sxy - sx * sy / n
+        if kind == "regr_sxx":
+            return cxx
+        if kind == "regr_syy":
+            return cyy
+        if kind == "regr_sxy":
+            return cxy
+        if kind == "regr_slope":
+            return cxy / cxx if cxx > 0 else None
+        if kind == "regr_intercept":
+            if cxx <= 0:
+                return None
+            return sy / n - (cxy / cxx) * (sx / n)
+        if kind == "regr_r2":
+            # PostgreSQL rule: NULL when Sxx = 0; 1.0 when Syy = 0
+            if cxx <= 0:
+                return None
+            if cyy <= 0:
+                return 1.0
+            return (cxy * cxy) / (cxx * cyy)
         vx = sxx / n - (sx / n) ** 2
         vy = syy / n - (sy / n) ** 2
         if vx <= 0 or vy <= 0:
@@ -754,7 +787,9 @@ def make_agg(func: str, col: str, alias: str):
         return _entropy(col, alias)
     if func in ("skewness", "kurtosis", "skewness_pop", "kurtosis_pop"):
         return _moments(col, alias, func)
-    if func in ("corr", "covar_pop", "covar_samp"):
+    if func in ("corr", "covar_pop", "covar_samp", "regr_slope",
+                "regr_intercept", "regr_r2", "regr_count", "regr_avgx",
+                "regr_avgy", "regr_sxx", "regr_syy", "regr_sxy"):
         return _covar(col, alias, func)
     if func == "string_agg":
         return _string_agg(col, alias)

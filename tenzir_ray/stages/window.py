@@ -567,4 +567,169 @@ def window_frame(ds, by, order_by: str, column: str, fn: str = "sum",
                          tag="wframe")
 
 
+def _merge_insertion(g, k, q, side: str):
+    """Per-group insertion indices of sorted queries into sorted data.
+
+    ``(g, k)`` is the data — group ids and keys, lexicographically
+    sorted. ``q`` are one query key per data row (same group, also
+    sorted within each group because they are a monotone shift of
+    ``k``). Returns, for each query i, the number of data rows in ANY
+    group that sort before it under (group, key) order — which, because
+    groups are contiguous, IS the global frame-bound index. One
+    O(n log n) lexsort over the merged 2n elements; no per-group Python
+    (the vectorized replacement for a per-group ``np.searchsorted``
+    loop)."""
+    m = len(k)
+    vals = np.concatenate([k, q])
+    gg = np.concatenate([g, g])
+    # tie-break flag: side='left' sorts a query BEFORE equal data keys
+    # (first index with key >= q), side='right' AFTER (past the last
+    # key <= q) — exactly np.searchsorted's side semantics.
+    if side == "left":
+        flag = np.concatenate([np.ones(m, np.int8), np.zeros(m, np.int8)])
+    else:
+        flag = np.concatenate([np.zeros(m, np.int8), np.ones(m, np.int8)])
+    order = np.lexsort((flag, vals, gg))
+    isdata = order < m
+    cnt = np.cumsum(isdata)  # data elements at-or-before each slot
+    res = np.empty(m, np.int64)
+    qslots = ~isdata
+    res[order[qslots] - m] = cnt[qslots]
+    return res
+
+
+def window_range(ds, by, order_by: str, column: str, fn: str = "sum",
+                 preceding="0s", following="0s",
+                 out: str | None = None, buckets: int | None = None):
+    """Per-group RANGE-frame aggregate: SQL's ``fn(column) OVER
+    (PARTITION BY by ORDER BY order_by RANGE BETWEEN p PRECEDING AND f
+    FOLLOWING)`` — the frame is every row whose ORDER KEY lies in
+    ``[key - p, key + f]`` (inclusive, so boundary PEERS are in),
+    unlike :func:`window_frame`'s row-counted frames. ``order_by`` must
+    be a timestamp (offsets are duration strings: ``"1h"``) or numeric
+    (offsets are numbers). ``fn`` ∈ sum | mean | min | max | count.
+
+    NULL order keys follow SQL: they are peers of each other, so a
+    null-key row's frame is exactly the group's null-key block.
+
+    Fully vectorized: frame bounds come from ONE merged lexsort per
+    task (:func:`_merge_insertion` — no per-group searchsorted loop);
+    sum/mean/count read prefix sums at ``[lo, hi)``; min/max use a
+    sparse table (n·log₂(max frame) floats, NaN-skipping ``np.fmin``)
+    so variable-width windows stay O(1) per row. Runs over the packed
+    grouped exchange (whole groups per task, parallelism 8×CPU).
+
+    Reference analog: the reference has only wall-clock windowing
+    (summarize resolution/timeout); this serves SQL-window parity for
+    time-series feature pipelines."""
+    if fn not in ("sum", "mean", "avg", "min", "max", "count"):
+        raise ValueError(f"window_range: unsupported fn {fn!r}")
+    name = out or f"{column}_{fn}_range"
+    bycols = [by] if isinstance(by, str) else list(by)
+
+    def _off(v):
+        if isinstance(v, str):
+            return _to_ns(v), True
+        if v < 0:
+            raise ValueError("window_range: offsets must be >= 0")
+        return v, False
+
+    prec, prec_time = _off(preceding)
+    fol, fol_time = _off(following)
+
+    def _range(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            df[name] = pd.Series(
+                [], dtype="int64" if fn == "count" else "float64")
+            return df
+        df = df.sort_values(bycols + [order_by], kind="mergesort",
+                            na_position="last").reset_index(drop=True)
+        n = len(df)
+        gid = df.groupby(bycols, sort=False, dropna=False).ngroup().to_numpy()
+        ok = df[order_by]
+        is_time = pd.api.types.is_datetime64_any_dtype(ok)
+        if is_time != (prec_time and fol_time):
+            raise TypeError(
+                "window_range: duration offsets need a timestamp "
+                "order_by (and numeric offsets a numeric one)")
+        null_key = ok.isna().to_numpy()
+        if is_time:
+            keys = ok.to_numpy(dtype="datetime64[ns]").view("i8")
+            p_off, f_off = np.int64(prec), np.int64(fol)
+        elif pd.api.types.is_integer_dtype(ok) and not null_key.any() \
+                and float(prec).is_integer() and float(fol).is_integer():
+            keys = ok.to_numpy(dtype=np.int64)
+            p_off, f_off = np.int64(prec), np.int64(fol)
+        else:
+            keys = ok.to_numpy(dtype=np.float64, na_value=np.nan)
+            p_off, f_off = np.float64(prec), np.float64(fol)
+
+        starts = np.flatnonzero(np.r_[True, gid[1:] != gid[:-1]])
+        ends = np.append(starts[1:], n)
+        valid = ~null_key
+        lo = np.empty(n, np.int64)
+        hi = np.empty(n, np.int64)
+        if null_key.any():
+            # na_position='last' puts null keys at each group's tail:
+            # their frame is that tail block (null peers)
+            nvalid = np.add.reduceat(valid.astype(np.int64), starts)
+            vend = starts + nvalid
+            lo[null_key] = vend[gid[null_key]]
+            hi[null_key] = ends[gid[null_key]]
+        if valid.any():
+            v = np.flatnonzero(valid)
+            g, k = gid[v], keys[v]
+            lo[v] = _merge_insertion(g, k, k - p_off, "left")
+            hi[v] = _merge_insertion(g, k, k + f_off, "right")
+            if null_key.any():
+                # insertion indices count VALID rows only; shift past
+                # the null tails of all preceding groups
+                nulls_before = np.cumsum(
+                    np.r_[0, (ends - starts)
+                          - np.add.reduceat(valid.astype(np.int64),
+                                            starts)])[:-1]
+                lo[v] += nulls_before[g]
+                hi[v] += nulls_before[g]
+
+        x = df[column].to_numpy(dtype=np.float64, na_value=np.nan)
+        if fn in ("sum", "mean", "avg", "count"):
+            xv = ~np.isnan(x)
+            csum = np.concatenate([[0.0], np.cumsum(np.where(xv, x, 0.0))])
+            ccnt = np.concatenate([[0], np.cumsum(xv.astype(np.int64))])
+            s = csum[hi] - csum[lo]
+            c = ccnt[hi] - ccnt[lo]
+            if fn == "count":
+                df[name] = c
+            elif fn == "sum":
+                df[name] = np.where(c > 0, s, np.nan)
+            else:
+                df[name] = np.where(c > 0, s / np.maximum(c, 1), np.nan)
+            return df
+        # min/max: sparse table, fmin/fmax skip NaN so an all-null frame
+        # (possible: the frame always has >=1 ROW, but its VALUES may all
+        # be null) yields NaN -> SQL NULL
+        w = hi - lo
+        maxw = int(w.max()) if n else 1
+        K = max(0, maxw.bit_length() - 1)
+        comb = np.fmin if fn == "min" else np.fmax
+        ST = np.full((K + 1, n), np.nan)
+        ST[0] = x
+        for kk in range(1, K + 1):
+            half = 1 << (kk - 1)
+            span = n - (1 << kk) + 1
+            if span <= 0:
+                break
+            ST[kk, :span] = comb(ST[kk - 1, :span], ST[kk - 1, half:half + span])
+        kq = (np.frexp(w.astype(np.float64))[1] - 1).astype(np.int64)
+        kq = np.maximum(kq, 0)
+        off = np.left_shift(np.int64(1), kq)
+        df[name] = comb(ST[kq, lo], ST[kq, np.maximum(hi - off, 0)])
+        return df
+
+    from tenzir_ray.stages.exchange import grouped_apply
+
+    return grouped_apply(ds, bycols, _range, num_buckets=buckets,
+                         tag="wrange")
+
+
 ship_by_value(sys.modules[__name__])

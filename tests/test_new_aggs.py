@@ -118,3 +118,60 @@ def test_two_col_spec_validation(ray_session):
         summarize(_ds(T), by="g", x="arg_min(v)").to_pandas()
     with pytest.raises(ValueError, match="bad aggregate spec"):
         summarize(_ds(T), by="g", x="corr(a, b, c)").to_pandas()
+
+
+def test_regr_family_matches_duckdb(ray_session, corpus):
+    import duckdb
+
+    from tenzir_ray.stages.summarize import summarize
+
+    got = summarize(
+        _ds(corpus), by="g",
+        sl="regr_slope(y, v)", ic="regr_intercept(y, v)",
+        r2="regr_r2(y, v)", rc="regr_count(y, v)",
+        ax="regr_avgx(y, v)", ay="regr_avgy(y, v)",
+        xx="regr_sxx(y, v)", yy="regr_syy(y, v)", xy="regr_sxy(y, v)",
+    ).to_pandas().sort_values("g", ignore_index=True)
+    T = corpus.to_pandas()  # noqa: F841
+    want = duckdb.sql("""
+        SELECT g, regr_slope(y, v) sl, regr_intercept(y, v) ic,
+               regr_r2(y, v) r2, regr_count(y, v) rc,
+               regr_avgx(y, v) ax, regr_avgy(y, v) ay,
+               regr_sxx(y, v) xx, regr_syy(y, v) yy, regr_sxy(y, v) xy
+        FROM T GROUP BY g ORDER BY g""").df()
+    assert got["rc"].tolist() == want["rc"].tolist()
+    for c in ("sl", "ic", "r2", "ax", "ay", "xx", "yy", "xy"):
+        assert np.allclose(got[c].to_numpy(dtype=float),
+                           want[c].to_numpy(dtype=float),
+                           rtol=1e-9, equal_nan=True), c
+
+
+def test_regr_degenerate_groups(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from tenzir_ray.stages.summarize import summarize
+
+    # constant x (Sxx=0 -> slope/intercept/r2 NULL), constant y with
+    # varying x (Syy=0 -> r2 = 1.0), all-null pairs (count 0)
+    pdf = pd.DataFrame({
+        "g": ["cx"] * 3 + ["cy"] * 3 + ["nn"] * 2,
+        "x": [5.0, 5.0, 5.0, 1.0, 2.0, 3.0, None, None],
+        "y": [1.0, 2.0, 3.0, 7.0, 7.0, 7.0, 1.0, 2.0],
+    })
+    import ray.data
+
+    got = summarize(
+        ray.data.from_pandas(pdf), by="g",
+        sl="regr_slope(y, x)", r2="regr_r2(y, x)", rc="regr_count(y, x)",
+    ).to_pandas().sort_values("g", ignore_index=True)
+    duckdb.register("pdf8", pdf)
+    want = duckdb.sql("""
+        SELECT g, regr_slope(y, x) sl, regr_r2(y, x) r2,
+               regr_count(y, x) rc
+        FROM pdf8 GROUP BY g ORDER BY g""").df()
+    assert got["rc"].tolist() == want["rc"].tolist()
+    for c in ("sl", "r2"):
+        a = got[c].to_numpy(dtype=float)
+        b = want[c].to_numpy(dtype=float)
+        assert ((np.isnan(a) & np.isnan(b)) | np.isclose(a, b)).all(), c

@@ -221,3 +221,94 @@ def test_resample_fills_match_reference(ray_session):
     assert not run("zero")["v"].isna().any()
     with pytest.raises(ValueError, match="fill must be"):
         resample(_ds(T), "ts", "6h", by="k", value_col="v", fill="pad")
+
+
+# ---------------------------------------------------------------------------
+# RANGE frames (window_range)
+
+
+def test_window_range_matches_duckdb_timestamps(ray_session):
+    import duckdb
+
+    from tenzir_ray.stages.window import window_range
+
+    rng = np.random.default_rng(11)
+    n = 4_000
+    ts = (np.datetime64("2024-03-01", "us")
+          + rng.integers(0, 86_400_000_000 * 3, n).astype("timedelta64[us]"))
+    T = pa.table({
+        "id": np.arange(n, dtype=np.int64),
+        "k": rng.integers(0, 25, n),
+        "ts": ts,
+        "v": rng.integers(-50, 50, n),
+    })
+    for fn, sqlfn, p, f in [
+        ("sum", "SUM", "1h", "0s"),
+        ("mean", "AVG", "2h", "30m"),
+        ("min", "MIN", "45m", "45m"),
+        ("max", "MAX", "0s", "3h"),
+        ("count", "COUNT", "30m", "30m"),
+    ]:
+        got = (window_range(_ds(T), by="k", order_by="ts", column="v",
+                            fn=fn, preceding=p, following=f, out="w")
+               .to_pandas().sort_values("id", ignore_index=True))
+        sp = p.replace("h", " HOUR").replace("m", " MINUTE").replace(
+            "s", " SECOND")
+        sfo = f.replace("h", " HOUR").replace("m", " MINUTE").replace(
+            "s", " SECOND")
+        want = duckdb.sql(
+            f"SELECT id, {sqlfn}(v) OVER (PARTITION BY k ORDER BY ts "
+            f"RANGE BETWEEN INTERVAL {sp} PRECEDING "
+            f"AND INTERVAL {sfo} FOLLOWING) w FROM T ORDER BY id").df()
+        assert np.allclose(got["w"].to_numpy(dtype=float),
+                           want["w"].to_numpy(dtype=float),
+                           equal_nan=True), fn
+
+
+def test_window_range_numeric_nulls_and_peers(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from tenzir_ray.stages.window import window_range
+
+    # null order keys (SQL: peers of each other), null values, exact
+    # boundary peers (tied order keys all enter the frame together)
+    pdf = pd.DataFrame({
+        "k": ["a"] * 6 + ["b"] * 5,
+        "o": [1.0, 2.0, 2.0, 5.0, None, None, 0.0, 10.0, 10.5, None, 3.0],
+        "x": [1.0, None, 3.0, 4.0, 5.0, None, 7.0, None, 9.0, 10.0, 11.0],
+    })
+    import ray.data
+
+    duckdb.register("pdf", pdf)
+    for fn, sqlfn in [("count", "COUNT"), ("sum", "SUM"), ("min", "MIN")]:
+        got = (window_range(ray.data.from_pandas(pdf), by="k", order_by="o",
+                            column="x", fn=fn, preceding=1.0, following=0.5,
+                            out="w")
+               .to_pandas()
+               .sort_values(["k", "o", "x"], na_position="last",
+                            ignore_index=True))
+        want = duckdb.sql(
+            f"SELECT k, o, x, {sqlfn}(x) OVER (PARTITION BY k ORDER BY o "
+            "RANGE BETWEEN 1.0 PRECEDING AND 0.5 FOLLOWING) w "
+            "FROM pdf ORDER BY k, o NULLS LAST, x NULLS LAST").df()
+        assert np.allclose(got["w"].to_numpy(dtype=float),
+                           want["w"].to_numpy(dtype=float),
+                           equal_nan=True), fn
+
+
+def test_window_range_validation(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages.window import window_range
+
+    ds = ray.data.from_items([{"k": 1, "o": 1.0, "x": 1.0}])
+    with pytest.raises(ValueError, match="offsets must be >= 0"):
+        window_range(ds, by="k", order_by="o", column="x", preceding=-1,
+                     following=0)
+    with pytest.raises(ValueError, match="unsupported fn"):
+        window_range(ds, by="k", order_by="o", column="x", fn="median")
+    # duration offsets demand a timestamp order key
+    with pytest.raises(Exception, match="timestamp|duration"):
+        window_range(ds, by="k", order_by="o", column="x",
+                     preceding="1h").materialize()
