@@ -613,6 +613,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             by="event_type", column="value",
             quantiles={"p25": 0.25, "p50": 0.5, "p90": 0.9})
 
+    def mad_quantile_cont_events(sf):
+        # exact interpolated quantiles (quantile_cont) + exact median
+        # absolute deviation per group
+        from tenzir_ray.stages.summarize import group_quantiles
+
+        ev = _read(sf, "events", columns=["event_type", "value"])
+        q = group_quantiles(ev, by="event_type", column="value",
+                            quantiles={"q25": 0.25, "q50": 0.5},
+                            interpolation="linear")
+        m = S.summarize(ev, by="event_type", md="mad(value)")
+        from tenzir_ray.stages.join import hash_join
+
+        out = hash_join(q, m, on="event_type")
+        return T.scale_int_cols(out, ["q25", "q50", "md"])
+
     def nb_class_counts_docs(sf):
         # Naive-Bayes training counts for one class, bit-reproducible in
         # SQL (md5 hash buckets) — the oracle gate pinning nb_train
@@ -4093,6 +4108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moving_avg_events": moving_avg_events,
         "range_frame_events": range_frame_events,
         "regr_events": regr_events,
+        "mad_quantile_cont_events": mad_quantile_cont_events,
     }
 
 
@@ -6077,6 +6093,15 @@ def oracle_sql() -> dict[str, str]:
                              ROWS BETWEEN 3 PRECEDING AND 2 FOLLOWING)
                        AS mv
             FROM events
+        """,
+        "mad_quantile_cont_events": """
+            SELECT event_type,
+                   CAST(round(quantile_cont(value, 0.25) * 1000000)
+                        AS BIGINT) AS q25,
+                   CAST(round(quantile_cont(value, 0.5) * 1000000)
+                        AS BIGINT) AS q50,
+                   CAST(round(mad(value) * 1000000) AS BIGINT) AS md
+            FROM events GROUP BY event_type
         """,
         "regr_events": """
             WITH c AS (SELECT event_type,

@@ -347,6 +347,44 @@ def _mode(col: str, alias: str) -> AggregateFn:
                        merge=_merge, finalize=_fin, name=alias)
 
 
+def _weighted_cont_quantile(vals, w, q):
+    """Continuous (interpolated) quantile of a weighted value list —
+    ``vals`` ascending, ``w`` positive int counts. Equals quantile_cont
+    over the expanded multiset without expanding it."""
+    n = int(w.sum())
+    if n == 0:
+        return None
+    pos = q * (n - 1)
+    lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+    cw = np.cumsum(w)
+    vlo = float(vals[np.searchsorted(cw, lo, side="right")])
+    vhi = float(vals[np.searchsorted(cw, hi, side="right")])
+    return vlo + (vhi - vlo) * (pos - lo)
+
+
+def _mad(col: str, alias: str) -> AggregateFn:
+    """Exact median absolute deviation — DuckDB's ``mad(x)``:
+    ``median(|x − median(x)|)`` with the continuous (interpolated)
+    median on both passes. One distributed pass: blocks accumulate a
+    value-count map (bounded by DISTINCT_LIMIT like mode/entropy), the
+    finalizer computes both weighted medians without expanding."""
+    _load, _acc, _merge = _value_counts_agg(col)
+
+    def _fin(acc):
+        counts = _load(acc)
+        if not counts:
+            return None
+        vals = np.asarray(sorted(counts), dtype=np.float64)
+        w = np.asarray([counts[v] for v in sorted(counts)], dtype=np.int64)
+        med = _weighted_cont_quantile(vals, w, 0.5)
+        dev = np.abs(vals - med)
+        order = np.argsort(dev, kind="stable")
+        return _weighted_cont_quantile(dev[order], w[order], 0.5)
+
+    return AggregateFn(init=lambda k: b"", accumulate_block=_acc,
+                       merge=_merge, finalize=_fin, name=alias)
+
+
 def _entropy(col: str, alias: str) -> AggregateFn:
     """Shannon entropy (log base 2) of the value distribution over
     non-null values — DuckDB's ``entropy()``. Empty group → 0.0."""
@@ -785,6 +823,8 @@ def make_agg(func: str, col: str, alias: str):
         return _mode(col, alias)
     if func == "entropy":
         return _entropy(col, alias)
+    if func in ("mad", "median_absolute_deviation"):
+        return _mad(col, alias)
     if func in ("skewness", "kurtosis", "skewness_pop", "kurtosis_pop"):
         return _moments(col, alias, func)
     if func in ("corr", "covar_pop", "covar_samp", "regr_slope",
@@ -1045,12 +1085,16 @@ def cube(ds, by: list[str], grouping_id: str | None = None, **aggs: str):
 
 def group_quantiles(ds, by: str | list[str], column: str,
                     quantiles: dict[str, float],
-                    buckets: int | None = None):
-    """EXACT per-group discrete quantiles (SQL ``quantile_disc``
-    semantics: the element at index ``ceil(q·n) − 1`` of the sorted
-    non-null values — an actual data value, so results are bit-equal
-    across engines; verified against DuckDB). One output row per group,
-    one column per ``quantiles`` entry (alias → q).
+                    buckets: int | None = None,
+                    interpolation: str = "disc"):
+    """EXACT per-group quantiles. ``interpolation="disc"`` (default) is
+    SQL ``quantile_disc``: the element at index ``ceil(q·n) − 1`` of the
+    sorted non-null values — an actual data value, so results are
+    bit-equal across engines; ``interpolation="linear"`` is SQL
+    ``quantile_cont`` / PostgreSQL ``percentile_cont``: linear
+    interpolation at position ``q·(n−1)`` (numeric columns only) —
+    both verified against DuckDB. One output row per group, one column
+    per ``quantiles`` entry (alias → q).
 
     Complements the streaming sketches (`approximate_median`, DDSketch
     percentiles): those are one-pass and corpus-scale but approximate;
@@ -1058,6 +1102,10 @@ def group_quantiles(ds, by: str | list[str], column: str,
     vectorized sort over its groups' values. Use it when groups fit a
     worker (the grouped-apply contract); sketches when they don't."""
     keys = [by] if isinstance(by, str) else list(by)
+    if interpolation not in ("disc", "linear"):
+        raise ValueError(
+            f"interpolation must be 'disc' or 'linear', got {interpolation!r}")
+    linear = interpolation == "linear"
     for alias, q in quantiles.items():
         if not 0.0 <= float(q) <= 1.0:
             raise ValueError(f"group_quantiles: {alias}={q} outside [0,1]")
@@ -1078,6 +1126,17 @@ def group_quantiles(ds, by: str | list[str], column: str,
         ns = cum[ends] - cum[starts]
         out = g[keys].iloc[starts].reset_index(drop=True)
         for alias, q in quantiles.items():
+            if linear:
+                pos = float(q) * np.maximum(ns - 1, 0).astype(np.float64)
+                lo = np.floor(pos).astype(np.int64)
+                hi = np.minimum(lo + 1, np.maximum(ns - 1, 0))
+                frac = pos - lo
+                vlo = vals[starts + lo].astype(np.float64)
+                vhi = vals[starts + hi].astype(np.float64)
+                col = pd.Series(vlo + (vhi - vlo) * frac)
+                col[ns == 0] = np.nan
+                out[alias] = col.to_numpy()
+                continue
             idx = np.ceil(float(q) * ns).astype(np.int64) - 1
             idx = np.clip(idx, 0, np.maximum(ns - 1, 0))
             col = pd.Series(vals[starts + idx])

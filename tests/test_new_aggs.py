@@ -175,3 +175,48 @@ def test_regr_degenerate_groups(ray_session):
         a = got[c].to_numpy(dtype=float)
         b = want[c].to_numpy(dtype=float)
         assert ((np.isnan(a) & np.isnan(b)) | np.isclose(a, b)).all(), c
+
+
+def test_mad_and_quantile_cont_match_duckdb(ray_session, corpus):
+    import duckdb
+
+    from tenzir_ray.stages.summarize import group_quantiles, summarize
+
+    got = summarize(_ds(corpus), by="g", m="mad(v)", mi="mad(b)"
+                    ).to_pandas().sort_values("g", ignore_index=True)
+    T = corpus.to_pandas()  # noqa: F841
+    want = duckdb.sql(
+        "SELECT g, mad(v) m, mad(b) mi FROM T GROUP BY g ORDER BY g").df()
+    assert np.allclose(got["m"], want["m"], rtol=1e-12)
+    assert np.allclose(got["mi"].astype(float), want["mi"].astype(float))
+
+    gq = (group_quantiles(_ds(corpus), by="g", column="v",
+                          quantiles={"q25": 0.25, "q50": 0.5, "q99": 0.99},
+                          interpolation="linear")
+          .to_pandas().sort_values("g", ignore_index=True))
+    w2 = duckdb.sql("""
+        SELECT g, quantile_cont(v, 0.25) q25, quantile_cont(v, 0.5) q50,
+               quantile_cont(v, 0.99) q99 FROM T GROUP BY g ORDER BY g""").df()
+    for c in ("q25", "q50", "q99"):
+        assert np.allclose(gq[c], w2[c], rtol=1e-12, equal_nan=True), c
+    with pytest.raises(ValueError, match="interpolation"):
+        group_quantiles(_ds(corpus), by="g", column="v",
+                        quantiles={"q": 0.5}, interpolation="nearest")
+
+
+def test_mad_all_null_group(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from tenzir_ray.stages.summarize import summarize
+
+    pdf = pd.DataFrame({"g": ["a", "a", "b"], "v": [None, None, 3.0]})
+    got = (summarize(ray.data.from_pandas(pdf), by="g", m="mad(v)")
+           .to_pandas().sort_values("g", ignore_index=True))
+    duckdb.register("pdf_mad", pdf)
+    want = duckdb.sql(
+        "SELECT g, mad(v) m FROM pdf_mad GROUP BY g ORDER BY g").df()
+    a = got["m"].to_numpy(float)
+    b = want["m"].to_numpy(float)
+    assert ((np.isnan(a) & np.isnan(b)) | np.isclose(a, b)).all()
