@@ -897,6 +897,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = bigram_lm_score(docs, alpha=0.1)
         return T.scale_int_cols(out, ["lm_score"])
 
+    def gopher_quality_docs(sf):
+        # the full Gopher rule battery; every metric is an exact int
+        # ratio both engines compute identically (same IEEE division),
+        # scaled to micro-ints as the ulp guard
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        out = TX.gopher_quality(
+            _read(sf, "documents", columns=["doc_id", "text"]))
+        out = T.select(out, ["doc_id", "wc", "mwl", "symbol_ratio",
+                             "bullet_frac", "ellipsis_frac",
+                             "alpha_word_ratio", "stop_hits",
+                             "gopher_pass"])
+        out = out.map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("gopher_pass"), "gopher_pass",
+                pc.cast(t.column("gopher_pass"), pa.int64())),
+            batch_format="pyarrow")
+        return T.scale_int_cols(out, ["mwl", "symbol_ratio", "bullet_frac",
+                                      "ellipsis_frac", "alpha_word_ratio"])
+
     def doc_quality(sf):
         # every component of the heuristic is SQL-expressible; float
         # ratios compare as scaled micro-ints (cross-engine ulp guard)
@@ -4109,6 +4130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_frame_events": range_frame_events,
         "regr_events": regr_events,
         "mad_quantile_cont_events": mad_quantile_cont_events,
+        "gopher_quality_docs": gopher_quality_docs,
     }
 
 
@@ -6093,6 +6115,58 @@ def oracle_sql() -> dict[str, str]:
                              ROWS BETWEEN 3 PRECEDING AND 2 FOLLOWING)
                        AS mv
             FROM events
+        """,
+        "gopher_quality_docs": r"""
+            WITH w AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS words,
+                     string_split(text, chr(10)) AS lines
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                len(words) AS wc,
+                CASE WHEN len(words) > 0 THEN
+                  CAST(list_sum(list_transform(words, x -> length(x)))
+                       AS DOUBLE) / len(words) ELSE 0.0 END AS mwl,
+                ( (length(text) - length(replace(text, '#', '')))
+                + (length(text) - length(replace(text, '...', ''))) / 3
+                + (length(text) - length(replace(text, '…', ''))) )::DOUBLE
+                  / greatest(len(words), 1) AS symbol_ratio,
+                len(list_filter(lines, l ->
+                    regexp_matches(l, '^[[:space:]]*[•*-]')))::DOUBLE
+                  / greatest(len(lines), 1) AS bullet_frac,
+                len(list_filter(lines, l ->
+                    regexp_matches(l, '(\.\.\.|…)[[:space:]]*$')))::DOUBLE
+                  / greatest(len(lines), 1) AS ellipsis_frac,
+                CASE WHEN len(words) > 0 THEN
+                  len(list_filter(words, x ->
+                      regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(words)
+                ELSE 0.0 END AS alpha_word_ratio,
+                len(list_distinct(list_filter(
+                    list_transform(words, x -> lower(x)),
+                    x -> list_contains(['the','be','to','of','and','that',
+                                        'have','with'], x)))) AS stop_hits
+              FROM w)
+            SELECT doc_id, wc,
+                   CAST(round(mwl * 1000000) AS BIGINT) AS mwl,
+                   CAST(round(symbol_ratio * 1000000) AS BIGINT)
+                       AS symbol_ratio,
+                   CAST(round(bullet_frac * 1000000) AS BIGINT)
+                       AS bullet_frac,
+                   CAST(round(ellipsis_frac * 1000000) AS BIGINT)
+                       AS ellipsis_frac,
+                   CAST(round(alpha_word_ratio * 1000000) AS BIGINT)
+                       AS alpha_word_ratio,
+                   stop_hits,
+                   CAST(wc BETWEEN 50 AND 100000
+                        AND mwl BETWEEN 3.0 AND 10.0
+                        AND symbol_ratio <= 0.1
+                        AND bullet_frac < 0.9
+                        AND ellipsis_frac <= 0.3
+                        AND alpha_word_ratio > 0.8
+                        AND stop_hits >= 2 AS BIGINT) AS gopher_pass
+            FROM m
         """,
         "mad_quantile_cont_events": """
             SELECT event_type,

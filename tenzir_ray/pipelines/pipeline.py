@@ -105,6 +105,7 @@ def _register_builtins() -> None:
         token_count=text.token_count,
         fingerprint=text.fingerprint,
         repetition_score=text.repetition_score,
+        gopher_quality=text.gopher_quality,
         bm25_score=text.bm25_score,
         bigram_lm_score=text.bigram_lm_score,
         tfidf_top_terms=text.tfidf_top_terms,

@@ -195,6 +195,97 @@ def repetition_score(ds, column: str = "text", out: str = "rep_ratio",
                           batch_size=batch_size)
 
 
+#: the Gopher rule-7 stop list (Rae et al. 2021, appendix A1.1)
+_GOPHER_STOPS = frozenset(
+    ("the", "be", "to", "of", "and", "that", "have", "with"))
+
+
+def gopher_quality(ds, column: str = "text", batch_size: int = 4096):
+    """The full Gopher quality-filter rule battery (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", appendix A1.1 — public), as
+    used by MassiveWeb/RefinedWeb-style corpus cleaning:
+
+    1. word count (whitespace tokens) in [50, 100 000];
+    2. mean word length in [3, 10];
+    3. symbol-to-word ratio (``#`` + ``...``/``…``) ≤ 0.1;
+    4. < 90 % of lines start with a bullet (``•``/``-``/``*``);
+    5. ≤ 30 % of lines end with an ellipsis;
+    6. > 80 % of words contain at least one alphabetic character;
+    7. at least 2 DISTINCT words from the 8-word English stop list.
+
+    Adds the metric columns ``wc, mwl, symbol_ratio, bullet_frac,
+    ellipsis_frac, alpha_word_ratio, stop_hits`` plus the combined
+    ``gopher_pass`` flag (filter on it with ``where``). Vectorized:
+    whitespace/line explodes + C groupby reductions per batch, no
+    per-row Python (the same shape as :func:`repetition_score`).
+    Complements it — repetition (rules 8-13 of the paper) is
+    :func:`repetition_score` / ``duplicate_spans``."""
+
+    def _g(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        text = df[column].fillna("")
+        words = text.str.split()
+        wc = words.str.len().to_numpy(dtype=np.float64)
+        wc_c = np.maximum(wc, 1.0)
+        # sum of word lengths = non-whitespace chars (words are maximal
+        # non-space runs)
+        word_chars = text.str.replace(r"\s+", "", regex=True).str.len() \
+            .to_numpy(dtype=np.float64)
+        mwl = np.where(wc > 0, word_chars / wc_c, 0.0)
+        n_hash = text.str.count("#", flags=0).to_numpy(dtype=np.float64)
+        # str.count on the literal counts non-overlapping occurrences —
+        # same convention the SQL replace()-length oracle uses
+        n_ell = (text.str.count(r"\.\.\.")
+                 + text.str.count("…")).to_numpy(dtype=np.float64)
+        symbol_ratio = (n_hash + n_ell) / wc_c
+
+        ex = words.explode().dropna()
+        alpha = (ex.str.contains("[A-Za-z]", regex=True)
+                 .groupby(level=0).sum()
+                 .reindex(df.index, fill_value=0)
+                 .to_numpy(dtype=np.float64))
+        alpha_ratio = np.where(wc > 0, alpha / wc_c, 0.0)
+        low = ex.str.lower()
+        stop_hits = (low[low.isin(_GOPHER_STOPS)]
+                     .groupby(level=0).nunique()
+                     .reindex(df.index, fill_value=0)
+                     .to_numpy(dtype=np.int64))
+
+        lines = text.str.split("\n").explode().dropna()
+        n_lines = lines.groupby(level=0).size() \
+            .reindex(df.index, fill_value=0).to_numpy(dtype=np.float64)
+        nl_c = np.maximum(n_lines, 1.0)
+        bullet = (lines.str.match(r"\s*[•\-\*]", na=False)
+                  .groupby(level=0).sum()
+                  .reindex(df.index, fill_value=0)
+                  .to_numpy(dtype=np.float64))
+        ell_end = (lines.str.contains(r"(?:\.\.\.|…)\s*$", regex=True,
+                                      na=False)
+                   .groupby(level=0).sum()
+                   .reindex(df.index, fill_value=0)
+                   .to_numpy(dtype=np.float64))
+
+        df["wc"] = wc.astype(np.int64)
+        df["mwl"] = mwl
+        df["symbol_ratio"] = symbol_ratio
+        df["bullet_frac"] = bullet / nl_c
+        df["ellipsis_frac"] = ell_end / nl_c
+        df["alpha_word_ratio"] = alpha_ratio
+        df["stop_hits"] = stop_hits
+        df["gopher_pass"] = (
+            (wc >= 50) & (wc <= 100_000)
+            & (mwl >= 3.0) & (mwl <= 10.0)
+            & (symbol_ratio <= 0.1)
+            & (df["bullet_frac"].to_numpy() < 0.9)
+            & (df["ellipsis_frac"].to_numpy() <= 0.3)
+            & (alpha_ratio > 0.8)
+            & (stop_hits >= 2)
+        )
+        return df
+
+    return ds.map_batches(_g, batch_format="pandas", batch_size=batch_size)
+
+
 def ngram_counts(ds, column: str = "text", n: int = 2,
                  min_count: int = 1, buckets: int | None = None,
                  batch_size: int = 4096):

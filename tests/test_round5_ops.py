@@ -527,3 +527,29 @@ def test_nb_model_roundtrip_and_empty_text(ray_session):
     # empty text falls back to the prior argmax (uniform → first class)
     assert out["pred"].iloc[0] == "food"
     assert out["pred"].iloc[1] == "sport"
+
+
+def test_gopher_quality_rules(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages.text import gopher_quality
+
+    passing = ("the quick brown fox jumps over a lazy dog and then "
+               "we have to be sure that this document has quite enough "
+               "words of ordinary length to clear rule one with room "
+               "to spare so it keeps going on and on with plain text "
+               "sentences that look like real writing would look")
+    rows = [
+        {"doc_id": 1, "text": passing},                      # all rules pass
+        {"doc_id": 2, "text": "too short"},                  # rule 1
+        {"doc_id": 3, "text": ("# " * 60) + passing},        # rule 3 symbols
+        {"doc_id": 4, "text": "\n".join("- item" for _ in range(20))},
+        {"doc_id": 5, "text": None},                         # null text
+    ]
+    out = (gopher_quality(ray.data.from_items(rows))
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    assert out["gopher_pass"].tolist() == [True, False, False, False, False]
+    assert out.loc[0, "wc"] >= 50 and out.loc[0, "stop_hits"] >= 2
+    assert out.loc[2, "symbol_ratio"] > 0.1
+    assert out.loc[3, "bullet_frac"] >= 0.9
+    assert out.loc[4, "wc"] == 0
