@@ -880,6 +880,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             by="base", n="count(*)", nc="count_distinct(dup_group)")
         return T.put(per, conv_id="base", same_group="nc == 1 and n == 2")
 
+    def sft_pairs_convs(sf):
+        # (prompt, response) SFT pair extraction: closest preceding user
+        # turn per assistant turn, tool turns skipped
+        from tenzir_ray.stages.transcripts import sft_pairs
+
+        return sft_pairs(_transcripts_ds(sf))
+
+    def turn_latency_convs(sf):
+        # per-conversation inter-turn gap profile in exact microseconds
+        from tenzir_ray.stages.transcripts import turn_latency
+
+        out = turn_latency(_transcripts_ds(sf))
+        return T.scale_int_cols(out, ["avg_gap_us"], factor=1000)
+
     def conv_alternation(sf):
         # role-alternation dialog-quality profile: per-group ordered lag
         # + partial summarize; milli-int ratio keeps the compare exact
@@ -4087,6 +4101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_convs": filter_convs,
         "pack_convs": pack_convs,
         "conv_alternation": conv_alternation,
+        "sft_pairs_convs": sft_pairs_convs,
+        "turn_latency_convs": turn_latency_convs,
         "conv_near_dups": conv_near_dups,
         "clean_transcripts": clean_transcripts,
         "dedup_turns": dedup_turns,
@@ -5634,6 +5650,32 @@ def oracle_sql() -> dict[str, str]:
                    max(ts) AS last_ts,
                    max(turn_idx) AS max_turn
             FROM tr GROUP BY conv_id
+        """,
+        "sft_pairs_convs": f"""
+            WITH {_TRANSCRIPTS_CTE},
+            p AS (
+              SELECT conv_id, turn_idx, role, text,
+                     last_value(CASE WHEN role = 'user' THEN text END
+                                IGNORE NULLS)
+                       OVER (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS prompt
+              FROM tr)
+            SELECT conv_id, turn_idx, prompt, text AS response
+            FROM p WHERE role = 'assistant'
+        """,
+        "turn_latency_convs": f"""
+            WITH {_TRANSCRIPTS_CTE},
+            g AS (SELECT conv_id,
+                         date_diff('microsecond',
+                                   lag(ts) OVER (PARTITION BY conv_id
+                                                 ORDER BY turn_idx),
+                                   ts) AS gap
+                  FROM tr)
+            SELECT conv_id, count(*) AS n_turns,
+                   CAST(round(avg(gap) * 1000) AS BIGINT) AS avg_gap_us,
+                   max(gap) AS max_gap_us
+            FROM g GROUP BY conv_id
         """,
         "tool_seqs": f"""
             WITH {_TRANSCRIPTS_CTE}

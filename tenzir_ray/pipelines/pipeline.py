@@ -141,6 +141,8 @@ def _register_builtins() -> None:
         pack_conversations=transcripts.pack_conversations,
         alternation_stats=transcripts.alternation_stats,
         context_windows=transcripts.context_windows,
+        sft_pairs=transcripts.sft_pairs,
+        turn_latency=transcripts.turn_latency,
         minhash=dedup.minhash,
         minhash_lsh_dedup=dedup.minhash_lsh_dedup,
         simhash=dedup.simhash,

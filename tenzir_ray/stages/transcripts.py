@@ -270,4 +270,95 @@ def context_windows(ds, k: int = 3, sep: str = "\n",
                          tag="ctxwin")
 
 
+def sft_pairs(ds, conv_col: str = "conv_id", turn_col: str = "turn_idx",
+              role_col: str = "role", text_col: str = "text",
+              user_role: str = "user", assistant_role: str = "assistant",
+              drop_unprompted: bool = False, buckets: int | None = None):
+    """(prompt, response) pair extraction for SFT: one row per
+    ``assistant_role`` turn, with ``prompt`` = the text of the CLOSEST
+    PRECEDING ``user_role`` turn in the conversation (tool/system turns
+    in between are skipped) and ``response`` = the assistant text.
+    Assistant turns with no preceding user turn get a NULL prompt
+    (SQL ``last_value(... IGNORE NULLS) OVER (ROWS ... 1 PRECEDING)``
+    semantics) unless ``drop_unprompted=True`` drops them.
+
+    Scale shape: projection to four columns, one grouped exchange on
+    ``conv_col``, then a vectorized prev-user pointer pass
+    (``np.maximum.accumulate`` with per-conversation resets) — no
+    per-row Python."""
+    import pandas as pd
+
+    def _prune(t: pa.Table) -> pa.Table:
+        return t.select([conv_col, turn_col, role_col, text_col])
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_cols = [conv_col, turn_col, "prompt", "response"]
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype=object)
+                                 for c in out_cols})
+        df = df.sort_values([conv_col, turn_col],
+                            kind="mergesort").reset_index(drop=True)
+        n = len(df)
+        gid = df.groupby(conv_col, sort=False).ngroup().to_numpy()
+        starts = np.flatnonzero(np.r_[True, gid[1:] != gid[:-1]])
+        row_start = np.repeat(starts, np.diff(np.append(starts, n)))
+        is_user = (df[role_col] == user_role).to_numpy()
+        src = np.maximum.accumulate(np.where(is_user, np.arange(n), -1))
+        has_prompt = src >= row_start
+        text = df[text_col].to_numpy(dtype=object)
+        prompt = np.where(has_prompt, text[np.maximum(src, 0)], None)
+        take = (df[role_col] == assistant_role).to_numpy()
+        if drop_unprompted:
+            take &= has_prompt
+        out = pd.DataFrame({
+            conv_col: df[conv_col].to_numpy()[take],
+            turn_col: df[turn_col].to_numpy()[take],
+            "prompt": prompt[take],
+            "response": text[take],
+        })
+        return out
+
+    from tenzir_ray.stages.exchange import grouped_apply
+
+    return grouped_apply(ds.map_batches(_prune, batch_format="pyarrow"),
+                         [conv_col], _pairs, num_buckets=buckets,
+                         tag="sftpairs")
+
+
+def turn_latency(ds, conv_col: str = "conv_id", turn_col: str = "turn_idx",
+                 ts_col: str = "ts", buckets: int | None = None):
+    """Per-conversation inter-turn latency profile: the gap between
+    consecutive turns (by ``turn_col`` order) in EXACT microseconds,
+    aggregated to ``n_turns, avg_gap_us, max_gap_us`` per conversation —
+    the agent-responsiveness / scrape-cadence signal a transcript
+    curation pipeline filters on. Single-turn conversations get NULL
+    gaps (count 0 → SQL avg/max NULL).
+
+    Composes the engine's own primitives: one grouped exchange for the
+    ordered lag (:func:`~tenzir_ray.stages.window.window_shift`), a
+    stateless Arrow timestamp subtraction, then the
+    combiner-decomposable summarize — exact int64 microseconds end to
+    end, so results hash-match SQL ``date_diff`` oracles."""
+    from tenzir_ray.stages.summarize import summarize
+    from tenzir_ray.stages.window import window_shift
+
+    def _prune(t: pa.Table) -> pa.Table:
+        return t.select([conv_col, turn_col, ts_col])
+
+    sh = window_shift(ds.map_batches(_prune, batch_format="pyarrow"),
+                      by=conv_col, order_by=turn_col, column=ts_col,
+                      periods=1, out="_prev_ts", buckets=buckets)
+
+    def _gap(t: pa.Table) -> pa.Table:
+        us = pc.cast(
+            pc.subtract(pc.cast(t.column(ts_col), pa.timestamp("us")),
+                        pc.cast(t.column("_prev_ts"), pa.timestamp("us"))),
+            pa.int64())
+        return t.append_column("_gap_us", us)
+
+    gaps = sh.map_batches(_gap, batch_format="pyarrow")
+    return summarize(gaps, by=conv_col, n_turns="count(*)",
+                     avg_gap_us="mean(_gap_us)", max_gap_us="max(_gap_us)")
+
+
 ship_by_value(sys.modules[__name__])

@@ -189,3 +189,53 @@ def test_registry_exposes_transcript_ops():
                  "filter_conversations", "pack_conversations",
                  "alternation_stats", "pack_by_count"):
         assert name in ops
+
+
+def test_sft_pairs(ray_session):
+    from tenzir_ray.stages.transcripts import sft_pairs
+
+    ds, rows = _transcripts(ray_session)
+    out = (sft_pairs(ds).to_pandas()
+           .sort_values(["conv_id", "turn_idx"], ignore_index=True))
+    # reference: walk each conversation, remember last user text
+    df = pd.DataFrame(rows).sort_values(["conv_id", "turn_idx"])
+    want = []
+    for c, g in df.groupby("conv_id"):
+        last_user = None
+        for _, r in g.iterrows():
+            if r["role"] == "assistant":
+                want.append((c, int(r["turn_idx"]), last_user, r["text"]))
+            if r["role"] == "user":
+                last_user = r["text"]
+    assert len(out) == len(want)
+    for (c, t, p, resp), (_, row) in zip(want, out.iterrows()):
+        assert row["conv_id"] == c and row["turn_idx"] == t
+        assert (row["prompt"] == p) or (p is None and pd.isna(row["prompt"]))
+        assert row["response"] == resp
+    # drop_unprompted removes NULL-prompt rows only
+    kept = (sft_pairs(ds, drop_unprompted=True).to_pandas())
+    assert len(kept) == sum(1 for w in want if w[2] is not None)
+    assert not kept["prompt"].isna().any()
+
+
+def test_turn_latency(ray_session):
+    from tenzir_ray.stages.transcripts import turn_latency
+
+    ds, rows = _transcripts(ray_session)
+    out = turn_latency(ds).to_pandas().set_index("conv_id").sort_index()
+    df = pd.DataFrame(rows)
+    for c, g in df.groupby("conv_id"):
+        g = g.sort_values("turn_idx")
+        gaps = g["ts"].diff().dropna().dt.total_seconds() * 1e6
+        r = out.loc[c]
+        assert r["n_turns"] == len(g)
+        assert np.isclose(r["avg_gap_us"], gaps.mean())
+        assert r["max_gap_us"] == gaps.max()
+    # single-turn conversation: NULL gaps
+    one = ray_session.data.from_items([{
+        "conv_id": "solo", "turn_idx": np.int32(0),
+        "ts": pd.Timestamp("2024-01-01"),
+    }])
+    o = turn_latency(one).to_pandas()
+    assert o["n_turns"].tolist() == [1]
+    assert o["avg_gap_us"].isna().all() and o["max_gap_us"].isna().all()
