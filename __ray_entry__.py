@@ -3201,6 +3201,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DuckDB's last-writer-wins over the same derivation
         return _build_sql_lake(sf, "replay").final_table()
 
+    def debezium_replay(sf):
+        # the wire-format half of the flagship pipeline: Debezium JSON
+        # envelopes (built from `events` by the same SQL-mirrorable rule
+        # as cdc_replay_sql) -> parse_debezium -> exactly-once lake apply
+        # -> final table equals DuckDB's LWW over the same derivation
+        import json as _json
+
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data
+
+        from tenzir_ray.cdc import LakeTable
+        from tenzir_ray.cdc.envelopes import parse_debezium
+
+        def _mk(df: pd.DataFrame) -> pd.DataFrame:
+            i = df["event_id"].to_numpy()
+            op = np.where(i % 10 == 9, "d",
+                          np.where(i % 10 >= 6, "u", "c"))
+            conv = ("c" + pd.Series(df["user_id"].to_numpy() % 50)
+                    .astype(str)).to_numpy()
+            turn = ((i // 7) % 20).astype(np.int64)
+            text = (df["event_type"] + "-"
+                    + pd.Series(i).astype(str)).to_numpy()
+            vals = []
+            for k in range(len(df)):
+                p = {"conv_id": conv[k], "turn_idx": int(turn[k]),
+                     "text": text[k]}
+                if op[k] == "d":
+                    env = {"payload": {"before": p, "after": None,
+                                       "op": "d", "ts_ms": int(i[k]),
+                                       "source": {"lsn": int(i[k])}}}
+                else:
+                    env = {"payload": {"before": None, "after": p,
+                                       "op": op[k], "ts_ms": 0,
+                                       "source": {"lsn": int(i[k])}}}
+                vals.append(_json.dumps(env))
+            return pd.DataFrame({"value": vals})
+
+        envs = ray.data.read_parquet(
+            f"{sf}/events.parquet",
+            columns=["event_id", "user_id", "event_type"],
+        ).map_batches(_mk, batch_format="pandas")
+        parsed = parse_debezium(envs, columns={
+            "conv_id": pa.string(), "turn_idx": pa.int32(),
+            "text": pa.string()})
+        root = _scratch("tenzir_ray_cdc_sql",
+                        f"deb-{os.path.basename(os.path.normpath(sf))}")
+        shutil.rmtree(root, ignore_errors=True)
+        lake = LakeTable(root, num_partitions=8)
+        lake.apply_changes(parsed, epoch_id="deb-1")
+        return lake.final_table()
+
     def cdc_multi_writer(sf):
         # multi-writer optimistic concurrency (Delta commit-protocol
         # analog, cdc/manifest.py): TWO LakeTable instances on the same
@@ -4031,6 +4083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replay": cdc_replay,
         "cdc_replay_sql": cdc_replay_sql,
         "cdc_multi_writer": cdc_multi_writer,
+        "debezium_replay": debezium_replay,
         "cdc_point_lookup": cdc_point_lookup,
         "cdc_zorder_pruned": cdc_zorder_pruned,
         "cdc_clone_read": cdc_clone_read,
@@ -5059,6 +5112,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, text FROM w WHERE rn = 1 AND op != 'delete'
         """,
         "cdc_replay_sql": """
+            WITH ch AS (
+                SELECT event_id AS lsn,
+                       CASE WHEN event_id % 10 = 9 THEN 'delete'
+                            WHEN event_id % 10 >= 6 THEN 'update'
+                            ELSE 'insert' END AS op,
+                       'c' || CAST(user_id % 50 AS VARCHAR) AS conv_id,
+                       CAST((event_id // 7) % 20 AS INTEGER) AS turn_idx,
+                       event_type || '-' || CAST(event_id AS VARCHAR) AS text
+                FROM events),
+            w AS (SELECT *, row_number() OVER (
+                      PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) rn
+                  FROM ch)
+            SELECT conv_id, turn_idx, text FROM w WHERE rn = 1 AND op != 'delete'
+        """,
+        "debezium_replay": """
             WITH ch AS (
                 SELECT event_id AS lsn,
                        CASE WHEN event_id % 10 = 9 THEN 'delete'

@@ -164,6 +164,12 @@ def _register_builtins() -> None:
         parse_yaml=parsers.parse_yaml_docs,
         read_zeek_tsv=parsers.read_zeek_tsv,
     )
+    from tenzir_ray.cdc import envelopes as _env
+    OPERATORS.update(
+        parse_debezium=_env.parse_debezium,
+        parse_maxwell=_env.parse_maxwell,
+        parse_wal2json=_env.parse_wal2json,
+    )
     from tenzir_ray.stages import streaming
     OPERATORS.update(
         slice=transforms.slice_,
