@@ -3253,6 +3253,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         lake.apply_changes(parsed, epoch_id="deb-1")
         return lake.final_table()
 
+    def fold_patches_events(sf):
+        # partial-update (patch) stream folding: updates carry only
+        # changed columns (null = unchanged); the oracle folds the same
+        # stream with arg_max over set-rows + a sentinel for insert-nulls
+        import pandas as pd
+        import ray.data
+
+        from tenzir_ray.cdc.envelopes import fold_patches
+
+        def _mk(df: pd.DataFrame) -> pd.DataFrame:
+            i = df["event_id"].to_numpy()
+            op = np.where(i % 10 == 9, "delete",
+                          np.where(i % 10 >= 6, "update", "insert"))
+            a = np.floor(df["value"].to_numpy() * 100)
+            a = np.where(((op == "update") & (i % 3 == 0))
+                         | (op == "delete"), np.nan, a)
+            b = df["event_type"].to_numpy(dtype=object)
+            b = np.where(((op == "update") & (i % 3 == 1))
+                         | (op == "delete"), None, b)
+            return pd.DataFrame({
+                "k": (df["user_id"].to_numpy() % 40).astype(np.int64),
+                "lsn": i.astype(np.int64), "op": op, "a": a, "b": b})
+
+        ch = ray.data.read_parquet(
+            f"{sf}/events.parquet",
+            columns=["event_id", "user_id", "event_type", "value"],
+        ).map_batches(_mk, batch_format="pandas")
+        return fold_patches(ch, keys="k")
+
     def cdc_multi_writer(sf):
         # multi-writer optimistic concurrency (Delta commit-protocol
         # analog, cdc/manifest.py): TWO LakeTable instances on the same
@@ -4084,6 +4113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replay_sql": cdc_replay_sql,
         "cdc_multi_writer": cdc_multi_writer,
         "debezium_replay": debezium_replay,
+        "fold_patches_events": fold_patches_events,
         "cdc_point_lookup": cdc_point_lookup,
         "cdc_zorder_pruned": cdc_zorder_pruned,
         "cdc_clone_read": cdc_clone_read,
@@ -5125,6 +5155,53 @@ def oracle_sql() -> dict[str, str]:
                       PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) rn
                   FROM ch)
             SELECT conv_id, turn_idx, text FROM w WHERE rn = 1 AND op != 'delete'
+        """,
+        "fold_patches_events": """
+            WITH ch AS (
+                SELECT user_id % 40 AS k, event_id AS lsn,
+                       CASE WHEN event_id % 10 = 9 THEN 'delete'
+                            WHEN event_id % 10 >= 6 THEN 'update'
+                            ELSE 'insert' END AS op,
+                       CASE WHEN event_id % 10 = 9
+                              OR (event_id % 10 >= 6 AND event_id % 3 = 0)
+                            THEN NULL ELSE floor(value * 100) END AS a,
+                       CASE WHEN event_id % 10 = 9
+                              OR (event_id % 10 >= 6 AND event_id % 3 = 1)
+                            THEN NULL ELSE event_type END AS b
+                FROM events),
+            f AS (
+                SELECT k, max(lsn) AS lsn,
+                       coalesce(max(CASE WHEN op != 'update' THEN lsn END),
+                                -1) AS blsn
+                FROM ch GROUP BY k),
+            agg AS (
+                SELECT ch.k,
+                       arg_max(ch.op,
+                               CASE WHEN ch.op != 'update'
+                                    THEN ch.lsn END) AS bop,
+                       arg_max(coalesce(CAST(ch.a AS VARCHAR), chr(1)),
+                               CASE WHEN ch.lsn >= f.blsn
+                                     AND (ch.op != 'update'
+                                          OR ch.a IS NOT NULL)
+                                    THEN ch.lsn END) AS a_s,
+                       arg_max(coalesce(ch.b, chr(1)),
+                               CASE WHEN ch.lsn >= f.blsn
+                                     AND (ch.op != 'update'
+                                          OR ch.b IS NOT NULL)
+                                    THEN ch.lsn END) AS b_s
+                FROM ch JOIN f USING (k) GROUP BY ch.k),
+            o AS (
+                SELECT f.k, f.lsn,
+                       CASE WHEN coalesce(agg.bop, 'x') = 'delete'
+                            THEN 'delete' ELSE 'insert' END AS op,
+                       CASE WHEN coalesce(agg.bop, 'x') = 'delete'
+                            THEN NULL
+                            ELSE CAST(NULLIF(a_s, chr(1)) AS DOUBLE)
+                       END AS a,
+                       CASE WHEN coalesce(agg.bop, 'x') = 'delete'
+                            THEN NULL ELSE NULLIF(b_s, chr(1)) END AS b
+                FROM f JOIN agg USING (k))
+            SELECT k, lsn, op, a, b FROM o
         """,
         "debezium_replay": """
             WITH ch AS (

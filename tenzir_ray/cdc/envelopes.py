@@ -236,4 +236,84 @@ def parse_wal2json(ds, column: str = "value",
     return ds.map_batches(_p, batch_format="pyarrow", batch_size=batch_size)
 
 
+def fold_patches(ds, keys, lsn_col: str = "lsn", op_col: str = "op",
+                 buckets: int | None = None):
+    """Collapse a PARTIAL-UPDATE (patch-style) change stream into full
+    images — the semantic gap between wire CDC and LWW apply: Debezium
+    with ``ExtractNewRecordState`` drop-tombstones off, MongoDB
+    ``$set`` updates, and many homegrown binlogs emit updates carrying
+    ONLY the changed columns, null meaning "unchanged". Last-writer-wins
+    take-latest (what :meth:`LakeTable.apply_changes` applies) would
+    wrongly null-out the untouched columns; this stage folds instead:
+
+    - ``insert`` = full image: every column is SET, including its nulls;
+    - ``update`` = patch: only non-null columns overwrite;
+    - ``delete`` = tombstone: the key dies; patches after a delete (and
+      before the next insert) are ignored;
+    - updates with no prior insert build an image from their non-null
+      columns (the common consumer upsert behavior).
+
+    Emits ONE row per key — the folded image with ``op='insert'`` (or a
+    ``'delete'`` tombstone) and the key's max lsn — ready for
+    ``apply_changes`` (single row per key makes LWW trivially correct).
+    Requires the stream to contain each key's full relevant history
+    (true for replays; for incremental epochs against live lake state,
+    use :meth:`LakeTable.merge`, which patches against the base).
+
+    Scale shape: one grouped exchange on the key columns, then a
+    per-task vectorized fold — per column one ``np.maximum.accumulate``
+    last-set-pointer pass with per-segment resets; no per-row Python."""
+    import pandas as pd
+
+    from tenzir_ray.stages.exchange import grouped_apply
+
+    kcols = [keys] if isinstance(keys, str) else list(keys)
+
+    def _fold(df: pd.DataFrame) -> pd.DataFrame:
+        payload = [c for c in df.columns
+                   if c not in kcols + [lsn_col, op_col]]
+        if not len(df):
+            return df
+        df = df.sort_values(kcols + [lsn_col],
+                            kind="mergesort").reset_index(drop=True)
+        n = len(df)
+        gid = df.groupby(kcols, sort=False, dropna=False).ngroup().to_numpy()
+        starts = np.flatnonzero(np.r_[True, gid[1:] != gid[:-1]])
+        ends = np.append(starts[1:], n)
+        row_start = np.repeat(starts, ends - starts)
+        op = df[op_col].to_numpy()
+        idx = np.arange(n)
+        # final segment = rows at/after the key's last boundary
+        # (insert/delete); keys with no boundary start at the key start
+        boundary = op != "update"
+        bsrc = np.maximum.accumulate(np.where(boundary, idx, -1))
+        last_b = np.maximum(bsrc, row_start)  # per-row; rows before a
+        # later boundary are superseded — only the value at each key's
+        # LAST row matters below
+        last_row = ends - 1
+        seg_start = last_b[last_row]          # per-key final segment start
+        dead = op[seg_start] == "delete"
+
+        out = df.iloc[last_row][kcols].reset_index(drop=True)
+        out[lsn_col] = df[lsn_col].to_numpy()[last_row]
+        out[op_col] = np.where(dead, "delete", "insert")
+        for c in payload:
+            vals = df[c].to_numpy(object)
+            set_mask = boundary | ~pd.isna(df[c]).to_numpy()
+            src = np.maximum.accumulate(np.where(set_mask, idx, -1))
+            pick = src[last_row]
+            have = pick >= seg_start
+            col = np.where(have & ~dead, vals[np.maximum(pick, 0)], None)
+            s = pd.Series(col)
+            try:
+                s = s.astype(df[c].dtype)
+            except (TypeError, ValueError):
+                pass  # e.g. int column that gained nulls → inferred
+            out[c] = s
+        return out
+
+    return grouped_apply(ds, kcols, _fold, num_buckets=buckets,
+                         tag="foldpatch")
+
+
 ship_by_value(sys.modules[__name__])

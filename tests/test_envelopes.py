@@ -134,3 +134,54 @@ def test_debezium_to_lake_equals_naive_apply(ray_session, change_log,
     assert len(got) == len(want)
     assert got["conv_id"].tolist() == want["conv_id"].tolist()
     assert got["text"].tolist() == want["text"].tolist()
+
+
+def test_fold_patches_matches_reference(ray_session):
+    import ray.data
+
+    from tenzir_ray.cdc.envelopes import fold_patches
+
+    rng = np.random.default_rng(7)
+    n, K = 4000, 150
+    df = pd.DataFrame({
+        "k": rng.integers(0, K, n),
+        "lsn": rng.permutation(n).astype(np.int64),
+        "op": rng.choice(["insert", "update", "update", "delete"], n,
+                         p=[0.3, 0.3, 0.3, 0.1]),
+        "a": np.where(rng.random(n) < 0.4, None,
+                      rng.integers(0, 100, n).astype(object)),
+        "b": np.where(rng.random(n) < 0.4, None,
+                      np.array([f"s{i % 17}" for i in range(n)],
+                               dtype=object)),
+    })
+    # sequential reference fold (the semantics contract)
+    ref = {}
+    for _, r in df.sort_values(["k", "lsn"]).iterrows():
+        st = ref.get(r["k"])
+        if r["op"] == "insert":
+            ref[r["k"]] = {"a": r["a"], "b": r["b"],
+                           "lsn": r["lsn"], "dead": False}
+        elif r["op"] == "delete":
+            ref[r["k"]] = {"a": None, "b": None,
+                           "lsn": r["lsn"], "dead": True}
+        else:
+            if st is None:
+                ref[r["k"]] = st = {"a": None, "b": None,
+                                    "lsn": r["lsn"], "dead": False}
+            st["lsn"] = r["lsn"]
+            if not st["dead"]:
+                for c in ("a", "b"):
+                    if r[c] is not None and not pd.isna(r[c]):
+                        st[c] = r[c]
+    out = (fold_patches(ray_session.data.from_pandas(df).repartition(7),
+                        keys="k")
+           .to_pandas().sort_values("k", ignore_index=True))
+    assert len(out) == len(ref)
+    for key in sorted(ref):
+        st, r = ref[key], out[out["k"] == key].iloc[0]
+        assert r["lsn"] == st["lsn"] and \
+            r["op"] == ("delete" if st["dead"] else "insert")
+        for c in ("a", "b"):
+            want = None if st["dead"] else st[c]
+            assert (pd.isna(r[c]) and want is None) or r[c] == want, \
+                (key, c, r[c], want)
