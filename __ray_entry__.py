@@ -3253,6 +3253,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         lake.apply_changes(parsed, epoch_id="deb-1")
         return lake.final_table()
 
+    def histogram_events(sf):
+        from tenzir_ray.stages.analytics import histogram
+
+        ev = _read(sf, "events", columns=["value"])
+        return histogram(ev, "value", bins=12, lo=0.0, hi=1000.0)
+
+    def funnel_events(sf):
+        # ordered conversion funnel per user: click -> purchase -> view,
+        # each step strictly after the previous step's first completion
+        from tenzir_ray.stages.analytics import funnel
+
+        ev = _read(sf, "events", columns=["user_id", "ts", "event_type"])
+        return funnel(ev, by="user_id", order_by="ts",
+                      steps=["event_type == 'click'",
+                             "event_type == 'purchase'",
+                             "event_type == 'view'"])
+
+    def retention_events(sf):
+        # daily cohort retention matrix over first-activity cohorts
+        from tenzir_ray.stages.analytics import retention
+
+        ev = _read(sf, "events", columns=["user_id", "ts"])
+        return retention(ev, by="user_id", ts_col="ts", period="1d")
+
     def fold_patches_events(sf):
         # partial-update (patch) stream folding: updates carry only
         # changed columns (null = unchanged); the oracle folds the same
@@ -4114,6 +4138,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_multi_writer": cdc_multi_writer,
         "debezium_replay": debezium_replay,
         "fold_patches_events": fold_patches_events,
+        "histogram_events": histogram_events,
+        "funnel_events": funnel_events,
+        "retention_events": retention_events,
         "cdc_point_lookup": cdc_point_lookup,
         "cdc_zorder_pruned": cdc_zorder_pruned,
         "cdc_clone_read": cdc_clone_read,
@@ -5155,6 +5182,48 @@ def oracle_sql() -> dict[str, str]:
                       PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) rn
                   FROM ch)
             SELECT conv_id, turn_idx, text FROM w WHERE rn = 1 AND op != 'delete'
+        """,
+        "histogram_events": """
+            SELECT CAST(least(greatest(
+                       floor((CAST(value AS DOUBLE) - 0.0) / (1000.0 / 12)),
+                       0), 11) AS BIGINT) AS bin,
+                   CAST(least(greatest(
+                       floor((CAST(value AS DOUBLE) - 0.0) / (1000.0 / 12)),
+                       0), 11) AS DOUBLE) * (1000.0 / 12) + 0.0 AS bin_start,
+                   count(*) AS n
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        """,
+        "funnel_events": """
+            WITH s1 AS (SELECT user_id, min(ts) t1 FROM events
+                        WHERE event_type = 'click' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(ts) t2 FROM events e
+                   JOIN s1 USING (user_id)
+                   WHERE event_type = 'purchase' AND e.ts > s1.t1
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(ts) t3 FROM events e
+                   JOIN s2 USING (user_id)
+                   WHERE event_type = 'view' AND e.ts > s2.t2
+                   GROUP BY e.user_id)
+            SELECT u.user_id, s1.t1 AS step_1, s2.t2 AS step_2,
+                   s3.t3 AS step_3,
+                   (CASE WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END
+                    + CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END
+                    + CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END)
+                       AS steps_completed
+            FROM (SELECT DISTINCT user_id FROM events) u
+            LEFT JOIN s1 USING (user_id)
+            LEFT JOIN s2 USING (user_id)
+            LEFT JOIN s3 USING (user_id)
+        """,
+        "retention_events": """
+            WITH a AS (SELECT user_id,
+                              epoch_us(ts) // 86400000000 AS p
+                       FROM events),
+            f AS (SELECT user_id, min(p) c FROM a GROUP BY user_id)
+            SELECT f.c AS cohort, a.p - f.c AS period_n,
+                   count(DISTINCT a.user_id) AS n
+            FROM a JOIN f USING (user_id) GROUP BY 1, 2
         """,
         "fold_patches_events": """
             WITH ch AS (

@@ -169,6 +169,13 @@ def _register_builtins() -> None:
         parse_debezium=_env.parse_debezium,
         parse_maxwell=_env.parse_maxwell,
         parse_wal2json=_env.parse_wal2json,
+        fold_patches=_env.fold_patches,
+    )
+    from tenzir_ray.stages import analytics as _ana
+    OPERATORS.update(
+        histogram=_ana.histogram,
+        funnel=_ana.funnel,
+        retention=_ana.retention,
     )
     from tenzir_ray.stages import streaming
     OPERATORS.update(

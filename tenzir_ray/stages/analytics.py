@@ -1,0 +1,213 @@
+"""Event-analytics operators: histogram, funnel, retention cohorts.
+
+The product-analytics verbs (Amplitude/Snowplow-style) a pipeline over
+an event stream runs after ingest. The reference has no direct analog
+(closest: ``summarize`` with ``resolution`` buckets, summarize.cpp);
+these compose the engine's scale primitives so each is one exchange or
+a pure combiner pass:
+
+- :func:`histogram` — fixed-width numeric binning. Stateless bin
+  assignment per batch + the combiner-decomposable summarize: no
+  exchange at all beyond the tiny final merge.
+- :func:`funnel` — ordered step progression per entity ("did A, then B
+  after it, then C after that"), optionally within a time budget from
+  step 1. One grouped exchange; per task each step is one vectorized
+  masked-min pass — no per-row Python, k passes for k steps.
+- :func:`retention` — cohort-by-first-activity retention counts. Two
+  combiner summarizes + one broadcast-friendly hash join (first
+  activity is a tiny per-entity table).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from tenzir_ray._ship import ship_by_value
+
+
+def histogram(ds, column: str, bins: int = 10,
+              lo: float | None = None, hi: float | None = None):
+    """Fixed-width histogram of a numeric column: returns one row per
+    OCCUPIED bin — ``(bin, bin_start, n)`` with ``bin =
+    floor((x - lo) / w)`` clamped to ``[0, bins-1]`` (SQL
+    ``width_bucket``-style edge handling: values at/beyond ``hi`` land
+    in the last bin), nulls dropped. ``lo``/``hi`` default to the
+    column min/max, which costs one extra aggregate pass — pass them
+    explicitly on large data to keep it single-pass."""
+    if bins < 1:
+        raise ValueError("histogram: bins must be >= 1")
+    if lo is None or hi is None:
+        import ray.data
+
+        stats = ds.aggregate(ray.data.aggregate.Min(column),
+                             ray.data.aggregate.Max(column))
+        lo = float(stats[f"min({column})"]) if lo is None else lo
+        hi = float(stats[f"max({column})"]) if hi is None else hi
+    if not hi > lo:
+        raise ValueError(f"histogram: need hi > lo, got [{lo}, {hi}]")
+    w = (hi - lo) / bins
+
+    def _bin(t: pa.Table) -> pa.Table:
+        x = t.column(column)
+        valid = pc.is_valid(x)
+        b = pc.floor(pc.divide(pc.subtract(pc.cast(x, pa.float64()), lo), w))
+        b = pc.min_element_wise(pc.max_element_wise(b, 0.0),
+                                float(bins - 1))
+        return pa.table({"bin": pc.cast(b, pa.int64()).filter(valid)})
+
+    from tenzir_ray.stages.summarize import summarize
+
+    out = summarize(ds.map_batches(_bin, batch_format="pyarrow"),
+                    by="bin", n="count(*)")
+
+    def _edges(t: pa.Table) -> pa.Table:
+        start = pc.add(pc.multiply(pc.cast(t.column("bin"), pa.float64()),
+                                   w), lo)
+        return pa.table({"bin": t.column("bin"), "bin_start": start,
+                         "n": t.column("n")})
+
+    return out.map_batches(_edges, batch_format="pyarrow")
+
+
+def funnel(ds, by, order_by: str, steps: list[str],
+           within: str | None = None, buckets: int | None = None):
+    """Ordered funnel per entity: for conversion steps given as
+    expression-language predicates, compute the FIRST time each step
+    completes given the previous step already had (strictly earlier
+    order key), i.e. ``t1 = min(ts | step1)``, ``t2 = min(ts | step2 ∧
+    ts > t1)``, … Returns one row per entity: the key columns,
+    ``step_1..step_k`` completion order-keys (NULL = never reached) and
+    ``steps_completed``. ``within="1h"`` additionally requires every
+    later step to land within that budget of ``t1`` (the classic
+    conversion-window rule).
+
+    One grouped exchange on the entity key; per task each step is one
+    vectorized masked-min over the (already sorted) rows — no per-row
+    Python, k passes for k steps."""
+    from tenzir_ray.expr import compile_filter
+    from tenzir_ray.stages.exchange import grouped_apply
+
+    if not steps:
+        raise ValueError("funnel: need at least one step predicate")
+    kcols = [by] if isinstance(by, str) else list(by)
+    compiled = [compile_filter(s) for s in steps]
+    win_ns = None
+    if within is not None:
+        from tenzir_ray.stages.window import _to_ns
+
+        win_ns = _to_ns(within)
+
+    def _funnel(df: pd.DataFrame) -> pd.DataFrame:
+        names = [f"step_{i + 1}" for i in range(len(steps))]
+        if not len(df):
+            out = df[kcols].iloc[:0].copy()
+            for nm in names:
+                out[nm] = pd.Series([], dtype="float64")
+            out["steps_completed"] = pd.Series([], dtype="int64")
+            return out
+        df = df.sort_values(kcols + [order_by],
+                            kind="mergesort").reset_index(drop=True)
+        n = len(df)
+        gid = df.groupby(kcols, sort=False, dropna=False).ngroup().to_numpy()
+        starts = np.flatnonzero(np.r_[True, gid[1:] != gid[:-1]])
+        G = len(starts)
+        tbl = pa.Table.from_pandas(df, preserve_index=False)
+        ok = df[order_by]
+        is_time = pd.api.types.is_datetime64_any_dtype(ok)
+        keys = (ok.to_numpy(dtype="datetime64[ns]").view("i8")
+                if is_time else ok.to_numpy(dtype=np.float64))
+        masks = [np.asarray(c.mask(tbl)) for c in compiled]
+
+        INF = np.iinfo(np.int64).max if is_time else np.inf
+        prev = np.full(G, -np.inf if not is_time else np.iinfo(np.int64).min)
+        # t0 sentinel: step 1 has no predecessor constraint
+        first = None
+        times = []
+        for mi, m in enumerate(masks):
+            # candidate rows: step matches AND key strictly after the
+            # entity's previous-step time (and inside the window budget)
+            cand = m & ~pd.isna(ok).to_numpy()
+            if mi > 0:
+                cand &= keys > prev[gid]
+                if win_ns is not None:
+                    # budget from step 1; INF-safe (no int64 overflow on
+                    # never-reached entities — they are gated off anyway)
+                    budget = np.where(first == INF, INF, first + win_ns)
+                    cand &= keys <= budget[gid]
+            masked = np.where(cand, keys, INF)
+            tmin = np.minimum.reduceat(masked, starts)
+            hit = tmin != INF
+            t = np.where(hit, tmin, INF)
+            times.append((t, hit))
+            prev = np.where(hit, t, INF)  # unreached: later steps gated off
+            if mi == 0:
+                first = np.where(hit, t, INF)
+
+        out = df[kcols].iloc[starts].reset_index(drop=True)
+        completed = np.zeros(G, dtype=np.int64)
+        chain_alive = np.ones(G, dtype=bool)
+        for nm, (t, hit) in zip(names, times):
+            chain_alive &= hit
+            completed += chain_alive.astype(np.int64)
+            reached = chain_alive
+            if is_time:
+                col = pd.Series(np.where(reached, t, 0)
+                                .astype("datetime64[ns]"))
+                out[nm] = col.where(pd.Series(reached), pd.NaT)
+            else:
+                out[nm] = np.where(reached, t, np.nan)
+        out["steps_completed"] = completed
+        return out
+
+    return grouped_apply(ds, kcols, _funnel, num_buckets=buckets,
+                         tag="funnel")
+
+
+def retention(ds, by: str, ts_col: str, period: str = "1d",
+              max_periods: int | None = None):
+    """Cohort retention: bucket each entity's FIRST activity into a
+    cohort period, then count DISTINCT entities active ``k`` periods
+    later — the ``(cohort, period_n, n)`` retention matrix (``period_n
+    = 0`` is the cohort size itself).
+
+    Scale shape: first-activity is one combiner ``min`` aggregate (tiny
+    output: one row per entity), joined back over the packed exchange;
+    the matrix is one ``count_distinct`` aggregate. No driver pass."""
+    from tenzir_ray.stages.join import hash_join
+    from tenzir_ray.stages.summarize import summarize
+    from tenzir_ray.stages.window import _to_ns
+
+    step_ns = _to_ns(period)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        # integer epoch division — float64 would lose ns precision at
+        # 1e18 and mis-bucket edge timestamps
+        ts = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")),
+                     pa.int64())
+        b = pc.divide(ts, step_ns // 1000)
+        return pa.table({by: t.column(by), "_p": b})
+
+    acts = ds.map_batches(_bucket, batch_format="pyarrow")
+    first = summarize(acts, by=by, _cohort="min(_p)")
+    joined = hash_join(acts, first, on=by)
+
+    def _rel(t: pa.Table) -> pa.Table:
+        rel = pc.subtract(t.column("_p"), t.column("_cohort"))
+        return pa.table({by: t.column(by), "cohort": t.column("_cohort"),
+                         "period_n": rel})
+
+    rel = joined.map_batches(_rel, batch_format="pyarrow")
+    if max_periods is not None:
+        from tenzir_ray.stages.transforms import where
+
+        rel = where(rel, f"period_n <= {int(max_periods)}")
+    return summarize(rel, by=["cohort", "period_n"],
+                     n=f"count_distinct({by})")
+
+
+ship_by_value(sys.modules[__name__])
