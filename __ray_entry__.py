@@ -3277,6 +3277,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = _read(sf, "events", columns=["user_id", "ts"])
         return retention(ev, by="user_id", ts_col="ts", period="1d")
 
+    def scd2_history_events(sf):
+        # SCD Type-2 version timeline from the cdc_replay_sql derivation
+        import pandas as pd
+        import ray.data
+
+        from tenzir_ray.cdc.history import scd2_history
+
+        def _mk(df: pd.DataFrame) -> pd.DataFrame:
+            i = df["event_id"].to_numpy()
+            op = np.where(i % 10 == 9, "delete",
+                          np.where(i % 10 >= 6, "update", "insert"))
+            return pd.DataFrame({
+                "lsn": i.astype(np.int64), "op": op,
+                "conv_id": "c" + pd.Series(
+                    df["user_id"].to_numpy() % 50).astype(str),
+                "turn_idx": ((i // 7) % 20).astype(np.int32),
+                "text": df["event_type"] + "-" + pd.Series(i).astype(str),
+            })
+
+        ch = ray.data.read_parquet(
+            f"{sf}/events.parquet",
+            columns=["event_id", "user_id", "event_type"],
+        ).map_batches(_mk, batch_format="pandas")
+        return scd2_history(ch, keys=["conv_id", "turn_idx"])
+
+    def lsn_gaps_events(sf):
+        # stream-continuity audit: every 97th lsn dropped on purpose
+        from tenzir_ray.cdc.history import lsn_gaps
+
+        ev = _read(sf, "events", columns=["event_id", "user_id"])
+        ev = T.where(ev, "event_id % 97 != 0")
+        ev = T.put(ev, lsn="event_id", part="user_id % 8")
+        return lsn_gaps(ev, by="part")
+
     def fold_patches_events(sf):
         # partial-update (patch) stream folding: updates carry only
         # changed columns (null = unchanged); the oracle folds the same
@@ -4138,6 +4172,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_multi_writer": cdc_multi_writer,
         "debezium_replay": debezium_replay,
         "fold_patches_events": fold_patches_events,
+        "scd2_history_events": scd2_history_events,
+        "lsn_gaps_events": lsn_gaps_events,
         "histogram_events": histogram_events,
         "funnel_events": funnel_events,
         "retention_events": retention_events,
@@ -5182,6 +5218,37 @@ def oracle_sql() -> dict[str, str]:
                       PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) rn
                   FROM ch)
             SELECT conv_id, turn_idx, text FROM w WHERE rn = 1 AND op != 'delete'
+        """,
+        "scd2_history_events": """
+            WITH ch AS (
+                SELECT event_id AS lsn,
+                       CASE WHEN event_id % 10 = 9 THEN 'delete'
+                            WHEN event_id % 10 >= 6 THEN 'update'
+                            ELSE 'insert' END AS op,
+                       'c' || CAST(user_id % 50 AS VARCHAR) AS conv_id,
+                       CAST((event_id // 7) % 20 AS INTEGER) AS turn_idx,
+                       event_type || '-' || CAST(event_id AS VARCHAR) AS text
+                FROM events),
+            v AS (SELECT conv_id, turn_idx, op, text, lsn AS valid_from,
+                         lead(lsn) OVER (PARTITION BY conv_id, turn_idx
+                                         ORDER BY lsn) AS valid_to
+                  FROM ch)
+            SELECT conv_id, turn_idx, text, valid_from,
+                   CAST(valid_to AS DOUBLE) AS valid_to,
+                   valid_to IS NULL AS is_current
+            FROM v WHERE op != 'delete'
+        """,
+        "lsn_gaps_events": """
+            WITH f AS (SELECT event_id AS lsn, user_id % 8 AS part
+                       FROM events WHERE event_id % 97 != 0),
+            d AS (SELECT part, lsn,
+                         lag(lsn) OVER (PARTITION BY part ORDER BY lsn) pl
+                  FROM f)
+            SELECT part, count(*) AS n_rows, min(lsn) AS lsn_min,
+                   max(lsn) AS lsn_max,
+                   coalesce(sum(greatest(lsn - pl - 1, 0)), 0) AS n_missing,
+                   coalesce(max(greatest(lsn - pl - 1, 0)), 0) AS max_gap
+            FROM d GROUP BY part
         """,
         "histogram_events": """
             SELECT CAST(least(greatest(

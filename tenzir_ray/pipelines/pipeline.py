@@ -171,6 +171,11 @@ def _register_builtins() -> None:
         parse_wal2json=_env.parse_wal2json,
         fold_patches=_env.fold_patches,
     )
+    from tenzir_ray.cdc import history as _hist
+    OPERATORS.update(
+        scd2_history=_hist.scd2_history,
+        lsn_gaps=_hist.lsn_gaps,
+    )
     from tenzir_ray.stages import analytics as _ana
     OPERATORS.update(
         histogram=_ana.histogram,

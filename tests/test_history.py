@@ -1,0 +1,66 @@
+"""SCD Type-2 history and LSN gap audits (cdc/history.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _stream():
+    rows = [
+        # key A: insert, update, update -> 3 versions, last current
+        {"lsn": 1, "op": "insert", "k": "A", "v": "a1"},
+        {"lsn": 5, "op": "update", "k": "A", "v": "a2"},
+        {"lsn": 9, "op": "update", "k": "A", "v": "a3"},
+        # key B: insert, delete -> 1 closed version, no current
+        {"lsn": 2, "op": "insert", "k": "B", "v": "b1"},
+        {"lsn": 4, "op": "delete", "k": "B", "v": None},
+        # key C: insert only -> current
+        {"lsn": 7, "op": "insert", "k": "C", "v": "c1"},
+    ]
+    return rows
+
+
+def test_scd2_history(ray_session):
+    from tenzir_ray.cdc.history import scd2_history
+
+    out = (scd2_history(ray_session.data.from_items(_stream()), keys="k")
+           .to_pandas().sort_values(["k", "valid_from"], ignore_index=True))
+    recs = out.to_dict("records")
+    assert [(r["k"], r["valid_from"],
+             None if pd.isna(r["valid_to"]) else int(r["valid_to"]),
+             bool(r["is_current"])) for r in recs] == [
+        ("A", 1, 5, False), ("A", 5, 9, False), ("A", 9, None, True),
+        ("B", 2, 4, False),  # closed by the delete, which emits no row
+        ("C", 7, None, True),
+    ]
+    # live view == is_current rows
+    assert out[out["is_current"]]["v"].tolist() == ["a3", "c1"]
+
+
+def test_lsn_gaps(ray_session):
+    from tenzir_ray.cdc.history import lsn_gaps
+
+    rng = np.random.default_rng(3)
+    lsns = np.arange(1000)
+    keep = lsns[lsns % 97 != 0]
+    df = pd.DataFrame({"lsn": keep, "part": keep % 4})
+    per = (lsn_gaps(ray_session.data.from_pandas(df).repartition(5),
+                    by="part")
+           .to_pandas().sort_values("part", ignore_index=True))
+    for _, r in per.iterrows():
+        have = set(keep[keep % 4 == r["part"]])
+        lo, hi = min(have), max(have)
+        missing = sum(1 for x in range(lo, hi + 1) if x not in have)
+        assert r["n_rows"] == len(have) and r["lsn_min"] == lo
+        assert r["n_missing"] == missing
+    g = lsn_gaps(ray_session.data.from_pandas(df).repartition(5)).to_pandas()
+    have = set(keep)
+    lo, hi = min(have), max(have)
+    assert len(g) == 1
+    assert g["n_missing"][0] == sum(1 for x in range(lo, hi + 1)
+                                    if x not in have)
+    assert g["max_gap"][0] == 1
+    # duplicates count as covered
+    dup = pd.DataFrame({"lsn": [1, 1, 2, 5]})
+    d = lsn_gaps(ray_session.data.from_pandas(dup)).to_pandas()
+    assert d["n_missing"][0] == 2 and d["n_rows"][0] == 4
