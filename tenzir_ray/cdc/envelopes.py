@@ -42,11 +42,19 @@ import pyarrow.compute as pc
 from tenzir_ray._ship import ship_by_value
 
 #: Debezium op codes → engine ops (c=create, r=snapshot read, u=update,
-#: d=delete, t=truncate)
+#: d=delete). Truncate ('t') has no key, so it cannot be expressed as a
+#: keyed LWW change — those records (and unknown op codes) are DROPPED
+#: rather than forwarded, where apply_changes would keep them as
+#: phantom live rows (its LWW only special-cases op == 'delete').
 _DEBEZIUM_OPS = {"c": "insert", "r": "insert", "u": "update",
-                 "d": "delete", "t": "truncate"}
-_WAL2JSON_OPS = {"I": "insert", "U": "update", "D": "delete",
-                 "T": "truncate"}
+                 "d": "delete"}
+#: Maxwell 'type' values → engine ops. bootstrap-insert is a full-row
+#: snapshot insert; framing/DDL records (bootstrap-start/-complete,
+#: table-create/-alter/-drop, ...) are dropped for the same reason as
+#: Debezium truncates.
+_MAXWELL_OPS = {"insert": "insert", "update": "update",
+                "delete": "delete", "bootstrap-insert": "insert"}
+_WAL2JSON_OPS = {"I": "insert", "U": "update", "D": "delete"}
 
 
 def _read_json_column(arr) -> tuple[pa.Table, np.ndarray]:
@@ -146,6 +154,8 @@ def parse_debezium(ds, column: str = "value",
                         pc.if_else(is_del, v, o)
                 fields[f] = v
         out = pa.table({"lsn": lsn.cast(pa.int64()), "op": op, **fields})
+        # unknown op codes and truncates mapped to null above: drop them
+        out = out.filter(pc.is_valid(out.column("op")))
         return _cast_payload(out, columns)
 
     return ds.map_batches(_p, batch_format="pyarrow", batch_size=batch_size)
@@ -153,11 +163,14 @@ def parse_debezium(ds, column: str = "value",
 
 def parse_maxwell(ds, column: str = "value",
                   columns: dict | None = None, batch_size: int = 8192):
-    """Maxwell daemon envelope → change rows: ``type`` is already
-    insert/update/delete; payload is ``data`` (Maxwell deletes carry the
-    deleted row in ``data``); ``lsn`` prefers ``xid`` and falls back to
-    ``ts`` (seconds). ``old`` (changed-column previous values) is
-    dropped — LWW apply needs only the new image."""
+    """Maxwell daemon envelope → change rows: ``type``
+    insert/update/delete maps through verbatim and ``bootstrap-insert``
+    becomes an insert; framing/DDL types (bootstrap-start/-complete,
+    table-create/-alter/-drop, ...) are dropped. Payload is ``data``
+    (Maxwell deletes carry the deleted row in ``data``); ``lsn``
+    prefers ``xid`` and falls back to ``ts`` (seconds). ``old``
+    (changed-column previous values) is dropped — LWW apply needs only
+    the new image."""
 
     def _p(t: pa.Table) -> pa.Table:
         parsed, _ = _read_json_column(t.column(column))
@@ -166,8 +179,12 @@ def parse_maxwell(ds, column: str = "value",
                 pa.table({"lsn": pa.array([], pa.int64()),
                           "op": pa.array([], pa.string())}), columns)
         names = set(parsed.column_names)
-        op = parsed.column("type") if "type" in names else \
+        op_raw = parsed.column("type") if "type" in names else \
             pa.nulls(parsed.num_rows, pa.string())
+        op = pc.case_when(
+            pc.make_struct(*[pc.equal(op_raw, k) for k in _MAXWELL_OPS]),
+            *[pa.scalar(v) for v in _MAXWELL_OPS.values()],
+            pa.scalar(None, pa.string()))
         lsn = None
         if "xid" in names:
             lsn = parsed.column("xid").cast(pa.int64())
@@ -182,6 +199,7 @@ def parse_maxwell(ds, column: str = "value",
             fields = {f: pc.struct_field(data, f)
                       for f in _struct_fields(data)}
         out = pa.table({"lsn": lsn, "op": op, **fields})
+        out = out.filter(pc.is_valid(out.column("op")))
         return _cast_payload(out, columns)
 
     return ds.map_batches(_p, batch_format="pyarrow", batch_size=batch_size)
@@ -198,8 +216,9 @@ def _pg_lsn(s):
 def parse_wal2json(ds, column: str = "value",
                    columns: dict | None = None, batch_size: int = 8192):
     """wal2json format-version-2 records → change rows. ``action``
-    I/U/D/T maps to insert/update/delete/truncate; B(egin)/C(ommit)/
-    M(essage) records are dropped; payload fields come from
+    I/U/D maps to insert/update/delete; B(egin)/C(ommit)/M(essage)
+    framing and keyless T(runcate) records are dropped (truncate has no
+    keyed-LWW representation); payload fields come from
     ``columns`` (``identity`` for deletes); ``lsn`` parses the
     PostgreSQL ``X/Y`` hex form when present.
 
@@ -213,12 +232,12 @@ def parse_wal2json(ds, column: str = "value",
         col = t.column(column)
         for v in (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
                   else col).to_pylist():
-            if not v:
+            if not v or v.isspace():
                 continue
             d = json.loads(v)
             action = d.get("action")
             if action not in _WAL2JSON_OPS:
-                continue  # B/C/M framing records
+                continue  # B/C/M/T framing + truncate records
             src = d.get("columns") if action != "D" else \
                 (d.get("identity") or d.get("columns"))
             payload = {c["name"]: c.get("value") for c in (src or [])}
@@ -273,7 +292,12 @@ def fold_patches(ds, keys, lsn_col: str = "lsn", op_col: str = "op",
         payload = [c for c in df.columns
                    if c not in kcols + [lsn_col, op_col]]
         if not len(df):
-            return df
+            # grouped_apply pins the empty-input schema from this call:
+            # keep the same column order (and object-typed op) as the
+            # non-empty fold so both paths emit one stable schema
+            out = df[kcols + [lsn_col, op_col] + payload].copy()
+            out[op_col] = out[op_col].astype(object)
+            return out
         df = df.sort_values(kcols + [lsn_col],
                             kind="mergesort").reset_index(drop=True)
         n = len(df)

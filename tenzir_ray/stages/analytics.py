@@ -36,9 +36,11 @@ def histogram(ds, column: str, bins: int = 10,
     OCCUPIED bin — ``(bin, bin_start, n)`` with ``bin =
     floor((x - lo) / w)`` clamped to ``[0, bins-1]`` (SQL
     ``width_bucket``-style edge handling: values at/beyond ``hi`` land
-    in the last bin), nulls dropped. ``lo``/``hi`` default to the
-    column min/max, which costs one extra aggregate pass — pass them
-    explicitly on large data to keep it single-pass."""
+    in the last bin), nulls and NaNs dropped. ``lo``/``hi`` default to
+    the column min/max, which costs one extra aggregate pass — pass
+    them explicitly on large data to keep it single-pass. An all-null/
+    empty column yields zero rows; a constant column puts everything in
+    bin 0."""
     if bins < 1:
         raise ValueError("histogram: bins must be >= 1")
     if lo is None or hi is None:
@@ -46,16 +48,28 @@ def histogram(ds, column: str, bins: int = 10,
 
         stats = ds.aggregate(ray.data.aggregate.Min(column),
                              ray.data.aggregate.Max(column))
-        lo = float(stats[f"min({column})"]) if lo is None else lo
-        hi = float(stats[f"max({column})"]) if hi is None else hi
+        mn, mx = stats[f"min({column})"], stats[f"max({column})"]
+        if (lo is None and mn is None) or (hi is None and mx is None):
+            # all-null or empty column: no occupied bins
+            return ray.data.from_arrow(pa.table({
+                "bin": pa.array([], pa.int64()),
+                "bin_start": pa.array([], pa.float64()),
+                "n": pa.array([], pa.int64())}))
+        lo = float(mn) if lo is None else lo
+        hi = float(mx) if hi is None else hi
+    if hi == lo:
+        hi = lo + 1.0  # constant column: one well-defined bin
     if not hi > lo:
         raise ValueError(f"histogram: need hi > lo, got [{lo}, {hi}]")
     w = (hi - lo) / bins
 
     def _bin(t: pa.Table) -> pa.Table:
-        x = t.column(column)
-        valid = pc.is_valid(x)
-        b = pc.floor(pc.divide(pc.subtract(pc.cast(x, pa.float64()), lo), w))
+        x = pc.cast(t.column(column), pa.float64())
+        # NaN is is_valid=True, but Arrow's min/max_element_wise skip
+        # NaN during clamping and would silently count it in bin 0 —
+        # drop it alongside nulls instead
+        valid = pc.and_kleene(pc.is_valid(x), pc.invert(pc.is_nan(x)))
+        b = pc.floor(pc.divide(pc.subtract(x, lo), w))
         b = pc.min_element_wise(pc.max_element_wise(b, 0.0),
                                 float(bins - 1))
         return pa.table({"bin": pc.cast(b, pa.int64()).filter(valid)})
@@ -105,9 +119,15 @@ def funnel(ds, by, order_by: str, steps: list[str],
     def _funnel(df: pd.DataFrame) -> pd.DataFrame:
         names = [f"step_{i + 1}" for i in range(len(steps))]
         if not len(df):
+            # pin the empty-input schema to the non-empty one: step
+            # columns are datetime64[ns] for timestamp order keys,
+            # float64 otherwise
+            step_dt = ("datetime64[ns]"
+                       if pd.api.types.is_datetime64_any_dtype(df[order_by])
+                       else "float64")
             out = df[kcols].iloc[:0].copy()
             for nm in names:
-                out[nm] = pd.Series([], dtype="float64")
+                out[nm] = pd.Series([], dtype=step_dt)
             out["steps_completed"] = pd.Series([], dtype="int64")
             return out
         df = df.sort_values(kcols + [order_by],

@@ -224,13 +224,17 @@ def gopher_quality(ds, column: str = "text", batch_size: int = 4096):
     def _g(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         text = df[column].fillna("")
-        words = text.str.split()
-        wc = words.str.len().to_numpy(dtype=np.float64)
+        # tokenize on the RE2 \s class ([\t\n\f\r ]) — NOT Python's
+        # unicode \s — so counts agree with the string_split_regex
+        # oracle on \x0b/NBSP/ideographic-space bytes in scraped text
+        ex = text.str.split(r"[\t\n\f\r ]+", regex=True).explode().dropna()
+        ex = ex[ex.str.len() > 0]
+        wc = (ex.groupby(level=0).size()
+              .reindex(df.index, fill_value=0).to_numpy(dtype=np.float64))
         wc_c = np.maximum(wc, 1.0)
-        # sum of word lengths = non-whitespace chars (words are maximal
-        # non-space runs)
-        word_chars = text.str.replace(r"\s+", "", regex=True).str.len() \
-            .to_numpy(dtype=np.float64)
+        word_chars = (ex.str.len().groupby(level=0).sum()
+                      .reindex(df.index, fill_value=0)
+                      .to_numpy(dtype=np.float64))
         mwl = np.where(wc > 0, word_chars / wc_c, 0.0)
         n_hash = text.str.count("#", flags=0).to_numpy(dtype=np.float64)
         # str.count on the literal counts non-overlapping occurrences —
@@ -239,7 +243,6 @@ def gopher_quality(ds, column: str = "text", batch_size: int = 4096):
                  + text.str.count("…")).to_numpy(dtype=np.float64)
         symbol_ratio = (n_hash + n_ell) / wc_c
 
-        ex = words.explode().dropna()
         alpha = (ex.str.contains("[A-Za-z]", regex=True)
                  .groupby(level=0).sum()
                  .reindex(df.index, fill_value=0)
@@ -255,12 +258,13 @@ def gopher_quality(ds, column: str = "text", batch_size: int = 4096):
         n_lines = lines.groupby(level=0).size() \
             .reindex(df.index, fill_value=0).to_numpy(dtype=np.float64)
         nl_c = np.maximum(n_lines, 1.0)
-        bullet = (lines.str.match(r"\s*[•\-\*]", na=False)
+        # POSIX [[:space:]] (ASCII incl. \v), matching the oracle's RE2
+        bullet = (lines.str.match(r"[ \t\n\r\f\v]*[•\-\*]", na=False)
                   .groupby(level=0).sum()
                   .reindex(df.index, fill_value=0)
                   .to_numpy(dtype=np.float64))
-        ell_end = (lines.str.contains(r"(?:\.\.\.|…)\s*$", regex=True,
-                                      na=False)
+        ell_end = (lines.str.contains(r"(?:\.\.\.|…)[ \t\n\r\f\v]*$",
+                                      regex=True, na=False)
                    .groupby(level=0).sum()
                    .reindex(df.index, fill_value=0)
                    .to_numpy(dtype=np.float64))

@@ -302,7 +302,10 @@ def sft_pairs(ds, conv_col: str = "conv_id", turn_col: str = "turn_idx",
         gid = df.groupby(conv_col, sort=False).ngroup().to_numpy()
         starts = np.flatnonzero(np.r_[True, gid[1:] != gid[:-1]])
         row_start = np.repeat(starts, np.diff(np.append(starts, n)))
-        is_user = (df[role_col] == user_role).to_numpy()
+        # IGNORE NULLS: a user turn with null text is skipped, the
+        # pointer keeps the last user turn that HAS text
+        is_user = ((df[role_col] == user_role)
+                   & df[text_col].notna()).to_numpy()
         src = np.maximum.accumulate(np.where(is_user, np.arange(n), -1))
         has_prompt = src >= row_start
         text = df[text_col].to_numpy(dtype=object)

@@ -77,3 +77,47 @@ def test_retention_matrix(ray_session):
                        ts_col="ts", period="1d",
                        max_periods=1).to_pandas()
     assert capped["period_n"].max() == 1
+
+
+def test_histogram_nan_allnull_constant(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages.analytics import histogram
+
+    # NaN values are dropped, not counted into bin 0
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"v": [0.0, float("nan"), 9.0, float("nan")]}))
+    out = histogram(ds, "v", bins=3).to_pandas().sort_values(
+        "bin", ignore_index=True)
+    assert out["n"].tolist() == [1, 1]
+    assert out["bin"].tolist() == [0, 2]
+
+    # all-null column: empty result with the canonical schema
+    ds = ray.data.from_pandas(pd.DataFrame({"v": pd.Series(
+        [None, None], dtype="float64")}))
+    out = histogram(ds, "v", bins=4)
+    assert out.count() == 0
+    assert out.schema().names == ["bin", "bin_start", "n"]
+
+    # constant column: everything in bin 0, no hi > lo error
+    ds = ray.data.from_pandas(pd.DataFrame({"v": [7.0, 7.0, 7.0]}))
+    out = histogram(ds, "v", bins=5).to_pandas()
+    assert out["bin"].tolist() == [0] and out["n"].tolist() == [3]
+    assert out["bin_start"].tolist() == [7.0]
+
+
+def test_funnel_empty_input_timestamp_schema(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages.analytics import funnel
+
+    base = pd.DataFrame({
+        "u": pd.Series([], dtype=object),
+        "ts": pd.Series([], dtype="datetime64[ns]"),
+        "ev": pd.Series([], dtype=object)})
+    out = funnel(ray.data.from_pandas(base), by="u", order_by="ts",
+                 steps=["ev == 'a'", "ev == 'b'"])
+    sch = out.schema()
+    i1 = sch.names.index("step_1")
+    assert "datetime64" in str(sch.base_schema.types[i1]) \
+        or "timestamp" in str(sch.base_schema.types[i1])

@@ -185,3 +185,68 @@ def test_fold_patches_matches_reference(ray_session):
             want = None if st["dead"] else st[c]
             assert (pd.isna(r[c]) and want is None) or r[c] == want, \
                 (key, c, r[c], want)
+
+
+def test_unmappable_ops_dropped_not_forwarded(ray_session):
+    """Truncate / framing / unknown op codes must never reach the lake,
+    where LWW would keep them as phantom live rows."""
+    import ray.data
+
+    from tenzir_ray.cdc.envelopes import (parse_debezium, parse_maxwell,
+                                          parse_wal2json)
+
+    dbz = [
+        {"value": json.dumps({"op": "t", "before": None, "after": None,
+                              "ts_ms": 1})},       # truncate: keyless
+        {"value": json.dumps({"op": "zz", "after": {"k": 1}, "ts_ms": 2})},
+        {"value": json.dumps({"op": "c", "after": {"k": 2, "v": "x"},
+                              "ts_ms": 3})},
+    ]
+    out = parse_debezium(ray.data.from_items(dbz),
+                         columns={"k": pa.int64(), "v": pa.string()}
+                         ).to_pandas()
+    assert out["op"].tolist() == ["insert"] and out["k"].tolist() == [2]
+
+    mxw = [
+        {"value": json.dumps({"type": "bootstrap-insert", "ts": 1,
+                              "data": {"k": 5}})},   # snapshot insert
+        {"value": json.dumps({"type": "bootstrap-start", "ts": 2})},
+        {"value": json.dumps({"type": "table-create", "ts": 3})},
+        {"value": json.dumps({"type": "delete", "ts": 4,
+                              "data": {"k": 5}})},
+    ]
+    out = parse_maxwell(ray.data.from_items(mxw),
+                        columns={"k": pa.int64()}
+                        ).to_pandas().sort_values("lsn", ignore_index=True)
+    assert out["op"].tolist() == ["insert", "delete"]
+    assert out["k"].tolist() == [5, 5]
+
+    w2j = [
+        {"value": " "},    # whitespace-only keepalive line
+        {"value": "\n"},
+        {"value": json.dumps({"action": "T", "lsn": "0/1"})},  # truncate
+        {"value": json.dumps({"action": "I", "lsn": "0/2",
+                              "columns": [{"name": "k", "value": 9}]})},
+    ]
+    out = parse_wal2json(ray.data.from_items(w2j),
+                         columns={"k": pa.int64()}).to_pandas()
+    assert out["op"].tolist() == ["insert"] and out["k"].tolist() == [9]
+
+
+def test_fold_patches_empty_input_schema_stable(ray_session):
+    """grouped_apply pins the empty-input schema from the fold callback:
+    it must match the non-empty output's column order."""
+    import ray.data
+
+    from tenzir_ray.cdc.envelopes import fold_patches
+
+    base = pd.DataFrame({"lsn": pd.Series([], dtype="int64"),
+                         "op": pd.Series([], dtype=object),
+                         "k": pd.Series([], dtype=object),
+                         "x": pd.Series([], dtype="float64")})
+    empty = fold_patches(ray.data.from_pandas(base), keys="k")
+    full = fold_patches(ray.data.from_pandas(pd.DataFrame({
+        "lsn": [1, 2], "op": ["insert", "update"],
+        "k": ["a", "a"], "x": [1.0, None]})), keys="k")
+    es, fs = empty.schema(), full.schema()
+    assert es.names == fs.names == ["k", "lsn", "op", "x"]

@@ -553,3 +553,29 @@ def test_gopher_quality_rules(ray_session):
     assert out.loc[2, "symbol_ratio"] > 0.1
     assert out.loc[3, "bullet_frac"] >= 0.9
     assert out.loc[4, "wc"] == 0
+
+
+def test_gopher_tokenizer_matches_re2_whitespace(ray_session):
+    """Engine word counts must agree with the RE2 \\s oracle on bytes
+    Python treats as whitespace but RE2 does not (\\x0b, NBSP, U+3000)."""
+    import duckdb
+    import ray.data
+
+    from tenzir_ray.stages.text import gopher_quality
+
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate([
+        "one two\x0bthree four",       # \x0b: one token 'two\x0bthree'
+        "a\xa0b c",                    # NBSP inside a token
+        "x　y z",                  # ideographic space
+        "line one\n still line",  # U+2028 not a \n line break
+        "plain words only here",
+    ])]
+    out = (gopher_quality(ray.data.from_items(rows))
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    ora = duckdb.sql("""
+        SELECT doc_id, len(list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '')) AS wc
+        FROM (SELECT UNNEST($rows, recursive := true))
+        ORDER BY doc_id
+    """, params={"rows": rows}).df()
+    assert out["wc"].tolist() == ora["wc"].tolist()

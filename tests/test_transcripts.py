@@ -239,3 +239,27 @@ def test_turn_latency(ray_session):
     o = turn_latency(one).to_pandas()
     assert o["n_turns"].tolist() == [1]
     assert o["avg_gap_us"].isna().all() and o["max_gap_us"].isna().all()
+
+
+def test_sft_pairs_skips_null_text_user_turns(ray_session):
+    """IGNORE NULLS: a user turn with NULL text must not blank out the
+    prompt — the closest preceding user turn WITH text wins."""
+    import ray.data
+
+    from tenzir_ray.stages.transcripts import sft_pairs
+
+    df = pd.DataFrame({
+        "conv_id": ["c"] * 5,
+        "turn_idx": [0, 1, 2, 3, 4],
+        "role": ["user", "assistant", "user", "assistant", "assistant"],
+        "text": ["hello", "hi", None, "resp1", "resp2"],
+    })
+    out = (sft_pairs(ray.data.from_pandas(df))
+           .to_pandas().sort_values("turn_idx", ignore_index=True))
+    assert out["prompt"].tolist() == ["hello", "hello", "hello"]
+    assert out["response"].tolist() == ["hi", "resp1", "resp2"]
+
+    # drop_unprompted keeps pairs whose earlier non-null prompt exists
+    out2 = (sft_pairs(ray.data.from_pandas(df), drop_unprompted=True)
+            .to_pandas())
+    assert len(out2) == 3
