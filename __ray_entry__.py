@@ -1339,6 +1339,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             unroll kept
         """)
 
+    def tql2_list_lambda(sf):
+        # TQL2 list literals (tql2/parser.cpp parse_list) + list
+        # lambdas: build a per-row list, filter it with a `=>`
+        # predicate, transform it with a `=>` mapper — all vectorized
+        # (flatten once, one kernel over the flat values)
+        from tenzir_ray.pipelines.tql2 import run_pipeline2
+
+        return run_pipeline2(f"""
+            from "{sf}/orders.parquet"
+            where o_orderkey <= 2000
+            xs = [o_orderkey, o_orderkey * 2, o_orderkey * 3]
+            evens = where(xs, x => x % 2 == 0)
+            bumped = map(evens, x => x + 1)
+            n_even = o_orderkey % 2
+            select o_orderkey, bumped, n_even
+        """)
+
     def tql2_revenue(sf):
         # TQL2-flavored front-end (tql2/parser.cpp subset): newline
         # statements, assignment sugar, from-with-loader-inference,
@@ -4108,6 +4125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pipeline_revenue": pipeline_revenue,
         "tql_revenue": tql_revenue,
         "tql2_revenue": tql2_revenue,
+        "tql2_list_lambda": tql2_list_lambda,
         "slice_stride_orders": slice_stride_orders,
         "syslog_parse": syslog_parse,
         "streaming_dedup_types": streaming_dedup_types,
@@ -4923,6 +4941,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, sum(l_quantity) AS total_qty, count(*) AS n
             FROM lineitem WHERE l_quantity > 45
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "tql2_list_lambda": """
+            SELECT o_orderkey,
+                   list_transform(
+                       list_filter([o_orderkey, o_orderkey * 2,
+                                    o_orderkey * 3], x -> x % 2 = 0),
+                       x -> x + 1) AS bumped,
+                   o_orderkey % 2 AS n_even
+            FROM orders WHERE o_orderkey <= 2000
         """,
         "slice_stride_orders": """
             WITH o AS (

@@ -524,6 +524,52 @@ class ListLambda:
         return f"{self.kind}(…, {self.param} => …)"
 
 
+class ListExpr:
+    """Compiled TQL2 list literal ``[a, a * 2, 1]`` in VALUE position
+    (tql2/parser.cpp parse_list): evaluates each element per batch and
+    interleaves into one ListArray with k elements per row. Element
+    types unify permissively (int + float → float); nulls stay null
+    inside the list. Membership tests (``x in [...]``) never reach
+    this — they compile to a constant value set."""
+
+    _tz_batch_expr = True  # duck-type marker (see RecordExpr)
+
+    def __init__(self, elements: list):
+        self.elements = elements
+
+    def evaluate(self, batch):
+        import numpy as np
+        import pyarrow as pa
+
+        n = batch.num_rows
+        k = len(self.elements)
+        if k == 0:
+            off = pa.array(np.zeros(n + 1, dtype=np.int32))
+            return pa.ListArray.from_arrays(off, pa.array([], pa.null()))
+        arrs = []
+        for sub in self.elements:
+            v = eval_expr(sub, batch)
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            if not isinstance(v, pa.Array):
+                v = _broadcast_scalar(v, n)
+            arrs.append(v)
+        typ = pa.unify_schemas(
+            [pa.schema([("_", a.type)]) for a in arrs],
+            promote_options="permissive").field("_").type
+        flat = pa.concat_arrays([a.cast(typ) for a in arrs])
+        # concat layout is element-major ([e0 rows..., e1 rows...]);
+        # one take permutes to row-major without a Python loop
+        idx = (np.arange(k, dtype=np.int64)[None, :] * n
+               + np.arange(n, dtype=np.int64)[:, None]).ravel()
+        vals = flat.take(pa.array(idx))
+        off = pa.array(np.arange(0, n * k + 1, k, dtype=np.int32))
+        return pa.ListArray.from_arrays(off, vals)
+
+    def __repr__(self):
+        return f"[{', '.join('…' for _ in self.elements)}]"
+
+
 #: names that appear as Call funcs / markers, never row-field refs
 _NON_FIELD_NAMES = frozenset(
     {"abs", "map", "where", "lambda"}
@@ -596,6 +642,21 @@ def _is_none_const(node: ast.expr) -> bool:
     return isinstance(node, ast.Constant) and node.value is None
 
 
+def _const_value_set(node) -> list:
+    """``x in [...]`` membership list → plain Python value set. Only
+    constants (and marker literals like ``ip("...")``) are allowed —
+    per-row expressions belong in list LITERALS, not value sets."""
+    vals = []
+    for e in node.elts:
+        v = _compile(e)
+        if isinstance(v, pads.Expression) or getattr(
+                v, "_tz_batch_expr", False):
+            raise ValueError(
+                "membership value sets must be constant literals")
+        vals.append(v)
+    return vals
+
+
 def _compile(node: ast.expr):
     if isinstance(node, ast.BoolOp):
         parts = [_as_pred(v) for v in node.values]
@@ -615,7 +676,9 @@ def _compile(node: ast.expr):
         for op, comp in zip(node.ops, node.comparators):
             left = _compile(left_node)
             if isinstance(op, (ast.In, ast.NotIn)):
-                rhs = _compile(comp)
+                rhs = (_const_value_set(comp)
+                       if isinstance(comp, (ast.List, ast.Tuple, ast.Set))
+                       else _compile(comp))
                 if isinstance(rhs, SubnetLiteral):
                     raise _Residual(node)  # → compile_filter's mask path
                 if isinstance(rhs, PatternLiteral):
@@ -713,7 +776,9 @@ def _compile(node: ast.expr):
     if isinstance(node, ast.Constant):
         return node.value
     if isinstance(node, (ast.List, ast.Tuple)):
-        return [_compile(e) for e in node.elts]
+        # value position → TQL2 list literal (a per-row list column);
+        # membership value sets are intercepted by the In branch above
+        return ListExpr([_compile(e) for e in node.elts])
     if isinstance(node, ast.Dict):
         # TQL2 record literal `{a: 1, b: x + 1}` — keys are bare field
         # names (ast.Name) or quoted strings

@@ -26,9 +26,11 @@ TQL1 at this snapshot (parser.cpp:83-230):
 
 This module implements exactly that statement layer on top of the same
 operator registry the TQL1 front-end drives; expressions inside
-statements reuse the engine expression language (expr.py). NOT
-implemented from TQL2 (parser.cpp): record/lambda literals — those
-fail to parse rather than guess. Everything accepted executes with
+statements reuse the engine expression language (expr.py), which
+carries the TQL2 literal/lambda surface too: record literals
+``{a: 1, b: x + 1}`` (parse_record), list literals ``[a, a * 2]``
+(parse_list), and list lambdas ``map(xs, x => x + 1)`` /
+``where(xs, x => x > 0)``. Everything accepted executes with
 reference-shaped (or, for match, documented-extension) semantics.
 """
 

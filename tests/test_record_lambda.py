@@ -179,3 +179,46 @@ def test_tql2_if_branches_with_record_take_fallback(ray_session):
         _ds(ray_session))
     rows = sorted(out.take_all(), key=lambda r: r["x"])
     assert [r["m"]["big"] for r in rows] == [-1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# list literals (value position)
+
+
+def test_list_literal_value_position():
+    out = eval_expr(compile_expr("[x, x * 2, 100]"), _batch())
+    assert pa.types.is_list(out.type)
+    assert out.to_pylist() == [[1, 2, 100], [2, 4, 100], [3, 6, 100]]
+
+
+def test_list_literal_type_unification():
+    out = eval_expr(compile_expr("[x, 2.5]"), _batch())
+    assert pa.types.is_floating(out.type.value_type)
+    assert out.to_pylist() == [[1.0, 2.5], [2.0, 2.5], [3.0, 2.5]]
+
+
+def test_list_literal_null_elements_stay_null():
+    out = eval_expr(compile_expr("[name, 'z']"), _batch())
+    assert out.to_pylist() == [["a", "z"], ["bb", "z"], [None, "z"]]
+
+
+def test_list_literal_inside_record_and_lambda():
+    out = eval_expr(compile_expr("map([x, x * 10], e => e + 1)"), _batch())
+    assert out.to_pylist() == [[2, 11], [3, 21], [4, 31]]
+    rec = eval_expr(compile_expr("{v: [x, 0]}"), _batch())
+    assert rec.to_pylist()[0] == {"v": [1, 0]}
+
+
+def test_membership_value_sets_still_plain():
+    # `x in [...]` keeps compiling to a constant value set, and a
+    # per-row expression inside one is rejected loudly
+    out = eval_expr(compile_expr("x in [1, 3]"), _batch())
+    assert out.to_pylist() == [True, False, True]
+    with pytest.raises(ValueError, match="constant"):
+        compile_expr("x in [x, 2]")
+
+
+def test_empty_list_literal():
+    out = eval_expr(compile_expr("[]"), _batch())
+    assert pa.types.is_list(out.type)
+    assert out.to_pylist() == [[], [], []]
