@@ -3532,6 +3532,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         lake.apply_changes(base, epoch_id="base")
         return lake
 
+    def lake_dedup_ingest(sf):
+        # CDC x corpus-hygiene crossover (cdc/lake.py dedup_incoming):
+        # incoming re-sent documents whose text the lake ALREADY holds
+        # are dropped by an anti hash-join against the lake's own
+        # content column before apply; survivors land as new rows.
+        import pyarrow as pa
+
+        lake = _merge_base_lake(sf, "dedupin")
+
+        def _inc(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            t = t.filter(pc.equal(
+                pc.subtract(t.column("turn_idx"),
+                            pc.multiply(pc.divide(t.column("turn_idx"), 2),
+                                        2)),
+                0))
+            # new conv ids: these are NEW documents, possibly with
+            # already-known content
+            i = t.schema.get_field_index("conv_id")
+            t = t.set_column(i, "conv_id", pc.binary_join_element_wise(
+                pa.scalar("n"), t.column("conv_id").combine_chunks(),
+                pa.scalar("")))
+            t = t.append_column("lsn", pa.array(
+                np.ones(t.num_rows, np.int64)))
+            return t.append_column("op", pa.array(["insert"] * t.num_rows))
+
+        inc = _transcripts_ds(sf).map_batches(_inc, batch_format="pyarrow")
+        lake.apply_changes(lake.dedup_incoming(inc, column="text"),
+                           epoch_id="ingest")
+        return lake.final_table()
+
     def lake_merge_into(sf):
         # Delta-style MERGE INTO (cdc/lake.py merge()): source = even
         # turns with rewritten text; matched non-tool rows update,
@@ -4203,6 +4235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_restore_sql": cdc_restore_sql,
         "cdc_expire_sql": cdc_expire_sql,
         "lake_merge_into": lake_merge_into,
+        "lake_dedup_ingest": lake_dedup_ingest,
         "lake_merge_delete": lake_merge_delete,
         "lake_search_pruned": lake_search_pruned,
         "cdc_reshard": cdc_reshard,
@@ -5457,6 +5490,16 @@ def oracle_sql() -> dict[str, str]:
                   FROM ch)
             SELECT conv_id, turn_idx, text FROM w
             WHERE rn = 1 AND op != 'delete' AND turn_idx < 15
+        """,
+        "lake_dedup_ingest": f"""
+            WITH {_TRANSCRIPTS_CTE},
+            base AS (SELECT * FROM tr WHERE turn_idx % 3 <> 2),
+            inc AS (SELECT 'n' || conv_id AS conv_id, turn_idx, role,
+                           text, tool, ts
+                    FROM tr WHERE turn_idx % 2 = 0),
+            keep AS (SELECT i.* FROM inc i WHERE NOT EXISTS
+                       (SELECT 1 FROM base b WHERE b.text = i.text))
+            SELECT * FROM base UNION ALL SELECT * FROM keep
         """,
         "lake_merge_into": f"""
             WITH {_TRANSCRIPTS_CTE},

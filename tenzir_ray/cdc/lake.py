@@ -1761,6 +1761,44 @@ class LakeTable:
 
         return ds.map_batches(_contains, batch_format="pyarrow")
 
+    def dedup_incoming(self, ds, column: str = "text",
+                       mode: str = "exact", **fuzzy_kwargs):
+        """Deduplicate an INCOMING batch against the lake's existing
+        corpus before :meth:`apply_changes` — the CDC half of corpus
+        hygiene: a re-crawled / re-sent document whose ``column``
+        content the lake already holds should not become a new row (or
+        churn an existing one).
+
+        - ``mode="exact"``: anti hash-join on the content column via
+          the packed exchange (exact string equality; neither side is
+          ever gathered — both stream through the same bucketed
+          exchange :func:`tenzir_ray.stages.join.hash_join` uses, so
+          the lake side can be arbitrarily large).
+        - ``mode="fuzzy"``: MinHash-LSH near-dup filter — the lake's
+          distinct band keys broadcast once, incoming streams through
+          one vectorized ``np.isin`` per batch
+          (:func:`tenzir_ray.stages.dedup.fuzzy_decontaminate`;
+          size-gated, pass ``max_blocklist_keys``/``bands``/... through
+          ``fuzzy_kwargs``). Use when the lake side fits the band-key
+          budget (it is the BLOCKLIST here).
+
+        Incoming rows with a null ``column`` are kept (null content
+        matches nothing — SQL anti-join semantics). Returns the
+        filtered incoming Dataset; compose as
+        ``lake.apply_changes(lake.dedup_incoming(changes), ...)``."""
+        base = self.read(columns=[column])
+        if mode == "exact":
+            from tenzir_ray.stages.join import hash_join
+
+            return hash_join(ds, base, on=column, how="anti")
+        if mode == "fuzzy":
+            from tenzir_ray.stages.dedup import fuzzy_decontaminate
+
+            return fuzzy_decontaminate(ds, base, column=column,
+                                       block_column=column,
+                                       **fuzzy_kwargs)
+        raise ValueError(f"dedup_incoming: unknown mode {mode!r}")
+
     def merge(self, source, epoch_id: str, *,
               when_matched: str = "update",
               matched_condition: str | None = None,
