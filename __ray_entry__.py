@@ -3532,6 +3532,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         lake.apply_changes(base, epoch_id="base")
         return lake
 
+    def cdc_snapshot_diff(sf):
+        # time-travel audit (cdc/history.py snapshot_diff): which keys
+        # were inserted/updated/deleted between the 'base' snapshot and
+        # the live table — both sides distributed as_of reads, one
+        # grouped exchange, vectorized per-key compare
+        import pyarrow as pa
+
+        from tenzir_ray.cdc.history import snapshot_diff
+
+        lake = _merge_base_lake(sf, "snapdiff")
+
+        def _e2(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            m4 = pc.subtract(t.column("turn_idx"),
+                             pc.multiply(pc.divide(t.column("turn_idx"), 4),
+                                         4))
+            upd = t.filter(pc.equal(m4, 0))
+            i = upd.schema.get_field_index("text")
+            upd = upd.set_column(i, "text", pc.binary_join_element_wise(
+                pa.scalar("u:"), upd.column("text").combine_chunks(),
+                pa.scalar("")))
+            upd = upd.append_column("lsn", pa.array(
+                np.ones(upd.num_rows, np.int64)))
+            upd = upd.append_column("op", pa.array(["update"] * upd.num_rows))
+            dele = t.filter(pc.equal(m4, 3))
+            dele = dele.append_column("lsn", pa.array(
+                np.ones(dele.num_rows, np.int64)))
+            dele = dele.append_column(
+                "op", pa.array(["delete"] * dele.num_rows))
+            return pa.concat_tables([upd, dele],
+                                    promote_options="permissive")
+
+        ch = _transcripts_ds(sf).map_batches(_e2, batch_format="pyarrow")
+        lake.apply_changes(ch, epoch_id="e2")
+        return snapshot_diff(lake, "base")
+
     def lake_dedup_ingest(sf):
         # CDC x corpus-hygiene crossover (cdc/lake.py dedup_incoming):
         # incoming re-sent documents whose text the lake ALREADY holds
@@ -4236,6 +4273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_expire_sql": cdc_expire_sql,
         "lake_merge_into": lake_merge_into,
         "lake_dedup_ingest": lake_dedup_ingest,
+        "cdc_snapshot_diff": cdc_snapshot_diff,
         "lake_merge_delete": lake_merge_delete,
         "lake_search_pruned": lake_search_pruned,
         "cdc_reshard": cdc_reshard,
@@ -5490,6 +5528,38 @@ def oracle_sql() -> dict[str, str]:
                   FROM ch)
             SELECT conv_id, turn_idx, text FROM w
             WHERE rn = 1 AND op != 'delete' AND turn_idx < 15
+        """,
+        "cdc_snapshot_diff": f"""
+            WITH {_TRANSCRIPTS_CTE},
+            base AS (SELECT * FROM tr WHERE turn_idx % 3 <> 2),
+            upd AS (SELECT conv_id, turn_idx, role, 'u:' || text AS text,
+                           tool, ts
+                    FROM tr WHERE turn_idx % 4 = 0),
+            tostate AS (
+                SELECT * FROM upd
+                UNION ALL
+                SELECT * FROM base
+                WHERE turn_idx % 4 <> 0 AND turn_idx % 4 <> 3)
+            SELECT coalesce(t.conv_id, f.conv_id) AS conv_id,
+                   coalesce(t.turn_idx, f.turn_idx) AS turn_idx,
+                   CASE WHEN f.conv_id IS NULL THEN 'insert'
+                        WHEN t.conv_id IS NULL THEN 'delete'
+                        ELSE 'update' END AS change,
+                   CASE WHEN t.conv_id IS NULL THEN f.role
+                        ELSE t.role END AS role,
+                   CASE WHEN t.conv_id IS NULL THEN f.text
+                        ELSE t.text END AS text,
+                   CASE WHEN t.conv_id IS NULL THEN f.tool
+                        ELSE t.tool END AS tool,
+                   CASE WHEN t.conv_id IS NULL THEN f.ts
+                        ELSE t.ts END AS ts
+            FROM base f FULL JOIN tostate t
+              ON f.conv_id = t.conv_id AND f.turn_idx = t.turn_idx
+            WHERE f.conv_id IS NULL OR t.conv_id IS NULL
+               OR t.text IS DISTINCT FROM f.text
+               OR t.role IS DISTINCT FROM f.role
+               OR t.tool IS DISTINCT FROM f.tool
+               OR t.ts IS DISTINCT FROM f.ts
         """,
         "lake_dedup_ingest": f"""
             WITH {_TRANSCRIPTS_CTE},

@@ -132,4 +132,113 @@ def lsn_gaps(ds, lsn_col: str = "lsn", by=None,
     return out.map_batches(_drop, batch_format="pyarrow")
 
 
+def snapshot_diff(lake, from_epoch, to_epoch=None,
+                  buckets: int | None = None):
+    """Row-level diff between two committed lake snapshots — the
+    time-travel audit / downstream-sync primitive: which keys were
+    inserted, updated, or deleted between epoch ``from_epoch`` and
+    ``to_epoch`` (``None`` = the live table)?
+
+    Returns one row per CHANGED key: the key columns, ``change`` in
+    {'insert','update','delete'}, and the payload image (the TO side's
+    for insert/update, the FROM side's for delete — what a consumer
+    needs to undo or re-apply). Unchanged keys (payload equal, nulls
+    comparing equal) emit nothing. Both snapshots conform to the
+    CURRENT schema registry, so columns always line up; each snapshot
+    holds at most one row per key (LWW invariant).
+
+    Scale shape: both sides are distributed time-travel reads
+    (:meth:`LakeTable.read` ``as_of`` — lineage file sets, no driver
+    materialization), tagged with a side bit and sent through ONE
+    grouped exchange on the key columns; per-task groups are ≤2 rows
+    per key and compare vectorized."""
+    import pandas as pd
+
+    from tenzir_ray.cdc.lake import KEY_COLS
+    from tenzir_ray.stages.exchange import grouped_apply
+
+    kcols = [c for c in KEY_COLS]
+
+    # pin ONE Arrow output schema from the lake's registry so every
+    # reduce task — including all-empty ones (a no-change diff) —
+    # emits it; Ray drops the schema of all-empty PANDAS outputs, but
+    # keeps Arrow schemas
+    out_schema = None
+    reg = lake.registry.schema
+    if reg is not None:
+        fields = [f for f in reg if f.name not in ("lsn", "op")]
+        by_name = {f.name: f for f in fields}
+        if all(k in by_name for k in kcols):
+            out_schema = pa.schema(
+                [by_name[k] for k in kcols]
+                + [pa.field("change", pa.string())]
+                + [f for f in fields if f.name not in kcols])
+
+    def _tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "__side", pa.array(np.full(t.num_rows, side, np.int8)))
+
+        f.__name__ = f"tag_side{side}"
+        return f
+
+    a = lake.read().map_batches(_tag(0), batch_format="pyarrow") \
+        if from_epoch is None else \
+        lake.read(as_of=from_epoch).map_batches(_tag(0),
+                                                batch_format="pyarrow")
+    b = lake.read().map_batches(_tag(1), batch_format="pyarrow") \
+        if to_epoch is None else \
+        lake.read(as_of=to_epoch).map_batches(_tag(1),
+                                              batch_format="pyarrow")
+    both = a.union(b)
+
+    def _diff(df: pd.DataFrame) -> pd.DataFrame:
+        payload = [c for c in df.columns if c not in kcols + ["__side"]]
+        if not len(df):
+            if out_schema is not None:
+                return out_schema.empty_table()
+            out = df[kcols + payload].iloc[:0].copy()
+            out.insert(len(kcols), "change", pd.Series([], dtype=object))
+            return out
+        df = df.sort_values(kcols + ["__side"],
+                            kind="mergesort").reset_index(drop=True)
+        gid = df.groupby(kcols, sort=False, dropna=False).ngroup().to_numpy()
+        starts = np.flatnonzero(np.r_[True, gid[1:] != gid[:-1]])
+        ends = np.append(starts[1:], len(df))
+        n = ends - starts
+        side = df["__side"].to_numpy()
+        single = n == 1
+        # count==1: side decides insert/delete; count==2: compare rows
+        # starts (from) vs starts+1 (to), both-null = equal
+        pair = ~single
+        p0, p1 = starts[pair], starts[pair] + 1
+        differs = np.zeros(len(p0), dtype=bool)
+        for c in payload:
+            v = df[c]
+            a_, b_ = v.iloc[p0].reset_index(drop=True), \
+                v.iloc[p1].reset_index(drop=True)
+            na, nb = a_.isna().to_numpy(), b_.isna().to_numpy()
+            neq = (a_ != b_).to_numpy() & ~(na & nb)
+            differs |= neq | (na != nb)
+        take, change = [], []
+        ins = starts[single & (side[starts] == 1)]
+        dele = starts[single & (side[starts] == 0)]
+        upd = p1[differs]
+        take = np.concatenate([ins, dele, upd])
+        change = np.concatenate([
+            np.full(len(ins), "insert", object),
+            np.full(len(dele), "delete", object),
+            np.full(len(upd), "update", object)])
+        out = df.iloc[take][kcols + payload].reset_index(drop=True)
+        out.insert(len(kcols), "change", change)
+        if out_schema is not None:
+            return pa.Table.from_pandas(
+                out[out_schema.names], schema=out_schema,
+                preserve_index=False)
+        return out
+
+    return grouped_apply(both, kcols, _diff, num_buckets=buckets,
+                         tag="snapdiff")
+
+
 ship_by_value(sys.modules[__name__])

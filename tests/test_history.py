@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 
@@ -64,3 +65,47 @@ def test_lsn_gaps(ray_session):
     dup = pd.DataFrame({"lsn": [1, 1, 2, 5]})
     d = lsn_gaps(ray_session.data.from_pandas(dup)).to_pandas()
     assert d["n_missing"][0] == 2 and d["n_rows"][0] == 4
+
+
+def test_snapshot_diff_classifies_and_skips_unchanged(ray_session, tmp_path):
+    import shutil
+
+    import ray.data
+
+    from tenzir_ray.cdc import LakeTable
+    from tenzir_ray.cdc.history import snapshot_diff
+
+    root = str(tmp_path / "lake")
+    shutil.rmtree(root, ignore_errors=True)
+    lake = LakeTable(root, num_partitions=2)
+    lake.apply_changes(pa.table({
+        "lsn": pa.array([0, 1, 2, 3], pa.int64()),
+        "op": pa.array(["insert"] * 4),
+        "conv_id": pa.array(["a", "b", "c", "d"]),
+        "turn_idx": pa.array([0, 0, 0, 0], pa.int32()),
+        "text": pa.array(["t1", "t2", None, "t4"]),
+    }), epoch_id="base")
+    lake.apply_changes(pa.table({
+        "lsn": pa.array([10, 11, 12, 13], pa.int64()),
+        "op": pa.array(["update", "delete", "update", "insert"]),
+        "conv_id": pa.array(["a", "b", "c", "e"]),
+        "turn_idx": pa.array([0, 0, 0, 0], pa.int32()),
+        # c: null -> null = UNCHANGED, must not appear in the diff
+        "text": pa.array(["t1x", None, None, "t5"]),
+    }), epoch_id="e2")
+
+    out = (snapshot_diff(lake, "base").to_pandas()
+           .sort_values("conv_id", ignore_index=True))
+    assert out["conv_id"].tolist() == ["a", "b", "e"]
+    assert out["change"].tolist() == ["update", "delete", "insert"]
+    assert out["text"].tolist() == ["t1x", "t2", "t5"]  # delete = FROM image
+
+    # identical snapshots diff to empty AND keep the Dataset-level
+    # schema (reducers emit schema-pinned Arrow; Ray's to_pandas still
+    # drops columns of an all-empty dataset, so assert on .schema())
+    same = snapshot_diff(lake, "e2")
+    assert same.count() == 0
+    assert "change" in same.schema().names
+
+    # explicit to_epoch: base -> base is empty too
+    assert snapshot_diff(lake, "base", "base").count() == 0
