@@ -1832,6 +1832,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return agg.map_batches(_money, batch_format="pyarrow")
 
+    def asof_tolerance_status(sf):
+        # as-of join with a match-distance budget: the latest status at
+        # most 30 minutes old; staler matches pad with null (merge_asof
+        # tolerance= through the same packed exchange)
+        import pandas as pd
+
+        from tenzir_ray.stages.join import asof_join
+
+        left = _read(sf, "events", columns=["event_id", "user_id", "ts"])
+
+        def _status_side(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["event_id"] % 7 == 0]
+            return pd.DataFrame({"user_id": df["user_id"], "ts": df["ts"],
+                                 "status_id": df["event_id"]})
+
+        right = _read(sf, "events",
+                      columns=["event_id", "user_id", "ts"]).map_batches(
+            _status_side, batch_format="pandas")
+        out = asof_join(left, right, by="user_id", on="ts",
+                        tolerance="30m")
+
+        def _f64(t):
+            import pyarrow as pa
+
+            i = t.schema.get_field_index("status_id")
+            return t.set_column(
+                i, "status_id", t.column("status_id").cast(pa.float64()))
+
+        return out.map_batches(_f64, batch_format="pyarrow")
+
     def asof_status(sf):
         import pandas as pd
 
@@ -4168,6 +4198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "where_subnet": where_subnet,
         "ip_typed_roundtrip": ip_typed_roundtrip,
         "asof_status": asof_status,
+        "asof_tolerance_status": asof_tolerance_status,
         "join_revenue_by_priority": join_revenue_by_priority,
         "skew_join_events_customer": skew_join_events_customer,
         "tql_hash_join_revenue": tql_hash_join_revenue,
@@ -4863,6 +4894,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    len(string_split_regex(trim(text), '\\s+')) AS ws_tokens
             FROM documents
+        """,
+        "asof_tolerance_status": """
+            SELECT l.event_id, l.user_id, l.ts,
+                   CASE WHEN l.ts - r.ts <= INTERVAL 30 MINUTE
+                        THEN CAST(r.status_id AS DOUBLE) END AS status_id
+            FROM events l
+            ASOF LEFT JOIN (SELECT user_id, ts, event_id AS status_id
+                            FROM events WHERE event_id % 7 = 0) r
+            ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "asof_status": """
             SELECT l.event_id, l.user_id, l.ts, r.status_id

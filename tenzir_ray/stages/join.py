@@ -463,13 +463,15 @@ def skew_join(left, right, on: str, right_on: str | None = None,
 
 
 class _AsofReducer:
-    def __init__(self, read_l, read_r, keys, on, direction, out_schema):
+    def __init__(self, read_l, read_r, keys, on, direction, out_schema,
+                 tolerance=None):
         self.read_l = read_l
         self.read_r = read_r
         self.keys = keys
         self.on = on
         self.direction = direction
         self.out_schema = out_schema
+        self.tolerance = tolerance
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         bl = _task_buckets(batch)
@@ -496,8 +498,15 @@ class _AsofReducer:
             lhs = lhs.iloc[order]
             orig_on = orig.iloc[order]
             rhs = rhs.sort_values(self.on, kind="mergesort")
+        tol = self.tolerance
+        if tol is not None and pd.api.types.is_datetime64_any_dtype(
+                lhs[self.on]) and not isinstance(tol, pd.Timedelta):
+            # duration strings were normalized to int ns at the driver
+            tol = pd.Timedelta(tol) if isinstance(tol, str) else \
+                pd.Timedelta(int(tol), unit="ns")
         merged = pd.merge_asof(
-            lhs, rhs, on=self.on, by=self.keys, direction=self.direction
+            lhs, rhs, on=self.on, by=self.keys, direction=self.direction,
+            tolerance=tol,
         )
         if orig_on is not None:
             # merge_asof preserves left row order/count — restore positionally
@@ -514,17 +523,26 @@ class _AsofReducer:
 
 def asof_join(left, right, by: str | list[str], on: str,
               direction: str = "backward", right_suffix: str = "_r",
+              tolerance=None,
               num_buckets: int | None = None,
               target_task_bytes: int = 128 << 20,
               batch_size: int | None = 65536,
               transport: str | None = None,
               staging_root: str | None = None):
     """As-of join: for each left row, the latest right row with
-    ``right.on <= left.on`` (direction="backward") within the same
-    ``by`` key — the time-series enrichment join. Both sides exchange on
-    the BY key (every key's full history lands in one bucket), each
-    reduce task runs one vectorized ``pd.merge_asof`` and emits rows cast
-    to a fixed typed Arrow schema (no object-dtype padding)."""
+    ``right.on <= left.on`` (direction="backward"; also "forward" /
+    "nearest") within the same ``by`` key — the time-series enrichment
+    join. ``tolerance`` bounds the match distance (a duration string
+    like "1h" / a pd.Timedelta for timestamp keys, a number for numeric
+    keys); rows with no right match inside the budget pad with nulls.
+    Both sides exchange on the BY key (every key's full history lands
+    in one bucket), each reduce task runs one vectorized
+    ``pd.merge_asof`` and emits rows cast to a fixed typed Arrow schema
+    (no object-dtype padding)."""
+    if isinstance(tolerance, str):
+        from tenzir_ray.stages.window import _to_ns
+
+        tolerance = int(_to_ns(tolerance))
     import ray.data
 
     keys = [by] if isinstance(by, str) else list(by)
@@ -591,7 +609,7 @@ def asof_join(left, right, by: str | list[str], on: str,
     tasks = coalesce_tasks(list(relevant), total, target_task_bytes)
     reducer = _AsofReducer(
         ex.reader(lidx, l_arrow), ex.reader(ridx, r_arrow),
-        keys, on, direction, out_schema,
+        keys, on, direction, out_schema, tolerance,
     )
     if not tasks:
         return ray.data.from_arrow(out_schema.empty_table())

@@ -1307,3 +1307,46 @@ def test_chunk_documents_long_doc_memory_shape(ray_session):
     df = out.to_pandas()
     assert len(df) == int(np.ceil((2_000_000 - 64) / 448))
     assert df["text"].str.len().sum() < 2_500_000  # ≈ len·(1+ov/stride)
+
+
+def test_asof_join_tolerance_and_nearest(ray_session):
+    """tolerance= bounds the match distance (duration string for
+    timestamp keys, number for numeric keys); direction='nearest'
+    passes through to merge_asof."""
+    import pandas as pd
+    import ray.data
+
+    from tenzir_ray.stages.join import asof_join
+
+    base = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame({
+        "k": ["a"] * 3,
+        "ts": [base, base + pd.Timedelta("45m"), base + pd.Timedelta("2h")],
+        "lid": [0, 1, 2]})
+    right = pd.DataFrame({
+        "k": ["a"] * 2,
+        "ts": [base - pd.Timedelta("10m"), base + pd.Timedelta("40m")],
+        "rid": [100, 200]})
+
+    out = asof_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                    by="k", on="ts", tolerance="30m").to_pandas() \
+        .sort_values("lid", ignore_index=True)
+    want = pd.merge_asof(left.sort_values("ts"), right.sort_values("ts"),
+                         on="ts", by="k", tolerance=pd.Timedelta("30m"))
+    assert out["rid"].fillna(-1).tolist() == \
+        want["rid"].fillna(-1).tolist() == [100.0, 200.0, -1]
+
+    # numeric on-key + numeric tolerance
+    ln = pd.DataFrame({"k": ["a"] * 2, "x": [10, 50], "lid": [0, 1]})
+    rn = pd.DataFrame({"k": ["a"] * 2, "x": [7, 20], "rid": [1, 2]})
+    out = asof_join(ray.data.from_pandas(ln), ray.data.from_pandas(rn),
+                    by="k", on="x", tolerance=5).to_pandas() \
+        .sort_values("lid", ignore_index=True)
+    assert out["rid"].fillna(-1).tolist() == [1, -1]
+
+    # nearest: the 2h left row matches the 40m right row without
+    # tolerance, forward would find nothing
+    out = asof_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                    by="k", on="ts", direction="nearest").to_pandas() \
+        .sort_values("lid", ignore_index=True)
+    assert out["rid"].tolist() == [100, 200, 200]
