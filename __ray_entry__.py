@@ -880,6 +880,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             by="base", n="count(*)", nc="count_distinct(dup_group)")
         return T.put(per, conv_id="base", same_group="nc == 1 and n == 2")
 
+    def truncate_convs(sf):
+        # context-window fitting: keep each conversation's most recent
+        # turns within a 40-token budget (reverse cumsum, oldest drop
+        # first; RE2-\s token counts match the SQL oracle exactly)
+        from tenzir_ray.stages.transcripts import truncate_conversations
+
+        ds = truncate_conversations(_transcripts_ds(sf), max_tokens=40)
+        return T.select(ds, ["conv_id", "turn_idx", "role", "text"])
+
     def sft_pairs_convs(sf):
         # (prompt, response) SFT pair extraction: closest preceding user
         # turn per assistant turn, tool turns skipped
@@ -4368,6 +4377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_convs": pack_convs,
         "conv_alternation": conv_alternation,
         "sft_pairs_convs": sft_pairs_convs,
+        "truncate_convs": truncate_convs,
         "turn_latency_convs": turn_latency_convs,
         "conv_near_dups": conv_near_dups,
         "clean_transcripts": clean_transcripts,
@@ -6111,6 +6121,21 @@ def oracle_sql() -> dict[str, str]:
                    max(ts) AS last_ts,
                    max(turn_idx) AS max_turn
             FROM tr GROUP BY conv_id
+        """,
+        "truncate_convs": f"""
+            WITH {_TRANSCRIPTS_CTE},
+            c AS (SELECT conv_id, turn_idx, role, text,
+                         coalesce(len(list_filter(
+                             string_split_regex(text, '\s+'),
+                             x -> x <> '')), 0) AS n
+                  FROM tr),
+            w AS (SELECT *, sum(n) OVER (
+                      PARTITION BY conv_id ORDER BY turn_idx DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS tail_sum
+                  FROM c)
+            SELECT conv_id, turn_idx, role, text
+            FROM w WHERE tail_sum <= 40
         """,
         "sft_pairs_convs": f"""
             WITH {_TRANSCRIPTS_CTE},

@@ -143,6 +143,7 @@ def _register_builtins() -> None:
         context_windows=transcripts.context_windows,
         sft_pairs=transcripts.sft_pairs,
         turn_latency=transcripts.turn_latency,
+        truncate_conversations=transcripts.truncate_conversations,
         minhash=dedup.minhash,
         minhash_lsh_dedup=dedup.minhash_lsh_dedup,
         simhash=dedup.simhash,

@@ -364,4 +364,54 @@ def turn_latency(ds, conv_col: str = "conv_id", turn_col: str = "turn_idx",
                      avg_gap_us="mean(_gap_us)", max_gap_us="max(_gap_us)")
 
 
+def truncate_conversations(ds, max_tokens: int,
+                           conv_col: str = "conv_id",
+                           turn_col: str = "turn_idx",
+                           text_col: str = "text",
+                           count_col: str | None = None,
+                           buckets: int | None = None):
+    """Context-window fitting: per conversation, keep the MOST RECENT
+    turns whose cumulative token count fits ``max_tokens`` — the
+    standard SFT-prep truncation (drop the oldest turns first, never
+    split a turn). A turn is kept iff the token sum from it THROUGH the
+    conversation's end is ≤ the budget, so a single over-budget final
+    turn drops too (strict rule; pre-chunk with ``chunk_documents`` if
+    that matters). Tokens default to RE2-``\\s``-delimited words of
+    ``text_col`` (null text counts 0, matching a ``coalesce(len(...),
+    0)`` SQL oracle); pass ``count_col`` to reuse a precomputed count
+    (e.g. the ``token_count`` stage or a BPE length).
+
+    Scale shape: one grouped exchange on ``conv_col``, per task a sort
+    + reversed ``np.cumsum`` — no per-row Python."""
+    import pandas as pd
+
+    from tenzir_ray.stages.exchange import grouped_apply
+
+    def _t(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        df = df.sort_values([conv_col, turn_col],
+                            kind="mergesort").reset_index(drop=True)
+        if count_col is not None:
+            n = df[count_col].fillna(0).to_numpy(dtype=np.int64)
+        else:
+            n = (df[text_col].fillna("")
+                 .str.count(r"[^ \t\n\f\r]+")
+                 .to_numpy(dtype=np.int64))
+        gid = df.groupby(conv_col, sort=False).ngroup().to_numpy()
+        starts = np.flatnonzero(np.r_[True, gid[1:] != gid[:-1]])
+        # reverse cumulative sum with per-conversation resets: total
+        # from each row through its conversation's end
+        ends = np.append(starts[1:], len(df))
+        total = np.add.reduceat(n, starts)
+        csum = np.cumsum(n) - n  # sum strictly before each row
+        before_conv = np.repeat(np.cumsum(np.r_[0, total[:-1]]),
+                                ends - starts)
+        tail_sum = np.repeat(total, ends - starts) - (csum - before_conv)
+        return df.loc[tail_sum <= max_tokens].reset_index(drop=True)
+
+    return grouped_apply(ds, [conv_col], _t, num_buckets=buckets,
+                         tag="truncconv")
+
+
 ship_by_value(sys.modules[__name__])

@@ -263,3 +263,31 @@ def test_sft_pairs_skips_null_text_user_turns(ray_session):
     out2 = (sft_pairs(ray.data.from_pandas(df), drop_unprompted=True)
             .to_pandas())
     assert len(out2) == 3
+
+
+def test_truncate_conversations_budget(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages.transcripts import truncate_conversations
+
+    df = pd.DataFrame({
+        "conv_id": ["c"] * 4 + ["d"],
+        "turn_idx": [0, 1, 2, 3, 0],
+        "text": ["one two three", "four five", None, "six", "a b c d e f"],
+    })
+    # tail sums for c (tokens 3,2,0,1): t0=6 t1=3 t2=1 t3=1 → budget 3
+    # keeps turns 1..3; d's only turn (6 tokens) overflows and drops
+    out = (truncate_conversations(ray.data.from_pandas(df), max_tokens=3)
+           .to_pandas().sort_values(["conv_id", "turn_idx"],
+                                    ignore_index=True))
+    assert list(zip(out.conv_id, out.turn_idx)) == \
+        [("c", 1), ("c", 2), ("c", 3)]
+
+    # count_col override wins over text tokenization
+    df2 = df.assign(ntok=[1, 1, 1, 1, 1])
+    out2 = (truncate_conversations(ray.data.from_pandas(df2), max_tokens=2,
+                                   count_col="ntok")
+            .to_pandas().sort_values(["conv_id", "turn_idx"],
+                                     ignore_index=True))
+    assert list(zip(out2.conv_id, out2.turn_idx)) == \
+        [("c", 2), ("c", 3), ("d", 0)]
