@@ -304,13 +304,28 @@ def _register_builtins() -> None:
 
         return LakeTable(root).search(term, column=column, columns=columns)
 
+    def _lake_diff(root: str, from_epoch, to_epoch=None):
+        from tenzir_ray.cdc import LakeTable
+        from tenzir_ray.cdc.history import snapshot_diff
+
+        return snapshot_diff(LakeTable(root), from_epoch, to_epoch)
+
+    def _dedup_against_lake(ds, root: str, column: str = "text",
+                            mode: str = "exact", **kw):
+        from tenzir_ray.cdc import LakeTable
+
+        return LakeTable(root).dedup_incoming(ds, column=column,
+                                              mode=mode, **kw)
+
     OPERATORS.update(read_lake=_read_lake, write_lake=_write_lake,
                      read_lake_changes=_read_lake_changes,
-                     lake_search=_lake_search)
+                     lake_search=_lake_search, lake_diff=_lake_diff,
+                     dedup_against_lake=_dedup_against_lake)
     SOURCE_OPS.update(
         n for n in OPERATORS if n.startswith("read_")
     )
-    SOURCE_OPS.update({"files", "processes", "sockets", "lake_search"})
+    SOURCE_OPS.update({"files", "processes", "sockets", "lake_search",
+                       "lake_diff"})
     from tenzir_ray.stages import window as window_mod
     OPERATORS.update(
         sliding_window=window_mod.sliding_window,

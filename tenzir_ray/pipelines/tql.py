@@ -114,6 +114,12 @@ def split_segments(text: str, sep: str = "|") -> list[str]:
 
 
 def _literal(tok: str):
+    tok = tok.strip()
+    # `op a="x", b=2` tokenizes on spaces, so a comma SEPARATOR rides
+    # along on the previous token — drop it (a value that really ends
+    # in a comma is quoted, leaving the quote outermost)
+    if tok.endswith(","):
+        tok = tok[:-1].rstrip()
     try:
         return json.loads(tok)
     except (json.JSONDecodeError, ValueError):

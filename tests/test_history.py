@@ -109,3 +109,45 @@ def test_snapshot_diff_classifies_and_skips_unchanged(ray_session, tmp_path):
 
     # explicit to_epoch: base -> base is empty too
     assert snapshot_diff(lake, "base", "base").count() == 0
+
+
+def test_lake_diff_and_dedup_from_tql(ray_session, tmp_path):
+    """snapshot_diff / dedup_incoming are reachable from pure pipeline
+    strings via the lake_diff source and dedup_against_lake ops."""
+    import shutil
+
+    import ray.data
+
+    from tenzir_ray.cdc import LakeTable
+    from tenzir_ray.pipelines.tql import run_pipeline
+
+    root = str(tmp_path / "lake")
+    shutil.rmtree(root, ignore_errors=True)
+    lake = LakeTable(root, num_partitions=2)
+    lake.apply_changes(pa.table({
+        "lsn": pa.array([0, 1], pa.int64()),
+        "op": pa.array(["insert"] * 2),
+        "conv_id": pa.array(["a", "b"]),
+        "turn_idx": pa.array([0, 0], pa.int32()),
+        "text": pa.array(["t1", "t2"]),
+    }), epoch_id="base")
+    lake.apply_changes(pa.table({
+        "lsn": pa.array([9], pa.int64()), "op": pa.array(["update"]),
+        "conv_id": pa.array(["a"]), "turn_idx": pa.array([0], pa.int32()),
+        "text": pa.array(["t1x"]),
+    }), epoch_id="e2")
+
+    out = run_pipeline(
+        f'lake_diff root="{root}", from_epoch="base" | where change == "update"'
+    ).to_pandas()
+    assert out["conv_id"].tolist() == ["a"] and out["text"].tolist() == ["t1x"]
+
+    inc = ray.data.from_arrow(pa.table({
+        "lsn": pa.array([20, 21], pa.int64()),
+        "op": pa.array(["insert"] * 2),
+        "conv_id": pa.array(["x", "y"]),
+        "turn_idx": pa.array([0, 0], pa.int32()),
+        "text": pa.array(["t2", "fresh"]),
+    }))
+    kept = run_pipeline(f'dedup_against_lake root="{root}"', inc).to_pandas()
+    assert kept["conv_id"].tolist() == ["y"]
