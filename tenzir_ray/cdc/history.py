@@ -182,14 +182,10 @@ def snapshot_diff(lake, from_epoch, to_epoch=None,
         f.__name__ = f"tag_side{side}"
         return f
 
-    a = lake.read().map_batches(_tag(0), batch_format="pyarrow") \
-        if from_epoch is None else \
-        lake.read(as_of=from_epoch).map_batches(_tag(0),
-                                                batch_format="pyarrow")
-    b = lake.read().map_batches(_tag(1), batch_format="pyarrow") \
-        if to_epoch is None else \
-        lake.read(as_of=to_epoch).map_batches(_tag(1),
-                                              batch_format="pyarrow")
+    a = lake.read(as_of=from_epoch).map_batches(
+        _tag(0), batch_format="pyarrow")
+    b = lake.read(as_of=to_epoch).map_batches(
+        _tag(1), batch_format="pyarrow")
     both = a.union(b)
 
     def _diff(df: pd.DataFrame) -> pd.DataFrame:
@@ -220,7 +216,6 @@ def snapshot_diff(lake, from_epoch, to_epoch=None,
             na, nb = a_.isna().to_numpy(), b_.isna().to_numpy()
             neq = (a_ != b_).to_numpy() & ~(na & nb)
             differs |= neq | (na != nb)
-        take, change = [], []
         ins = starts[single & (side[starts] == 1)]
         dele = starts[single & (side[starts] == 0)]
         upd = p1[differs]

@@ -498,12 +498,12 @@ class _AsofReducer:
             lhs = lhs.iloc[order]
             orig_on = orig.iloc[order]
             rhs = rhs.sort_values(self.on, kind="mergesort")
+        # by here tolerance is None | int ns | pd.Timedelta (duration
+        # strings were normalized and type-checked at the driver)
         tol = self.tolerance
         if tol is not None and pd.api.types.is_datetime64_any_dtype(
                 lhs[self.on]) and not isinstance(tol, pd.Timedelta):
-            # duration strings were normalized to int ns at the driver
-            tol = pd.Timedelta(tol) if isinstance(tol, str) else \
-                pd.Timedelta(int(tol), unit="ns")
+            tol = pd.Timedelta(int(tol), unit="ns")
         merged = pd.merge_asof(
             lhs, rhs, on=self.on, by=self.keys, direction=self.direction,
             tolerance=tol,
@@ -533,16 +533,13 @@ def asof_join(left, right, by: str | list[str], on: str,
     ``right.on <= left.on`` (direction="backward"; also "forward" /
     "nearest") within the same ``by`` key — the time-series enrichment
     join. ``tolerance`` bounds the match distance (a duration string
-    like "1h" / a pd.Timedelta for timestamp keys, a number for numeric
-    keys); rows with no right match inside the budget pad with nulls.
-    Both sides exchange on the BY key (every key's full history lands
-    in one bucket), each reduce task runs one vectorized
-    ``pd.merge_asof`` and emits rows cast to a fixed typed Arrow schema
-    (no object-dtype padding)."""
-    if isinstance(tolerance, str):
-        from tenzir_ray.stages.window import _to_ns
-
-        tolerance = int(_to_ns(tolerance))
+    like "1h" / a pd.Timedelta for timestamp — or string-timestamp —
+    keys; a NUMBER in NANOSECONDS for timestamp keys, or in the
+    column's own units for numeric keys); rows with no right match
+    inside the budget pad with nulls. Both sides exchange on the BY key
+    (every key's full history lands in one bucket), each reduce task
+    runs one vectorized ``pd.merge_asof`` and emits rows cast to a
+    fixed typed Arrow schema (no object-dtype padding)."""
     import ray.data
 
     keys = [by] if isinstance(by, str) else list(by)
@@ -554,6 +551,21 @@ def asof_join(left, right, by: str | list[str], on: str,
     }
     l_arrow = _arrow_schema(lschema)
     r_arrow = _arrow_schema(rschema, rename_r)
+
+    if isinstance(tolerance, str):
+        # duration strings only make sense for time-like on-keys: a
+        # numeric key would silently take the ns count in its OWN units
+        # (e.g. 1.8e12 "seconds" — effectively unbounded)
+        on_t = l_arrow.field(on).type
+        if not (pa.types.is_timestamp(on_t) or pa.types.is_string(on_t)
+                or pa.types.is_large_string(on_t)):
+            raise TypeError(
+                f"asof_join: duration tolerance {tolerance!r} needs a "
+                f"timestamp (or string-timestamp) on-column, got "
+                f"{on}: {on_t}; pass a number in the column's units")
+        from tenzir_ray.stages.window import _to_ns
+
+        tolerance = int(_to_ns(tolerance))
 
     # widen mismatched by/on key dtypes to their common type, mirroring
     # hash_join: key_buckets co-buckets int32-vs-int64 fine, but

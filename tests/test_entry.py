@@ -49,22 +49,10 @@ def test_query_against_oracle(ray_session, name):
         name, sorted(got.columns), sorted(want.columns))
     assert len(got) == len(want), (name, len(got), len(want))
     cols = sorted(got.columns)
+    from tools.check import stringify_list_cells
 
-    def _stringify_lists(df: pd.DataFrame) -> pd.DataFrame:
-        # list/array cells are unhashable for pandas' multi-key sort;
-        # canonicalize them to JSON strings (same as tools/check.py)
-        import json
-
-        df = df.copy()
-        for c in df.columns:
-            if df[c].dtype == object:
-                df[c] = df[c].map(
-                    lambda v: json.dumps(list(v), default=str)
-                    if isinstance(v, (list, np.ndarray)) else v)
-        return df
-
-    g = _stringify_lists(got[cols]).sort_values(cols, ignore_index=True)
-    w = _stringify_lists(want[cols]).sort_values(cols, ignore_index=True)
+    g = stringify_list_cells(got[cols]).sort_values(cols, ignore_index=True)
+    w = stringify_list_cells(want[cols]).sort_values(cols, ignore_index=True)
     for c in cols:
         if g[c].dtype.kind == "f" or w[c].dtype.kind == "f":
             gg = g[c].astype(float).to_numpy()

@@ -1350,3 +1350,18 @@ def test_asof_join_tolerance_and_nearest(ray_session):
                     by="k", on="ts", direction="nearest").to_pandas() \
         .sort_values("lid", ignore_index=True)
     assert out["rid"].tolist() == [100, 200, 200]
+
+
+def test_asof_join_duration_tolerance_rejects_numeric_key(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from tenzir_ray.stages.join import asof_join
+
+    l = ray.data.from_pandas(pd.DataFrame(
+        {"k": ["a"], "x": [10], "lid": [0]}))
+    r = ray.data.from_pandas(pd.DataFrame(
+        {"k": ["a"], "x": [7], "rid": [1]}))
+    with pytest.raises(TypeError, match="duration tolerance"):
+        asof_join(l, r, by="k", on="x", tolerance="30m")

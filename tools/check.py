@@ -30,16 +30,24 @@ def _to_pandas(res) -> pd.DataFrame:
     return res.to_pandas()  # ray Dataset
 
 
-def _canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
+def stringify_list_cells(df: pd.DataFrame) -> pd.DataFrame:
+    """list/array cells are unhashable for pandas' multi-key sort;
+    canonicalize them to JSON strings (shared with tests/test_entry.py
+    so the two oracle compares can't diverge)."""
+    df = df.copy()
     for c in df.columns:
         if df[c].dtype == object:
-            # lists/arrays are unhashable for sort; stringify
             df[c] = df[c].map(
                 lambda v: json.dumps(list(v), default=str)
                 if isinstance(v, (list, np.ndarray))
                 else v
             )
+    return df
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = stringify_list_cells(df[sorted(df.columns)])
+    for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")
         if str(df[c].dtype) in ("uint64", "uint32", "Int64"):
