@@ -3571,16 +3571,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         lake.apply_changes(base, epoch_id="base")
         return lake
 
-    def cdc_snapshot_diff(sf):
-        # time-travel audit (cdc/history.py snapshot_diff): which keys
-        # were inserted/updated/deleted between the 'base' snapshot and
-        # the live table — both sides distributed as_of reads, one
-        # grouped exchange, vectorized per-key compare
+    def _snapdiff_src_lake(sf, tag):
+        # base epoch + an e2 epoch of updates (turn%4==0, 'u:' prefix)
+        # and deletes (turn%4==3) — shared by the snapshot-diff and
+        # lake-sync gates
         import pyarrow as pa
 
-        from tenzir_ray.cdc.history import snapshot_diff
-
-        lake = _merge_base_lake(sf, "snapdiff")
+        lake = _merge_base_lake(sf, tag)
 
         def _e2(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
@@ -3606,7 +3603,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         ch = _transcripts_ds(sf).map_batches(_e2, batch_format="pyarrow")
         lake.apply_changes(ch, epoch_id="e2")
-        return snapshot_diff(lake, "base")
+        return lake
+
+    def cdc_snapshot_diff(sf):
+        # time-travel audit (cdc/history.py snapshot_diff): which keys
+        # were inserted/updated/deleted between the 'base' snapshot and
+        # the live table — both sides distributed as_of reads, one
+        # grouped exchange, vectorized per-key compare
+        from tenzir_ray.cdc.history import snapshot_diff
+
+        return snapshot_diff(_snapdiff_src_lake(sf, "snapdiff"), "base")
+
+    def cdc_sync_lakes(sf):
+        # anti-entropy replication (cdc/history.py sync_lakes): a
+        # replica seeded with only the base state converges to the
+        # source (base + updates + deletes) in ONE exactly-once epoch
+        # sized by the diff
+        from tenzir_ray.cdc.history import sync_lakes
+
+        src = _snapdiff_src_lake(sf, "syncsrc")
+        dst = _merge_base_lake(sf, "syncdst")
+        sync_lakes(src, dst, epoch_id="sync1")
+        return dst.final_table()
 
     def lake_dedup_ingest(sf):
         # CDC x corpus-hygiene crossover (cdc/lake.py dedup_incoming):
@@ -4314,6 +4332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_merge_into": lake_merge_into,
         "lake_dedup_ingest": lake_dedup_ingest,
         "cdc_snapshot_diff": cdc_snapshot_diff,
+        "cdc_sync_lakes": cdc_sync_lakes,
         "lake_merge_delete": lake_merge_delete,
         "lake_search_pruned": lake_search_pruned,
         "cdc_reshard": cdc_reshard,
@@ -5578,6 +5597,17 @@ def oracle_sql() -> dict[str, str]:
                   FROM ch)
             SELECT conv_id, turn_idx, text FROM w
             WHERE rn = 1 AND op != 'delete' AND turn_idx < 15
+        """,
+        "cdc_sync_lakes": f"""
+            WITH {_TRANSCRIPTS_CTE},
+            base AS (SELECT * FROM tr WHERE turn_idx % 3 <> 2),
+            upd AS (SELECT conv_id, turn_idx, role, 'u:' || text AS text,
+                           tool, ts
+                    FROM tr WHERE turn_idx % 4 = 0)
+            SELECT * FROM upd
+            UNION ALL
+            SELECT * FROM base
+            WHERE turn_idx % 4 <> 0 AND turn_idx % 4 <> 3
         """,
         "cdc_snapshot_diff": f"""
             WITH {_TRANSCRIPTS_CTE},

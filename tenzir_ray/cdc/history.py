@@ -152,27 +152,45 @@ def snapshot_diff(lake, from_epoch, to_epoch=None,
     materialization), tagged with a side bit and sent through ONE
     grouped exchange on the key columns; per-task groups are ≤2 rows
     per key and compare vectorized."""
+    out_schema = _registry_diff_schema(lake)
+    a = lake.read(as_of=from_epoch)
+    b = lake.read(as_of=to_epoch)
+    return dataset_diff(a, b, out_schema=out_schema, buckets=buckets)
+
+
+def _registry_diff_schema(lake):
+    """Arrow output schema of a diff over this lake (keys + change +
+    payload), pinned from the schema registry so every reduce task —
+    including all-empty ones (a no-change diff) — emits it; Ray drops
+    the schema of all-empty PANDAS outputs, but keeps Arrow schemas."""
+    from tenzir_ray.cdc.lake import KEY_COLS
+
+    reg = lake.registry.schema
+    if reg is None:
+        return None
+    fields = [f for f in reg if f.name not in ("lsn", "op")]
+    by_name = {f.name: f for f in fields}
+    if not all(k in by_name for k in KEY_COLS):
+        return None
+    return pa.schema(
+        [by_name[k] for k in KEY_COLS]
+        + [pa.field("change", pa.string())]
+        + [f for f in fields if f.name not in KEY_COLS])
+
+
+def dataset_diff(a, b, keys=None, out_schema=None,
+                 buckets: int | None = None):
+    """Row-level diff of two keyed datasets (at most one row per key
+    each): what must change in ``a`` to become ``b``. The engine of
+    :func:`snapshot_diff` and :func:`sync_lakes`; same output contract
+    (keys + ``change`` + payload image)."""
     import pandas as pd
 
     from tenzir_ray.cdc.lake import KEY_COLS
     from tenzir_ray.stages.exchange import grouped_apply
 
-    kcols = [c for c in KEY_COLS]
-
-    # pin ONE Arrow output schema from the lake's registry so every
-    # reduce task — including all-empty ones (a no-change diff) —
-    # emits it; Ray drops the schema of all-empty PANDAS outputs, but
-    # keeps Arrow schemas
-    out_schema = None
-    reg = lake.registry.schema
-    if reg is not None:
-        fields = [f for f in reg if f.name not in ("lsn", "op")]
-        by_name = {f.name: f for f in fields}
-        if all(k in by_name for k in kcols):
-            out_schema = pa.schema(
-                [by_name[k] for k in kcols]
-                + [pa.field("change", pa.string())]
-                + [f for f in fields if f.name not in kcols])
+    kcols = list(KEY_COLS) if keys is None else (
+        [keys] if isinstance(keys, str) else list(keys))
 
     def _tag(side: int):
         def f(t: pa.Table) -> pa.Table:
@@ -182,11 +200,8 @@ def snapshot_diff(lake, from_epoch, to_epoch=None,
         f.__name__ = f"tag_side{side}"
         return f
 
-    a = lake.read(as_of=from_epoch).map_batches(
-        _tag(0), batch_format="pyarrow")
-    b = lake.read(as_of=to_epoch).map_batches(
-        _tag(1), batch_format="pyarrow")
-    both = a.union(b)
+    both = a.map_batches(_tag(0), batch_format="pyarrow").union(
+        b.map_batches(_tag(1), batch_format="pyarrow"))
 
     def _diff(df: pd.DataFrame) -> pd.DataFrame:
         payload = [c for c in df.columns if c not in kcols + ["__side"]]
@@ -234,6 +249,46 @@ def snapshot_diff(lake, from_epoch, to_epoch=None,
 
     return grouped_apply(both, kcols, _diff, num_buckets=buckets,
                          tag="snapdiff")
+
+
+def sync_lakes(src, dst, epoch_id: str, buckets: int | None = None):
+    """Anti-entropy replication step: make ``dst`` converge to ``src``
+    in ONE exactly-once epoch, whatever their histories. Diffs the two
+    LIVE states (``dataset_diff(dst, src)`` — so it repairs divergence,
+    not just replays deltas), turns the diff into change rows (delete →
+    tombstone, insert/update → upsert) with an lsn strictly above
+    everything ``dst`` holds, and applies it. A no-change sync commits
+    an empty epoch; re-running the same ``epoch_id`` is a no-op
+    (the lake's exactly-once contract). Cost: one grouped exchange over
+    both tables + an apply sized by the DIFF, not the tables."""
+    diff_schema = _registry_diff_schema(src)
+    d = dataset_diff(dst.read(), src.read(), out_schema=diff_schema,
+                     buckets=buckets)
+    lsn0 = max(int(dst.resume_lsn()), int(src.resume_lsn()))
+
+    def _as_changes(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        op = pc.if_else(pc.equal(t.column("change"), "delete"),
+                        pa.scalar("delete"), pa.scalar("insert"))
+        t = t.drop_columns(["change"])
+        t = t.append_column("lsn", pa.array(
+            np.full(t.num_rows, lsn0, np.int64)))
+        return t.append_column("op", op)
+
+    changes = d.map_batches(_as_changes, batch_format="pyarrow")
+    if diff_schema is not None:
+        # Ray reports schema None for an all-empty mapped dataset (the
+        # no-change sync); a 0-row Arrow anchor keeps apply_changes'
+        # schema probe working
+        import ray.data
+
+        anchor = pa.schema(
+            [f for f in diff_schema if f.name != "change"]
+            + [pa.field("lsn", pa.int64()), pa.field("op", pa.string())]
+        ).empty_table()
+        changes = ray.data.from_arrow(anchor).union(changes)
+    return dst.apply_changes(changes, epoch_id=epoch_id)
 
 
 ship_by_value(sys.modules[__name__])

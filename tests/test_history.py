@@ -151,3 +151,43 @@ def test_lake_diff_and_dedup_from_tql(ray_session, tmp_path):
     }))
     kept = run_pipeline(f'dedup_against_lake root="{root}"', inc).to_pandas()
     assert kept["conv_id"].tolist() == ["y"]
+
+
+def test_sync_lakes_converges_divergent_replica(ray_session, tmp_path):
+    import shutil
+
+    from tenzir_ray.cdc import LakeTable
+    from tenzir_ray.cdc.history import sync_lakes
+
+    def _mk(name, rows, lsn0=0):
+        root = str(tmp_path / name)
+        shutil.rmtree(root, ignore_errors=True)
+        lk = LakeTable(root, num_partitions=2)
+        lk.apply_changes(pa.table({
+            "lsn": pa.array([lsn0 + i for i in range(len(rows))],
+                            pa.int64()),
+            "op": pa.array(["insert"] * len(rows)),
+            "conv_id": pa.array([r[0] for r in rows]),
+            "turn_idx": pa.array([0] * len(rows), pa.int32()),
+            "text": pa.array([r[1] for r in rows]),
+        }), epoch_id="seed")
+        return lk
+
+    src = _mk("src", [("a", "t1"), ("b", "t2"), ("c", "t3")], lsn0=50)
+    # replica diverged: stale a, missing b, phantom z
+    dst = _mk("dst", [("a", "OLD"), ("c", "t3"), ("z", "phantom")])
+
+    rec = sync_lakes(src, dst, epoch_id="sync1")
+    assert not rec.get("skipped")
+    got = dst.final_table().to_pandas().sort_values(
+        "conv_id", ignore_index=True)
+    want = src.final_table().to_pandas().sort_values(
+        "conv_id", ignore_index=True)
+    assert got.equals(want)
+
+    # idempotent: same epoch replays as a no-op; a fresh no-change
+    # sync commits an empty epoch and states stay equal
+    assert sync_lakes(src, dst, epoch_id="sync1").get("skipped")
+    sync_lakes(src, dst, epoch_id="sync2")
+    assert dst.final_table().to_pandas().sort_values(
+        "conv_id", ignore_index=True).equals(want)
