@@ -1348,6 +1348,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             unroll kept
         """)
 
+    def tql2_nested_set(sf):
+        # TQL2 nested-path assignment: `rec.total = …` rebuilds the
+        # struct field in place (siblings untouched), not a flat
+        # "rec.total" column
+        from tenzir_ray.pipelines.tql2 import run_pipeline2
+
+        return run_pipeline2(f"""
+            from "{sf}/orders.parquet"
+            where o_orderkey <= 2000
+            rec = {{pri: o_orderpriority, total: o_totalprice}}
+            rec.total = rec.total * 2
+            doubled = rec.total
+            pri_out = rec.pri
+            select o_orderkey, doubled, pri_out
+        """)
+
     def tql2_list_lambda(sf):
         # TQL2 list literals (tql2/parser.cpp parse_list) + list
         # lambdas: build a per-row list, filter it with a `=>`
@@ -4253,6 +4269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tql_revenue": tql_revenue,
         "tql2_revenue": tql2_revenue,
         "tql2_list_lambda": tql2_list_lambda,
+        "tql2_nested_set": tql2_nested_set,
         "slice_stride_orders": slice_stride_orders,
         "syslog_parse": syslog_parse,
         "streaming_dedup_types": streaming_dedup_types,
@@ -5081,6 +5098,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, sum(l_quantity) AS total_qty, count(*) AS n
             FROM lineitem WHERE l_quantity > 45
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "tql2_nested_set": """
+            SELECT o_orderkey, o_totalprice * 2 AS doubled,
+                   o_orderpriority AS pri_out
+            FROM orders WHERE o_orderkey <= 2000
         """,
         "tql2_list_lambda": """
             SELECT o_orderkey,

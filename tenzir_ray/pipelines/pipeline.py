@@ -630,13 +630,14 @@ def _vectorized_if_fn(step: dict):
     preds = [compile_filter(p) if p is not None else None
              for p, _ in branches]
     exprs = [{c: compile_expr(e) for c, e in a.items()} for _, a in branches]
-    if "this" in targets or any(
+    if "this" in targets or any("." in t for t in targets) or any(
         getattr(v, "_tz_batch_expr", False)
         for a in exprs for v in a.values()
     ):
-        # record/lambda values (struct columns, list rebuilds) and
-        # whole-event replacement don't fit replace_with_mask — take
-        # the sequential sub-pipeline fallback
+        # record/lambda values (struct columns, list rebuilds),
+        # whole-event replacement, and nested-path targets (rec.x =
+        # struct rebuild, not a flat column) don't fit
+        # replace_with_mask — take the sequential sub-pipeline fallback
         return None
     cols = sorted(targets)
 

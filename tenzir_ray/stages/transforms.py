@@ -47,6 +47,45 @@ def _eval_on_batch(expr, batch: pa.Table):
     return eval_expr(expr, batch)
 
 
+def _struct_root(batch: pa.Table, dotted: str) -> bool:
+    root = dotted.split(".", 1)[0]
+    return (root in batch.column_names
+            and pa.types.is_struct(batch.schema.field(root).type))
+
+
+def _nested_set(struct_arr: "pa.StructArray", path: list,
+                col: "pa.Array") -> "pa.StructArray":
+    """Rebuild a StructArray with the field at ``path`` replaced (or
+    appended at the leaf level); null struct rows stay null."""
+    import pyarrow.compute as pc
+
+    names = [f.name for f in struct_arr.type]
+    arrays = [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+              for a in struct_arr.flatten()]
+    head = path[0]
+    if head in names:
+        i = names.index(head)
+        if len(path) == 1:
+            arrays[i] = col
+        else:
+            sub = arrays[i]
+            if not pa.types.is_struct(sub.type):
+                raise TypeError(
+                    f"set: {'.'.join(path)}: {head!r} is {sub.type}, "
+                    "not a record")
+            arrays[i] = _nested_set(sub, path[1:], col)
+    elif len(path) == 1:
+        names.append(head)
+        arrays.append(col)
+    else:
+        raise KeyError(
+            f"set: intermediate record field {head!r} does not exist")
+    mask = pc.is_null(struct_arr)
+    if isinstance(mask, pa.ChunkedArray):
+        mask = mask.combine_chunks()
+    return pa.StructArray.from_arrays(arrays, names=names, mask=mask)
+
+
 # ---------------------------------------------------------------------------
 # filtering / projection
 
@@ -89,6 +128,22 @@ def set_(ds, **exprs: str):
     def _set(batch: pa.Table) -> pa.Table:
         for name, e in compiled.items():
             col = _eval_on_batch(e, batch)
+            if "." in name and _struct_root(batch, name):
+                # nested-path assignment `rec.x = …` (TQL2 selector
+                # targets): rebuild the struct with the leaf replaced —
+                # NOT a flat column literally named "rec.x" (that form
+                # stays for non-struct roots, e.g. flatten output)
+                root, rest = name.split(".", 1)
+                if not isinstance(col, (pa.Array, pa.ChunkedArray)):
+                    col = pa.array([col] * batch.num_rows)
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                new = _nested_set(
+                    batch.column(root).combine_chunks(),
+                    rest.split("."), col)
+                batch = batch.set_column(
+                    batch.schema.get_field_index(root), root, new)
+                continue
             if name == "this":
                 # TQL2 `this = {record}`: the record REPLACES the event
                 # (tql2 assignment to `this`) — struct fields become the

@@ -222,3 +222,47 @@ def test_empty_list_literal():
     out = eval_expr(compile_expr("[]"), _batch())
     assert pa.types.is_list(out.type)
     assert out.to_pylist() == [[], [], []]
+
+
+# ---------------------------------------------------------------------------
+# nested-path assignment
+
+
+def test_tql2_nested_path_assignment(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from tenzir_ray.pipelines.tql2 import run_pipeline2
+
+    ds = ray.data.from_pandas(pd.DataFrame({"a": [1, 2]}))
+    out = run_pipeline2(
+        'rec = {inner: {x: a}, y: a * 10}\n'
+        'rec.inner.x = rec.inner.x + 5\n'
+        'rec.z = a\n'
+        'select rec', ds).to_pandas()
+    recs = out.to_dict("records")
+    assert [r["rec"]["inner"]["x"] for r in recs] == [6, 7]
+    assert [r["rec"]["y"] for r in recs] == [10, 20]   # siblings keep
+    assert [r["rec"]["z"] for r in recs] == [1, 2]     # leaf append
+
+
+def test_nested_set_keeps_flat_dotted_columns_and_nulls(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from tenzir_ray.stages import transforms as T
+
+    # flatten-style flat column names with dots are NOT struct paths
+    flat = ray.data.from_arrow(pa.table({"a.b": pa.array([1, 2])}))
+    out = T.set_(flat, **{"a.c": "7"}).to_pandas()
+    assert out["a.c"].tolist() == [7, 7]
+
+    # null struct rows stay null; non-record intermediates error loudly
+    nds = ray.data.from_arrow(pa.table({
+        "rec": pa.array([{"x": 1}, None],
+                        type=pa.struct([("x", pa.int64())])),
+        "a": pa.array([5, 6])}))
+    got = T.set_(nds, **{"rec.x": "a"}).to_pandas()
+    assert got["rec"][0] == {"x": 5} and pd.isna(got["rec"][1])
+    with pytest.raises(Exception, match="not a record"):
+        T.set_(nds, **{"rec.x.deep": "1"}).to_pandas()
