@@ -1857,6 +1857,140 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return agg.map_batches(_money, batch_format="pyarrow")
 
+    def url_parse_docs(sf):
+        # web-corpus URL structure: synthesize a deterministic URL per
+        # document (mixed-case host, default/explicit/absent ports,
+        # tracking params, fragments), then REALLY parse + canonicalize
+        # it; the oracle derives every component directly from the same
+        # formula, so the parser is tested against ground truth
+        import pandas as pd
+
+        from tenzir_ray.stages.url import canonical_url, parse_url
+
+        docs = _read(sf, "documents", columns=["doc_id", "source", "lang"])
+
+        def _mk(df: pd.DataFrame) -> pd.DataFrame:
+            did = df["doc_id"].to_numpy(np.int64)
+            scheme = np.where(did % 2 == 0, "https", "http")
+            defport = np.where(did % 2 == 0, ":443", ":80")
+            portstr = np.select([did % 3 == 0, did % 3 == 1],
+                                [defport, ":8080"], "")
+            frag = np.where(did % 5 == 0, "#top", "")
+            df["url"] = (
+                pd.Series(scheme, index=df.index)
+                + "://" + df["source"].str.upper() + ".Example.COM"
+                + pd.Series(portstr, index=df.index)
+                + "/Docs/" + pd.Series(did.astype(str), index=df.index)
+                + "?utm_source=feed&ref=" + df["lang"]
+                + pd.Series(frag, index=df.index))
+            return df[["doc_id", "url"]]
+
+        ds = docs.map_batches(_mk, batch_format="pandas")
+        ds = parse_url(ds, "url")
+        ds = canonical_url(ds, "url")
+        return T.select(ds, ["doc_id", "url", "url_scheme", "url_host",
+                             "url_port", "url_path", "url_query",
+                             "url_fragment", "canonical_url"])
+
+    def strdist_parts(sf):
+        # pairwise string-distance columns (fuzzy-match primitives:
+        # DuckDB-compatible levenshtein / character-set jaccard /
+        # equal-length hamming), numpy-DP vectorized per batch
+        from tenzir_ray.stages.text import string_distance
+
+        parts = T.put(
+            _read(sf, "part", columns=["p_partkey", "p_name", "p_type"]),
+            p_partkey="p_partkey", p_name="p_name", p_type="p_type",
+            a5="p_name.substr(0, 5)", b5="p_type.substr(0, 5)")
+        ds = string_distance(parts, "p_name", "p_type",
+                             metrics={"lev": "levenshtein",
+                                      "jac": "jaccard"})
+        ds = string_distance(ds, "a5", "b5", metrics={"ham": "hamming"})
+        return T.select(ds, ["p_partkey", "lev", "jac", "ham"])
+
+    def q3_shipping_priority(sf):
+        # TPC-H Q3 adapted to this schema (o_orderpriority standing in
+        # for o_shippriority): top-10 unshipped high-revenue orders of
+        # one market segment. customer filter -> semi join into orders
+        # -> hash join into lineitem -> exact-integer grouped revenue
+        # (reference pipeline shape: where | join | summarize | sort |
+        # head).
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from tenzir_ray.stages.join import hash_join
+
+        cust = T.where(
+            _read(sf, "customer", columns=["c_custkey", "c_mktsegment"]),
+            "c_mktsegment == 'BUILDING'")
+        orders = T.where(
+            _read(sf, "orders",
+                  columns=["o_orderkey", "o_custkey", "o_orderdate",
+                           "o_orderpriority"]),
+            "o_orderdate < '1995-03-15'")
+        orders = hash_join(orders, cust, on="o_custkey",
+                           right_on="c_custkey", how="semi")
+        li = T.where(
+            _read(sf, "lineitem",
+                  columns=["l_orderkey", "l_extendedprice", "l_discount",
+                           "l_shipdate"]),
+            "l_shipdate > '1995-03-15'")
+
+        def _cents(t: pa.Table) -> pa.Table:
+            rev = pc.multiply(
+                pc.multiply(t.column("l_extendedprice"),
+                            pc.subtract(1.0, t.column("l_discount"))), 10000)
+            return t.select(["l_orderkey"]).append_column(
+                "rev_dm", pc.cast(pc.round(rev), pa.int64()))
+
+        li = li.map_batches(_cents, batch_format="pyarrow")
+        joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+        agg = S.summarize(
+            joined, by=["l_orderkey", "o_orderdate", "o_orderpriority"],
+            rev_dm="sum(rev_dm)")
+        agg = T.head(
+            T.sort(agg, ["rev_dm", "o_orderdate", "l_orderkey"],
+                   descending=[True, False, False]), 10)
+
+        def _money(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "revenue",
+                pc.divide(pc.cast(t.column("rev_dm"), pa.float64()), 10000.0),
+            ).drop_columns(["rev_dm"])
+
+        return agg.map_batches(_money, batch_format="pyarrow")
+
+    def q6_forecast_revenue(sf):
+        # TPC-H Q6: pure filter + global aggregate — the read prunes to
+        # 4 columns and the revenue sum is exact (cents x discount-pct
+        # integer grid) so both engines agree bit-for-bit.
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        li = T.where(
+            _read(sf, "lineitem",
+                  columns=["l_extendedprice", "l_discount", "l_quantity",
+                           "l_shipdate"]),
+            "l_shipdate >= '1994-01-01' and l_shipdate < '1995-01-01' "
+            "and l_discount >= 0.05 and l_discount <= 0.07 "
+            "and l_quantity < 24")
+
+        def _rev(t: pa.Table) -> pa.Table:
+            c = pc.cast(pc.round(pc.multiply(t.column("l_extendedprice"),
+                                             100)), pa.int64())
+            d = pc.cast(pc.round(pc.multiply(t.column("l_discount"), 100)),
+                        pa.int64())
+            return pa.table({"rev_u": pc.multiply(c, d)})
+
+        agg = S.summarize(li.map_batches(_rev, batch_format="pyarrow"),
+                          rev_u="sum(rev_u)", n="count(*)")
+        # global aggregate -> one driver-side row
+        agg = agg if isinstance(agg, pa.Table) else pa.Table.from_pandas(agg)
+        return agg.append_column(
+            "revenue",
+            pc.divide(pc.cast(agg.column("rev_u"), pa.float64()),
+                      1_000_000.0)).drop_columns(["rev_u"])
+
     def asof_tolerance_status(sf):
         # as-of join with a match-distance budget: the latest status at
         # most 30 minutes old; staler matches pad with null (merge_asof
@@ -4243,6 +4377,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_status": asof_status,
         "asof_tolerance_status": asof_tolerance_status,
         "join_revenue_by_priority": join_revenue_by_priority,
+        "url_parse_docs": url_parse_docs,
+        "strdist_parts": strdist_parts,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q6_forecast_revenue": q6_forecast_revenue,
         "skew_join_events_customer": skew_join_events_customer,
         "tql_hash_join_revenue": tql_hash_join_revenue,
         "regional_part_revenue": regional_part_revenue,
@@ -5012,6 +5150,72 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(rev_dm) AS DOUBLE) / 10000.0 AS revenue,
                    count(*) AS n
             FROM j GROUP BY o_orderpriority
+        """,
+        "url_parse_docs": """
+            WITH u AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END AS scheme,
+                       upper(source) || '.Example.COM' AS host,
+                       CASE WHEN doc_id % 3 = 0 THEN
+                                CASE WHEN doc_id % 2 = 0 THEN 443 ELSE 80 END
+                            WHEN doc_id % 3 = 1 THEN 8080
+                            ELSE NULL END AS port,
+                       CASE WHEN doc_id % 3 = 0 THEN
+                                CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END
+                            WHEN doc_id % 3 = 1 THEN ':8080'
+                            ELSE '' END AS portstr,
+                       '/Docs/' || doc_id AS path,
+                       'utm_source=feed&ref=' || lang AS query,
+                       CASE WHEN doc_id % 5 = 0 THEN 'top' ELSE NULL END AS frag,
+                       lang
+                FROM documents)
+            SELECT doc_id,
+                   scheme || '://' || host || portstr || path || '?' || query
+                       || coalesce('#' || frag, '') AS url,
+                   scheme AS url_scheme,
+                   host AS url_host,
+                   port AS url_port,
+                   path AS url_path,
+                   query AS url_query,
+                   frag AS url_fragment,
+                   scheme || '://' || lower(host)
+                       || CASE WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END
+                       || path || '?ref=' || lang AS canonical_url
+            FROM u
+        """,
+        "strdist_parts": """
+            SELECT p_partkey,
+                   levenshtein(p_name, p_type) AS lev,
+                   jaccard(p_name, p_type) AS jac,
+                   hamming(substr(p_name, 1, 5), substr(p_type, 1, 5)) AS ham
+            FROM part
+        """,
+        "q3_shipping_priority": """
+            WITH j AS (
+                SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+                       CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT) AS rev_dm
+                FROM customer c
+                JOIN orders o ON c.c_custkey = o.o_custkey
+                JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                WHERE c.c_mktsegment = 'BUILDING'
+                  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+                  AND l.l_shipdate > TIMESTAMP '1995-03-15')
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   CAST(sum(rev_dm) AS DOUBLE) / 10000.0 AS revenue
+            FROM j GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY sum(rev_dm) DESC, o_orderdate, l_orderkey
+            LIMIT 10
+        """,
+        "q6_forecast_revenue": """
+            SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * CAST(round(l_discount * 100) AS BIGINT))
+                        AS DOUBLE) / 1000000.0 AS revenue,
+                   count(*) AS n
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+              AND l_shipdate < TIMESTAMP '1995-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
         """,
         "skew_join_events_customer": """
             SELECT e.event_id, e.user_id, e.value,

@@ -699,4 +699,93 @@ def tfidf_top_terms(ds, column: str = "text", id_column: str = "doc_id",
                           batch_size=batch_size)
 
 
+def _levenshtein_row(sa: str, sb: str) -> int:
+    """Edit distance of one pair, numpy DP with a fully-vectorized inner
+    row: the sequential insertion chain cur[j] = min(cand[j], cur[j-1]+1)
+    is the running minimum of (cand[k]-k), i.e. one minimum.accumulate —
+    no per-character Python inner loop."""
+    if sa == sb:
+        return 0
+    if not sa or not sb:
+        return max(len(sa), len(sb))
+    if len(sb) > len(sa):  # iterate over the shorter side
+        sa, sb = sb, sa
+    a = np.frombuffer(sa.encode("utf-32-le"), dtype=np.uint32)
+    b = np.frombuffer(sb.encode("utf-32-le"), dtype=np.uint32)
+    n = len(b)
+    js = np.arange(n + 1, dtype=np.int64)
+    prev = js.copy()
+    cand = np.empty(n + 1, dtype=np.int64)
+    for i, ca in enumerate(a, 1):
+        cand[0] = i
+        np.minimum(prev[1:] + 1, prev[:-1] + (b != ca), out=cand[1:])
+        np.subtract(cand, js, out=cand)
+        np.minimum.accumulate(cand, out=cand)
+        np.add(cand, js, out=cand)
+        prev, cand = cand, prev
+    return int(prev[n])
+
+
+def _dist_kernels(metric: str):
+    if metric == "levenshtein":
+        return _levenshtein_row, np.int64
+    if metric == "hamming":
+        def _ham(sa: str, sb: str) -> int:
+            if len(sa) != len(sb):
+                raise ValueError(
+                    "hamming distance needs equal-length strings "
+                    f"({len(sa)} vs {len(sb)})")
+            if not sa:
+                return 0
+            a = np.frombuffer(sa.encode("utf-32-le"), dtype=np.uint32)
+            b = np.frombuffer(sb.encode("utf-32-le"), dtype=np.uint32)
+            return int((a != b).sum())
+        return _ham, np.int64
+    if metric == "jaccard":
+        def _jac(sa: str, sb: str) -> float:
+            A, B = set(sa), set(sb)
+            if not A and not B:
+                return 1.0
+            return len(A & B) / len(A | B)
+        return _jac, np.float64
+    raise ValueError(f"unknown string-distance metric {metric!r}")
+
+
+def string_distance(ds, a: str, b: str,
+                    metrics: "dict[str, str] | None" = None,
+                    batch_size: int = 8192):
+    """Pairwise string-distance columns between two string columns.
+
+    ``metrics`` maps output column -> metric name (``levenshtein`` edit
+    distance, ``hamming`` equal-length mismatch count, ``jaccard``
+    character-set similarity — DuckDB-compatible semantics for all
+    three; null in either input yields null). Default adds one
+    ``levenshtein`` column. The per-pair DP is numpy-vectorized
+    (O(max_len) vector steps per pair); fuzzy-join candidate verification
+    at corpus scale should bound pair count first (LSH/banding — see
+    stages/dedup.py)."""
+    metrics = metrics or {"levenshtein": "levenshtein"}
+    kernels = {out: _dist_kernels(m) for out, m in metrics.items()}
+
+    def _dist(df: pd.DataFrame) -> pd.DataFrame:
+        va = df[a].to_numpy(dtype=object)
+        vb = df[b].to_numpy(dtype=object)
+        valid = np.array(
+            [isinstance(x, str) and isinstance(y, str)
+             for x, y in zip(va, vb)], dtype=bool)
+        for out, (fn, dt) in kernels.items():
+            vals = np.empty(len(df), dtype=np.float64)
+            vals.fill(np.nan)
+            for i in np.flatnonzero(valid):
+                vals[i] = fn(va[i], vb[i])
+            if dt is np.int64 and valid.all():
+                df[out] = vals.astype(np.int64)
+            else:
+                df[out] = vals  # float (nullable) when nulls present
+        return df
+
+    return ds.map_batches(_dist, batch_format="pandas",
+                          batch_size=batch_size)
+
+
 ship_by_value(sys.modules[__name__])

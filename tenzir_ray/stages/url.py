@@ -1,0 +1,127 @@
+"""URL parsing + canonicalization stages for web-corpus pipelines.
+
+Training-data ingest over crawled corpora needs per-URL structure
+(host / registered-domain grouping, path routing) and a canonical form
+for URL-level dedup. Both stages are single-regex vectorized pandas
+passes (the RFC 3986 appendix-B split regex — one C-level pass per
+batch, no per-row Python parser), so they run as plain ``map_batches``
+functions.
+
+Reference parity note: the reference has no URL operators — this module
+is part of the engine's training-data extension surface (SURVEY.md §2
+extensions), like stages/text.py.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+import numpy as np
+import pandas as pd
+
+from tenzir_ray._ship import ship_by_value
+
+# RFC 3986 appendix B, split into scheme / authority / path / query /
+# fragment. Applied with pandas .str.extract → one vectorized pass.
+_URL_RE = re.compile(
+    r"^(?:([^:/?#]+):)?(?://([^/?#]*))?([^?#]*)(?:\?([^#]*))?(?:#(.*))?$")
+# authority = [userinfo@]host[:port]; host may be a bracketed IPv6 literal
+_AUTH_RE = re.compile(r"^(?:([^@]*)@)?(\[[^\]]*\]|[^:]*)(?::(\d*))?$")
+
+_DEFAULT_PORTS = {"http": "80", "https": "443", "ws": "80", "wss": "443",
+                  "ftp": "21"}
+# tracking parameters dropped by canonical_url (utm_* handled by regex)
+_TRACKING_RE = re.compile(r"(^|&)(?:utm_[^&=]*|fbclid|gclid)(?:=[^&]*)?")
+
+
+def _split(urls: pd.Series) -> pd.DataFrame:
+    parts = urls.astype("string").str.extract(_URL_RE)
+    parts.columns = ["scheme", "authority", "path", "query", "fragment"]
+    auth = parts["authority"].str.extract(_AUTH_RE)
+    auth.columns = ["userinfo", "host", "port"]
+    return pd.concat([parts, auth], axis=1)
+
+
+def parse_url(ds, column: str = "url", prefix: str = "url_",
+              batch_size: int = 16384):
+    """Split a URL column into ``<prefix>scheme / host / port / path /
+    query / fragment`` columns (RFC 3986 component split; absent
+    components are null, port is nullable int64). Null input rows yield
+    all-null components."""
+
+    def _parse(df: pd.DataFrame) -> pd.DataFrame:
+        p = _split(df[column])
+        df[prefix + "scheme"] = p["scheme"].to_numpy(dtype=object)
+        df[prefix + "host"] = p["host"].to_numpy(dtype=object)
+        port = pd.to_numeric(p["port"], errors="coerce")
+        df[prefix + "port"] = port.astype("Int64")
+        # a present-but-empty path is null-distinct from absent ("" vs null
+        # would hash apart) — normalize both to null
+        for comp in ("path", "query", "fragment"):
+            v = p[comp]
+            df[prefix + comp] = v.where(v.notna() & (v != ""),
+                                        None).to_numpy(dtype=object)
+        return df
+
+    return ds.map_batches(_parse, batch_format="pandas",
+                          batch_size=batch_size)
+
+
+def canonical_url(ds, column: str = "url", out: str = "canonical_url",
+                  batch_size: int = 16384):
+    """Canonical URL for exact URL-level dedup: lowercase scheme + host,
+    strip default ports (http:80 / https:443 / ...), drop the fragment,
+    drop tracking query params (``utm_*`` / ``fbclid`` / ``gclid``;
+    remaining params keep their order), empty path becomes ``/`` when an
+    authority is present. Purely syntactic — no network, no IDNA."""
+
+    def _canon(df: pd.DataFrame) -> pd.DataFrame:
+        p = _split(df[column])
+        scheme = p["scheme"].str.lower()
+        host = p["host"].str.lower()
+        port = p["port"]
+        # strip the scheme's default port and empty ":" leftovers
+        default = scheme.map(_DEFAULT_PORTS)
+        keep_port = port.notna() & (port != "") & (port != default)
+        q = (p["query"].fillna("")
+             .str.replace(_TRACKING_RE, "", regex=True)
+             .str.replace(r"^&", "", regex=True))
+        path = p["path"].fillna("")
+        has_auth = p["authority"].notna()
+        path = path.where(~(has_auth & (path == "")), "/")
+        parts = [
+            scheme.fillna("") + np.where(scheme.notna(), ":", ""),
+            np.where(has_auth, "//", ""),
+            np.where(p["userinfo"].notna(),
+                     p["userinfo"].fillna("") + "@", ""),
+            host.fillna(""),
+            np.where(keep_port, ":" + port.fillna(""), ""),
+            path,
+            np.where(q != "", "?", ""),
+            q,
+        ]
+        canon = parts[0]
+        for piece in parts[1:]:
+            canon = canon + piece
+        df[out] = canon.where(df[column].notna(), None).to_numpy(dtype=object)
+        return df
+
+    return ds.map_batches(_canon, batch_format="pandas",
+                          batch_size=batch_size)
+
+
+def url_host(ds, column: str = "url", out: str = "host",
+             batch_size: int = 16384):
+    """Just the lowercased host — the usual per-site grouping key."""
+
+    def _host(df: pd.DataFrame) -> pd.DataFrame:
+        p = _split(df[column])
+        df[out] = p["host"].str.lower().to_numpy(dtype=object)
+        return df
+
+    return ds.map_batches(_host, batch_format="pandas",
+                          batch_size=batch_size)
+
+
+ship_by_value(sys.modules[__name__])

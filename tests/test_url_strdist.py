@@ -1,0 +1,144 @@
+"""Session-10 operator tests: URL parse/canonicalize, string distances."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+# ---------------------------------------------------------------- url
+
+
+URLS = [
+    "https://User@WWW.Example.COM:443/A/b?utm_source=x&q=1&fbclid=z#frag",
+    "http://example.org:8080/",
+    "http://example.org",
+    "ftp://Files.example.net:21/pub/file.txt",
+    "https://example.com/path?utm_a=1&utm_b=2",
+    "mailto:someone@example.com",
+    "//cdn.example.com/asset.js",
+    "/relative/path?x=1",
+    None,
+]
+
+
+def _one_table():
+    return pa.table({"i": list(range(len(URLS))),
+                     "url": pa.array(URLS, pa.string())})
+
+
+def test_parse_url_components(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages.url import parse_url
+
+    df = (parse_url(ray.data.from_arrow(_one_table()), "url")
+          .to_pandas().sort_values("i", ignore_index=True))
+    assert df.loc[0, "url_scheme"] == "https"
+    assert df.loc[0, "url_host"] == "WWW.Example.COM"  # parse keeps case
+    assert df.loc[0, "url_port"] == 443
+    assert df.loc[0, "url_path"] == "/A/b"
+    assert df.loc[0, "url_query"] == "utm_source=x&q=1&fbclid=z"
+    assert df.loc[0, "url_fragment"] == "frag"
+    # no explicit port -> null port; no query/fragment -> null
+    assert pd.isna(df.loc[2, "url_port"])
+    assert pd.isna(df.loc[2, "url_query"])
+    assert pd.isna(df.loc[2, "url_path"])  # absent path is null, not ""
+    # scheme-less network path and path-only references
+    assert pd.isna(df.loc[6, "url_scheme"])
+    assert df.loc[6, "url_host"] == "cdn.example.com"
+    assert pd.isna(df.loc[7, "url_host"])
+    assert df.loc[7, "url_path"] == "/relative/path"
+    # mailto: opaque path, no authority
+    assert df.loc[5, "url_scheme"] == "mailto"
+    assert df.loc[5, "url_path"] == "someone@example.com"
+    # null input -> all-null components
+    assert pd.isna(df.loc[8, "url_scheme"]) and pd.isna(df.loc[8, "url_host"])
+
+
+def test_canonical_url_rules(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages.url import canonical_url
+
+    df = (canonical_url(ray.data.from_arrow(_one_table()), "url")
+          .to_pandas().sort_values("i", ignore_index=True))
+    # lowercased host, default port stripped, tracking params dropped,
+    # fragment dropped, userinfo kept
+    assert df.loc[0, "canonical_url"] == "https://User@www.example.com/A/b?q=1"
+    # non-default port kept; empty path -> "/"
+    assert df.loc[1, "canonical_url"] == "http://example.org:8080/"
+    assert df.loc[2, "canonical_url"] == "http://example.org/"
+    # ftp default port 21 stripped
+    assert df.loc[3, "canonical_url"] == "ftp://files.example.net/pub/file.txt"
+    # all params tracking -> no "?"
+    assert df.loc[4, "canonical_url"] == "https://example.com/path"
+    assert df.loc[5, "canonical_url"] == "mailto:someone@example.com"
+    assert df.loc[7, "canonical_url"] == "/relative/path?x=1"
+    assert pd.isna(df.loc[8, "canonical_url"])
+
+
+def test_url_host_groups(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages.url import url_host
+
+    df = (url_host(ray.data.from_arrow(_one_table()), "url")
+          .to_pandas().sort_values("i", ignore_index=True))
+    assert df.loc[0, "host"] == "www.example.com"
+    assert df.loc[6, "host"] == "cdn.example.com"
+
+
+# ---------------------------------------------------------------- strdist
+
+
+def test_levenshtein_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from tenzir_ray.stages.text import string_distance
+
+    rng = np.random.default_rng(3)
+    alpha = list("abcdef")
+    a = ["".join(rng.choice(alpha, rng.integers(0, 12))) for _ in range(300)]
+    b = ["".join(rng.choice(alpha, rng.integers(0, 12))) for _ in range(300)]
+    tbl = pa.table({"i": np.arange(300), "a": a, "b": b})
+    got = (string_distance(ray.data.from_arrow(tbl), "a", "b",
+                           metrics={"lev": "levenshtein"})
+           .to_pandas().sort_values("i", ignore_index=True))
+    con = duckdb.connect()
+    want = con.execute(
+        "SELECT i, levenshtein(a, b) AS lev FROM tbl ORDER BY i").df()
+    assert (got["lev"].to_numpy(np.int64)
+            == want["lev"].to_numpy(np.int64)).all()
+
+
+def test_hamming_jaccard_and_nulls(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages.text import string_distance
+
+    tbl = pa.table({
+        "i": [0, 1, 2],
+        "a": pa.array(["karolin", "abcabc", None], pa.string()),
+        "b": pa.array(["kathrin", "cbacba", "x"], pa.string()),
+    })
+    df = (string_distance(ray.data.from_arrow(tbl), "a", "b",
+                          metrics={"ham": "hamming", "jac": "jaccard"})
+          .to_pandas().sort_values("i", ignore_index=True))
+    assert df.loc[0, "ham"] == 3
+    assert df.loc[1, "jac"] == 1.0
+    assert pd.isna(df.loc[2, "ham"]) and pd.isna(df.loc[2, "jac"])
+
+
+def test_hamming_unequal_length_raises(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages.text import string_distance
+
+    tbl = pa.table({"a": ["ab"], "b": ["abc"]})
+    with pytest.raises(Exception, match="equal-length"):
+        string_distance(ray.data.from_arrow(tbl), "a", "b",
+                        metrics={"h": "hamming"}).materialize()
