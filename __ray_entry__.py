@@ -1857,6 +1857,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return agg.map_batches(_money, batch_format="pyarrow")
 
+    def warc_roundtrip(sf):
+        # WARC/WET container roundtrip: documents -> per-record-gzip WET
+        # segments (Common Crawl convention) -> parsed back; doc_id rides
+        # the WARC-Target-URI, so a hash match proves both the formatter
+        # and the record parser byte-exact
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from tenzir_ray.sources.warc import read_warc, write_warc
+
+        docs = _read(sf, "documents", columns=["doc_id", "text"])
+
+        def _mk(t: pa.Table) -> pa.Table:
+            url = pc.binary_join_element_wise(
+                "https://corpus.example/doc/",
+                pc.cast(t.column("doc_id"), pa.string()), "")
+            return pa.table({"url": url, "content": t.column("text")})
+
+        dest = _scratch("tenzir_ray_warc", os.path.basename(sf.rstrip("/")))
+        shutil.rmtree(dest, ignore_errors=True)
+        write_warc(docs.map_batches(_mk, batch_format="pyarrow"), dest,
+                   compress=True)
+
+        def _ids(t: pa.Table) -> pa.Table:
+            did = pc.cast(
+                pc.replace_substring(t.column("url"),
+                                     "https://corpus.example/doc/", ""),
+                pa.int64())
+            return pa.table({"doc_id": did, "content": t.column("content"),
+                             "length": t.column("length")})
+
+        return read_warc(dest).map_batches(_ids, batch_format="pyarrow")
+
     def url_parse_docs(sf):
         # web-corpus URL structure: synthesize a deterministic URL per
         # document (mixed-case host, default/explicit/absent ports,
@@ -4377,6 +4410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_status": asof_status,
         "asof_tolerance_status": asof_tolerance_status,
         "join_revenue_by_priority": join_revenue_by_priority,
+        "warc_roundtrip": warc_roundtrip,
         "url_parse_docs": url_parse_docs,
         "strdist_parts": strdist_parts,
         "q3_shipping_priority": q3_shipping_priority,
@@ -5150,6 +5184,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(rev_dm) AS DOUBLE) / 10000.0 AS revenue,
                    count(*) AS n
             FROM j GROUP BY o_orderpriority
+        """,
+        "warc_roundtrip": """
+            SELECT doc_id, text AS content, strlen(text) AS length
+            FROM documents
         """,
         "url_parse_docs": """
             WITH u AS (
