@@ -1857,6 +1857,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return agg.map_batches(_money, batch_format="pyarrow")
 
+    def triangle_count_orders(sf):
+        # exact distributed triangle count (canonical edges -> wedge
+        # join -> closure semi join, all over the packed exchange) on a
+        # deterministic graph derived from orders
+        import pandas as pd
+        import pyarrow as pa
+
+        from tenzir_ray.stages.graph import triangle_count
+
+        orders = _read(sf, "orders", columns=["o_orderkey", "o_custkey"])
+
+        def _mk(df: pd.DataFrame) -> pd.DataFrame:
+            ok = df["o_orderkey"].to_numpy(np.int64)
+            return pd.DataFrame({
+                "src": df["o_custkey"].to_numpy(np.int64),
+                "dst": (ok * 37) % 150 + 1,
+            })
+
+        n = triangle_count(orders.map_batches(_mk, batch_format="pandas"),
+                           "src", "dst")
+        return pa.table({"triangles": pa.array([n], pa.int64())})
+
     def warc_roundtrip(sf):
         # WARC/WET container roundtrip: documents -> per-record-gzip WET
         # segments (Common Crawl convention) -> parsed back; doc_id rides
@@ -4410,6 +4432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_status": asof_status,
         "asof_tolerance_status": asof_tolerance_status,
         "join_revenue_by_priority": join_revenue_by_priority,
+        "triangle_count_orders": triangle_count_orders,
         "warc_roundtrip": warc_roundtrip,
         "url_parse_docs": url_parse_docs,
         "strdist_parts": strdist_parts,
@@ -5184,6 +5207,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(rev_dm) AS DOUBLE) / 10000.0 AS revenue,
                    count(*) AS n
             FROM j GROUP BY o_orderpriority
+        """,
+        "triangle_count_orders": """
+            WITH raw AS (
+                SELECT o_custkey AS src, (o_orderkey * 37) % 150 + 1 AS dst
+                FROM orders),
+            e AS (
+                SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM raw WHERE src <> dst)
+            SELECT count(*) AS triangles
+            FROM e e1
+            JOIN e e2 ON e1.b = e2.a
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
         """,
         "warc_roundtrip": """
             SELECT doc_id, text AS content, strlen(text) AS length
