@@ -1857,6 +1857,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return agg.map_batches(_money, batch_format="pyarrow")
 
+    def unicode_norm_docs(sf):
+        # unicode normalization (NFC via the text stage; pyarrow's own
+        # NFC kernel is decompose-only in this version) + accent
+        # stripping as a chainable expression method; input synthesized
+        # with DECOMPOSED combining marks so NFC actually rewrites bytes
+        import pandas as pd
+
+        from tenzir_ray.stages.text import normalize_unicode
+
+        docs = _read(sf, "documents", columns=["doc_id", "lang"])
+
+        def _mk(df: pd.DataFrame) -> pd.DataFrame:
+            df["raw"] = ("Cre\u0301me_" + df["lang"]
+                         + "_A\u030Angstro\u0308m")
+            return df[["doc_id", "raw"]]
+
+        ds = docs.map_batches(_mk, batch_format="pandas")
+        ds = normalize_unicode(ds, "raw", form="NFC", out="norm")
+        return T.put(ds, doc_id="doc_id", norm="norm",
+                     bare="norm.strip_accents()",
+                     n_norm="norm.length()",
+                     n_raw="raw.length()")
+
     def triangle_count_orders(sf):
         # exact distributed triangle count (canonical edges -> wedge
         # join -> closure semi join, all over the packed exchange) on a
@@ -4432,6 +4455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_status": asof_status,
         "asof_tolerance_status": asof_tolerance_status,
         "join_revenue_by_priority": join_revenue_by_priority,
+        "unicode_norm_docs": unicode_norm_docs,
         "triangle_count_orders": triangle_count_orders,
         "warc_roundtrip": warc_roundtrip,
         "url_parse_docs": url_parse_docs,
@@ -5207,6 +5231,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(rev_dm) AS DOUBLE) / 10000.0 AS revenue,
                    count(*) AS n
             FROM j GROUP BY o_orderpriority
+        """,
+        "unicode_norm_docs": """
+            WITH u AS (
+                SELECT doc_id,
+                       'Cre' || chr(769) || 'me_' || lang || '_A' ||
+                       chr(778) || 'ngstro' || chr(776) || 'm' AS raw
+                FROM documents)
+            SELECT doc_id,
+                   nfc_normalize(raw) AS norm,
+                   strip_accents(nfc_normalize(raw)) AS bare,
+                   length(nfc_normalize(raw)) AS n_norm,
+                   length(raw) AS n_raw
+            FROM u
         """,
         "triangle_count_orders": """
             WITH raw AS (

@@ -59,7 +59,26 @@ _METHOD_MAP = {
         col, width=width, padding=pad),
     "split": lambda col, sep: pc.split_pattern(col, pattern=sep),
     "isin": lambda col, values: col.isin(values),
+    # unicode normalization (decomposing forms only: this pyarrow's
+    # utf8_normalize NFC/NFKC skips the recomposition step — verified
+    # against unicodedata — so composing forms go through
+    # stages.text.normalize_unicode instead). strip_accents is NFD +
+    # drop combining marks, which leaves compatibility ligatures alone
+    # exactly like DuckDB's strip_accents.
+    "normalize": lambda col, form="NFD": _utf8_normalize_checked(col, form),
+    "strip_accents": lambda col: pc.replace_substring_regex(
+        pc.utf8_normalize(col, form="NFD"), pattern=r"\p{Mn}",
+        replacement=""),
 }
+
+
+def _utf8_normalize_checked(col, form):
+    if form not in ("NFD", "NFKD"):
+        raise ValueError(
+            f"normalize({form!r}): this pyarrow's utf8_normalize does not "
+            "recompose (NFC/NFKC come back decomposed); use "
+            "tenzir_ray.stages.text.normalize_unicode for composing forms")
+    return pc.utf8_normalize(col, form=form)
 
 def _mathfn(pcfn, pyfn):
     """Dispatch a unary/binary math function over pads Expressions

@@ -699,6 +699,33 @@ def tfidf_top_terms(ds, column: str = "text", id_column: str = "doc_id",
                           batch_size=batch_size)
 
 
+def normalize_unicode(ds, column: str = "text", form: str = "NFC",
+                      out: "str | None" = None, batch_size: int = 16384):
+    """Unicode-normalize a string column (NFC/NFD/NFKC/NFKD via
+    CPython's unicodedata — the composing forms are done HERE because
+    this pyarrow's ``utf8_normalize`` skips recomposition for NFC/NFKC;
+    the quick-check fast path below makes already-normalized corpora
+    ~free). DuckDB ``nfc_normalize`` parity for form="NFC"."""
+    import unicodedata
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    out = out or column
+
+    def _norm(df: pd.DataFrame) -> pd.DataFrame:
+        is_norm = unicodedata.is_normalized
+        norm = unicodedata.normalize
+        df[out] = [
+            (s if not isinstance(s, str) or is_norm(form, s)
+             else norm(form, s))
+            for s in df[column].to_numpy(dtype=object)
+        ]
+        return df
+
+    return ds.map_batches(_norm, batch_format="pandas",
+                          batch_size=batch_size)
+
+
 def _levenshtein_row(sa: str, sb: str) -> int:
     """Edit distance of one pair, numpy DP with a fully-vectorized inner
     row: the sequential insertion chain cur[j] = min(cand[j], cur[j-1]+1)

@@ -142,3 +142,45 @@ def test_hamming_unequal_length_raises(ray_session):
     with pytest.raises(Exception, match="equal-length"):
         string_distance(ray.data.from_arrow(tbl), "a", "b",
                         metrics={"h": "hamming"}).materialize()
+
+
+# ------------------------------------------------------------ unicode
+
+
+def test_normalize_unicode_forms(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages.text import normalize_unicode
+
+    decomp = "Cre" + chr(0x301) + "me"
+    comp = "Cr" + chr(0xE9) + "me"
+    lig = "e" + chr(0xFB01) + "cient"  # fi ligature
+    tbl = pa.table({"i": [0, 1, 2],
+                    "text": pa.array([decomp, comp, lig], pa.string())})
+
+    def run(form):
+        return (normalize_unicode(ray.data.from_arrow(tbl), "text",
+                                  form=form, out="n")
+                .to_pandas().sort_values("i", ignore_index=True)["n"])
+
+    nfc = run("NFC")
+    assert nfc[0] == comp and nfc[1] == comp and nfc[2] == lig
+    nfkc = run("NFKC")
+    assert nfkc[2] == "eficient"
+    with pytest.raises(ValueError, match="unknown normalization"):
+        normalize_unicode(ray.data.from_arrow(tbl), "text", form="NFX")
+
+
+def test_strip_accents_expression(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages.transforms import put
+
+    tbl = pa.table({"s": ["Cr" + chr(0xE9) + "me",
+                          chr(0xC5) + "ngstr" + chr(0xF6) + "m"]})
+    df = put(ray.data.from_arrow(tbl), bare="s.strip_accents()").to_pandas()
+    assert sorted(df["bare"]) == ["Angstrom", "Creme"]
+    # composing forms are rejected with a pointer at the stage
+    with pytest.raises(Exception, match="normalize_unicode"):
+        put(ray.data.from_arrow(tbl),
+            n='s.normalize("NFC")').materialize()
