@@ -1857,6 +1857,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return agg.map_batches(_money, batch_format="pyarrow")
 
+    def lr_grad_docs(sf):
+        # logistic-regression training machinery, hash-oracled: the
+        # first full-batch gradient from w=0 is exactly
+        # 0.5 * Σ_tokens (1 - 2y) per hash bucket — integer, so DuckDB
+        # reproduces it bit-for-bit via md5_number_lower % buckets
+        import pyarrow as pa
+
+        from tenzir_ray.stages.classify import lr_grad_buckets
+
+        docs = _read(sf, "documents", columns=["text", "lang"])
+
+        def _lab(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            y = pc.cast(pc.equal(t.column("lang"), "en"), pa.int64())
+            return t.append_column("y", y)
+
+        return lr_grad_buckets(
+            docs.map_batches(_lab, batch_format="pyarrow"), "y", "text",
+            buckets=1024)
+
+    def lr_predict_en(sf):
+        # end-to-end LR train + broadcast scoring (rows-only gate: the
+        # learned scores are float-iteration products, not
+        # SQL-derivable; the training pass itself is hash-gated by
+        # lr_grad_docs)
+        import pyarrow as pa
+
+        from tenzir_ray.stages.classify import lr_classify, lr_train
+
+        docs = _read(sf, "documents", columns=["doc_id", "text", "lang"])
+
+        def _lab(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            y = pc.cast(pc.equal(t.column("lang"), "en"), pa.int64())
+            return t.append_column("y", y)
+
+        ds = docs.map_batches(_lab, batch_format="pyarrow")
+        model = lr_train(ds, "y", "text", buckets=2048, iters=8, lr=1.0)
+        return T.select(
+            lr_classify(ds, model, "text", out="score", pred_col="pred"),
+            ["doc_id", "score", "pred"])
+
     def unicode_norm_docs(sf):
         # unicode normalization (NFC via the text stage; pyarrow's own
         # NFC kernel is decompose-only in this version) + accent
@@ -4455,6 +4499,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_status": asof_status,
         "asof_tolerance_status": asof_tolerance_status,
         "join_revenue_by_priority": join_revenue_by_priority,
+        "lr_grad_docs": lr_grad_docs,
+        "lr_predict_en": lr_predict_en,
         "unicode_norm_docs": unicode_norm_docs,
         "triangle_count_orders": triangle_count_orders,
         "warc_roundtrip": warc_roundtrip,
@@ -5231,6 +5277,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(rev_dm) AS DOUBLE) / 10000.0 AS revenue,
                    count(*) AS n
             FROM j GROUP BY o_orderpriority
+        """,
+        "lr_grad_docs": """
+            WITH tok AS (
+              SELECT md5_number_lower(t) % 1024 AS b, 1 - 2 * y AS w
+              FROM (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                           unnest(regexp_split_to_array(text, '\\s+')) AS t
+                    FROM documents)
+              WHERE t <> '')
+            SELECT b, CAST(sum(w) AS BIGINT) AS g2,
+                   count(*) AS cnt
+            FROM tok GROUP BY b
         """,
         "unicode_norm_docs": """
             WITH u AS (

@@ -201,4 +201,210 @@ def nb_train_classify(ds, label_col: str, column: str = "text", *,
     return nb_classify(ds, model, column=column, out=out, **kw)
 
 
+# ---------------------------------------------------------------------------
+# Logistic regression (binary) over the same hashed bag-of-ngrams — the
+# trainable quality-filter slot (fastText-style linear classifier).
+# Training is synchronous full-batch gradient descent: each iteration is
+# ONE streaming AggregateFn pass computing (Σ x·(σ(w·x)−y), Σ(σ−y),
+# loss, n) — O(buckets) driver state, corpus never materializes. At
+# 100 TB you run the same passes on a stratified sample
+# (stages.splits.stratified_sample) and score the full corpus with the
+# broadcast model.
+
+
+class LrModel:
+    def __init__(self, weights: np.ndarray, bias: float, buckets: int,
+                 ngram: int):
+        self.weights = np.asarray(weights, np.float64)
+        self.bias = float(bias)
+        self.buckets = int(buckets)
+        self.ngram = int(ngram)
+
+    def to_dict(self) -> dict:
+        return {"weights": self.weights.tolist(), "bias": self.bias,
+                "buckets": self.buckets, "ngram": self.ngram}
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "LrModel":
+        return cls(np.asarray(d["weights"], np.float64), d["bias"],
+                   d["buckets"], d["ngram"])
+
+
+def _lr_labels(block: pa.Table, label_col: str) -> np.ndarray:
+    """Labels as float64 0/1 with NaN for nulls (null rows are skipped
+    by the gradient, not treated as class 0)."""
+    import pandas as pd
+
+    y = pd.to_numeric(
+        pd.Series(block.column(label_col).to_pylist(), dtype=object),
+        errors="coerce").to_numpy(np.float64)
+    bad = ~np.isnan(y) & (y != 0.0) & (y != 1.0)
+    if bad.any():
+        raise ValueError(
+            f"lr_train: label column {label_col!r} must be 0/1/null "
+            f"(got {y[bad][0]!r})")
+    return y
+
+
+class _LrGradAgg:
+    """Accumulator: [gradw (B,), grad_bias, loss, n_docs, tok_per_bucket]."""
+
+    def __init__(self, label_col: str, column: str, buckets: int,
+                 ngram: int, weights: np.ndarray, bias: float):
+        self.label_col = label_col
+        self.column = column
+        self.buckets = buckets
+        self.ngram = ngram
+        self.weights = np.asarray(weights, np.float64)
+        self.bias = float(bias)
+
+    def init(self, _key):
+        return None
+
+    def accumulate_block(self, acc, block):
+        import pandas as pd
+
+        if isinstance(block, pd.DataFrame):
+            block = pa.Table.from_pandas(block)
+        if acc is None:
+            acc = [np.zeros(self.buckets, np.float64), 0.0, 0.0, 0,
+                   np.zeros(self.buckets, np.int64)]
+        else:
+            acc = [acc[0].copy(), acc[1], acc[2], acc[3], acc[4].copy()]
+        n = block.num_rows
+        if n == 0:
+            return acc
+        y = _lr_labels(block, self.label_col)
+        valid = ~np.isnan(y)
+        tokens, doc_idx = _block_tokens(block, self.column, self.ngram)
+        b = _bucketize(tokens, self.buckets)
+        z = np.full(n, self.bias, np.float64)
+        if len(b):
+            np.add.at(z, doc_idx, self.weights[b])
+        # stable σ and log-loss
+        p = 1.0 / (1.0 + np.exp(-z))
+        err = np.where(valid, p - np.nan_to_num(y), 0.0)
+        if len(b):
+            np.add.at(acc[0], b, err[doc_idx])
+            np.add.at(acc[4], b, valid[doc_idx].astype(np.int64))
+        acc[1] += float(err.sum())
+        zl = z[valid]
+        yl = y[valid]
+        acc[2] += float(
+            np.sum(np.maximum(zl, 0) - zl * yl + np.log1p(np.exp(-np.abs(zl)))))
+        acc[3] += int(valid.sum())
+        return acc
+
+    @staticmethod
+    def merge(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return [a[0] + b[0], a[1] + b[1], a[2] + b[2], a[3] + b[3],
+                a[4] + b[4]]
+
+
+def lr_gradient(ds, label_col: str, column: str = "text", *,
+                weights: np.ndarray, bias: float = 0.0,
+                buckets: int = 4096, ngram: int = 1):
+    """One full-batch pass → ``(gradw, grad_bias, loss, n_docs,
+    tokens_per_bucket)`` (sums, not averages)."""
+    from ray.data.aggregate import AggregateFn
+
+    cb = _LrGradAgg(label_col, column, buckets, ngram, weights, bias)
+    agg = AggregateFn(init=cb.init, merge=_LrGradAgg.merge,
+                      accumulate_block=cb.accumulate_block, name="lr")
+    state = ds.aggregate(agg)["lr"]
+    if state is None or state[3] == 0:
+        raise ValueError("lr_gradient: no labeled rows")
+    return state
+
+
+def lr_train(ds, label_col: str, column: str = "text", *,
+             buckets: int = 4096, ngram: int = 1, iters: int = 20,
+             lr: float = 0.5, l2: float = 0.0,
+             verbose: bool = False) -> LrModel:
+    """Binary logistic regression by full-batch GD: ``iters`` streaming
+    passes, driver state O(buckets). Labels must be 0/1 (null rows are
+    ignored)."""
+    w = np.zeros(buckets, np.float64)
+    bias = 0.0
+    ds = ds.materialize()  # each iteration re-reads the same blocks
+    for it in range(iters):
+        gw, gb, loss, n, _ = lr_gradient(
+            ds, label_col, column, weights=w, bias=bias,
+            buckets=buckets, ngram=ngram)
+        w -= lr * (gw / n + l2 * w)
+        bias -= lr * gb / n
+        if verbose:
+            print(f"lr_train iter {it}: loss={loss / n:.6f} n={n}")
+    return LrModel(w, bias, buckets, ngram)
+
+
+class _LrScorer:
+    """Actor stage: broadcast model, vectorized σ(w·x) per batch."""
+
+    def __init__(self, model_ref, column: str, out: str,
+                 pred_col: "str | None", threshold: float):
+        import ray
+
+        self.model = LrModel.from_dict(ray.get(model_ref))
+        self.column = column
+        self.out = out
+        self.pred_col = pred_col
+        self.threshold = threshold
+
+    __name__ = "_LrScorer"
+
+    def __call__(self, block: pa.Table) -> pa.Table:
+        m = self.model
+        n = block.num_rows
+        z = np.full(n, m.bias, np.float64)
+        if n:
+            tokens, doc_idx = _block_tokens(block, self.column, m.ngram)
+            if len(tokens):
+                b = _bucketize(tokens, m.buckets)
+                np.add.at(z, doc_idx, m.weights[b])
+        p = 1.0 / (1.0 + np.exp(-z))
+        block = block.append_column(self.out, pa.array(p, pa.float64()))
+        if self.pred_col:
+            block = block.append_column(
+                self.pred_col, pa.array(p >= self.threshold, pa.bool_()))
+        return block
+
+
+def lr_classify(ds, model: LrModel, column: str = "text",
+                out: str = "score", pred_col: "str | None" = None,
+                threshold: float = 0.5, concurrency=(1, 8),
+                batch_size: int = 4096):
+    import ray
+
+    ref = ray.put(model.to_dict())
+    return ds.map_batches(
+        _LrScorer, fn_constructor_args=(ref, column, out, pred_col,
+                                        threshold),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def lr_grad_buckets(ds, label_col: str, column: str = "text", *,
+                    buckets: int = 1024, ngram: int = 1):
+    """First-iteration gradient audit view, exactly SQL-reproducible:
+    from w=0 every σ is 0.5, so 2·grad[b] = Σ_tokens (1 − 2·y) — an
+    integer DuckDB reproduces via ``md5_number_lower(t) % buckets``
+    (the oracle gate for the LR training machinery). Returns
+    ``(b, g2, cnt)`` over buckets with ≥1 labeled token."""
+    gw, _, _, _, cnt = lr_gradient(
+        ds, label_col, column, weights=np.zeros(buckets, np.float64),
+        bias=0.0, buckets=buckets, ngram=ngram)
+    nz = np.nonzero(cnt)[0]
+    return pa.table({
+        "b": pa.array(nz, pa.int64()),
+        "g2": pa.array(np.rint(2.0 * gw[nz]).astype(np.int64), pa.int64()),
+        "cnt": pa.array(cnt[nz], pa.int64()),
+    })
+
+
 ship_by_value(sys.modules[__name__])
