@@ -112,6 +112,9 @@ def _register_builtins() -> None:
         redact=text.redact,
         strip_html=text.strip_html,
         ngram_counts=text.ngram_counts,
+        normalize_unicode=text.normalize_unicode,
+        string_distance=lambda ds, a, b, metrics=None, **kw:
+            text.string_distance(ds, a, b, metrics=metrics, **kw),
         exact_dedup=dedup.exact_dedup,
         line_dedup=dedup.line_dedup,
         split_lines=dedup.split_lines,
@@ -129,6 +132,7 @@ def _register_builtins() -> None:
         cube=summarize.cube,
         nb_classify=classify.nb_train_classify,
         nb_class_counts=classify.nb_class_counts,
+        lr_grad_buckets=classify.lr_grad_buckets,
         group_quantiles=summarize.group_quantiles,
         decontaminate=splits.decontaminate,
         chunk_documents=chunk.chunk_documents,
@@ -150,6 +154,9 @@ def _register_builtins() -> None:
         lsh_bucket=similarity.lsh_bucket,
         semdedup=cluster.semdedup,
         pagerank=graph.pagerank,
+        # global count is a scalar; the pipeline form keeps rows flowing
+        triangle_count=lambda ds, src="src", dst="dst", **kw:
+            graph.triangle_count(ds, src, dst, per_node=True, **kw),
         profile=profile_mod.profile,
         kmeans_cluster=cluster.kmeans_cluster,
         dsir_weights=dsir.dsir_weights,
@@ -257,6 +264,18 @@ def _register_builtins() -> None:
     from tenzir_ray.sources import velociraptor as velo_mod
     OPERATORS["read_velociraptor"] = velo_mod.read_velociraptor
     SOURCE_OPS.add("read_velociraptor")
+    from tenzir_ray.sources import warc as warc_mod
+    OPERATORS.update(
+        read_warc=warc_mod.read_warc,
+        write_warc=warc_mod.write_warc,
+    )
+    SOURCE_OPS.add("read_warc")
+    from tenzir_ray.stages import url as url_mod
+    OPERATORS.update(
+        parse_url=url_mod.parse_url,
+        canonical_url=url_mod.canonical_url,
+        url_host=url_mod.url_host,
+    )
     from tenzir_ray.sources import zmtp as zmtp_mod
     OPERATORS.update(
         read_zmq=zmtp_mod.read_zmq_pull,
