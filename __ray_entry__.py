@@ -2026,9 +2026,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             a5="p_name.substr(0, 5)", b5="p_type.substr(0, 5)")
         ds = string_distance(parts, "p_name", "p_type",
                              metrics={"lev": "levenshtein",
-                                      "jac": "jaccard"})
+                                      "jac": "jaccard",
+                                      "jaro": "jaro",
+                                      "jw": "jaro_winkler"})
         ds = string_distance(ds, "a5", "b5", metrics={"ham": "hamming"})
-        return T.select(ds, ["p_partkey", "lev", "jac", "ham"])
+        ds = T.scale_int_cols(ds, ["jaro", "jw"])
+        return T.select(ds, ["p_partkey", "lev", "jac", "ham",
+                             "jaro", "jw"])
 
     def q3_shipping_priority(sf):
         # TPC-H Q3 adapted to this schema (o_orderpriority standing in
@@ -5354,7 +5358,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_partkey,
                    levenshtein(p_name, p_type) AS lev,
                    jaccard(p_name, p_type) AS jac,
-                   hamming(substr(p_name, 1, 5), substr(p_type, 1, 5)) AS ham
+                   hamming(substr(p_name, 1, 5), substr(p_type, 1, 5)) AS ham,
+                   CAST(round(jaro_similarity(p_name, p_type) * 1000000)
+                        AS BIGINT) AS jaro,
+                   CAST(round(jaro_winkler_similarity(p_name, p_type)
+                              * 1000000) AS BIGINT) AS jw
             FROM part
         """,
         "q3_shipping_priority": """

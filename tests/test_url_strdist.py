@@ -184,3 +184,26 @@ def test_strip_accents_expression(ray_session):
     with pytest.raises(Exception, match="normalize_unicode"):
         put(ray.data.from_arrow(tbl),
             n='s.normalize("NFC")').materialize()
+
+
+def test_jaro_winkler_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from tenzir_ray.stages.text import string_distance
+
+    rng = np.random.default_rng(11)
+    alpha = list("abcdefg")
+    a = ["".join(rng.choice(alpha, rng.integers(0, 10))) for _ in range(200)]
+    b = ["".join(rng.choice(alpha, rng.integers(0, 10))) for _ in range(200)]
+    tbl = pa.table({"i": np.arange(200), "a": a, "b": b})
+    got = (string_distance(ray.data.from_arrow(tbl), "a", "b",
+                           metrics={"jaro": "jaro", "jw": "jaro_winkler"})
+           .to_pandas().sort_values("i", ignore_index=True))
+    con = duckdb.connect()
+    want = con.execute(
+        "SELECT i, jaro_similarity(a, b) AS jaro,"
+        "       jaro_winkler_similarity(a, b) AS jw FROM tbl ORDER BY i"
+    ).df()
+    assert np.allclose(got["jaro"], want["jaro"], rtol=0, atol=1e-12)
+    assert np.allclose(got["jw"], want["jw"], rtol=0, atol=1e-12)
