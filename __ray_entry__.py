@@ -1857,6 +1857,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return agg.map_batches(_money, batch_format="pyarrow")
 
+    def sql_conditionals_orders(sf):
+        # n-ary SQL conditionals in the expression language
+        # (greatest/least skip nulls, nullif yields typed null)
+        orders = _read(sf, "orders",
+                       columns=["o_orderkey", "o_totalprice", "o_custkey"])
+        return T.put(orders, o_orderkey="o_orderkey",
+                     g="greatest(o_totalprice, 150000.0)",
+                     l="least(o_custkey, 75)",
+                     nf="nullif(o_custkey % 10, 3)",
+                     co="coalesce(nullif(o_custkey % 10, 3), -1)")
+
     def lr_grad_docs(sf):
         # logistic-regression training machinery, hash-oracled: the
         # first full-batch gradient from w=0 is exactly
@@ -4503,6 +4514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_status": asof_status,
         "asof_tolerance_status": asof_tolerance_status,
         "join_revenue_by_priority": join_revenue_by_priority,
+        "sql_conditionals_orders": sql_conditionals_orders,
         "lr_grad_docs": lr_grad_docs,
         "lr_predict_en": lr_predict_en,
         "unicode_norm_docs": unicode_norm_docs,
@@ -5281,6 +5293,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(rev_dm) AS DOUBLE) / 10000.0 AS revenue,
                    count(*) AS n
             FROM j GROUP BY o_orderpriority
+        """,
+        "sql_conditionals_orders": """
+            SELECT o_orderkey,
+                   greatest(o_totalprice, 150000.0) AS g,
+                   least(o_custkey, 75) AS l,
+                   nullif(o_custkey % 10, 3) AS nf,
+                   coalesce(nullif(o_custkey % 10, 3), -1) AS co
+            FROM orders
         """,
         "lr_grad_docs": """
             WITH tok AS (

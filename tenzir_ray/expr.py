@@ -107,6 +107,26 @@ def _round_expr(x, n=0):
     return pc.round(x, ndigits=int(n))
 
 
+def _nullif(a, b):
+    """SQL NULLIF: a unless a == b, else null (DuckDB semantics). The
+    typed-null third operand unifies at evaluation, so no Arrow
+    null-typed-constant kernel abort (probed on this pyarrow)."""
+    import pyarrow as _pa
+
+    if isinstance(a, pads.Expression) or isinstance(b, pads.Expression):
+        return pc.if_else(pc.not_equal(a, b), a, _pa.scalar(None))
+    return None if a == b else a
+
+
+def _skipnull_extremum(pcfn, pyfn):
+    def f(*args):
+        if any(isinstance(a, pads.Expression) for a in args):
+            return pcfn(*args)
+        vals = [a for a in args if a is not None]
+        return pyfn(vals) if vals else None
+    return f
+
+
 _MATH_FNS = {
     "round": _mathfn(_round_expr, _py_round),
     "floor": _mathfn(pc.floor, _math.floor),
@@ -114,6 +134,11 @@ _MATH_FNS = {
     "sqrt": _mathfn(pc.sqrt, _math.sqrt),
     "exp": _mathfn(pc.exp, _math.exp),
     "ln": _mathfn(pc.ln, _math.log),
+    # SQL n-ary conditionals (DuckDB parity: greatest/least skip nulls,
+    # all-null -> null)
+    "greatest": _skipnull_extremum(pc.max_element_wise, max),
+    "least": _skipnull_extremum(pc.min_element_wise, min),
+    "nullif": _nullif,
 }
 
 

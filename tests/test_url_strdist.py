@@ -207,3 +207,22 @@ def test_jaro_winkler_matches_duckdb(ray_session):
     ).df()
     assert np.allclose(got["jaro"], want["jaro"], rtol=0, atol=1e-12)
     assert np.allclose(got["jw"], want["jw"], rtol=0, atol=1e-12)
+
+
+def test_greatest_least_nullif_nulls(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages.transforms import put
+
+    tbl = pa.table({
+        "a": pa.array([1, None, None], pa.int64()),
+        "b": pa.array([5, 2, None], pa.int64()),
+    })
+    df = put(ray.data.from_arrow(tbl),
+             g="greatest(a, b)", l="least(a, b)",
+             nf="nullif(b, 2)").to_pandas()
+    assert df["g"].tolist()[0] == 5
+    assert df["g"].tolist()[1] == 2      # null skipped, DuckDB-style
+    assert pd.isna(df["g"].tolist()[2])  # all-null -> null
+    assert df["l"].tolist()[0] == 1
+    assert pd.isna(df["nf"].tolist()[1]) and df["nf"].tolist()[0] == 5
