@@ -1857,6 +1857,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return agg.map_batches(_money, batch_format="pyarrow")
 
+    def time_parts_events(sf):
+        # temporal component extraction methods (DuckDB conventions:
+        # dow Sunday=0, isodow Monday=1, ISO week), date_trunc and
+        # epoch microseconds — all Arrow temporal kernels via the
+        # expression language
+        ev = _read(sf, "events", columns=["event_id", "ts"])
+        return T.put(ev, event_id="event_id",
+                     y="ts.year()", mo="ts.month()", d="ts.day()",
+                     h="ts.hour()", mi="ts.minute()", s="ts.second()",
+                     dow="ts.dow()", idow="ts.isodow()",
+                     iw="ts.week()", q="ts.quarter()",
+                     tm='ts.trunc("month")', td='ts.trunc("day")',
+                     eus="ts.epoch_us()")
+
     def sql_conditionals_orders(sf):
         # n-ary SQL conditionals in the expression language
         # (greatest/least skip nulls, nullif yields typed null)
@@ -4514,6 +4528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_status": asof_status,
         "asof_tolerance_status": asof_tolerance_status,
         "join_revenue_by_priority": join_revenue_by_priority,
+        "time_parts_events": time_parts_events,
         "sql_conditionals_orders": sql_conditionals_orders,
         "lr_grad_docs": lr_grad_docs,
         "lr_predict_en": lr_predict_en,
@@ -5293,6 +5308,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(rev_dm) AS DOUBLE) / 10000.0 AS revenue,
                    count(*) AS n
             FROM j GROUP BY o_orderpriority
+        """,
+        "time_parts_events": """
+            SELECT event_id, year(ts) AS y, month(ts) AS mo,
+                   day(ts) AS d, hour(ts) AS h, minute(ts) AS mi,
+                   second(ts) AS s, dayofweek(ts) AS dow,
+                   isodow(ts) AS idow, weekofyear(ts) AS iw,
+                   quarter(ts) AS q,
+                   CAST(date_trunc('month', ts) AS TIMESTAMP) AS tm,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS td,
+                   epoch_us(ts) AS eus
+            FROM events
         """,
         "sql_conditionals_orders": """
             SELECT o_orderkey,

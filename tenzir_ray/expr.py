@@ -26,6 +26,7 @@ from __future__ import annotations
 import ast
 import re
 
+import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
 
@@ -69,6 +70,24 @@ _METHOD_MAP = {
     "strip_accents": lambda col: pc.replace_substring_regex(
         pc.utf8_normalize(col, form="NFD"), pattern=r"\p{Mn}",
         replacement=""),
+    # temporal component extraction (DuckDB-parity: dow is Sunday=0,
+    # isodow Monday=1, week = ISO week; Arrow's day_of_week is Monday=0
+    # hence the remaps)
+    "year": lambda col: pc.year(col),
+    "month": lambda col: pc.month(col),
+    "day": lambda col: pc.day(col),
+    "hour": lambda col: pc.hour(col),
+    "minute": lambda col: pc.minute(col),
+    "second": lambda col: pc.second(col),
+    "dow": lambda col: pc.if_else(
+        pc.equal(pc.day_of_week(col), 6), 0,
+        pc.add(pc.day_of_week(col), 1)),
+    "isodow": lambda col: pc.add(pc.day_of_week(col), 1),
+    "week": lambda col: pc.iso_week(col),
+    "quarter": lambda col: pc.quarter(col),
+    "trunc": lambda col, unit="day": pc.floor_temporal(col, unit=unit),
+    # Expression.cast — pc.cast rejects pads Expressions
+    "epoch_us": lambda col: col.cast(pa.int64()),
 }
 
 

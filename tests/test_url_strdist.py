@@ -226,3 +226,28 @@ def test_greatest_least_nullif_nulls(ray_session):
     assert pd.isna(df["g"].tolist()[2])  # all-null -> null
     assert df["l"].tolist()[0] == 1
     assert pd.isna(df["nf"].tolist()[1]) and df["nf"].tolist()[0] == 5
+
+
+def test_time_part_methods(ray_session):
+    import datetime as dt
+
+    import ray.data
+
+    from tenzir_ray.stages.transforms import put
+
+    ts = [dt.datetime(1995, 3, 15, 14, 30, 45),   # Wednesday
+          dt.datetime(2000, 1, 2, 3, 4, 5),       # Sunday
+          None]
+    tbl = pa.table({"i": [0, 1, 2], "ts": pa.array(ts, pa.timestamp("us"))})
+    df = (put(ray.data.from_arrow(tbl), i="i",
+              y="ts.year()", dow="ts.dow()", idow="ts.isodow()",
+              iw="ts.week()", tm='ts.trunc("month")',
+              eus="ts.epoch_us()")
+          .to_pandas().sort_values("i", ignore_index=True))
+    assert df.loc[0, "y"] == 1995
+    assert df.loc[0, "dow"] == 3 and df.loc[1, "dow"] == 0  # Sun=0
+    assert df.loc[0, "idow"] == 3 and df.loc[1, "idow"] == 7
+    assert df.loc[1, "iw"] == 52  # ISO week of 1999
+    assert df.loc[0, "tm"] == pd.Timestamp("1995-03-01")
+    assert df.loc[0, "eus"] == 795277845000000
+    assert pd.isna(df.loc[2, "y"])
