@@ -86,8 +86,10 @@ _METHOD_MAP = {
     "week": lambda col: pc.iso_week(col),
     "quarter": lambda col: pc.quarter(col),
     "trunc": lambda col, unit="day": pc.floor_temporal(col, unit=unit),
-    # Expression.cast — pc.cast rejects pads Expressions
-    "epoch_us": lambda col: col.cast(pa.int64()),
+    # Expression.cast — pc.cast rejects pads Expressions; normalize to
+    # microsecond resolution FIRST so ns/s/date columns don't leak
+    # their raw storage unit
+    "epoch_us": lambda col: col.cast(pa.timestamp("us")).cast(pa.int64()),
 }
 
 

@@ -113,8 +113,7 @@ def _register_builtins() -> None:
         strip_html=text.strip_html,
         ngram_counts=text.ngram_counts,
         normalize_unicode=text.normalize_unicode,
-        string_distance=lambda ds, a, b, metrics=None, **kw:
-            text.string_distance(ds, a, b, metrics=metrics, **kw),
+        string_distance=text.string_distance,
         exact_dedup=dedup.exact_dedup,
         line_dedup=dedup.line_dedup,
         split_lines=dedup.split_lines,

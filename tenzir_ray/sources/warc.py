@@ -116,9 +116,17 @@ def read_warc(paths, *, kinds: "tuple | list | None" = None,
     def _parse(batch: pa.Table) -> pa.Table:
         tabs = [parse_warc_bytes(b.as_py(), kinds=kinds, text=text)
                 for b in batch.column("bytes")]
-        return pa.concat_tables(tabs) if tabs else parse_warc_bytes(b"")
+        return (pa.concat_tables(tabs) if tabs
+                else parse_warc_bytes(b"", text=text))
 
     return ds.map_batches(_parse, batch_format="pyarrow")
+
+
+def _hdr(v: str) -> bytes:
+    """Header-safe value: CR/LF percent-encoded so one malformed crawled
+    URL cannot terminate the header block early and desync the record
+    framing (Content-Length would then delimit the wrong bytes)."""
+    return v.replace("\r", "%0D").replace("\n", "%0A").encode()
 
 
 def format_warc_record(warc_type: str, url: "str | None",
@@ -127,14 +135,15 @@ def format_warc_record(warc_type: str, url: "str | None",
                        content_type: "str | None" = None) -> bytes:
     rid = record_id or f"<urn:uuid:{uuid.uuid4()}>"
     lines = [b"WARC/1.0",
-             b"WARC-Type: " + warc_type.encode(),
-             b"WARC-Record-ID: " + rid.encode()]
+             b"WARC-Type: " + _hdr(warc_type),
+             b"WARC-Record-ID: " + _hdr(rid)]
     if url is not None:
-        lines.append(b"WARC-Target-URI: " + url.encode())
-    if date is not None:
-        lines.append(b"WARC-Date: " + date.encode())
+        lines.append(b"WARC-Target-URI: " + _hdr(url))
+    # WARC-Date is mandatory per ISO 28500 — callers that pass None get
+    # the deterministic epoch placeholder (resumable identical output)
+    lines.append(b"WARC-Date: " + _hdr(date or "1970-01-01T00:00:00Z"))
     if content_type is not None:
-        lines.append(b"Content-Type: " + content_type.encode())
+        lines.append(b"Content-Type: " + _hdr(content_type))
     lines.append(b"Content-Length: " + str(len(content)).encode())
     return _CRLF.join(lines) + b"\r\n\r\n" + content + b"\r\n\r\n"
 

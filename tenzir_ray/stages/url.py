@@ -31,8 +31,10 @@ _AUTH_RE = re.compile(r"^(?:([^@]*)@)?(\[[^\]]*\]|[^:]*)(?::(\d*))?$")
 
 _DEFAULT_PORTS = {"http": "80", "https": "443", "ws": "80", "wss": "443",
                   "ftp": "21"}
-# tracking parameters dropped by canonical_url (utm_* handled by regex)
-_TRACKING_RE = re.compile(r"(^|&)(?:utm_[^&=]*|fbclid|gclid)(?:=[^&]*)?")
+# tracking parameters dropped by canonical_url; the lookahead pins the
+# parameter-name END so fbclid2=... / gclid_src=... are NOT stripped
+_TRACKING_RE = re.compile(
+    r"(^|&)(?:utm_[^&=]*|fbclid|gclid)(?:=[^&]*)?(?=&|$)")
 
 
 def _split(urls: pd.Series) -> pd.DataFrame:
@@ -55,6 +57,9 @@ def parse_url(ds, column: str = "url", prefix: str = "url_",
         df[prefix + "scheme"] = p["scheme"].to_numpy(dtype=object)
         df[prefix + "host"] = p["host"].to_numpy(dtype=object)
         port = pd.to_numeric(p["port"], errors="coerce")
+        # out-of-range ports (junk crawl URLs) become null, not an
+        # int64 wraparound
+        port = port.where((port >= 0) & (port <= 65535))
         df[prefix + "port"] = port.astype("Int64")
         # a present-but-empty path is null-distinct from absent ("" vs null
         # would hash apart) — normalize both to null

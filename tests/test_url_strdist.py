@@ -251,3 +251,28 @@ def test_time_part_methods(ray_session):
     assert df.loc[0, "tm"] == pd.Timestamp("1995-03-01")
     assert df.loc[0, "eus"] == 795277845000000
     assert pd.isna(df.loc[2, "y"])
+
+
+def test_review_fixes_url_and_epoch(ray_session):
+    import datetime as dt
+
+    import ray.data
+
+    from tenzir_ray.stages.transforms import put
+    from tenzir_ray.stages.url import canonical_url, parse_url
+
+    tbl = pa.table({"i": [0, 1, 2], "url": [
+        "https://e.com/?fbclid2=9&q=1",        # NOT a tracking param
+        "https://e.com/a?x=1&gclid_src=2",     # NOT a tracking param
+        "http://host:99999999999999999999999/p",
+    ]})
+    df = (canonical_url(parse_url(ray.data.from_arrow(tbl), "url"), "url")
+          .to_pandas().sort_values("i", ignore_index=True))
+    assert df.loc[0, "canonical_url"] == "https://e.com/?fbclid2=9&q=1"
+    assert df.loc[1, "canonical_url"] == "https://e.com/a?x=1&gclid_src=2"
+    assert pd.isna(df.loc[2, "url_port"])  # out-of-range -> null
+
+    ns = pa.table({"ts": pa.array(
+        [dt.datetime(1995, 3, 15, 14, 30, 45)]).cast(pa.timestamp("ns"))})
+    out = put(ray.data.from_arrow(ns), eus="ts.epoch_us()").to_pandas()
+    assert out["eus"].iloc[0] == 795277845000000  # us, not raw ns

@@ -76,3 +76,16 @@ def test_write_read_roundtrip_dataset(ray_session, tmp_path):
     want = tbl.to_pandas().sort_values("url", ignore_index=True)
     assert back["content"].tolist() == want["content"].tolist()
     assert (back["warc_type"] == "conversion").all()
+
+
+def test_header_values_crlf_safe_and_date_mandatory():
+    rec = format_warc_record("conversion", "https://x/\r\nevil: 1",
+                             None, b"body")
+    t = parse_warc_bytes(rec + format_warc_record(
+        "conversion", "u2", "2024-05-06T07:08:09Z", b"tail"))
+    assert t.num_rows == 2  # framing survived the CRLF-bearing URL
+    assert t.column("url").to_pylist()[0] == "https://x/%0D%0Aevil: 1"
+    assert t.column("content").to_pylist() == ["body", "tail"]
+    # WARC-Date is always present (epoch placeholder when unset)
+    assert t.column("date").to_pylist() == [
+        "1970-01-01T00:00:00Z", "2024-05-06T07:08:09Z"]
