@@ -1857,6 +1857,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return agg.map_batches(_money, batch_format="pyarrow")
 
+    def standardize_events(sf):
+        # ML feature scaling: per-group z-score + global min-max, both
+        # as two-pass broadcast stages (milli-unit ints absorb the
+        # engines' ulp-level stddev differences)
+        from tenzir_ray.stages.analytics import minmax_scale, standardize
+
+        ev = _read(sf, "events",
+                   columns=["event_id", "event_type", "value"])
+        ds = standardize(ev, "value", by="event_type", out="z")
+        ds = minmax_scale(ds, "value", out="mm")
+        ds = T.scale_int_cols(ds, ["z", "mm"], factor=1000)
+        return T.select(ds, ["event_id", "z", "mm"])
+
     def time_parts_events(sf):
         # temporal component extraction methods (DuckDB conventions:
         # dow Sunday=0, isodow Monday=1, ISO week), date_trunc and
@@ -4528,6 +4541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_status": asof_status,
         "asof_tolerance_status": asof_tolerance_status,
         "join_revenue_by_priority": join_revenue_by_priority,
+        "standardize_events": standardize_events,
         "time_parts_events": time_parts_events,
         "sql_conditionals_orders": sql_conditionals_orders,
         "lr_grad_docs": lr_grad_docs,
@@ -5308,6 +5322,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(rev_dm) AS DOUBLE) / 10000.0 AS revenue,
                    count(*) AS n
             FROM j GROUP BY o_orderpriority
+        """,
+        "standardize_events": """
+            SELECT event_id,
+                   CAST(round((value - avg(value) OVER (PARTITION BY event_type))
+                        / stddev_samp(value) OVER (PARTITION BY event_type)
+                        * 1000) AS BIGINT) AS z,
+                   CAST(round((value - min(value) OVER ())
+                        / (max(value) OVER () - min(value) OVER ())
+                        * 1000) AS BIGINT) AS mm
+            FROM events
         """,
         "time_parts_events": """
             SELECT event_id, year(ts) AS y, month(ts) AS mo,

@@ -188,6 +188,8 @@ def _register_builtins() -> None:
         histogram=_ana.histogram,
         funnel=_ana.funnel,
         retention=_ana.retention,
+        standardize=_ana.standardize,
+        minmax_scale=_ana.minmax_scale,
     )
     from tenzir_ray.stages import streaming
     OPERATORS.update(

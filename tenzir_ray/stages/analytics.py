@@ -230,4 +230,119 @@ def retention(ds, by: str, ts_col: str, period: str = "1d",
                      n=f"count_distinct({by})")
 
 
+def _stats_lookup(ds, column: str, by, aggs: dict) -> "tuple":
+    """(group stats as a broadcast-able dict | scalar row, group cols).
+    The stats side is one shuffle-free partial-aggregate pass; its
+    output is group-cardinality-sized (assumed small — the usual
+    feature-scaling regime; a billion-group standardize should use a
+    join instead)."""
+    from tenzir_ray.stages.summarize import summarize as _sum
+
+    res = _sum(ds, by=by, **aggs)
+    if by is None:
+        row = res.to_pylist()[0] if isinstance(res, pa.Table) \
+            else res.iloc[0].to_dict()
+        return row, None
+    import pandas as pd
+
+    df = res.to_pandas() if not isinstance(df_ := res, pd.DataFrame) else df_
+    keys = [by] if isinstance(by, str) else list(by)
+    df = df.set_index(keys[0] if len(keys) == 1 else keys)
+    return df.to_dict("index") if len(keys) > 1 else {
+        k: v for k, v in df.to_dict("index").items()}, keys
+
+
+def standardize(ds, column: str, by: "str | None" = None,
+                out: "str | None" = None, ddof: int = 1,
+                batch_size: int = 16384):
+    """Z-score feature standardization: ``(x − mean) / stddev`` per
+    group (``by``) or globally — the ML-prep normalization pass. Two
+    passes: a shuffle-free partial-aggregate for the per-group moments,
+    broadcast via ``ray.put``, then one vectorized map. Zero/undefined
+    stddev (single row, constant column) → null."""
+    import ray
+
+    if ddof not in (0, 1):
+        raise ValueError("ddof must be 0 or 1")
+    # the engine's stddev spellings are ALL population (summarize.py
+    # `_finalize_partials`); the sample correction sqrt(n/(n-1)) is
+    # applied here from the same pass's count
+    stats, keys = _stats_lookup(ds, column, by,
+                                {"_mu": f"mean({column})",
+                                 "_sd": f"stddev_pop({column})",
+                                 "_n": f"count({column})"})
+    out = out or f"{column}_z"
+    ref = ray.put(stats)
+    _ddof = ddof
+
+    def _sd_of(rec) -> float:
+        import numpy as np
+
+        sd, n = rec.get("_sd"), rec.get("_n", 0)
+        if sd in (None, 0) or n <= _ddof:
+            return np.nan
+        return sd * np.sqrt(n / (n - _ddof)) if _ddof else sd
+
+    def _z(df):
+        import numpy as np
+
+        st = ray.get(ref)
+        x = df[column].to_numpy(np.float64)
+        if keys is None:
+            mu = st["_mu"] if st["_mu"] is not None else np.nan
+            df[out] = (x - mu) / _sd_of(st)
+        else:
+            gk = (df[keys[0]] if len(keys) == 1
+                  else list(zip(*[df[k] for k in keys])))
+            mus = np.array([st.get(g, {}).get("_mu", np.nan)
+                            if st.get(g) else np.nan for g in gk],
+                           np.float64)
+            sds = np.array([_sd_of(st[g]) if g in st else np.nan
+                            for g in gk], np.float64)
+            df[out] = (x - mus) / sds
+        return df
+
+    return ds.map_batches(_z, batch_format="pandas", batch_size=batch_size)
+
+
+def minmax_scale(ds, column: str, by: "str | None" = None,
+                 out: "str | None" = None, batch_size: int = 16384):
+    """Min-max feature scaling to [0, 1] per group or globally
+    (``(x − min) / (max − min)``; degenerate max==min → null). Same
+    two-pass broadcast shape as :func:`standardize`."""
+    import ray
+
+    stats, keys = _stats_lookup(ds, column, by,
+                                {"_lo": f"min({column})",
+                                 "_hi": f"max({column})"})
+    out = out or f"{column}_scaled"
+    ref = ray.put(stats)
+
+    def _s(df):
+        import numpy as np
+
+        st = ray.get(ref)
+        x = df[column].to_numpy(np.float64)
+        if keys is None:
+            lo = st["_lo"] if st["_lo"] is not None else np.nan
+            hi = st["_hi"] if st["_hi"] is not None else np.nan
+            rng = hi - lo
+            df[out] = (x - lo) / rng if rng else np.nan
+        else:
+            gk = (df[keys[0]] if len(keys) == 1
+                  else list(zip(*[df[k] for k in keys])))
+            los = np.array([st.get(g, {}).get("_lo", np.nan)
+                            if st.get(g) else np.nan for g in gk],
+                           np.float64)
+            his = np.array([st.get(g, {}).get("_hi", np.nan)
+                            if st.get(g) else np.nan for g in gk],
+                           np.float64)
+            rng = his - los
+            rng[rng == 0] = np.nan
+            df[out] = (x - los) / rng
+        return df
+
+    return ds.map_batches(_s, batch_format="pandas", batch_size=batch_size)
+
+
 ship_by_value(sys.modules[__name__])

@@ -45,6 +45,12 @@ def _split(urls: pd.Series) -> pd.DataFrame:
     return pd.concat([parts, auth], axis=1)
 
 
+def _obj(s: pd.Series) -> np.ndarray:
+    """String-dtype series → object ndarray with None (not pd.NA) for
+    nulls — pd.NA leaks "<NA>" into downstream string compares."""
+    return s.astype(object).where(s.notna(), None).to_numpy(dtype=object)
+
+
 def parse_url(ds, column: str = "url", prefix: str = "url_",
               batch_size: int = 16384):
     """Split a URL column into ``<prefix>scheme / host / port / path /
@@ -54,8 +60,8 @@ def parse_url(ds, column: str = "url", prefix: str = "url_",
 
     def _parse(df: pd.DataFrame) -> pd.DataFrame:
         p = _split(df[column])
-        df[prefix + "scheme"] = p["scheme"].to_numpy(dtype=object)
-        df[prefix + "host"] = p["host"].to_numpy(dtype=object)
+        df[prefix + "scheme"] = _obj(p["scheme"])
+        df[prefix + "host"] = _obj(p["host"])
         port = pd.to_numeric(p["port"], errors="coerce")
         # out-of-range ports (junk crawl URLs) become null, not an
         # int64 wraparound
@@ -65,8 +71,7 @@ def parse_url(ds, column: str = "url", prefix: str = "url_",
         # would hash apart) — normalize both to null
         for comp in ("path", "query", "fragment"):
             v = p[comp]
-            df[prefix + comp] = v.where(v.notna() & (v != ""),
-                                        None).to_numpy(dtype=object)
+            df[prefix + comp] = _obj(v.where(v.notna() & (v != "")))
         return df
 
     return ds.map_batches(_parse, batch_format="pandas",
@@ -109,7 +114,7 @@ def canonical_url(ds, column: str = "url", out: str = "canonical_url",
         canon = parts[0]
         for piece in parts[1:]:
             canon = canon + piece
-        df[out] = canon.where(df[column].notna(), None).to_numpy(dtype=object)
+        df[out] = _obj(canon.where(df[column].notna()))
         return df
 
     return ds.map_batches(_canon, batch_format="pandas",
@@ -122,7 +127,7 @@ def url_host(ds, column: str = "url", out: str = "host",
 
     def _host(df: pd.DataFrame) -> pd.DataFrame:
         p = _split(df[column])
-        df[out] = p["host"].str.lower().to_numpy(dtype=object)
+        df[out] = _obj(p["host"].str.lower())
         return df
 
     return ds.map_batches(_host, batch_format="pandas",

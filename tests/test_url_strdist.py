@@ -276,3 +276,31 @@ def test_review_fixes_url_and_epoch(ray_session):
         [dt.datetime(1995, 3, 15, 14, 30, 45)]).cast(pa.timestamp("ns"))})
     out = put(ray.data.from_arrow(ns), eus="ts.epoch_us()").to_pandas()
     assert out["eus"].iloc[0] == 795277845000000  # us, not raw ns
+
+
+def test_standardize_and_minmax(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages.analytics import minmax_scale, standardize
+
+    tbl = pa.table({
+        "g": ["a", "a", "a", "b", "b", "c"],
+        "x": [1.0, 2.0, 3.0, 10.0, 10.0, 7.0],
+    })
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    df = standardize(ds, "x", by="g", out="z").to_pandas()
+    a = df[df["g"] == "a"].sort_values("x")["z"].to_numpy()
+    assert np.allclose(a, [-1.0, 0.0, 1.0])      # ddof=1: sd=1
+    assert df[df["g"] == "b"]["z"].isna().all()  # constant group -> null
+    assert df[df["g"] == "c"]["z"].isna().all()  # single row -> null
+
+    pop = standardize(ds, "x", by="g", out="z", ddof=0).to_pandas()
+    a0 = pop[pop["g"] == "a"].sort_values("x")["z"].to_numpy()
+    assert np.allclose(a0, [-np.sqrt(3 / 2), 0.0, np.sqrt(3 / 2)])
+    assert pop[pop["g"] == "b"]["z"].isna().all()  # sd=0 -> null
+
+    mm = minmax_scale(ds, "x", out="m").to_pandas().sort_values("x")
+    assert np.allclose(mm["m"].to_numpy(),
+                       (mm["x"].to_numpy() - 1.0) / 9.0)
+    gm = minmax_scale(ds, "x", by="g", out="m").to_pandas()
+    assert gm[gm["g"] == "b"]["m"].isna().all()  # degenerate range
