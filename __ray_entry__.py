@@ -1857,6 +1857,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return agg.map_batches(_money, batch_format="pyarrow")
 
+    def concat_cast_docs(sf):
+        # concat() with DuckDB null-as-empty semantics + the cast
+        # method family, all through the expression compiler
+        docs = _read(sf, "documents",
+                     columns=["doc_id", "lang", "n_chars"])
+        return T.put(docs, doc_id="doc_id",
+                     u='concat("doc-", doc_id.str(), "-", lang)',
+                     f="n_chars.float()",
+                     half="(n_chars.float() / 2.0)")
+
     def standardize_events(sf):
         # ML feature scaling: per-group z-score + global min-max, both
         # as two-pass broadcast stages (milli-unit ints absorb the
@@ -4541,6 +4551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_status": asof_status,
         "asof_tolerance_status": asof_tolerance_status,
         "join_revenue_by_priority": join_revenue_by_priority,
+        "concat_cast_docs": concat_cast_docs,
         "standardize_events": standardize_events,
         "time_parts_events": time_parts_events,
         "sql_conditionals_orders": sql_conditionals_orders,
@@ -5322,6 +5333,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(rev_dm) AS DOUBLE) / 10000.0 AS revenue,
                    count(*) AS n
             FROM j GROUP BY o_orderpriority
+        """,
+        "concat_cast_docs": """
+            SELECT doc_id,
+                   concat('doc-', doc_id, '-', lang) AS u,
+                   CAST(n_chars AS DOUBLE) AS f,
+                   CAST(n_chars AS DOUBLE) / 2.0 AS half
+            FROM documents
         """,
         "standardize_events": """
             SELECT event_id,

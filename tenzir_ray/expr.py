@@ -90,6 +90,10 @@ _METHOD_MAP = {
     # microsecond resolution FIRST so ns/s/date columns don't leak
     # their raw storage unit
     "epoch_us": lambda col: col.cast(pa.timestamp("us")).cast(pa.int64()),
+    # cast family (SQL CAST AS VARCHAR/BIGINT/DOUBLE)
+    "str": lambda col: col.cast(pa.string()),
+    "int": lambda col: col.cast(pa.int64()),
+    "float": lambda col: col.cast(pa.float64()),
 }
 
 
@@ -824,6 +828,21 @@ def _compile(node: ast.expr):
             if len(node.args) < 2:
                 raise ValueError("coalesce() takes at least 2 arguments")
             return pc.coalesce(*[_compile(a) for a in node.args])
+        if isinstance(node.func, ast.Name) and node.func.id == "concat":
+            # DuckDB concat semantics: nulls become empty strings (the
+            # || operator's null propagation is NOT this function).
+            # Literal args wrap as scalar Expressions — a plain-str
+            # FIRST arg would dispatch pyarrow to the eager kernel,
+            # which rejects Expression arguments.
+            if len(node.args) < 2:
+                raise ValueError("concat() takes at least 2 arguments")
+            args = [
+                a if isinstance(a := _compile(arg), pads.Expression)
+                else pads.scalar(str(a))
+                for arg in node.args
+            ]
+            return pc.binary_join_element_wise(
+                *args, "", null_handling="replace", null_replacement="")
         if isinstance(node.func, ast.Name) and node.func.id in _MARKER_FNS:
             arg = node.args[0]
             if not (isinstance(arg, ast.Constant) and isinstance(arg.value, str)):

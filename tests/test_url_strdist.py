@@ -304,3 +304,17 @@ def test_standardize_and_minmax(ray_session):
                        (mm["x"].to_numpy() - 1.0) / 9.0)
     gm = minmax_scale(ds, "x", by="g", out="m").to_pandas()
     assert gm[gm["g"] == "b"]["m"].isna().all()  # degenerate range
+
+
+def test_concat_and_casts(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages.transforms import put
+
+    t = pa.table({"id": [1, 2],
+                  "lang": pa.array(["en", None], pa.string())})
+    df = (put(ray.data.from_arrow(t), id="id",
+              u='concat("d-", id.str(), "-", lang)', f="id.float()")
+          .to_pandas().sort_values("id", ignore_index=True))
+    assert df["u"].tolist() == ["d-1-en", "d-2-"]  # null -> empty
+    assert df["f"].tolist() == [1.0, 2.0]
