@@ -1857,6 +1857,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return agg.map_batches(_money, batch_format="pyarrow")
 
+    def tql_canonical_url(sf):
+        # session-10 ops from a PURE TQL string: concat-built URL ->
+        # canonicalize -> host extraction, registry-wired
+        from tenzir_ray.pipelines.tql import run_pipeline
+
+        return run_pipeline(
+            f"read_parquet {sf}/documents.parquet "
+            '| put doc_id=doc_id, url=concat("https://", source, '
+            '".Example.COM/D/", doc_id.str(), "?utm_a=1&ref=", lang) '
+            "| canonical_url column=url "
+            "| url_host column=url "
+            "| select doc_id, canonical_url, host")
+
     def concat_cast_docs(sf):
         # concat() with DuckDB null-as-empty semantics + the cast
         # method family, all through the expression compiler
@@ -4551,6 +4564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_status": asof_status,
         "asof_tolerance_status": asof_tolerance_status,
         "join_revenue_by_priority": join_revenue_by_priority,
+        "tql_canonical_url": tql_canonical_url,
         "concat_cast_docs": concat_cast_docs,
         "standardize_events": standardize_events,
         "time_parts_events": time_parts_events,
@@ -5333,6 +5347,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(rev_dm) AS DOUBLE) / 10000.0 AS revenue,
                    count(*) AS n
             FROM j GROUP BY o_orderpriority
+        """,
+        "tql_canonical_url": """
+            SELECT doc_id,
+                   'https://' || lower(source) || '.example.com/D/'
+                       || doc_id || '?ref=' || lang AS canonical_url,
+                   lower(source) || '.example.com' AS host
+            FROM documents
         """,
         "concat_cast_docs": """
             SELECT doc_id,
