@@ -1857,6 +1857,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return agg.map_batches(_money, batch_format="pyarrow")
 
+    def sft_jsonl_convs(sf):
+        # chat-format JSONL export roundtrip: transcripts -> ChatML
+        # messages arrays on disk -> re-parsed with the engine's own
+        # NDJSON reader -> per-conversation profile the oracle
+        # re-derives with arg_min/arg_max/ordered string_agg
+        import pandas as pd
+
+        from tenzir_ray.sources.parsers import parse_ndjson
+        from tenzir_ray.sources.readers import read_lines
+        from tenzir_ray.stages.transcripts import write_sft_jsonl
+
+        dest = _scratch("tenzir_ray_sft", os.path.basename(sf.rstrip("/")))
+        shutil.rmtree(dest, ignore_errors=True)
+        write_sft_jsonl(_transcripts_ds(sf), dest)
+        back = parse_ndjson(read_lines(dest))
+
+        def _prof(df: pd.DataFrame) -> pd.DataFrame:
+            msgs = df["messages"]
+            return pd.DataFrame({
+                "conv_id": df["conv_id"].to_numpy(dtype=object),
+                "n_turns": df["n_turns"].to_numpy(np.int64),
+                "first_role": [m[0]["role"] for m in msgs],
+                "last_content": [m[-1]["content"] for m in msgs],
+                "roles": ["|".join(x["role"] for x in m) for m in msgs],
+            })
+
+        return back.map_batches(_prof, batch_format="pandas")
+
     def tql_canonical_url(sf):
         # session-10 ops from a PURE TQL string: concat-built URL ->
         # canonicalize -> host extraction, registry-wired
@@ -4564,6 +4592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_status": asof_status,
         "asof_tolerance_status": asof_tolerance_status,
         "join_revenue_by_priority": join_revenue_by_priority,
+        "sft_jsonl_convs": sft_jsonl_convs,
         "tql_canonical_url": tql_canonical_url,
         "concat_cast_docs": concat_cast_docs,
         "standardize_events": standardize_events,
@@ -5347,6 +5376,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(rev_dm) AS DOUBLE) / 10000.0 AS revenue,
                    count(*) AS n
             FROM j GROUP BY o_orderpriority
+        """,
+        "sft_jsonl_convs": f"""
+            WITH {_TRANSCRIPTS_CTE}
+            SELECT conv_id, count(*) AS n_turns,
+                   arg_min(role, turn_idx) AS first_role,
+                   arg_max(text, turn_idx) AS last_content,
+                   string_agg(role, '|' ORDER BY turn_idx) AS roles
+            FROM tr GROUP BY conv_id
         """,
         "tql_canonical_url": """
             SELECT doc_id,

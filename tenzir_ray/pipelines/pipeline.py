@@ -145,6 +145,8 @@ def _register_builtins() -> None:
         alternation_stats=transcripts.alternation_stats,
         context_windows=transcripts.context_windows,
         sft_pairs=transcripts.sft_pairs,
+        render_chat=transcripts.render_chat,
+        write_sft_jsonl=transcripts.write_sft_jsonl,
         turn_latency=transcripts.turn_latency,
         truncate_conversations=transcripts.truncate_conversations,
         minhash=dedup.minhash,

@@ -414,4 +414,80 @@ def truncate_conversations(ds, max_tokens: int,
                          tag="truncconv")
 
 
+def render_chat(ds, conv_col: str = "conv_id", turn_col: str = "turn_idx",
+                role_col: str = "role", text_col: str = "text",
+                buckets: int | None = None):
+    """ChatML-shaped assembly: one row per conversation with
+    ``messages = [{"role": r, "content": c}, ...]`` in turn order —
+    the standard SFT exchange format. Same grouped-exchange shape as
+    :func:`~tenzir_ray.stages.chunk.assemble_conversations`; the
+    per-row dict build is the unavoidable JSON-boundary cost and is
+    bounded by conversation length per task."""
+    import pandas as pd
+
+    from tenzir_ray.stages.exchange import grouped_apply
+
+    def _render(bucket: pd.DataFrame) -> pd.DataFrame:
+        bucket = bucket.sort_values([conv_col, turn_col], kind="mergesort")
+        roles = bucket[role_col].fillna("").to_numpy(dtype=object)
+        texts = bucket[text_col].fillna("").to_numpy(dtype=object)
+        bucket = bucket.assign(
+            _m=[{"role": r, "content": c} for r, c in zip(roles, texts)])
+        return (bucket.groupby(conv_col, as_index=False, sort=False)
+                .agg(n_turns=(turn_col, "size"), messages=("_m", list)))
+
+    return grouped_apply(ds, [conv_col], _render, num_buckets=buckets,
+                         tag="chat")
+
+
+class _JsonlWriter:
+    """One JSONL part file per block (temp-write + rename, like the
+    parquet/warc sinks)."""
+
+    def __init__(self, path: str, columns: "list[str] | None"):
+        self.path = path
+        self.columns = columns
+
+    __name__ = "_JsonlWriter"
+
+    def __call__(self, batch):
+        import json
+        import os
+        import uuid
+
+        import pandas as pd
+        import pyarrow as pa
+
+        df = batch if isinstance(batch, pd.DataFrame) else batch.to_pandas()
+        if self.columns:
+            df = df[self.columns]
+        rel = f"part-{uuid.uuid4().hex[:12]}.jsonl"
+        tmp = os.path.join(self.path, rel + ".tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            for rec in df.to_dict("records"):
+                f.write(json.dumps(rec, ensure_ascii=False,
+                                   default=str) + "\n")
+        os.replace(tmp, os.path.join(self.path, rel))
+        return pa.table({"path": pa.array([rel]),
+                         "rows": pa.array([len(df)], pa.int64())})
+
+
+def write_sft_jsonl(ds, path: str, conv_col: str = "conv_id",
+                    turn_col: str = "turn_idx", role_col: str = "role",
+                    text_col: str = "text",
+                    batch_size: int | None = None):
+    """Conversations → chat-format JSONL (one ``{"conv_id", "n_turns",
+    "messages": [{role, content}, ...]}`` object per line) — the
+    hand-off format SFT trainers ingest. Renders via
+    :func:`render_chat`, then one part file per block (resumable sink
+    layout). Returns per-file stats."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    rendered = render_chat(ds, conv_col, turn_col, role_col, text_col)
+    return rendered.map_batches(
+        _JsonlWriter(path, [conv_col, "n_turns", "messages"]),
+        batch_format="pandas", batch_size=batch_size).to_pandas()
+
+
 ship_by_value(sys.modules[__name__])

@@ -1,0 +1,53 @@
+"""Chat-format JSONL export tests."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+
+
+def _convs():
+    return pa.table({
+        "conv_id": ["a", "a", "a", "b"],
+        "turn_idx": [0, 1, 2, 0],
+        "role": ["user", "assistant", "user", "user"],
+        "text": ["hi", "hello", "bye", "solo"],
+    })
+
+
+def test_render_chat_orders_turns(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages.transcripts import render_chat
+
+    out = (render_chat(ray.data.from_arrow(_convs()).repartition(3))
+           .to_pandas().sort_values("conv_id", ignore_index=True))
+    assert out["n_turns"].tolist() == [3, 1]
+    a = out.loc[0, "messages"]
+    assert [m["role"] for m in a] == ["user", "assistant", "user"]
+    assert [m["content"] for m in a] == ["hi", "hello", "bye"]
+
+
+def test_write_sft_jsonl_roundtrip(ray_session, tmp_path):
+    import ray.data
+
+    from tenzir_ray.stages.transcripts import write_sft_jsonl
+
+    dest = str(tmp_path / "sft")
+    stats = write_sft_jsonl(ray.data.from_arrow(_convs()), dest)
+    assert stats["rows"].sum() == 2  # one line per conversation
+    recs = []
+    for fn in os.listdir(dest):
+        assert fn.endswith(".jsonl")
+        with open(os.path.join(dest, fn)) as f:
+            recs += [json.loads(line) for line in f]
+    recs.sort(key=lambda r: r["conv_id"])
+    assert recs[0]["messages"] == [
+        {"role": "user", "content": "hi"},
+        {"role": "assistant", "content": "hello"},
+        {"role": "user", "content": "bye"},
+    ]
+    assert recs[1] == {"conv_id": "b", "n_turns": 1,
+                       "messages": [{"role": "user", "content": "solo"}]}
