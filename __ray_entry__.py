@@ -1857,6 +1857,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return agg.map_batches(_money, batch_format="pyarrow")
 
+    def collate_packed_docs(sf):
+        # parquet -> token ids -> packed sequences -> fixed-shape
+        # trainer batches, profiled per sequence; the oracle re-derives
+        # the concatenated token stream (md5-bucket ids, same packing
+        # rule) and indexes the truncation point with list arithmetic
+        import pandas as pd
+
+        from tenzir_ray.stages.chunk import collate_packed, pack_sequences
+        from tenzir_ray.stages.dsir import _block_tokens, _bucketize
+
+        docs = _read(sf, "documents", columns=["doc_id", "text"])
+
+        def _ids(df: pd.DataFrame) -> pd.DataFrame:
+            import pyarrow as pa
+
+            t = pa.Table.from_pandas(df[["doc_id", "text"]],
+                                     preserve_index=False)
+            tokens, doc_idx = _block_tokens(t, "text")
+            b = _bucketize(tokens, 50021)
+            counts = np.bincount(doc_idx, minlength=len(df))
+            splits = np.split(b, np.cumsum(counts)[:-1])
+            df = df.reset_index(drop=True)
+            df["ids"] = [arr.astype(np.int32) for arr in splits]
+            return df
+
+        ds = docs.map_batches(_ids, batch_format="pandas")
+        packed = pack_sequences(ds, order_by="doc_id", target_tokens=120)
+        coll = collate_packed(packed, "doc_id", "ids", 100)
+
+        def _prof(df: pd.DataFrame) -> pd.DataFrame:
+            last = [int(r[k - 1]) if k > 0 else None
+                    for r, k in zip(df["input_ids"], df["n_kept"])]
+            return pd.DataFrame({
+                "seq_id": df["seq_id"].to_numpy(np.int64),
+                "n_docs": df["n_docs"].to_numpy(np.int64),
+                "n_tokens": df["n_tokens"].to_numpy(np.int64),
+                "n_kept": df["n_kept"].to_numpy(np.int64),
+                "last_id": pd.Series(last, dtype="Int64"),
+            })
+
+        return coll.map_batches(_prof, batch_format="pandas")
+
     def sft_jsonl_convs(sf):
         # chat-format JSONL export roundtrip: transcripts -> ChatML
         # messages arrays on disk -> re-parsed with the engine's own
@@ -4592,6 +4634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_status": asof_status,
         "asof_tolerance_status": asof_tolerance_status,
         "join_revenue_by_priority": join_revenue_by_priority,
+        "collate_packed_docs": collate_packed_docs,
         "sft_jsonl_convs": sft_jsonl_convs,
         "tql_canonical_url": tql_canonical_url,
         "concat_cast_docs": concat_cast_docs,
@@ -5376,6 +5419,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(rev_dm) AS DOUBLE) / 10000.0 AS revenue,
                    count(*) AS n
             FROM j GROUP BY o_orderpriority
+        """,
+        "collate_packed_docs": """
+            WITH d AS (
+              SELECT doc_id,
+                     [md5_number_lower(x) % 50021 FOR x IN
+                      list_filter(string_split_regex(text, '\\s+'),
+                                  y -> y <> '')] AS ids
+              FROM documents),
+            c AS (SELECT doc_id, ids, len(ids) AS cnt FROM d),
+            w AS (SELECT *, coalesce(sum(cnt) OVER (
+                      ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS before
+                  FROM c),
+            s AS (SELECT *, CAST(floor(before / 120.0) AS BIGINT) AS seq_id
+                  FROM w),
+            agg AS (SELECT seq_id, count(*) AS n_docs, sum(cnt) AS n_tokens,
+                           min(before) AS seq_before
+                    FROM s GROUP BY seq_id),
+            k AS (SELECT seq_id, n_docs, n_tokens,
+                         least(100, n_tokens) AS n_kept, seq_before
+                  FROM agg),
+            lastt AS (SELECT k.seq_id,
+                             s.ids[CAST(k.seq_before + k.n_kept - s.before
+                                        AS BIGINT)] AS last_id
+                      FROM k JOIN s ON s.seq_id = k.seq_id
+                        AND s.before < k.seq_before + k.n_kept
+                        AND k.seq_before + k.n_kept <= s.before + s.cnt
+                      WHERE k.n_kept > 0)
+            SELECT k.seq_id, k.n_docs, k.n_tokens, k.n_kept, l.last_id
+            FROM k LEFT JOIN lastt l ON l.seq_id = k.seq_id
         """,
         "sft_jsonl_convs": f"""
             WITH {_TRANSCRIPTS_CTE}

@@ -138,6 +138,7 @@ def _register_builtins() -> None:
         assemble_conversations=chunk.assemble_conversations,
         pack_sequences=chunk.pack_sequences,
         pack_by_count=chunk.pack_by_count,
+        collate_packed=chunk.collate_packed,
         conversation_stats=transcripts.conversation_stats,
         tool_sequences=transcripts.tool_sequences,
         filter_conversations=transcripts.filter_conversations,

@@ -197,4 +197,60 @@ def assemble_conversations(ds, conv_col: str = "conv_id",
                          tag="assemble")
 
 
+def collate_packed(ds, order_by: str, tokens_col: str, seq_len: int,
+                   seq_col: str = "seq_id", pad_id: int = 0,
+                   buckets: int | None = None):
+    """The last mile to the trainer: rows carrying token-id lists
+    (``tokens_col``, e.g. ``bpe_encode``'s output) already assigned to
+    training sequences (``seq_col``, from :func:`pack_sequences` /
+    :func:`pack_by_count`) → ONE row per sequence with a fixed-shape
+    ``input_ids`` int32 list: member docs concatenated in ``order_by``
+    order, truncated to ``seq_len``, right-padded with ``pad_id``.
+    Also emits ``n_docs``, ``n_tokens`` (pre-truncation) and
+    ``n_kept``. Shape: one grouped exchange on ``seq_col``; per-task
+    cost is bounded by sequence length × sequences per bucket, never
+    the corpus. Feed the result to ``iter_batches``/``to_numpy_refs``
+    for the training loop."""
+    import pandas as pd
+
+    from tenzir_ray.stages.exchange import grouped_apply
+
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+
+    def _collate(bucket: pd.DataFrame) -> pd.DataFrame:
+        bucket = bucket.sort_values([seq_col, order_by], kind="mergesort")
+        out_ids, out_seq, out_docs, out_tok, out_kept = [], [], [], [], []
+        for sid, grp in bucket.groupby(seq_col, sort=False):
+            parts = []
+            for t in grp[tokens_col]:
+                if t is None:
+                    continue
+                # list cells may arrive as numpy arrays, python lists or
+                # Ray tensor-extension elements — np.asarray handles all
+                a = np.asarray(t, dtype=np.int32).ravel()
+                if a.size:
+                    parts.append(a)
+            flat = (np.concatenate(parts) if parts
+                    else np.empty(0, np.int32))
+            kept = flat[:seq_len]
+            ids = np.full(seq_len, pad_id, np.int32)
+            ids[: len(kept)] = kept
+            out_ids.append(ids)
+            out_seq.append(sid)
+            out_docs.append(len(grp))
+            out_tok.append(len(flat))
+            out_kept.append(len(kept))
+        return pd.DataFrame({
+            seq_col: pd.Series(out_seq, dtype=np.int64),
+            "n_docs": pd.Series(out_docs, dtype=np.int64),
+            "n_tokens": pd.Series(out_tok, dtype=np.int64),
+            "n_kept": pd.Series(out_kept, dtype=np.int64),
+            "input_ids": out_ids,
+        })
+
+    return grouped_apply(ds, [seq_col], _collate, num_buckets=buckets,
+                         tag="collate")
+
+
 ship_by_value(sys.modules[__name__])

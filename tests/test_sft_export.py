@@ -51,3 +51,25 @@ def test_write_sft_jsonl_roundtrip(ray_session, tmp_path):
     ]
     assert recs[1] == {"conv_id": "b", "n_turns": 1,
                        "messages": [{"role": "user", "content": "solo"}]}
+
+
+def test_collate_packed_shapes(ray_session):
+    import numpy as np
+    import ray.data
+
+    from tenzir_ray.stages.chunk import collate_packed
+
+    tbl = pa.table({
+        "i": [0, 1, 2, 3],
+        "seq_id": [0, 0, 1, 1],
+        "ids": [[1, 2, 3], [4, 5], [6], []],
+    })
+    out = (collate_packed(ray.data.from_arrow(tbl).repartition(2),
+                          "i", "ids", seq_len=4)
+           .to_pandas().sort_values("seq_id", ignore_index=True))
+    s0 = np.asarray(out.loc[0, "input_ids"])
+    assert s0.tolist() == [1, 2, 3, 4]  # truncated at seq_len
+    assert out.loc[0, "n_tokens"] == 5 and out.loc[0, "n_kept"] == 4
+    s1 = np.asarray(out.loc[1, "input_ids"])
+    assert s1.tolist() == [6, 0, 0, 0]  # padded
+    assert out.loc[1, "n_docs"] == 2 and out.loc[1, "n_kept"] == 1
