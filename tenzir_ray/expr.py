@@ -90,7 +90,11 @@ _METHOD_MAP = {
     # microsecond resolution FIRST so ns/s/date columns don't leak
     # their raw storage unit
     "epoch_us": lambda col: col.cast(pa.timestamp("us")).cast(pa.int64()),
-    # cast family (SQL CAST AS VARCHAR/BIGINT/DOUBLE)
+    # cast family. NOTE: these are Arrow SAFE casts — a fractional
+    # float in `.int()` RAISES (ArrowInvalid) rather than rounding the
+    # way SQL CAST(x AS BIGINT) does; write `round(x).int()` for the
+    # SQL behavior. Loud-by-default beats silently diverging from the
+    # user's engine of reference.
     "str": lambda col: col.cast(pa.string()),
     "int": lambda col: col.cast(pa.int64()),
     "float": lambda col: col.cast(pa.float64()),
@@ -836,11 +840,33 @@ def _compile(node: ast.expr):
             # which rejects Expression arguments.
             if len(node.args) < 2:
                 raise ValueError("concat() takes at least 2 arguments")
-            args = [
-                a if isinstance(a := _compile(arg), pads.Expression)
-                else pads.scalar(str(a))
-                for arg in node.args
-            ]
+            args = []
+            for arg in node.args:
+                # boolean literals (python True / TQL true) render
+                # lowercase like DuckDB — catch them at the AST level,
+                # before they compile to a boolean scalar Expression
+                # the join kernel can't take
+                if (isinstance(arg, ast.Constant)
+                        and isinstance(arg.value, bool)) or (
+                        isinstance(arg, ast.Name)
+                        and arg.id in ("true", "false")):
+                    lit = (arg.value if isinstance(arg, ast.Constant)
+                           else arg.id == "true")
+                    args.append(pads.scalar("true" if lit else "false"))
+                    continue
+                a = _compile(arg)
+                if isinstance(a, pads.Expression):
+                    args.append(a)
+                elif isinstance(a, bool):
+                    # DuckDB renders booleans lowercase
+                    args.append(pads.scalar("true" if a else "false"))
+                elif isinstance(a, (str, int, float)):
+                    args.append(pads.scalar(str(a)))
+                else:
+                    raise ValueError(
+                        f"concat(): unsupported argument {type(a).__name__}"
+                        " (str/number/bool literals and field expressions"
+                        " only)")
             return pc.binary_join_element_wise(
                 *args, "", null_handling="replace", null_replacement="")
         if isinstance(node.func, ast.Name) and node.func.id in _MARKER_FNS:

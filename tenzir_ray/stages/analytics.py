@@ -245,11 +245,10 @@ def _stats_lookup(ds, column: str, by, aggs: dict) -> "tuple":
         return row, None
     import pandas as pd
 
-    df = res.to_pandas() if not isinstance(df_ := res, pd.DataFrame) else df_
+    df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
     keys = [by] if isinstance(by, str) else list(by)
     df = df.set_index(keys[0] if len(keys) == 1 else keys)
-    return df.to_dict("index") if len(keys) > 1 else {
-        k: v for k, v in df.to_dict("index").items()}, keys
+    return df.to_dict("index"), keys
 
 
 def standardize(ds, column: str, by: "str | None" = None,
@@ -285,6 +284,7 @@ def standardize(ds, column: str, by: "str | None" = None,
 
     def _z(df):
         import numpy as np
+        import pandas as pd
 
         st = ray.get(ref)
         x = df[column].to_numpy(np.float64)
@@ -292,13 +292,16 @@ def standardize(ds, column: str, by: "str | None" = None,
             mu = st["_mu"] if st["_mu"] is not None else np.nan
             df[out] = (x - mu) / _sd_of(st)
         else:
+            # per-GROUP maps built once (sd correction included), then
+            # one vectorized Series.map per batch — no per-row Python
+            mu_map = {g: (r["_mu"] if r["_mu"] is not None else np.nan)
+                      for g, r in st.items()}
+            sd_map = {g: _sd_of(r) for g, r in st.items()}
             gk = (df[keys[0]] if len(keys) == 1
-                  else list(zip(*[df[k] for k in keys])))
-            mus = np.array([st.get(g, {}).get("_mu", np.nan)
-                            if st.get(g) else np.nan for g in gk],
-                           np.float64)
-            sds = np.array([_sd_of(st[g]) if g in st else np.nan
-                            for g in gk], np.float64)
+                  else pd.Series(list(zip(*[df[k] for k in keys])),
+                                 index=df.index))
+            mus = gk.map(mu_map).to_numpy(np.float64)
+            sds = gk.map(sd_map).to_numpy(np.float64)
             df[out] = (x - mus) / sds
         return df
 
@@ -320,6 +323,7 @@ def minmax_scale(ds, column: str, by: "str | None" = None,
 
     def _s(df):
         import numpy as np
+        import pandas as pd
 
         st = ray.get(ref)
         x = df[column].to_numpy(np.float64)
@@ -329,15 +333,15 @@ def minmax_scale(ds, column: str, by: "str | None" = None,
             rng = hi - lo
             df[out] = (x - lo) / rng if rng else np.nan
         else:
+            lo_map = {g: (r["_lo"] if r["_lo"] is not None else np.nan)
+                      for g, r in st.items()}
+            hi_map = {g: (r["_hi"] if r["_hi"] is not None else np.nan)
+                      for g, r in st.items()}
             gk = (df[keys[0]] if len(keys) == 1
-                  else list(zip(*[df[k] for k in keys])))
-            los = np.array([st.get(g, {}).get("_lo", np.nan)
-                            if st.get(g) else np.nan for g in gk],
-                           np.float64)
-            his = np.array([st.get(g, {}).get("_hi", np.nan)
-                            if st.get(g) else np.nan for g in gk],
-                           np.float64)
-            rng = his - los
+                  else pd.Series(list(zip(*[df[k] for k in keys])),
+                                 index=df.index))
+            los = gk.map(lo_map).to_numpy(np.float64)
+            rng = gk.map(hi_map).to_numpy(np.float64) - los
             rng[rng == 0] = np.nan
             df[out] = (x - los) / rng
         return df

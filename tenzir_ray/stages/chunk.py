@@ -242,7 +242,10 @@ def collate_packed(ds, order_by: str, tokens_col: str, seq_len: int,
             out_tok.append(len(flat))
             out_kept.append(len(kept))
         return pd.DataFrame({
-            seq_col: pd.Series(out_seq, dtype=np.int64),
+            # keep the caller's key dtype (string conversation keys are
+            # as valid as integer seq ids; the bucket dtype also pins
+            # empty buckets to the same schema)
+            seq_col: pd.Series(out_seq, dtype=bucket[seq_col].dtype),
             "n_docs": pd.Series(out_docs, dtype=np.int64),
             "n_tokens": pd.Series(out_tok, dtype=np.int64),
             "n_kept": pd.Series(out_kept, dtype=np.int64),

@@ -433,7 +433,11 @@ def render_chat(ds, conv_col: str = "conv_id", turn_col: str = "turn_idx",
         texts = bucket[text_col].fillna("").to_numpy(dtype=object)
         bucket = bucket.assign(
             _m=[{"role": r, "content": c} for r, c in zip(roles, texts)])
-        return (bucket.groupby(conv_col, as_index=False, sort=False)
+        # dropna=False: a null conversation id is still a group (SQL
+        # GROUP BY semantics) — silently losing those turns from an
+        # export would be invisible data loss
+        return (bucket.groupby(conv_col, as_index=False, sort=False,
+                               dropna=False)
                 .agg(n_turns=(turn_col, "size"), messages=("_m", list)))
 
     return grouped_apply(ds, [conv_col], _render, num_buckets=buckets,
@@ -463,10 +467,34 @@ class _JsonlWriter:
             df = df[self.columns]
         rel = f"part-{uuid.uuid4().hex[:12]}.jsonl"
         tmp = os.path.join(self.path, rel + ".tmp")
+
+        def _jsonable(v):
+            # numpy containers arrive when a block crossed a pandas →
+            # Arrow conversion; anything else unexpected must FAIL, not
+            # silently stringify into the training data
+            import numpy as _np
+
+            if isinstance(v, _np.ndarray):
+                return [_jsonable(x) for x in v.tolist()]
+            if isinstance(v, _np.generic):
+                return v.item()
+            if isinstance(v, dict):
+                return {k: _jsonable(x) for k, x in v.items()}
+            if isinstance(v, (list, tuple)):
+                return [_jsonable(x) for x in v]
+            if v is None or isinstance(v, (str, int, float, bool)):
+                return v
+            if pd.isna(v):
+                return None
+            raise TypeError(
+                f"write_sft_jsonl: cell of type {type(v).__name__} is "
+                "not JSON-representable")
+
         with open(tmp, "w", encoding="utf-8") as f:
             for rec in df.to_dict("records"):
-                f.write(json.dumps(rec, ensure_ascii=False,
-                                   default=str) + "\n")
+                f.write(json.dumps({k: _jsonable(v)
+                                    for k, v in rec.items()},
+                                   ensure_ascii=False) + "\n")
         os.replace(tmp, os.path.join(self.path, rel))
         return pa.table({"path": pa.array([rel]),
                          "rows": pa.array([len(df)], pa.int64())})

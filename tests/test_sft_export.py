@@ -73,3 +73,35 @@ def test_collate_packed_shapes(ray_session):
     s1 = np.asarray(out.loc[1, "input_ids"])
     assert s1.tolist() == [6, 0, 0, 0]  # padded
     assert out.loc[1, "n_docs"] == 2 and out.loc[1, "n_kept"] == 1
+
+
+def test_collate_string_seq_keys_and_null_conv(ray_session, tmp_path):
+    import numpy as np
+    import ray.data
+
+    from tenzir_ray.stages.chunk import collate_packed
+    from tenzir_ray.stages.transcripts import write_sft_jsonl
+
+    tbl = pa.table({"i": [0, 1], "seq_id": ["s0", "s0"],
+                    "ids": [[1], [2]]})
+    out = (collate_packed(ray.data.from_arrow(tbl), "i", "ids", seq_len=3)
+           .to_pandas())
+    assert out["seq_id"].tolist() == ["s0"]
+    assert np.asarray(out.loc[0, "input_ids"]).tolist() == [1, 2, 0]
+
+    convs = pa.table({
+        "conv_id": pa.array(["a", None], pa.string()),
+        "turn_idx": [0, 0],
+        "role": ["user", "user"],
+        "text": ["x", "orphan"],
+    })
+    dest = str(tmp_path / "nullconv")
+    stats = write_sft_jsonl(ray.data.from_arrow(convs), dest)
+    # null conv_id is still a group (SQL GROUP BY), not silent data loss
+    assert stats["rows"].sum() == 2
+    recs = []
+    for fn in os.listdir(dest):
+        with open(os.path.join(dest, fn)) as f:
+            recs += [json.loads(line) for line in f]
+    contents = sorted(m["content"] for r in recs for m in r["messages"])
+    assert contents == ["orphan", "x"]

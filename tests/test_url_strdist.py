@@ -318,3 +318,16 @@ def test_concat_and_casts(ray_session):
           .to_pandas().sort_values("id", ignore_index=True))
     assert df["u"].tolist() == ["d-1-en", "d-2-"]  # null -> empty
     assert df["f"].tolist() == [1.0, 2.0]
+
+
+def test_concat_bool_and_bad_literals(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages.transforms import put
+
+    t = pa.table({"id": [7]})
+    df = put(ray.data.from_arrow(t),
+             u='concat("f:", true, "-", id.str())').to_pandas()
+    assert df["u"].tolist() == ["f:true-7"]  # DuckDB lowercase booleans
+    with pytest.raises(Exception, match="unsupported argument"):
+        put(ray.data.from_arrow(t), u='concat("x", [1, 2])').materialize()
