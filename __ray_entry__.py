@@ -2110,6 +2110,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return read_warc(dest).map_batches(_ids, batch_format="pyarrow")
 
+    def url_codec_docs(sf):
+        # percent-codec roundtrip (space/reserved/UTF-8 multibyte): the
+        # oracle spells out the exact escape bytes
+        import pandas as pd
+
+        from tenzir_ray.stages.url import url_decode, url_encode
+
+        docs = _read(sf, "documents", columns=["doc_id", "lang"])
+
+        def _mk(df: pd.DataFrame) -> pd.DataFrame:
+            df["raw"] = "a b/" + df["lang"] + "?x=1&y=é"
+            return df[["doc_id", "raw"]]
+
+        ds = docs.map_batches(_mk, batch_format="pandas")
+        ds = url_encode(ds, "raw", out="enc")
+        ds = url_decode(ds, "enc", out="dec")
+        return T.select(ds, ["doc_id", "enc", "dec"])
+
     def url_parse_docs(sf):
         # web-corpus URL structure: synthesize a deterministic URL per
         # document (mixed-case host, default/explicit/absent ports,
@@ -4646,6 +4664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unicode_norm_docs": unicode_norm_docs,
         "triangle_count_orders": triangle_count_orders,
         "warc_roundtrip": warc_roundtrip,
+        "url_codec_docs": url_codec_docs,
         "url_parse_docs": url_parse_docs,
         "strdist_parts": strdist_parts,
         "q3_shipping_priority": q3_shipping_priority,
@@ -5540,6 +5559,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "warc_roundtrip": """
             SELECT doc_id, text AS content, strlen(text) AS length
+            FROM documents
+        """,
+        "url_codec_docs": """
+            SELECT doc_id,
+                   'a%20b/' || lang || '%3Fx%3D1%26y%3D%C3%A9' AS enc,
+                   'a b/' || lang || '?x=1&y=' || chr(233) AS dec
             FROM documents
         """,
         "url_parse_docs": """

@@ -279,6 +279,8 @@ def _register_builtins() -> None:
         parse_url=url_mod.parse_url,
         canonical_url=url_mod.canonical_url,
         url_host=url_mod.url_host,
+        url_decode=url_mod.url_decode,
+        url_encode=url_mod.url_encode,
     )
     from tenzir_ray.sources import zmtp as zmtp_mod
     OPERATORS.update(

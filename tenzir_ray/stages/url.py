@@ -121,6 +121,47 @@ def canonical_url(ds, column: str = "url", out: str = "canonical_url",
                           batch_size=batch_size)
 
 
+def url_decode(ds, column: str, out: "str | None" = None,
+               plus_as_space: bool = False, batch_size: int = 16384):
+    """Percent-decode a string column (``%41`` → ``A``; invalid escapes
+    pass through untouched, errors='replace' for invalid UTF-8 —
+    crawled data never raises). ``plus_as_space`` applies the
+    form-encoding convention (``+`` → space) first."""
+    from urllib.parse import unquote, unquote_plus
+
+    fn = unquote_plus if plus_as_space else unquote
+    out = out or column
+
+    def _dec(df: pd.DataFrame) -> pd.DataFrame:
+        df[out] = [
+            fn(s, errors="replace") if isinstance(s, str) else None
+            for s in df[column].to_numpy(dtype=object)
+        ]
+        return df
+
+    return ds.map_batches(_dec, batch_format="pandas",
+                          batch_size=batch_size)
+
+
+def url_encode(ds, column: str, out: "str | None" = None,
+               safe: str = "/", batch_size: int = 16384):
+    """Percent-encode a string column (RFC 3986 unreserved chars kept;
+    ``safe`` adds bytes to keep verbatim, path-slash by default)."""
+    from urllib.parse import quote
+
+    out = out or column
+
+    def _enc(df: pd.DataFrame) -> pd.DataFrame:
+        df[out] = [
+            quote(s, safe=safe) if isinstance(s, str) else None
+            for s in df[column].to_numpy(dtype=object)
+        ]
+        return df
+
+    return ds.map_batches(_enc, batch_format="pandas",
+                          batch_size=batch_size)
+
+
 def url_host(ds, column: str = "url", out: str = "host",
              batch_size: int = 16384):
     """Just the lowercased host — the usual per-site grouping key."""

@@ -331,3 +331,30 @@ def test_concat_bool_and_bad_literals(ray_session):
     assert df["u"].tolist() == ["f:true-7"]  # DuckDB lowercase booleans
     with pytest.raises(Exception, match="unsupported argument"):
         put(ray.data.from_arrow(t), u='concat("x", [1, 2])').materialize()
+
+
+def test_url_codec_and_canonical_idempotence(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages.url import canonical_url, url_decode, url_encode
+
+    raws = ["a b/c?x=1&y=é", "no-escapes", "%zz invalid", None]
+    tbl = pa.table({"i": range(4), "s": pa.array(raws, pa.string())})
+    ds = url_encode(ray.data.from_arrow(tbl), "s", out="enc")
+    df = (url_decode(ds, "enc", out="dec")
+          .to_pandas().sort_values("i", ignore_index=True))
+    # decode(encode(x)) == x for all non-null rows
+    assert df["dec"].tolist()[:3] == raws[:3]
+    assert pd.isna(df.loc[3, "dec"])
+    # invalid escape passes through decode untouched
+    one = url_decode(ray.data.from_arrow(
+        pa.table({"s": ["%zz%20ok"]})), "s").to_pandas()
+    assert one["s"].tolist() == ["%zz ok"]
+
+    # canonicalization is idempotent: canonical(canonical(u)) == canonical(u)
+    canon1 = (canonical_url(ray.data.from_arrow(_one_table()), "url",
+                            out="c1"))
+    both = (canonical_url(canon1, "c1", out="c2")
+            .to_pandas().sort_values("i", ignore_index=True))
+    mask = both["c1"].notna()
+    assert (both.loc[mask, "c1"] == both.loc[mask, "c2"]).all()
