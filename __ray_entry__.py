@@ -394,6 +394,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = T.unroll(T.select(ds, ["vec_id", "embedding"]), "embedding")
         return ds
 
+    def unroll_indexed_embeddings(sf):
+        # posexplode / unnest WITH ORDINALITY: element + 1-based
+        # position within the source list
+        ds = T.where(_read(sf, "embeddings"), "vec_id < 20")
+        return T.unroll_indexed(
+            T.select(ds, ["vec_id", "embedding"]), "embedding")
+
     def hash_documents(sf):
         ds = T.hash_(_read(sf, "documents"), "text", out="text_sha256")
         return T.select(ds, ["doc_id", "text_sha256"])
@@ -4714,6 +4721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "enrich_orders_segment": enrich_orders_segment,
         "semi_join_events_users": semi_join_events_users,
         "unroll_embeddings": unroll_embeddings,
+        "unroll_indexed_embeddings": unroll_indexed_embeddings,
         "hash_documents": hash_documents,
         "parse_json_props": parse_json_props,
         "dedup_documents_exact": dedup_documents_exact,
@@ -4994,6 +5002,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "unroll_embeddings": """
             SELECT vec_id, unnest(embedding) AS embedding
+            FROM embeddings WHERE vec_id < 20
+        """,
+        "unroll_indexed_embeddings": """
+            SELECT vec_id, unnest(embedding) AS embedding,
+                   CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos
             FROM embeddings WHERE vec_id < 20
         """,
         "hash_documents": """

@@ -199,6 +199,7 @@ def _register_builtins() -> None:
         slice=transforms.slice_,
         reverse=transforms.reverse,
         repeat=transforms.repeat_,
+        unroll_indexed=transforms.unroll_indexed,
         enumerate=transforms.enumerate_per_group,
         enumerate_global=transforms.enumerate_global,
         pseudonymize=transforms.pseudonymize,

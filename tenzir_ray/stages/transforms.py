@@ -404,6 +404,31 @@ def unroll(ds, column: str):
     return ds.map_batches(_unroll, batch_format="pyarrow")
 
 
+def unroll_indexed(ds, column: str, index_col: str = "pos",
+                   base: int = 1):
+    """:func:`unroll` that also emits each element's position within its
+    source list (SQL ``unnest ... WITH ORDINALITY`` / posexplode;
+    1-based by default to match ``generate_subscripts``)."""
+
+    def _unroll(batch: pa.Table) -> pa.Table:
+        col = batch.column(column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lengths = pc.list_value_length(col)
+        lengths = pc.fill_null(lengths, 0).to_numpy(zero_copy_only=False)
+        parent = np.repeat(np.arange(batch.num_rows), lengths)
+        # positions restart per list: global arange minus each row's
+        # own start offset
+        starts = np.repeat(np.cumsum(lengths) - lengths, lengths)
+        pos = np.arange(len(parent), dtype=np.int64) - starts + base
+        flat = pc.list_flatten(col)
+        out = batch.drop_columns([column]).take(pa.array(parent))
+        out = out.append_column(column, flat)
+        return out.append_column(index_col, pa.array(pos, pa.int64()))
+
+    return ds.map_batches(_unroll, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # per-row computed columns
 

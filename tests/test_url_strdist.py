@@ -358,3 +358,20 @@ def test_url_codec_and_canonical_idempotence(ray_session):
             .to_pandas().sort_values("i", ignore_index=True))
     mask = both["c1"].notna()
     assert (both.loc[mask, "c1"] == both.loc[mask, "c2"]).all()
+
+
+def test_unroll_indexed_positions(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages.transforms import unroll_indexed
+
+    tbl = pa.table({"k": [1, 2, 3],
+                    "v": [[10, 11], [], [20, 21, 22]]})
+    df = (unroll_indexed(ray.data.from_arrow(tbl), "v")
+          .to_pandas().sort_values(["k", "pos"], ignore_index=True))
+    assert df["k"].tolist() == [1, 1, 3, 3, 3]  # empty list dropped
+    assert df["pos"].tolist() == [1, 2, 1, 2, 3]  # restarts per list
+    assert df["v"].tolist() == [10, 11, 20, 21, 22]
+    z = (unroll_indexed(ray.data.from_arrow(tbl), "v", base=0)
+         .to_pandas())
+    assert z["pos"].min() == 0
