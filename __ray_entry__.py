@@ -908,7 +908,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from tenzir_ray.stages.transcripts import turn_latency
 
         out = turn_latency(_transcripts_ds(sf))
-        return T.scale_int_cols(out, ["avg_gap_us"], factor=1000)
+        out = T.scale_int_cols(out, ["avg_gap_us"], factor=1000)
+        # max gap is an exact microsecond count — int64 like the
+        # oracle's date_diff, not a float-widened double
+        return T.scale_int_cols(out, ["max_gap_us"], factor=1)
 
     def conv_alternation(sf):
         # role-alternation dialog-quality profile: per-group ordered lag
@@ -1384,7 +1387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             xs = [o_orderkey, o_orderkey * 2, o_orderkey * 3]
             evens = where(xs, x => x % 2 == 0)
             bumped = map(evens, x => x + 1)
-            n_even = o_orderkey % 2
+            n_even = (o_orderkey % 2).int()
             select o_orderkey, bumped, n_even
         """)
 
@@ -1893,15 +1896,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         packed = pack_sequences(ds, order_by="doc_id", target_tokens=120)
         coll = collate_packed(packed, "doc_id", "ids", 100)
 
-        def _prof(df: pd.DataFrame) -> pd.DataFrame:
+        def _prof(df: pd.DataFrame):
+            import pyarrow as pa
+
             last = [int(r[k - 1]) if k > 0 else None
                     for r, k in zip(df["input_ids"], df["n_kept"])]
-            return pd.DataFrame({
-                "seq_id": df["seq_id"].to_numpy(np.int64),
-                "n_docs": df["n_docs"].to_numpy(np.int64),
-                "n_tokens": df["n_tokens"].to_numpy(np.int64),
-                "n_kept": df["n_kept"].to_numpy(np.int64),
-                "last_id": pd.Series(last, dtype="Int64"),
+            # Arrow int64-with-nulls (NOT pandas Int64) so the gate
+            # output converts to the same canonical pandas dtypes the
+            # DuckDB oracle produces (float64 for a nullable BIGINT)
+            return pa.table({
+                "seq_id": pa.array(df["seq_id"].to_numpy(np.int64)),
+                "n_docs": pa.array(df["n_docs"].to_numpy(np.int64)),
+                "n_tokens": pa.array(df["n_tokens"].to_numpy(np.int64)),
+                "n_kept": pa.array(df["n_kept"].to_numpy(np.int64)),
+                "last_id": pa.array(last, type=pa.int64()),
             })
 
         return coll.map_batches(_prof, batch_format="pandas")
@@ -1989,11 +1997,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (greatest/least skip nulls, nullif yields typed null)
         orders = _read(sf, "orders",
                        columns=["o_orderkey", "o_totalprice", "o_custkey"])
+        # .int() keeps the integer-domain outputs canonical int64 (the
+        # floor-mod identity passes through double; the driver's hash is
+        # dtype-sensitive, so nf must be int64-with-nulls and co plain
+        # int64, exactly like the BIGINT-cast oracle)
         return T.put(orders, o_orderkey="o_orderkey",
                      g="greatest(o_totalprice, 150000.0)",
                      l="least(o_custkey, 75)",
-                     nf="nullif(o_custkey % 10, 3)",
-                     co="coalesce(nullif(o_custkey % 10, 3), -1)")
+                     nf="nullif(o_custkey % 10, 3).int()",
+                     co="coalesce(nullif(o_custkey % 10, 3), -1).int()")
 
     def lr_grad_docs(sf):
         # logistic-regression training machinery, hash-oracled: the
@@ -3796,7 +3808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         ev = _read(sf, "events", columns=["event_id", "user_id"])
         ev = T.where(ev, "event_id % 97 != 0")
-        ev = T.put(ev, lsn="event_id", part="user_id % 8")
+        ev = T.put(ev, lsn="event_id", part="(user_id % 8).int()")
         return lsn_gaps(ev, by="part")
 
     def fold_patches_events(sf):
@@ -5086,7 +5098,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, o_orderpriority,
                    CAST(GROUPING_ID(o_orderstatus, o_orderpriority)
                         AS BIGINT) AS gid,
-                   count(*) AS n, sum(o_custkey) AS cust,
+                   count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS cust,
                    min(o_totalprice) AS pmin, max(o_totalprice) AS pmax
             FROM orders
             GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
@@ -5095,7 +5107,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, user_id % 3 AS uid_mod,
                    CAST(GROUPING_ID(event_type, user_id % 3)
                         AS BIGINT) AS gid,
-                   count(*) AS n, sum(user_id) AS usum
+                   count(*) AS n, CAST(sum(user_id) AS BIGINT) AS usum
             FROM events
             GROUP BY CUBE(event_type, user_id % 3)
         """,
@@ -5467,15 +5479,17 @@ def oracle_sql() -> dict[str, str]:
                   FROM c),
             s AS (SELECT *, CAST(floor(before / 120.0) AS BIGINT) AS seq_id
                   FROM w),
-            agg AS (SELECT seq_id, count(*) AS n_docs, sum(cnt) AS n_tokens,
+            agg AS (SELECT seq_id, count(*) AS n_docs,
+                           CAST(sum(cnt) AS BIGINT) AS n_tokens,
                            min(before) AS seq_before
                     FROM s GROUP BY seq_id),
             k AS (SELECT seq_id, n_docs, n_tokens,
-                         least(100, n_tokens) AS n_kept, seq_before
+                         CAST(least(100, n_tokens) AS BIGINT) AS n_kept,
+                         seq_before
                   FROM agg),
             lastt AS (SELECT k.seq_id,
-                             s.ids[CAST(k.seq_before + k.n_kept - s.before
-                                        AS BIGINT)] AS last_id
+                             CAST(s.ids[CAST(k.seq_before + k.n_kept - s.before
+                                        AS BIGINT)] AS BIGINT) AS last_id
                       FROM k JOIN s ON s.seq_id = k.seq_id
                         AND s.before < k.seq_before + k.n_kept
                         AND k.seq_before + k.n_kept <= s.before + s.cnt
@@ -5531,7 +5545,7 @@ def oracle_sql() -> dict[str, str]:
                    greatest(o_totalprice, 150000.0) AS g,
                    least(o_custkey, 75) AS l,
                    nullif(o_custkey % 10, 3) AS nf,
-                   coalesce(nullif(o_custkey % 10, 3), -1) AS co
+                   CAST(coalesce(nullif(o_custkey % 10, 3), -1) AS BIGINT) AS co
             FROM orders
         """,
         "lr_grad_docs": """
@@ -5718,7 +5732,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CASE WHEN f < 0.75 THEN 'train'
                         WHEN f < 0.875 THEN 'val'
                         ELSE 'test' END AS split,
-                   count(*) AS n, sum(doc_id) AS sd
+                   count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sd
             FROM h GROUP BY 1
         """,
         "decontaminate_docs": """
@@ -6072,7 +6086,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM f)
             SELECT part, count(*) AS n_rows, min(lsn) AS lsn_min,
                    max(lsn) AS lsn_max,
-                   coalesce(sum(greatest(lsn - pl - 1, 0)), 0) AS n_missing,
+                   CAST(coalesce(sum(greatest(lsn - pl - 1, 0)), 0) AS BIGINT) AS n_missing,
                    coalesce(max(greatest(lsn - pl - 1, 0)), 0) AS max_gap
             FROM d GROUP BY part
         """,
@@ -6805,7 +6819,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id,
                    count(*) AS n_turns,
                    count(tool) AS n_tool_calls,
-                   sum(length(text)) AS total_chars,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars,
                    min(ts) AS first_ts,
                    max(ts) AS last_ts,
                    max(turn_idx) AS max_turn
@@ -7152,10 +7166,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cumsum_value_by_user": """
             SELECT event_id, user_id,
-                   sum(CAST(round(value * 100) AS BIGINT))
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
                        OVER (PARTITION BY user_id ORDER BY event_id
                              ROWS UNBOUNDED PRECEDING)
-                       AS running_cents
+                       AS BIGINT) AS running_cents
             FROM events
         """,
         "pivot_events_by_user": """
@@ -7163,13 +7177,13 @@ def oracle_sql() -> dict[str, str]:
                               CAST(round(value * 100) AS BIGINT) AS v
                        FROM events)
             SELECT user_id,
-                   sum(CASE WHEN event_type = 'click' THEN v END) AS click,
-                   sum(CASE WHEN event_type = 'error' THEN v END) AS error,
-                   sum(CASE WHEN event_type = 'purchase' THEN v END)
-                       AS purchase,
-                   sum(CASE WHEN event_type = 'signup' THEN v END)
-                       AS signup,
-                   sum(CASE WHEN event_type = 'view' THEN v END) AS view
+                   CAST(sum(CASE WHEN event_type = 'click' THEN v END) AS BIGINT) AS click,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN v END) AS BIGINT) AS error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN v END)
+                       AS BIGINT) AS purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN v END)
+                       AS BIGINT) AS signup,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN v END) AS BIGINT) AS view
             FROM c GROUP BY user_id
         """,
         "melt_lineitem_charges": """

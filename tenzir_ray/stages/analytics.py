@@ -230,6 +230,56 @@ def retention(ds, by: str, ts_col: str, period: str = "1d",
                      n=f"count_distinct({by})")
 
 
+class _NullKey:
+    """Sentinel for a null group key: NaN != NaN, so a NaN-keyed stats
+    row could never be found by ``Series.map`` and null-group rows got
+    null output even when the stats pass produced their row (SQL GROUP
+    BY treats nulls as one group). Hashable singleton, never equal to
+    real data."""
+
+    _inst = None
+
+    def __new__(cls):
+        if cls._inst is None:
+            cls._inst = super().__new__(cls)
+        return cls._inst
+
+
+_NULLKEY = _NullKey()
+
+
+def _norm_key(v):
+    import pandas as pd
+
+    try:
+        return _NULLKEY if pd.isna(v) else v
+    except (TypeError, ValueError):  # arrays/lists: not a null scalar
+        return v
+
+
+def _map_keys(st: dict, multi: bool) -> dict:
+    """Stats dict with null group keys normalized to the sentinel."""
+    if multi:
+        return {tuple(_norm_key(x) for x in g): r for g, r in st.items()}
+    return {_norm_key(g): r for g, r in st.items()}
+
+
+def _batch_keys(df, keys):
+    """Per-row group key Series with nulls normalized to the sentinel
+    (matching :func:`_map_keys`) — still one vectorized map per batch."""
+    import pandas as pd
+
+    if len(keys) == 1:
+        gk = df[keys[0]]
+        if gk.isna().any():
+            gk = gk.astype(object).where(gk.notna(), _NULLKEY)
+        return gk
+    return pd.Series(
+        [tuple(_norm_key(x) for x in t)
+         for t in zip(*[df[k] for k in keys])],
+        index=df.index, dtype=object)
+
+
 def _stats_lookup(ds, column: str, by, aggs: dict) -> "tuple":
     """(group stats as a broadcast-able dict | scalar row, group cols).
     The stats side is one shuffle-free partial-aggregate pass; its
@@ -293,13 +343,13 @@ def standardize(ds, column: str, by: "str | None" = None,
             df[out] = (x - mu) / _sd_of(st)
         else:
             # per-GROUP maps built once (sd correction included), then
-            # one vectorized Series.map per batch — no per-row Python
+            # one vectorized Series.map per batch — no per-row Python;
+            # null group keys ride the _NULLKEY sentinel on both sides
+            st = _map_keys(st, multi=len(keys) > 1)
             mu_map = {g: (r["_mu"] if r["_mu"] is not None else np.nan)
                       for g, r in st.items()}
             sd_map = {g: _sd_of(r) for g, r in st.items()}
-            gk = (df[keys[0]] if len(keys) == 1
-                  else pd.Series(list(zip(*[df[k] for k in keys])),
-                                 index=df.index))
+            gk = _batch_keys(df, keys)
             mus = gk.map(mu_map).to_numpy(np.float64)
             sds = gk.map(sd_map).to_numpy(np.float64)
             df[out] = (x - mus) / sds
@@ -333,13 +383,12 @@ def minmax_scale(ds, column: str, by: "str | None" = None,
             rng = hi - lo
             df[out] = (x - lo) / rng if rng else np.nan
         else:
+            st = _map_keys(st, multi=len(keys) > 1)
             lo_map = {g: (r["_lo"] if r["_lo"] is not None else np.nan)
                       for g, r in st.items()}
             hi_map = {g: (r["_hi"] if r["_hi"] is not None else np.nan)
                       for g, r in st.items()}
-            gk = (df[keys[0]] if len(keys) == 1
-                  else pd.Series(list(zip(*[df[k] for k in keys])),
-                                 index=df.index))
+            gk = _batch_keys(df, keys)
             los = gk.map(lo_map).to_numpy(np.float64)
             rng = gk.map(hi_map).to_numpy(np.float64) - los
             rng[rng == 0] = np.nan

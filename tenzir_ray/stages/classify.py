@@ -30,7 +30,13 @@ from tenzir_ray.stages.dsir import _block_tokens, _bucketize
 
 
 class _NbAgg:
-    """Accumulator: {label: [n_docs, (B,) int64 bucket counts]}."""
+    """Accumulator: ``{"labels": [str], "docs": [int], "counts":
+    [(B,) int64]}`` — a struct-of-lists, NOT a dict keyed by label: a
+    dict-of-numpy accumulator fails Arrow conversion when the partials
+    cross the object store and Ray falls back to pickled-object blocks
+    (slow path + a warning per block). This shape converts to
+    ``struct<labels: list<string>, docs: list<int64>, counts:
+    list<list<int64>>>`` cleanly."""
 
     def __init__(self, label_col: str, column: str, buckets: int,
                  ngram: int):
@@ -40,41 +46,63 @@ class _NbAgg:
         self.ngram = ngram
 
     def init(self, _key):
-        return {}
+        return None
 
     def accumulate_block(self, acc, block):
         import pandas as pd
 
         if isinstance(block, pd.DataFrame):
             block = pa.Table.from_pandas(block)
+        if acc is None:
+            labs, docs, counts = [], [], []
+        else:
+            labs = list(acc["labels"])
+            docs = list(acc["docs"])
+            counts = [np.asarray(c, np.int64).copy()
+                      for c in acc["counts"]]
+        out = {"labels": labs, "docs": docs, "counts": counts}
         if block.num_rows == 0:
-            return acc
+            return out
         labels = np.asarray(block.column(self.label_col).to_pylist(),
                             dtype=object)
         tokens, doc_idx = _block_tokens(block, self.column, self.ngram)
         b = _bucketize(tokens, self.buckets)
         tok_labels = labels[doc_idx] if len(tokens) else labels[:0]
-        acc = {k: [v[0], v[1].copy()] for k, v in acc.items()}
+        index = {lab: i for i, lab in enumerate(labs)}
         for lab in pd.unique(labels):
             if lab is None:
                 continue
-            ent = acc.setdefault(
-                lab, [0, np.zeros(self.buckets, np.int64)])
-            ent[0] += int((labels == lab).sum())
+            i = index.get(lab)
+            if i is None:
+                i = index[lab] = len(labs)
+                labs.append(lab)
+                docs.append(0)
+                counts.append(np.zeros(self.buckets, np.int64))
+            docs[i] += int((labels == lab).sum())
             if len(b):
-                np.add.at(ent[1], b[tok_labels == lab], 1)
-        return acc
+                np.add.at(counts[i], b[tok_labels == lab], 1)
+        return out
 
     @staticmethod
     def merge(a, b):
-        out = {k: [v[0], v[1].copy()] for k, v in a.items()}
-        for lab, (n, cnt) in b.items():
-            if lab in out:
-                out[lab][0] += n
-                out[lab][1] += cnt
+        if a is None:
+            return b
+        if b is None:
+            return a
+        labs = list(a["labels"])
+        docs = list(a["docs"])
+        counts = [np.asarray(c, np.int64).copy() for c in a["counts"]]
+        index = {lab: i for i, lab in enumerate(labs)}
+        for lab, n, cnt in zip(b["labels"], b["docs"], b["counts"]):
+            i = index.get(lab)
+            if i is None:
+                labs.append(lab)
+                docs.append(int(n))
+                counts.append(np.asarray(cnt, np.int64).copy())
             else:
-                out[lab] = [n, cnt.copy()]
-        return out
+                docs[i] += int(n)
+                counts[i] = counts[i] + np.asarray(cnt, np.int64)
+        return {"labels": labs, "docs": docs, "counts": counts}
 
 
 class NbModel:
@@ -124,11 +152,14 @@ def nb_train(ds, label_col: str, column: str = "text", *,
     agg = AggregateFn(init=cb.init, merge=_NbAgg.merge,
                       accumulate_block=cb.accumulate_block, name="nb")
     state = ds.aggregate(agg)["nb"]
-    if not state:
+    if not state or not len(state["labels"]):
         raise ValueError("nb_train: no labeled rows")
-    classes = sorted(state)
-    doc_counts = np.array([state[c][0] for c in classes], np.int64)
-    counts = np.stack([state[c][1] for c in classes])
+    order = sorted(range(len(state["labels"])),
+                   key=lambda i: state["labels"][i])
+    classes = [state["labels"][i] for i in order]
+    doc_counts = np.array([state["docs"][i] for i in order], np.int64)
+    counts = np.stack([np.asarray(state["counts"][i], np.int64)
+                       for i in order])
     return NbModel(classes, doc_counts, counts, buckets, ngram, alpha)
 
 
@@ -247,7 +278,10 @@ def _lr_labels(block: pa.Table, label_col: str) -> np.ndarray:
 
 
 class _LrGradAgg:
-    """Accumulator: [gradw (B,), grad_bias, loss, n_docs, tok_per_bucket]."""
+    """Accumulator: ``{"gw": (B,) f64, "gb": f64, "loss": f64,
+    "n": int, "tok": (B,) i64}`` — dict-of-uniform-fields so the
+    partials convert to a typed Arrow struct when they cross the object
+    store (a heterogeneous list falls back to pickled-object blocks)."""
 
     def __init__(self, label_col: str, column: str, buckets: int,
                  ngram: int, weights: np.ndarray, bias: float):
@@ -267,10 +301,14 @@ class _LrGradAgg:
         if isinstance(block, pd.DataFrame):
             block = pa.Table.from_pandas(block)
         if acc is None:
-            acc = [np.zeros(self.buckets, np.float64), 0.0, 0.0, 0,
-                   np.zeros(self.buckets, np.int64)]
+            acc = {"gw": np.zeros(self.buckets, np.float64), "gb": 0.0,
+                   "loss": 0.0, "n": 0,
+                   "tok": np.zeros(self.buckets, np.int64)}
         else:
-            acc = [acc[0].copy(), acc[1], acc[2], acc[3], acc[4].copy()]
+            acc = {"gw": np.asarray(acc["gw"], np.float64).copy(),
+                   "gb": float(acc["gb"]), "loss": float(acc["loss"]),
+                   "n": int(acc["n"]),
+                   "tok": np.asarray(acc["tok"], np.int64).copy()}
         n = block.num_rows
         if n == 0:
             return acc
@@ -285,14 +323,14 @@ class _LrGradAgg:
         p = 1.0 / (1.0 + np.exp(-z))
         err = np.where(valid, p - np.nan_to_num(y), 0.0)
         if len(b):
-            np.add.at(acc[0], b, err[doc_idx])
-            np.add.at(acc[4], b, valid[doc_idx].astype(np.int64))
-        acc[1] += float(err.sum())
+            np.add.at(acc["gw"], b, err[doc_idx])
+            np.add.at(acc["tok"], b, valid[doc_idx].astype(np.int64))
+        acc["gb"] += float(err.sum())
         zl = z[valid]
         yl = y[valid]
-        acc[2] += float(
+        acc["loss"] += float(
             np.sum(np.maximum(zl, 0) - zl * yl + np.log1p(np.exp(-np.abs(zl)))))
-        acc[3] += int(valid.sum())
+        acc["n"] += int(valid.sum())
         return acc
 
     @staticmethod
@@ -301,8 +339,11 @@ class _LrGradAgg:
             return b
         if b is None:
             return a
-        return [a[0] + b[0], a[1] + b[1], a[2] + b[2], a[3] + b[3],
-                a[4] + b[4]]
+        return {"gw": np.asarray(a["gw"], np.float64) + np.asarray(b["gw"], np.float64),
+                "gb": float(a["gb"]) + float(b["gb"]),
+                "loss": float(a["loss"]) + float(b["loss"]),
+                "n": int(a["n"]) + int(b["n"]),
+                "tok": np.asarray(a["tok"], np.int64) + np.asarray(b["tok"], np.int64)}
 
 
 def lr_gradient(ds, label_col: str, column: str = "text", *,
@@ -316,9 +357,11 @@ def lr_gradient(ds, label_col: str, column: str = "text", *,
     agg = AggregateFn(init=cb.init, merge=_LrGradAgg.merge,
                       accumulate_block=cb.accumulate_block, name="lr")
     state = ds.aggregate(agg)["lr"]
-    if state is None or state[3] == 0:
+    if state is None or int(state["n"]) == 0:
         raise ValueError("lr_gradient: no labeled rows")
-    return state
+    return (np.asarray(state["gw"], np.float64), float(state["gb"]),
+            float(state["loss"]), int(state["n"]),
+            np.asarray(state["tok"], np.int64))
 
 
 def lr_train(ds, label_col: str, column: str = "text", *,

@@ -297,15 +297,25 @@ class _FuzzyBlockFilter:
         self.rpb = num_hashes // bands
         self.invert = invert
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, df: pd.DataFrame):
+        import pyarrow as _pa
+
+        def _arrow(out: pd.DataFrame) -> "_pa.Table":
+            # emit Arrow blocks: an (often-empty) filtered pandas block
+            # with object columns trips Ray's block-size estimator
+            # ("cannot call `vectorize` on size 0 inputs") on every
+            # batch a filtered upstream empties
+            return _pa.Table.from_pandas(
+                out, preserve_index=False).replace_schema_metadata(None)
+
         if not len(df):
-            return df
+            return _arrow(df)
         df = self.mh(df.copy())
         sigs = np.stack([np.asarray(s, np.uint64) for s in df["minhash"]])
         keys = _band_keys(sigs, self.bands, self.rpb)
         hit = np.isin(keys, self.keys).any(axis=1)
         keep = hit if self.invert else ~hit
-        return df[keep].drop(columns=["minhash"])
+        return _arrow(df[keep].drop(columns=["minhash"]))
 
 
 def fuzzy_decontaminate(corpus, blocklist, column: str = "text",

@@ -477,12 +477,18 @@ class _JsonlWriter:
             if isinstance(v, _np.ndarray):
                 return [_jsonable(x) for x in v.tolist()]
             if isinstance(v, _np.generic):
-                return v.item()
+                return _jsonable(v.item())
             if isinstance(v, dict):
                 return {k: _jsonable(x) for k, x in v.items()}
             if isinstance(v, (list, tuple)):
                 return [_jsonable(x) for x in v]
-            if v is None or isinstance(v, (str, int, float, bool)):
+            if isinstance(v, float):
+                # json.dumps would emit bare NaN/Infinity — not valid
+                # JSON, rejected by strict parsers downstream
+                import math as _math
+
+                return v if _math.isfinite(v) else None
+            if v is None or isinstance(v, (str, int, bool)):
                 return v
             if pd.isna(v):
                 return None

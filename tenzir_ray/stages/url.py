@@ -58,7 +58,9 @@ def parse_url(ds, column: str = "url", prefix: str = "url_",
     components are null, port is nullable int64). Null input rows yield
     all-null components."""
 
-    def _parse(df: pd.DataFrame) -> pd.DataFrame:
+    def _parse(df: pd.DataFrame):
+        import pyarrow as pa
+
         p = _split(df[column])
         df[prefix + "scheme"] = _obj(p["scheme"])
         df[prefix + "host"] = _obj(p["host"])
@@ -72,7 +74,11 @@ def parse_url(ds, column: str = "url", prefix: str = "url_",
         for comp in ("path", "query", "fragment"):
             v = p[comp]
             df[prefix + comp] = _obj(v.where(v.notna() & (v != "")))
-        return df
+        # emit Arrow blocks so the nullable port is a canonical
+        # int64-with-nulls column; strip the pandas schema metadata or
+        # to_pandas() faithfully restores the Int64 extension dtype
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
 
     return ds.map_batches(_parse, batch_format="pandas",
                           batch_size=batch_size)
@@ -91,9 +97,13 @@ def canonical_url(ds, column: str = "url", out: str = "canonical_url",
         scheme = p["scheme"].str.lower()
         host = p["host"].str.lower()
         port = p["port"]
-        # strip the scheme's default port and empty ":" leftovers
-        default = scheme.map(_DEFAULT_PORTS)
-        keep_port = port.notna() & (port != "") & (port != default)
+        # strip the scheme's default port and empty ":" leftovers; an
+        # unknown scheme has no default (fillna keeps the comparison
+        # boolean — a pd.NA there makes np.where raise on e.g.
+        # rtsp://h:554/p) and its explicit port is always kept
+        default = scheme.map(_DEFAULT_PORTS).fillna("")
+        keep_port = (port.notna() & (port != "") & (port != default))
+        keep_port = keep_port.fillna(False).astype(bool)
         q = (p["query"].fillna("")
              .str.replace(_TRACKING_RE, "", regex=True)
              .str.replace(r"^&", "", regex=True))
@@ -115,7 +125,13 @@ def canonical_url(ds, column: str = "url", out: str = "canonical_url",
         for piece in parts[1:]:
             canon = canon + piece
         df[out] = _obj(canon.where(df[column].notna()))
-        return df
+        # Arrow out: a pandas pass-through block would re-wrap nullable
+        # int columns from upstream (e.g. parse_url's port) as pandas
+        # Int64 extension dtype — keep the canonical Arrow types instead
+        import pyarrow as pa
+
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
 
     return ds.map_batches(_canon, batch_format="pandas",
                           batch_size=batch_size)

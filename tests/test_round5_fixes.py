@@ -1,0 +1,177 @@
+"""Round-5 regression tests: ADVICE r4 fixes (canonical_url unknown
+scheme:port crash, JSONL non-finite floats, null group keys in feature
+scaling) and VERDICT r4 items (canonical gate dtypes, Arrow-typed
+NB/LR aggregate partials, Arrow output from the fuzzy filter)."""
+
+from __future__ import annotations
+
+import json
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+# ------------------------------------------------------------- url fixes
+
+
+def test_canonical_url_unknown_scheme_with_port(ray_session):
+    """ADVICE r4 (high): rtsp://h:554/p crashed the whole batch —
+    scheme.map(defaults) yields NaN, the != compare yields pd.NA, and
+    np.where raised. Unknown schemes keep their explicit port."""
+    import ray.data
+
+    from tenzir_ray.stages.url import canonical_url
+
+    t = pa.table({"i": [0, 1, 2, 3],
+                  "url": ["rtsp://H:554/p", "ssh://x:22",
+                          "https://A.com:443/ok", "gopher://g.org:70/x"]})
+    df = (canonical_url(ray.data.from_arrow(t), "url")
+          .to_pandas().sort_values("i", ignore_index=True))
+    assert df.loc[0, "canonical_url"] == "rtsp://h:554/p"
+    # empty path with an authority canonicalizes to "/" (documented rule)
+    assert df.loc[1, "canonical_url"] == "ssh://x:22/"
+    # known scheme still strips its default port
+    assert df.loc[2, "canonical_url"] == "https://a.com/ok"
+    assert df.loc[3, "canonical_url"] == "gopher://g.org:70/x"
+
+
+def test_parse_url_port_is_plain_int_not_extension(ray_session):
+    """Gate-dtype canonicalization: the nullable port must come back as
+    a plain numpy dtype (int64, or float64 when nulls force it) — a
+    pandas Int64 extension column str-renders nulls as "<NA>" and hashes
+    red at the driver."""
+    import ray.data
+
+    from tenzir_ray.stages.url import parse_url
+
+    t = pa.table({"url": ["http://a.com:8080/x", "http://b.com/y"]})
+    out = parse_url(ray.data.from_arrow(t), "url")
+    assert str(out.schema().base_schema.field("url_port").type) == "int64"
+    df = out.to_pandas()
+    assert not pd.api.types.is_extension_array_dtype(df["url_port"].dtype)
+
+
+# -------------------------------------------------- feature-scaling keys
+
+
+def test_standardize_null_group_key_gets_its_group_stats(ray_session):
+    """ADVICE r4: rows with a null group key form ONE group (SQL GROUP
+    BY semantics) and must be scaled against that group's stats, not
+    nulled out."""
+    import ray.data
+
+    from tenzir_ray.stages.analytics import minmax_scale, standardize
+
+    df = pd.DataFrame({
+        "g": ["a", "a", "a", None, None, None],
+        "v": [1.0, 2.0, 3.0, 10.0, 20.0, 30.0],
+    })
+    out = (standardize(ray.data.from_pandas(df), "v", by="g", out="z")
+           .to_pandas())
+    nulls = out[out["g"].isna()].sort_values("v")
+    assert len(nulls) == 3
+    # z of the null group's own stats: mean 20, sample sd 10
+    assert np.allclose(nulls["z"].to_numpy(), [-1.0, 0.0, 1.0])
+    mm = (minmax_scale(ray.data.from_pandas(df), "v", by="g", out="s")
+          .to_pandas())
+    nulls = mm[mm["g"].isna()].sort_values("v")
+    assert np.allclose(nulls["s"].to_numpy(), [0.0, 0.5, 1.0])
+
+
+# ------------------------------------------------------------ sft export
+
+
+def test_sft_jsonl_nonfinite_floats_become_null(ray_session, tmp_path):
+    """ADVICE r4: json.dumps emits bare NaN/Infinity — invalid JSON.
+    Non-finite float cells must serialize as null."""
+    import ray.data
+
+    from tenzir_ray.stages.transcripts import write_sft_jsonl
+
+    df = pd.DataFrame({
+        "conv_id": ["c1", "c1"],
+        "turn_idx": [0, 1],
+        "role": ["user", "assistant"],
+        "text": ["hi", "hello"],
+        "score": [float("nan"), float("inf")],
+        "ts": pd.to_datetime(["2026-01-01", "2026-01-01"]),
+    })
+    dest = str(tmp_path / "sft")
+    write_sft_jsonl(ray.data.from_pandas(df), dest)
+    import glob
+
+    lines = []
+    for p in glob.glob(dest + "/*.jsonl"):
+        lines += open(p).read().splitlines()
+    assert lines
+    for ln in lines:
+        rec = json.loads(ln)  # strict parse: bare NaN would raise
+        for m in rec.get("messages", []):
+            pass
+    assert "NaN" not in " ".join(lines)
+    assert "Infinity" not in " ".join(lines)
+
+
+# ------------------------------------------------- typed Arrow partials
+
+
+def test_nb_accumulator_is_arrow_convertible():
+    """VERDICT r4 #4: the NB partial must convert to a typed Arrow
+    struct — the old dict-of-numpy fell back to pickled-object blocks
+    with a warning per batch."""
+    from tenzir_ray.stages.classify import _LrGradAgg, _NbAgg
+
+    agg = _NbAgg("lang", "text", buckets=16, ngram=1)
+    block = pa.table({"lang": ["en", "de", "en"],
+                      "text": ["a b", "c", "a d"]})
+    acc = agg.accumulate_block(agg.init(None), block)
+    arr = pa.array([acc])
+    assert pa.types.is_struct(arr.type)
+    merged = _NbAgg.merge(acc, acc)
+    assert pa.types.is_struct(pa.array([merged]).type)
+
+    lr = _LrGradAgg("y", "text", 16, 1, np.zeros(16), 0.0)
+    block2 = pa.table({"y": [1, 0], "text": ["a b", "c"]})
+    acc2 = lr.accumulate_block(lr.init(None), block2)
+    assert pa.types.is_struct(pa.array([acc2]).type)
+    assert pa.types.is_struct(pa.array([_LrGradAgg.merge(acc2, acc2)]).type)
+
+
+def test_nb_train_multi_block_matches_single(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages.classify import nb_train
+
+    rng = np.random.default_rng(5)
+    langs = rng.choice(["en", "de", "fr"], size=300)
+    texts = ["tok%d tok%d" % (i % 17, i % 5) for i in range(300)]
+    df = pd.DataFrame({"lang": langs, "text": texts})
+    one = nb_train(ray.data.from_pandas(df), "lang", "text", buckets=64)
+    many = nb_train(ray.data.from_pandas(df).repartition(8), "lang",
+                    "text", buckets=64)
+    assert one.classes == many.classes
+    assert np.array_equal(one.doc_counts, many.doc_counts)
+    assert np.array_equal(one.counts, many.counts)
+
+
+# ----------------------------------------------------- fuzzy empty block
+
+
+def test_fuzzy_filter_empty_upstream_is_quiet_arrow(ray_session):
+    """Empty filtered upstream blocks used to trip Ray's pandas block
+    size estimator (np.vectorize on size-0). Arrow output is silent."""
+    import ray.data
+
+    from tenzir_ray.stages.dedup import fuzzy_decontaminate
+
+    corpus = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": range(50),
+        "text": ["quick brown fox %d" % i for i in range(50)],
+    })).repartition(4).filter(lambda r: r["doc_id"] < 0)
+    block = ray.data.from_pandas(
+        pd.DataFrame({"text": ["quick brown fox 3"]}))
+    out = fuzzy_decontaminate(corpus, block, "text")
+    assert out.count() == 0

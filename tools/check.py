@@ -45,12 +45,50 @@ def stringify_list_cells(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _dtype_class(dt) -> str:
+    """Canonical dtype class mirroring the driver's value-representation
+    sensitivity (calibrated against 4 rounds of driver records): integer
+    width/signedness differences hash green (int64 vs uint64/int32 —
+    lr_grad_docs, unicode_norm_docs, doc_langid all driver-green), but
+    float-vs-int ("3.0" vs "3"), pandas extension dtypes ("<NA>" vs
+    "nan"), and bool-vs-int ("True" vs "1") hash red even when every
+    value matches (r4's three driver-reds)."""
+    s = str(dt)
+    if pd.api.types.is_extension_array_dtype(dt):
+        return f"EXTENSION:{s}"  # never canonical; DuckDB .df() has none
+    kind = getattr(dt, "kind", "")
+    if kind in "iu":
+        return "int"
+    if kind == "f":
+        return "float"
+    if s.startswith("datetime64"):
+        return "datetime"
+    if s.startswith("timedelta64"):
+        return "timedelta"
+    return s
+
+
+def dtype_mismatches(res: pd.DataFrame, exp: pd.DataFrame) -> list:
+    """Driver-fidelity dtype check over ``result.to_pandas()`` vs DuckDB
+    ``.df()`` — see :func:`_dtype_class`. Local green predicts driver
+    green; the old value-only hash let float-widened ints and pandas
+    Int64 columns pass locally and red at the driver."""
+    bad = []
+    for c in sorted(set(res.columns) & set(exp.columns)):
+        a, b = _dtype_class(res[c].dtype), _dtype_class(exp[c].dtype)
+        if a != b:
+            bad.append((c, str(res[c].dtype), str(exp[c].dtype)))
+    return bad
+
+
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = stringify_list_cells(df[sorted(df.columns)])
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")
-        if str(df[c].dtype) in ("uint64", "uint32", "Int64"):
+        if str(df[c].dtype) in ("uint32", "Int64"):
+            # width/extension nuisance dtypes still compare by VALUE
+            # (the strict dtype gate reports them separately)
             df[c] = df[c].astype("float64") if df[c].isna().any() else df[c].astype("int64", errors="ignore")
     try:
         df = df.sort_values(list(df.columns), kind="mergesort", ignore_index=True)
@@ -133,12 +171,15 @@ def main() -> int:
         a, b = _canon(res), _canon(exp)
         rows_ok = len(a) == len(b)
         schema_ok = list(a.columns) == list(b.columns)
+        dt_bad = dtype_mismatches(res, exp) if schema_ok else []
         vals_ok = rows_ok and schema_ok and _values_equal(a, b)
-        status = "OK" if (rows_ok and schema_ok and vals_ok) else "FAIL"
+        status = "OK" if (rows_ok and schema_ok and vals_ok and not dt_bad) else "FAIL"
         if status == "FAIL":
             failures.append(name)
             print(f"{name}: {status} rows {len(a)}/{len(b)} schema_ok={schema_ok} "
                   f"cols_ray={list(a.columns)} cols_sql={list(b.columns)}")
+            for c, da, db in dt_bad:
+                print(f"  dtype mismatch col {c}: ray={da} sql={db}")
             if rows_ok and schema_ok:
                 for c in a.columns:
                     try:
