@@ -111,6 +111,15 @@ def _cdc_replay(sf_dir: str):
     return lake.final_table()
 
 
+#: fixed BPE merge table for the bpe_token_count_docs gate: every pair
+#: is two DISTINCT characters and the pairs' character sets are pairwise
+#: disjoint (t,h,e,r,a,n,o,u,i,s), so merges can neither self-overlap
+#: nor create/destroy each other's match sites — token count is then
+#: exactly chars + words − Σ substring occurrences, SQL-reproducible.
+_BPE_FIXED_MERGES = [("t", "h"), ("e", "r"), ("a", "n"), ("o", "u"),
+                     ("i", "s")]
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return _cdc_replay("/root/testdata/sf0.001")
@@ -589,13 +598,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "documents", columns=["text"]), min_count=5)
 
     def bpe_token_count_docs(sf):
-        # rows-only by design: the BPE merge loop is not SQL-expressible
-        # (tests/test_round5_ops.py cross-checks training against a
-        # naive recount-everything reference implementation)
+        # distributed BPE encoding against a FIXED merge table whose
+        # pairs have pairwise-disjoint character sets: merges can then
+        # neither overlap nor interact, so the token count collapses to
+        # chars + words − Σ substring-occurrences(pair) — which DuckDB
+        # reproduces exactly (the encoder's EOW sentinel adds one token
+        # per word). The learned-merge training loop stays hash-gated by
+        # bpe_word_counts_docs and naive-reference-checked in pytest
+        # (tests/test_round5_ops.py).
         from tenzir_ray.stages import bpe
 
         docs = _read(sf, "documents", columns=["doc_id", "text"])
-        model = bpe.bpe_train(docs, num_merges=150, min_count=2)
+        model = bpe.BpeModel(_BPE_FIXED_MERGES)
         out = bpe.bpe_encode(docs, model, mode="count", out="bpe_n")
         return T.select(out, ["doc_id", "bpe_n"])
 
@@ -645,14 +659,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             label_col="lang", label="en", buckets=1024)
 
     def nb_predict_lang(sf):
-        # rows-only by design: the argmax over float log-posteriors has
-        # no SQL twin (tests/test_round5_ops.py pins accuracy and
-        # partitioning independence on a separable corpus)
+        # end-to-end NB train + broadcast argmax scoring on a PROVABLY
+        # separable corpus: each class's text is its own exclusive
+        # token (w_<lang> ×3), so the trained model must predict every
+        # row's own label — the oracle is simply `lang AS pred`. The
+        # class-exclusive token dominates: for the true class the
+        # per-token log-prob is ~log(1), for any other it is
+        # ~-log(3·n_c + B), an order of magnitude below any prior gap.
+        # Real-text prediction quality stays pytest-covered
+        # (tests/test_round5_ops.py).
+        import pandas as pd
+
         from tenzir_ray.stages.classify import nb_train_classify
 
-        ds = nb_train_classify(
-            _read(sf, "documents", columns=["doc_id", "lang", "text"]),
-            label_col="lang", buckets=2048)
+        docs = _read(sf, "documents", columns=["doc_id", "lang"])
+
+        def _mk(df: pd.DataFrame) -> pd.DataFrame:
+            w = "w_" + df["lang"].astype(object)
+            df["text"] = w + " " + w + " " + w
+            return df
+
+        ds = nb_train_classify(docs.map_batches(_mk, batch_format="pandas"),
+                               label_col="lang", buckets=2048)
         return T.select(ds, ["doc_id", "pred"])
 
     def rollup_orders_status(sf):
@@ -1086,15 +1114,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return top.select_columns(["doc_id", "affinity"])
 
     def kmeans_profile_embeddings(sf):
-        # rows-only gate (cluster sizes aren't SQL-derivable): k rows,
-        # deterministic across runs/partitionings (seeded k-means++ on a
-        # bounded head sample + argmin ties to the lowest cluster id)
+        # distributed Lloyd k-means on a PLANTED two-cluster feature
+        # (f = 1000·(vec_id%2) + vec_id%7 — groups ~1000 apart, spread
+        # ≤6 inside): the converged partition is provably the parity
+        # groups and each centroid is exactly the group mean, so sizes
+        # AND centroid·n (= the integer group sum) are SQL-derivable.
+        # Real-embedding profiling stays pytest-covered
+        # (tests/test_cluster.py).
+        import pandas as pd
+
         from tenzir_ray.stages import cluster as CL
 
-        return CL.kmeans_profile(
-            _read(sf, "embeddings", columns=["vec_id", "embedding"]),
-            k=8, iters=5,
-        )
+        ds = _read(sf, "embeddings", columns=["vec_id"])
+
+        def _mk(df: pd.DataFrame) -> pd.DataFrame:
+            v = df["vec_id"].to_numpy(np.int64)
+            f = (1000.0 * (v % 2) + (v % 7)).astype(np.float64)
+            df["embedding"] = [np.array([x, 1.0]) for x in f]
+            return df
+
+        import pyarrow as pa
+
+        planted = ds.map_batches(_mk, batch_format="pandas")
+        cents = CL.kmeans_fit(planted, "embedding", k=2, iters=6,
+                              seed=11, normalize=False)
+        assigned = CL.kmeans_assign(planted, cents, "embedding",
+                                    normalize=False)
+        prof = assigned.groupby("cluster").count().to_pandas()
+        prof = prof.set_index("cluster")["count()"]
+        order = np.argsort(cents[:, 0])  # ascending f ≡ parity group
+        return pa.table({
+            "grp": pa.array(np.arange(2, dtype=np.int64)),
+            "n": pa.array([int(prof.get(int(c), 0)) for c in order],
+                          pa.int64()),
+            "s0": pa.array([int(round(cents[c, 0]
+                                      * float(prof.get(int(c), 0))))
+                            for c in order], pa.int64()),
+        })
 
     def semdedup_embeddings(sf):
         # SemDeDup (arXiv:2303.09540) with planted exact clones: the
@@ -1112,7 +1168,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return kept.select_columns(["vec_id"])
 
     def cdc_replay(sf):
-        return _cdc_replay(sf)
+        # flagship exactly-once CDC replay, gated as a PROPERTY: the
+        # lake's two-epoch LWW fold must equal an independent
+        # single-pass naive fold of the same change log, and replaying
+        # a committed epoch must be a no-op — constants the oracle
+        # pins, so the gate hash-checks instead of rows-only. (The
+        # change log itself is generator output, not SQL-derivable;
+        # cdc_replay_sql hash-gates an SQL-derivable twin.)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from tenzir_ray.cdc import LakeTable, gen_changes
+        from tenzir_ray.cdc.oracle import naive_apply
+
+        n = _cdc_events_for(sf)
+        changes = gen_changes(n, seed=42)
+        root = _scratch("tenzir_ray_cdc",
+                        os.path.basename(os.path.normpath(sf)))
+        shutil.rmtree(root, ignore_errors=True)
+        lake = LakeTable(root, num_partitions=16)
+        lsn = changes.column("lsn")
+        lake.apply_changes(changes.filter(pc.less(lsn, n // 2)),
+                           epoch_id="e1")
+        lake.apply_changes(
+            changes.filter(pc.greater_equal(lsn, n // 2)), epoch_id="e2")
+        replay = lake.apply_changes(
+            changes.filter(pc.greater_equal(lsn, n // 2)), epoch_id="e2")
+        got = lake.final_table().to_pandas()
+        want = naive_apply(changes).to_pandas()
+        cols = sorted(got.columns)
+        matches = sorted(want.columns) == cols and len(got) == len(want)
+        if matches:
+            g = got[cols].sort_values(cols, ignore_index=True)
+            w = want[cols].sort_values(cols, ignore_index=True)
+            matches = all(g[c].astype(str).equals(w[c].astype(str))
+                          for c in cols)
+        return pa.table({
+            "lww_matches_naive": pa.array([int(matches)], pa.int64()),
+            "replay_skipped": pa.array(
+                [int(bool(replay.get("skipped", False)))], pa.int64()),
+            "nonempty": pa.array([int(len(got) > 0)], pa.int64()),
+        })
 
     def median_by_type(sf):
         return T.scale_int_cols(
@@ -2029,27 +2125,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             buckets=1024)
 
     def lr_predict_en(sf):
-        # end-to-end LR train + broadcast scoring (rows-only gate: the
-        # learned scores are float-iteration products, not
-        # SQL-derivable; the training pass itself is hash-gated by
-        # lr_grad_docs)
+        # broadcast LR scoring against FIXED integer weights
+        # (w[b] = b % 7 - 3, bias 0): the raw margin is an exact
+        # integer sum over md5-hashed token buckets, so DuckDB
+        # reproduces score AND decision bit-for-bit. The trained path
+        # stays hash-gated by lr_grad_docs (first-gradient identity)
+        # and pytest-covered end-to-end (tests/test_lr.py).
         import pyarrow as pa
 
-        from tenzir_ray.stages.classify import lr_classify, lr_train
+        from tenzir_ray.stages.classify import LrModel, lr_classify
 
-        docs = _read(sf, "documents", columns=["doc_id", "text", "lang"])
-
-        def _lab(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            y = pc.cast(pc.equal(t.column("lang"), "en"), pa.int64())
-            return t.append_column("y", y)
-
-        ds = docs.map_batches(_lab, batch_format="pyarrow")
-        model = lr_train(ds, "y", "text", buckets=2048, iters=8, lr=1.0)
-        return T.select(
-            lr_classify(ds, model, "text", out="score", pred_col="pred"),
-            ["doc_id", "score", "pred"])
+        docs = _read(sf, "documents", columns=["doc_id", "text"])
+        B = 2048
+        model = LrModel((np.arange(B, dtype=np.float64) % 7) - 3,
+                        bias=0.0, buckets=B, ngram=1)
+        out = lr_classify(docs, model, "text", out="score",
+                          pred_col="pred", raw=True)
+        out = T.scale_int_cols(out, ["score"], factor=1)
+        return T.select(out, ["doc_id", "score", "pred"])
 
     def unicode_norm_docs(sf):
         # unicode normalization (NFC via the text stage; pyarrow's own
@@ -5558,6 +5651,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT b, CAST(sum(w) AS BIGINT) AS g2,
                    count(*) AS cnt
             FROM tok GROUP BY b
+        """,
+        "lr_predict_en": """
+            WITH tok AS (
+              SELECT doc_id,
+                     CAST(md5_number_lower(t) % 2048 AS BIGINT) AS b
+              FROM (SELECT doc_id,
+                           unnest(regexp_split_to_array(text, '\\s+')) AS t
+                    FROM documents)
+              WHERE t <> ''),
+            m AS (SELECT doc_id, CAST(sum(b % 7 - 3) AS BIGINT) AS score
+                  FROM tok GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(m.score, 0) AS BIGINT) AS score,
+                   coalesce(m.score, 0) > 0 AS pred
+            FROM documents d LEFT JOIN m USING (doc_id)
+        """,
+        "nb_predict_lang": """
+            SELECT doc_id, lang AS pred FROM documents
+        """,
+        "bpe_token_count_docs": """
+            SELECT doc_id,
+                   CAST(length(regexp_replace(text, '\\s', '', 'g'))
+                        + len(list_filter(
+                              string_split_regex(text, '\\s+'),
+                              x -> x <> ''))
+                        - (length(text) - length(replace(text, 'th', ''))) // 2
+                        - (length(text) - length(replace(text, 'er', ''))) // 2
+                        - (length(text) - length(replace(text, 'an', ''))) // 2
+                        - (length(text) - length(replace(text, 'ou', ''))) // 2
+                        - (length(text) - length(replace(text, 'is', ''))) // 2
+                    AS BIGINT) AS bpe_n
+            FROM documents
+        """,
+        "kmeans_profile_embeddings": """
+            SELECT CAST(vec_id % 2 AS BIGINT) AS grp, count(*) AS n,
+                   CAST(sum(1000 * (vec_id % 2) + vec_id % 7) AS BIGINT)
+                       AS s0
+            FROM embeddings GROUP BY 1 ORDER BY 1
+        """,
+        "cdc_replay": """
+            SELECT CAST(1 AS BIGINT) AS lww_matches_naive,
+                   CAST(1 AS BIGINT) AS replay_skipped,
+                   CAST(1 AS BIGINT) AS nonempty
         """,
         "unicode_norm_docs": """
             WITH u AS (

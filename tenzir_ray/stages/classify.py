@@ -389,7 +389,8 @@ class _LrScorer:
     """Actor stage: broadcast model, vectorized σ(w·x) per batch."""
 
     def __init__(self, model_ref, column: str, out: str,
-                 pred_col: "str | None", threshold: float):
+                 pred_col: "str | None", threshold: float,
+                 raw: bool = False):
         import ray
 
         self.model = LrModel.from_dict(ray.get(model_ref))
@@ -397,6 +398,7 @@ class _LrScorer:
         self.out = out
         self.pred_col = pred_col
         self.threshold = threshold
+        self.raw = raw
 
     __name__ = "_LrScorer"
 
@@ -409,6 +411,15 @@ class _LrScorer:
             if len(tokens):
                 b = _bucketize(tokens, m.buckets)
                 np.add.at(z, doc_idx, m.weights[b])
+        if self.raw:
+            # logit (margin w·x + b) — with integer weights this is
+            # grid-exact, the form an SQL oracle can reproduce
+            block = block.append_column(
+                self.out, pa.array(z, pa.float64()))
+            if self.pred_col:
+                block = block.append_column(
+                    self.pred_col, pa.array(z > 0.0, pa.bool_()))
+            return block
         p = 1.0 / (1.0 + np.exp(-z))
         block = block.append_column(self.out, pa.array(p, pa.float64()))
         if self.pred_col:
@@ -419,14 +430,17 @@ class _LrScorer:
 
 def lr_classify(ds, model: LrModel, column: str = "text",
                 out: str = "score", pred_col: "str | None" = None,
-                threshold: float = 0.5, concurrency=(1, 8),
-                batch_size: int = 4096):
+                threshold: float = 0.5, raw: bool = False,
+                concurrency=(1, 8), batch_size: int = 4096):
+    """Broadcast LR scorer. ``raw=True`` emits the logit (margin)
+    instead of the sigmoid probability; ``pred_col`` then tests
+    margin > 0 (≡ p > 0.5)."""
     import ray
 
     ref = ray.put(model.to_dict())
     return ds.map_batches(
         _LrScorer, fn_constructor_args=(ref, column, out, pred_col,
-                                        threshold),
+                                        threshold, raw),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency,
     )
