@@ -1377,6 +1377,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "| sort o_orderpriority"
         )
 
+    def tql2_hash_join_revenue(sf):
+        # TQL2 two-input join from a PURE STRING program: named
+        # comma-separated operator arguments + a pipeline EXPRESSION as
+        # the second input (tql2/parser.cpp parse_pipeline_expr) — the
+        # nested pipeline uses TQL2 statements (`from`, newlines), not
+        # TQL1 segments. Twin of tql_hash_join_revenue.
+        from tenzir_ray.pipelines.tql2 import run_pipeline2
+
+        return run_pipeline2(f"""
+            from "{sf}/lineitem.parquet"
+            select l_orderkey, l_quantity
+            hash_join on="l_orderkey", right_on="o_orderkey", how="inner", right=(
+                from "{sf}/orders.parquet"
+                select o_orderkey, o_orderpriority
+            )
+            summarize qty=sum(l_quantity), n=count() by o_orderpriority
+            sort o_orderpriority
+        """)
+
     def tql2_if_branches(sf):
         # TQL2 `if` statement blocks (tql2/parser.cpp parse_if_stmt):
         # events route by the predicate — null = false → else branch —
@@ -3493,17 +3512,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from tenzir_ray.stages.multimodal import sample_frames
 
         def _mk(df: pd.DataFrame) -> pd.DataFrame:
+            # every synthesis parameter is a function of doc_id % 200
+            # (nf: %4, h: %8, colors: %200), so memoize the encoded
+            # stream per residue — the synthetic ENCODE step is gate
+            # input construction, not the operator under test
+            memo: dict = {}
             payloads = []
             for did in df["doc_id"]:
-                nf = 1 + int(did) % 4
-                h = 8 + int(did) % 8
-                stream = b"".join(
-                    encode_jpeg(
-                        np.full((h, 12, 3),
-                                ((int(did) + 40 * i) % 200 + 20, 60, 120),
-                                dtype=np.uint8),
-                        quality=92)
-                    for i in range(nf))
+                r = int(did) % 200
+                stream = memo.get(r)
+                if stream is None:
+                    nf = 1 + r % 4
+                    h = 8 + r % 8
+                    stream = memo[r] = b"".join(
+                        encode_jpeg(
+                            np.full((h, 12, 3),
+                                    ((r + 40 * i) % 200 + 20, 60, 120),
+                                    dtype=np.uint8),
+                            quality=92)
+                        for i in range(nf))
                 payloads.append(stream)
             return pd.DataFrame({"media_id": df["doc_id"],
                                  "payload": payloads})
@@ -4783,6 +4810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_forecast_revenue": q6_forecast_revenue,
         "skew_join_events_customer": skew_join_events_customer,
         "tql_hash_join_revenue": tql_hash_join_revenue,
+        "tql2_hash_join_revenue": tql2_hash_join_revenue,
         "regional_part_revenue": regional_part_revenue,
         "repetition_docs": repetition_docs,
         "bigram_counts_docs": bigram_counts_docs,
@@ -5541,6 +5569,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(rev_dm) AS DOUBLE) / 10000.0 AS revenue,
                    count(*) AS n
             FROM j GROUP BY r_name
+        """,
+        "tql2_hash_join_revenue": """
+            SELECT o_orderpriority, sum(l_quantity) AS qty, count(*) AS n
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "tql_hash_join_revenue": """
             SELECT o_orderpriority, sum(l_quantity) AS qty, count(*) AS n

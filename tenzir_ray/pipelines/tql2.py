@@ -30,8 +30,13 @@ statements reuse the engine expression language (expr.py), which
 carries the TQL2 literal/lambda surface too: record literals
 ``{a: 1, b: x + 1}`` (parse_record), list literals ``[a, a * 2]``
 (parse_list), and list lambdas ``map(xs, x => x + 1)`` /
-``where(xs, x => x > 0)``. Everything accepted executes with
-reference-shaped (or, for match, documented-extension) semantics.
+``where(xs, x => x > 0)``. Two-input operators take named
+comma-separated arguments with a PIPELINE EXPRESSION as the second
+input (parser.cpp parse_pipeline_expr — pipelines are values in TQL2):
+``hash_join on="l_orderkey", right=( from "orders.parquet" | select
+o_orderkey, o_orderpriority ), how="inner"`` — the nested pipeline
+parses with this grammar, not TQL1's. Everything accepted executes
+with reference-shaped (or, for match, documented-extension) semantics.
 """
 
 from __future__ import annotations
@@ -42,6 +47,7 @@ from tenzir_ray.pipelines.pipeline import Pipeline
 from tenzir_ray.pipelines.tql import (
     _PAT_OPENER,
     _literal,
+    _matching_paren,
     parse_segment,
     split_segments,
 )
@@ -52,6 +58,16 @@ _ASSIGN_RE = re.compile(r"^([A-Za-z_][\w.]*)\s*=(?!=)\s*(.+)$", re.S)
 
 #: invocation verbs whose single argument is ONE raw expression
 _EXPR_VERBS = {"where"}
+
+#: two-input operators accepting a pipeline-expression argument
+#: (``right=( <statements> )``) — same operator set as the TQL1 front
+#: end, but the nested pipeline parses with THIS grammar (newline
+#: statements, ``from``, assignments, if/match)
+_TWO_INPUT = {
+    "hash_join", "asof_join", "range_join", "range_join_partitioned",
+    "skew_join", "ann_topk", "fuzzy_decontaminate", "intersect",
+    "except", "cross_join", "union_by_name",
+}
 
 
 def strip_comments(text: str) -> str:
@@ -338,6 +354,35 @@ def _parse_match(stmt: str) -> dict:
     return step
 
 
+def _parse_two_input(name: str, rest: str) -> dict:
+    """TQL2 operator invocation with NAMED comma-separated arguments
+    and a pipeline-expression argument (the reference's TQL2 grammar
+    passes pipelines as expression values — parser.cpp
+    parse_pipeline_expr): ``hash_join on="l_orderkey", right=( <tql2
+    statements> ), how="inner"``. The nested pipeline parses with the
+    TQL2 statement grammar (newlines, ``from``, assignments, if/match),
+    NOT the TQL1 segment grammar."""
+    m = re.search(r"\bright\s*=\s*\(", rest)
+    if m is None:
+        raise ValueError(
+            f"{name}: needs `right=( <sub-pipeline> )` for the second "
+            "input")
+    close = _matching_paren(rest, m.end() - 1)
+    inner = rest[m.end():close]
+    right = [parse_statement(s) for s in split_statements(inner)]
+    remainder = rest[: m.start()] + rest[close + 1:]
+    step: dict = {"op": name, "right": right}
+    for tok in split_segments(remainder, ","):
+        tok = tok.strip()
+        if not tok:
+            continue
+        k, eq, v = tok.partition("=")
+        if not eq or not re.match(r"^\w+$", k.strip()):
+            raise ValueError(f"{name}: want `key=value`, got {tok!r}")
+        step[k.strip()] = _literal(v.strip())
+    return step
+
+
 def parse_statement(stmt: str) -> dict:
     stmt = stmt.strip()
     head = stmt.split(None, 1)[0] if stmt else ""
@@ -356,6 +401,8 @@ def parse_statement(stmt: str) -> dict:
     rest = rest.strip()
     if name == "from":
         return _from_step(rest)
+    if name in _TWO_INPUT:
+        return _parse_two_input(name, rest)
     if name in _EXPR_VERBS:
         return {"op": name, "expr": rest}
     if name in ("select", "drop"):

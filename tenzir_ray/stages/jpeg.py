@@ -115,13 +115,16 @@ for _u in range(8):
 
 
 def _idct_blocks(coef: np.ndarray) -> np.ndarray:
-    """coef (n, 8, 8) frequency blocks → spatial (n, 8, 8)."""
-    return np.einsum("ux,nuv,vy->nxy", _B, coef, _B, optimize=True)
+    """coef (n, 8, 8) frequency blocks → spatial (n, 8, 8): two batched
+    8×8 matmuls (Bᵀ·C·B). einsum(optimize=True) recomputed its
+    contraction path on EVERY call — a fixed ~0.5 ms tax that dominated
+    small-image (MJPEG frame) decodes."""
+    return _B.T @ coef @ _B
 
 
 def _fdct_blocks(pix: np.ndarray) -> np.ndarray:
-    """spatial (n, 8, 8) → frequency (n, 8, 8)."""
-    return np.einsum("ux,nxy,vy->nuv", _B, pix, _B, optimize=True)
+    """spatial (n, 8, 8) → frequency (n, 8, 8): B·P·Bᵀ batched."""
+    return _B @ pix @ _B.T
 
 
 def _canonical_codes(bits, values):
@@ -139,9 +142,21 @@ def _canonical_codes(bits, values):
 
 
 class _PeekTable:
-    """16-bit peek Huffman decoder: one table index per symbol."""
+    """16-bit peek Huffman decoder: one table index per symbol.
 
-    def __init__(self, bits, values):
+    Construction is cached per (bits, values) — an MJPEG stream (and
+    most encoders) reuses the same DHT across every frame, so repeated
+    decodes skip the 64Ki-entry table build (real decoders share
+    tables the same way)."""
+
+    _cache: dict = {}
+
+    def __new__(cls, bits, values):
+        key = (bytes(bits), bytes(values))
+        hit = cls._cache.get(key)
+        if hit is not None:
+            return hit
+        self = super().__new__(cls)
         self.sym = np.zeros(1 << 16, dtype=np.int16)
         self.len = np.zeros(1 << 16, dtype=np.int8)
         for code, length, symbol in _canonical_codes(bits, values):
@@ -149,6 +164,10 @@ class _PeekTable:
             hi = (code + 1) << (16 - length)
             self.sym[lo:hi] = symbol
             self.len[lo:hi] = length
+        if len(cls._cache) >= 64:  # bounded: 4 tables/stream typical
+            cls._cache.clear()
+        cls._cache[key] = self
+        return self
 
 
 class _BitReader:

@@ -216,14 +216,20 @@ def _kmeans(sample: np.ndarray, k: int, iters: int = 10, seed: int = 11) -> np.n
     the coarse quantizer for IVF."""
     rng = np.random.default_rng(seed)
     k = min(k, len(sample))
-    centroids = sample[rng.choice(len(sample), size=k, replace=False)].copy()
+    x = np.asarray(sample, np.float32)
+    centroids = x[rng.choice(len(x), size=k, replace=False)].copy()
     for _ in range(iters):
-        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
-        for j in range(k):
-            members = sample[assign == j]
-            if len(members):
-                centroids[j] = members.mean(axis=0)
+        # assignment via the gemm form (‖x−c‖² ∝ −2x·c + ‖c‖²) and the
+        # update via scatter-add — no (n, k, d) broadcast tensor and no
+        # per-centroid Python loop (pq_train calls this m times; the
+        # loop form dominated the whole PQ build)
+        c2 = (centroids.astype(np.float64) ** 2).sum(axis=1)
+        assign = ((x @ centroids.T) * -2.0 + c2[None, :]).argmin(axis=1)
+        sums = np.zeros((k, x.shape[1]), np.float64)
+        np.add.at(sums, assign, x)
+        counts = np.bincount(assign, minlength=k)
+        nz = counts > 0
+        centroids[nz] = (sums[nz] / counts[nz, None]).astype(np.float32)
     return centroids.astype(np.float32)
 
 

@@ -413,7 +413,15 @@ def watermark(ds, ts_column: str, lateness_s: float, mode: str = "drop",
               batch_size: int = 8192, ordered: bool = True):
     """Ordered single-actor watermark stage (see
     :class:`EventTimeWatermark`). Sort upstream for a deterministic
-    stream; the SQL twin is a shifted running ``max(ts)`` window."""
+    stream; the SQL twin is a shifted running ``max(ts)`` window.
+
+    SERIAL BY CONTRACT: one global watermark means one actor with
+    ``preserve_order`` — this is a parity op matching the reference's
+    one-thread-per-operator streams, NOT a 100 TB batch path. At scale
+    use :func:`watermark_by` (per-key watermarks sharded across the
+    grouped exchange — embarrassingly parallel) or the batch window
+    family (``stages/window.py``), which express the same lateness
+    semantics without a serial stage."""
     def _build(d):
         return d.map_batches(
             EventTimeWatermark,
@@ -493,12 +501,69 @@ class WatermarkSummarize:
         return self.inner._emit(list(self.inner.state))
 
 
+def watermark_by(ds, ts_column: str, lateness_s: float,
+                 by: "str | list[str]", order_by: str,
+                 mode: str = "drop", **kw):
+    """PER-KEY event-time watermark, sharded across the grouped
+    exchange — the scale path the serial :func:`watermark` docstring
+    points at. Each key maintains its own watermark (running
+    ``max(prior ts) − lateness`` in ``order_by`` arrival order); keys
+    process in parallel across exchange tasks, so no serial stage and
+    no global order requirement. ``order_by`` names the arrival-order
+    column (an lsn / ingest sequence) — in a batch dataset it IS the
+    stream order, made explicit so the op is partitioning-independent.
+
+    ``mode="drop"`` removes late rows; ``mode="tag"`` adds a bool
+    ``late`` column. Per-task work is one vectorized sort + grouped
+    cummax — no per-row Python."""
+    import numpy as np
+    import pandas as pd
+
+    from tenzir_ray.stages.exchange import grouped_apply
+
+    if mode not in ("drop", "tag"):
+        raise ValueError(f"watermark_by: unknown mode {mode!r}")
+    keys = [by] if isinstance(by, str) else list(by)
+    lateness_ns = int(lateness_s * 1e9)
+
+    def _wm(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            out = df.copy()
+            if mode == "tag":
+                out["late"] = pd.Series([], dtype=bool)
+            return out
+        df = df.sort_values([*keys, order_by], kind="mergesort",
+                            ignore_index=True)
+        ts = (pd.to_datetime(df[ts_column]).astype("datetime64[ns]")
+              .astype("int64").to_numpy())
+        isnat = pd.isna(df[ts_column]).to_numpy()
+        ts = np.where(isnat, np.iinfo(np.int64).min, ts)
+        # per-key running max of PRIOR ts: cython grouped cummax + shift
+        # (groups are sort-contiguous; no per-group Python)
+        gid = (df.groupby(keys, dropna=False, sort=False).ngroup()
+               .to_numpy())
+        s = pd.Series(ts)
+        prior = s.groupby(gid).cummax().groupby(gid).shift(1).to_numpy()
+        late = ts < (prior - lateness_ns)
+        late &= ~np.isnan(prior)
+        late |= isnat
+        if mode == "tag":
+            df["late"] = late
+            return df
+        return df[~late]
+
+    return grouped_apply(ds, keys, _wm, **kw)
+
+
 def watermark_summarize(ds, ts_column: str, size_s: float,
                         by: str | list[str] | None = None,
                         lateness_s: float = 0.0,
                         batch_size: int = 8192, **aggs: str):
     """Ordered driver-side consumer for :class:`WatermarkSummarize`
-    (serial stream semantics, like :func:`streaming_summarize`)."""
+    (serial stream semantics, like :func:`streaming_summarize` — a
+    parity op; for the 100 TB path shard per key with
+    :func:`watermark_by` + the batch window family in
+    ``stages/window.py``)."""
     agg = WatermarkSummarize(ts_column, size_s, aggs, by, lateness_s)
     outs = []
     # arrival order defines which rows are late — iterate in dataset order

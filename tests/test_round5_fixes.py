@@ -175,3 +175,89 @@ def test_fuzzy_filter_empty_upstream_is_quiet_arrow(ray_session):
         pd.DataFrame({"text": ["quick brown fox 3"]}))
     out = fuzzy_decontaminate(corpus, block, "text")
     assert out.count() == 0
+
+
+# ---------------------------------------------------- tql2 two-input ops
+
+
+def test_tql2_two_input_join_named_args(ray_session, tmp_path):
+    """TQL2 named comma-separated operator arguments + a pipeline
+    expression (`right=( <tql2 statements> )`) as the second input; the
+    nested pipeline uses TQL2 grammar (from / newlines)."""
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.pipelines.tql2 import run_pipeline2
+
+    left = tmp_path / "l.parquet"
+    right = tmp_path / "r.parquet"
+    pq.write_table(pa.table({"k": [1, 2, 3, 2], "v": [10, 20, 30, 40]}),
+                   left)
+    pq.write_table(pa.table({"rk": [2, 3], "tag": ["b", "c"]}), right)
+    out = run_pipeline2(f"""
+        from "{left}"
+        hash_join on="k", right_on="rk", how="inner", right=(
+            from "{right}"
+            where tag != "zzz"
+        )
+        summarize n=count(), sv=sum(v) by tag
+        sort tag
+    """)
+    df = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
+    assert df["tag"].tolist() == ["b", "c"]
+    assert df["sv"].tolist() == [60, 30]
+
+
+def test_tql2_two_input_requires_right(ray_session):
+    from tenzir_ray.pipelines.tql2 import parse_pipeline2
+
+    with pytest.raises(ValueError, match="right"):
+        parse_pipeline2('hash_join on="k"')
+
+
+# -------------------------------------------------------- keyed watermark
+
+
+def test_watermark_by_matches_per_key_serial_model(ray_session):
+    """Per-key watermark sharded over the exchange (>1 parallel task):
+    equals the serial per-key model, independent of partitioning."""
+    import ray.data
+
+    from tenzir_ray.stages.streaming import watermark_by
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    keys = rng.integers(0, 13, size=n)
+    lsn = np.arange(n, dtype=np.int64)
+    base = pd.Timestamp("2026-01-01").value
+    # mostly increasing per key with injected backward jumps
+    ts_ns = base + lsn * 1_000_000_000 - rng.integers(
+        0, 5_000_000_000, size=n) * (rng.random(n) < 0.2)
+    df = pd.DataFrame({
+        "k": keys, "lsn": lsn,
+        "ts": pd.to_datetime(ts_ns),
+    })
+    lateness = 1.0
+
+    # serial per-key reference model
+    exp_late = np.zeros(n, bool)
+    seen: dict = {}
+    for i in range(n):
+        kk = keys[i]
+        t = ts_ns[i]
+        wm = seen.get(kk)
+        if wm is not None and t < wm - lateness * 1e9:
+            exp_late[i] = True
+        seen[kk] = t if wm is None else max(wm, t)
+    expected = set(lsn[~exp_late].tolist())
+
+    for parts in (1, 7):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        out = watermark_by(ds, "ts", lateness, by="k", order_by="lsn",
+                           num_buckets=8).to_pandas()
+        assert set(out["lsn"].tolist()) == expected, parts
+    # tag mode marks the same rows
+    tagged = watermark_by(ray.data.from_pandas(df), "ts", lateness,
+                          by="k", order_by="lsn", mode="tag",
+                          num_buckets=8).to_pandas()
+    got_late = set(tagged.loc[tagged["late"], "lsn"].tolist())
+    assert got_late == set(lsn[exp_late].tolist())
