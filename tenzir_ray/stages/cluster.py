@@ -105,9 +105,17 @@ def kmeans_fit(ds, column: str = "embedding", k: int = 16, *,
 
     Each iteration streams the dataset exactly once through a
     mergeable block aggregate — state is O(k·d) everywhere, so the
-    fit never shuffles and never materializes the input. ``normalize``
-    L2-normalizes rows first (spherical k-means — the right metric for
-    cosine-similarity downstream like :func:`semdedup`)."""
+    fit never shuffles. ``normalize`` L2-normalizes rows first
+    (spherical k-means — the right metric for cosine-similarity
+    downstream like :func:`semdedup`).
+
+    Fast paths: when the init sample captured the WHOLE dataset
+    (fewer than ``sample`` rows came back), every Lloyd iteration runs
+    driver-local on that matrix — same update rule, zero extra Ray
+    passes (parity-tested vs the streaming loop). Otherwise the input
+    is materialized once so the 2..``iters`` streaming passes re-read
+    pinned blocks instead of re-executing the upstream lineage per
+    iteration."""
     from ray.data.aggregate import AggregateFn
 
     head = ds.limit(sample).take_all()
@@ -117,6 +125,26 @@ def kmeans_fit(ds, column: str = "embedding", k: int = 16, *,
     if normalize:
         m0 = _normalize(m0)
     cents = _kpp_init(m0, k, seed)
+    if len(head) < sample:
+        # the limit() returned everything: local Lloyd, same math as
+        # _LloydAgg (gemm assign + scatter-add means)
+        for _ in range(iters):
+            assign = _assign_dense(m0, cents)
+            counts = np.bincount(assign, minlength=len(cents)).astype(
+                np.float64)
+            sums = np.zeros_like(cents)
+            np.add.at(sums, assign, m0)
+            new = cents.copy()
+            nz = counts > 0
+            new[nz] = sums[nz] / counts[nz, None]
+            if normalize:
+                new = _normalize(new)
+            shift = float(np.abs(new - cents).max())
+            cents = new
+            if shift <= tol:
+                break
+        return cents
+    ds = ds.materialize()
     for _ in range(iters):
         cb = _LloydAgg(cents, column, normalize)
         agg = AggregateFn(init=cb.init, merge=_LloydAgg.merge,

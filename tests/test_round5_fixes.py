@@ -261,3 +261,24 @@ def test_watermark_by_matches_per_key_serial_model(ray_session):
                           num_buckets=8).to_pandas()
     got_late = set(tagged.loc[tagged["late"], "lsn"].tolist())
     assert got_late == set(lsn[exp_late].tolist())
+
+
+# --------------------------------------------------- kmeans fast path
+
+
+def test_kmeans_fit_driver_path_matches_streaming(ray_session):
+    """When the init sample captures the whole dataset, Lloyd runs
+    driver-local — must match the streaming-aggregate loop (forced by
+    a small `sample`) to float tolerance."""
+    import ray.data
+
+    from tenzir_ray.stages.cluster import kmeans_fit
+
+    rng = np.random.default_rng(4)
+    vecs = np.r_[rng.normal(0, 0.1, (120, 8)),
+                 rng.normal(5, 0.1, (140, 8))].astype(np.float64)
+    t = pa.table({"embedding": list(vecs)})
+    ds = ray.data.from_arrow(t).repartition(5)
+    local = kmeans_fit(ds, "embedding", 2, iters=6, seed=3, sample=4096)
+    streamed = kmeans_fit(ds, "embedding", 2, iters=6, seed=3, sample=260)
+    assert np.allclose(local, streamed, atol=1e-9), (local, streamed)
