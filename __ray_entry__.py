@@ -1396,6 +1396,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sort o_orderpriority
         """)
 
+    def tql2_move_fields(sf):
+        # TQL2 `move` assignment form: assign + remove the source
+        # fields in one statement (tql2 parser move form)
+        from tenzir_ray.pipelines.tql2 import run_pipeline2
+
+        return run_pipeline2(f"""
+            from "{sf}/orders.parquet"
+            where o_orderkey <= 1000
+            move price=o_totalprice, pri=o_orderpriority
+            select o_orderkey, price, pri
+        """)
+
     def tql2_if_branches(sf):
         # TQL2 `if` statement blocks (tql2/parser.cpp parse_if_stmt):
         # events route by the predicate — null = false → else branch —
@@ -1429,6 +1441,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _ => {{ kind = "other" }}
             }}
             select event_id, event_type, kind
+        """)
+
+    def record_spread_events(sf):
+        # TQL2 record SPREAD `{...rec, b: …}` (tql2 record expressions):
+        # struct fields expand in place, later entries override by
+        # value; flatten exposes the merged fields for the oracle
+        from tenzir_ray.pipelines.tql2 import run_pipeline2
+
+        return run_pipeline2(f"""
+            from "{sf}/events.parquet"
+            rec = {{a: user_id, b: value}}
+            merged = {{...rec, b: user_id * 3, c: event_type}}
+            select event_id, merged
+            flatten
         """)
 
     def record_literal_struct(sf):
@@ -4811,6 +4837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skew_join_events_customer": skew_join_events_customer,
         "tql_hash_join_revenue": tql_hash_join_revenue,
         "tql2_hash_join_revenue": tql2_hash_join_revenue,
+        "tql2_move_fields": tql2_move_fields,
         "regional_part_revenue": regional_part_revenue,
         "repetition_docs": repetition_docs,
         "bigram_counts_docs": bigram_counts_docs,
@@ -4988,6 +5015,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tql2_if_branches": tql2_if_branches,
         "tql2_match_arms": tql2_match_arms,
         "record_literal_struct": record_literal_struct,
+        "record_spread_events": record_spread_events,
         "list_map_lambda": list_map_lambda,
         "list_where_lambda": list_where_lambda,
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
@@ -5569,6 +5597,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(rev_dm) AS DOUBLE) / 10000.0 AS revenue,
                    count(*) AS n
             FROM j GROUP BY r_name
+        """,
+        "tql2_move_fields": """
+            SELECT o_orderkey, o_totalprice AS price,
+                   o_orderpriority AS pri
+            FROM orders WHERE o_orderkey <= 1000
         """,
         "tql2_hash_join_revenue": """
             SELECT o_orderpriority, sum(l_quantity) AS qty, count(*) AS n
@@ -7079,6 +7112,12 @@ def oracle_sql() -> dict[str, str]:
                        AS bucket,
                    CASE WHEN value >= 0.5 THEN value * 2 ELSE value END
                        AS boosted
+            FROM events
+        """,
+        "record_spread_events": """
+            SELECT event_id, user_id AS "merged.a",
+                   CAST(user_id * 3 AS BIGINT) AS "merged.b",
+                   event_type AS "merged.c"
             FROM events
         """,
         "record_literal_struct": """

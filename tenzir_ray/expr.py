@@ -398,6 +398,9 @@ def _preprocess(text: str) -> str:
     #    the reference's `null` keyword → None (a field can't be named
     #    null in this grammar — same reservation the reference makes)
     skeleton = re.sub(r"\bnull\b", "None", skeleton)
+    # TQL2 record spread `{...rec, a: 1}` → Python dict-unpack syntax
+    # (`{**rec, ...}` parses with a None key in ast.Dict)
+    skeleton = re.sub(r"\.\.\.\s*(?=[A-Za-z_])", "**", skeleton)
     skeleton = re.sub(r"\s+!in\s+", " not in ", skeleton)
     skeleton = _NI_RE.sub(
         lambda m: f"{'not ' if m.group(2) else ''}{m.group(3)} in {m.group(1)}",
@@ -489,8 +492,8 @@ class RecordExpr:
     #: a worker closure while the worker's own import holds another
     _tz_batch_expr = True
 
-    def __init__(self, fields: "list[tuple[str, object]]"):
-        names = [n for n, _ in fields]
+    def __init__(self, fields: "list[tuple[str | None, object]]"):
+        names = [n for n, _ in fields if n is not None]
         if len(set(names)) != len(names):
             raise ValueError(f"record literal repeats a field: {names}")
         self.fields = fields
@@ -499,16 +502,28 @@ class RecordExpr:
         import pyarrow as pa
 
         n = batch.num_rows
-        names, arrays = [], []
+        acc: "dict[str, pa.Array]" = {}
         for name, sub in self.fields:
             v = eval_expr(sub, batch)
             if isinstance(v, pa.ChunkedArray):
                 v = v.combine_chunks()
+            if name is None:
+                # spread `...rec`: expand the struct's fields in place
+                # (flatten() applies the parent null mask); later
+                # entries override by VALUE, keeping first position —
+                # Python dict-merge semantics
+                if not isinstance(v, pa.Array) or not pa.types.is_struct(v.type):
+                    raise ValueError(
+                        "record spread `...x` needs a record value, got "
+                        f"{getattr(v, 'type', type(v).__name__)}")
+                for f, child in zip(v.type, v.flatten()):
+                    acc[f.name] = child
+                continue
             if not isinstance(v, pa.Array):
                 v = _broadcast_scalar(v, n)
-            names.append(name)
-            arrays.append(v)
-        return pa.StructArray.from_arrays(arrays, names=names)
+            acc[name] = v
+        return pa.StructArray.from_arrays(
+            list(acc.values()), names=list(acc.keys()))
 
     def __repr__(self):
         return "{" + ", ".join(f"{n}: …" for n, _ in self.fields) + "}"
@@ -891,9 +906,14 @@ def _compile(node: ast.expr):
         return ListExpr([_compile(e) for e in node.elts])
     if isinstance(node, ast.Dict):
         # TQL2 record literal `{a: 1, b: x + 1}` — keys are bare field
-        # names (ast.Name) or quoted strings
-        fields: list[tuple[str, object]] = []
+        # names (ast.Name) or quoted strings; a None key is the TQL2
+        # spread `...rec` (preprocessed to Python's `**rec`): the
+        # struct's fields expand in place, later entries override
+        fields: list[tuple[str | None, object]] = []
         for k, v in zip(node.keys, node.values):
+            if k is None:
+                fields.append((None, _compile(v)))
+                continue
             if isinstance(k, ast.Name):
                 name = k.id
             elif isinstance(k, ast.Constant) and isinstance(k.value, str):

@@ -35,8 +35,10 @@ comma-separated arguments with a PIPELINE EXPRESSION as the second
 input (parser.cpp parse_pipeline_expr — pipelines are values in TQL2):
 ``hash_join on="l_orderkey", right=( from "orders.parquet" | select
 o_orderkey, o_orderpriority ), how="inner"`` — the nested pipeline
-parses with this grammar, not TQL1's. Everything accepted executes
-with reference-shaped (or, for match, documented-extension) semantics.
+parses with this grammar, not TQL1's. ``move a=b, c=d`` is the TQL2
+move-assignment (assign then remove the source fields). Everything
+accepted executes with reference-shaped (or, for match,
+documented-extension) semantics.
 """
 
 from __future__ import annotations
@@ -403,6 +405,31 @@ def parse_statement(stmt: str) -> dict:
         return _from_step(rest)
     if name in _TWO_INPUT:
         return _parse_two_input(name, rest)
+    if name == "move":
+        # TQL2 move-assignment (parser.cpp parse_invocation_or_
+        # assignment's `move` form): `move a=b, c=d` assigns each
+        # source to its target and REMOVES the source field. Desugars
+        # to set + drop of the sources that were not re-targeted.
+        targets, sources = [], []
+        for part in split_segments(rest, ","):
+            m = _ASSIGN_RE.match(part.strip())
+            if not m:
+                raise ValueError(f"move: want `target=source`, "
+                                 f"got {part.strip()!r}")
+            src = m.group(2).strip()
+            if not re.match(r"^[A-Za-z_][\w.]*$", src):
+                raise ValueError(
+                    f"move: source must be a field path, got {src!r}")
+            targets.append(m.group(1))
+            sources.append(src)
+        set_step: dict = {"op": "set"}
+        for t, s in zip(targets, sources):
+            set_step[t] = s
+        gone = [s for s in sources if s not in targets]
+        steps = [set_step]
+        if gone:
+            steps.append({"op": "drop", "columns": sorted(set(gone))})
+        return {"op": "apply", "pipeline": steps}
     if name in _EXPR_VERBS:
         return {"op": name, "expr": rest}
     if name in ("select", "drop"):

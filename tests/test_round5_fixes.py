@@ -282,3 +282,39 @@ def test_kmeans_fit_driver_path_matches_streaming(ray_session):
     local = kmeans_fit(ds, "embedding", 2, iters=6, seed=3, sample=4096)
     streamed = kmeans_fit(ds, "embedding", 2, iters=6, seed=3, sample=260)
     assert np.allclose(local, streamed, atol=1e-9), (local, streamed)
+
+
+def test_tql2_move_statement(ray_session, tmp_path):
+    """`move a=b` assigns and removes the source; a source that is
+    also a target stays (swap-like chains keep the re-targeted name)."""
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.pipelines.tql2 import run_pipeline2
+
+    p = tmp_path / "t.parquet"
+    pq.write_table(pa.table({"a": [1, 2], "b": [10, 20], "c": [5, 6]}), p)
+    out = run_pipeline2(f"""
+        from "{p}"
+        move x=a, y=b
+    """)
+    df = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
+    assert sorted(df.columns) == ["c", "x", "y"]
+    assert df.sort_values("x")["y"].tolist() == [10, 20]
+
+
+def test_record_spread_literal(ray_session):
+    """TQL2 `{...rec, a: 1}` spread: struct fields expand in place,
+    later entries override by value."""
+    import ray.data
+
+    import tenzir_ray.stages.transforms as T
+
+    rec = pa.array([{"a": 1, "b": 2}, {"a": 3, "b": 4}, None],
+                   pa.struct([("a", pa.int64()), ("b", pa.int64())]))
+    ds = ray.data.from_arrow(pa.table({"i": [0, 1, 2], "rec": rec}))
+    out = T.set_(ds, merged="{...rec, b: i * 100, c: 7}").to_pandas()
+    m = out.sort_values("i")["merged"].tolist()
+    assert m[0] == {"a": 1, "b": 0, "c": 7}
+    assert m[1] == {"a": 3, "b": 100, "c": 7}
+    # null parent struct spreads to null children; overrides still apply
+    assert m[2]["a"] is None and m[2]["b"] == 200 and m[2]["c"] == 7
