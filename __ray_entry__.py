@@ -93,9 +93,12 @@ def _cdc_events_for(sf_dir: str) -> int:
     return {"sf0.001": 5_000, "sf0.01": 50_000, "sf0.1": 500_000}.get(sf, 5_000)
 
 
-def _cdc_replay(sf_dir: str):
-    """Generate a deterministic change log (seed 42), replay it through the
-    exactly-once lake apply in two epochs, return the final table."""
+def _cdc_replay_lake(sf_dir: str):
+    """Build the flagship replay lake: deterministic change log
+    (seed 42) applied through the exactly-once lake in two epochs.
+    Returns ``(lake, changes)`` — shared by ``entry()`` and the
+    cdc_replay property gate so both always exercise the SAME
+    pipeline."""
     import pyarrow.compute as pc
 
     from tenzir_ray.cdc import LakeTable, gen_changes
@@ -108,7 +111,12 @@ def _cdc_replay(sf_dir: str):
     lsn = changes.column("lsn")
     lake.apply_changes(changes.filter(pc.less(lsn, n // 2)), epoch_id="e1")
     lake.apply_changes(changes.filter(pc.greater_equal(lsn, n // 2)), epoch_id="e2")
-    return lake.final_table()
+    return lake, changes
+
+
+def _cdc_replay(sf_dir: str):
+    """Flagship replay: final LWW table of :func:`_cdc_replay_lake`."""
+    return _cdc_replay_lake(sf_dir)[0].final_table()
 
 
 #: fixed BPE merge table for the bpe_token_count_docs gate: every pair
@@ -1178,20 +1186,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        from tenzir_ray.cdc import LakeTable, gen_changes
         from tenzir_ray.cdc.oracle import naive_apply
 
+        lake, changes = _cdc_replay_lake(sf)
         n = _cdc_events_for(sf)
-        changes = gen_changes(n, seed=42)
-        root = _scratch("tenzir_ray_cdc",
-                        os.path.basename(os.path.normpath(sf)))
-        shutil.rmtree(root, ignore_errors=True)
-        lake = LakeTable(root, num_partitions=16)
         lsn = changes.column("lsn")
-        lake.apply_changes(changes.filter(pc.less(lsn, n // 2)),
-                           epoch_id="e1")
-        lake.apply_changes(
-            changes.filter(pc.greater_equal(lsn, n // 2)), epoch_id="e2")
         replay = lake.apply_changes(
             changes.filter(pc.greater_equal(lsn, n // 2)), epoch_id="e2")
         got = lake.final_table().to_pandas()

@@ -364,15 +364,26 @@ def _parse_two_input(name: str, rest: str) -> dict:
     statements> ), how="inner"``. The nested pipeline parses with the
     TQL2 statement grammar (newlines, ``from``, assignments, if/match),
     NOT the TQL1 segment grammar."""
-    m = re.search(r"\bright\s*=\s*\(", rest)
+    # locate `right=(` quote-aware — a regex search over the raw text
+    # would match inside a quoted argument value
+    m = None
+    for i, ch in _code_chars(rest):
+        if (ch == "r" and rest.startswith("right", i)
+                and (i == 0 or not (rest[i - 1].isalnum()
+                                    or rest[i - 1] == "_"))):
+            m = re.match(r"right\s*=\s*\(", rest[i:])
+            if m is not None:
+                open_idx = i + m.end() - 1
+                start_idx = i
+                break
     if m is None:
         raise ValueError(
             f"{name}: needs `right=( <sub-pipeline> )` for the second "
             "input")
-    close = _matching_paren(rest, m.end() - 1)
-    inner = rest[m.end():close]
+    close = _matching_paren(rest, open_idx)
+    inner = rest[open_idx + 1:close]
     right = [parse_statement(s) for s in split_statements(inner)]
-    remainder = rest[: m.start()] + rest[close + 1:]
+    remainder = rest[:start_idx] + rest[close + 1:]
     step: dict = {"op": name, "right": right}
     for tok in split_segments(remainder, ","):
         tok = tok.strip()
@@ -408,27 +419,29 @@ def parse_statement(stmt: str) -> dict:
     if name == "move":
         # TQL2 move-assignment (parser.cpp parse_invocation_or_
         # assignment's `move` form): `move a=b, c=d` assigns each
-        # source to its target and REMOVES the source field. Desugars
-        # to set + drop of the sources that were not re-targeted.
-        targets, sources = [], []
+        # source to its target and REMOVES the source field.
+        # Assignments apply strictly LEFT-TO-RIGHT, each one a
+        # set-then-drop pair — `move y=z, x=y` leaves x = old z and
+        # neither y nor z (the chained value moved twice). Sources must
+        # be TOP-LEVEL columns (the removal is a column drop; use `set`
+        # + explicit restructuring for struct members).
+        steps: list[dict] = []
         for part in split_segments(rest, ","):
             m = _ASSIGN_RE.match(part.strip())
             if not m:
                 raise ValueError(f"move: want `target=source`, "
                                  f"got {part.strip()!r}")
-            src = m.group(2).strip()
-            if not re.match(r"^[A-Za-z_][\w.]*$", src):
+            tgt, src = m.group(1), m.group(2).strip()
+            if not re.match(r"^[A-Za-z_]\w*$", src):
                 raise ValueError(
-                    f"move: source must be a field path, got {src!r}")
-            targets.append(m.group(1))
-            sources.append(src)
-        set_step: dict = {"op": "set"}
-        for t, s in zip(targets, sources):
-            set_step[t] = s
-        gone = [s for s in sources if s not in targets]
-        steps = [set_step]
-        if gone:
-            steps.append({"op": "drop", "columns": sorted(set(gone))})
+                    "move: source must be a top-level column name "
+                    f"(got {src!r}); move struct members with `set` + "
+                    "`drop`")
+            steps.append({"op": "set", tgt: src})
+            if src != tgt:
+                steps.append({"op": "drop", "columns": [src]})
+        if not steps:
+            raise ValueError("move: needs at least one `target=source`")
         return {"op": "apply", "pipeline": steps}
     if name in _EXPR_VERBS:
         return {"op": name, "expr": rest}

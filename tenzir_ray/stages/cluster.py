@@ -144,7 +144,10 @@ def kmeans_fit(ds, column: str = "embedding", k: int = 16, *,
             if shift <= tol:
                 break
         return cents
-    ds = ds.materialize()
+    if iters > 1:
+        # pin blocks so iterations 2..N re-read instead of re-executing
+        # the upstream lineage; a single pass gains nothing from the pin
+        ds = ds.materialize()
     for _ in range(iters):
         cb = _LloydAgg(cents, column, normalize)
         agg = AggregateFn(init=cb.init, merge=_LloydAgg.merge,

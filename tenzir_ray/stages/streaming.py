@@ -534,19 +534,28 @@ def watermark_by(ds, ts_column: str, lateness_s: float,
             return out
         df = df.sort_values([*keys, order_by], kind="mergesort",
                             ignore_index=True)
-        ts = (pd.to_datetime(df[ts_column]).astype("datetime64[ns]")
-              .astype("int64").to_numpy())
         isnat = pd.isna(df[ts_column]).to_numpy()
-        ts = np.where(isnat, np.iinfo(np.int64).min, ts)
-        # per-key running max of PRIOR ts: cython grouped cummax + shift
-        # (groups are sort-contiguous; no per-group Python)
+        ts = (pd.to_datetime(df[ts_column]).astype("datetime64[ns]")
+              .astype("int64").to_numpy().copy())
+        # NaT rows never ADVANCE a watermark (sentinel = no-watermark,
+        # same contract as EventTimeWatermark._late_mask); everything
+        # stays int64 — a float shift would cost ~256 ns of precision
+        # at 2026-epoch magnitudes and break the strict-< boundary
+        ts[isnat] = _NO_WM
         gid = (df.groupby(keys, dropna=False, sort=False).ngroup()
                .to_numpy())
-        s = pd.Series(ts)
-        prior = s.groupby(gid).cummax().groupby(gid).shift(1).to_numpy()
-        late = ts < (prior - lateness_ns)
-        late &= ~np.isnan(prior)
-        late |= isnat
+        # per-key running max of PRIOR ts: cython grouped cummax, then
+        # an int64 shift-by-one with the sentinel at each group start
+        cm = pd.Series(ts).groupby(gid).cummax().to_numpy()
+        prior = np.empty_like(cm)
+        prior[0] = _NO_WM
+        prior[1:] = cm[:-1]
+        prior[np.r_[True, gid[1:] != gid[:-1]]] = _NO_WM
+        has_wm = prior != _NO_WM
+        # prior - lateness underflows where has_wm is False; the mask
+        # discards those lanes, so the wrap is harmless
+        late = has_wm & (ts < prior - lateness_ns)
+        late[isnat] = has_wm[isnat]
         if mode == "tag":
             df["late"] = late
             return df

@@ -318,3 +318,71 @@ def test_record_spread_literal(ray_session):
     assert m[1] == {"a": 3, "b": 100, "c": 7}
     # null parent struct spreads to null children; overrides still apply
     assert m[2]["a"] is None and m[2]["b"] == 200 and m[2]["c"] == 7
+
+
+# ------------------------------------------------- review-pass regressions
+
+
+def test_tql2_move_chained_is_left_to_right(ray_session, tmp_path):
+    """`move y=z, x=y` applies left-to-right: x ends with old z, both
+    y and z are gone (each pair is set-then-drop in order)."""
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.pipelines.tql2 import parse_pipeline2, run_pipeline2
+
+    p = tmp_path / "t.parquet"
+    pq.write_table(pa.table({"z": [7, 8], "keep": [1, 2]}), p)
+    out = run_pipeline2(f'from "{p}"\nmove y=z, x=y')
+    df = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
+    assert sorted(df.columns) == ["keep", "x"]
+    assert sorted(df["x"].tolist()) == [7, 8]
+    # dotted sources are rejected loudly (removal is a column drop)
+    with pytest.raises(ValueError, match="top-level column"):
+        parse_pipeline2("move x=rec.a")
+
+
+def test_tql2_right_in_quoted_value_not_misparsed(ray_session, tmp_path):
+    """A quoted argument value containing `right=(` must not divert the
+    pipeline-expression parser."""
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.pipelines.tql2 import run_pipeline2
+
+    left = tmp_path / "l.parquet"
+    right = tmp_path / "r.parquet"
+    pq.write_table(pa.table({"k": ["right=(x)", "b"], "v": [1, 2]}), left)
+    pq.write_table(pa.table({"rk": ["right=(x)"], "t": [9]}), right)
+    out = run_pipeline2(f"""
+        from "{left}"
+        where k == "right=(x)"
+        hash_join on="k", right_on="rk", how="inner", right=(
+            from "{right}"
+        )
+    """)
+    df = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
+    assert len(df) == 1 and df["t"].tolist() == [9]
+
+
+def test_watermark_by_nat_and_boundary_semantics(ray_session):
+    """NaT rows: late only once the key HAS a watermark (serial-op
+    contract); prior NaT rows neither create nor advance one. The
+    strict-< boundary holds exactly in int64 (ts == wm-lateness is
+    NOT late)."""
+    import ray.data
+
+    from tenzir_ray.stages.streaming import watermark_by
+
+    base = pd.Timestamp("2026-01-01").value
+    df = pd.DataFrame({
+        "k": ["a"] * 5,
+        "lsn": range(5),
+        "ts": pd.to_datetime([pd.NaT,            # 0: no wm yet -> kept
+                              base + 10_000_000_000,  # 1: first wm
+                              pd.NaT,            # 2: wm exists -> late
+                              base + 9_000_000_000,   # 3: == wm-1s -> kept
+                              base + 8_999_999_999,   # 4: 1ns below -> late
+                              ]),
+    })
+    out = watermark_by(ray.data.from_pandas(df), "ts", 1.0,
+                       by="k", order_by="lsn").to_pandas()
+    assert sorted(out["lsn"].tolist()) == [0, 1, 3]
