@@ -2054,6 +2054,73 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return coll.map_batches(_prof, batch_format="pandas")
 
+    def collate_segments_docs(sf):
+        # block-diagonal attention input: segment_ids marks each packed
+        # position with its member doc's 1-based index (0 = padding);
+        # the oracle re-derives Σ(position segments) and the segment
+        # count from the same window arithmetic as collate_packed_docs
+        import pandas as pd
+
+        from tenzir_ray.stages.chunk import collate_packed, pack_sequences
+        from tenzir_ray.stages.dsir import _block_tokens, _bucketize
+
+        docs = _read(sf, "documents", columns=["doc_id", "text"])
+
+        def _ids(df: pd.DataFrame) -> pd.DataFrame:
+            import pyarrow as pa
+
+            t = pa.Table.from_pandas(df[["doc_id", "text"]],
+                                     preserve_index=False)
+            tokens, doc_idx = _block_tokens(t, "text")
+            b = _bucketize(tokens, 50021)
+            counts = np.bincount(doc_idx, minlength=len(df))
+            splits = np.split(b, np.cumsum(counts)[:-1])
+            df = df.reset_index(drop=True)
+            df["ids"] = [arr.astype(np.int32) for arr in splits]
+            return df
+
+        ds = docs.map_batches(_ids, batch_format="pandas")
+        packed = pack_sequences(ds, order_by="doc_id", target_tokens=120)
+        coll = collate_packed(packed, "doc_id", "ids", 100,
+                              segment_ids=True)
+
+        def _prof(df: pd.DataFrame):
+            import pyarrow as pa
+
+            return pa.table({
+                "seq_id": pa.array(df["seq_id"].to_numpy(np.int64)),
+                "seg_sum": pa.array(
+                    [int(np.asarray(s, np.int64).sum())
+                     for s in df["segment_ids"]], pa.int64()),
+                "n_segs": pa.array(
+                    [int(np.asarray(s, np.int64).max()) if len(s) else 0
+                     for s in df["segment_ids"]], pa.int64()),
+            })
+
+        return coll.map_batches(_prof, batch_format="pandas")
+
+    def fim_docs(sf):
+        # fill-in-the-middle training transform (arXiv:2207.14255 PSM):
+        # deterministic selection + hash-derived split points make the
+        # rewritten text pure substr arithmetic for the oracle
+        from tenzir_ray.stages.text import fim_transform
+
+        docs = _read(sf, "documents", columns=["doc_id", "text"])
+        out = fim_transform(docs, key="doc_id", column="text",
+                            out="fim_text", rate=0.5)
+        return T.select(out, ["doc_id", "fim_text", "fim_text_fim"])
+
+    def shuffle_rank_docs(sf):
+        # reproducible epoch-wise global shuffle: rank = position in
+        # the md5(key:epoch) order — partitioning-independent, a new
+        # permutation per epoch, exactly row_number() in SQL
+        from tenzir_ray.stages.splits import deterministic_shuffle
+
+        docs = _read(sf, "documents", columns=["doc_id"])
+        out = deterministic_shuffle(docs, key="doc_id", epoch=3,
+                                    rank="rank")
+        return T.select(out, ["doc_id", "rank"])
+
     def sft_jsonl_convs(sf):
         # chat-format JSONL export roundtrip: transcripts -> ChatML
         # messages arrays on disk -> re-parsed with the engine's own
@@ -4817,6 +4884,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_tolerance_status": asof_tolerance_status,
         "join_revenue_by_priority": join_revenue_by_priority,
         "collate_packed_docs": collate_packed_docs,
+        "collate_segments_docs": collate_segments_docs,
+        "fim_docs": fim_docs,
+        "shuffle_rank_docs": shuffle_rank_docs,
         "sft_jsonl_convs": sft_jsonl_convs,
         "tql_canonical_url": tql_canonical_url,
         "concat_cast_docs": concat_cast_docs,
@@ -5621,6 +5691,78 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(rev_dm) AS DOUBLE) / 10000.0 AS revenue,
                    count(*) AS n
             FROM j GROUP BY o_orderpriority
+        """,
+        "collate_segments_docs": """
+            WITH d AS (
+              SELECT doc_id,
+                     [md5_number_lower(x) % 50021 FOR x IN
+                      list_filter(string_split_regex(text, '\\s+'),
+                                  y -> y <> '')] AS ids
+              FROM documents),
+            c AS (SELECT doc_id, len(ids) AS cnt FROM d),
+            w AS (SELECT *, coalesce(sum(cnt) OVER (
+                      ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS before
+                  FROM c),
+            s AS (SELECT *, CAST(floor(before / 120.0) AS BIGINT) AS seq_id
+                  FROM w),
+            agg AS (SELECT seq_id,
+                           CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                           min(before) AS seq_before
+                    FROM s GROUP BY seq_id),
+            k AS (SELECT seq_id, CAST(least(100, n_tokens) AS BIGINT)
+                             AS n_kept, seq_before
+                  FROM agg),
+            mem AS (SELECT s.seq_id,
+                           row_number() OVER (
+                               PARTITION BY s.seq_id ORDER BY s.doc_id)
+                               AS j,
+                           s.before - k.seq_before AS rel_start,
+                           s.before - k.seq_before + s.cnt AS rel_end,
+                           k.n_kept
+                    FROM s JOIN k ON k.seq_id = s.seq_id
+                    WHERE s.cnt > 0),
+            contrib AS (SELECT seq_id, j,
+                               greatest(0, least(rel_end, n_kept)
+                                           - rel_start) AS kept_j
+                        FROM mem)
+            SELECT seq_id,
+                   CAST(coalesce(sum(j * kept_j), 0) AS BIGINT) AS seg_sum,
+                   CAST(coalesce(max(CASE WHEN kept_j > 0 THEN j END), 0)
+                        AS BIGINT) AS n_segs
+            FROM contrib GROUP BY seq_id
+        """,
+        "fim_docs": """
+            WITH h AS (
+              SELECT doc_id, text,
+                     ((doc_id * 2654435761) % 4294967296)
+                         / 4294967296.0 AS h1,
+                     ((doc_id * 2246822519) % 4294967296)
+                         / 4294967296.0 AS h2,
+                     ((doc_id * 3266489917) % 4294967296)
+                         / 4294967296.0 AS h3,
+                     length(text) AS L
+              FROM documents),
+            s AS (SELECT *, CAST(floor(h2 * L) AS BIGINT) AS p FROM h),
+            s2 AS (SELECT *,
+                          p + CAST(floor(h3 * (L - p)) AS BIGINT) AS m
+                   FROM s)
+            SELECT doc_id,
+                   CASE WHEN h1 < 0.5 THEN
+                       '<PRE>' || substr(text, 1, p) || '<SUF>'
+                       || substr(text, m + 1) || '<MID>'
+                       || substr(text, p + 1, m - p)
+                   ELSE text END AS fim_text,
+                   h1 < 0.5 AS fim_text_fim
+            FROM s2
+        """,
+        "shuffle_rank_docs": """
+            SELECT doc_id,
+                   row_number() OVER (
+                       ORDER BY md5_number_lower(doc_id || ':3')) - 1
+                       AS rank
+            FROM documents
         """,
         "collate_packed_docs": """
             WITH d AS (

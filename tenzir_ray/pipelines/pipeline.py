@@ -120,6 +120,8 @@ def _register_builtins() -> None:
         duplicate_spans=dedup.duplicate_spans,
         clip_duplicate_spans=dedup.clip_duplicate_spans,
         hash_split=splits.hash_split,
+        deterministic_shuffle=splits.deterministic_shuffle,
+        fim_transform=text.fim_transform,
         stratified_sample=splits.stratified_sample,
         temperature_sample=splits.temperature_sample,
         unimax_sample=splits.unimax_sample,

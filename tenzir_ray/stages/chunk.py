@@ -199,6 +199,7 @@ def assemble_conversations(ds, conv_col: str = "conv_id",
 
 def collate_packed(ds, order_by: str, tokens_col: str, seq_len: int,
                    seq_col: str = "seq_id", pad_id: int = 0,
+                   segment_ids: bool = False,
                    buckets: int | None = None):
     """The last mile to the trainer: rows carrying token-id lists
     (``tokens_col``, e.g. ``bpe_encode``'s output) already assigned to
@@ -207,7 +208,10 @@ def collate_packed(ds, order_by: str, tokens_col: str, seq_len: int,
     ``input_ids`` int32 list: member docs concatenated in ``order_by``
     order, truncated to ``seq_len``, right-padded with ``pad_id``.
     Also emits ``n_docs``, ``n_tokens`` (pre-truncation) and
-    ``n_kept``. Shape: one grouped exchange on ``seq_col``; per-task
+    ``n_kept``. ``segment_ids=True`` adds a parallel int32 list: the
+    1-based index of the member doc owning each position (0 on
+    padding) — the block-diagonal attention mask input packed training
+    needs. Shape: one grouped exchange on ``seq_col``; per-task
     cost is bounded by sequence length × sequences per bucket, never
     the corpus. Feed the result to ``iter_batches``/``to_numpy_refs``
     for the training loop."""
@@ -221,6 +225,7 @@ def collate_packed(ds, order_by: str, tokens_col: str, seq_len: int,
     def _collate(bucket: pd.DataFrame) -> pd.DataFrame:
         bucket = bucket.sort_values([seq_col, order_by], kind="mergesort")
         out_ids, out_seq, out_docs, out_tok, out_kept = [], [], [], [], []
+        out_seg: list = []
         for sid, grp in bucket.groupby(seq_col, sort=False):
             parts = []
             for t in grp[tokens_col]:
@@ -237,11 +242,19 @@ def collate_packed(ds, order_by: str, tokens_col: str, seq_len: int,
             ids = np.full(seq_len, pad_id, np.int32)
             ids[: len(kept)] = kept
             out_ids.append(ids)
+            if segment_ids:
+                seg_flat = np.repeat(
+                    np.arange(1, len(parts) + 1, dtype=np.int32),
+                    [len(p) for p in parts]) if parts else \
+                    np.empty(0, np.int32)
+                seg = np.zeros(seq_len, np.int32)
+                seg[: len(kept)] = seg_flat[:seq_len]
+                out_seg.append(seg)
             out_seq.append(sid)
             out_docs.append(len(grp))
             out_tok.append(len(flat))
             out_kept.append(len(kept))
-        return pd.DataFrame({
+        cols = {
             # keep the caller's key dtype (string conversation keys are
             # as valid as integer seq ids; the bucket dtype also pins
             # empty buckets to the same schema)
@@ -250,7 +263,10 @@ def collate_packed(ds, order_by: str, tokens_col: str, seq_len: int,
             "n_tokens": pd.Series(out_tok, dtype=np.int64),
             "n_kept": pd.Series(out_kept, dtype=np.int64),
             "input_ids": out_ids,
-        })
+        }
+        if segment_ids:
+            cols["segment_ids"] = out_seg
+        return pd.DataFrame(cols)
 
     return grouped_apply(ds, [seq_col], _collate, num_buckets=buckets,
                          tag="collate")

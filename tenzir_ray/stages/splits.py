@@ -423,4 +423,40 @@ def unimax_sample(ds, by: str, key: str, total: int, max_epochs: int = 1,
                          tag="unimax")
 
 
+def deterministic_shuffle(ds, key: str, epoch: int = 0,
+                          rank: "str | None" = None,
+                          batch_size: int = 16384):
+    """Reproducible epoch-wise global shuffle for training-data
+    pipelines: rows order by ``md5(key || ':' || epoch)`` — a new
+    uniform permutation per epoch, identical across runs, cluster
+    sizes and partitionings (unlike ``random_shuffle``, whose layout
+    depends on block structure). SQL-reproducible:
+    ``ORDER BY md5_number_lower(key || ':' || epoch)``.
+
+    Shape: one vectorized hash column per batch + ONE distributed sort
+    (the shuffle IS an all-to-all by definition). ``rank`` optionally
+    materializes the 0-based global position (adds the sort-based
+    enumerate pass)."""
+    import pandas as pd
+
+    from tenzir_ray.stages import transforms as _T
+
+    suffix = f":{int(epoch)}"
+    from tenzir_ray.stages.dsir import _md5_lower
+
+    def _h(df: pd.DataFrame) -> pd.DataFrame:
+        ks = df[key].astype(object)
+        df["_shuffle_h"] = np.fromiter(
+            (_md5_lower(str(v) + suffix) for v in ks),
+            dtype=np.uint64, count=len(df))
+        return df
+
+    hashed = ds.map_batches(_h, batch_format="pandas",
+                            batch_size=batch_size)
+    if rank is None:
+        return _T.drop(hashed.sort("_shuffle_h"), ["_shuffle_h"])
+    out = _T.enumerate_global(hashed, "_shuffle_h", out=rank)
+    return _T.drop(out, ["_shuffle_h"])
+
+
 ship_by_value(sys.modules[__name__])

@@ -857,4 +857,60 @@ def string_distance(ds, a: str, b: str,
                           batch_size=batch_size)
 
 
+#: Knuth/xxhash-family multiplicative constants: selection hash + the
+#: two split-point hashes (distinct constants — reusing the selection
+#: hash for a position would bias prefixes into [0, rate·L))
+_FIM_A1 = 2654435761
+_FIM_A2 = 2246822519
+_FIM_A3 = 3266489917
+_FIM_MOD = 1 << 32
+
+
+def fim_transform(ds, key: str, column: str = "text",
+                  out: "str | None" = None, rate: float = 0.5,
+                  pre: str = "<PRE>", suf: str = "<SUF>",
+                  mid: str = "<MID>", batch_size: int = 8192):
+    """Fill-in-the-middle transform for code/LM training data
+    (arXiv:2207.14255 PSM format): for a DETERMINISTIC ``rate``
+    fraction of rows (selected by Knuth key hash, like
+    :func:`tenzir_ray.stages.splits.hash_split`), split the document
+    into prefix/middle/suffix at two hash-derived codepoint positions
+    and emit ``<PRE>prefix<SUF>suffix<MID>middle``; the rest pass
+    through unchanged. Everything is a pure function of ``key`` and
+    the text length, so runs, partitionings — and the SQL oracle
+    (substr arithmetic) — agree exactly.
+
+    Split rule (codepoints, 0-based): ``p = floor(h2 * L)``,
+    ``m = p + floor(h3 * (L - p))`` with ``h2/h3`` the key's second and
+    third Knuth hash fractions (``h1`` selects) — prefix = [0, p),
+    middle = [p, m), suffix = [m, L).
+    """
+    out = out or column
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"fim_transform: rate must be in [0,1], got {rate}")
+
+    def _fim(df: pd.DataFrame) -> pd.DataFrame:
+        k = pd.to_numeric(df[key], errors="raise").to_numpy(np.int64)
+        h1 = ((k * _FIM_A1) % _FIM_MOD) / float(_FIM_MOD)
+        sel = h1 < rate
+        h2 = ((k * _FIM_A2) % _FIM_MOD) / float(_FIM_MOD)
+        h3 = ((k * _FIM_A3) % _FIM_MOD) / float(_FIM_MOD)
+        texts = df[column].to_numpy(dtype=object)
+        res = list(texts)
+        for i in np.flatnonzero(sel):
+            t = texts[i]
+            if not isinstance(t, str):
+                continue
+            L = len(t)
+            p = int(h2[i] * L)
+            m = p + int(h3[i] * (L - p))
+            res[i] = f"{pre}{t[:p]}{suf}{t[m:]}{mid}{t[p:m]}"
+        df[out] = res
+        df[out + "_fim"] = sel
+        return df
+
+    return ds.map_batches(_fim, batch_format="pandas",
+                          batch_size=batch_size)
+
+
 ship_by_value(sys.modules[__name__])

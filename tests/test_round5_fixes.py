@@ -386,3 +386,126 @@ def test_watermark_by_nat_and_boundary_semantics(ray_session):
     out = watermark_by(ray.data.from_pandas(df), "ts", 1.0,
                        by="k", order_by="lsn").to_pandas()
     assert sorted(out["lsn"].tolist()) == [0, 1, 3]
+
+
+def test_watermark_by_property_random_streams(ray_session):
+    """Randomized multi-key streams (NaTs, duplicates, backward jumps,
+    boundary-exact values): watermark_by must equal the per-key serial
+    model for every key, at several partitionings."""
+    import ray.data
+
+    from tenzir_ray.stages.streaming import watermark_by
+
+    rng = np.random.default_rng(123)
+    base = pd.Timestamp("2026-01-01").value
+    for trial in range(5):
+        n = int(rng.integers(30, 400))
+        keys = rng.integers(0, int(rng.integers(1, 9)), size=n)
+        # ns offsets including exact-boundary collisions and NaTs
+        offs = rng.integers(-3_000_000_000, 3_000_000_000, size=n)
+        offs = (offs // 1_000_000_000) * 1_000_000_000 + rng.choice(
+            [0, 1, -1, 999_999_999], size=n)
+        ts_ns = base + np.cumsum(np.abs(offs) // 4) + offs
+        nat = rng.random(n) < 0.15
+        lateness = float(rng.choice([0.0, 0.5, 2.0]))
+        lat_ns = int(lateness * 1e9)
+
+        exp_keep = []
+        wm: dict = {}
+        NO = None
+        for i in range(n):
+            k = int(keys[i])
+            w = wm.get(k)
+            if nat[i]:
+                if w is None:
+                    exp_keep.append(i)
+                continue
+            t = int(ts_ns[i])
+            if not (w is not None and t < w - lat_ns):
+                exp_keep.append(i)
+            wm[k] = t if w is None else max(w, t)
+
+        df = pd.DataFrame({
+            "k": keys, "lsn": np.arange(n),
+            "ts": pd.to_datetime(np.where(nat, np.datetime64("NaT"),
+                                          ts_ns.astype("datetime64[ns]"))),
+        })
+        for parts in (1, 6):
+            got = watermark_by(
+                ray.data.from_pandas(df).repartition(parts), "ts",
+                lateness, by="k", order_by="lsn").to_pandas()
+            assert sorted(got["lsn"].tolist()) == exp_keep, (
+                trial, parts, lateness)
+
+
+# ---------------------------------------------- new training-data ops
+
+
+def test_fim_transform_split_structure(ray_session):
+    """Selected rows become <PRE>prefix<SUF>suffix<MID>middle with the
+    three pieces reassembling the original; unselected pass through."""
+    import ray.data
+
+    from tenzir_ray.stages.text import fim_transform
+
+    df = pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64),
+                       "text": ["word%d " % i * 5 for i in range(200)]})
+    out = fim_transform(ray.data.from_pandas(df), key="doc_id",
+                        rate=0.5, out="t2").to_pandas()
+    sel = out[out["t2_fim"]]
+    assert 0 < len(sel) < 200  # rate actually selects a strict subset
+    for _, r in sel.head(20).iterrows():
+        t2 = r["t2"]
+        assert t2.startswith("<PRE>")
+        body = t2[len("<PRE>"):]
+        pre, rest = body.split("<SUF>", 1)
+        suf, midd = rest.split("<MID>", 1)
+        orig = df.loc[df["doc_id"] == r["doc_id"], "text"].iloc[0]
+        assert pre + midd + suf == orig
+    unsel = out[~out["t2_fim"]]
+    for _, r in unsel.head(5).iterrows():
+        assert r["t2"] == df.loc[df["doc_id"] == r["doc_id"], "text"].iloc[0]
+
+
+def test_deterministic_shuffle_is_stable_and_epoch_varying(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages.splits import deterministic_shuffle
+
+    df = pd.DataFrame({"doc_id": np.arange(300, dtype=np.int64)})
+    runs = []
+    for parts in (1, 7):
+        out = deterministic_shuffle(
+            ray.data.from_pandas(df).repartition(parts), key="doc_id",
+            epoch=1, rank="r").to_pandas().sort_values("doc_id")
+        runs.append(out["r"].tolist())
+    assert runs[0] == runs[1]  # partitioning-independent
+    assert sorted(runs[0]) == list(range(300))  # a permutation
+    e2 = deterministic_shuffle(ray.data.from_pandas(df), key="doc_id",
+                               epoch=2, rank="r").to_pandas()
+    assert e2.sort_values("doc_id")["r"].tolist() != runs[0]  # new epoch
+
+
+def test_collate_segment_ids_alignment(ray_session):
+    """segment_ids parallels input_ids: doc j's kept tokens carry j
+    (1-based), padding carries 0."""
+    import ray.data
+
+    from tenzir_ray.stages.chunk import collate_packed
+
+    df = pd.DataFrame({
+        "seq": [0, 0, 0], "ord": [1, 2, 3],
+        "ids": [np.arange(3, dtype=np.int32),
+                np.arange(10, 14, dtype=np.int32),
+                np.arange(50, 60, dtype=np.int32)],
+    })
+    out = collate_packed(ray.data.from_pandas(df), "ord", "ids", 10,
+                         seq_col="seq", segment_ids=True).to_pandas()
+    seg = np.asarray(out["segment_ids"].iloc[0])
+    # 3 tokens of doc1, 4 of doc2, then doc3 truncated at 10
+    assert seg.tolist() == [1, 1, 1, 2, 2, 2, 2, 3, 3, 3]
+    # padding case
+    out2 = collate_packed(ray.data.from_pandas(df.head(1)), "ord",
+                          "ids", 6, seq_col="seq",
+                          segment_ids=True).to_pandas()
+    assert np.asarray(out2["segment_ids"].iloc[0]).tolist() == [1, 1, 1, 0, 0, 0]
