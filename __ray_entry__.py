@@ -2121,6 +2121,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                     rank="rank")
         return T.select(out, ["doc_id", "rank"])
 
+    def chat_loss_spans_convs(sf):
+        # flat SFT rendering + assistant-only loss spans: the span
+        # offsets are window-sum length arithmetic, so DuckDB rebuilds
+        # text AND spans exactly; arrow list<int64> output keeps list
+        # cells ndarray-typed on both compare sides
+        import pandas as pd
+
+        from tenzir_ray.stages.transcripts import render_chat_text
+
+        out = render_chat_text(_transcripts_ds(sf))
+
+        def _arrow(df: pd.DataFrame):
+            import pyarrow as pa
+
+            return pa.table({
+                "conv_id": pa.array(df["conv_id"].to_numpy(object),
+                                    pa.string()),
+                "n_turns": pa.array(df["n_turns"].to_numpy(np.int64)),
+                "text": pa.array(df["text"].to_numpy(object),
+                                 pa.string()),
+                "span_starts": pa.array(list(df["span_starts"]),
+                                        pa.list_(pa.int64())),
+                "span_ends": pa.array(list(df["span_ends"]),
+                                      pa.list_(pa.int64())),
+            })
+
+        return out.map_batches(_arrow, batch_format="pandas")
+
     def sft_jsonl_convs(sf):
         # chat-format JSONL export roundtrip: transcripts -> ChatML
         # messages arrays on disk -> re-parsed with the engine's own
@@ -4887,6 +4915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collate_segments_docs": collate_segments_docs,
         "fim_docs": fim_docs,
         "shuffle_rank_docs": shuffle_rank_docs,
+        "chat_loss_spans_convs": chat_loss_spans_convs,
         "sft_jsonl_convs": sft_jsonl_convs,
         "tql_canonical_url": tql_canonical_url,
         "concat_cast_docs": concat_cast_docs,
@@ -5796,6 +5825,33 @@ def oracle_sql() -> dict[str, str]:
                       WHERE k.n_kept > 0)
             SELECT k.seq_id, k.n_docs, k.n_tokens, k.n_kept, l.last_id
             FROM k LEFT JOIN lastt l ON l.seq_id = k.seq_id
+        """,
+        "chat_loss_spans_convs": f"""
+            WITH {_TRANSCRIPTS_CTE},
+            t AS (SELECT conv_id, turn_idx, role,
+                         coalesce(role, '') AS role0,
+                         coalesce(text, '') AS text0
+                  FROM tr),
+            w AS (SELECT *,
+                    coalesce(sum(24 + length(role0) + length(text0))
+                        OVER (PARTITION BY conv_id ORDER BY turn_idx
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS before
+                  FROM t)
+            SELECT conv_id, count(*) AS n_turns,
+                   string_agg('<|im_start|>' || role0 || chr(10) || text0
+                              || '<|im_end|>' || chr(10), ''
+                              ORDER BY turn_idx) AS text,
+                   coalesce(list(CAST(before + 13 + length(role0)
+                                      AS BIGINT) ORDER BY turn_idx)
+                            FILTER (WHERE role = 'assistant'),
+                            CAST([] AS BIGINT[])) AS span_starts,
+                   coalesce(list(CAST(before + 13 + length(role0)
+                                      + length(text0) AS BIGINT)
+                                 ORDER BY turn_idx)
+                            FILTER (WHERE role = 'assistant'),
+                            CAST([] AS BIGINT[])) AS span_ends
+            FROM w GROUP BY conv_id
         """,
         "sft_jsonl_convs": f"""
             WITH {_TRANSCRIPTS_CTE}

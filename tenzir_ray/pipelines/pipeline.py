@@ -121,6 +121,7 @@ def _register_builtins() -> None:
         clip_duplicate_spans=dedup.clip_duplicate_spans,
         hash_split=splits.hash_split,
         deterministic_shuffle=splits.deterministic_shuffle,
+        render_chat_text=transcripts.render_chat_text,
         fim_transform=text.fim_transform,
         stratified_sample=splits.stratified_sample,
         temperature_sample=splits.temperature_sample,

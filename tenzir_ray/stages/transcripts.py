@@ -444,6 +444,78 @@ def render_chat(ds, conv_col: str = "conv_id", turn_col: str = "turn_idx",
                          tag="chat")
 
 
+def render_chat_text(ds, conv_col: str = "conv_id",
+                     turn_col: str = "turn_idx", role_col: str = "role",
+                     text_col: str = "text",
+                     mask_role: str = "assistant",
+                     buckets: int | None = None):
+    """Flat-text SFT rendering WITH loss spans: one row per
+    conversation with ``text`` = the ChatML-style concatenation
+    ``<|im_start|>{role}\\n{content}<|im_end|>\\n`` per turn (turn
+    order) and ``span_starts``/``span_ends`` = the 0-based codepoint
+    ranges of every ``mask_role`` turn's CONTENT — the regions an
+    assistant-only loss masks in. Offsets are pure length arithmetic
+    over the turn texts, so they are partitioning-independent and
+    SQL-reproducible (window sums). Null role/text render as empty
+    strings (null-role turns never match ``mask_role``).
+
+    Shape: one grouped exchange on ``conv_col``; per-task work is a
+    vectorized length/cumsum pass + one join per conversation."""
+    import pandas as pd
+
+    from tenzir_ray.stages.exchange import grouped_apply
+
+    def _render(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values([conv_col, turn_col], kind="mergesort",
+                               ignore_index=True)
+        if not len(b):
+            return pd.DataFrame({
+                conv_col: bucket[conv_col],
+                "n_turns": pd.Series([], dtype=np.int64),
+                "text": pd.Series([], dtype=object),
+                "span_starts": pd.Series([], dtype=object),
+                "span_ends": pd.Series([], dtype=object),
+            })
+        roles = b[role_col].astype(object).where(
+            b[role_col].notna(), "").astype(str)
+        texts = b[text_col].astype(object).where(
+            b[text_col].notna(), "").astype(str)
+        seg = "<|im_start|>" + roles + "\n" + texts + "<|im_end|>\n"
+        seglen = seg.str.len().to_numpy(np.int64)
+        gid = (b.groupby(conv_col, dropna=False, sort=False).ngroup()
+               .to_numpy())
+        # rendered-prefix length BEFORE each turn, within conversation
+        cs = np.cumsum(seglen)
+        first = np.r_[True, gid[1:] != gid[:-1]]
+        counts = np.diff(np.r_[np.flatnonzero(first), len(gid)])
+        grp_base = np.repeat(cs[first] - seglen[first], counts)
+        before = cs - seglen - grp_base
+        starts = before + 13 + roles.str.len().to_numpy(np.int64)
+        ends = starts + texts.str.len().to_numpy(np.int64)
+        is_mask = (b[role_col] == mask_role).fillna(False).to_numpy(bool)
+
+        firsts = np.flatnonzero(first)
+        conv_vals = b[conv_col].to_numpy(dtype=object)[firsts]
+        segs = seg.to_numpy(dtype=object)
+        out_text, out_ss, out_ee = [], [], []
+        for g0, cnt in zip(firsts, counts):
+            sl = slice(g0, g0 + cnt)
+            out_text.append("".join(segs[sl]))
+            m = is_mask[sl]
+            out_ss.append(starts[sl][m].tolist())
+            out_ee.append(ends[sl][m].tolist())
+        return pd.DataFrame({
+            conv_col: pd.Series(conv_vals, dtype=bucket[conv_col].dtype),
+            "n_turns": pd.Series(counts, dtype=np.int64),
+            "text": out_text,
+            "span_starts": out_ss,
+            "span_ends": out_ee,
+        })
+
+    return grouped_apply(ds, [conv_col], _render, num_buckets=buckets,
+                         tag="chat_text")
+
+
 class _JsonlWriter:
     """One JSONL part file per block (temp-write + rename, like the
     parquet/warc sinks)."""

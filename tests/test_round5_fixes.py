@@ -509,3 +509,27 @@ def test_collate_segment_ids_alignment(ray_session):
                           "ids", 6, seq_col="seq",
                           segment_ids=True).to_pandas()
     assert np.asarray(out2["segment_ids"].iloc[0]).tolist() == [1, 1, 1, 0, 0, 0]
+
+
+def test_render_chat_text_spans_cover_assistant_content(ray_session):
+    """Loss spans index exactly the assistant turns' content inside the
+    rendered string."""
+    import ray.data
+
+    from tenzir_ray.stages.transcripts import render_chat_text
+
+    df = pd.DataFrame({
+        "conv_id": ["c1"] * 3 + ["c2"] * 2,
+        "turn_idx": [0, 1, 2, 0, 1],
+        "role": ["user", "assistant", "assistant", "user", None],
+        "text": ["hi", "hello there", "bye", "solo", "x"],
+    })
+    out = (render_chat_text(ray.data.from_pandas(df))
+           .to_pandas().set_index("conv_id"))
+    r1 = out.loc["c1"]
+    for s, e in zip(r1["span_starts"], r1["span_ends"]):
+        assert r1["text"][s:e] in ("hello there", "bye")
+    assert len(r1["span_starts"]) == 2
+    r2 = out.loc["c2"]
+    assert list(r2["span_starts"]) == []  # null role never matches
+    assert "<|im_start|>\nx<|im_end|>" in r2["text"]
