@@ -254,6 +254,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from tenzir_ray.stages import transforms as T
     from tenzir_ray.state.context import LookupTable, enrich
 
+    # the shared tokenizer front of the collate gates lives in dsir.py
+    # (ship-by-value module: worker-safe outside the repo cwd, and
+    # directly unit-testable)
+    from tenzir_ray.stages.dsir import md5_token_id_lists as _doc_token_ids
+
     def q1_pricing_summary(sf):
         import pyarrow as pa
         import pyarrow.compute as pc
@@ -2015,24 +2020,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pandas as pd
 
         from tenzir_ray.stages.chunk import collate_packed, pack_sequences
-        from tenzir_ray.stages.dsir import _block_tokens, _bucketize
 
         docs = _read(sf, "documents", columns=["doc_id", "text"])
-
-        def _ids(df: pd.DataFrame) -> pd.DataFrame:
-            import pyarrow as pa
-
-            t = pa.Table.from_pandas(df[["doc_id", "text"]],
-                                     preserve_index=False)
-            tokens, doc_idx = _block_tokens(t, "text")
-            b = _bucketize(tokens, 50021)
-            counts = np.bincount(doc_idx, minlength=len(df))
-            splits = np.split(b, np.cumsum(counts)[:-1])
-            df = df.reset_index(drop=True)
-            df["ids"] = [arr.astype(np.int32) for arr in splits]
-            return df
-
-        ds = docs.map_batches(_ids, batch_format="pandas")
+        ds = docs.map_batches(_doc_token_ids, batch_format="pandas")
         packed = pack_sequences(ds, order_by="doc_id", target_tokens=120)
         coll = collate_packed(packed, "doc_id", "ids", 100)
 
@@ -2062,24 +2052,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pandas as pd
 
         from tenzir_ray.stages.chunk import collate_packed, pack_sequences
-        from tenzir_ray.stages.dsir import _block_tokens, _bucketize
 
         docs = _read(sf, "documents", columns=["doc_id", "text"])
-
-        def _ids(df: pd.DataFrame) -> pd.DataFrame:
-            import pyarrow as pa
-
-            t = pa.Table.from_pandas(df[["doc_id", "text"]],
-                                     preserve_index=False)
-            tokens, doc_idx = _block_tokens(t, "text")
-            b = _bucketize(tokens, 50021)
-            counts = np.bincount(doc_idx, minlength=len(df))
-            splits = np.split(b, np.cumsum(counts)[:-1])
-            df = df.reset_index(drop=True)
-            df["ids"] = [arr.astype(np.int32) for arr in splits]
-            return df
-
-        ds = docs.map_batches(_ids, batch_format="pandas")
+        ds = docs.map_batches(_doc_token_ids, batch_format="pandas")
         packed = pack_sequences(ds, order_by="doc_id", target_tokens=120)
         coll = collate_packed(packed, "doc_id", "ids", 100,
                               segment_ids=True)
@@ -5756,11 +5731,13 @@ def oracle_sql() -> dict[str, str]:
                                greatest(0, least(rel_end, n_kept)
                                            - rel_start) AS kept_j
                         FROM mem)
-            SELECT seq_id,
-                   CAST(coalesce(sum(j * kept_j), 0) AS BIGINT) AS seg_sum,
-                   CAST(coalesce(max(CASE WHEN kept_j > 0 THEN j END), 0)
-                        AS BIGINT) AS n_segs
-            FROM contrib GROUP BY seq_id
+            SELECT k.seq_id,
+                   CAST(coalesce(sum(c.j * c.kept_j), 0) AS BIGINT)
+                       AS seg_sum,
+                   CAST(coalesce(max(CASE WHEN c.kept_j > 0 THEN c.j END),
+                                 0) AS BIGINT) AS n_segs
+            FROM k LEFT JOIN contrib c ON c.seq_id = k.seq_id
+            GROUP BY k.seq_id
         """,
         "fim_docs": """
             WITH h AS (

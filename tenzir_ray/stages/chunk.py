@@ -209,9 +209,12 @@ def collate_packed(ds, order_by: str, tokens_col: str, seq_len: int,
     order, truncated to ``seq_len``, right-padded with ``pad_id``.
     Also emits ``n_docs``, ``n_tokens`` (pre-truncation) and
     ``n_kept``. ``segment_ids=True`` adds a parallel int32 list: the
-    1-based index of the member doc owning each position (0 on
-    padding) — the block-diagonal attention mask input packed training
-    needs. Shape: one grouped exchange on ``seq_col``; per-task
+    1-based CONTRIBUTING-doc index owning each position (0 on padding)
+    — the block-diagonal attention mask input packed training needs.
+    Members with null/empty token lists contribute no positions and no
+    index (segments number densely over docs that actually emitted
+    tokens; ``n_docs`` still counts every member).
+    Shape: one grouped exchange on ``seq_col``; per-task
     cost is bounded by sequence length × sequences per bucket, never
     the corpus. Feed the result to ``iter_batches``/``to_numpy_refs``
     for the training loop."""

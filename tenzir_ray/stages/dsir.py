@@ -98,6 +98,31 @@ def _bucketize(tokens: np.ndarray, buckets: int) -> np.ndarray:
     return ub[inv]
 
 
+def md5_token_id_lists(df, column: str = "text",
+                       buckets: int = 50021, out: str = "ids"):
+    """pandas batch → per-row int32 token-id LISTS via the md5 bucket
+    scheme (``md5_number_lower(token) % buckets`` — SQL-reproducible).
+    The tokenizer-shaped front of a packing/collate pipeline when no
+    trained tokenizer is in play; empty batches keep the output schema.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    df = df.reset_index(drop=True)
+    if not len(df):
+        df[out] = pd.Series([], dtype=object)
+        return df
+    t = pa.Table.from_pandas(df[["doc_id", column]]
+                             if "doc_id" in df.columns else df[[column]],
+                             preserve_index=False)
+    tokens, doc_idx = _block_tokens(t, column)
+    b = _bucketize(tokens, buckets)
+    counts = np.bincount(doc_idx, minlength=len(df))
+    parts = np.split(b, np.cumsum(counts)[:-1])
+    df[out] = [arr.astype(np.int32) for arr in parts]
+    return df
+
+
 class _CountAgg:
     """AggregateFn callbacks: accumulator = (2, B) int64 — row 0 raw
     counts, row 1 target counts."""

@@ -442,12 +442,18 @@ def deterministic_shuffle(ds, key: str, epoch: int = 0,
     from tenzir_ray.stages import transforms as _T
 
     suffix = f":{int(epoch)}"
-    from tenzir_ray.stages.dsir import _md5_lower
+    import hashlib
 
     def _h(df: pd.DataFrame) -> pd.DataFrame:
+        # hashlib directly, NOT dsir._md5_lower: every key:epoch string
+        # is unique, so the memoized path would only pollute the
+        # process-global token memo without a single hit
         ks = df[key].astype(object)
         df["_shuffle_h"] = np.fromiter(
-            (_md5_lower(str(v) + suffix) for v in ks),
+            (int.from_bytes(
+                hashlib.md5((str(v) + suffix).encode()).digest()[8:],
+                "little")
+             for v in ks),
             dtype=np.uint64, count=len(df))
         return df
 

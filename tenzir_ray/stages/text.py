@@ -857,13 +857,20 @@ def string_distance(ds, a: str, b: str,
                           batch_size=batch_size)
 
 
-#: Knuth/xxhash-family multiplicative constants: selection hash + the
-#: two split-point hashes (distinct constants — reusing the selection
-#: hash for a position would bias prefixes into [0, rate·L))
-_FIM_A1 = 2654435761
+#: multiplicative hash constants: selection reuses hash_split's Knuth
+#: constant (same rule, same SQL form); the two split-point hashes use
+#: distinct constants — reusing the selection hash for a position would
+#: bias prefixes into [0, rate·L)
 _FIM_A2 = 2246822519
 _FIM_A3 = 3266489917
 _FIM_MOD = 1 << 32
+
+
+def _fim_frac(k: "np.ndarray", a: int) -> "np.ndarray":
+    """((k * a) % 2^32) / 2^32 in uint64 (no int64 overflow wrap; same
+    integer path as splits._key_fractions)."""
+    h = (k.astype(np.uint64) * np.uint64(a)) % np.uint64(_FIM_MOD)
+    return h.astype(np.float64) / float(_FIM_MOD)
 
 
 def fim_transform(ds, key: str, column: str = "text",
@@ -882,19 +889,33 @@ def fim_transform(ds, key: str, column: str = "text",
 
     Split rule (codepoints, 0-based): ``p = floor(h2 * L)``,
     ``m = p + floor(h3 * (L - p))`` with ``h2/h3`` the key's second and
-    third Knuth hash fractions (``h1`` selects) — prefix = [0, p),
-    middle = [p, m), suffix = [m, L).
+    third hash fractions (``h1``, the hash_split Knuth rule, selects) —
+    prefix = [0, p), middle = [p, m), suffix = [m, L).
+
+    Keys must be NON-NEGATIVE integers below 2^31 for exact SQL parity
+    (DuckDB's ``key * const`` overflows BIGINT above ~3.4e9 and its
+    ``%`` keeps the dividend's sign); negative keys raise, null keys
+    pass through unselected.
     """
     out = out or column
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"fim_transform: rate must be in [0,1], got {rate}")
+    from tenzir_ray.stages.splits import _KNUTH
 
     def _fim(df: pd.DataFrame) -> pd.DataFrame:
-        k = pd.to_numeric(df[key], errors="raise").to_numpy(np.int64)
-        h1 = ((k * _FIM_A1) % _FIM_MOD) / float(_FIM_MOD)
-        sel = h1 < rate
-        h2 = ((k * _FIM_A2) % _FIM_MOD) / float(_FIM_MOD)
-        h3 = ((k * _FIM_A3) % _FIM_MOD) / float(_FIM_MOD)
+        kraw = pd.to_numeric(df[key], errors="coerce")
+        knull = kraw.isna().to_numpy()
+        if (knull & df[key].notna().to_numpy()).any():
+            raise ValueError(
+                f"fim_transform: key column {key!r} must be numeric")
+        k = kraw.fillna(0).to_numpy(np.int64)
+        if (k < 0).any():
+            raise ValueError(
+                "fim_transform: negative keys break SQL hash parity")
+        h1 = _fim_frac(k, int(_KNUTH))
+        sel = (h1 < rate) & ~knull
+        h2 = _fim_frac(k, _FIM_A2)
+        h3 = _fim_frac(k, _FIM_A3)
         texts = df[column].to_numpy(dtype=object)
         res = list(texts)
         for i in np.flatnonzero(sel):

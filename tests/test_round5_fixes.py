@@ -533,3 +533,27 @@ def test_render_chat_text_spans_cover_assistant_content(ray_session):
     r2 = out.loc["c2"]
     assert list(r2["span_starts"]) == []  # null role never matches
     assert "<|im_start|>\nx<|im_end|>" in r2["text"]
+
+
+def test_fim_transform_null_and_bad_keys(ray_session):
+    """Null keys pass through unselected; non-numeric key columns raise
+    instead of crashing the task opaquely; negative keys raise."""
+    import ray.data
+
+    from tenzir_ray.stages.text import fim_transform
+
+    df = pd.DataFrame({"k": pd.array([1, None, 3], dtype="Int64"),
+                       "text": ["aaa bbb"] * 3})
+    out = fim_transform(ray.data.from_pandas(df), key="k",
+                        rate=1.0, out="t2").to_pandas()
+    assert not out.loc[out["k"].isna(), "t2_fim"].any()
+    assert out.loc[out["k"].notna(), "t2_fim"].all()
+
+    bad = pd.DataFrame({"k": ["x"], "text": ["t"]})
+    with pytest.raises(Exception, match="numeric"):
+        fim_transform(ray.data.from_pandas(bad), key="k",
+                      rate=1.0).to_pandas()
+    neg = pd.DataFrame({"k": [-5], "text": ["t"]})
+    with pytest.raises(Exception, match="egative"):
+        fim_transform(ray.data.from_pandas(neg), key="k",
+                      rate=1.0).to_pandas()
