@@ -2074,6 +2074,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return coll.map_batches(_prof, batch_format="pandas")
 
+    def span_corrupt_docs(sf):
+        # T5-style denoising pair with deterministic two-span masking:
+        # hash-positioned spans make input AND target pure substr
+        # arithmetic for the oracle
+        from tenzir_ray.stages.text import span_corrupt
+
+        docs = _read(sf, "documents", columns=["doc_id", "text"])
+        out = span_corrupt(docs, key="doc_id", rate=0.6)
+        return T.select(out, ["doc_id", "corrupt_input",
+                              "corrupt_target"])
+
     def fim_docs(sf):
         # fill-in-the-middle training transform (arXiv:2207.14255 PSM):
         # deterministic selection + hash-derived split points make the
@@ -4888,6 +4899,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_revenue_by_priority": join_revenue_by_priority,
         "collate_packed_docs": collate_packed_docs,
         "collate_segments_docs": collate_segments_docs,
+        "span_corrupt_docs": span_corrupt_docs,
         "fim_docs": fim_docs,
         "shuffle_rank_docs": shuffle_rank_docs,
         "chat_loss_spans_convs": chat_loss_spans_convs,
@@ -5738,6 +5750,41 @@ def oracle_sql() -> dict[str, str]:
                                  0) AS BIGINT) AS n_segs
             FROM k LEFT JOIN contrib c ON c.seq_id = k.seq_id
             GROUP BY k.seq_id
+        """,
+        "span_corrupt_docs": """
+            WITH h AS (
+              SELECT doc_id, text,
+                     ((doc_id * 2654435761) % 4294967296)
+                         / 4294967296.0 AS h1,
+                     ((doc_id * 2246822519) % 4294967296)
+                         / 4294967296.0 AS h2,
+                     ((doc_id * 3266489917) % 4294967296)
+                         / 4294967296.0 AS h3,
+                     ((doc_id * 668265263) % 4294967296)
+                         / 4294967296.0 AS h4,
+                     ((doc_id * 374761393) % 4294967296)
+                         / 4294967296.0 AS h5,
+                     length(text) AS L, length(text) // 2 AS L2
+              FROM documents),
+            p1 AS (SELECT *, CAST(floor(h2 * L2) AS BIGINT) AS s1 FROM h),
+            p2 AS (SELECT *, s1 + CAST(floor(h3 * (L2 - s1)) AS BIGINT)
+                           AS e1,
+                          L2 + CAST(floor(h4 * (L - L2)) AS BIGINT) AS s2
+                   FROM p1),
+            p3 AS (SELECT *, s2 + CAST(floor(h5 * (L - s2)) AS BIGINT)
+                           AS e2
+                   FROM p2)
+            SELECT doc_id,
+                   CASE WHEN h1 < 0.6 THEN
+                       substr(text, 1, s1) || '<extra_id_0>'
+                       || substr(text, e1 + 1, s2 - e1) || '<extra_id_1>'
+                       || substr(text, e2 + 1)
+                   ELSE text END AS corrupt_input,
+                   CASE WHEN h1 < 0.6 THEN
+                       '<extra_id_0>' || substr(text, s1 + 1, e1 - s1)
+                       || '<extra_id_1>' || substr(text, s2 + 1, e2 - s2)
+                   END AS corrupt_target
+            FROM p3
         """,
         "fim_docs": """
             WITH h AS (

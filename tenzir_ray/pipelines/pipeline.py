@@ -123,6 +123,7 @@ def _register_builtins() -> None:
         deterministic_shuffle=splits.deterministic_shuffle,
         render_chat_text=transcripts.render_chat_text,
         fim_transform=text.fim_transform,
+        span_corrupt=text.span_corrupt,
         stratified_sample=splits.stratified_sample,
         temperature_sample=splits.temperature_sample,
         unimax_sample=splits.unimax_sample,
@@ -221,6 +222,7 @@ def _register_builtins() -> None:
         adjacent_unique=streaming.adjacent_unique,
         measure=streaming.measure,
         watermark=streaming.watermark,
+        watermark_by=streaming.watermark_by,
         watermark_summarize=lambda ds, ts_column, size_s, aggs=None, **kw:
             streaming.watermark_summarize(
                 ds, ts_column, size_s, **(aggs or {}), **kw

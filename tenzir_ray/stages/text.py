@@ -873,6 +873,80 @@ def _fim_frac(k: "np.ndarray", a: int) -> "np.ndarray":
     return h.astype(np.float64) / float(_FIM_MOD)
 
 
+#: two more public multiplicative constants (xxhash PRIME32_4/5) for
+#: the second span's position hashes
+_SPAN_A4 = 668265263
+_SPAN_A5 = 374761393
+
+
+def span_corrupt(ds, key: str, column: str = "text",
+                 input_col: str = "corrupt_input",
+                 target_col: str = "corrupt_target", rate: float = 1.0,
+                 sentinels: "tuple[str, str]" = ("<extra_id_0>",
+                                                "<extra_id_1>"),
+                 batch_size: int = 8192):
+    """T5-style span corruption (arXiv:1910.10683) with DETERMINISTIC
+    spans: for the hash-selected ``rate`` fraction of rows, two
+    codepoint spans (one per half of the document, positions from the
+    key's hash fractions) are cut out of ``column``; ``input_col``
+    carries the text with each span replaced by its sentinel and
+    ``target_col`` the sentinel-prefixed removed spans — the standard
+    denoising pair. Unselected rows pass through with a null target.
+    Like :func:`fim_transform`, everything is a pure function of key
+    and length, so the SQL oracle is substr arithmetic; keys must be
+    non-negative integers (nulls pass through unselected).
+
+    Span rule (0-based codepoints, ``L2 = L // 2``):
+    ``s1 = floor(h2·L2)``, ``e1 = s1 + floor(h3·(L2 − s1))``,
+    ``s2 = L2 + floor(h4·(L − L2))``, ``e2 = s2 + floor(h5·(L − s2))``
+    — always ordered ``s1 ≤ e1 ≤ L2 ≤ s2 ≤ e2 ≤ L``."""
+    import pandas as pd
+
+    from tenzir_ray.stages.splits import _KNUTH
+
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"span_corrupt: rate must be in [0,1], got {rate}")
+    t0, t1 = sentinels
+
+    def _corrupt(df: pd.DataFrame) -> pd.DataFrame:
+        kraw = pd.to_numeric(df[key], errors="coerce")
+        knull = kraw.isna().to_numpy()
+        if (knull & df[key].notna().to_numpy()).any():
+            raise ValueError(
+                f"span_corrupt: key column {key!r} must be numeric")
+        k = kraw.fillna(0).to_numpy(np.int64)
+        if (k < 0).any():
+            raise ValueError(
+                "span_corrupt: negative keys break SQL hash parity")
+        h1 = _fim_frac(k, int(_KNUTH))
+        sel = (h1 < rate) & ~knull
+        h2 = _fim_frac(k, _FIM_A2)
+        h3 = _fim_frac(k, _FIM_A3)
+        h4 = _fim_frac(k, _SPAN_A4)
+        h5 = _fim_frac(k, _SPAN_A5)
+        texts = df[column].to_numpy(dtype=object)
+        inp = list(texts)
+        tgt: list = [None] * len(texts)
+        for i in np.flatnonzero(sel):
+            t = texts[i]
+            if not isinstance(t, str):
+                continue
+            L = len(t)
+            L2 = L // 2
+            s1 = int(h2[i] * L2)
+            e1 = s1 + int(h3[i] * (L2 - s1))
+            s2 = L2 + int(h4[i] * (L - L2))
+            e2 = s2 + int(h5[i] * (L - s2))
+            inp[i] = f"{t[:s1]}{t0}{t[e1:s2]}{t1}{t[e2:]}"
+            tgt[i] = f"{t0}{t[s1:e1]}{t1}{t[s2:e2]}"
+        df[input_col] = inp
+        df[target_col] = tgt
+        return df
+
+    return ds.map_batches(_corrupt, batch_format="pandas",
+                          batch_size=batch_size)
+
+
 def fim_transform(ds, key: str, column: str = "text",
                   out: "str | None" = None, rate: float = 0.5,
                   pre: str = "<PRE>", suf: str = "<SUF>",

@@ -557,3 +557,30 @@ def test_fim_transform_null_and_bad_keys(ray_session):
     with pytest.raises(Exception, match="egative"):
         fim_transform(ray.data.from_pandas(neg), key="k",
                       rate=1.0).to_pandas()
+
+
+def test_span_corrupt_roundtrip(ray_session):
+    """Input with sentinels + target reassemble the original document;
+    unselected rows keep text and a null target."""
+    import ray.data
+
+    from tenzir_ray.stages.text import span_corrupt
+
+    df = pd.DataFrame({"doc_id": np.arange(120, dtype=np.int64),
+                       "text": ["alpha beta gamma delta %d" % i
+                                for i in range(120)]})
+    out = span_corrupt(ray.data.from_pandas(df), key="doc_id",
+                       rate=0.6).to_pandas()
+    sel = out[out["corrupt_target"].notna()]
+    assert 0 < len(sel) < 120
+    for _, r in sel.head(25).iterrows():
+        pre, rest = r["corrupt_input"].split("<extra_id_0>", 1)
+        midgap, post = rest.split("<extra_id_1>", 1)
+        t = r["corrupt_target"]
+        span1, span2 = t[len("<extra_id_0>"):].split("<extra_id_1>", 1)
+        orig = df.loc[df["doc_id"] == r["doc_id"], "text"].iloc[0]
+        assert pre + span1 + midgap + span2 + post == orig
+    unsel = out[out["corrupt_target"].isna()]
+    for _, r in unsel.head(5).iterrows():
+        assert r["corrupt_input"] == \
+            df.loc[df["doc_id"] == r["doc_id"], "text"].iloc[0]
