@@ -584,3 +584,49 @@ def test_span_corrupt_roundtrip(ray_session):
     for _, r in unsel.head(5).iterrows():
         assert r["corrupt_input"] == \
             df.loc[df["doc_id"] == r["doc_id"], "text"].iloc[0]
+
+
+def test_tql2_randomized_equivalence_with_dict_pipelines(ray_session,
+                                                         tmp_path):
+    """Randomized TQL2 programs (where/select/sort/summarize/move over
+    random tables) must equal the equivalent dict-form Pipeline."""
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.pipelines.pipeline import Pipeline
+    from tenzir_ray.pipelines.tql2 import run_pipeline2
+
+    rng = np.random.default_rng(77)
+    p = tmp_path / "t.parquet"
+    n = 500
+    pq.write_table(pa.table({
+        "a": rng.integers(0, 50, n),
+        "b": rng.normal(size=n).round(3),
+        "c": rng.choice(["x", "y", "z"], n),
+    }), p)
+
+    for trial in range(8):
+        thresh = int(rng.integers(5, 45))
+        asc = bool(rng.integers(0, 2))
+        prog = f"""
+            from "{p}"
+            where a > {thresh}
+            move a2=a
+            summarize n=count(), sb=sum(b) by c
+            sort {'' if asc else '-'}n
+        """
+        spec = Pipeline([
+            {"op": "read_parquet", "paths": str(p)},
+            {"op": "where", "expr": f"a > {thresh}"},
+            {"op": "set", "a2": "a"},
+            {"op": "drop", "columns": ["a"]},
+            {"op": "summarize", "by": "c",
+             "aggs": {"n": "count(*)", "sb": "sum(b)"}},
+            {"op": "sort", "keys": "n", "descending": not asc},
+        ]).run()
+        got = run_pipeline2(prog)
+        g = (got.to_pandas() if not isinstance(got, pd.DataFrame)
+             else got).sort_values("c", ignore_index=True)
+        w = (spec.to_pandas() if not isinstance(spec, pd.DataFrame)
+             else spec).sort_values("c", ignore_index=True)
+        assert g["n"].tolist() == w["n"].tolist(), trial
+        assert np.allclose(g["sb"], w["sb"]), trial
