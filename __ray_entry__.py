@@ -1067,6 +1067,76 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              nc="count_distinct(simhash)")
         return T.put(per, doc_id="base", sim_match="nc == 1 and n == 2")
 
+    def embed_truncate_docs(sf):
+        # matryoshka truncation on PLANTED integer vectors: the
+        # untruncated-slice output is exact integers and the
+        # renormalized variant's unit-norm property is a pinned boolean
+        import pandas as pd
+        import pyarrow as pa
+
+        from tenzir_ray.stages.similarity import truncate_embeddings
+
+        ds = _read(sf, "embeddings", columns=["vec_id"])
+
+        def _mk(df: pd.DataFrame) -> pd.DataFrame:
+            v = df["vec_id"].to_numpy(np.int64)
+            df["embedding"] = [
+                (((vid * 7 + np.arange(8) * 13) % 257) - 128)
+                .astype(np.float64) for vid in v]
+            return df
+
+        planted = ds.map_batches(_mk, batch_format="pandas")
+        t = truncate_embeddings(planted, dims=4, out="t4",
+                                renormalize=False)
+        t = truncate_embeddings(t, dims=4, out="tn", renormalize=True)
+
+        def _prof(batch: pa.Table) -> pa.Table:
+            t4 = np.stack([np.asarray(x) for x in
+                           batch.column("t4").to_pylist()])
+            tn = np.stack([np.asarray(x) for x in
+                           batch.column("tn").to_pylist()])
+            ok = np.abs((tn * tn).sum(axis=1) - 1.0) < 1e-9
+            return pa.table({
+                "vec_id": batch.column("vec_id"),
+                "t4": pa.array([r.astype(np.int64) for r in t4],
+                               pa.list_(pa.int64())),
+                "unit_norm": pa.array(ok, pa.bool_()),
+            })
+
+        return t.map_batches(_prof, batch_format="pyarrow")
+
+    def embed_quantize_docs(sf):
+        # symmetric int8 quantization on planted integer vectors:
+        # identical doubles through (x*127)/scale on both engines, so
+        # codes AND scales are bit-exact
+        import pandas as pd
+        import pyarrow as pa
+
+        from tenzir_ray.stages.similarity import quantize_embeddings
+
+        ds = _read(sf, "embeddings", columns=["vec_id"])
+
+        def _mk(df: pd.DataFrame) -> pd.DataFrame:
+            v = df["vec_id"].to_numpy(np.int64)
+            df["embedding"] = [
+                (((vid * 7 + np.arange(8) * 13) % 257) - 128)
+                .astype(np.float64) for vid in v]
+            return df
+
+        q = quantize_embeddings(ds.map_batches(_mk, batch_format="pandas"))
+
+        def _prof(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return pa.table({
+                "vec_id": batch.column("vec_id"),
+                "q": pc.cast(batch.column("qvec"),
+                             pa.list_(pa.int64())),
+                "scale": pc.cast(batch.column("qscale"), pa.int64()),
+            })
+
+        return q.map_batches(_prof, batch_format="pyarrow")
+
     def ann_cosine_topk(sf):
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -4899,6 +4969,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_revenue_by_priority": join_revenue_by_priority,
         "collate_packed_docs": collate_packed_docs,
         "collate_segments_docs": collate_segments_docs,
+        "embed_truncate_docs": embed_truncate_docs,
+        "embed_quantize_docs": embed_quantize_docs,
         "span_corrupt_docs": span_corrupt_docs,
         "fim_docs": fim_docs,
         "shuffle_rank_docs": shuffle_rank_docs,
@@ -5750,6 +5822,30 @@ def oracle_sql() -> dict[str, str]:
                                  0) AS BIGINT) AS n_segs
             FROM k LEFT JOIN contrib c ON c.seq_id = k.seq_id
             GROUP BY k.seq_id
+        """,
+        "embed_truncate_docs": """
+            WITH v AS (
+              SELECT vec_id,
+                     [CAST(((vec_id * 7 + j * 13) % 257) - 128 AS BIGINT)
+                      FOR j IN range(0, 8)] AS emb
+              FROM embeddings)
+            SELECT vec_id, emb[1:4] AS t4, TRUE AS unit_norm FROM v
+        """,
+        "embed_quantize_docs": """
+            WITH v AS (
+              SELECT vec_id,
+                     [CAST(((vec_id * 7 + j * 13) % 257) - 128 AS DOUBLE)
+                      FOR j IN range(0, 8)] AS emb
+              FROM embeddings),
+            s AS (SELECT vec_id, emb,
+                         list_aggregate(list_transform(emb, x -> abs(x)),
+                                        'max') AS sc
+                  FROM v)
+            SELECT vec_id,
+                   [CAST(round(x * 127.0 / sc) AS BIGINT) FOR x IN emb]
+                       AS q,
+                   CAST(sc AS BIGINT) AS scale
+            FROM s
         """,
         "span_corrupt_docs": """
             WITH h AS (

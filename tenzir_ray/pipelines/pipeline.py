@@ -158,6 +158,8 @@ def _register_builtins() -> None:
         minhash_lsh_dedup=dedup.minhash_lsh_dedup,
         simhash=dedup.simhash,
         lsh_bucket=similarity.lsh_bucket,
+        truncate_embeddings=similarity.truncate_embeddings,
+        quantize_embeddings=similarity.quantize_embeddings,
         semdedup=cluster.semdedup,
         pagerank=graph.pagerank,
         # global count is a scalar; the pipeline form keeps rows flowing

@@ -968,4 +968,65 @@ def ann_index_build(ds, root: str, **kwargs) -> IvfIndex:
     return IvfIndex.build(ds, root, **kwargs)
 
 
+def truncate_embeddings(ds, dims: int, column: str = "embedding",
+                        out: "str | None" = None,
+                        renormalize: bool = True,
+                        batch_size: int = 4096):
+    """Matryoshka-style dimensionality cut (arXiv:2205.13147): keep the
+    first ``dims`` components of each vector, optionally re-L2-
+    normalize — the cheap storage/recall trade MRL-trained embedding
+    models are built for. One slice (+ one norm) per batch, float64."""
+    if dims <= 0:
+        raise ValueError(f"truncate_embeddings: dims must be > 0, got {dims}")
+    out = out or column
+
+    def _trunc(batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch.column(column), np.float64)
+        if dims > m.shape[1]:
+            raise ValueError(
+                f"truncate_embeddings: dims={dims} > vector dim {m.shape[1]}")
+        t = m[:, :dims]
+        if renormalize:
+            t = _normalize(t)
+        arr = pa.array(list(t), pa.list_(pa.float64()))
+        if out in batch.column_names:
+            return batch.set_column(
+                batch.schema.get_field_index(out), out, arr)
+        return batch.append_column(out, arr)
+
+    return ds.map_batches(_trunc, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
+def quantize_embeddings(ds, column: str = "embedding",
+                        out: str = "qvec", scale_col: str = "qscale",
+                        batch_size: int = 4096):
+    """Per-vector symmetric int8 scalar quantization: ``scale =
+    max|x_i|``, codes = half-away-round(127·x/scale) — the standard
+    storage shrink for billion-vector ANN corpora (4x over float32,
+    distances reconstruct as code·scale/127). Zero vectors quantize to
+    all-zero codes with scale 0. Half-away rounding matches SQL
+    ``round()`` bit-for-bit on identical doubles, so the op is
+    oracle-exact."""
+
+    def _quant(batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch.column(column), np.float64)
+        scale = np.abs(m).max(axis=1) if m.size else np.zeros(len(batch))
+        safe = np.where(scale > 0, scale, 1.0)
+        # (x · 127) / scale, NOT x · (127/scale): the left-associated
+        # form is what SQL `x * 127.0 / scale` computes — identical
+        # doubles in, identical codes out
+        x = (m * 127.0) / safe[:, None]
+        q = np.where(x >= 0, np.floor(x + 0.5),
+                     np.ceil(x - 0.5)).astype(np.int8)
+        q[scale == 0] = 0
+        b = batch.append_column(
+            out, pa.array(list(q), pa.list_(pa.int8())))
+        return b.append_column(scale_col,
+                               pa.array(scale, pa.float64()))
+
+    return ds.map_batches(_quant, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
 ship_by_value(sys.modules[__name__])

@@ -630,3 +630,31 @@ def test_tql2_randomized_equivalence_with_dict_pipelines(ray_session,
              else spec).sort_values("c", ignore_index=True)
         assert g["n"].tolist() == w["n"].tolist(), trial
         assert np.allclose(g["sb"], w["sb"]), trial
+
+
+def test_truncate_and_quantize_embeddings(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages.similarity import (
+        quantize_embeddings,
+        truncate_embeddings,
+    )
+
+    vecs = [np.array([3.0, 4.0, 0.0, 12.0]),
+            np.array([0.0, 0.0, 0.0, 0.0]),
+            np.array([-1.0, 2.0, -3.0, 4.0])]
+    t = pa.table({"vec_id": [0, 1, 2], "embedding": vecs})
+    out = truncate_embeddings(ray.data.from_arrow(t), dims=2,
+                              out="t2").to_pandas().sort_values("vec_id")
+    t2 = np.stack(out["t2"].to_numpy())
+    assert np.allclose(t2[0], [0.6, 0.8])  # 3-4-5 renormalized
+    assert np.all(t2[1] == 0)  # zero vector stays zero (no NaN)
+    q = quantize_embeddings(ray.data.from_arrow(t)).to_pandas().sort_values("vec_id")
+    q0 = np.asarray(q["qvec"].iloc[0])
+    assert q0.tolist() == [32, 42, 0, 127]  # round(127*x/12)
+    assert q["qscale"].iloc[0] == 12.0
+    assert np.asarray(q["qvec"].iloc[1]).tolist() == [0, 0, 0, 0]
+    assert q["qscale"].iloc[1] == 0.0
+    # reconstruction error bounded by scale/254 per component
+    rec = q0 * 12.0 / 127.0
+    assert np.abs(rec - vecs[0]).max() <= 12.0 / 254 + 1e-12
