@@ -1137,6 +1137,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return q.map_batches(_prof, batch_format="pyarrow")
 
+    def ann_quantized_topk(sf):
+        # int8-quantized ANN: search runs over the 4x-smaller
+        # (codes, scale) corpus; TRUE-oracle recall gate vs exact brute
+        # force, like ann_pq_topk (scalar quantization loses far less
+        # than PQ, so the bar is higher)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from tenzir_ray.stages.similarity import (
+            quantize_embeddings,
+            quantized_topk,
+        )
+
+        q_tbl = pq.read_table(
+            f"{sf}/embeddings.parquet", columns=["embedding"]
+        ).slice(0, 4)
+        queries_m = np.stack(
+            [np.asarray(v) for v in q_tbl.column("embedding").to_pylist()]
+        )
+        ds = _read(sf, "embeddings", columns=["vec_id", "embedding"])
+        exact = SIM.brute_force_topk(ds, queries_m, k=10).to_pandas()
+        codes = quantize_embeddings(ds).drop_columns(["embedding"])
+        approx = quantized_topk(codes, queries_m, k=10).to_pandas()
+        oks = []
+        for qi in range(len(queries_m)):
+            e = set(exact.loc[exact["query_idx"] == qi, "vec_id"])
+            a = set(approx.loc[approx["query_idx"] == qi, "vec_id"])
+            oks.append(len(e & a) / max(len(e), 1) >= 0.9)
+        return pa.table({
+            "query_idx": pa.array(range(len(queries_m)), pa.int64()),
+            "q8_ok": pa.array(oks, pa.bool_()),
+        })
+
     def ann_cosine_topk(sf):
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -4969,6 +5002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_revenue_by_priority": join_revenue_by_priority,
         "collate_packed_docs": collate_packed_docs,
         "collate_segments_docs": collate_segments_docs,
+        "ann_quantized_topk": ann_quantized_topk,
         "embed_truncate_docs": embed_truncate_docs,
         "embed_quantize_docs": embed_quantize_docs,
         "span_corrupt_docs": span_corrupt_docs,
@@ -5822,6 +5856,10 @@ def oracle_sql() -> dict[str, str]:
                                  0) AS BIGINT) AS n_segs
             FROM k LEFT JOIN contrib c ON c.seq_id = k.seq_id
             GROUP BY k.seq_id
+        """,
+        "ann_quantized_topk": """
+            SELECT j AS query_idx, TRUE AS q8_ok
+            FROM range(0, 4) t(j)
         """,
         "embed_truncate_docs": """
             WITH v AS (

@@ -968,6 +968,69 @@ def ann_index_build(ds, root: str, **kwargs) -> IvfIndex:
     return IvfIndex.build(ds, root, **kwargs)
 
 
+def quantized_topk(ds, queries: np.ndarray, id_column: str = "vec_id",
+                   code_column: str = "qvec",
+                   scale_column: str = "qscale", k: int = 10,
+                   concurrency=(1, 4), batch_size: int = 4096) -> pa.Table:
+    """Exact-over-codes cosine top-k against an int8-quantized corpus
+    (:func:`quantize_embeddings` output): per batch the codes
+    reconstruct to ``code · scale/127`` and run the same GEMM top-k +
+    driver k-merge as :func:`brute_force_topk` — the corpus stays 4x
+    smaller at rest and in the object store, the search touches only
+    (codes, scales). Recall loss is the scalar-quantization error
+    (≤ scale/254 per component)."""
+    import ray
+
+    q = _normalize(np.asarray(queries, np.float64))
+    qref = ray.put(q)
+
+    class _QTopK:
+        __name__ = "_QTopK"
+
+        def __init__(self, qref, idc, codec, scalec, k):
+            self.q = ray.get(qref)
+            self.idc, self.codec, self.scalec, self.k = idc, codec, scalec, k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            if n == 0:
+                return pa.table({
+                    "query_idx": pa.array([], pa.int64()),
+                    self.idc: pa.array([], batch.schema.field(self.idc).type),
+                    "similarity": pa.array([], pa.float64()),
+                })
+            codes = np.stack([np.asarray(c, np.float64)
+                              for c in batch.column(self.codec).to_pylist()])
+            scales = np.asarray(batch.column(self.scalec).to_pylist(),
+                                np.float64)
+            m = _normalize(codes * (scales[:, None] / 127.0))
+            sims = m @ self.q.T  # (n, Q)
+            kk = min(self.k, n)
+            idx = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            ids = np.asarray(batch.column(self.idc).to_pylist())
+            qi = np.repeat(np.arange(self.q.shape[0]), kk)
+            rows = idx.T.ravel()
+            return pa.table({
+                "query_idx": pa.array(qi, pa.int64()),
+                self.idc: pa.array(ids[rows]),
+                "similarity": pa.array(
+                    sims[rows, qi], pa.float64()),
+            })
+
+    partial = ds.map_batches(
+        _QTopK, fn_constructor_args=(qref, id_column, code_column,
+                                     scale_column, k),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+    merged = partial.to_pandas()
+    out = (merged.sort_values(["query_idx", "similarity", id_column],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+           .groupby("query_idx", sort=True).head(k)
+           .reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def truncate_embeddings(ds, dims: int, column: str = "embedding",
                         out: "str | None" = None,
                         renormalize: bool = True,

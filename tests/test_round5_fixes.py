@@ -658,3 +658,26 @@ def test_truncate_and_quantize_embeddings(ray_session):
     # reconstruction error bounded by scale/254 per component
     rec = q0 * 12.0 / 127.0
     assert np.abs(rec - vecs[0]).max() <= 12.0 / 254 + 1e-12
+
+
+def test_quantized_topk_high_recall(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages.similarity import (
+        brute_force_topk,
+        quantize_embeddings,
+        quantized_topk,
+    )
+
+    rng = np.random.default_rng(21)
+    vecs = rng.normal(size=(500, 24)).astype(np.float64)
+    ds = ray.data.from_arrow(pa.table({"vec_id": np.arange(500),
+                                       "embedding": list(vecs)}))
+    q = vecs[:3]
+    exact = brute_force_topk(ds, q, k=10).to_pandas()
+    approx = quantized_topk(quantize_embeddings(ds).drop_columns(["embedding"]),
+                            q, k=10).to_pandas()
+    for qi in range(3):
+        e = set(exact.loc[exact["query_idx"] == qi, "vec_id"])
+        a = set(approx.loc[approx["query_idx"] == qi, "vec_id"])
+        assert len(e & a) / 10 >= 0.9, (qi, e, a)
