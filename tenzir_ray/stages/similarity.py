@@ -83,6 +83,21 @@ class _BatchTopK:
         )
 
 
+def _merge_topk(partial, id_column: str, k: int) -> pa.Table:
+    """Driver-side k-merge shared by the exact top-k ops: ≤ k rows per
+    (batch, query) come back, sort + grouped head finishes (ties break
+    by ascending id for determinism)."""
+    merged = partial.to_pandas()
+    out = (
+        merged.sort_values(["query_idx", "similarity", id_column],
+                           ascending=[True, False, True], kind="mergesort")
+        .groupby("query_idx", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def brute_force_topk(ds, queries: np.ndarray, id_column: str = "vec_id",
                      column: str = "embedding", k: int = 10,
                      concurrency=(1, 4), batch_size: int = 4096,
@@ -103,15 +118,7 @@ def brute_force_topk(ds, queries: np.ndarray, id_column: str = "vec_id",
         batch_size=batch_size,
         concurrency=concurrency,
     )
-    merged = partial.to_pandas()  # ≤ k rows per (batch, query) — small
-    out = (
-        merged.sort_values(["query_idx", "similarity", id_column],
-                           ascending=[True, False, True], kind="mergesort")
-        .groupby("query_idx", sort=True)
-        .head(k)
-        .reset_index(drop=True)
-    )
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return _merge_topk(partial, id_column, k)
 
 
 class _HyperplaneSigner:
@@ -969,16 +976,15 @@ def ann_index_build(ds, root: str, **kwargs) -> IvfIndex:
 
 
 def quantized_topk(ds, queries: np.ndarray, id_column: str = "vec_id",
-                   code_column: str = "qvec",
-                   scale_column: str = "qscale", k: int = 10,
+                   code_column: str = "qvec", k: int = 10,
                    concurrency=(1, 4), batch_size: int = 4096) -> pa.Table:
     """Exact-over-codes cosine top-k against an int8-quantized corpus
-    (:func:`quantize_embeddings` output): per batch the codes
-    reconstruct to ``code · scale/127`` and run the same GEMM top-k +
-    driver k-merge as :func:`brute_force_topk` — the corpus stays 4x
-    smaller at rest and in the object store, the search touches only
-    (codes, scales). Recall loss is the scalar-quantization error
-    (≤ scale/254 per component)."""
+    (:func:`quantize_embeddings` output): the same GEMM top-k + driver
+    k-merge as :func:`brute_force_topk`, but over the 4x-smaller int8
+    codes — cosine normalization cancels the positive per-row scale,
+    so the search reads ONLY the code column (scales matter for
+    distance/dot-product reconstruction, not direction). Recall loss
+    is the scalar-quantization error (≤ scale/254 per component)."""
     import ray
 
     q = _normalize(np.asarray(queries, np.float64))
@@ -987,9 +993,9 @@ def quantized_topk(ds, queries: np.ndarray, id_column: str = "vec_id",
     class _QTopK:
         __name__ = "_QTopK"
 
-        def __init__(self, qref, idc, codec, scalec, k):
+        def __init__(self, qref, idc, codec, k):
             self.q = ray.get(qref)
-            self.idc, self.codec, self.scalec, self.k = idc, codec, scalec, k
+            self.idc, self.codec, self.k = idc, codec, k
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             n = batch.num_rows
@@ -999,15 +1005,16 @@ def quantized_topk(ds, queries: np.ndarray, id_column: str = "vec_id",
                     self.idc: pa.array([], batch.schema.field(self.idc).type),
                     "similarity": pa.array([], pa.float64()),
                 })
-            codes = np.stack([np.asarray(c, np.float64)
-                              for c in batch.column(self.codec).to_pylist()])
-            scales = np.asarray(batch.column(self.scalec).to_pylist(),
-                                np.float64)
-            m = _normalize(codes * (scales[:, None] / 127.0))
+            # codes only: cosine normalization cancels the positive
+            # per-row scale, so the scale column never needs to load —
+            # the search working set is exactly the int8 codes
+            codes = _to_matrix(batch.column(self.codec), np.float64)
+            m = _normalize(codes)
             sims = m @ self.q.T  # (n, Q)
             kk = min(self.k, n)
             idx = np.argpartition(-sims, kk - 1, axis=0)[:kk]
-            ids = np.asarray(batch.column(self.idc).to_pylist())
+            ids = np.asarray(
+                batch.column(self.idc).to_numpy(zero_copy_only=False))
             qi = np.repeat(np.arange(self.q.shape[0]), kk)
             rows = idx.T.ravel()
             return pa.table({
@@ -1018,17 +1025,10 @@ def quantized_topk(ds, queries: np.ndarray, id_column: str = "vec_id",
             })
 
     partial = ds.map_batches(
-        _QTopK, fn_constructor_args=(qref, id_column, code_column,
-                                     scale_column, k),
+        _QTopK, fn_constructor_args=(qref, id_column, code_column, k),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
-    merged = partial.to_pandas()
-    out = (merged.sort_values(["query_idx", "similarity", id_column],
-                              ascending=[True, False, True],
-                              kind="mergesort")
-           .groupby("query_idx", sort=True).head(k)
-           .reset_index(drop=True))
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return _merge_topk(partial, id_column, k)
 
 
 def truncate_embeddings(ds, dims: int, column: str = "embedding",
@@ -1044,6 +1044,12 @@ def truncate_embeddings(ds, dims: int, column: str = "embedding",
     out = out or column
 
     def _trunc(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            arr = pa.array([], pa.list_(pa.float64()))
+            if out in batch.column_names:
+                return batch.set_column(
+                    batch.schema.get_field_index(out), out, arr)
+            return batch.append_column(out, arr)
         m = _to_matrix(batch.column(column), np.float64)
         if dims > m.shape[1]:
             raise ValueError(
@@ -1073,8 +1079,12 @@ def quantize_embeddings(ds, column: str = "embedding",
     oracle-exact."""
 
     def _quant(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return (batch
+                    .append_column(out, pa.array([], pa.list_(pa.int8())))
+                    .append_column(scale_col, pa.array([], pa.float64())))
         m = _to_matrix(batch.column(column), np.float64)
-        scale = np.abs(m).max(axis=1) if m.size else np.zeros(len(batch))
+        scale = np.abs(m).max(axis=1)
         safe = np.where(scale > 0, scale, 1.0)
         # (x · 127) / scale, NOT x · (127/scale): the left-associated
         # form is what SQL `x * 127.0 / scale` computes — identical

@@ -879,6 +879,32 @@ _SPAN_A4 = 668265263
 _SPAN_A5 = 374761393
 
 
+#: == splits._KNUTH (hash_split's selection constant): duplicated as a
+#: plain literal because a deferred cross-module import inside the
+#: shipped closure breaks workers outside the repo cwd; a pytest
+#: asserts the two stay in sync
+_SELECT_A1 = 2654435761
+
+
+def _hash_select(df, key: str, rate: float, opname: str):
+    """Shared key-validation + selection preamble of the deterministic
+    rewriting ops (fim_transform / span_corrupt): returns
+    ``(k int64, sel bool mask)`` — hash_split's Knuth selection rule,
+    null keys unselected, non-numeric / negative keys rejected loudly
+    (both silently break SQL hash parity)."""
+    import pandas as pd
+
+    kraw = pd.to_numeric(df[key], errors="coerce")
+    knull = kraw.isna().to_numpy()
+    if (knull & df[key].notna().to_numpy()).any():
+        raise ValueError(f"{opname}: key column {key!r} must be numeric")
+    k = kraw.fillna(0).to_numpy(np.int64)
+    if (k < 0).any():
+        raise ValueError(f"{opname}: negative keys break SQL hash parity")
+    sel = (_fim_frac(k, _SELECT_A1) < rate) & ~knull
+    return k, sel
+
+
 def span_corrupt(ds, key: str, column: str = "text",
                  input_col: str = "corrupt_input",
                  target_col: str = "corrupt_target", rate: float = 1.0,
@@ -894,7 +920,9 @@ def span_corrupt(ds, key: str, column: str = "text",
     denoising pair. Unselected rows pass through with a null target.
     Like :func:`fim_transform`, everything is a pure function of key
     and length, so the SQL oracle is substr arithmetic; keys must be
-    non-negative integers (nulls pass through unselected).
+    NON-NEGATIVE integers below 2^31 for exact SQL parity (same rules
+    as fim — nulls pass through unselected, negatives and non-numeric
+    keys raise).
 
     Span rule (0-based codepoints, ``L2 = L // 2``):
     ``s1 = floor(h2·L2)``, ``e1 = s1 + floor(h3·(L2 − s1))``,
@@ -909,17 +937,7 @@ def span_corrupt(ds, key: str, column: str = "text",
     t0, t1 = sentinels
 
     def _corrupt(df: pd.DataFrame) -> pd.DataFrame:
-        kraw = pd.to_numeric(df[key], errors="coerce")
-        knull = kraw.isna().to_numpy()
-        if (knull & df[key].notna().to_numpy()).any():
-            raise ValueError(
-                f"span_corrupt: key column {key!r} must be numeric")
-        k = kraw.fillna(0).to_numpy(np.int64)
-        if (k < 0).any():
-            raise ValueError(
-                "span_corrupt: negative keys break SQL hash parity")
-        h1 = _fim_frac(k, int(_KNUTH))
-        sel = (h1 < rate) & ~knull
+        k, sel = _hash_select(df, key, rate, "span_corrupt")
         h2 = _fim_frac(k, _FIM_A2)
         h3 = _fim_frac(k, _FIM_A3)
         h4 = _fim_frac(k, _SPAN_A4)
@@ -974,20 +992,8 @@ def fim_transform(ds, key: str, column: str = "text",
     out = out or column
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"fim_transform: rate must be in [0,1], got {rate}")
-    from tenzir_ray.stages.splits import _KNUTH
-
     def _fim(df: pd.DataFrame) -> pd.DataFrame:
-        kraw = pd.to_numeric(df[key], errors="coerce")
-        knull = kraw.isna().to_numpy()
-        if (knull & df[key].notna().to_numpy()).any():
-            raise ValueError(
-                f"fim_transform: key column {key!r} must be numeric")
-        k = kraw.fillna(0).to_numpy(np.int64)
-        if (k < 0).any():
-            raise ValueError(
-                "fim_transform: negative keys break SQL hash parity")
-        h1 = _fim_frac(k, int(_KNUTH))
-        sel = (h1 < rate) & ~knull
+        k, sel = _hash_select(df, key, rate, "fim_transform")
         h2 = _fim_frac(k, _FIM_A2)
         h3 = _fim_frac(k, _FIM_A3)
         texts = df[column].to_numpy(dtype=object)

@@ -611,8 +611,8 @@ def test_tql2_randomized_equivalence_with_dict_pipelines(ray_session,
             from "{p}"
             where a > {thresh}
             move a2=a
-            summarize n=count(), sb=sum(b) by c
-            sort {'' if asc else '-'}n
+            summarize n=count(), sa=sum(a2), sb=sum(b) by c
+            sort {'' if asc else '-'}n, c
         """
         spec = Pipeline([
             {"op": "read_parquet", "paths": str(p)},
@@ -620,16 +620,24 @@ def test_tql2_randomized_equivalence_with_dict_pipelines(ray_session,
             {"op": "set", "a2": "a"},
             {"op": "drop", "columns": ["a"]},
             {"op": "summarize", "by": "c",
-             "aggs": {"n": "count(*)", "sb": "sum(b)"}},
-            {"op": "sort", "keys": "n", "descending": not asc},
+             "aggs": {"n": "count(*)", "sa": "sum(a2)",
+                      "sb": "sum(b)"}},
+            {"op": "sort", "keys": ["n", "c"],
+             "descending": [not asc, False]},
         ]).run()
         got = run_pipeline2(prog)
+        # compare IN ORDER: the randomized sort direction and the moved
+        # column's VALUES (sum over a2) are both under test
         g = (got.to_pandas() if not isinstance(got, pd.DataFrame)
-             else got).sort_values("c", ignore_index=True)
+             else got).reset_index(drop=True)
         w = (spec.to_pandas() if not isinstance(spec, pd.DataFrame)
-             else spec).sort_values("c", ignore_index=True)
+             else spec).reset_index(drop=True)
+        assert g["c"].tolist() == w["c"].tolist(), trial
         assert g["n"].tolist() == w["n"].tolist(), trial
+        assert g["sa"].tolist() == w["sa"].tolist(), trial
         assert np.allclose(g["sb"], w["sb"]), trial
+        ns = g["n"].tolist()
+        assert ns == sorted(ns, reverse=not asc), trial
 
 
 def test_truncate_and_quantize_embeddings(ray_session):
@@ -681,3 +689,27 @@ def test_quantized_topk_high_recall(ray_session):
         e = set(exact.loc[exact["query_idx"] == qi, "vec_id"])
         a = set(approx.loc[approx["query_idx"] == qi, "vec_id"])
         assert len(e & a) / 10 >= 0.9, (qi, e, a)
+
+
+def test_embed_ops_empty_batches(ray_session):
+    """Filtered-to-empty upstream blocks must not crash the embedding
+    ops (the _to_matrix reshape rejects 0-row input)."""
+    import ray.data
+
+    from tenzir_ray.stages.similarity import (
+        quantize_embeddings,
+        truncate_embeddings,
+    )
+
+    t = pa.table({"vec_id": [1, 2], "embedding": [np.ones(4), np.ones(4)]})
+    ds = (ray.data.from_arrow(t).repartition(2)
+          .filter(lambda r: r["vec_id"] < 0))
+    assert truncate_embeddings(ds, dims=2).count() == 0
+    assert quantize_embeddings(ds).count() == 0
+
+
+def test_selection_constant_synced_with_hash_split():
+    from tenzir_ray.stages.splits import _KNUTH
+    from tenzir_ray.stages.text import _SELECT_A1
+
+    assert _SELECT_A1 == int(_KNUTH)
