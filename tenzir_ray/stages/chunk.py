@@ -275,4 +275,31 @@ def collate_packed(ds, order_by: str, tokens_col: str, seq_len: int,
                          tag="collate")
 
 
+def iter_training_batches(collated, batch_size: int,
+                          columns: "list[str] | None" = None):
+    """The LAST mile: stream a :func:`collate_packed` output as numpy
+    trainer batches — yields dicts of stacked ``(batch, seq_len)``
+    int32 arrays for the list columns (``input_ids`` and, when present,
+    ``segment_ids``) plus 1-D arrays for the scalar columns. A thin
+    generator over ``iter_batches`` — blocks stream with backpressure,
+    nothing materializes beyond one batch (feed it straight to the
+    training loop, or shard with ``streaming_split`` for multi-worker
+    loaders)."""
+    import numpy as np
+
+    cols = columns
+    for b in collated.iter_batches(batch_size=batch_size,
+                                   batch_format="pandas"):
+        use = cols or list(b.columns)
+        out = {}
+        for c in use:
+            v = b[c]
+            first = v.iloc[0] if len(v) else None
+            if isinstance(first, (list, np.ndarray)):
+                out[c] = np.stack([np.asarray(x) for x in v])
+            else:
+                out[c] = v.to_numpy()
+        yield out
+
+
 ship_by_value(sys.modules[__name__])

@@ -713,3 +713,25 @@ def test_selection_constant_synced_with_hash_split():
     from tenzir_ray.stages.text import _SELECT_A1
 
     assert _SELECT_A1 == int(_KNUTH)
+
+
+def test_iter_training_batches_shapes(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages.chunk import collate_packed, iter_training_batches
+
+    df = pd.DataFrame({
+        "seq": np.repeat(np.arange(6), 2),
+        "ord": np.arange(12),
+        "ids": [np.arange(i + 1, dtype=np.int32) for i in range(12)],
+    })
+    coll = collate_packed(ray.data.from_pandas(df), "ord", "ids", 8,
+                          seq_col="seq", segment_ids=True)
+    seen = 0
+    for batch in iter_training_batches(coll, batch_size=4):
+        assert batch["input_ids"].ndim == 2
+        assert batch["input_ids"].shape[1] == 8
+        assert batch["segment_ids"].shape == batch["input_ids"].shape
+        assert batch["n_docs"].ndim == 1
+        seen += len(batch["n_docs"])
+    assert seen == 6
