@@ -390,9 +390,13 @@ def _parse_two_input(name: str, rest: str) -> dict:
         if not tok:
             continue
         k, eq, v = tok.partition("=")
-        if not eq or not re.match(r"^\w+$", k.strip()):
+        k = k.strip()
+        if not eq or not re.match(r"^\w+$", k):
             raise ValueError(f"{name}: want `key=value`, got {tok!r}")
-        step[k.strip()] = _literal(v.strip())
+        if k in ("op", "right"):
+            raise ValueError(
+                f"{name}: argument name {k!r} is reserved")
+        step[k] = _literal(v.strip())
     return step
 
 
@@ -432,6 +436,11 @@ def parse_statement(stmt: str) -> dict:
                 raise ValueError(f"move: want `target=source`, "
                                  f"got {part.strip()!r}")
             tgt, src = m.group(1), m.group(2).strip()
+            if tgt in ("op", "pipeline") or src == "op":
+                raise ValueError(
+                    f"move: field name {('op' if 'op' in (tgt, src) else tgt)!r} "
+                    "is reserved in the step grammar — rename the column "
+                    "first")
             if not re.match(r"^[A-Za-z_]\w*$", src):
                 raise ValueError(
                     "move: source must be a top-level column name "

@@ -288,15 +288,26 @@ def iter_training_batches(collated, batch_size: int,
     import numpy as np
 
     cols = columns
+    is_list: dict = {}  # sticky per-column decision across batches
     for b in collated.iter_batches(batch_size=batch_size,
                                    batch_format="pandas"):
+        if not len(b):
+            continue
         use = cols or list(b.columns)
         out = {}
         for c in use:
             v = b[c]
-            first = v.iloc[0] if len(v) else None
-            if isinstance(first, (list, np.ndarray)):
-                out[c] = np.stack([np.asarray(x) for x in v])
+            if c not in is_list:
+                is_list[c] = any(
+                    isinstance(x, (list, np.ndarray)) for x in v)
+            if is_list[c]:
+                try:
+                    out[c] = np.stack([np.asarray(x) for x in v])
+                except (ValueError, TypeError) as exc:
+                    raise ValueError(
+                        f"iter_training_batches: column {c!r} has "
+                        "null or ragged list cells — collate upstream "
+                        "to a fixed shape first") from exc
             else:
                 out[c] = v.to_numpy()
         yield out

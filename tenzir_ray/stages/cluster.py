@@ -99,7 +99,8 @@ class _LloydAgg:
 
 def kmeans_fit(ds, column: str = "embedding", k: int = 16, *,
                iters: int = 10, seed: int = 11, sample: int = 4096,
-               normalize: bool = True, tol: float = 1e-6) -> np.ndarray:
+               normalize: bool = True, tol: float = 1e-6,
+               materialize_input: bool = True) -> np.ndarray:
     """Fit k-means centroids over an embedding column. Returns the
     (k, d) float64 centroid matrix (rows in a deterministic order).
 
@@ -115,7 +116,10 @@ def kmeans_fit(ds, column: str = "embedding", k: int = 16, *,
     passes (parity-tested vs the streaming loop). Otherwise the input
     is materialized once so the 2..``iters`` streaming passes re-read
     pinned blocks instead of re-executing the upstream lineage per
-    iteration."""
+    iteration; when the input exceeds object-store + spill capacity
+    (it cannot pin), pass ``materialize_input=False`` to re-execute
+    the lineage each pass instead — slower per iteration but never
+    holds more than the streaming working set."""
     from ray.data.aggregate import AggregateFn
 
     head = ds.limit(sample).take_all()
@@ -144,7 +148,7 @@ def kmeans_fit(ds, column: str = "embedding", k: int = 16, *,
             if shift <= tol:
                 break
         return cents
-    if iters > 1:
+    if iters > 1 and materialize_input:
         # pin blocks so iterations 2..N re-read instead of re-executing
         # the upstream lineage; a single pass gains nothing from the pin
         ds = ds.materialize()

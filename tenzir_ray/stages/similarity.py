@@ -1084,6 +1084,11 @@ def quantize_embeddings(ds, column: str = "embedding",
                     .append_column(out, pa.array([], pa.list_(pa.int8())))
                     .append_column(scale_col, pa.array([], pa.float64())))
         m = _to_matrix(batch.column(column), np.float64)
+        if not np.isfinite(m).all():
+            raise ValueError(
+                f"quantize_embeddings: column {column!r} contains "
+                "non-finite values — int8 codes would be undefined; "
+                "filter or impute upstream")
         scale = np.abs(m).max(axis=1)
         safe = np.where(scale > 0, scale, 1.0)
         # (x · 127) / scale, NOT x · (127/scale): the left-associated

@@ -898,7 +898,12 @@ def _hash_select(df, key: str, rate: float, opname: str):
     knull = kraw.isna().to_numpy()
     if (knull & df[key].notna().to_numpy()).any():
         raise ValueError(f"{opname}: key column {key!r} must be numeric")
-    k = kraw.fillna(0).to_numpy(np.int64)
+    kf = kraw.fillna(0).to_numpy(np.float64)
+    if (kf % 1 != 0).any():
+        raise ValueError(
+            f"{opname}: key column {key!r} must be integral — a float "
+            "key would silently truncate and break SQL hash parity")
+    k = kf.astype(np.int64)
     if (k < 0).any():
         raise ValueError(f"{opname}: negative keys break SQL hash parity")
     sel = (_fim_frac(k, _SELECT_A1) < rate) & ~knull
@@ -929,8 +934,6 @@ def span_corrupt(ds, key: str, column: str = "text",
     ``s2 = L2 + floor(h4·(L − L2))``, ``e2 = s2 + floor(h5·(L − s2))``
     — always ordered ``s1 ≤ e1 ≤ L2 ≤ s2 ≤ e2 ≤ L``."""
     import pandas as pd
-
-    from tenzir_ray.stages.splits import _KNUTH
 
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"span_corrupt: rate must be in [0,1], got {rate}")

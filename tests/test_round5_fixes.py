@@ -735,3 +735,36 @@ def test_iter_training_batches_shapes(ray_session):
         assert batch["n_docs"].ndim == 1
         seen += len(batch["n_docs"])
     assert seen == 6
+
+
+def test_hash_select_rejects_float_keys(ray_session):
+    """Non-integral numeric keys would silently truncate against the
+    SQL oracle — must raise."""
+    import ray.data
+
+    from tenzir_ray.stages.text import fim_transform
+
+    df = pd.DataFrame({"k": [1.0, 3.7], "text": ["a", "b"]})
+    with pytest.raises(Exception, match="integral"):
+        fim_transform(ray.data.from_pandas(df), key="k",
+                      rate=1.0).to_pandas()
+
+
+def test_quantize_rejects_nonfinite(ray_session):
+    import ray.data
+
+    from tenzir_ray.stages.similarity import quantize_embeddings
+
+    t = pa.table({"vec_id": [1], "embedding": [np.array([1.0, np.nan])]})
+    with pytest.raises(Exception, match="non-finite"):
+        quantize_embeddings(ray.data.from_arrow(t)).to_pandas()
+
+
+def test_tql2_reserved_names_rejected():
+    from tenzir_ray.pipelines.tql2 import parse_pipeline2
+
+    with pytest.raises(ValueError, match="reserved"):
+        parse_pipeline2("move op=status")
+    with pytest.raises(ValueError, match="reserved"):
+        parse_pipeline2(
+            'hash_join right=( from "x.parquet" ), op="drop"')

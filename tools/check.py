@@ -105,6 +105,14 @@ def _values_equal(a: pd.DataFrame, b: pd.DataFrame) -> bool:
         return False
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype.kind in "iu" and bv.dtype.kind in "iu" \
+                and av.dtype != bv.dtype:
+            # mixed uint64/int64 would promote to float64 and lose
+            # exactness above 2^53 (md5-hash columns live up there);
+            # compare as Python ints instead
+            if av.tolist() != bv.tolist():
+                return False
+            continue
         if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
             af = av.astype(np.float64)
             bf = bv.astype(np.float64)
